@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Benchmark headline lakeflow queries.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec}, "sf": ...}
+
+Each query executes to a noop sink (full compute, no driver collect) so the
+timing reflects the distributed plan, not result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+BENCH_QUERIES = [
+    # relational core
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "candles_15m",
+    "latest_event_per_user",
+    "event_value_delta",
+    "dual_nation_lookup",
+    # medallion / merge
+    "scd2_customer_state",
+    "incremental_orders",
+    # north star
+    "exact_dedup_docs",
+    "minhash_lsh_pairs",
+    "simhash_signatures",
+    "cosine_topk",
+    "text_quality",
+    # streaming engine end-to-end
+    "stream_candles_15m",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from lakeflow.queries import QUERIES
+    from lakeflow.session import get_session
+
+    spark = get_session(
+        "lakeflow-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/session so query 1 doesn't pay startup cost.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "lakeflow headline queries, end-to-end (noop sink)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

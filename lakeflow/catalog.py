@@ -1,0 +1,70 @@
+"""Table registry over the parquet fixture layout.
+
+Replaces the reference's hard-coded ``iceberg.<layer>.<table>`` strings
+(/root/reference/src/silver/_silver_utils.py:43, /root/reference/src/gold/_gold_utils.py:32)
+with a declarative registry. Storage format is pluggable by construction: these
+helpers only assume "a path that spark.read.parquet understands", so swapping in
+an Iceberg/Delta catalog is a one-line change where those jars exist.
+
+At 100 TB the same read path works unchanged: parquet scans get column pruning
+and predicate pushdown from the DataSource V2 reader, and partitioned layouts
+(`dir/col=val/`) get partition pruning for free — keep filters on raw columns
+so they reach the scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _enable_nanos_as_long(spark: SparkSession) -> None:
+    """events.parquet carries TIMESTAMP(NANOS) — Spark has no nanos timestamp,
+    so read it as int64 nanos and convert (see convert_nanos_ts)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def convert_nanos_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """int64 nanos → TIMESTAMP at microsecond precision (integer div — double
+    math would lose precision above 2^53 ns)."""
+    return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table as a DataFrame (lazy parquet scan)."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        _enable_nanos_as_long(spark)
+        df = spark.read.parquet(table_path(sf_dir, name))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = convert_nanos_ts(df)
+        return df
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register every fixture table as a temp view for spark.sql() queries."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

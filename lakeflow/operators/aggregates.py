@@ -1,0 +1,91 @@
+"""Aggregation operators (SURVEY.md §2.4) — flagship: OHLCV candle roll-up.
+
+The reference's streaming candle aggregation
+(/root/reference/src/silver/ohlcv_agg.py:17-38) uses arrival-order
+``first``/``last`` for open/close — nondeterministic. We fix the semantics to
+event-time ``min_by``/``max_by`` (SURVEY.md §7.4): deterministic, identical in
+batch and streaming, and reproducible by any SQL oracle.
+
+Scale: a single hash aggregation — partial (map-side) combine happens for every
+one of these agg functions, so the shuffle carries one row per
+(key, window) per map task, not per input row. This is the plan you want at
+100 TB; no window function, no second sort.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from lakeflow.functions.rounding import rnd
+
+
+def tumbling_candles(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = ("event_type",),
+    value_col: str = "value",
+    window_duration: str = "15 minutes",
+    round_to: int | None = 2,
+) -> DataFrame:
+    """Batch tumbling-window OHLCV candles, deterministic open/close.
+
+    Output: key cols, ``bucket_start`` (window start as 'yyyy-MM-dd HH:mm:ss'
+    string — engine-neutral), open/high/low/close/volume/n_events.
+    """
+    w = F.window(F.col(ts_col), window_duration)
+
+    def r(c: Column) -> Column:
+        return rnd(c, round_to) if round_to is not None else c
+
+    return (
+        df.groupBy(*key_cols, w.alias("__w"))
+        .agg(
+            r(F.min_by(value_col, ts_col)).alias("open"),
+            r(F.max(value_col)).alias("high"),
+            r(F.min(value_col)).alias("low"),
+            r(F.max_by(value_col, ts_col)).alias("close"),
+            r(F.sum(value_col)).alias("volume"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .withColumn("bucket_start", F.date_format("__w.start", "yyyy-MM-dd HH:mm:ss"))
+        .drop("__w")
+        .select(*key_cols, "bucket_start", "open", "high", "low", "close", "volume", "n_events")
+    )
+
+
+def scalar_max(df: DataFrame, col: str):
+    """High-watermark scalar: MAX(col) (reference _silver_utils.py:45).
+
+    Parquet/Iceberg footer statistics make this near-free via aggregate
+    pushdown; still a single-row collect either way.
+    """
+    return df.agg(F.max(col).alias("hw")).collect()[0]["hw"]
+
+
+def is_empty(df: DataFrame) -> bool:
+    """Emptiness probe (replaces the reference's df.rdd.isEmpty(),
+    /root/reference/src/silver/processed_company.py:69)."""
+    return df.isEmpty()
+
+
+def grouped_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: Sequence[Column],
+    *,
+    mode: str = "groupby",
+) -> DataFrame:
+    """Uniform entry for groupBy / rollup / cube aggregation (headroom §2.4)."""
+    if mode == "groupby":
+        g = df.groupBy(*keys)
+    elif mode == "rollup":
+        g = df.rollup(*keys)
+    elif mode == "cube":
+        g = df.cube(*keys)
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+    return g.agg(*aggs)

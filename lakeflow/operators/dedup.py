@@ -1,0 +1,207 @@
+"""Deduplication operators for LLM-data pipelines (north star; BASELINE.json).
+
+Beyond the reference's keyed ranked dedup (W1, lakeflow.operators.transforms
+.dedup_latest), a training-data pipeline needs *content* dedup:
+
+* exact       — hash-groupBy on a normalized fingerprint; one shuffle on the
+                hash, map-side partial min. The 100 TB workhorse.
+* MinHash-LSH — shingle → per-seed min-hash signature → band buckets →
+                candidate pairs only where a band collides. Join cost scales
+                with collisions, not |docs|².
+* SimHash     — token-weight sign vector → compact bit signature; near-dup =
+                small Hamming distance.
+* n-gram Jaccard — exact pairwise similarity, for candidate verification.
+
+Determinism: all hashing goes through md5 (identical everywhere) rather than
+engine-private hash functions, so any SQL engine can replay the result. Min
+over fixed-width lowercase hex strings == min over the underlying 128-bit int.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from lakeflow.functions.rounding import rnd
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapsed whitespace."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Exact-dup fingerprint: md5 of normalized text."""
+    return F.md5(normalize_text(col))
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the lowest-id doc per identical normalized text.
+
+    Output: fp, keep_id (surviving doc), n_dups (group size).
+    """
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def word_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Distinct n-word shingles per doc: (id, shingle).
+
+    Built-ins only: split → transform(sequence) → explode. The explode is a
+    narrow op; dedup shuffles on (id, shingle) with partial combine.
+    """
+    toks = F.split(normalize_text(text_col), " ")
+    idxs = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)) )
+    # slice is 1-based; join n consecutive tokens.
+    sh = F.transform(idxs, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, num_hashes: int = 16
+) -> DataFrame:
+    """Per-doc MinHash signature: sig[i] = min over shingles of
+    md5(i || ':' || shingle). Output: (id, sigs array<string> ordered by i).
+
+    One explode (×num_hashes) + one hash-agg; the shuffle carries
+    num_hashes rows per doc.
+    """
+    seeded = shingles.select(
+        "id",
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("i"),
+        "shingle",
+    ).select(
+        "id",
+        "i",
+        F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("shingle"))).alias("h"),
+    )
+    per_seed = seeded.groupBy("id", "i").agg(F.min("h").alias("mh"))
+    return per_seed.groupBy("id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "mh"))), lambda s: s["mh"]
+        ).alias("sigs")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signature and emit candidate pairs sharing any band bucket.
+
+    Output: (id_a, id_b) with id_a < id_b, distinct. The self-join keys on
+    (band_idx, band_hash) — cost proportional to real collisions. At 100 TB
+    add a salt on huge buckets (degenerate content) before the join.
+    """
+    band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
+    banded = signatures.select("id", "sigs", band_idx).select(
+        "id",
+        "band",
+        F.md5(
+            F.array_join(F.slice("sigs", F.col("band") * rows_per_band + 1, rows_per_band), "|")
+        ).alias("bh"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingles: DataFrame, min_sim: float = 0.0
+) -> DataFrame:
+    """Exact n-gram Jaccard over docs sharing ≥1 shingle.
+
+    Output: (id_a, id_b, jaccard) rounded to 6. The shingle self-join is the
+    scale hazard — feed it LSH candidates (semi-join on lsh_candidate_pairs)
+    instead of raw shingles when |docs| is large.
+    """
+    sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            rnd(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+    )
+    if min_sim > 0:
+        out = out.filter(F.col("jaccard") >= min_sim)
+    return out
+
+
+def simhash16(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """16-bit SimHash from token md5s: bit j = sign of Σ_tokens (±1 by the
+    low bit of hex digit j of md5(token)). Output: (id, simhash int).
+
+    Narrow explode + one hash-agg; signature comparison is then O(1)/pair.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
+    ).distinct()
+    h = toks.withColumn("hx", F.md5("tok"))
+    digit = lambda j: F.instr(F.lit("0123456789abcdef"), F.substring("hx", j + 1, 1)) - 1
+    weights = h.select(
+        "id",
+        *[
+            (F.when((digit(j) % 2) == 1, 1).otherwise(-1)).alias(f"w{j}")
+            for j in range(16)
+        ],
+    )
+    sums = weights.groupBy("id").agg(
+        *[F.sum(f"w{j}").alias(f"s{j}") for j in range(16)]
+    )
+    sig = F.lit(0)
+    for j in range(16):
+        sig = sig + F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return sums.select("id", sig.cast("int").alias("simhash"))
+
+
+def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Pairs with Hamming(simhash) <= max_hamming.
+
+    Test-scale implementation is the full self-join; at scale, block by
+    signature bytes (pigeonhole: ≤k differing bits ⇒ some byte-block matches)
+    and join per block.
+    """
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash")).cast("int")
+    )
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

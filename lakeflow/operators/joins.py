@@ -1,0 +1,77 @@
+"""Join operators (SURVEY.md §2.3).
+
+J1 — the reference's repeated broadcast dimension lookup
+(/root/reference/src/gold/dim_company.py:32-43) — generalizes to
+``lookup_chain``: left-join a small dimension onto N code columns, broadcasting
+the dim once. Semi/anti joins are the declared capability headroom.
+
+Scale notes: a broadcast join ships the dim to every executor and removes the
+shuffle of the (huge) fact side entirely — always prefer it when the dim fits
+in ``spark.sql.autoBroadcastJoinThreshold``. For fact-fact joins rely on AQE
+(skew-join splitting) and, where the join repeats, bucketed tables so the
+exchange is planned away.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def lookup_chain(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_keys: Sequence[str],
+    dim_key: str,
+    payload: Mapping[str, str],
+    *,
+    how: str = "left",
+    drop_keys: bool = True,
+) -> DataFrame:
+    """For each fact key column, broadcast-left-join ``dim`` and pull payload.
+
+    ``payload`` maps dim column -> output suffix pattern; the output column for
+    fact key ``k_i`` (1-based position i) is ``f"{alias}_{i}"``. Mirrors the
+    reference's company×industry icb_code_1..4 flattening with one broadcast of
+    the dim reused across all N joins.
+    """
+    out = fact
+    for i, fk in enumerate(fact_keys, start=1):
+        proj = dim.select(
+            F.col(dim_key).alias(f"__dk_{i}"),
+            *[F.col(src).alias(f"{alias}_{i}") for src, alias in payload.items()],
+        )
+        out = out.join(F.broadcast(proj), out[fk] == proj[f"__dk_{i}"], how)
+        out = out.drop(f"__dk_{i}")
+        if drop_keys:
+            out = out.drop(fk)
+    return out
+
+
+def star_flatten(
+    fact: DataFrame,
+    dims: Sequence[tuple[DataFrame, str, str]],
+    *,
+    how: str = "left",
+) -> DataFrame:
+    """Flatten a snowflake: successively broadcast-join ``(dim, fact_key, dim_key)``.
+
+    E.g. customer →(c_nationkey=n_nationkey) nation →(n_regionkey=r_regionkey)
+    region. Each dim is broadcast; the fact never shuffles.
+    """
+    out = fact
+    for dim, fact_key, dim_key in dims:
+        out = out.join(F.broadcast(dim), F.col(fact_key) == F.col(dim_key), how)
+    return out
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: Sequence[str]) -> DataFrame:
+    """Rows of ``left`` with a match in ``right`` (EXISTS)."""
+    return left.join(right, on=list(on), how="left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: Sequence[str]) -> DataFrame:
+    """Rows of ``left`` without a match in ``right`` (NOT EXISTS)."""
+    return left.join(right, on=list(on), how="left_anti")

@@ -1,0 +1,107 @@
+"""SCD Type 1 / Type 2 merge semantics (SURVEY.md §2.9 M1-M3).
+
+The reference implements these as Iceberg ``MERGE INTO`` statements
+(/root/reference/src/silver/_silver_utils.py:108-186). Plain Spark SQL has no
+MERGE without a lakehouse format, so this module provides the pure-DataFrame
+re-expression: given the current target state and a source batch, produce the
+*next* target state. With Iceberg/Delta present the same semantics map 1:1 onto
+two MERGE statements (SCD2) / one MERGE (SCD1); the DataFrame form is what the
+oracle can verify and what a partitioned-overwrite writer can persist.
+
+Scale: both merges are a single equi-join of target×source on the natural key
+(broadcast when the source batch is small — the common CDC case) plus a union.
+No window functions, no global sort.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SCD2_COLS = ("start_timestamp", "end_timestamp", "is_current")
+
+
+def _any_tracked_differs(tracked: Sequence[str]) -> Column:
+    """Null-safe change predicate: NOT (src.c <=> tgt.c) for any tracked col
+    (reference _silver_utils.py:122 uses the same <=> idiom)."""
+    cond = F.lit(False)
+    for c in tracked:
+        cond = cond | ~F.col(f"s.{c}").eqNullSafe(F.col(f"t.{c}"))
+    return cond
+
+
+def scd1_apply(
+    target: DataFrame, source: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """SCD Type 1 upsert: matched rows take source values, unmatched source rows
+    insert, target-only rows survive (reference merge_scd1,
+    _silver_utils.py:157-186).
+
+    Equivalent to ``MERGE INTO t USING s ON keys WHEN MATCHED THEN UPDATE SET *
+    WHEN NOT MATCHED THEN INSERT *``.
+    """
+    untouched = target.join(source.select(*keys), on=list(keys), how="left_anti")
+    return untouched.unionByName(source.select(*target.columns))
+
+
+def scd2_apply(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    tracked: Sequence[str],
+    effective_ts: str,
+) -> DataFrame:
+    """SCD Type 2 two-phase merge → next full state (reference merge_scd2,
+    _silver_utils.py:108-153).
+
+    ``target`` carries SCD2 columns (start_timestamp, end_timestamp,
+    is_current); ``source`` carries the natural columns only. Phase 1 expires
+    current rows whose tracked columns differ null-safely from the source;
+    phase 2 inserts a new current version for every source row that no longer
+    has a current match (changed keys + brand-new keys).
+
+    ``effective_ts`` is an explicit timestamp literal (the reference uses
+    ``current_timestamp()``, which is nondeterministic; an explicit load time
+    is also what a production backfill needs).
+    """
+    natural = [c for c in target.columns if c not in SCD2_COLS]
+    cur = target.filter(F.col("is_current") == 1).alias("t")
+    hist = target.filter(F.col("is_current") != 1)
+    s = source.alias("s")
+
+    # One join computes both phases' classification.
+    joined = cur.join(s, on=[F.col(f"t.{k}") == F.col(f"s.{k}") for k in keys], how="full_outer")
+    changed = _any_tracked_differs(tracked)
+    t_key_present = F.col(f"t.{keys[0]}").isNotNull()
+    s_key_present = F.col(f"s.{keys[0]}").isNotNull()
+
+    eff = F.lit(effective_ts).cast("timestamp")
+
+    # Current target rows: expire when matched-and-changed, else keep as-is.
+    kept_or_expired = joined.filter(t_key_present).select(
+        *[F.col(f"t.{c}").alias(c) for c in natural],
+        F.col("t.start_timestamp").alias("start_timestamp"),
+        F.when(s_key_present & changed, eff)
+        .otherwise(F.col("t.end_timestamp"))
+        .alias("end_timestamp"),
+        F.when(s_key_present & changed, F.lit(0))
+        .otherwise(F.col("t.is_current"))
+        .cast("int")
+        .alias("is_current"),
+    )
+
+    # Source rows needing a new current version: changed keys + new keys.
+    inserts = joined.filter(s_key_present & (~t_key_present | changed)).select(
+        *[F.col(f"s.{c}").alias(c) for c in natural],
+        eff.alias("start_timestamp"),
+        F.lit(None).cast("timestamp").alias("end_timestamp"),
+        F.lit(1).cast("int").alias("is_current"),
+    )
+
+    return (
+        hist.select(*natural, *SCD2_COLS)
+        .unionByName(kept_or_expired)
+        .unionByName(inserts)
+    )

@@ -1,0 +1,133 @@
+"""Similarity search over embedding columns (north star; BASELINE.json).
+
+* ``brute_force_topk`` — exact cosine top-k: broadcast the (small) query set
+  against the full corpus; per-query ranking. Correctness baseline at any
+  scale where |queries| is modest: the corpus never shuffles, each partition
+  scores locally and only top-k survivors move.
+* ``lsh_bucketed_topk`` — the scale path: sign-random-projection buckets
+  (deterministic md5-derived hyperplanes) so only same-bucket pairs are
+  scored. Recall < 1.0 by construction; probe multiple tables to trade cost
+  for recall.
+
+All math is Catalyst expressions (lakeflow.functions.vectors) — no Python in
+the scoring loop.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from lakeflow.functions.rounding import rnd
+
+from lakeflow.functions.vectors import cosine, dot, norm
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    Output: (qid, vid, cos) — ranked on the *rounded* cosine with vid
+    tiebreak, so results are reproducible across engines and runs.
+    """
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("cv"))
+    scored = c.join(F.broadcast(q), F.col("qid") != F.col("vid")).select(
+        "qid",
+        "vid",
+        rnd(cosine("qv", "cv"), round_to).alias("cos"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def _hyperplane(dim: int, plane_idx: int, table_idx: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane from md5 — no RNG state,
+    reproducible on every executor and in any other engine."""
+    import hashlib
+
+    vals = []
+    for d in range(dim):
+        h = hashlib.md5(f"{table_idx}:{plane_idx}:{d}".encode()).hexdigest()
+        # map 8 hex chars → [-1, 1)
+        vals.append(int(h[:8], 16) / float(1 << 31) - 1.0)
+    return vals
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Approximate top-k: score only candidates in the query's sign-projection
+    bucket. bucket = bits of sign(v·h_p) for ``planes`` fixed hyperplanes.
+
+    At 100 TB: corpus bucket ids are precomputable and partition-prunable;
+    the join fans out per bucket instead of per pair.
+    """
+    hp = [
+        F.array(*[F.lit(x) for x in _hyperplane(dim, p, 0)]) for p in range(planes)
+    ]
+
+    def bucket(vec):
+        bits = F.lit(0)
+        for p in range(planes):
+            bits = bits * 2 + F.when(dot(vec, hp[p]) >= 0, 1).otherwise(0)
+        return bits
+
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qv"),
+    ).withColumn("bucket", bucket(F.col("qv")))
+    c = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("cv")).withColumn(
+        "bucket", bucket(F.col("cv"))
+    )
+    scored = c.join(F.broadcast(q), on="bucket").filter(
+        F.col("qid") != F.col("vid")
+    ).select("qid", "vid", rnd(cosine("qv", "cv"), round_to).alias("cos"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def embedding_near_dups(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: cos >= threshold, id_a < id_b.
+
+    Test-scale: full self-join. Scale path: route through LSH buckets first
+    (same trick as lsh_bucketed_topk) so only same-bucket pairs are scored.
+    """
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", rnd(cosine("va", "vb"), round_to).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )

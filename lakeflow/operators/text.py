@@ -1,0 +1,119 @@
+"""Text-analysis operators for LLM-data pipelines (north star).
+
+Language-ID (stopword heuristic), quality scoring, token counting (whitespace
+and BPE-ish regex), and document fingerprinting — all as pure Catalyst
+expressions over the ``documents`` table. Every op is a narrow projection:
+zero shuffles, embarrassingly parallel at 100 TB.
+
+Regex patterns stay in the character-class subset that Java regex (Spark) and
+RE2 (DuckDB/others) interpret identically, so the ops are oracle-replayable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from lakeflow.functions.rounding import rnd
+
+from lakeflow.operators.dedup import normalize_text
+
+# Tiny per-language stopword marker sets for the n-gram/stopword heuristic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "ist", "das"],
+    "es": ["el", "la", "de", "que", "es"],
+    "fr": ["le", "la", "et", "est", "les"],
+}
+
+
+def token_count_ws(col: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(F.split(normalize_text(col), " "))
+
+
+BPE_ISH = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def token_count_bpe(col: Column | str) -> Column:
+    """BPE-ish token estimate: runs of letters, runs of digits, or single
+    punctuation — a deterministic proxy for subword tokenizer counts."""
+    return F.size(F.regexp_extract_all(normalize_text(col), F.lit(BPE_ISH), 0))
+
+
+def _count_matches(col: Column, char_class: str) -> Column:
+    """Occurrences of a single-char class: len - len(strip(class))."""
+    return F.length(col) - F.length(F.regexp_replace(col, char_class, ""))
+
+
+def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc quality features + composite score.
+
+    n_chars/n_tokens/avg token len/alpha ratio/digit ratio/stopword ratio and
+    ``quality`` in [0,1] — the usual cheap pre-filter before expensive dedup.
+    """
+    t = normalize_text(text_col)
+    n_chars = F.length(t)
+    n_tokens = token_count_ws(t)
+    alpha = _count_matches(t, "[a-z]")
+    digits = _count_matches(t, "[0-9]")
+    stop = F.size(
+        F.filter(
+            F.split(t, " "),
+            lambda w: w.isin([w_ for ws in LANG_MARKERS.values() for w_ in ws]),
+        )
+    )
+    alpha_ratio = rnd(alpha / n_chars, 6)
+    digit_ratio = rnd(digits / n_chars, 6)
+    stop_ratio = rnd(stop / n_tokens, 6)
+    avg_tok_len = rnd(n_chars / n_tokens, 6)
+    quality = rnd(
+        F.least(
+            F.lit(1.0),
+            0.5 * alpha_ratio
+            + 0.3 * F.least(stop_ratio * 5, F.lit(1.0))
+            + 0.2 * F.least(n_tokens / 100.0, F.lit(1.0)),
+        ),
+        6,
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars_norm"),
+        n_tokens.alias("n_tokens"),
+        avg_tok_len.alias("avg_tok_len"),
+        alpha_ratio.alias("alpha_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-marker language ID: argmax over per-language marker hits with a
+    deterministic preference order on ties; 'und' (undetermined) when no
+    marker hits."""
+    toks = F.split(normalize_text(text_col), " ")
+    scores = {
+        lang: F.size(F.filter(toks, lambda w: w.isin(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[scores[lang] for lang in langs])
+    pred = F.lit("und")
+    # reversed: earlier languages win ties via later overwrite
+    for lang in reversed(langs):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    out = df.select(F.col(id_col), pred.alias("pred_lang"))
+    return out
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stable document fingerprint: md5 over normalized text (exact-dup key)
+    plus a coarse locality key (first 8 hex chars) usable for sharding."""
+    fp = F.md5(normalize_text(text_col))
+    return df.select(
+        F.col(id_col),
+        fp.alias("fp"),
+        F.substring(fp, 1, 8).alias("shard_key"),
+    )

@@ -1,0 +1,117 @@
+"""Projection / cleaning / schema transforms (SURVEY.md §2.2, §2.5 W1).
+
+Capability parity with the reference's silver-layer cleaning utilities
+(/root/reference/src/silver/_silver_utils.py:53-104), re-expressed as pure
+functions over DataFrames. All of these are narrow (no shuffle) except
+``dedup_latest``, which shuffles once on the key columns — at scale that
+shuffle is the whole cost, so the key set should match any downstream
+partitioning to let Catalyst reuse the exchange.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DataType, StructType
+
+
+def rename_cols(df: DataFrame, mapping: Mapping[str, str]) -> DataFrame:
+    """Map-driven column rename (reference: _silver_utils.py:67-72)."""
+    return df.withColumnsRenamed(dict(mapping))
+
+
+def normalize_schema(
+    df: DataFrame, schema: StructType, *, keep_extra: bool = True
+) -> DataFrame:
+    """Cast to a declared schema; add missing columns as typed NULLs.
+
+    ``keep_extra=True`` is the silver-layer behavior (tolerate new columns,
+    reference _silver_utils.py:53-64); ``False`` is the strict gold contract
+    (drop extras, _gold_utils.py:49-57). Declared columns come first, in
+    schema order — a stable contract for downstream writers.
+
+    Pure projection: no shuffle, survives any scale.
+    """
+    existing = set(df.columns)
+    cols: list[Column] = []
+    for field in schema.fields:
+        if field.name in existing:
+            cols.append(F.col(field.name).cast(field.dataType).alias(field.name))
+        else:
+            cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+    if keep_extra:
+        declared = {f.name for f in schema.fields}
+        cols.extend(F.col(c) for c in df.columns if c not in declared)
+    return df.select(*cols)
+
+
+def trim_strings(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """Trim every (or the given) string column (reference _silver_utils.py:76-80)."""
+    if cols is None:
+        cols = [f.name for f in df.schema.fields if f.dataType.typeName() == "string"]
+    return df.withColumns({c: F.trim(F.col(c)) for c in cols})
+
+
+def nullify_nonpositive(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Replace values <= 0 with NULL (reference _silver_utils.py:83-87)."""
+    return df.withColumns(
+        {c: F.when(F.col(c) <= 0, F.lit(None)).otherwise(F.col(c)) for c in cols}
+    )
+
+
+def handle_nulls(
+    df: DataFrame,
+    drop_subset: Sequence[str] | None = None,
+    fill: Mapping[str, object] | None = None,
+) -> DataFrame:
+    """dropna(subset) then fillna(map) (reference _silver_utils.py:90-97)."""
+    if drop_subset:
+        df = df.na.drop(subset=list(drop_subset))
+    if fill:
+        df = df.na.fill(dict(fill))
+    return df
+
+
+def with_typed_lit(df: DataFrame, name: str, value: object, dtype: DataType) -> DataFrame:
+    """Stamp a typed literal column (metadata stamping, _bronze_utils.py:53-57)."""
+    return df.withColumn(name, F.lit(value).cast(dtype))
+
+
+def add_ingest_metadata(df: DataFrame, batch_id: str, ts_col: str = "ingest_timestamp") -> DataFrame:
+    """Lineage columns: ingest timestamp + date parts + batch id
+    (reference _bronze_utils.py:41-57)."""
+    return (
+        df.withColumn(ts_col, F.current_timestamp())
+        .withColumn("ingest_year", F.year(ts_col))
+        .withColumn("ingest_month", F.month(ts_col))
+        .withColumn("batch_id", F.lit(batch_id))
+    )
+
+
+def dedup_latest(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str | Column,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Keep the latest row per key: row_number over (key, desc order) == 1.
+
+    Reference ``deduplicate`` (/root/reference/src/silver/_silver_utils.py:100-104)
+    with an explicit deterministic tiebreak (the reference orders only by the
+    condition column, which is nondeterministic under ties).
+
+    Scale: one hash shuffle on ``key_cols``; rank-then-filter lets Spark use
+    a partial top-1 per partition under AQE. For heavily-skewed keys prefer
+    ``F.max_by`` aggregation (single agg, map-side partial) over the window.
+    """
+    order = F.col(order_col) if isinstance(order_col, str) else order_col
+    w = Window.partitionBy(*key_cols).orderBy(
+        order.desc(), *[F.col(c).desc() for c in tiebreak_cols]
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -1,0 +1,74 @@
+"""Topological pipeline runner (SURVEY.md §2.11).
+
+The reference orchestrates its batch ELT as an Airflow DAG of spark-submit
+tasks with a diamond dependency (/root/reference/src/dags/batch_elt_company.py:69-71)
+— five separate Spark applications. Here the DAG is a plain function-
+composition graph executed inside ONE session: no per-task JVM spin-up, and
+Catalyst can see across stage boundaries when tasks pass DataFrames.
+
+Tasks declare dependencies by name; the runner resolves a deterministic
+topological order (Kahn, name-sorted ties) and threads each task's return
+value to its dependents.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Mapping, Sequence
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass
+class Task:
+    name: str
+    fn: Callable[..., Any]
+    deps: Sequence[str] = field(default_factory=tuple)
+
+
+class Pipeline:
+    """A named DAG of tasks; ``run`` executes in dependency order."""
+
+    def __init__(self, name: str = "pipeline"):
+        self.name = name
+        self._tasks: dict[str, Task] = {}
+
+    def task(
+        self, name: str, deps: Sequence[str] = ()
+    ) -> Callable[[Callable[..., Any]], Callable[..., Any]]:
+        def deco(fn: Callable[..., Any]) -> Callable[..., Any]:
+            self.add(Task(name, fn, deps))
+            return fn
+
+        return deco
+
+    def add(self, task: Task) -> None:
+        if task.name in self._tasks:
+            raise ValueError(f"duplicate task {task.name!r}")
+        self._tasks[task.name] = task
+
+    def topo_order(self) -> list[str]:
+        pending = {t.name: set(t.deps) for t in self._tasks.values()}
+        for name, deps in pending.items():
+            missing = deps - self._tasks.keys()
+            if missing:
+                raise ValueError(f"task {name!r} depends on unknown {sorted(missing)}")
+        order: list[str] = []
+        while pending:
+            ready = sorted(n for n, deps in pending.items() if not deps)
+            if not ready:
+                raise ValueError(f"cycle among {sorted(pending)}")
+            for n in ready:
+                order.append(n)
+                del pending[n]
+            for deps in pending.values():
+                deps.difference_update(ready)
+        return order
+
+    def run(self, context: Mapping[str, Any] | None = None) -> dict[str, Any]:
+        """Execute all tasks; each fn receives (results_so_far, **context)."""
+        ctx = dict(context or {})
+        results: dict[str, Any] = {}
+        for name in self.topo_order():
+            task = self._tasks[name]
+            results[name] = task.fn(results, **ctx)
+        return results

@@ -1,0 +1,127 @@
+"""Medallion-pipeline queries: SCD merges and incremental gold builds
+(SURVEY.md §2.9 M1-M4), verified as state-after-merge DataFrames.
+
+The driver oracle can only check plain SELECTs, so each merge is expressed as
+"given target state T and deterministic source batch S, return the next state"
+— exactly what lakeflow.operators.merge computes and what an Iceberg/Delta
+MERGE INTO would persist.
+
+The source batch is derived deterministically from the customer fixture:
+  key % 7 == 0 → changed row (acctbal + 100)
+  key % 7 == 1 → unchanged row (no-op on merge)
+  key % 7 == 2 → brand-new key (custkey + 1_000_000)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakeflow.functions.rounding import rnd
+
+from lakeflow.catalog import load_table
+from lakeflow.operators.merge import scd1_apply, scd2_apply
+from lakeflow.queries import register
+
+T0 = "2026-01-01 00:00:00"
+T1 = "2026-02-01 00:00:00"
+
+_NATURAL = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+
+_SRC_SQL = """
+    SELECT c_custkey, c_name, c_nationkey, (floor((c_acctbal + 100) * 100.0 + 0.5) / 100.0) AS c_acctbal,
+           c_mktsegment
+    FROM customer WHERE c_custkey % 7 = 0
+    UNION ALL
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer WHERE c_custkey % 7 = 1
+    UNION ALL
+    SELECT c_custkey + 1000000, 'NEW_' || CAST(c_custkey AS VARCHAR), c_nationkey,
+           c_acctbal, c_mktsegment
+    FROM customer WHERE c_custkey % 7 = 2
+"""
+
+
+def _source_batch(c: DataFrame) -> DataFrame:
+    """Deterministic CDC batch over the customer snapshot (see module doc)."""
+    changed = c.filter(F.col("c_custkey") % 7 == 0).withColumn(
+        "c_acctbal", rnd(F.col("c_acctbal") + 100, 2)
+    )
+    unchanged = c.filter(F.col("c_custkey") % 7 == 1)
+    new = (
+        c.filter(F.col("c_custkey") % 7 == 2)
+        .withColumn("c_name", F.concat(F.lit("NEW_"), F.col("c_custkey").cast("string")))
+        .withColumn("c_custkey", F.col("c_custkey") + 1000000)
+    )
+    cols = _NATURAL
+    return changed.select(cols).unionByName(unchanged.select(cols)).unionByName(new.select(cols))
+
+
+@register(
+    "scd1_customer_state",
+    oracle=f"""
+    WITH src AS ({_SRC_SQL})
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM src
+    UNION ALL
+    SELECT t.c_custkey, t.c_name, t.c_nationkey, t.c_acctbal, t.c_mktsegment
+    FROM customer t
+    WHERE NOT EXISTS (SELECT 1 FROM src WHERE src.c_custkey = t.c_custkey)
+    """,
+)
+def scd1_customer_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 SCD Type 1 upsert (reference merge_scd1, _silver_utils.py:157-186):
+    state after applying the CDC batch. Single anti-join + union; the source
+    side broadcasts in the common small-batch case."""
+    c = load_table(spark, sf_dir, "customer").select(_NATURAL)
+    return scd1_apply(c, _source_batch(c), keys=["c_custkey"])
+
+
+@register(
+    "scd2_customer_state",
+    oracle=f"""
+    WITH src AS ({_SRC_SQL}),
+    tgt AS (SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer),
+    j AS (
+        SELECT t.c_custkey AS t_key, t.c_name AS t_name, t.c_nationkey AS t_nk,
+               t.c_acctbal AS t_bal, t.c_mktsegment AS t_seg,
+               s.c_custkey AS s_key, s.c_name AS s_name, s.c_nationkey AS s_nk,
+               s.c_acctbal AS s_bal, s.c_mktsegment AS s_seg,
+               (s.c_custkey IS NOT NULL AND (
+                    s.c_acctbal IS DISTINCT FROM t.c_acctbal
+                 OR s.c_mktsegment IS DISTINCT FROM t.c_mktsegment)) AS changed
+        FROM tgt t FULL JOIN src s ON t.c_custkey = s.c_custkey
+    )
+    SELECT t_key AS c_custkey, t_name AS c_name, t_nk AS c_nationkey,
+           t_bal AS c_acctbal, t_seg AS c_mktsegment,
+           '{T0}' AS start_ts,
+           CASE WHEN changed THEN '{T1}' ELSE NULL END AS end_ts,
+           CASE WHEN changed THEN 0 ELSE 1 END AS is_current
+    FROM j WHERE t_key IS NOT NULL
+    UNION ALL
+    SELECT s_key, s_name, s_nk, s_bal, s_seg, '{T1}', NULL, 1
+    FROM j WHERE s_key IS NOT NULL AND (t_key IS NULL OR changed)
+    """,
+)
+def scd2_customer_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 SCD Type 2 two-phase merge (reference merge_scd2,
+    _silver_utils.py:108-153): expire changed current rows, insert new
+    versions; null-safe change detection on (c_acctbal, c_mktsegment)."""
+    c = load_table(spark, sf_dir, "customer").select(_NATURAL)
+    target = (
+        c.withColumn("start_timestamp", F.lit(T0).cast("timestamp"))
+        .withColumn("end_timestamp", F.lit(None).cast("timestamp"))
+        .withColumn("is_current", F.lit(1).cast("int"))
+    )
+    state = scd2_apply(
+        target,
+        _source_batch(c),
+        keys=["c_custkey"],
+        tracked=["c_acctbal", "c_mktsegment"],
+        effective_ts=T1,
+    )
+    return state.select(
+        *_NATURAL,
+        F.date_format("start_timestamp", "yyyy-MM-dd HH:mm:ss").alias("start_ts"),
+        F.date_format("end_timestamp", "yyyy-MM-dd HH:mm:ss").alias("end_ts"),
+        "is_current",
+    )

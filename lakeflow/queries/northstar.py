@@ -1,0 +1,398 @@
+"""North-star LLM-data-pipeline queries (BASELINE.json): dedup, similarity
+search, text analysis, multimodal — each over documents/embeddings fixtures
+with a DuckDB oracle wherever the op is SQL-expressible.
+
+Oracle-parity ground rules used here:
+* All content hashing is md5 (identical in every engine); min over fixed-width
+  hex == min over the 128-bit value.
+* Spark's regexp_replace is global; DuckDB needs the explicit 'g' flag.
+* Vector math accumulates in double, element order — bit-identical across
+  engines — then rounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakeflow.catalog import load_table
+from lakeflow.operators import dedup as dd
+from lakeflow.operators import multimodal as mm
+from lakeflow.operators import similarity as sim
+from lakeflow.operators import text as tx
+from lakeflow.queries import register
+
+# Shared oracle CTE: normalized text (mirror of dedup.normalize_text).
+_NORM = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+
+# Shared oracle CTE: distinct 3-word shingles (mirror of dedup.word_shingles).
+_SHINGLES = f"""
+    norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+    toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+    sh AS (
+        SELECT DISTINCT doc_id, array_to_string(w[i+1 : i+3], ' ') AS shingle
+        FROM toks, UNNEST(range(0, greatest(len(w) - 3, 0) + 1)) AS u(i)
+    )
+"""
+
+
+@register(
+    "exact_dedup_docs",
+    oracle=f"""
+    SELECT md5({_NORM}) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+)
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: hash-groupBy on the normalized-text fingerprint.
+    One shuffle on the 128-bit key with map-side partial min — the plan that
+    holds at 100 TB (then: write surviving ids, anti-join the corpus)."""
+    return dd.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "minhash_lsh_pairs",
+    oracle=f"""
+    WITH {_SHINGLES},
+    seeded AS (
+        SELECT doc_id, i, md5(CAST(i AS VARCHAR) || ':' || shingle) AS h
+        FROM sh, UNNEST(range(0, 16)) AS s(i)
+    ),
+    mins AS (SELECT doc_id, i, min(h) AS mh FROM seeded GROUP BY doc_id, i),
+    sigs AS (SELECT doc_id, list(mh ORDER BY i) AS sigs FROM mins GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id, band_i,
+               md5(array_to_string(sigs[band_i*4+1 : band_i*4+4], '|')) AS bh
+        FROM sigs, UNNEST(range(0, 4)) AS t(band_i)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_i = b.band_i AND a.bh = b.bh AND a.doc_id < b.doc_id
+    """,
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: 3-word shingles → 16 md5-seeded min
+    hashes → 4 bands × 4 rows → pairs sharing a band bucket. The band join's
+    cost tracks true collisions, not |docs|² — the scalable near-dedup path."""
+    docs = load_table(spark, sf_dir, "documents")
+    shingles = dd.word_shingles(docs, n=3)
+    sigs = dd.minhash_signatures(shingles, num_hashes=16)
+    return dd.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH {_SHINGLES},
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           (floor((i / (sa.sz + sb.sz - i)) * 1000000.0 + 0.5) / 1000000.0) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE (floor((i / (sa.sz + sb.sz - i)) * 1000000.0 + 0.5) / 1000000.0) >= 0.1
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard for doc pairs sharing ≥1 shingle (the verification
+    stage behind MinHash candidates)."""
+    docs = load_table(spark, sf_dir, "documents")
+    shingles = dd.word_shingles(docs, n=3)
+    return dd.jaccard_pairs(shingles, min_sim=0.1)
+
+
+_SIMHASH_SUMS = ",\n".join(
+    "sum(CASE WHEN (strpos('0123456789abcdef', substr(hx, {p}, 1)) - 1) % 2 = 1 "
+    "THEN 1 ELSE -1 END) AS s{j}".format(p=j + 1, j=j)
+    for j in range(16)
+)
+_SIMHASH_BITS = " + ".join(
+    f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16)
+)
+_SIMHASH_CTE = f"""
+    norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+    toks AS (SELECT DISTINCT doc_id, unnest(string_split(t, ' ')) AS tok FROM norm),
+    h AS (SELECT doc_id, md5(tok) AS hx FROM toks),
+    sums AS (SELECT doc_id, {_SIMHASH_SUMS} FROM h GROUP BY doc_id),
+    sig AS (SELECT doc_id, CAST({_SIMHASH_BITS} AS INT) AS simhash FROM sums)
+"""
+
+
+@register(
+    "simhash_signatures",
+    oracle=f"WITH {_SIMHASH_CTE} SELECT doc_id AS id, simhash FROM sig",
+)
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per doc from token md5 bits — compact near-dup signature
+    computed with one explode + one agg (no pairwise work)."""
+    return dd.simhash16(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "simhash_near_pairs",
+    oracle=f"""
+    WITH {_SIMHASH_CTE}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 3). Full self-join at test scale; at
+    100 TB block by signature bytes (pigeonhole) before pairing."""
+    sigs = dd.simhash16(load_table(spark, sf_dir, "documents"))
+    return dd.simhash_near_pairs(sigs, max_hamming=3)
+
+
+@register(
+    "cosine_topk",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, v,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        FROM e
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+    scored AS (
+        SELECT q.qid, c.vec_id AS vid,
+               (floor((list_sum(list_transform(range(1, 65), i -> qv[i] * c.v[i]))
+                     / (qn * c.nrm)) * 1000000.0 + 0.5) / 1000000.0) AS cos
+        FROM q, n c WHERE c.vec_id <> q.qid
+    )
+    SELECT qid, vid, cos FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 10 query vectors: broadcast the queries,
+    score JVM-side (zip_with/aggregate — no UDF), rank per query. The exact-
+    search baseline; corpus never shuffles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return sim.brute_force_topk(emb, queries, k=5)
+
+
+def _vec_sql(vals: list[float]) -> str:
+    return "[" + ", ".join(repr(v) for v in vals) + "]"
+
+
+_PLANES = [sim._hyperplane(64, p, 0) for p in range(8)]
+_PLANES_SQL = ", ".join(
+    f"{_vec_sql(v)}::DOUBLE[] AS h{p}" for p, v in enumerate(_PLANES)
+)
+_BUCKET_SQL = (
+    "(" + " + ".join(
+        f"(CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i] * h{p}[i])) >= 0 "
+        f"THEN {1 << (7 - p)} ELSE 0 END)"
+        for p in range(8)
+    ) + ")"
+)
+
+
+@register(
+    "lsh_bucketed_topk",
+    oracle=f"""
+    WITH hp AS (SELECT {_PLANES_SQL}),
+    e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+               {_BUCKET_SQL} AS bucket
+        FROM e, hp
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, bucket FROM n WHERE vec_id < 10),
+    scored AS (
+        SELECT q.qid, c.vec_id AS vid,
+               (floor((list_sum(list_transform(range(1, 65), i -> qv[i] * c.v[i]))
+                     / (qn * c.nrm)) * 1000000.0 + 0.5) / 1000000.0) AS cos
+        FROM q JOIN n c ON q.bucket = c.bucket AND c.vec_id <> q.qid
+    )
+    SELECT qid, vid, cos FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN: sign-random-projection (8 md5-derived hyperplanes)
+    buckets; only same-bucket candidates are scored. Deterministic, so even
+    the approximation is oracle-checkable. The 100 TB path: bucket ids are
+    precomputed + partition keys."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return sim.lsh_bucketed_topk(emb, queries, k=5, dim=64, planes=8)
+
+
+@register(
+    "embedding_near_dups",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        FROM e
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           (floor((list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+                 / (a.nrm * b.nrm)) * 1000000.0 + 0.5) / 1000000.0) AS cos
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE (floor((list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+                / (a.nrm * b.nrm)) * 1000000.0 + 0.5) / 1000000.0) >= 0.5
+    """,
+)
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.5)."""
+    return sim.embedding_near_dups(load_table(spark, sf_dir, "embeddings"), threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_MARKERS_FLAT = sorted({w for ws in tx.LANG_MARKERS.values() for w in ws})
+_IN_LIST = ", ".join(f"'{w}'" for w in _MARKERS_FLAT)
+
+
+def _lang_score(lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in tx.LANG_MARKERS[lang])
+    return f"len(list_filter(string_split(t, ' '), w -> w IN ({lst})))"
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+    feats AS (
+        SELECT doc_id,
+               length(t) AS n_chars_norm,
+               len(string_split(t, ' ')) AS n_tokens,
+               length(t) - length(regexp_replace(t, '[a-z]', '', 'g')) AS alpha,
+               length(t) - length(regexp_replace(t, '[0-9]', '', 'g')) AS digits,
+               len(list_filter(string_split(t, ' '), w -> w IN ({_IN_LIST}))) AS stop
+        FROM norm
+    ),
+    r AS (
+        SELECT doc_id, n_chars_norm, n_tokens,
+               (floor((n_chars_norm / n_tokens) * 1000000.0 + 0.5) / 1000000.0) AS avg_tok_len,
+               (floor((alpha / n_chars_norm) * 1000000.0 + 0.5) / 1000000.0)    AS alpha_ratio,
+               (floor((digits / n_chars_norm) * 1000000.0 + 0.5) / 1000000.0)   AS digit_ratio,
+               (floor((stop / n_tokens) * 1000000.0 + 0.5) / 1000000.0)         AS stop_ratio
+        FROM feats
+    )
+    SELECT doc_id, n_chars_norm, n_tokens, avg_tok_len, alpha_ratio, digit_ratio,
+           stop_ratio,
+           (floor((least(1.0, 0.5 * alpha_ratio
+                            + 0.3 * least(stop_ratio * 5, 1.0)
+                            + 0.2 * least(n_tokens / 100.0, 1.0))) * 1000000.0 + 0.5) / 1000000.0) AS quality
+    FROM r
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: char/token counts, alpha/digit/stopword ratios, and a
+    composite [0,1] score — the cheap pre-filter stage of a data pipeline.
+    Pure projections; zero shuffles."""
+    return tx.quality_features(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "lang_id",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+    s AS (
+        SELECT doc_id,
+               {_lang_score('en')} AS s_en,
+               {_lang_score('de')} AS s_de,
+               {_lang_score('es')} AS s_es,
+               {_lang_score('fr')} AS s_fr
+        FROM norm
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+                WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+                WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+                WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+                ELSE 'fr' END AS pred_lang
+    FROM s
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID with deterministic tie preference."""
+    return tx.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "token_counts",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents)
+    SELECT doc_id,
+           len(string_split(t, ' ')) AS n_ws,
+           len(regexp_extract_all(t, '{tx.BPE_ISH}')) AS n_bpe
+    FROM norm
+    """,
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counting (regexp runs of letters/digits/
+    punctuation as a deterministic subword proxy)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.token_count_ws("text").alias("n_ws"),
+        tx.token_count_bpe("text").alias("n_bpe"),
+    )
+
+
+@register(
+    "doc_fingerprints",
+    oracle=f"""
+    SELECT doc_id, md5({_NORM}) AS fp, substr(md5({_NORM}), 1, 8) AS shard_key
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable md5 fingerprint + coarse shard key per document."""
+    return tx.doc_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (Arrow-batched pandas path)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_meta",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id AS media_id, text, octet_length(encode(text)) AS n
+        FROM documents
+    )
+    SELECT media_id,
+           CAST(n AS INT) AS byte_len,
+           CASE n % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
+           CAST(64 + (n % 640) AS INT) AS width,
+           CAST(64 + ((n * 7) % 480) AS INT) AS height,
+           md5(text) AS checksum
+    FROM m
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing: binary payload column → mapInPandas
+    metadata extraction (stubbed decoder, real Arrow batch path — see
+    lakeflow.operators.multimodal)."""
+    media = mm.attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    return mm.extract_media_meta(media)

@@ -1,0 +1,719 @@
+"""Relational-core queries (SURVEY.md §2.2-2.7) with DuckDB oracles.
+
+Each query exercises one operator family from the SURVEY §2 inventory over the
+TPC-H-ish fixtures; the oracle SQL computes the identical result in DuckDB.
+Conventions (see lakeflow.queries docstring): computed columns aliased the same
+on both sides, timestamps emitted as strings, float aggregates rounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lakeflow.functions.rounding import rnd
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from lakeflow.catalog import load_table
+from lakeflow.operators.aggregates import grouped_agg, scalar_max, tumbling_candles
+from lakeflow.operators.joins import anti_join, lookup_chain, semi_join, star_flatten
+from lakeflow.operators.transforms import (
+    dedup_latest,
+    handle_nulls,
+    normalize_schema,
+    nullify_nonpositive,
+    trim_strings,
+)
+from lakeflow.queries import register
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss"
+_STRF = "%Y-%m-%d %H:%M:%S"
+
+
+def _fmt(col: str, alias: str) -> F.Column:
+    return F.date_format(col, TS_FMT).alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# Flagship: deterministic OHLCV candles (SURVEY §2.4 A1, §2.8 T2)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "candles_15m",
+    oracle=f"""
+    SELECT event_type,
+           strftime(time_bucket(INTERVAL 15 MINUTE, ts), '{_STRF}') AS bucket_start,
+           (floor((min_by(value, ts)) * 100.0 + 0.5) / 100.0) AS open,
+           (floor((max(value)) * 100.0 + 0.5) / 100.0)        AS high,
+           (floor((min(value)) * 100.0 + 0.5) / 100.0)        AS low,
+           (floor((max_by(value, ts)) * 100.0 + 0.5) / 100.0) AS close,
+           (floor((sum(value)) * 100.0 + 0.5) / 100.0)        AS volume,
+           count(*)                    AS n_events
+    FROM events
+    GROUP BY event_type, time_bucket(INTERVAL 15 MINUTE, ts)
+    """,
+)
+def candles_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """15-minute tumbling OHLCV candles over events, keyed by event_type.
+
+    Deterministic re-expression of the reference's streaming candle agg
+    (/root/reference/src/silver/ohlcv_agg.py:17-38): event-time min_by/max_by
+    replace arrival-order first/last. Single hash aggregation with map-side
+    partial combine — the plan that survives 100 TB.
+    """
+    return tumbling_candles(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style aggregation / join benchmarks
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           (floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0)                                        AS sum_qty,
+           (floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0)                                   AS sum_base_price,
+           (floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0)                AS sum_disc_price,
+           (floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100.0 + 0.5) / 100.0)  AS sum_charge,
+           (floor((avg(l_quantity)) * 1000000.0 + 0.5) / 1000000.0)                                        AS avg_qty,
+           (floor((avg(l_extendedprice)) * 1000000.0 + 0.5) / 1000000.0)                                   AS avg_price,
+           (floor((avg(l_discount)) * 1000000.0 + 0.5) / 1000000.0)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: wide scan + filter + hash agg (map-side combine).
+
+    The filter and the 7-column projection both reach the parquet scan
+    (PushedFilters / ReadSchema) — at 100 TB that is the difference between
+    reading 7 columns and reading 11.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            rnd(F.sum("l_quantity"), 2).alias("sum_qty"),
+            rnd(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            rnd(F.sum(disc_price), 2).alias("sum_disc_price"),
+            rnd(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            rnd(F.avg("l_quantity"), 6).alias("avg_qty"),
+            rnd(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            rnd(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT o_orderkey,
+           (floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')        AS orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1999-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1999-03-15 00:00:00'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + agg + deterministic top-k.
+
+    customer is broadcast (small side); orders⋈lineitem shuffles on the order
+    key. Ordering ties broken by o_orderkey so the LIMIT set is deterministic.
+    """
+    cutoff = F.lit("1999-03-15 00:00:00").cast("timestamp")
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "o_orderkey",
+            "revenue",
+            _fmt("o_orderdate", "orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           (floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '2000-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join + agg.
+
+    supplier/nation/region/customer are all broadcast-eligible dims; only
+    orders⋈lineitem is a real shuffle. Catalyst + AQE pick the order; we
+    broadcast the dims explicitly so the fact side never shuffles for them.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("2000-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1: broadcast dimension lookups
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "star_dim_customer",
+    oracle="""
+    SELECT c_custkey, c_name, (floor((c_acctbal) * 100.0 + 0.5) / 100.0) AS acctbal, c_mktsegment,
+           n_name AS nation_name, r_name AS region_name
+    FROM customer
+    LEFT JOIN nation ON c_nationkey = n_nationkey
+    LEFT JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def star_dim_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gold dimension flatten (reference dim_company, /root/reference/src/gold/dim_company.py:32-43):
+    snowflake customer→nation→region collapsed via broadcast joins."""
+    flat = star_flatten(
+        load_table(spark, sf_dir, "customer"),
+        [
+            (load_table(spark, sf_dir, "nation"), "c_nationkey", "n_nationkey"),
+            (load_table(spark, sf_dir, "region"), "n_regionkey", "r_regionkey"),
+        ],
+    )
+    return flat.select(
+        "c_custkey",
+        "c_name",
+        rnd("c_acctbal", 2).alias("acctbal"),
+        "c_mktsegment",
+        F.col("n_name").alias("nation_name"),
+        F.col("r_name").alias("region_name"),
+    )
+
+
+@register(
+    "dual_nation_lookup",
+    oracle="""
+    SELECT cn.n_name AS nation_name_1, sn.n_name AS nation_name_2,
+           count(*) AS n_items,
+           (floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0) AS sum_price
+    FROM lineitem
+    JOIN orders    ON l_orderkey = o_orderkey
+    JOIN customer  ON o_custkey = c_custkey
+    JOIN supplier  ON l_suppkey = s_suppkey
+    LEFT JOIN nation cn ON c_nationkey = cn.n_nationkey
+    LEFT JOIN nation sn ON s_nationkey = sn.n_nationkey
+    GROUP BY cn.n_name, sn.n_name
+    """,
+)
+def dual_nation_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's iterated dimension lookup (J1: one small dim joined onto
+    N code columns of one fact — icb_code_1..4, dim_company.py:32-43), expressed
+    with ``lookup_chain``: nation looked up for both the customer-side and the
+    supplier-side nation key. The dim broadcasts once per key column."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    fact = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .select("l_extendedprice", "c_nationkey", "s_nationkey")
+    )
+    looked = lookup_chain(
+        fact,
+        n,
+        fact_keys=["c_nationkey", "s_nationkey"],
+        dim_key="n_nationkey",
+        payload={"n_name": "nation_name"},
+    )
+    return looked.groupBy("nation_name_1", "nation_name_2").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        rnd(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W1: ranked dedup; P4-P7: cleaning pipeline
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "latest_event_per_user",
+    oracle=f"""
+    SELECT user_id, event_id, strftime(ts, '{_STRF}') AS ts_s, event_type,
+           (floor((value) * 100.0 + 0.5) / 100.0) AS value
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+        ) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 ranked dedup (reference deduplicate(), _silver_utils.py:100-104):
+    keep latest row per key with a deterministic event_id tiebreak."""
+    ev = load_table(spark, sf_dir, "events")
+    return dedup_latest(ev, ["user_id"], "ts", tiebreak_cols=["event_id"]).select(
+        "user_id",
+        "event_id",
+        _fmt("ts", "ts_s"),
+        "event_type",
+        rnd("value", 2).alias("value"),
+    )
+
+
+CLEAN_CUSTOMER_SCHEMA = StructType(
+    [
+        StructField("c_custkey", LongType()),
+        StructField("c_name", StringType()),
+        StructField("c_nationkey", IntegerType()),
+        StructField("c_acctbal", DoubleType()),
+        StructField("c_mktsegment", StringType()),
+        StructField("c_phone", StringType()),  # not in source → typed NULL column
+    ]
+)
+
+
+@register(
+    "clean_customer",
+    oracle="""
+    SELECT CAST(c_custkey AS BIGINT)   AS c_custkey,
+           trim(c_name)                AS c_name,
+           CAST(c_nationkey AS INT)    AS c_nationkey,
+           CASE WHEN c_acctbal <= 0 THEN NULL ELSE (floor((c_acctbal) * 100.0 + 0.5) / 100.0) END AS c_acctbal,
+           coalesce(trim(c_mktsegment), 'UNKNOWN') AS c_mktsegment,
+           CAST(NULL AS VARCHAR)       AS c_phone
+    FROM customer
+    WHERE c_custkey IS NOT NULL
+    """,
+)
+def clean_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silver cleaning pipeline (P4 normalize → P5 trim → P6 numeric-nullify →
+    P7 null-handling; reference _silver_utils.py:53-97). Pure projections —
+    no shuffle at any scale."""
+    df = load_table(spark, sf_dir, "customer")
+    df = normalize_schema(df, CLEAN_CUSTOMER_SCHEMA, keep_extra=False)
+    df = trim_strings(df, ["c_name", "c_mktsegment"])
+    df = nullify_nonpositive(df, ["c_acctbal"])
+    df = handle_nulls(df, drop_subset=["c_custkey"], fill={"c_mktsegment": "UNKNOWN"})
+    return df.withColumn("c_acctbal", rnd("c_acctbal", 2))
+
+
+# ---------------------------------------------------------------------------
+# S4/A2: incremental high-watermark scan
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "incremental_orders",
+    oracle="""
+    SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS orderdate,
+           o_orderstatus, (floor((o_totalprice) * 100.0 + 0.5) / 100.0) AS totalprice
+    FROM orders
+    WHERE o_orderdate > (
+        SELECT max(o_orderdate) FROM orders WHERE o_orderstatus = 'F'
+    )
+    """,
+)
+def incremental_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 high-watermark incremental load (reference read_batch_from_bronze,
+    _silver_utils.py:35-49): scalar MAX from the 'target' (here: finalized
+    orders), then scan rows strictly newer. The literal watermark predicate
+    pushes to the parquet scan — on a partitioned 100 TB table this prunes to
+    the newest partitions only."""
+    o = load_table(spark, sf_dir, "orders")
+    hw = scalar_max(o.filter(F.col("o_orderstatus") == "F"), "o_orderdate")
+    return o.filter(F.col("o_orderdate") > F.lit(hw)).select(
+        "o_orderkey",
+        _fmt("o_orderdate", "orderdate"),
+        "o_orderstatus",
+        rnd("o_totalprice", 2).alias("totalprice"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi / anti joins (declared headroom, SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customers_with_big_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (
+        SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000
+    )
+    """,
+)
+def customers_with_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: EXISTS."""
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return semi_join(c, o, ["c_custkey"]).select("c_custkey", "c_name")
+
+
+@register(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: NOT EXISTS."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return anti_join(c, o, ["c_custkey"]).select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# Window analytics (lag / moving aggregate — SURVEY §2.5 headroom)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_value_delta",
+    oracle=f"""
+    SELECT user_id, event_id, strftime(ts, '{_STRF}') AS ts_s,
+           (floor((value) * 100.0 + 0.5) / 100.0) AS value,
+           (floor((value - lag(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           )) * 100.0 + 0.5) / 100.0) AS delta
+    FROM events
+    """,
+)
+def event_value_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() analytic window: per-user event-over-event value change
+    (the 'returns' analog for the OHLCV domain)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        _fmt("ts", "ts_s"),
+        rnd("value", 2).alias("value"),
+        rnd(F.col("value") - F.lag("value").over(w), 2).alias("delta"),
+    )
+
+
+@register(
+    "moving_avg_1h",
+    oracle=f"""
+    SELECT user_id, event_id, strftime(ts, '{_STRF}') AS ts_s,
+           (floor((avg(value) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+           )) * 1000000.0 + 0.5) / 1000000.0) AS avg_1h
+    FROM events
+    """,
+)
+def moving_avg_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rangeBetween frame: trailing 1-hour moving average per user, ordered by
+    epoch seconds so the frame is a true time range (not row count)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_sec", F.unix_timestamp("ts")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_sec")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        _fmt("ts", "ts_s"),
+        rnd(F.avg("value").over(w), 6).alias("avg_1h"),
+    )
+
+
+@register(
+    "top3_orders_per_segment",
+    oracle="""
+    SELECT c_mktsegment, o_orderkey, (floor((o_totalprice) * 100.0 + 0.5) / 100.0) AS totalprice
+    FROM (
+        SELECT c_mktsegment, o_orderkey, o_totalprice,
+               row_number() OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY (floor((o_totalprice) * 100.0 + 0.5) / 100.0) DESC, o_orderkey
+               ) AS rn
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ) WHERE rn <= 3
+    """,
+)
+def top3_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-k via ranking window (deterministic tiebreak).
+
+    At scale Spark evaluates this as partial top-k per partition under the
+    window group limit optimization — no full sort of the fact table.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        rnd("o_totalprice", 2).desc(), F.asc("o_orderkey")
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_mktsegment", "o_orderkey", rnd("o_totalprice", 2).alias("totalprice"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (SURVEY §2.6 headroom)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "custkeys_f_and_o",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def custkeys_f_and_o(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct) of two filtered projections."""
+    o = load_table(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersect(op)
+
+
+@register(
+    "custkeys_f_not_o",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def custkeys_f_not_o(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct)."""
+    o = load_table(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.subtract(op)
+
+
+@register(
+    "order_priority_union",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT'
+    UNION
+    SELECT o_orderkey, o_orderpriority FROM orders WHERE o_totalprice > 400000
+    """,
+)
+def order_priority_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of overlapping subsets."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey", "o_orderpriority")
+    b = o.filter(F.col("o_totalprice") > 400000).select("o_orderkey", "o_orderpriority")
+    return a.union(b).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / pivot / distinct aggregates (SURVEY §2.4 headroom)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rollup_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+           (floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0) AS sum_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets."""
+    o = load_table(spark, sf_dir, "orders")
+    return grouped_agg(
+        o,
+        ["o_orderstatus", "o_orderpriority"],
+        [
+            F.count(F.lit(1)).alias("n_orders"),
+            rnd(F.sum("o_totalprice"), 2).alias("sum_price"),
+        ],
+        mode="rollup",
+    )
+
+
+@register(
+    "cube_flag_status",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+           (floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return grouped_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [
+            F.count(F.lit(1)).alias("n_items"),
+            rnd(F.sum("l_quantity"), 2).alias("sum_qty"),
+        ],
+        mode="cube",
+    )
+
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@register(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) FILTER (o_orderpriority = '1-URGENT')        AS p_urgent,
+           count(*) FILTER (o_orderpriority = '2-HIGH')          AS p_high,
+           count(*) FILTER (o_orderpriority = '3-MEDIUM')        AS p_medium,
+           count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p_notspec,
+           count(*) FILTER (o_orderpriority = '5-LOW')           AS p_low
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: priority classes become columns (explicit value list so the plan
+    needs no extra distinct pass over the data)."""
+    o = load_table(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    renames = dict(
+        zip(_PRIORITIES, ["p_urgent", "p_high", "p_medium", "p_notspec", "p_low"])
+    )
+    return p.withColumnsRenamed(renames)
+
+
+@register(
+    "distinct_parts_per_flag",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def distinct_parts_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple distinct aggregates (expand-based plan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register("approx_distinct_users")  # approximate → engine-specific; rows-only check
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct — the 100 TB substitute for exact
+    countDistinct (no expand, constant memory). Sketch values are
+    engine-specific, so this is a rows-only check."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P2: JSON envelope parsing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "parse_event_props",
+    oracle="""
+    SELECT event_id,
+           CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INT) AS prop_k
+    FROM events
+    """,
+)
+def parse_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 JSON deserialization (reference from_json envelope,
+    /root/reference/src/bronze/ohlcv_1m.py:36-37): parse the props payload with
+    from_json + struct expansion. Oracle extracts via regex for engine
+    neutrality."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.withColumn("data", F.from_json("props", "k INT"))
+    return parsed.select("event_id", F.col("data.k").alias("prop_k"))

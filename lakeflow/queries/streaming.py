@@ -1,0 +1,75 @@
+"""Streaming queries run through the real Structured Streaming engine.
+
+``stream_candles_15m`` executes the watermarked streaming candle aggregation
+end-to-end (file source → withWatermark → windowed agg → memory sink,
+trigger availableNow) and returns the emitted rows. Because the input is
+bounded and the agg is deterministic (event-time min_by/max_by), the emitted
+set is exactly "all windows closed by the final watermark" — which the DuckDB
+oracle reproduces with a HAVING on max(ts) − 1 minute.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from lakeflow.catalog import _enable_nanos_as_long, convert_nanos_ts, table_path
+from lakeflow.queries import register
+from lakeflow.sources.streams import file_stream
+from lakeflow.streaming.candles import streaming_candles
+from lakeflow.streaming.sinks import run_to_memory
+
+_STRF = "%Y-%m-%d %H:%M:%S"
+
+
+@register(
+    "stream_candles_15m",
+    oracle=f"""
+    SELECT event_type,
+           strftime(time_bucket(INTERVAL 15 MINUTE, ts), '{_STRF}') AS bucket_start,
+           (floor((min_by(value, ts)) * 100.0 + 0.5) / 100.0) AS open,
+           (floor((max(value)) * 100.0 + 0.5) / 100.0)        AS high,
+           (floor((min(value)) * 100.0 + 0.5) / 100.0)        AS low,
+           (floor((max_by(value, ts)) * 100.0 + 0.5) / 100.0) AS close,
+           (floor((sum(value)) * 100.0 + 0.5) / 100.0)        AS volume,
+           count(*)                    AS n_events
+    FROM events
+    GROUP BY event_type, time_bucket(INTERVAL 15 MINUTE, ts)
+    HAVING time_bucket(INTERVAL 15 MINUTE, ts) + INTERVAL 15 MINUTE
+           <= (SELECT max(ts) FROM events) - INTERVAL 1 MINUTE
+    """,
+)
+def stream_candles_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of candles_15m through the real streaming engine
+    (T1 watermark, T2 tumbling window, T3 append mode, T4 availableNow
+    trigger, T5 checkpoint): emits exactly the windows the final watermark
+    (max event time − 1 min) has closed."""
+    ev_path = table_path(sf_dir, "events")
+    _enable_nanos_as_long(spark)
+    schema = spark.read.parquet(ev_path).schema  # ts arrives as int64 nanos
+    stream = convert_nanos_ts(
+        file_stream(spark, sf_dir, schema, glob_filter="events.parquet")
+    )
+    candles = streaming_candles(stream, watermark="1 minutes")
+    name, _ = run_to_memory(candles)
+    return spark.table(name)
+
+
+@register("stream_event_dedup")  # stateful streaming dedup → rows-only check
+def stream_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup with bounded state
+    (dropDuplicatesWithinWatermark): at-least-once sources become
+    effectively-once within the watermark horizon. State size is bounded by
+    the watermark window — the 100 TB-stream-safe dedup."""
+    ev_path = table_path(sf_dir, "events")
+    _enable_nanos_as_long(spark)
+    schema = spark.read.parquet(ev_path).schema
+    stream = convert_nanos_ts(
+        file_stream(spark, sf_dir, schema, glob_filter="events.parquet")
+    )
+    deduped = (
+        stream.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+    name, _ = run_to_memory(deduped)
+    return spark.table(name)

@@ -1,0 +1,52 @@
+"""Batch sources (SURVEY.md §2.1 S1, S4, S7).
+
+* ``read_csv_raw`` — the reference's bronze CSV ingest: header, NO schema
+  inference, every column a string (/root/reference/src/bronze/_bronze_utils.py:26-28).
+  Inference is a full extra pass over the data — never at 100 TB.
+* ``read_csv_typed`` — explicit-schema variant (the right way to type CSV).
+* ``incremental_read`` — S4 high-watermark CDC scan: full load when the target
+  is empty, else rows strictly newer than the target's max watermark column
+  (/root/reference/src/silver/_silver_utils.py:35-49). The watermark becomes a
+  literal predicate, so it pushes down to the scan and prunes partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def read_csv_raw(spark: SparkSession, path: str) -> DataFrame:
+    """All-string CSV scan (bronze contract: types applied later by
+    normalize_schema)."""
+    return spark.read.csv(path, header=True, inferSchema=False)
+
+
+def read_csv_typed(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """Explicit-schema CSV scan — no inference pass."""
+    return spark.read.csv(path, header=True, schema=schema)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def incremental_read(
+    source: DataFrame,
+    target: DataFrame | None,
+    watermark_col: str,
+) -> DataFrame:
+    """High-watermark incremental scan.
+
+    Full scan when ``target`` is None/empty; otherwise only rows with
+    ``watermark_col`` strictly greater than the target's max. Two tiny driver
+    jobs (emptiness probe + scalar max — parquet footer stats make the max
+    near-free), then one filtered scan.
+    """
+    if target is None or target.isEmpty():
+        return source
+    hw = target.agg(F.max(watermark_col).alias("hw")).collect()[0]["hw"]
+    if hw is None:
+        return source
+    return source.filter(F.col(watermark_col) > F.lit(hw))

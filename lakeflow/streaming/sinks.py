@@ -1,0 +1,63 @@
+"""Streaming sink helpers (SURVEY.md §2.8 T3-T5).
+
+Mirrors the reference's checkpointed append sinks
+(/root/reference/src/bronze/_bronze_utils.py:69-84) with the trigger as an
+explicit parameter; tests use ``available_now=True`` for deterministic
+run-to-completion, production uses a processing-time cadence.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+
+def write_stream(
+    df: DataFrame,
+    *,
+    fmt: str = "parquet",
+    path: str | None = None,
+    checkpoint: str | None = None,
+    output_mode: str = "append",
+    processing_time: str | None = None,
+    available_now: bool = False,
+    partition_by: list[str] | None = None,
+    query_name: str | None = None,
+) -> StreamingQuery:
+    """Start a checkpointed streaming write; caller awaits termination."""
+    writer = df.writeStream.outputMode(output_mode).format(fmt)
+    if checkpoint is None:
+        checkpoint = tempfile.mkdtemp(prefix="lakeflow-ckpt-")
+    writer = writer.option("checkpointLocation", checkpoint)
+    if path:
+        writer = writer.option("path", path)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    if query_name:
+        writer = writer.queryName(query_name)
+    return writer.start()
+
+
+def run_to_memory(df: DataFrame, name: str | None = None) -> tuple[str, StreamingQuery]:
+    """Run a stream to completion (availableNow) into an in-memory table.
+
+    Deterministic test/driver path: returns (table_name, finished_query).
+    """
+    name = name or f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="lakeflow-ckpt-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return name, q

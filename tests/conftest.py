@@ -1,0 +1,25 @@
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from lakeflow.session import get_session
+
+SF_DIR = os.environ.get("LAKEFLOW_TEST_SF_DIR", "/root/testdata/sf0.001")
+SF_DIR_MID = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    spark = get_session(
+        "lakeflow-tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={
+            "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+            "spark.driver.memory": "4g",
+        },
+    )
+    yield spark
+    spark.stop()
