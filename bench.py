@@ -22,10 +22,15 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
     "candles_15m",
     "latest_event_per_user",
     "event_value_delta",
     "dual_nation_lookup",
+    # time-series extensions
+    "asof_purchase_view",
+    "session_windows_30m",
     # medallion / merge
     "scd2_customer_state",
     "incremental_orders",

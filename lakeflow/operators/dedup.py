@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from lakeflow.operators.transforms import fan_out
+
 from lakeflow.functions.rounding import rnd
 
 
@@ -53,17 +55,24 @@ def exact_dedup(
 def word_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """Distinct n-word shingles per doc: (id, shingle).
 
-    Built-ins only: split → transform(sequence) → explode. The explode is a
-    narrow op; dedup shuffles on (id, shingle) with partial combine.
+    Built-ins only: split → transform(sequence) → explode. The token array is
+    materialized as a column FIRST — referencing the split expression inside
+    the transform lambda would re-run the regex+split per shingle index
+    (O(tokens²) regex work per doc). The explode is a narrow op; dedup
+    shuffles on (id, shingle) with partial combine.
     """
-    toks = F.split(normalize_text(text_col), " ")
-    idxs = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)) )
+    toked = fan_out(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.split(normalize_text(text_col), " ").alias("__toks"),
+        ),
+        barrier=True,  # materialize the split; see fan_out docstring
+    )
+    toks = F.col("__toks")
+    idxs = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     # slice is 1-based; join n consecutive tokens.
     sh = F.transform(idxs, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
-        .distinct()
-    )
+    return toked.select("id", F.explode(sh).alias("shingle")).distinct()
 
 
 def minhash_signatures(
@@ -72,23 +81,21 @@ def minhash_signatures(
     """Per-doc MinHash signature: sig[i] = min over shingles of
     md5(i || ':' || shingle). Output: (id, sigs array<string> ordered by i).
 
-    One explode (×num_hashes) + one hash-agg; the shuffle carries
-    num_hashes rows per doc.
+    Single aggregation with ``num_hashes`` min() columns: one shuffle keyed on
+    id, map-side partial mins, and — unlike the explode(×num_hashes) phrasing —
+    no row blowup. The md5s are computed in the map stage, so the shuffle
+    carries num_hashes fixed-width values per doc per map task.
     """
-    seeded = shingles.select(
-        "id",
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("i"),
-        "shingle",
-    ).select(
-        "id",
-        "i",
-        F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("shingle"))).alias("h"),
+    mins = shingles.groupBy("id").agg(
+        *[
+            F.min(F.md5(F.concat_ws(":", F.lit(str(i)), F.col("shingle")))).alias(
+                f"__mh{i}"
+            )
+            for i in range(num_hashes)
+        ]
     )
-    per_seed = seeded.groupBy("id", "i").agg(F.min("h").alias("mh"))
-    return per_seed.groupBy("id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("i", "mh"))), lambda s: s["mh"]
-        ).alias("sigs")
+    return mins.select(
+        "id", F.array(*[f"__mh{i}" for i in range(num_hashes)]).alias("sigs")
     )
 
 
@@ -109,6 +116,10 @@ def lsh_candidate_pairs(
             F.array_join(F.slice("sigs", F.col("band") * rows_per_band + 1, rows_per_band), "|")
         ).alias("bh"),
     )
+    # Materialize once: the self-join would otherwise recompute the whole
+    # shingle→signature pipeline for BOTH sides (2× the dominant cost). At
+    # warehouse scale this is "write signatures to a table, join the table".
+    banded = banded.persist()
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -162,7 +173,7 @@ def simhash16(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 
     Narrow explode + one hash-agg; signature comparison is then O(1)/pair.
     """
-    toks = df.select(
+    toks = fan_out(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
     ).distinct()

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -65,6 +65,54 @@ def star_flatten(
     for dim, fact_key, dim_key in dims:
         out = out.join(F.broadcast(dim), F.col(fact_key) == F.col(dim_key), how)
     return out
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    payload: Mapping[str, str],
+) -> DataFrame:
+    """Backward as-of join: for each left row, attach the payload of the
+    latest right row with ``right_ts <= left_ts`` within the same key group
+    (the trades/quotes pattern; DuckDB spells it ASOF JOIN).
+
+    Spark-first phrasing (no range-join explosion): union both sides tagged,
+    sort once per key by time, and carry the right payload forward with
+    ``last(..., ignorenulls)``. ONE shuffle on the key columns and one
+    in-partition sort — survives any scale where a single key's history fits
+    a partition; salt the key with a coarse time bucket beyond that.
+
+    ``payload`` maps right column -> output name. Right rows at the same
+    timestamp as a left row DO match (ties ordered right-before-left).
+    """
+    on = list(on)
+    pay_out = list(payload.values())
+    l_tagged = left.select(
+        *on,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        *[F.col(c) for c in left.columns if c not in on],
+        *[F.lit(None).cast(right.schema[src].dataType).alias(dst) for src, dst in payload.items()],
+    )
+    r_tagged = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in on],
+        *[F.col(src).alias(dst) for src, dst in payload.items()],
+    )
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("__ts", "__is_left")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = r_tagged.unionByName(l_tagged).withColumns(
+        {dst: F.last(dst, ignorenulls=True).over(w) for dst in pay_out}
+    )
+    return filled.filter(F.col("__is_left") == 1).drop("__ts", "__is_left")
 
 
 def semi_join(left: DataFrame, right: DataFrame, on: Sequence[str]) -> DataFrame:

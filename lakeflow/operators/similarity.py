@@ -21,8 +21,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from lakeflow.functions.rounding import rnd
-
 from lakeflow.functions.vectors import cosine, dot, norm
+from lakeflow.operators.transforms import fan_out
 
 
 def brute_force_topk(
@@ -39,13 +39,20 @@ def brute_force_topk(
     tiebreak, so results are reproducible across engines and runs.
     """
     q = queries.select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        norm(vec_col).alias("qn"),
     )
-    c = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("cv"))
+    c = fan_out(corpus).select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("cv"),
+        norm(vec_col).alias("cn"),
+    )
+    # Norms computed once per vector (not per pair); one dot per pair remains.
     scored = c.join(F.broadcast(q), F.col("qid") != F.col("vid")).select(
         "qid",
         "vid",
-        rnd(cosine("qv", "cv"), round_to).alias("cos"),
+        rnd(dot("qv", "cv") / (F.col("qn") * F.col("cn")), round_to).alias("cos"),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vid"))
     return (
@@ -97,13 +104,16 @@ def lsh_bucketed_topk(
     q = queries.select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("qv"),
+        norm(vec_col).alias("qn"),
     ).withColumn("bucket", bucket(F.col("qv")))
-    c = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("cv")).withColumn(
-        "bucket", bucket(F.col("cv"))
-    )
+    c = fan_out(corpus).select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("cv"),
+        norm(vec_col).alias("cn"),
+    ).withColumn("bucket", bucket(F.col("cv")))
     scored = c.join(F.broadcast(q), on="bucket").filter(
         F.col("qid") != F.col("vid")
-    ).select("qid", "vid", rnd(cosine("qv", "cv"), round_to).alias("cos"))
+    ).select("qid", "vid", rnd(dot("qv", "cv") / (F.col("qn") * F.col("cn")), round_to).alias("cos"))
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vid"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
@@ -124,10 +134,24 @@ def embedding_near_dups(
     Test-scale: full self-join. Scale path: route through LSH buckets first
     (same trick as lsh_bucketed_topk) so only same-bucket pairs are scored.
     """
-    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    normed = fan_out(corpus).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), norm(vec_col).alias("n")
+    )
+    # Materialize once: norms per vector, and the self-join reads the small
+    # normed relation twice instead of recomputing it.
+    normed = normed.persist()
+    a = normed.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na")
+    )
+    b = normed.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb")
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", rnd(cosine("va", "vb"), round_to).alias("cos"))
+        .select(
+            "id_a",
+            "id_b",
+            rnd(dot("va", "vb") / (F.col("na") * F.col("nb")), round_to).alias("cos"),
+        )
         .filter(F.col("cos") >= threshold)
     )

@@ -17,6 +17,30 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DataType, StructType
 
 
+def fan_out(
+    df: DataFrame, partitions: int | None = None, *, barrier: bool = False
+) -> DataFrame:
+    """Spread a small-but-CPU-heavy input across all cores.
+
+    A single small parquet file scans as ONE task, so per-row-expensive
+    pipelines (shingling, hashing, vector math) run single-threaded no matter
+    how many executors exist. One cheap round-robin shuffle of the raw rows
+    buys full parallelism for everything downstream. On a 100 TB input the
+    scan already has thousands of splits and this is a no-op; the explicit
+    partition count keeps AQE from coalescing it away.
+
+    ``barrier=True`` repartitions even when parallelism is already sufficient:
+    the exchange doubles as a materialization fence, stopping Catalyst's
+    project-collapsing from inlining an expensive expression (e.g. a regex
+    split) into every downstream reference — see word_shingles.
+    """
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    current = df.rdd.getNumPartitions()
+    if current >= n:
+        return df.repartition(current) if barrier else df
+    return df.repartition(n)
+
+
 def rename_cols(df: DataFrame, mapping: Mapping[str, str]) -> DataFrame:
     """Map-driven column rename (reference: _silver_utils.py:67-72)."""
     return df.withColumnsRenamed(dict(mapping))

@@ -39,7 +39,13 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
 def _load_all() -> None:
     # Import for side effect: each module registers its queries.
-    from lakeflow.queries import medallion, northstar, relational, streaming  # noqa: F401
+    from lakeflow.queries import (  # noqa: F401
+        medallion,
+        northstar,
+        relational,
+        streaming,
+        timeseries,
+    )
 
 
 _load_all()

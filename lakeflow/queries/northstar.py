@@ -12,6 +12,7 @@ Oracle-parity ground rules used here:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -367,6 +368,35 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stable md5 fingerprint + coarse shard key per document."""
     return tx.doc_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "token_counts_pandas",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents)
+    SELECT doc_id, len(string_split(t, ' ')) AS n_ws
+    FROM norm
+    """,
+)
+def token_counts_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same whitespace token count as ``token_counts`` but through an
+    Arrow-batched scalar pandas UDF — the sanctioned Python escape hatch
+    (vectorized, ~10-100× faster than row-at-a-time UDFs). Exists to prove
+    the UDF plumbing; the JVM expression in ``token_counts`` is the hot-path
+    choice."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def n_tokens(text: pd.Series) -> pd.Series:
+        norm = (
+            text.str.strip()
+            .str.lower()
+            .str.replace(r"\s+", " ", regex=True)
+        )
+        return norm.str.split(" ").str.len().astype("int32")
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", n_tokens("text").alias("n_ws"))
 
 
 # ---------------------------------------------------------------------------

@@ -217,6 +217,77 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT {{rnd_rev}} AS revenue, count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+      AND l_discount BETWEEN 0.02 AND 0.05
+      AND l_quantity < 24
+    """.format(rnd_rev="(floor((sum(l_extendedprice * l_discount)) * 100.0 + 0.5) / 100.0)"),
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan + conjunctive filter + global agg. All three
+    predicates push to the parquet scan; the ideal plan reads 4 columns and
+    aggregates map-side to a single row per task."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.05)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            rnd(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name,
+           (floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0)
+               AS revenue,
+           n_name AS nation_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'A'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: fact-fact join + dim broadcast + grouped agg +
+    deterministic top-20 by lost revenue."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "A")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select("c_custkey", "c_name", "revenue", F.col("n_name").alias("nation_name"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # J1: broadcast dimension lookups
 # ---------------------------------------------------------------------------

@@ -54,6 +54,37 @@ def stream_candles_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+@register(
+    "stream_static_enrich",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join (the streaming generalization of the reference's J1
+    dimension lookup): streaming events left-join the static customer dim.
+    The static side broadcasts into every micro-batch — no stream shuffle, no
+    state. Append mode needs no watermark for stream-static left joins, so
+    every input row is emitted exactly once."""
+    from pyspark.sql import functions as F
+
+    ev_path = table_path(sf_dir, "events")
+    _enable_nanos_as_long(spark)
+    schema = spark.read.parquet(ev_path).schema
+    stream = convert_nanos_ts(
+        file_stream(spark, sf_dir, schema, glob_filter="events.parquet")
+    )
+    dim = spark.read.parquet(table_path(sf_dir, "customer")).select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    joined = stream.join(
+        F.broadcast(dim), stream.user_id == dim.c_custkey, "left"
+    ).select("event_id", "user_id", "c_name", "c_mktsegment")
+    name, _ = run_to_memory(joined)
+    return spark.table(name)
+
+
 @register("stream_event_dedup")  # stateful streaming dedup → rows-only check
 def stream_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup with bounded state

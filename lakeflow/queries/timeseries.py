@@ -1,0 +1,160 @@
+"""Time-series operators beyond the reference's surface (SURVEY.md §2.5/§2.8
+headroom): as-of join, session windows, sliding windows, per-key regression
+trend — the OHLCV/event-stream domain's natural extensions, each with a DuckDB
+oracle (DuckDB's native ASOF JOIN / gaps-and-islands SQL replay them exactly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakeflow.catalog import load_table
+from lakeflow.functions.rounding import rnd, sql_rnd
+from lakeflow.operators.joins import asof_join
+from lakeflow.queries import register
+
+_STRF = "%Y-%m-%d %H:%M:%S"
+TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+@register(
+    "asof_purchase_view",
+    oracle=f"""
+    SELECT l.event_id, l.user_id, strftime(l.ts, '{_STRF}') AS ts_s,
+           {sql_rnd('l.value', 2)} AS value,
+           r.event_id AS prior_view_id,
+           {sql_rnd('r.value', 2)} AS prior_view_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase picks up the user's most recent prior 'view'
+    event (trades/quotes pattern). Implemented union+sort-once per key —
+    one shuffle — rather than a range join (see operators.joins.asof_join)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("v_eid"), "ts", F.col("value").alias("v_val")
+    )
+    joined = asof_join(
+        purchases,
+        views,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        payload={"v_eid": "prior_view_id", "v_val": "prior_view_value"},
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", TS_FMT).alias("ts_s"),
+        rnd("value", 2).alias("value"),
+        "prior_view_id",
+        rnd("prior_view_value", 2).alias("prior_view_value"),
+    )
+
+
+@register(
+    "session_windows_30m",
+    oracle=f"""
+    WITH marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sessions AS (
+        SELECT *, sum(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+        ) AS session_no
+        FROM marked
+    )
+    SELECT user_id,
+           epoch_us(min(ts)) AS session_start_us,
+           epoch_us(max(ts) + INTERVAL 30 MINUTE) AS session_end_us,
+           count(*) AS n_events,
+           {sql_rnd('sum(value)', 2)} AS sum_value
+    FROM sessions GROUP BY user_id, session_no
+    """,
+)
+def session_windows_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute inactivity gap) per user — F.session_window,
+    the dynamic-gap cousin of tumbling windows (streaming-capable; batch here
+    for oracle parity). The oracle replays it as gaps-and-islands SQL."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("__w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            rnd(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("__w.start").alias("session_start_us"),
+            F.unix_micros("__w.end").alias("session_end_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "sliding_windows_30m15m",
+    oracle=f"""
+    SELECT event_type,
+           strftime(time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE,
+                    '{_STRF}') AS bucket_start,
+           count(*) AS n_events,
+           {sql_rnd('sum(value)', 2)} AS sum_value
+    FROM events, UNNEST([0, 1]) AS t(k)
+    GROUP BY event_type, 2
+    """,
+)
+def sliding_windows_30m15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (30 min length, 15 min slide): every event lands in two
+    overlapping windows. The oracle replicates Spark's window set by shifting
+    the 15-minute tumbling bucket."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type", F.window("ts", "30 minutes", "15 minutes").alias("__w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            rnd(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            F.date_format("__w.start", TS_FMT).alias("bucket_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "user_value_trend",
+    oracle=f"""
+    SELECT user_id,
+           {sql_rnd("regr_slope(value, epoch_us(ts) / 1000000.0 - 1704067200.0)", 6)}
+               AS slope,
+           count(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user least-squares trend of value over time via the built-in
+    regr_slope aggregate (JVM-side; no UDF). Time is rebased to 2024-01-01
+    seconds so the regression sums stay well-conditioned in double."""
+    ev = load_table(spark, sf_dir, "events")
+    x = F.unix_micros("ts") / F.lit(1000000.0) - F.lit(1704067200.0)
+    return ev.groupBy("user_id").agg(
+        rnd(F.regr_slope(F.col("value"), x), 6).alias("slope"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

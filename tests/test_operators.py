@@ -1,0 +1,167 @@
+"""Unit tests for operator semantics not fully covered by the oracle suite."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from lakeflow.operators.merge import scd1_apply, scd2_apply
+from lakeflow.operators.multimodal import decode_image_real
+from lakeflow.operators.transforms import (
+    dedup_latest,
+    handle_nulls,
+    normalize_schema,
+    nullify_nonpositive,
+    rename_cols,
+    trim_strings,
+)
+from lakeflow.plans.runner import Pipeline
+from lakeflow.sources.batch import incremental_read
+
+
+def test_normalize_schema_adds_missing_and_keeps_or_drops_extra(spark):
+    df = spark.createDataFrame([("1", "a", "x")], ["k", "v", "extra"])
+    schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("v", StringType()),
+            StructField("missing", DoubleType()),
+        ]
+    )
+    kept = normalize_schema(df, schema, keep_extra=True)
+    assert kept.columns == ["k", "v", "missing", "extra"]
+    assert dict(kept.dtypes)["k"] == "bigint"
+    assert kept.collect()[0]["missing"] is None
+
+    dropped = normalize_schema(df, schema, keep_extra=False)
+    assert dropped.columns == ["k", "v", "missing"]
+
+
+def test_cleaning_chain(spark):
+    df = spark.createDataFrame(
+        [(1, "  a  ", -5.0), (2, "b", 3.0), (None, "c", 1.0)],
+        StructType(
+            [
+                StructField("k", IntegerType()),
+                StructField("s", StringType()),
+                StructField("x", DoubleType()),
+            ]
+        ),
+    )
+    out = handle_nulls(
+        nullify_nonpositive(trim_strings(df, ["s"]), ["x"]),
+        drop_subset=["k"],
+        fill={"x": 0.0},
+    ).orderBy("k")
+    rows = out.collect()
+    assert [r["s"] for r in rows] == ["a", "b"]
+    assert rows[0]["x"] == 0.0  # -5 → NULL → filled 0
+    assert rows[1]["x"] == 3.0
+
+
+def test_rename_cols(spark):
+    df = spark.createDataFrame([(1, 2)], ["a", "b"])
+    assert rename_cols(df, {"a": "x", "b": "y"}).columns == ["x", "y"]
+
+
+def test_dedup_latest_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(1, 10, 100), (1, 10, 200), (1, 5, 300), (2, 7, 400)],
+        ["k", "ord", "payload"],
+    )
+    out = dedup_latest(df, ["k"], "ord", tiebreak_cols=["payload"]).orderBy("k")
+    rows = out.collect()
+    assert [(r["k"], r["payload"]) for r in rows] == [(1, 200), (2, 400)]
+
+
+def test_scd1_upsert(spark):
+    target = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    source = spark.createDataFrame([(2, "B"), (3, "c")], ["k", "v"])
+    out = {(r["k"], r["v"]) for r in scd1_apply(target, source, ["k"]).collect()}
+    assert out == {(1, "a"), (2, "B"), (3, "c")}
+
+
+def test_scd2_phases(spark):
+    target = spark.createDataFrame(
+        [(1, "a", "2026-01-01 00:00:00", None, 1), (2, "b", "2026-01-01 00:00:00", None, 1)],
+        StructType(
+            [
+                StructField("k", LongType()),
+                StructField("v", StringType()),
+                StructField("start_timestamp", StringType()),
+                StructField("end_timestamp", StringType()),
+                StructField("is_current", IntegerType()),
+            ]
+        ),
+    ).withColumns(
+        {
+            "start_timestamp": F.col("start_timestamp").cast("timestamp"),
+            "end_timestamp": F.col("end_timestamp").cast("timestamp"),
+        }
+    )
+    source = spark.createDataFrame([(1, "A"), (3, "c")], ["k", "v"])
+    out = scd2_apply(target, source, ["k"], ["v"], "2026-02-01 00:00:00")
+    rows = {(r["k"], r["v"], r["is_current"]) for r in out.collect()}
+    # 1/a expired, 1/A new current, 2/b untouched current, 3/c new current
+    assert rows == {(1, "a", 0), (1, "A", 1), (2, "b", 1), (3, "c", 1)}
+    expired = [r for r in out.collect() if r["k"] == 1 and r["is_current"] == 0][0]
+    assert str(expired["end_timestamp"]) == "2026-02-01 00:00:00"
+
+
+def test_incremental_read_high_watermark(spark):
+    src = spark.createDataFrame([(1, 10), (2, 20), (3, 30)], ["k", "wm"])
+    tgt = spark.createDataFrame([(1, 10), (2, 20)], ["k", "wm"])
+    assert incremental_read(src, None, "wm").count() == 3
+    assert incremental_read(src, tgt.limit(0), "wm").count() == 3
+    got = incremental_read(src, tgt, "wm").collect()
+    assert [(r["k"], r["wm"]) for r in got] == [(3, 30)]
+
+
+def test_pipeline_topo_and_diamond():
+    pipe = Pipeline("t")
+    order = []
+
+    @pipe.task("a")
+    def a(res):
+        order.append("a")
+        return 1
+
+    @pipe.task("b", deps=["a"])
+    def b(res):
+        order.append("b")
+        return res["a"] + 1
+
+    @pipe.task("c", deps=["a"])
+    def c(res):
+        order.append("c")
+        return res["a"] + 10
+
+    @pipe.task("d", deps=["b", "c"])
+    def d(res):
+        order.append("d")
+        return res["b"] + res["c"]
+
+    results = pipe.run()
+    assert results["d"] == 13
+    assert order[0] == "a" and order[-1] == "d"
+
+
+def test_pipeline_cycle_detection():
+    pipe = Pipeline("cyc")
+    pipe.task("x", deps=["y"])(lambda res: None)
+    pipe.task("y", deps=["x"])(lambda res: None)
+    with pytest.raises(ValueError, match="cycle"):
+        pipe.topo_order()
+
+
+def test_multimodal_real_decoder_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_image_real(b"\x89PNG")
