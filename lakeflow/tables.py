@@ -1,0 +1,144 @@
+"""Versioned managed tables: snapshots + time travel on plain parquet.
+
+The reference gets snapshots, ``FOR VERSION AS OF`` time travel, and streaming
+table reads from Iceberg (/root/reference/experiments/spark_iceberg_example.ipynb
+cells 10-11; /root/reference/experiments/trino_iceberg_example.sql:40-43,
+SURVEY.md §2.1 S10). Those jars aren't available here, so this module
+re-creates the *metadata* design Iceberg uses — and that design is exactly why
+it scales:
+
+- A commit never rewrites existing data. Each ``commit`` writes its rows to a
+  fresh data directory and records a **manifest** (JSON, driver-side, tiny)
+  listing the directories that make up that version. Append = previous
+  manifest + one new dir; overwrite = just the new dir.
+- Reading version N is ``spark.read.parquet(*manifest[N])`` — a normal
+  multi-path parquet scan with full column pruning / predicate pushdown /
+  partition splitting. 100 TB of table data costs the same JSON bytes of
+  metadata per commit.
+- Old versions stay readable until ``expire_snapshots`` drops their
+  now-unreferenced data dirs (Iceberg's expire_snapshots).
+
+Not provided (documented limits, same stance as SURVEY.md §7.3): concurrent
+writers (no atomic manifest swap on plain FS), row-level deletes (rewrite the
+affected partition instead — commit with mode="overwrite").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Row, SparkSession
+
+
+class VersionedTable:
+    """A directory-backed table with Iceberg-style snapshot manifests.
+
+    Layout::
+
+        root/
+          _snapshots/00000001.json   # {"version","operation","dirs":[...]}
+          data/<uuid>/part-*.parquet
+    """
+
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.root = root
+        self._snap_dir = os.path.join(root, "_snapshots")
+        os.makedirs(self._snap_dir, exist_ok=True)
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+
+    # -- metadata ----------------------------------------------------------
+    def versions(self) -> list[int]:
+        return sorted(
+            int(f.split(".")[0])
+            for f in os.listdir(self._snap_dir)
+            if f.endswith(".json")
+        )
+
+    def _manifest(self, version: int) -> dict:
+        with open(os.path.join(self._snap_dir, f"{version:08d}.json")) as fh:
+            return json.load(fh)
+
+    def current_version(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def snapshots(self) -> DataFrame:
+        """Snapshot metadata as a DataFrame (Iceberg's ``t.snapshots``)."""
+        rows = [
+            Row(
+                version=m["version"],
+                operation=m["operation"],
+                n_dirs=len(m["dirs"]),
+                n_rows=m.get("n_rows"),
+            )
+            for m in (self._manifest(v) for v in self.versions())
+        ]
+        return self.spark.createDataFrame(
+            rows, schema="version int, operation string, n_dirs int, n_rows bigint"
+        )
+
+    # -- write path --------------------------------------------------------
+    def commit(
+        self,
+        df: DataFrame,
+        mode: str = "append",
+        partition_by: Sequence[str] | None = None,
+    ) -> int:
+        """Write ``df`` as a new snapshot; returns the new version number.
+
+        ``mode="append"`` keeps prior data dirs in the manifest;
+        ``mode="overwrite"`` starts the manifest fresh (data files of older
+        versions remain on disk for time travel until expired).
+        """
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+        data_dir = os.path.join(self.root, "data", uuid.uuid4().hex)
+        writer = df.write.mode("overwrite").format("parquet")
+        if partition_by:
+            writer = writer.partitionBy(*list(partition_by))
+        writer.save(data_dir)
+
+        prev = self.current_version()
+        dirs = [] if (mode == "overwrite" or prev is None) else self._manifest(prev)["dirs"]
+        version = (prev or 0) + 1
+        manifest = {
+            "version": version,
+            "operation": mode,
+            "dirs": dirs + [data_dir],
+        }
+        # Write-then-rename: readers never observe a half-written manifest.
+        tmp = os.path.join(self._snap_dir, f".{version:08d}.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, os.path.join(self._snap_dir, f"{version:08d}.json"))
+        return version
+
+    # -- read path ---------------------------------------------------------
+    def read(self, version: int | None = None) -> DataFrame:
+        """Scan the table at ``version`` (default: latest) — ``FOR VERSION
+        AS OF`` over the manifest's directory list."""
+        if version is None:
+            version = self.current_version()
+        if version is None:
+            raise ValueError(f"table {self.root} has no snapshots")
+        dirs = self._manifest(version)["dirs"]
+        return self.spark.read.parquet(*dirs)
+
+    # -- maintenance -------------------------------------------------------
+    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
+        """Drop all but the last ``keep_last`` snapshots and delete data dirs
+        no surviving manifest references. Returns expired version numbers."""
+        vs = self.versions()
+        expired, kept = vs[:-keep_last], vs[-keep_last:]
+        live_dirs = {d for v in kept for d in self._manifest(v)["dirs"]}
+        for v in expired:
+            for d in self._manifest(v)["dirs"]:
+                if d not in live_dirs and os.path.isdir(d):
+                    shutil.rmtree(d)
+            os.remove(os.path.join(self._snap_dir, f"{v:08d}.json"))
+        return expired

@@ -1,0 +1,55 @@
+"""VersionedTable: snapshots, time travel, expiry (SURVEY.md §2.1 S10)."""
+
+from __future__ import annotations
+
+import os
+
+from lakeflow.tables import VersionedTable
+
+
+def test_append_and_time_travel(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    v1 = t.commit(spark.range(0, 3).toDF("id"))
+    v2 = t.commit(spark.range(3, 5).toDF("id"))
+    assert (v1, v2) == (1, 2)
+    assert t.read(version=1).count() == 3
+    assert sorted(r.id for r in t.read().collect()) == [0, 1, 2, 3, 4]
+    assert t.current_version() == 2
+
+
+def test_overwrite_keeps_old_versions_readable(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit(spark.range(0, 10).toDF("id"))
+    t.commit(spark.range(100, 102).toDF("id"), mode="overwrite")
+    assert t.read().count() == 2
+    assert t.read(version=1).count() == 10  # time travel across overwrite
+    ops = [r.operation for r in t.snapshots().orderBy("version").collect()]
+    assert ops == ["append", "overwrite"]
+
+
+def test_expire_snapshots_drops_unreferenced_dirs(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit(spark.range(0, 5).toDF("id"))
+    t.commit(spark.range(5, 8).toDF("id"), mode="overwrite")
+    expired = t.expire_snapshots(keep_last=1)
+    assert expired == [1]
+    assert t.versions() == [2]
+    assert t.read().count() == 3
+    # v1's data dir is gone from disk
+    data_root = os.path.join(t.root, "data")
+    live = t._manifest(2)["dirs"]
+    on_disk = [os.path.join(data_root, d) for d in os.listdir(data_root)]
+    assert sorted(on_disk) == sorted(live)
+
+
+def test_partitioned_commit_prunes(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    df = spark.createDataFrame(
+        [(i, i % 2) for i in range(8)], "id int, bucket int"
+    )
+    t.commit(df, partition_by=["bucket"])
+    got = t.read().filter("bucket = 1")
+    assert got.count() == 4
+    # partition filter appears as a pruned scan, not a post-scan filter
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or "bucket" in plan
