@@ -788,3 +788,304 @@ def parse_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     parsed = ev.withColumn("data", F.from_json("props", "k INT"))
     return parsed.select("event_id", F.col("data.k").alias("prop_k"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H shapes round 2: subquery / EXISTS / disjunctive-pushdown patterns
+# (adapted to the fixture schema — lineitem has no commitdate/receiptdate,
+#  part has single-word p_type — SURVEY.md §2.3/§2.4 capability headroom)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS decorrelated to a LEFT SEMI join.
+
+    The semi join shuffles only the join key + priority (no lineitem payload
+    survives the probe), and the date filter is pushed to the orders scan —
+    both essential when orders is the 100 TB side.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    qualified = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return qualified.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT (floor((100.00 * sum(CASE WHEN p_type = 'PROMO'
+                         THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                  / sum(l_extendedprice * (1 - l_discount))) * 1000000.0 + 0.5)
+            / 1000000.0) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregate over a broadcast dimension join.
+
+    part is the small side → broadcast hash join, no shuffle of the filtered
+    lineitem scan; the month filter prunes at the parquet level.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return joined.agg(
+        rnd(
+            100.0
+            * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0)))
+            / F.sum(disc),
+            6,
+        ).alias("promo_revenue_pct")
+    )
+
+
+@register(
+    "q17_small_qty_revenue",
+    oracle="""
+    SELECT (floor((sum(l_extendedprice) / 7.0) * 100.0 + 0.5) / 100.0) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+                        WHERE l2.l_partkey = lineitem.l_partkey)
+    """,
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated avg subquery → pre-aggregated broadcast join.
+
+    The per-part average is computed once as a tiny aggregate (one row per
+    partkey) and broadcast — Catalyst's own decorrelation does the same; the
+    alternative (window avg over the fact table) would shuffle all of lineitem.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    part_avg = li.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("half_avg_qty")
+    )
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(part_avg), li.l_partkey == F.col("pa_partkey"))
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+    )
+    return joined.agg(rnd(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+
+
+@register(
+    "q18_large_volume_customers",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS orderdate,
+           o_totalprice,
+           (floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey HAVING sum(l_quantity) > 200)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered IN-subquery → aggregate + semi join.
+
+    The qualifying-orderkey set is produced by a map-side-combined agg and
+    semi-joined before the wide customer/orders join, so the expensive join
+    only sees the ~5% of orders that qualify.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 200)
+        .select("l_orderkey")
+    )
+    orders_big = orders.join(
+        big, orders.o_orderkey == big.l_orderkey, "left_semi"
+    )
+    return (
+        cust.join(orders_big, cust.c_custkey == orders_big.o_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(rnd(F.sum("l_quantity"), 2).alias("total_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            _fmt("o_orderdate", "orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT (floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0)
+           AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#20' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 35)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate across a broadcast join.
+
+    Catalyst extracts the common-subexpression filters per side (p_brand IN
+    (...) reaches the part scan; l_quantity range reaches lineitem), so the
+    disjunction does not defeat pushdown.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    branch1 = (
+        (F.col("p_brand") == "Brand#13")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    )
+    branch2 = (
+        (F.col("p_brand") == "Brand#20")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 35)
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.filter(branch1 | branch2).agg(rnd(F.sum(disc), 2).alias("revenue"))
+
+
+@register(
+    "q11_important_parts",
+    oracle="""
+    SELECT l_partkey,
+           (floor((sum(l_extendedprice * l_quantity)) * 100.0 + 0.5) / 100.0)
+           AS part_value
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING sum(l_extendedprice * l_quantity) >
+           (SELECT 0.005 * sum(l_extendedprice * l_quantity) FROM lineitem)
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: HAVING against a scalar subquery (global total).
+
+    Both aggregates come off one shuffled pass in Spark's reused exchange; the
+    one-row total is crossed in as a broadcast nested loop — no second scan of
+    the fact table at scale (AQE reuses the exchange).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    value = F.col("l_extendedprice") * F.col("l_quantity")
+    per_part = li.groupBy("l_partkey").agg(F.sum(value).alias("raw_value"))
+    total = li.agg((F.lit(0.005) * F.sum(value)).alias("threshold"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("raw_value") > F.col("threshold"))
+        .select("l_partkey", rnd(F.col("raw_value"), 2).alias("part_value"))
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name,
+           (floor((total_revenue) * 100.0 + 0.5) / 100.0) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: view + scalar-max subquery.
+
+    The revenue aggregate is computed once; the max is a one-row broadcast.
+    (A window max over the aggregate would be the single-pass alternative;
+    with supplier cardinality ≪ lineitem both are equivalent at scale.)
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(disc).alias("raw_revenue")
+    )
+    max_rev = revenue.agg(F.max("raw_revenue").alias("max_revenue"))
+    return (
+        revenue.join(F.broadcast(max_rev))
+        .filter(F.col("raw_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", rnd(F.col("raw_revenue"), 2).alias("total_revenue"))
+    )
+
+
+@register(
+    "q22_idle_rich_customers",
+    oracle="""
+    SELECT c_nationkey,
+           count(*) AS numcust,
+           (floor((sum(c_acctbal)) * 100.0 + 0.5) / 100.0) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_nationkey
+    """,
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-avg subquery + NOT EXISTS anti join.
+
+    The anti join probes only distinct o_custkey (shuffle of one slim column);
+    the average is a one-row broadcast.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    rich = cust.join(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    idle = rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+    return idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        rnd(F.sum("c_acctbal"), 2).alias("totacctbal"),
+    )
