@@ -426,3 +426,64 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     lakeflow.operators.multimodal)."""
     media = mm.attach_binary_payload(load_table(spark, sf_dir, "documents"))
     return mm.extract_media_meta(media)
+
+
+_DOT64 = "list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i]))"
+_R6 = "(floor(({x}) * 1000000.0 + 0.5) / 1000000.0)"
+_CCOS = _R6.format(x=f"{_DOT64.format(a='x.v', b='cent.cv')} / (x.nrm * cent.cn)")
+
+
+@register(
+    "ivf_topk",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, v, sqrt(list_sum(list_transform(v, y -> y * y))) AS nrm
+        FROM e
+    ),
+    cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 16),
+    c_assign AS (
+        SELECT vid, cid, v, nrm FROM (
+            SELECT x.vec_id AS vid, cent.cid, x.v, x.nrm,
+                   row_number() OVER (PARTITION BY x.vec_id
+                                      ORDER BY {_CCOS} DESC, cent.cid) AS rn
+            FROM n x, cent
+        ) WHERE rn = 1
+    ),
+    q_assign AS (
+        SELECT qid, cid, qv, qn FROM (
+            SELECT x.vec_id AS qid, cent.cid, x.v AS qv, x.nrm AS qn,
+                   row_number() OVER (PARTITION BY x.vec_id
+                                      ORDER BY {_CCOS} DESC, cent.cid) AS rn
+            FROM n x, cent WHERE x.vec_id < 10
+        ) WHERE rn <= 4
+    ),
+    scored AS (
+        SELECT DISTINCT q.qid, c.vid,
+               {_R6.format(x=f"{_DOT64.format(a='q.qv', b='c.v')} / (q.qn * c.nrm)")} AS cos
+        FROM q_assign q JOIN c_assign c USING (cid)
+        WHERE c.vid <> q.qid
+    )
+    SELECT qid, vid, cos FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: 16 deterministic seed centroids (vec_id < 16) coarse-quantize
+    the corpus; each of the 10 query vectors probes its 4 nearest cells and
+    scores only those candidates. The scale path precomputes the cell id at
+    ingest and uses it as a partition key — a probe then reads 4/16 of the
+    corpus via partition pruning instead of a join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.ivf_topk(
+        emb,
+        queries=emb.filter(F.col("vec_id") < 10),
+        centroids=emb.filter(F.col("vec_id") < 16),
+        k=5,
+        n_probe=4,
+    )
