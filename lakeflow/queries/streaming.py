@@ -104,3 +104,24 @@ def stream_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name, _ = run_to_memory(deduped)
     return spark.table(name)
+
+
+@register("stream_gap_sessions")  # arbitrary-state streaming op → rows-only check
+def stream_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState, SURVEY.md §2.8 T7
+    headroom): per-user gap-based sessionization, 30-minute inactivity gap.
+    State = one open session per user, closed by a newer event or by the
+    event-time timeout; sessions stream out in append mode. Not expressible
+    with built-in session_window when per-session state must carry arbitrary
+    aggregates across batches."""
+    from lakeflow.streaming.stateful import sessionize_stream
+
+    ev_path = table_path(sf_dir, "events")
+    _enable_nanos_as_long(spark)
+    schema = spark.read.parquet(ev_path).schema
+    stream = convert_nanos_ts(
+        file_stream(spark, sf_dir, schema, glob_filter="events.parquet")
+    ).select("ts", "user_id", "value")
+    sessions = sessionize_stream(stream, gap="30 minutes", watermark="1 minutes")
+    name, _ = run_to_memory(sessions)
+    return spark.table(name)

@@ -1,0 +1,120 @@
+"""Arbitrary stateful streaming: gap-based sessionization via
+``applyInPandasWithState``.
+
+The reference's only stateful op is the built-in windowed aggregation
+(/root/reference/src/silver/ohlcv_agg.py:20-28, SURVEY.md §2.8 T7 — "no
+mapGroupsWithState-style arbitrary state"). This module supplies that headroom
+with the canonical custom-state operator Spark's built-ins cannot express
+per-key incrementally: sessions that close after a per-key inactivity *gap*,
+carrying arbitrary per-session aggregates across micro-batches.
+
+Scale notes: state is keyed by the group column, so it shards with the
+shuffle; per-key state is O(1) (one open session), bounded further by the
+event-time timeout — at 100 TB/day the state store holds |active keys|
+entries, not history. Arrow batches move rows to Python per group; keep the
+per-row work trivial (it is: a handful of comparisons).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("start_ms", LongType()),
+        StructField("end_ms", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+
+def _make_sessionizer(gap_ms: int):
+    def sessionize(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        closed: list[tuple] = []
+
+        if state.hasTimedOut:
+            if state.exists:
+                s, e, n, v = state.get
+                closed.append((user_id, s, e, n, v))
+                state.remove()
+        else:
+            cur = list(state.get) if state.exists else None
+            for pdf in pdfs:
+                pdf = pdf.sort_values("ts")
+                ts_ms = (pdf["ts"].astype("int64") // 1_000_000).tolist()
+                vals = pdf["value"].tolist()
+                for t, v in zip(ts_ms, vals):
+                    if cur is None:
+                        cur = [t, t, 0, 0.0]
+                    elif t - cur[1] > gap_ms:
+                        closed.append((user_id, cur[0], cur[1], cur[2], cur[3]))
+                        cur = [t, t, 0, 0.0]
+                    cur[1] = t
+                    cur[2] += 1
+                    cur[3] += v
+            if cur is not None:
+                state.update(tuple(cur))
+                # Close the open session once the event-time watermark passes
+                # session_end + gap.
+                state.setTimeoutTimestamp(cur[1] + gap_ms)
+
+        if closed:
+            out = pd.DataFrame(closed, columns=[f.name for f in SESSION_SCHEMA])
+            out["session_start"] = pd.to_datetime(out["session_start"], unit="ms")
+            out["session_end"] = pd.to_datetime(out["session_end"], unit="ms")
+            return iter([out])
+        return iter([])
+
+    return sessionize
+
+
+def sessionize_stream(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 minutes",
+) -> DataFrame:
+    """Per-user gap sessions over a streaming events frame (ts, user_id, value).
+
+    Emits a session when (a) a newer event for the key proves the gap elapsed,
+    or (b) the event-time timeout fires after the watermark passes
+    session_end + gap. Output columns: SESSION_SCHEMA.
+    """
+    n, unit = gap.split()
+    unit_ms = {"minutes": 60_000, "seconds": 1_000, "hours": 3_600_000}[unit]
+    gap_ms = int(n) * unit_ms
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_sessionizer(gap_ms),
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

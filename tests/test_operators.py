@@ -165,3 +165,43 @@ def test_pipeline_cycle_detection():
 def test_multimodal_real_decoder_is_stubbed():
     with pytest.raises(NotImplementedError):
         decode_image_real(b"\x89PNG")
+
+
+def test_stateful_gap_sessionization(spark, tmp_path):
+    """applyInPandasWithState sessions match batch-computed gap sessions for
+    every session that is provably closed (a later event exists for the key)."""
+    import pandas as pd
+
+    from lakeflow.sources.streams import file_stream
+    from lakeflow.streaming.sinks import run_to_memory
+    from lakeflow.streaming.stateful import sessionize_stream
+
+    from datetime import datetime, timedelta
+
+    rows = []
+    base = datetime(2024, 1, 1, 0, 0, 0)
+    # user 1: two sessions (gap 45 min between event 2 and 3), then a closer
+    for i, off in enumerate([0, 10, 55, 60, 200]):
+        rows.append((base + timedelta(minutes=off), 1, float(i + 1)))
+    # user 2: single session then a far-away closer event
+    for i, off in enumerate([0, 5, 120]):
+        rows.append((base + timedelta(minutes=off), 2, 10.0 * (i + 1)))
+    src = spark.createDataFrame(rows, "ts timestamp, user_id long, value double")
+    path = str(tmp_path / "ev")
+    src.coalesce(1).write.parquet(path)
+
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    sessions = sessionize_stream(stream, gap="30 minutes", watermark="1 minutes")
+    name, _ = run_to_memory(sessions)
+    got = {
+        (r.user_id, r.session_start.isoformat(), r.n_events, r.total_value)
+        for r in spark.table(name).collect()
+    }
+    # user 1: [0,10] closed by 55; [55,60] closed by 200. user 2: [0,5] closed by 120.
+    expected = {
+        (1, "2024-01-01T00:00:00", 2, 3.0),
+        (1, (base + pd.Timedelta(minutes=55)).isoformat(), 2, 7.0),
+        (2, "2024-01-01T00:00:00", 2, 30.0),
+    }
+    assert expected <= got
