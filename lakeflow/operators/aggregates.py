@@ -14,7 +14,7 @@ one of these agg functions, so the shuffle carries one row per
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -89,3 +89,39 @@ def grouped_agg(
     else:
         raise ValueError(f"unknown mode {mode!r}")
     return g.agg(*aggs)
+
+
+def salted_two_phase_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: Mapping[str, str],
+    n_salts: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Two-phase aggregation for skewed group keys: partial-aggregate on
+    (keys, salt), then final-aggregate on keys.
+
+    Spark's hash aggregate already does map-side partial combine, but a single
+    reducer still owns each final key — a hot key serializes there. The salt
+    spreads a hot key over n_salts reducers in phase 1; phase 2 combines
+    n_salts tiny rows per key. Only algebraic aggregates compose:
+    ``aggs`` maps column → one of sum|count|min|max.
+
+    Output columns: keys + ``<agg>_<col>`` (e.g. ``sum_value``).
+    """
+    phase2 = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    salt = F.floor(F.rand(seed) * n_salts).cast("int")
+    partial = df.withColumn("__salt", salt).groupBy(*keys, "__salt").agg(
+        *[
+            {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}[how](c).alias(
+                f"{how}_{c}"
+            )
+            for c, how in aggs.items()
+        ]
+    )
+    return partial.groupBy(*keys).agg(
+        *[
+            phase2[how](f"{how}_{c}").alias(f"{how}_{c}")
+            for c, how in aggs.items()
+        ]
+    )

@@ -123,3 +123,30 @@ def semi_join(left: DataFrame, right: DataFrame, on: Sequence[str]) -> DataFrame
 def anti_join(left: DataFrame, right: DataFrame, on: Sequence[str]) -> DataFrame:
     """Rows of ``left`` without a match in ``right`` (NOT EXISTS)."""
     return left.join(right, on=list(on), how="left_anti")
+
+
+def salted_join(
+    fact: DataFrame,
+    other: DataFrame,
+    on: Sequence[str],
+    n_salts: int = 8,
+    how: str = "inner",
+    seed: int = 42,
+) -> DataFrame:
+    """Shuffle-join with explicit key salting for skewed fact keys.
+
+    AQE's skew-join split only helps sort-merge joins after a skewed shuffle
+    is observed; salting *prevents* the hot partition. The fact side gets a
+    uniform salt in [0, n_salts); ``other`` is replicated n_salts× via
+    posexplode, so each (key, salt) bucket holds 1/n_salts of a hot key's
+    rows. Join output is identical to the unsalted join (salt is internal).
+    Cost: |other| × n_salts rows shuffled — use for fact-fact joins where one
+    side has few hot keys and the other is modest; at 100 TB pick n_salts ≈
+    hot-key-rows / target-partition-rows.
+    """
+    salt = F.floor(F.rand(seed) * n_salts).cast("int")
+    f = fact.withColumn("__salt", salt)
+    o = other.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return f.join(o, [*on, "__salt"], how).drop("__salt")

@@ -205,3 +205,43 @@ def test_stateful_gap_sessionization(spark, tmp_path):
         (2, "2024-01-01T00:00:00", 2, 30.0),
     }
     assert expected <= got
+
+
+def test_salted_join_matches_plain_join(spark):
+    from lakeflow.operators.joins import salted_join
+
+    fact = spark.createDataFrame(
+        [(i % 3, float(i)) for i in range(300)], "k int, v double"
+    )
+    dim = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], "k int, name string")
+    plain = {(r.k, r.v, r.name) for r in fact.join(dim, ["k"]).collect()}
+    salted = {(r.k, r.v, r.name) for r in salted_join(fact, dim, ["k"], n_salts=4).collect()}
+    assert salted == plain and len(salted) == 300
+
+
+def test_salted_two_phase_agg_matches_plain(spark):
+    from lakeflow.operators.aggregates import salted_two_phase_agg
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i % 5, float(i), i) for i in range(1000)], "k int, v double, c long"
+    )
+    got = {
+        (r.k, r.sum_v, r.count_c, r.max_v)
+        for r in salted_two_phase_agg(df, ["k"], {"v": "sum", "c": "count"})
+        .join(
+            df.groupBy("k").agg(F.max("v").alias("max_v")), ["k"]
+        )
+        .collect()
+    }
+    want = {
+        (r.k, r.sum_v, r.count_c, r.max_v)
+        for r in df.groupBy("k")
+        .agg(
+            F.sum("v").alias("sum_v"),
+            F.count("c").alias("count_c"),
+            F.max("v").alias("max_v"),
+        )
+        .collect()
+    }
+    assert got == want
