@@ -125,3 +125,55 @@ def scd2_customer_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("end_timestamp", "yyyy-MM-dd HH:mm:ss").alias("end_ts"),
         "is_current",
     )
+
+
+@register(
+    "time_travel_customer_v1",
+    oracle="SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
+)
+def time_travel_customer_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 snapshot/time-travel parity (reference: Iceberg ``FOR VERSION AS
+    OF``, /root/reference/experiments/trino_iceberg_example.sql:40-43) on the
+    manifest-backed VersionedTable: commit customer as v1, overwrite with a
+    filtered subset as v2, then read *v1* back — byte-identical to the source
+    table even though the current version differs."""
+    import tempfile
+
+    from lakeflow.tables import VersionedTable
+
+    cust = load_table(spark, sf_dir, "customer")
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="lakeflow_tt_"))
+    t.commit(cust)
+    t.commit(cust.filter(F.col("c_acctbal") > 0), mode="overwrite")
+    assert t.current_version() == 2
+    return t.read(version=1).select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+
+
+@register(
+    "sql_api_top_nations",
+    oracle="""
+    SELECT n_name,
+           count(*) AS n_customers,
+           (floor((sum(c_acctbal)) * 100.0 + 0.5) / 100.0) AS total_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def sql_api_top_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 SQL surface parity: the same engine capabilities through
+    ``spark.sql`` over registered temp views (the reference drives everything
+    through SQL strings for DDL/MERGE, /root/reference/src/silver/_silver_utils.py:121-124).
+    Catalyst compiles this to the identical plan as the DataFrame form."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("v_nation")
+    return spark.sql(
+        """
+        SELECT n_name,
+               count(*) AS n_customers,
+               floor(sum(c_acctbal) * 100.0D + 0.5D) / 100.0D AS total_bal
+        FROM v_customer JOIN v_nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        """
+    )
