@@ -24,6 +24,8 @@ BENCH_QUERIES = [
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q10_returned_items",
+    "q4_order_priority",
+    "q18_large_volume_customers",
     "candles_15m",
     "latest_event_per_user",
     "event_value_delta",
@@ -39,6 +41,7 @@ BENCH_QUERIES = [
     "minhash_lsh_pairs",
     "simhash_signatures",
     "cosine_topk",
+    "ivf_topk",
     "text_quality",
     # streaming engine end-to-end
     "stream_candles_15m",
