@@ -125,3 +125,56 @@ def stream_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions = sessionize_stream(stream, gap="30 minutes", watermark="1 minutes")
     name, _ = run_to_memory(sessions)
     return spark.table(name)
+
+
+@register(
+    "stream_stream_view_to_purchase",
+    oracle="""
+    SELECT a.event_id AS view_id, b.event_id AS purchase_id, a.user_id
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'view' AND b.event_type = 'purchase'
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    """,
+)
+def stream_stream_view_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream time-interval inner join (SURVEY.md §2.3 headroom —
+    absent from the reference): views matched to same-user purchases within
+    30 minutes. Both sides carry watermarks, so join state is bounded by the
+    interval + watermark — the state-safe form at unbounded scale. Inner
+    append-mode emission is exactly the batch join result on bounded input,
+    hence fully oracle-checkable."""
+    from pyspark.sql import functions as F
+
+    ev_path = table_path(sf_dir, "events")
+    _enable_nanos_as_long(spark)
+    schema = spark.read.parquet(ev_path).schema
+    src = convert_nanos_ts(
+        file_stream(spark, sf_dir, schema, glob_filter="events.parquet")
+    ).select("event_id", "ts", "user_id", "event_type")
+    views = (
+        src.filter(F.col("event_type") == "view")
+        .withWatermark("ts", "1 minutes")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+    )
+    purchases = (
+        src.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 minutes")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select("view_id", "purchase_id", F.col("v_user").alias("user_id"))
+    name, _ = run_to_memory(joined)
+    return spark.table(name)
