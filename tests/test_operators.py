@@ -245,3 +245,15 @@ def test_salted_two_phase_agg_matches_plain(spark):
         .collect()
     }
     assert got == want
+
+
+def test_cluster_profile_scales_with_shape():
+    from lakeflow.profiles import cluster_profile
+
+    small = cluster_profile(executors=4, cores_per_executor=4, input_gb=10)
+    big = cluster_profile(executors=1000, cores_per_executor=4, input_gb=100_000)
+    assert int(small["spark.sql.shuffle.partitions"]) == 80  # 10 GiB / 128 MiB
+    assert int(big["spark.sql.shuffle.partitions"]) == 800_000
+    assert "stateStore" not in str(small)
+    stream = cluster_profile(executors=10, streaming=True)
+    assert "RocksDBStateStoreProvider" in str(stream)
