@@ -177,3 +177,39 @@ def sql_api_top_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n_name
         """
     )
+
+
+@register(
+    "medallion_gold_dim",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CASE WHEN c_acctbal <= 0 THEN NULL ELSE c_acctbal END AS c_acctbal,
+           c_mktsegment,
+           n_name AS nation_name
+    FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_custkey IS NOT NULL
+    """,
+)
+def medallion_gold_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's whole batch ELT DAG as one driver-checked query
+    (/root/reference/src/dags/batch_elt_company.py:69-71): fixture tables →
+    CSV (the raw-input contract) → all-string bronze with ingest metadata →
+    silver normalize/trim/nullify/dedup → gold broadcast star join — run by
+    the Pipeline diamond, then the gold table is read back and compared to a
+    single SQL oracle over the original inputs."""
+    import tempfile
+
+    from lakeflow.plans.medallion import build_medallion_pipeline
+
+    work = tempfile.mkdtemp(prefix="lakeflow_medallion_")
+    cust_csv = f"{work}/customer_csv"
+    nat_csv = f"{work}/nation_csv"
+    load_table(spark, sf_dir, "customer").write.mode("overwrite").option(
+        "header", True
+    ).csv(cust_csv)
+    load_table(spark, sf_dir, "nation").write.mode("overwrite").option(
+        "header", True
+    ).csv(nat_csv)
+    pipe = build_medallion_pipeline(spark, cust_csv, nat_csv, f"{work}/wh")
+    results = pipe.run()
+    return spark.read.parquet(results["gold_dim_customer"])
