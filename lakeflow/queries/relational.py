@@ -1089,3 +1089,74 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("numcust"),
         rnd(F.sum("c_acctbal"), 2).alias("totacctbal"),
     )
+
+
+@register(
+    "acctbal_distribution_ranks",
+    oracle="""
+    SELECT c_custkey,
+           ntile(10) OVER w AS decile,
+           (floor((percent_rank() OVER w) * 1000000.0 + 0.5) / 1000000.0) AS pct_rank,
+           (floor((cume_dist() OVER w) * 1000000.0 + 0.5) / 1000000.0) AS cume
+    FROM customer
+    WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def acctbal_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic ranking windows beyond W1's row_number (SURVEY.md §2.5
+    headroom): ntile / percent_rank / cume_dist over a global ordering.
+    c_custkey tiebreak makes every rank deterministic. Note the single
+    unpartitioned window is the known scale ceiling — at 100 TB rank against
+    pre-aggregated distribution quantiles (approx_percentile) instead."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        F.ntile(10).over(w).alias("decile"),
+        rnd(F.percent_rank().over(w), 6).alias("pct_rank"),
+        rnd(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "banded_price_match",
+    oracle="""
+    SELECT o.o_orderkey, p.p_partkey
+    FROM orders o JOIN part p
+      ON o.o_totalprice >= p.p_retailprice * 100
+     AND o.o_totalprice <  p.p_retailprice * 100 + 50
+    WHERE p.p_size = 1
+    """,
+)
+def banded_price_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (theta) join via band discretization (SURVEY.md §2.3 headroom —
+    not in the reference): match orders to parts whose scaled retail price
+    falls in a 50-unit band. Naive form is a nested-loop inequality join; the
+    scale path floors both sides onto band ids, equi-joins on the band (each
+    range intersects ≤2 bands), then refines with the exact predicate — the
+    shuffle is hash-on-band, not a cross product."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 1).select(
+        "p_partkey", "p_retailprice"
+    )
+    band = 50.0
+    o = orders.withColumn("band", F.floor(F.col("o_totalprice") / band))
+    # Each part's 50-wide window [lo, lo+50) overlaps at most 2 bands.
+    p = part.withColumn("lo", F.col("p_retailprice") * 100).withColumn(
+        "band", F.explode(
+            F.array_distinct(
+                F.array(
+                    F.floor(F.col("lo") / band),
+                    F.floor((F.col("lo") + band - 0.000001) / band),
+                )
+            )
+        )
+    )
+    return (
+        o.join(p, on="band")
+        .filter(
+            (F.col("o_totalprice") >= F.col("lo"))
+            & (F.col("o_totalprice") < F.col("lo") + band)
+        )
+        .select("o_orderkey", "p_partkey")
+    )
