@@ -76,3 +76,74 @@ def extract_media_meta(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(decode, schema=MEDIA_META_SCHEMA)
+
+
+RESIZED_SCHEMA = "media_id bigint, width int, height int, payload binary"
+
+FRAME_SCHEMA = "media_id bigint, frame_idx int, frame_off bigint, frame_len int"
+
+
+def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """mapInPandas resize: (media_id, payload) → fixed-size thumbnail payload.
+
+    Stub transform (no codec in container): deterministic byte-fold down to
+    width*height bytes. The Spark-side contract is the real part — binary in,
+    binary out, Arrow-batched, output size bounded per row so
+    maxRecordsPerBatch tuning carries over unchanged to a Pillow decoder.
+    """
+    import hashlib
+
+    target = width * height
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p in pdf["payload"]:
+                # Deterministic fold: repeat md5 stream to target length.
+                stream = b""
+                seed = bytes(p)
+                while len(stream) < target:
+                    seed = hashlib.md5(seed).digest()
+                    stream += seed
+                out.append(stream[:target])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "width": width,
+                    "height": height,
+                    "payload": out,
+                }
+            )
+
+    return media.mapInPandas(do_resize, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, frame_bytes: int = 256) -> DataFrame:
+    """Row-expanding mapInPandas frame sampler: one output row per
+    ``frame_bytes`` window of the payload (a video decoder emits one row per
+    sampled frame the same way — the 1→N batch shape is what matters).
+
+    Output rows per media = ceil(byte_len / frame_bytes), deterministic.
+    """
+
+    def do_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, offs, lens = [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                n = len(p)
+                k = max(1, -(-n // frame_bytes))
+                for i in range(k):
+                    ids.append(int(mid))
+                    idxs.append(i)
+                    offs.append(i * frame_bytes)
+                    lens.append(min(frame_bytes, n - i * frame_bytes))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_off": pd.Series(offs, dtype="int64"),
+                    "frame_len": pd.Series(lens, dtype="int32"),
+                }
+            )
+
+    return media.mapInPandas(do_sample, schema=FRAME_SCHEMA)

@@ -487,3 +487,25 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         n_probe=4,
     )
+
+
+@register(
+    "frame_sample_plumbing",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id AS media_id, octet_length(encode(text)) AS n
+        FROM documents
+    )
+    SELECT media_id,
+           CAST(i AS INT) AS frame_idx,
+           CAST(i * 256 AS BIGINT) AS frame_off,
+           CAST(least(256, n - i * 256) AS INT) AS frame_len
+    FROM m, LATERAL unnest(range(CAST(ceil(n / 256.0) AS BIGINT))) AS t(i)
+    """,
+)
+def frame_sample_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling (video → per-frame rows) through the real
+    Arrow/mapInPandas 1→N row-expansion path; the stub windows the payload at
+    256 bytes/frame where a decoder would emit sampled frames."""
+    media = mm.attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    return mm.sample_frames(media, frame_bytes=256)

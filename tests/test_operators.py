@@ -257,3 +257,17 @@ def test_cluster_profile_scales_with_shape():
     assert "stateStore" not in str(small)
     stream = cluster_profile(executors=10, streaming=True)
     assert "RocksDBStateStoreProvider" in str(stream)
+
+
+def test_resize_images_plumbing(spark):
+    from lakeflow.operators.multimodal import attach_binary_payload, resize_images
+
+    docs = spark.createDataFrame([(1, "hello world"), (2, "x" * 5000)], ["doc_id", "text"])
+    out = resize_images(attach_binary_payload(docs), width=8, height=4).collect()
+    assert {(r.media_id, r.width, r.height, len(r.payload)) for r in out} == {
+        (1, 8, 4, 32),
+        (2, 8, 4, 32),
+    }
+    # deterministic across runs
+    again = resize_images(attach_binary_payload(docs), width=8, height=4).collect()
+    assert {bytes(r.payload) for r in out} == {bytes(r.payload) for r in again}
