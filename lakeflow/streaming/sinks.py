@@ -61,3 +61,43 @@ def run_to_memory(df: DataFrame, name: str | None = None) -> tuple[str, Streamin
     )
     q.awaitTermination()
     return name, q
+
+
+def stream_upsert(
+    df: DataFrame,
+    table,
+    keys: list[str],
+    checkpoint: str | None = None,
+    available_now: bool = True,
+    processing_time: str | None = None,
+) -> StreamingQuery:
+    """Streaming upsert (the Iceberg/Delta ``MERGE INTO`` streaming sink,
+    reference T5 + M3 combined) into a :class:`lakeflow.tables.VersionedTable`.
+
+    Each micro-batch SCD1-merges into the current snapshot via foreachBatch
+    and commits a new version — so the table stays queryable (and
+    time-travelable) between batches, and a replayed batch after failure
+    re-merges idempotently (same keys → same state). At scale, partition the
+    table on a stable key hash so each merge rewrites only touched partitions.
+    """
+    import tempfile as _tf
+
+    from lakeflow.operators.merge import scd1_apply
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if table.current_version() is None:
+            state = batch_df
+        else:
+            state = scd1_apply(table.read(), batch_df, keys=keys)
+        table.commit(state, mode="overwrite")
+
+    writer = df.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint or _tf.mkdtemp(prefix="lakeflow-ckpt-")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

@@ -53,3 +53,45 @@ def test_partitioned_commit_prunes(spark, tmp_path):
     # partition filter appears as a pruned scan, not a post-scan filter
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan or "bucket" in plan
+
+
+def test_stream_upsert_merges_each_microbatch(spark, tmp_path):
+    """foreachBatch streaming upsert: two single-file micro-batches merge
+    sequentially into the versioned table (streaming MERGE INTO analog)."""
+    from lakeflow.streaming.sinks import stream_upsert
+
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string").coalesce(
+        1
+    ).write.parquet(str(src / "batch1"))
+    spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string").coalesce(
+        1
+    ).write.parquet(str(src / "batch2"))
+    # Flatten parquet files into one stream dir, one file per micro-batch.
+    import shutil
+
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    import os as _os
+
+    for i, d in enumerate(sorted(src.iterdir())):
+        for f in d.glob("*.parquet"):
+            dst = stream_dir / f"{i:03d}.parquet"
+            shutil.copy(f, dst)
+            # File source orders micro-batches by mtime — make it explicit.
+            _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    from lakeflow.tables import VersionedTable
+
+    table = VersionedTable(spark, str(tmp_path / "tbl"))
+    stream = (
+        spark.readStream.schema("k long, v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir))
+    )
+    q = stream_upsert(stream, table, keys=["k"])
+    q.awaitTermination()
+    state = {(r.k, r.v) for r in table.read().collect()}
+    assert state == {(1, "a"), (2, "B"), (3, "c")}
+    assert table.current_version() == 2  # one commit per micro-batch
