@@ -1160,3 +1160,49 @@ def banded_price_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderkey", "p_partkey")
     )
+
+
+@register(
+    "stats_by_flag",
+    oracle="""
+    SELECT l_returnflag,
+           (floor((stddev_samp(l_quantity)) * 1000000.0 + 0.5) / 1000000.0) AS sd_qty,
+           (floor((var_samp(l_extendedprice)) * 100.0 + 0.5) / 100.0) AS var_price,
+           (floor((corr(l_quantity, l_extendedprice)) * 1000000.0 + 0.5) / 1000000.0) AS corr_qty_price,
+           (floor((covar_samp(l_quantity, l_discount)) * 1000000.0 + 0.5) / 1000000.0) AS cov_qty_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def stats_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (SURVEY.md §2.4 headroom): stddev / variance /
+    correlation / covariance per group — all algebraic under Welford-style
+    merge, so map-side partial combine applies exactly as for sum/count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        rnd(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        rnd(F.var_samp("l_extendedprice"), 2).alias("var_price"),
+        rnd(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        rnd(F.covar_samp("l_quantity", "l_discount"), 6).alias("cov_qty_disc"),
+    )
+
+
+@register(
+    "price_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           (floor((quantile_cont(l_extendedprice, 0.5)) * 100.0 + 0.5) / 100.0) AS p50,
+           (floor((quantile_cont(l_extendedprice, 0.9)) * 100.0 + 0.5) / 100.0) AS p90,
+           (floor((quantile_cont(l_extendedprice, 0.99)) * 100.0 + 0.5) / 100.0) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group. Exact percentile sorts within
+    the group — fine to sf-scale; the 100 TB path is approx_percentile
+    (t-digest, mergeable, engine-specific values → kept out of the oracle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        rnd(F.percentile("l_extendedprice", F.lit(0.5)), 2).alias("p50"),
+        rnd(F.percentile("l_extendedprice", F.lit(0.9)), 2).alias("p90"),
+        rnd(F.percentile("l_extendedprice", F.lit(0.99)), 2).alias("p99"),
+    )
