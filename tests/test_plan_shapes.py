@@ -1,0 +1,81 @@
+"""Physical-plan regression guards.
+
+Correctness is the oracle suite's job; these tests pin the *plan shapes* that
+make the same queries viable at 100 TB (SCALE.md). If a refactor silently
+turns a broadcast join into a shuffle join, or drops a pushed filter, the
+bench won't notice at sf0.01 — these assertions will.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from lakeflow.queries import QUERIES
+
+from .conftest import SF_DIR
+
+
+def _plan(spark, name: str) -> str:
+    return (
+        QUERIES[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q3_shipping_priority", "q5_local_supplier_volume", "q10_returned_items",
+     "q14_promo_revenue", "q19_disjunctive_revenue", "dual_nation_lookup",
+     "star_dim_customer"],
+)
+def test_dimension_joins_broadcast(spark, name):
+    """Dimension lookups must broadcast — the fact side never shuffles."""
+    plan = _plan(spark, name)
+    assert "BroadcastHashJoin" in plan, f"{name} lost its broadcast join"
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name,pushed",
+    [
+        ("q1_pricing_summary", "LessThanOrEqual(l_shipdate"),
+        ("q4_order_priority", "GreaterThanOrEqual(o_orderdate"),
+        ("q6_forecast_revenue", "l_shipdate"),
+        ("q14_promo_revenue", "GreaterThanOrEqual(l_shipdate"),
+    ],
+)
+def test_filters_reach_parquet_scan(spark, name, pushed):
+    """Date-range predicates must appear in PushedFilters on the scan."""
+    assert pushed in _plan(spark, name), f"{name}: filter not pushed to scan"
+
+
+@pytest.mark.parametrize("name", ["q4_order_priority", "q18_large_volume_customers"])
+def test_semi_join_reduction(spark, name):
+    """EXISTS / IN-subquery shapes must stay semi joins, not inner+distinct."""
+    assert "LeftSemi" in _plan(spark, name)
+
+
+def test_q1_scan_prunes_columns(spark):
+    """Q1 must read only the 7 referenced lineitem columns (ReadSchema)."""
+    plan = _plan(spark, "q1_pricing_summary")
+    read = next(line for line in plan.splitlines() if "ReadSchema" in line)
+    assert "l_partkey" not in read and "l_suppkey" not in read
+    assert "l_quantity" in read and "l_returnflag" in read
+
+
+def test_candles_single_aggregate(spark):
+    """The candle query is ONE hash aggregation pass (partial + final), not a
+    join of per-stat subplans."""
+    plan = _plan(spark, "candles_15m")
+    n_aggs = plan.count("HashAggregate")
+    assert n_aggs == 2, f"expected partial+final HashAggregate, got {n_aggs}"
+
+
+def test_whole_stage_codegen_active(spark):
+    """Headline relational queries stay inside whole-stage codegen with a
+    vectorized parquet scan (checked on the post-execution final AQE plan)."""
+    df = QUERIES["q1_pricing_summary"](spark, SF_DIR)
+    df.collect()  # finalize the adaptive plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "WholeStageCodegen" in plan
+    assert "Batched: true" in plan  # vectorized reader
