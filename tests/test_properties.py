@@ -1,0 +1,56 @@
+"""Property-based tests (hypothesis) for the merge/dedup algebra.
+
+Spark jobs are expensive per example, so example counts are small and inputs
+tiny — the point is edge-case coverage (empty sides, all-duplicate keys, nulls,
+tie values), not volume.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from lakeflow.operators.merge import scd1_apply
+from lakeflow.operators.transforms import dedup_latest
+
+_SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+keys = st.integers(min_value=0, max_value=5)
+vals = st.text(alphabet="abc", min_size=0, max_size=3)
+rows = st.lists(st.tuples(keys, vals), min_size=0, max_size=12)
+
+
+@given(target=rows, source=rows)
+@settings(**_SETTINGS)
+def test_scd1_upsert_properties(spark, target, source):
+    """SCD1 result = source rows for source keys, else target rows; one row
+    per key when inputs are key-unique."""
+    # Make inputs key-unique (last write wins) to model dimension snapshots.
+    t = dict(target)
+    s = dict(source)
+    tdf = spark.createDataFrame(list(t.items()) or [(None, None)], "k int, v string")
+    sdf = spark.createDataFrame(list(s.items()) or [(None, None)], "k int, v string")
+    if not t:
+        tdf = tdf.filter("k IS NOT NULL")
+    if not s:
+        sdf = sdf.filter("k IS NOT NULL")
+    got = {(r.k, r.v) for r in scd1_apply(tdf, sdf, keys=["k"]).collect()}
+    want = {(k, s.get(k, t.get(k))) for k in set(t) | set(s)}
+    assert got == want
+
+
+@given(data=st.lists(st.tuples(keys, st.integers(0, 9), st.integers(0, 9)), min_size=1, max_size=15))
+@settings(**_SETTINGS)
+def test_dedup_latest_properties(spark, data):
+    """dedup_latest keeps exactly one row per key: the lexicographic max of
+    (order col, tiebreak col)."""
+    df = spark.createDataFrame(data, "k int, ord int, tb int")
+    got = {(r.k, r.ord, r.tb) for r in dedup_latest(df, ["k"], "ord", tiebreak_cols=["tb"]).collect()}
+    want = set()
+    for k in {d[0] for d in data}:
+        want.add(max((d for d in data if d[0] == k), key=lambda d: (d[1], d[2])))
+    assert got == want
