@@ -68,3 +68,25 @@ def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TA
     """Register every fixture table as a temp view for spark.sql() queries."""
     for name in names:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a managed table bucketed (and optionally sorted) on the join
+    key — the co-located-join layout (SCALE.md §2, SURVEY.md §7.2 M6).
+
+    Two tables bucketed on the same key with the same bucket count join with
+    NO exchange on either side: at 100 TB that removes the dominant shuffle
+    of every repeated fact-fact join. Sorting within buckets additionally
+    removes the sort of a sort-merge join.
+    """
+    writer = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)

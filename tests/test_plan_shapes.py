@@ -80,3 +80,31 @@ def test_whole_stage_codegen_active(spark):
     # codegen stages print as "*(n) Operator" in the final plan string
     assert "*(1)" in plan, "no whole-stage-codegen span in final plan"
     assert "Batched: true" in plan  # vectorized reader
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Tables co-bucketed on the join key must join without a shuffle on
+    either side (the SCALE.md co-located join layout)."""
+    from lakeflow.catalog import load_table, write_bucketed
+
+    orders = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(orders, "b_orders", ["o_orderkey"], n_buckets=4,
+                   sort_cols=["o_orderkey"])
+    write_bucketed(li, "b_lineitem", ["l_orderkey"], n_buckets=4,
+                   sort_cols=["l_orderkey"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_orders").join(
+            spark.table("b_lineitem"),
+            spark.table("b_orders").o_orderkey == spark.table("b_lineitem").l_orderkey,
+        )
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, "bucketed join still shuffles"
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
