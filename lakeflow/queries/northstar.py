@@ -509,3 +509,32 @@ def frame_sample_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
     256 bytes/frame where a decoder would emit sampled frames."""
     media = mm.attach_binary_payload(load_table(spark, sf_dir, "documents"))
     return mm.sample_frames(media, frame_bytes=256)
+
+
+@register(
+    "jsonl_roundtrip_langs",
+    oracle="""
+    SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def jsonl_roundtrip_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL round-trip fidelity: documents → JSON-lines files → read back
+    with explicit schema → aggregate. Verifies escaping/unicode survive the
+    interchange format LLM pipelines actually exchange; the oracle aggregates
+    the original table, so any row lost or mangled in the round trip breaks
+    the hash."""
+    import tempfile
+
+    from lakeflow.sources.batch import read_jsonl, write_jsonl
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="lakeflow_jsonl_") + "/docs"
+    write_jsonl(docs, path)
+    back = read_jsonl(
+        spark, path, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )

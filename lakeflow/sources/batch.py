@@ -50,3 +50,25 @@ def incremental_read(
     if hw is None:
         return source
     return source.filter(F.col(watermark_col) > F.lit(hw))
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: StructType | str | None = None
+) -> DataFrame:
+    """JSON-lines source — the interchange format of LLM data pipelines.
+
+    With an explicit schema the read is a single pass; without one Spark
+    samples the file to infer (avoid at scale: it double-reads). Corrupt lines
+    land in ``_corrupt_record`` instead of failing the job (PERMISSIVE), which
+    is the right default for web-scraped corpora.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.option("mode", "PERMISSIVE").json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> str:
+    """JSON-lines sink (one JSON object per line, UTF-8)."""
+    df.write.mode(mode).json(path)
+    return path
