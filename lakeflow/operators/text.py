@@ -28,8 +28,8 @@ LANG_MARKERS: dict[str, list[str]] = {
 
 
 def token_count_ws(col: Column | str) -> Column:
-    """Whitespace token count."""
-    return F.size(F.split(normalize_text(col), " "))
+    """Whitespace token count (bigint — counts are 64-bit at scale)."""
+    return F.size(F.split(normalize_text(col), " ")).cast("bigint")
 
 
 BPE_ISH = "[a-z]+|[0-9]+|[^a-z0-9 ]"
@@ -38,7 +38,7 @@ BPE_ISH = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 def token_count_bpe(col: Column | str) -> Column:
     """BPE-ish token estimate: runs of letters, runs of digits, or single
     punctuation — a deterministic proxy for subword tokenizer counts."""
-    return F.size(F.regexp_extract_all(normalize_text(col), F.lit(BPE_ISH), 0))
+    return F.size(F.regexp_extract_all(normalize_text(col), F.lit(BPE_ISH), 0)).cast("bigint")
 
 
 def _count_matches(col: Column, char_class: str) -> Column:
@@ -78,8 +78,8 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
     return df.select(
         F.col(id_col),
-        n_chars.alias("n_chars_norm"),
-        n_tokens.alias("n_tokens"),
+        n_chars.cast("bigint").alias("n_chars_norm"),
+        n_tokens.cast("bigint").alias("n_tokens"),
         avg_tok_len.alias("avg_tok_len"),
         alpha_ratio.alias("alpha_ratio"),
         digit_ratio.alias("digit_ratio"),

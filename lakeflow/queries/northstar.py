@@ -139,7 +139,7 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_SIMHASH_CTE}
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           bit_count(xor(a.simhash, b.simhash)) AS hamming
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
     FROM sig a JOIN sig b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """,
@@ -386,14 +386,14 @@ def token_counts_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     choice."""
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("int")
+    @pandas_udf("long")
     def n_tokens(text: pd.Series) -> pd.Series:
         norm = (
             text.str.strip()
             .str.lower()
             .str.replace(r"\s+", " ", regex=True)
         )
-        return norm.str.split(" ").str.len().astype("int32")
+        return norm.str.split(" ").str.len().astype("int64")
 
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", n_tokens("text").alias("n_ws"))
@@ -514,7 +514,7 @@ def frame_sample_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "jsonl_roundtrip_langs",
     oracle="""
-    SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+    SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM documents GROUP BY lang
     """,
 )

@@ -1112,7 +1112,7 @@ def acctbal_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("c_acctbal", "c_custkey")
     return cust.select(
         "c_custkey",
-        F.ntile(10).over(w).alias("decile"),
+        F.ntile(10).over(w).cast("bigint").alias("decile"),
         rnd(F.percent_rank().over(w), 6).alias("pct_rank"),
         rnd(F.cume_dist().over(w), 6).alias("cume"),
     )
