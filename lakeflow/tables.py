@@ -88,12 +88,19 @@ class VersionedTable:
         df: DataFrame,
         mode: str = "append",
         partition_by: Sequence[str] | None = None,
+        stats_cols: Sequence[str] | None = None,
+        _operation: str | None = None,
     ) -> int:
         """Write ``df`` as a new snapshot; returns the new version number.
 
         ``mode="append"`` keeps prior data dirs in the manifest;
         ``mode="overwrite"`` starts the manifest fresh (data files of older
         versions remain on disk for time travel until expired).
+
+        ``stats_cols`` records per-dir min/max for those (numeric or string)
+        columns in the manifest — Iceberg's file-skipping stats at directory
+        granularity. ``scan`` then prunes whole dirs without opening a single
+        parquet footer.
         """
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
@@ -104,12 +111,31 @@ class VersionedTable:
         writer.save(data_dir)
 
         prev = self.current_version()
-        dirs = [] if (mode == "overwrite" or prev is None) else self._manifest(prev)["dirs"]
+        if mode == "overwrite" or prev is None:
+            dirs, stats = [], {}
+        else:
+            pm = self._manifest(prev)
+            dirs, stats = pm["dirs"], dict(pm.get("stats", {}))
+        if stats_cols:
+            from pyspark.sql import functions as F
+
+            row = (
+                self.spark.read.parquet(data_dir)
+                .agg(
+                    *[F.min(c).alias(f"min_{c}") for c in stats_cols],
+                    *[F.max(c).alias(f"max_{c}") for c in stats_cols],
+                )
+                .collect()[0]
+            )
+            stats[data_dir] = {
+                c: [row[f"min_{c}"], row[f"max_{c}"]] for c in stats_cols
+            }
         version = (prev or 0) + 1
         manifest = {
             "version": version,
-            "operation": mode,
+            "operation": _operation or mode,
             "dirs": dirs + [data_dir],
+            "stats": stats,
         }
         # Write-then-rename: readers never observe a half-written manifest.
         tmp = os.path.join(self._snap_dir, f".{version:08d}.json.tmp")
@@ -128,6 +154,66 @@ class VersionedTable:
             raise ValueError(f"table {self.root} has no snapshots")
         dirs = self._manifest(version)["dirs"]
         return self.spark.read.parquet(*dirs)
+
+    def scan(
+        self,
+        between: dict[str, tuple] | None = None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Stats-pruned scan: keep only dirs whose recorded [min, max] for
+        every ``between`` column overlaps the requested [lo, hi]. Dirs without
+        stats for a column are conservatively kept. The residual predicate is
+        still applied, so results are exact — pruning is purely an IO cut.
+        """
+        if version is None:
+            version = self.current_version()
+        if version is None:
+            raise ValueError(f"table {self.root} has no snapshots")
+        m = self._manifest(version)
+        dirs = m["dirs"]
+        pruned = self._kept_dirs(m, between or {})
+        if not pruned:
+            df = self.spark.read.parquet(*dirs).limit(0)
+        else:
+            df = self.spark.read.parquet(*pruned)
+        from pyspark.sql import functions as F
+
+        for c, (lo, hi) in (between or {}).items():
+            df = df.filter(F.col(c).between(lo, hi))
+        return df
+
+    @staticmethod
+    def _kept_dirs(manifest: dict, between: dict[str, tuple]) -> list[str]:
+        """Dirs whose stats overlap every requested range (no stats = keep)."""
+        stats = manifest.get("stats", {})
+
+        def keep(d: str) -> bool:
+            for c, (lo, hi) in between.items():
+                mm = stats.get(d, {}).get(c)
+                if mm is None or mm[0] is None or mm[1] is None:
+                    continue
+                if mm[1] < lo or mm[0] > hi:
+                    return False
+            return True
+
+        return [d for d in manifest["dirs"] if keep(d)]
+
+    def pruned_dirs(self, between: dict[str, tuple], version: int | None = None) -> int:
+        """How many manifest dirs a ``scan(between=...)`` would skip."""
+        if version is None:
+            version = self.current_version()
+        m = self._manifest(version)
+        return len(m["dirs"]) - len(self._kept_dirs(m, between))
+
+    # -- maintenance -------------------------------------------------------
+    def compact(self, stats_cols: Sequence[str] | None = None) -> int:
+        """Rewrite the current version's dirs into one dir (the small-file
+        compaction a streaming ``stream_upsert`` table needs periodically).
+        Logically a no-op: the new snapshot holds the same rows."""
+        df = self.read()
+        return self.commit(
+            df, mode="overwrite", stats_cols=stats_cols, _operation="compact"
+        )
 
     # -- maintenance -------------------------------------------------------
     def expire_snapshots(self, keep_last: int = 1) -> list[int]:

@@ -95,3 +95,35 @@ def test_stream_upsert_merges_each_microbatch(spark, tmp_path):
     state = {(r.k, r.v) for r in table.read().collect()}
     assert state == {(1, "a"), (2, "B"), (3, "c")}
     assert table.current_version() == 2  # one commit per micro-batch
+
+
+def test_stats_pruned_scan(spark, tmp_path):
+    """Manifest min/max stats prune whole dirs; results stay exact."""
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit(
+        spark.createDataFrame([(i, i) for i in range(0, 100)], "id int, k int"),
+        stats_cols=["k"],
+    )
+    t.commit(
+        spark.createDataFrame([(i, i) for i in range(1000, 1100)], "id int, k int"),
+        stats_cols=["k"],
+    )
+    assert t.pruned_dirs({"k": (0, 50)}) == 1  # second dir skipped entirely
+    got = sorted(r.k for r in t.scan(between={"k": (40, 60)}).collect())
+    assert got == list(range(40, 61))
+    # disjoint range: everything pruned, empty result with intact schema
+    empty = t.scan(between={"k": (5000, 6000)})
+    assert empty.count() == 0 and empty.columns == ["id", "k"]
+
+
+def test_compact_preserves_rows_and_versions(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit(spark.range(0, 5).toDF("id"))
+    t.commit(spark.range(5, 8).toDF("id"))
+    v = t.compact()
+    assert v == 3
+    m = t._manifest(v)
+    assert len(m["dirs"]) == 1 and m["operation"] == "compact"
+    assert sorted(r.id for r in t.read().collect()) == list(range(8))
+    # pre-compaction version still time-travels
+    assert t.read(version=2).count() == 8
