@@ -196,23 +196,50 @@ def simhash16(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 
 
 def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Pairs with Hamming(simhash) <= max_hamming.
+    """Pairs with Hamming(simhash) <= max_hamming, via pigeonhole blocking.
 
-    Test-scale implementation is the full self-join; at scale, block by
-    signature bytes (pigeonhole: ≤k differing bits ⇒ some byte-block matches)
-    and join per block.
+    The 16-bit signature splits into 4 nibble blocks; ``max_hamming <= 3``
+    differing bits cannot touch all 4 blocks, so every qualifying pair shares
+    at least one (block_idx, nibble) key — the equi-join on that key replaces
+    the O(n²) cross comparison. Candidate pairs that collide in several blocks
+    are deduped before the exact Hamming filter, which keeps results identical
+    to the naive self-join. At 100 TB the bucket key is a partition key and
+    each bucket compares locally.
     """
-    a = sigs.alias("a")
-    b = sigs.alias("b")
+    n_blocks = 4
+    if max_hamming >= n_blocks:
+        raise ValueError("pigeonhole blocking needs max_hamming < n_blocks")
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftright(F.col("simhash"), 4 * i).bitwiseAND(F.lit(0xF)).alias(
+                    "nib"
+                ),
+            )
+            for i in range(n_blocks)
+        ]
+    )
+    keyed = sigs.select("id", "simhash", F.explode(blocks).alias("b")).select(
+        "id", "simhash", F.col("b.blk").alias("blk"), F.col("b.nib").alias("nib")
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
     ham = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash")).cast("int")
     )
     return (
-        a.join(b, F.col("a.id") < F.col("b.id"))
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.nib") == F.col("b.nib"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
             ham.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
