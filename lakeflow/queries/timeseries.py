@@ -6,7 +6,7 @@ oracle (DuckDB's native ASOF JOIN / gaps-and-islands SQL replay them exactly).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lakeflow.catalog import load_table
@@ -157,4 +157,63 @@ def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").agg(
         rnd(F.regr_slope(F.col("value"), x), 6).alias("slope"),
         F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "gap_sessions_batch",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE OR
+                         lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM marked
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+           count(*) AS n_events,
+           (floor((sum(value)) * 100.0 + 0.5) / 100.0) AS total_value
+    FROM sess GROUP BY user_id, session_no
+    """,
+)
+def gap_sessions_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the applyInPandasWithState sessionizer
+    (stream_gap_sessions): 30-minute-gap sessions via lag + running sum of
+    session-start markers — the classic two-window sessionization. Gives the
+    custom stateful operator an exact, oracle-checked semantic reference."""
+    from pyspark.sql import functions as F
+
+    from lakeflow.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    marked = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+                > 30 * 60
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_no",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        rnd(F.sum("value"), 2).alias("total_value"),
     )
