@@ -1206,3 +1206,108 @@ def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.percentile("l_extendedprice", F.lit(0.9)), 2).alias("p90"),
         rnd(F.percentile("l_extendedprice", F.lit(0.99)), 2).alias("p99"),
     )
+
+
+@register(
+    "q7_nation_volume",
+    oracle="""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5) AS BIGINT)) / 100.0 AS revenue
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation sn ON sn.n_nationkey = s_nationkey
+    JOIN nation cn ON cn.n_nationkey = c_nationkey
+    WHERE sn.n_name < cn.n_name
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: 5-table join tree with two roles of the same dimension
+    (supplier-nation vs customer-nation) and a cross-dimension predicate.
+    Both nation lookups and supplier broadcast; the only real shuffle is
+    lineitem⋈orders⋈customer on the order/customer keys."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(sn), F.col("sn_key") == F.col("s_nationkey"))
+        .join(F.broadcast(cn), F.col("cn_key") == F.col("c_nationkey"))
+        .filter(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        # Sum exact integer cents: per-row double→cents is engine-identical,
+        # and the bigint sum is associative — immune to parallel-summation
+        # ulp noise that can flip a post-sum rounding at the .005 boundary.
+        .agg(
+            (F.sum(F.floor(disc * 100.0 + F.lit(0.5)).cast("bigint")) / 100.0).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "q9_product_profit",
+    oracle="""
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           (floor((sum(l_extendedprice * (1 - l_discount)
+                       - 0.5 * l_quantity * p_retailprice)) * 100.0 + 0.5) / 100.0)
+           AS profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit decomposition across a 5-table tree with a LIKE
+    filter on the part dimension (no partsupp in the fixtures — supply cost
+    modeled as 0.5 × retailprice). part/supplier/nation broadcast; the LIKE
+    prunes part before the join, so the fact side fans out only on matches."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")
+    ).select("p_partkey", "p_retailprice")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.5) * F.col(
+        "l_quantity"
+    ) * F.col("p_retailprice")
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(rnd(F.sum(profit), 2).alias("profit"))
+    )
