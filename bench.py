@@ -26,6 +26,7 @@ BENCH_QUERIES = [
     "q10_returned_items",
     "q4_order_priority",
     "q18_large_volume_customers",
+    "q7_nation_volume",
     "candles_15m",
     "latest_event_per_user",
     "event_value_delta",
