@@ -271,3 +271,20 @@ def test_resize_images_plumbing(spark):
     # deterministic across runs
     again = resize_images(attach_binary_payload(docs), width=8, height=4).collect()
     assert {bytes(r.payload) for r in out} == {bytes(r.payload) for r in again}
+
+
+def test_jsonl_corrupt_lines_are_quarantined(spark, tmp_path):
+    """PERMISSIVE JSONL read: bad lines land in _corrupt_record, good rows
+    survive — the web-corpus ingestion default."""
+    from lakeflow.sources.batch import read_jsonl
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text('{"doc_id": 1, "text": "ok"}\n{not json at all\n{"doc_id": 2, "text": "fine"}\n')
+    df = read_jsonl(
+        spark, str(p), "doc_id bigint, text string, _corrupt_record string"
+    ).cache()
+    good = df.filter("_corrupt_record IS NULL")
+    bad = df.filter("_corrupt_record IS NOT NULL")
+    assert {r.doc_id for r in good.collect()} == {1, 2}
+    assert bad.count() == 1
+    df.unpersist()

@@ -127,3 +127,48 @@ def test_compact_preserves_rows_and_versions(spark, tmp_path):
     assert sorted(r.id for r in t.read().collect()) == list(range(8))
     # pre-compaction version still time-travels
     assert t.read(version=2).count() == 8
+
+
+def test_continuous_candle_rollup(spark, tmp_path):
+    """Streaming candles upsert into a versioned rollup table; the table state
+    equals the batch candle aggregation over the closed windows."""
+    from lakeflow.catalog import _enable_nanos_as_long, convert_nanos_ts, table_path
+    from lakeflow.operators.aggregates import tumbling_candles
+    from lakeflow.sources.streams import file_stream
+    from lakeflow.streaming.rollup import continuous_candle_rollup
+
+    import os as _os
+
+    sf_dir = _os.environ.get("LAKEFLOW_TEST_SF_DIR", "/root/testdata/sf0.001")
+    _enable_nanos_as_long(spark)
+    schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    stream = convert_nanos_ts(
+        file_stream(spark, sf_dir, schema, glob_filter="events.parquet")
+    )
+    table = VersionedTable(spark, str(tmp_path / "rollup"))
+    q = continuous_candle_rollup(stream, table)
+    q.awaitTermination()
+
+    got = {
+        (r.event_type, r.bucket_start, r.open, r.close, r.n_events)
+        for r in table.read().collect()
+    }
+    # expected: batch candles for every window the final watermark closed —
+    # the streamed (availableNow) run emits exactly those.
+    from pyspark.sql import functions as F
+
+    from lakeflow.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    batch = tumbling_candles(ev)
+    # batch emits bucket_start as formatted string; recompute window end
+    closed = batch.filter(
+        F.to_timestamp("bucket_start") + F.expr("INTERVAL 15 MINUTES")
+        <= F.lit(max_ts) - F.expr("INTERVAL 1 MINUTES")
+    )
+    want = {
+        (r.event_type, r.bucket_start, r.open, r.close, r.n_events)
+        for r in closed.collect()
+    }
+    assert got == want and len(got) > 0
