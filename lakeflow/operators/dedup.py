@@ -243,3 +243,62 @@ def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over near-duplicate pairs: assign every doc in a
+    dup cluster the cluster's minimum id (the canonical survivor).
+
+    Iterative min-label propagation: each round every node adopts the smallest
+    label among itself and its neighbors; converges in O(diameter) rounds
+    (dup clusters are near-cliques, so 2-3 rounds in practice — far below
+    ``max_iters``). Each round is one shuffle join on the pair list, which is
+    O(near-dups) — never O(corpus). The driver-side loop holds only the
+    convergence flag, not data.
+
+    Input: (id_a, id_b) pairs. Output: (id, cluster_id) for every id appearing
+    in any pair, cluster_id = min id of its component.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+        .persist()
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .persist()
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "id")
+            .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
+            .isEmpty()
+        )
+        labels.unpersist()
+        labels = updated
+        if changed:
+            break
+    edges.unpersist()
+    return labels

@@ -538,3 +538,61 @@ def jsonl_roundtrip_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+@register(
+    "dedup_clusters",
+    oracle="""
+    WITH RECURSIVE corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents
+        UNION ALL
+        SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 10 = 0
+    ),
+    keyed AS (
+        SELECT doc_id, md5(trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+        FROM corpus
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM keyed a JOIN keyed b
+          ON a.fp = b.fp AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ),
+    walk AS (
+        SELECT src AS id, src AS reach FROM edges
+        UNION
+        SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+    )
+    SELECT id, min(reach) AS cluster_id FROM (
+        SELECT id, reach FROM walk
+        UNION SELECT src, src FROM edges
+    ) GROUP BY id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment (connected components by min-label
+    propagation) over exact-duplicate pairs — the canonicalization step after
+    candidate generation in every corpus dedup pipeline. The DuckDB oracle
+    recomputes components with a recursive CTE, so the distributed iterative
+    algorithm is exactly checked."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = (
+        docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+                "doc_id", F.col("doc_id") + 2_000_000
+            )
+        )
+    )
+    keyed = corpus.select(F.col("doc_id"), dd.fingerprint("text").alias("fp"))
+    a = keyed.select(F.col("doc_id").alias("id_a"), "fp")
+    b = keyed.select(F.col("doc_id").alias("id_b"), "fp")
+    pairs = a.join(b, "fp").filter(F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b"
+    )
+    return dd.dup_clusters(pairs)
