@@ -596,3 +596,24 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a", "id_b"
     )
     return dd.dup_clusters(pairs)
+
+
+@register(
+    "hash_sampled_docs",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10
+    """,
+)
+def hash_sampled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% hash sample — the training-data sampling primitive.
+    Unlike rand()-based sampling, md5(doc_id) % 100 is reproducible across
+    engines, runs, partitionings, and retries, and composes with incremental
+    ingestion (a doc's sample fate never changes). Scan-side filter: no
+    shuffle, prunes to the sample before anything downstream."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint") % 100
+    return docs.filter(bucket < 10).select("doc_id", "lang")

@@ -72,3 +72,18 @@ def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> str:
     """JSON-lines sink (one JSON object per line, UTF-8)."""
     df.write.mode(mode).json(path)
     return path
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Raw media ingestion via Spark's built-in ``binaryFile`` source:
+    (path, modificationTime, length, content binary) — the real on-ramp for
+    image/audio/video directories feeding lakeflow.operators.multimodal.
+    Scale note: set ``spark.sql.files.maxPartitionBytes`` per media size and
+    avoid tiny-file explosions by compacting upstream or reading archives.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

@@ -288,3 +288,24 @@ def test_jsonl_corrupt_lines_are_quarantined(spark, tmp_path):
     assert {r.doc_id for r in good.collect()} == {1, 2}
     assert bad.count() == 1
     df.unpersist()
+
+
+def test_binary_file_source_feeds_multimodal(spark, tmp_path):
+    """binaryFile source → multimodal metadata extraction end-to-end."""
+    from pyspark.sql import functions as F
+
+    from lakeflow.operators.multimodal import extract_media_meta
+    from lakeflow.sources.batch import read_binary_files
+
+    (tmp_path / "a.png").write_bytes(b"\x89PNG fake one")
+    (tmp_path / "b.jpg").write_bytes(b"\xff\xd8 fake two longer payload")
+    (tmp_path / "skip.txt").write_text("not media")
+    media = read_binary_files(spark, str(tmp_path), glob="*.{png,jpg}")
+    assert media.count() == 2
+    prepared = media.select(
+        F.abs(F.xxhash64("path")).alias("media_id"),
+        F.col("content").alias("payload"),
+    )
+    meta = extract_media_meta(prepared).collect()
+    assert {m.byte_len for m in meta} == {13, 26}
+    assert all(len(m.checksum) == 32 for m in meta)
