@@ -75,6 +75,13 @@ def main() -> None:
             load_table(spark, sf_dir, t).groupBy().count().collect()
         except Exception:
             pass
+    try:
+        # JIT the streaming engine (micro-batch planner, state store, sink)
+        # on the tiny fixture so the timed streaming query measures the query,
+        # not first-stream machinery warmup.
+        QUERIES["stream_candles_15m"](spark, "/root/testdata/sf0.001").count()
+    except Exception:
+        pass
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
