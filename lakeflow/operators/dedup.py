@@ -46,7 +46,8 @@ def exact_dedup(
     Output: fp, keep_id (surviving doc), n_dups (group size).
     """
     return (
-        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        fan_out(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), fingerprint(text_col).alias("fp"))
         .groupBy("fp")
         .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
     )
