@@ -1311,3 +1311,77 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(rnd(F.sum(profit), 2).alias("profit"))
     )
+
+
+@register(
+    "monthly_revenue",
+    oracle="""
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d %H:%M:%S') AS month,
+           count(*) AS n_orders,
+           (floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0) AS revenue
+    FROM orders GROUP BY date_trunc('month', o_orderdate)
+    """,
+)
+def monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-unit rollup via date_trunc — the partition-pruning-friendly
+    time hierarchy (month boundaries align with ingest partitions, so a
+    month-range query touches only its partitions)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), TS_FMT).alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        rnd(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+@register(
+    "user_event_type_sets",
+    oracle="""
+    SELECT user_id,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+           count(DISTINCT event_type) AS n_types
+    FROM events GROUP BY user_id
+    """,
+)
+def user_event_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-valued aggregation: per-user distinct event types as a sorted,
+    joined string (engine-neutral rendering of collect_set — raw array
+    stringification differs between engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias("types"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+@register(
+    "unpivot_priority_metrics",
+    oracle="""
+    WITH wide AS (
+        SELECT o_orderpriority,
+               (floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0) AS total,
+               (floor((avg(o_totalprice)) * 100.0 + 0.5) / 100.0) AS average,
+               (floor((max(o_totalprice)) * 100.0 + 0.5) / 100.0) AS maximum
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, metric, value
+    FROM wide UNPIVOT (value FOR metric IN (total, average, maximum))
+    """,
+)
+def unpivot_priority_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide per-priority metrics → long (metric, value) rows —
+    the inverse of pivot, narrow transform after the aggregate so only the
+    tiny wide table melts, never the fact table."""
+    o = load_table(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderpriority").agg(
+        rnd(F.sum("o_totalprice"), 2).alias("total"),
+        rnd(F.avg("o_totalprice"), 2).alias("average"),
+        rnd(F.max("o_totalprice"), 2).alias("maximum"),
+    )
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["total", "average", "maximum"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
