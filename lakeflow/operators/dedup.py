@@ -79,21 +79,29 @@ def word_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 def minhash_signatures(
     shingles: DataFrame, num_hashes: int = 16
 ) -> DataFrame:
-    """Per-doc MinHash signature: sig[i] = min over shingles of
-    md5(i || ':' || shingle). Output: (id, sigs array<string> ordered by i).
+    """Per-doc MinHash signature: sig[i] = min over shingles of the md5 hex
+    digest cyclically rotated by 2·i characters. Output: (id, sigs
+    array<string> ordered by i).
 
-    Single aggregation with ``num_hashes`` min() columns: one shuffle keyed on
-    id, map-side partial mins, and — unlike the explode(×num_hashes) phrasing —
-    no row blowup. The md5s are computed in the map stage, so the shuffle
-    carries num_hashes fixed-width values per doc per map task.
+    One md5 per shingle (not per shingle×hash): each rotation is a bijection
+    on 32-char hex strings, so "min under rotation i" is a minhash for an
+    independent-enough permutation of the shingle space at 1/num_hashes the
+    hash cost — the dominant CPU of the whole pipeline. Single aggregation
+    with ``num_hashes`` min() columns: one shuffle keyed on id, map-side
+    partial mins, no row blowup.
     """
-    mins = shingles.groupBy("id").agg(
-        *[
-            F.min(F.md5(F.concat_ws(":", F.lit(str(i)), F.col("shingle")))).alias(
-                f"__mh{i}"
-            )
-            for i in range(num_hashes)
-        ]
+    hashed = shingles.withColumn("__hx", F.md5(F.col("shingle")))
+
+    def rot(i: int) -> F.Column:
+        if i == 0:
+            return F.col("__hx")
+        k = 2 * i
+        return F.concat(
+            F.substring("__hx", k + 1, 32 - k), F.substring("__hx", 1, k)
+        )
+
+    mins = hashed.groupBy("id").agg(
+        *[F.min(rot(i)).alias(f"__mh{i}") for i in range(num_hashes)]
     )
     return mins.select(
         "id", F.array(*[f"__mh{i}" for i in range(num_hashes)]).alias("sigs")

@@ -55,11 +55,13 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "minhash_lsh_pairs",
     oracle=f"""
     WITH {_SHINGLES},
+    hashed AS (SELECT doc_id, md5(shingle) AS h FROM sh),
     seeded AS (
-        SELECT doc_id, i, md5(CAST(i AS VARCHAR) || ':' || shingle) AS h
-        FROM sh, UNNEST(range(0, 16)) AS s(i)
+        SELECT doc_id, i,
+               substr(h, 2 * i + 1) || substr(h, 1, 2 * i) AS hr
+        FROM hashed, UNNEST(range(0, 16)) AS s(i)
     ),
-    mins AS (SELECT doc_id, i, min(h) AS mh FROM seeded GROUP BY doc_id, i),
+    mins AS (SELECT doc_id, i, min(hr) AS mh FROM seeded GROUP BY doc_id, i),
     sigs AS (SELECT doc_id, list(mh ORDER BY i) AS sigs FROM mins GROUP BY doc_id),
     bands AS (
         SELECT doc_id, band_i,
