@@ -186,12 +186,17 @@ def simhash16(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         F.col(id_col).alias("id"),
         F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
     ).distinct()
-    h = toks.withColumn("hx", F.md5("tok"))
-    digit = lambda j: F.instr(F.lit("0123456789abcdef"), F.substring("hx", j + 1, 1)) - 1
+    # One hex→int conversion per token; bit j tests are then integer ANDs —
+    # 16 string ops per token collapse into one.
+    h = toks.withColumn(
+        "hb", F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("int")
+    )
     weights = h.select(
         "id",
         *[
-            (F.when((digit(j) % 2) == 1, 1).otherwise(-1)).alias(f"w{j}")
+            F.when(F.col("hb").bitwiseAND(F.lit(1 << j)) != 0, 1)
+            .otherwise(-1)
+            .alias(f"w{j}")
             for j in range(16)
         ],
     )

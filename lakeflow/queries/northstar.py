@@ -110,8 +110,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SIMHASH_SUMS = ",\n".join(
-    "sum(CASE WHEN (strpos('0123456789abcdef', substr(hx, {p}, 1)) - 1) % 2 = 1 "
-    "THEN 1 ELSE -1 END) AS s{j}".format(p=j + 1, j=j)
+    "sum(CASE WHEN (hb & {m}) != 0 THEN 1 ELSE -1 END) AS s{j}".format(m=1 << j, j=j)
     for j in range(16)
 )
 _SIMHASH_BITS = " + ".join(
@@ -120,7 +119,7 @@ _SIMHASH_BITS = " + ".join(
 _SIMHASH_CTE = f"""
     norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
     toks AS (SELECT DISTINCT doc_id, unnest(string_split(t, ' ')) AS tok FROM norm),
-    h AS (SELECT doc_id, md5(tok) AS hx FROM toks),
+    h AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 4)) AS INTEGER) AS hb FROM toks),
     sums AS (SELECT doc_id, {_SIMHASH_SUMS} FROM h GROUP BY doc_id),
     sig AS (SELECT doc_id, CAST({_SIMHASH_BITS} AS INT) AS simhash FROM sums)
 """
@@ -147,8 +146,9 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming ≤ 3). Full self-join at test scale; at
-    100 TB block by signature bytes (pigeonhole) before pairing."""
+    """SimHash near-dup pairs (Hamming ≤ 3) via pigeonhole nibble blocking —
+    candidates come from an equi-join on (block, nibble), never a full
+    self-join (see operators.dedup.simhash_near_pairs)."""
     sigs = dd.simhash16(load_table(spark, sf_dir, "documents"))
     return dd.simhash_near_pairs(sigs, max_hamming=3)
 
