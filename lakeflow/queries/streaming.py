@@ -85,20 +85,29 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-@register("stream_event_dedup")  # stateful streaming dedup → rows-only check
+@register(
+    "stream_event_dedup",
+    oracle="SELECT event_id, user_id, event_type FROM events",
+)
 def stream_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup with bounded state
-    (dropDuplicatesWithinWatermark): at-least-once sources become
-    effectively-once within the watermark horizon. State size is bounded by
-    the watermark window — the 100 TB-stream-safe dedup."""
+    (dropDuplicatesWithinWatermark): the event stream is unioned with a full
+    replay of itself (an at-least-once source), and the dedup must collapse
+    every replayed row back to exactly-once — the oracle is simply the
+    distinct original events. State size is bounded by the watermark window —
+    the 100 TB-stream-safe dedup."""
     ev_path = table_path(sf_dir, "events")
     _enable_nanos_as_long(spark)
     schema = spark.read.parquet(ev_path).schema
-    stream = convert_nanos_ts(
-        file_stream(spark, sf_dir, schema, glob_filter="events.parquet")
-    )
+
+    def src() -> DataFrame:
+        return convert_nanos_ts(
+            file_stream(spark, sf_dir, schema, glob_filter="events.parquet")
+        )
+
+    doubled = src().unionByName(src())  # simulated at-least-once delivery
     deduped = (
-        stream.withWatermark("ts", "10 minutes")
+        doubled.withWatermark("ts", "10 minutes")
         .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "user_id", "event_type")
     )
