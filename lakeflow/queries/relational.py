@@ -1385,3 +1385,74 @@ def unpivot_priority_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+@register(
+    "q13_order_count_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    ) GROUP BY c_count
+    """,
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of per-customer order counts — an
+    aggregate of an aggregate, with a filtered LEFT join so zero-order
+    customers land in the c_count=0 bucket. First agg shuffles on custkey;
+    the second input is one row per customer, so its shuffle is negligible."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           sum(CAST(floor(CASE WHEN n_name = 'NATION_3'
+                     THEN l_extendedprice * (1 - l_discount) ELSE 0 END * 100.0 + 0.5) AS BIGINT))
+           * 1.0 /
+           sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5) AS BIGINT))
+           AS mkt_share_raw
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    GROUP BY year(o_orderdate)
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of yearly revenue — conditional
+    aggregate ratio in a single pass (no second scan for the denominator).
+    Integer-cent sums keep the ratio engine-exact; the ratio of two exact
+    bigints is a deterministic double."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    disc_cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0 + F.lit(0.5)
+    ).cast("bigint")
+    target_cents = F.when(F.col("n_name") == "NATION_3", disc_cents).otherwise(
+        F.lit(0).cast("bigint")
+    )
+    return (
+        li.join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            (F.sum(target_cents) * 1.0 / F.sum(disc_cents)).alias("mkt_share_raw")
+        )
+    )
