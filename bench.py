@@ -27,6 +27,8 @@ BENCH_QUERIES = [
     "q4_order_priority",
     "q18_large_volume_customers",
     "q7_nation_volume",
+    "q9_product_profit",
+    "q13_order_count_distribution",
     "candles_15m",
     "latest_event_per_user",
     "event_value_delta",
@@ -37,8 +39,10 @@ BENCH_QUERIES = [
     # medallion / merge
     "scd2_customer_state",
     "incremental_orders",
+    "medallion_gold_dim",
     # north star
     "exact_dedup_docs",
+    "dedup_clusters",
     "minhash_lsh_pairs",
     "simhash_signatures",
     "cosine_topk",
@@ -46,6 +50,8 @@ BENCH_QUERIES = [
     "text_quality",
     # streaming engine end-to-end
     "stream_candles_15m",
+    "stream_stream_view_to_purchase",
+    "gap_sessions_batch",
 ]
 
 

@@ -45,20 +45,38 @@ def write_stream(
     return writer.start()
 
 
-def run_to_memory(df: DataFrame, name: str | None = None) -> tuple[str, StreamingQuery]:
+def run_to_memory(
+    df: DataFrame, name: str | None = None, state_partitions: int | None = 16
+) -> tuple[str, StreamingQuery]:
     """Run a stream to completion (availableNow) into an in-memory table.
 
     Deterministic test/driver path: returns (table_name, finished_query).
+
+    ``state_partitions`` pins the stateful-operator partition count for THIS
+    query (it binds at stream start and is a per-job property, like the
+    checkpoint dir): a session tuned for batch (or a driver default of 200)
+    would otherwise pay per-partition state-store commit overhead far beyond
+    the data. Size it to peak keyed-state volume in production; None keeps the
+    session value.
     """
     name = name or f"mem_{uuid.uuid4().hex[:12]}"
-    q = (
-        df.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="lakeflow-ckpt-"))
-        .trigger(availableNow=True)
-        .start()
-    )
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            df.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="lakeflow-ckpt-"))
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        # Partitioning is captured at start(); restore the session for
+        # whatever batch work follows.
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
     return name, q
 
