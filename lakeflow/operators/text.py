@@ -117,3 +117,48 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
         fp.alias("fp"),
         F.substring(fp, 1, 8).alias("shard_key"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping fixed-token-count chunks — the
+    context-window preprocessing step of every embedding/RAG/training
+    pipeline. Chunk i covers tokens [i·stride, i·stride + chunk_tokens) with
+    stride = chunk_tokens − overlap; the final partial chunk is kept.
+
+    Pure Catalyst: split → materialized token array → posexplode over the
+    chunk index sequence → slice + array_join. The explode is narrow (no
+    shuffle); at 100 TB chunking is scan-side and the only data growth is the
+    overlap fraction.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    from lakeflow.operators.transforms import fan_out
+
+    toked = fan_out(
+        df.select(
+            F.col(id_col),
+            F.split(normalize_text(text_col), " ").alias("__toks"),
+        ),
+        barrier=True,
+    )
+    n_tok = F.size("__toks")
+    # chunks = 1 + ceil(max(0, n_tok - chunk_tokens) / stride)
+    n_chunks = F.lit(1) + F.ceil(
+        F.greatest(n_tok - chunk_tokens, F.lit(0)) / F.lit(stride)
+    ).cast("int")
+    idx = F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx")
+    out = toked.select(F.col(id_col), "__toks", idx)
+    chunk = F.slice("__toks", F.col("chunk_idx") * stride + 1, chunk_tokens)
+    return out.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).cast("bigint").alias("chunk_n_tokens"),
+    )

@@ -619,3 +619,28 @@ def hash_sampled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
     ).cast("bigint") % 100
     return docs.filter(bucket < 10).select("doc_id", "lang")
+
+
+@register(
+    "chunk_documents",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+    toked AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+    counted AS (
+        SELECT doc_id, w,
+               1 + CAST(ceil(greatest(len(w) - 64, 0) / 48.0) AS INT) AS n_chunks
+        FROM toked
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_idx,
+           array_to_string(w[i*48+1 : i*48+64], ' ') AS chunk_text,
+           CAST(len(w[i*48+1 : i*48+64]) AS BIGINT) AS chunk_n_tokens
+    FROM counted, LATERAL unnest(range(n_chunks)) AS u(i)
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (64-token chunks, 16-token overlap) —
+    the RAG/embedding preprocessing step, scan-side with no shuffle."""
+    return tx.chunk_documents(
+        load_table(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16
+    )
