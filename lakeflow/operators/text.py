@@ -162,3 +162,26 @@ def chunk_documents(
         F.array_join(chunk, " ").alias("chunk_text"),
         F.size(chunk).cast("bigint").alias("chunk_n_tokens"),
     )
+
+
+# Engine-portable patterns (no lookaround, POSIX classes only — valid in both
+# Java regex and RE2, so the DuckDB oracle applies the identical expressions).
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+?[0-9][0-9()\-\. ]{7,}[0-9]", "<PHONE>"),
+    (r"https?://[^\s]+", "<URL>"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Regex PII redaction (emails, phone-ish numbers, URLs) — the scrubbing
+    pass before corpus release/training. Scan-side regexp_replace chain, no
+    shuffle; output flags how many docs changed for audit."""
+    redacted = F.col(text_col)
+    for pat, repl in PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, pat, repl)
+    return df.select(
+        F.col(id_col),
+        redacted.alias("clean_text"),
+        (redacted != F.col(text_col)).alias("was_redacted"),
+    )

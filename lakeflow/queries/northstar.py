@@ -644,3 +644,26 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.chunk_documents(
         load_table(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16
     )
+
+
+@register(
+    "redact_pii",
+    oracle=r"""
+    WITH r AS (
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\+?[0-9][0-9()\-\. ]{7,}[0-9]', '<PHONE>', 'g'),
+                 'https?://[^\s]+', '<URL>', 'g') AS clean_text,
+               text
+        FROM documents
+    )
+    SELECT doc_id, clean_text, clean_text <> text AS was_redacted FROM r
+    """,
+)
+def redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails/phones/URLs → placeholder tokens) with
+    engine-portable regexes, checked byte-for-byte against the oracle."""
+    return tx.redact_pii(load_table(spark, sf_dir, "documents"))
