@@ -54,3 +54,23 @@ def test_dedup_latest_properties(spark, data):
     for k in {d[0] for d in data}:
         want.add(max((d for d in data if d[0] == k), key=lambda d: (d[1], d[2])))
     assert got == want
+
+
+@given(target=rows, source=rows)
+@settings(**_SETTINGS)
+def test_scd1_upsert_is_idempotent(spark, target, source):
+    """Replaying a micro-batch must not change state: apply(apply(T,S),S) ==
+    apply(T,S) — the property stream_upsert's effectively-once story rests on."""
+    t = dict(target)
+    s = dict(source)
+    tdf = spark.createDataFrame(list(t.items()) or [(None, None)], "k int, v string")
+    sdf = spark.createDataFrame(list(s.items()) or [(None, None)], "k int, v string")
+    if not t:
+        tdf = tdf.filter("k IS NOT NULL")
+    if not s:
+        sdf = sdf.filter("k IS NOT NULL")
+    once = scd1_apply(tdf, sdf, keys=["k"])
+    twice = scd1_apply(once, sdf, keys=["k"])
+    assert {(r.k, r.v) for r in once.collect()} == {
+        (r.k, r.v) for r in twice.collect()
+    }
