@@ -234,3 +234,45 @@ def ivf_topk(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def ml_minhash_pairs(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_max_distance: float = 0.9,
+    num_hash_tables: int = 8,
+    vocab_size: int = 1 << 16,
+    seed: int = 42,
+):
+    """MLlib-native near-dup candidates (SURVEY.md §7.2 M5): tokenize →
+    binary term vectors → ``pyspark.ml.feature.MinHashLSH`` →
+    approxSimilarityJoin. Output: (id_a, id_b, jaccard_distance).
+
+    Complements the hand-rolled md5 pipeline (dedup.minhash_signatures):
+    that one is engine-reproducible (oracle-checkable); this one rides the
+    optimized MLlib implementation and its banding internals. Seeded, so
+    deterministic within Spark — verified in tests by recall against the
+    exact-Jaccard baseline rather than an external oracle.
+    """
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH, RegexTokenizer
+
+    tok = RegexTokenizer(
+        inputCol=text_col, outputCol="__toks", pattern="\\s+", toLowercase=True
+    )
+    toked = tok.transform(docs.select(id_col, text_col))
+    cv = CountVectorizer(
+        inputCol="__toks", outputCol="__vec", vocabSize=vocab_size, binary=True
+    ).fit(toked)
+    vecs = cv.transform(toked).select(id_col, "__vec")
+    lsh = MinHashLSH(
+        inputCol="__vec", outputCol="__hashes", numHashTables=num_hash_tables, seed=seed
+    ).fit(vecs)
+    joined = lsh.approxSimilarityJoin(
+        vecs, vecs, jaccard_max_distance, distCol="jaccard_distance"
+    )
+    return joined.select(
+        F.col(f"datasetA.{id_col}").alias("id_a"),
+        F.col(f"datasetB.{id_col}").alias("id_b"),
+        rnd(F.col("jaccard_distance"), 6).alias("jaccard_distance"),
+    ).filter(F.col("id_a") < F.col("id_b"))

@@ -309,3 +309,26 @@ def test_binary_file_source_feeds_multimodal(spark, tmp_path):
     meta = extract_media_meta(prepared).collect()
     assert {m.byte_len for m in meta} == {13, 26}
     assert all(len(m.checksum) == 32 for m in meta)
+
+
+def test_ml_minhash_recalls_exact_near_dups(spark):
+    """MLlib MinHashLSH candidates must recall the exact high-similarity pairs
+    (token-set Jaccard >= 0.5) found by brute force on a small corpus with
+    planted near-duplicates."""
+    from lakeflow.operators.similarity import ml_minhash_pairs
+
+    base = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely different text about spark engines"),
+        (4, "completely different text about spark engines today"),
+        (5, "unrelated single sentence nothing shared here"),
+    ]
+    docs = spark.createDataFrame(base, ["doc_id", "text"])
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in ml_minhash_pairs(docs, jaccard_max_distance=0.6).collect()
+    }
+    # exact token-set Jaccard >= 0.5 pairs: (1,2) and (3,4)
+    assert {(1, 2), (3, 4)} <= pairs
+    assert (1, 5) not in pairs and (2, 3) not in pairs
