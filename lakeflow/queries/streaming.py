@@ -187,3 +187,58 @@ def stream_stream_view_to_purchase(spark: SparkSession, sf_dir: str) -> DataFram
     ).select("view_id", "purchase_id", F.col("v_user").alias("user_id"))
     name, _ = run_to_memory(joined)
     return spark.table(name)
+
+
+@register(
+    "stream_session_windows",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sessions AS (
+        SELECT *, sum(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+        ) AS session_no
+        FROM marked
+    )
+    SELECT user_id,
+           epoch_us(min(ts)) AS session_start_us,
+           epoch_us(max(ts) + INTERVAL 30 MINUTE) AS session_end_us,
+           count(*) AS n_events
+    FROM sessions GROUP BY user_id, session_no
+    HAVING max(ts) + INTERVAL 30 MINUTE
+           <= (SELECT max(ts) FROM events) - INTERVAL 1 MINUTE
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows through the real streaming engine (T2's dynamic-gap
+    case): watermarked F.session_window in append mode emits exactly the
+    sessions the final watermark (max ts − 1 min) has closed — a session
+    closes when the watermark passes session_end (= last event + gap). The
+    oracle replays gaps-and-islands SQL with the same HAVING cutoff."""
+    from pyspark.sql import functions as F
+
+    ev_path = table_path(sf_dir, "events")
+    _enable_nanos_as_long(spark)
+    schema = spark.read.parquet(ev_path).schema
+    stream = convert_nanos_ts(
+        file_stream(spark, sf_dir, schema, glob_filter="events.parquet")
+    )
+    sessions = (
+        stream.withWatermark("ts", "1 minutes")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("__w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("__w.start").alias("session_start_us"),
+            F.unix_micros("__w.end").alias("session_end_us"),
+            "n_events",
+        )
+    )
+    name, _ = run_to_memory(sessions)
+    return spark.table(name)
