@@ -40,9 +40,18 @@ def write_table(
     path: str,
     mode: str = "append",
     partition_by: list[str] | None = None,
+    sort_by: list[str] | None = None,
 ) -> str:
     """Batch lakehouse sink (reference write_batch_to_bronze,
-    _bronze_utils.py:60-66): partitioned parquet append/overwrite."""
+    _bronze_utils.py:60-66): partitioned parquet append/overwrite.
+
+    ``sort_by`` sorts rows *within* each output task before writing, so
+    parquet row-group min/max statistics become selective on those columns —
+    at 100 TB this is what makes point/range reads skip row groups inside the
+    surviving partitions (SCALE.md §1 layout guidance).
+    """
+    if sort_by:
+        df = df.sortWithinPartitions(*sort_by)
     writer = df.write.mode(mode).format("parquet")
     if partition_by:
         writer = writer.partitionBy(*partition_by)

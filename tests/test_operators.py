@@ -332,3 +332,17 @@ def test_ml_minhash_recalls_exact_near_dups(spark):
     # exact token-set Jaccard >= 0.5 pairs: (1,2) and (3,4)
     assert {(1, 2), (3, 4)} <= pairs
     assert (1, 5) not in pairs and (2, 3) not in pairs
+
+
+def test_write_table_sorted_rowgroups(spark, tmp_path):
+    """sort_by produces per-file sorted data (row-group skipping layout)."""
+    from lakeflow.plans.medallion import write_table
+
+    df = spark.createDataFrame([(i % 97, i) for i in range(500)], "k int, v int")
+    path = write_table(df.repartition(2), str(tmp_path / "t"), mode="overwrite", sort_by=["k"])
+    import pyarrow.parquet as pq
+    import glob as g
+
+    for f in g.glob(path + "/*.parquet"):
+        ks = pq.read_table(f, columns=["k"])["k"].to_pylist()
+        assert ks == sorted(ks)
