@@ -1456,3 +1456,121 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(target_cents) * 1.0 / F.sum(disc_cents)).alias("mkt_share_raw")
         )
     )
+
+
+@register(
+    "q2_cheapest_supplier",
+    oracle="""
+    WITH costs AS (
+        SELECT l_partkey, l_suppkey,
+               (floor((min(l_extendedprice / l_quantity)) * 1000000.0 + 0.5) / 1000000.0)
+               AS unit_cost
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    best AS (
+        SELECT l_partkey, min(unit_cost) AS best_cost FROM costs GROUP BY l_partkey
+    )
+    SELECT c.l_partkey AS p_key, s_name, c.unit_cost AS unit_cost
+    FROM costs c
+    JOIN best b ON b.l_partkey = c.l_partkey AND c.unit_cost = b.best_cost
+    JOIN supplier ON s_suppkey = c.l_suppkey
+    WHERE c.l_partkey < 100
+    """,
+)
+def q2_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated-min subquery (cheapest supplier per part)
+    decorrelated into aggregate + self-equality join. Rounding the unit cost
+    BEFORE the min/equality keeps the tie-set identical across engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 100)
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    costs = li.groupBy("l_partkey", "l_suppkey").agg(
+        rnd(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 6).alias(
+            "unit_cost"
+        )
+    )
+    best = costs.groupBy(F.col("l_partkey").alias("b_key")).agg(
+        F.min("unit_cost").alias("best_cost")
+    )
+    return (
+        costs.join(
+            F.broadcast(best),
+            (F.col("l_partkey") == F.col("b_key"))
+            & (F.col("unit_cost") == F.col("best_cost")),
+        )
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(F.col("l_partkey").alias("p_key"), "s_name", "unit_cost")
+    )
+
+
+@register(
+    "q12_priority_shipping",
+    oracle="""
+    SELECT l_linestatus,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_linestatus
+    """,
+)
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipmode → linestatus on these fixtures): two
+    conditional counts in one pass over the join — no per-branch scans."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_count"),
+        )
+    )
+
+
+@register(
+    "q20_bulk_suppliers",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+          AND l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+        GROUP BY l_suppkey
+        HAVING sum(l_quantity) > 400
+    )
+    """,
+)
+def q20_bulk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested IN-subquery chain → two semi-join reductions
+    (parts of one type → qualifying bulk suppliers → supplier rows). Each
+    stage shrinks before the next join touches it."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO"
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    bulk = (
+        li.join(part, li.l_partkey == part.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 400)
+        .select("l_suppkey")
+    )
+    return supp.join(
+        bulk, supp.s_suppkey == bulk.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
