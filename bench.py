@@ -29,6 +29,7 @@ BENCH_QUERIES = [
     "q7_nation_volume",
     "q9_product_profit",
     "q13_order_count_distribution",
+    "q21_waiting_suppliers",
     "candles_15m",
     "latest_event_per_user",
     "event_value_delta",

@@ -1574,3 +1574,118 @@ def q20_bulk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return supp.join(
         bulk, supp.s_suppkey == bulk.l_suppkey, "left_semi"
     ).select("s_suppkey", "s_name")
+
+
+@register(
+    "q16_supplier_part_counts",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (1, 7, 14, 23, 36, 45, 49, 50)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (lineitem is the part↔supplier bridge on these
+    fixtures; negative-balance suppliers stand in for the complaints NOT IN).
+
+    NOT IN becomes a broadcast anti-join against the tiny exclusion list, the
+    part filter becomes a broadcast semi-side reduction, and the distinct
+    count is a two-phase hash aggregate — every stage shrinks its input
+    before the shuffle, which is what keeps the distinct-agg viable at 100 TB.
+    """
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & F.col("p_size").isin(1, 7, 14, 23, 36, 45, 49, 50)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+    WITH li AS (
+        SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'F'
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM li l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE l1.l_shipdate > l1.o_orderdate + INTERVAL 80 DAY
+      AND EXISTS (
+          SELECT 1 FROM li l2
+          WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM li l3
+          WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > l3.o_orderdate + INTERVAL 80 DAY
+      )
+    GROUP BY s_name
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who alone were late on multi-supplier
+    orders; 80-day ship lag replaces receipt>commit on these fixtures).
+
+    The correlated EXISTS / NOT EXISTS pair decorrelates into a left-semi and
+    a left-anti self-join on l_orderkey with a suppkey-inequality residual.
+    Both self-joins reuse the same filtered projection of lineitem⋈orders, so
+    Spark shuffles that narrow intermediate once per side on the order key —
+    no row explosion, and the anti side is pre-filtered to late rows only.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderstatus") == "F")
+            .select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("l_orderkey", "l_suppkey", "l_shipdate", "o_orderdate")
+    )
+    late = li.filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 80 DAYS")
+    )
+    l1 = late.alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = late.select("l_orderkey", "l_suppkey").alias("l3")
+    waiting = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+            "left_anti",
+        )
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waiting.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
