@@ -287,16 +287,20 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         .withColumn("cluster_id", F.col("id"))
         .persist()
     )
+    persisted = labels
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        updated = (
+        # Carry old vs new label through the same pass so convergence is one
+        # cheap probe over the persisted frame, not a second full join.
+        merged = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
                 "id",
+                F.col("cluster_id").alias("old_label"),
                 F.least(
                     F.col("cluster_id"),
                     F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
@@ -304,15 +308,13 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             )
             .persist()
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "id")
-            .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
-            .isEmpty()
-        )
-        labels.unpersist()
-        labels = updated
-        if changed:
+        converged = merged.filter(
+            F.col("cluster_id") != F.col("old_label")
+        ).isEmpty()
+        persisted.unpersist()
+        persisted = merged
+        labels = merged.select("id", "cluster_id")
+        if converged:
             break
     edges.unpersist()
     return labels
