@@ -185,3 +185,34 @@ def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         redacted.alias("clean_text"),
         (redacted != F.col(text_col)).alias("was_redacted"),
     )
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 20,
+    min_alpha_ratio: float = 0.55,
+    max_digit_ratio: float = 0.15,
+    min_stop_ratio: float = 0.01,
+) -> DataFrame:
+    """Composite keep/drop verdict over the quality features — the gate stage
+    of a training-data pipeline (quality_features scores; this one decides).
+
+    Emits the doc id, the boolean verdict, and the FIRST failing rule as
+    ``reason`` ('keep' when none fail) so downstream audits can histogram why
+    the corpus shrank. Pure projection over one pass; zero shuffles.
+    """
+    feats = quality_features(df, text_col=text_col, id_col=id_col)
+    reason = (
+        F.when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
+        .when(F.col("alpha_ratio") < min_alpha_ratio, F.lit("low_alpha"))
+        .when(F.col("digit_ratio") > max_digit_ratio, F.lit("too_numeric"))
+        .when(F.col("stop_ratio") < min_stop_ratio, F.lit("no_stopwords"))
+        .otherwise(F.lit("keep"))
+    )
+    return feats.select(
+        F.col(id_col),
+        reason.alias("reason"),
+        (reason == "keep").alias("keep"),
+    )

@@ -139,3 +139,32 @@ def dedup_latest(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates: Mapping[str, float],
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling — the corpus-rebalancing primitive
+    (e.g. downsample the dominant language before training).
+
+    Like ``df.sampleBy`` but reproducible across engines, runs, partitionings,
+    and retries: a row's fate is ``md5(id) % 100 < rate*100``, so incremental
+    ingestion never flips previously sampled docs. Pure scan-side filter —
+    no shuffle, no state, prunes before anything downstream touches the rows.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+            "bigint"
+        )
+        % 100
+    )
+    threshold = F.lit(int(default_rate * 100))
+    for stratum, rate in rates.items():
+        threshold = F.when(
+            F.col(strata_col) == stratum, F.lit(int(rate * 100))
+        ).otherwise(threshold)
+    return df.filter(bucket < threshold)

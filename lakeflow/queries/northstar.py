@@ -21,6 +21,7 @@ from lakeflow.operators import dedup as dd
 from lakeflow.operators import multimodal as mm
 from lakeflow.operators import similarity as sim
 from lakeflow.operators import text as tx
+from lakeflow.operators import transforms
 from lakeflow.queries import register
 
 # Shared oracle CTE: normalized text (mirror of dedup.normalize_text).
@@ -667,3 +668,65 @@ def redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing (emails/phones/URLs → placeholder tokens) with
     engine-portable regexes, checked byte-for-byte against the oracle."""
     return tx.redact_pii(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "stratified_lang_sample",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+          < CASE lang WHEN 'en' THEN 25 ELSE 80 END
+    """,
+)
+def stratified_lang_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rebalancing: deterministically downsample the dominant language
+    (en → 25%) while keeping 80% of the rest — the training-mix primitive.
+    Same md5-bucket fate as hash_sampled_docs, so the two compose."""
+    docs = load_table(spark, sf_dir, "documents")
+    return transforms.stratified_hash_sample(
+        docs, "doc_id", "lang", {"en": 0.25}, default_rate=0.8
+    ).select("doc_id", "lang")
+
+
+@register(
+    "quality_filter_verdict",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+    feats AS (
+        SELECT doc_id,
+               len(string_split(t, ' ')) AS n_tokens,
+               (length(t) - length(regexp_replace(t, '[a-z]', '', 'g')))
+                   / CAST(length(t) AS DOUBLE) AS alpha_ratio_x,
+               (length(t) - length(regexp_replace(t, '[0-9]', '', 'g')))
+                   / CAST(length(t) AS DOUBLE) AS digit_ratio_x,
+               len(list_filter(string_split(t, ' '), w -> w IN ({_IN_LIST})))
+                   / CAST(len(string_split(t, ' ')) AS DOUBLE) AS stop_ratio_x
+        FROM norm
+    ),
+    r AS (
+        SELECT doc_id,
+               n_tokens,
+               (floor(alpha_ratio_x * 1000000.0 + 0.5) / 1000000.0) AS alpha_ratio,
+               (floor(digit_ratio_x * 1000000.0 + 0.5) / 1000000.0) AS digit_ratio,
+               (floor(stop_ratio_x * 1000000.0 + 0.5) / 1000000.0)  AS stop_ratio
+        FROM feats
+    )
+    SELECT doc_id,
+           CASE WHEN n_tokens < 20 THEN 'too_short'
+                WHEN alpha_ratio < 0.55 THEN 'low_alpha'
+                WHEN digit_ratio > 0.15 THEN 'too_numeric'
+                WHEN stop_ratio < 0.01 THEN 'no_stopwords'
+                ELSE 'keep' END AS reason,
+           (CASE WHEN n_tokens < 20 THEN 'too_short'
+                WHEN alpha_ratio < 0.55 THEN 'low_alpha'
+                WHEN digit_ratio > 0.15 THEN 'too_numeric'
+                WHEN stop_ratio < 0.01 THEN 'no_stopwords'
+                ELSE 'keep' END) = 'keep' AS keep
+    FROM r
+    """,
+)
+def quality_filter_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep/drop gate over the quality features with the first failing rule as
+    the reason — lets an audit histogram why the corpus shrank."""
+    return tx.quality_filter(load_table(spark, sf_dir, "documents"))
