@@ -1689,3 +1689,34 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@register(
+    "grouping_sets_status_flag",
+    oracle="""
+    SELECT o_orderstatus, l_returnflag, count(*) AS n_items,
+           (floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0) AS sum_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY GROUPING SETS ((o_orderstatus), (l_returnflag))
+    """,
+)
+def grouping_sets_status_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (the general form of rollup/cube): one pass
+    producing per-status and per-flag marginals without a self-union — Spark
+    expands the sets after the join, so the fact table is scanned and joined
+    once, not once per breakdown.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupingSets(
+            [["o_orderstatus"], ["l_returnflag"]],
+            "o_orderstatus",
+            "l_returnflag",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            rnd(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
