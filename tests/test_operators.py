@@ -346,3 +346,51 @@ def test_write_table_sorted_rowgroups(spark, tmp_path):
     for f in g.glob(path + "/*.parquet"):
         ks = pq.read_table(f, columns=["k"])["k"].to_pylist()
         assert ks == sorted(ks)
+
+
+def test_stratified_sample_fate_is_stable_under_increment(spark):
+    """A row's sample fate must not change when the corpus grows (incremental
+    ingestion) or when per-stratum rates of OTHER strata change."""
+    from lakeflow.operators.transforms import stratified_hash_sample
+
+    full = spark.createDataFrame(
+        [(i, "en" if i % 3 else "de") for i in range(300)], "id long, lang string"
+    )
+    first_half = full.filter(F.col("id") < 150)
+    rates = {"en": 0.3, "de": 0.9}
+    kept_full = {
+        r.id for r in stratified_hash_sample(full, "id", "lang", rates).collect()
+    }
+    kept_half = {
+        r.id
+        for r in stratified_hash_sample(first_half, "id", "lang", rates).collect()
+    }
+    assert kept_half == {i for i in kept_full if i < 150}
+
+    # changing the de rate must not disturb en fates
+    kept_en_only = {
+        r.id
+        for r in stratified_hash_sample(
+            full.filter(F.col("lang") == "en"), "id", "lang", {"en": 0.3, "de": 0.1}
+        ).collect()
+    }
+    assert kept_en_only == {
+        i for i in kept_full if i % 3 != 0
+    }
+
+
+def test_quality_filter_reasons(spark):
+    from lakeflow.operators.text import quality_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the of and is in " * 30),  # long, alphabetic, stopword-rich
+            (2, "short text"),  # too few tokens
+            (3, "1234 5678 9012 " * 20),  # numeric
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.keep, r.reason) for r in quality_filter(docs).collect()}
+    assert got[1] == (True, "keep")
+    assert got[2] == (False, "too_short")
+    assert got[3][0] is False and got[3][1] in ("low_alpha", "too_numeric")
