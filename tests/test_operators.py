@@ -394,3 +394,52 @@ def test_quality_filter_reasons(spark):
     assert got[1] == (True, "keep")
     assert got[2] == (False, "too_short")
     assert got[3][0] is False and got[3][1] in ("low_alpha", "too_numeric")
+
+
+def test_zorder_write_tightens_file_envelopes(spark, tmp_path):
+    """Z-ordered files must cover a small fraction of BOTH key domains, so
+    footer min/max skips most files for a predicate on either column; a plain
+    write gives every file near-full coverage on at least one."""
+    import pyarrow.parquet as pq
+
+    from lakeflow.catalog import write_zordered
+
+    df = (
+        spark.range(20_000)
+        .selectExpr(
+            "cast(id % 141 as bigint) as x",
+            "cast((id * 7919) % 139 as bigint) as y",
+        )
+    )
+    plain, zord = str(tmp_path / "plain"), str(tmp_path / "zord")
+    df.repartition(16).write.parquet(plain)
+    write_zordered(df, zord, ["x", "y"], n_files=16)
+
+    def avg_coverage(path: str) -> float:
+        import glob
+
+        spans = []
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            md = pq.read_metadata(f)
+            mins = {"x": None, "y": None}
+            maxs = {"x": None, "y": None}
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    nm = col.path_in_schema
+                    if nm in mins and col.statistics is not None:
+                        lo, hi = col.statistics.min, col.statistics.max
+                        mins[nm] = lo if mins[nm] is None else min(mins[nm], lo)
+                        maxs[nm] = hi if maxs[nm] is None else max(maxs[nm], hi)
+            if mins["x"] is None or mins["y"] is None:
+                continue
+            spans.append(
+                ((maxs["x"] - mins["x"]) / 140.0 + (maxs["y"] - mins["y"]) / 138.0)
+                / 2.0
+            )
+        assert spans
+        return sum(spans) / len(spans)
+
+    cov_plain, cov_z = avg_coverage(plain), avg_coverage(zord)
+    assert cov_plain > 0.9  # round-robin: every file spans both full domains
+    assert cov_z < 0.6  # z-clustered: each file covers a window of each dim
