@@ -730,3 +730,60 @@ def quality_filter_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep/drop gate over the quality features with the first failing rule as
     the reason — lets an audit histogram why the corpus shrank."""
     return tx.quality_filter(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "filtered_cosine_topk",
+    oracle=f"""
+    WITH norm_t AS (SELECT doc_id, {_NORM} AS t FROM documents),
+    feats AS (
+        SELECT doc_id,
+               len(string_split(t, ' ')) AS n_tokens,
+               (floor((length(t) - length(regexp_replace(t, '[a-z]', '', 'g')))
+                   / CAST(length(t) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS alpha_ratio,
+               (floor((length(t) - length(regexp_replace(t, '[0-9]', '', 'g')))
+                   / CAST(length(t) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS digit_ratio,
+               (floor(len(list_filter(string_split(t, ' '), w -> w IN ({_IN_LIST})))
+                   / CAST(len(string_split(t, ' ')) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS stop_ratio
+        FROM norm_t
+    ),
+    kept AS (
+        SELECT doc_id FROM feats
+        WHERE NOT (n_tokens < 20 OR alpha_ratio < 0.55
+                   OR digit_ratio > 0.15 OR stop_ratio < 0.01)
+    ),
+    e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, v,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        FROM e
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+    cand AS (SELECT n.* FROM n JOIN kept ON n.vec_id = kept.doc_id),
+    scored AS (
+        SELECT q.qid, c.vec_id AS vid,
+               (floor((list_sum(list_transform(range(1, 65), i -> qv[i] * c.v[i]))
+                     / (qn * c.nrm)) * 1000000.0 + 0.5) / 1000000.0) AS cos
+        FROM q, cand c WHERE c.vec_id <> q.qid
+    )
+    SELECT qid, vid, cos FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def filtered_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: exact cosine top-5 restricted to documents that pass
+    the quality gate (vec_id ↔ doc_id). The metadata filter is a semi-join
+    applied BEFORE any vector math, so the pair space shrinks first — at
+    100 TB the curation predicate is the cheapest pruning lever a vector
+    search has."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = tx.quality_filter(docs).filter(F.col("keep")).select("doc_id")
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand = emb.join(kept, emb.vec_id == kept.doc_id, "left_semi")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return sim.brute_force_topk(cand, queries, k=5)
