@@ -242,3 +242,42 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name, _ = run_to_memory(sessions)
     return spark.table(name)
+
+
+@register(
+    "pysource_tick_candles",
+    oracle="""
+    WITH ticks AS (
+        SELECT 'SYM' || CAST(s % 7 AS VARCHAR) AS symbol,
+               TIMESTAMP '2024-01-01 00:00:00' + s * INTERVAL 1 MINUTE AS ts,
+               100.0 + ((s * 37) % 100) / 10.0 AS price,
+               (s * 13) % 1000 AS volume
+        FROM UNNEST(range(0, 6000)) AS u(s)
+    )
+    SELECT symbol,
+           strftime(time_bucket(INTERVAL 15 MINUTE, ts), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           (floor((min_by(price, ts)) * 100.0 + 0.5) / 100.0) AS open,
+           (floor((max(price)) * 100.0 + 0.5) / 100.0)        AS high,
+           (floor((min(price)) * 100.0 + 0.5) / 100.0)        AS low,
+           (floor((max_by(price, ts)) * 100.0 + 0.5) / 100.0) AS close,
+           (floor((sum(price)) * 100.0 + 0.5) / 100.0)        AS volume,
+           count(*) AS n_events
+    FROM ticks
+    GROUP BY symbol, time_bucket(INTERVAL 15 MINUTE, ts)
+    """,
+)
+def pysource_tick_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end over a CUSTOM Python data source (PySpark 4 DataSource API,
+    sources/pysource.py): the reference's Kafka-producer replay re-expressed
+    as a first-class partitioned source, candled with the flagship
+    aggregation. The generator is pure arithmetic, so the DuckDB oracle
+    reproduces the source exactly — the full pipeline (source → window agg)
+    is value-hash-checked, not just row-counted."""
+    from lakeflow.operators.aggregates import tumbling_candles
+    from lakeflow.sources.pysource import register_tick_source
+
+    register_tick_source(spark)
+    ticks = spark.read.format("lakeflow_ticks").option("n", "6000").load()
+    return tumbling_candles(
+        ticks, ts_col="ts", key_cols=("symbol",), value_col="price"
+    )

@@ -443,3 +443,37 @@ def test_zorder_write_tightens_file_envelopes(spark, tmp_path):
     cov_plain, cov_z = avg_coverage(plain), avg_coverage(zord)
     assert cov_plain > 0.9  # round-robin: every file spans both full domains
     assert cov_z < 0.6  # z-clustered: each file covers a window of each dim
+
+
+def test_pysource_stream_replays_exactly(spark, tmp_path):
+    """The custom Python stream source must drain deterministically across
+    successive runs sharing a checkpoint, and its union of micro-batches must
+    equal the batch scan of the same range."""
+    from lakeflow.sources.pysource import register_tick_source
+
+    register_tick_source(spark)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    for _ in range(4):  # each availableNow run consumes ≥1 micro-batch
+        q = (
+            spark.readStream.format("lakeflow_ticks")
+            .option("n", "300")
+            .option("batch", "100")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    streamed = spark.read.parquet(out).select("symbol", "seq", "price")
+    batch = (
+        spark.read.format("lakeflow_ticks")
+        .option("n", "300")
+        .load()
+        .select("symbol", "seq", "price")
+    )
+    assert streamed.count() == 300
+    assert streamed.exceptAll(batch).isEmpty()
+    assert batch.exceptAll(streamed).isEmpty()
