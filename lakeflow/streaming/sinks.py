@@ -119,3 +119,62 @@ def stream_upsert(
     elif processing_time:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def stream_scd2(
+    df: DataFrame,
+    table,
+    keys: list[str],
+    tracked: list[str],
+    batch_ts: "Callable[[int], str] | None" = None,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+    processing_time: str | None = None,
+) -> StreamingQuery:
+    """Streaming SCD Type 2 history build (reference M2 lifted into the
+    streaming path): each micro-batch expires changed current rows and
+    inserts new versions into a :class:`lakeflow.tables.VersionedTable`.
+
+    ``batch_ts`` maps batch_id → effective timestamp literal so replays are
+    deterministic (the reference's ``current_timestamp()`` is not); the
+    default derives a stable synthetic time from the batch id. A replayed
+    batch re-derives the identical state (same source rows + same effective
+    ts ⇒ same expire/insert decisions), so checkpoint recovery is
+    effectively-once. At scale, the full-outer key join inside scd2_apply
+    shuffles only (current ∪ batch) rows — history rows never move.
+    """
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    from lakeflow.operators.merge import scd2_apply
+
+    def default_ts(batch_id: int) -> str:
+        return f"2024-06-01 00:{batch_id % 60:02d}:00"
+
+    ts_of = batch_ts or default_ts
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        eff = ts_of(batch_id)
+        if table.current_version() is None:
+            state = batch_df.withColumn(
+                "start_timestamp", F.lit(eff).cast("timestamp")
+            ).withColumn(
+                "end_timestamp", F.lit(None).cast("timestamp")
+            ).withColumn("is_current", F.lit(1))
+        else:
+            state = scd2_apply(
+                table.read(), batch_df, keys=keys, tracked=tracked, effective_ts=eff
+            )
+        table.commit(state, mode="overwrite", _operation="scd2")
+
+    writer = df.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint or _tf.mkdtemp(prefix="lakeflow-ckpt-")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

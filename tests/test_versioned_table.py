@@ -172,3 +172,54 @@ def test_continuous_candle_rollup(spark, tmp_path):
         for r in closed.collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_scd2_builds_history_per_microbatch(spark, tmp_path):
+    """Streaming SCD2: batch 1 loads initial versions; batch 2 changes one
+    key's tracked value — the old version must be expired (end_timestamp set,
+    is_current=0) and a new current version inserted; untouched keys keep
+    exactly one open row."""
+    import os as _os
+    import shutil
+
+    from lakeflow.streaming.sinks import stream_scd2
+
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, 100.0), (2, 200.0)], "k long, bal double"
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    spark.createDataFrame(
+        [(1, 150.0), (2, 200.0)], "k long, bal double"
+    ).coalesce(1).write.parquet(str(src / "b2"))
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    for i, d in enumerate(sorted(src.iterdir())):
+        for f in d.glob("*.parquet"):
+            dst = stream_dir / f"{i:03d}.parquet"
+            shutil.copy(f, dst)
+            _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    table = VersionedTable(spark, str(tmp_path / "tbl"))
+    stream = (
+        spark.readStream.schema("k long, bal double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir))
+    )
+    q = stream_scd2(stream, table, keys=["k"], tracked=["bal"])
+    q.awaitTermination()
+
+    rows = table.read().collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.k, []).append(r)
+    # key 1 changed: one expired version (100.0) + one current (150.0)
+    k1 = sorted(by_key[1], key=lambda r: r.is_current)
+    assert len(k1) == 2
+    assert (k1[0].bal, k1[0].is_current) == (100.0, 0)
+    assert k1[0].end_timestamp is not None
+    assert (k1[1].bal, k1[1].is_current) == (150.0, 1)
+    assert k1[1].end_timestamp is None
+    # key 2 unchanged: single current row
+    assert len(by_key[2]) == 1 and by_key[2][0].is_current == 1
+    assert table.current_version() == 2
