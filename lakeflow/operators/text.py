@@ -216,3 +216,60 @@ def quality_filter(
         reason.alias("reason"),
         (reason == "keep").alias("keep"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al., SIGMOD 2003) via a Python
+    UDTF — the SURVEY.md §2.10 UDTF surface.
+
+    Hash every k-token gram (md5 → 32-bit int), slide a ``window``-wide
+    window over the hash sequence and keep the rightmost minimum of each —
+    the classic local-document-fingerprint guarantee (any shared substring of
+    ≥ k+window−1 tokens shares a fingerprint). Per-window argmin with a
+    rightmost tie-break is awkward to push through SQL windows but is a
+    10-line generator in a UDTF; rows fan out lateral-join style, scan-side,
+    no shuffle. Output: (id, pos, h) — one row per selected fingerprint.
+    """
+    import hashlib
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, h bigint")
+    class _Winnow:
+        def eval(self, text: str):  # noqa: ANN001 - UDTF contract
+            if text is None:
+                return
+            toks = re.sub(r"\s+", " ", text.strip().lower()).split(" ")
+            m = len(toks) - k + 1
+            if m < window:
+                return
+            hs = [
+                int(
+                    hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest()[:8],
+                    16,
+                )
+                for i in range(m)
+            ]
+            seen: set[int] = set()
+            for s in range(m - window + 1):
+                win = hs[s : s + window]
+                lo = min(win)
+                pos = s + max(i for i, v in enumerate(win) if v == lo)
+                if pos not in seen:
+                    seen.add(pos)
+                    yield (pos, hs[pos])
+
+    name = f"lakeflow_winnow_{k}_{window}"
+    df.sparkSession.udtf.register(name, _Winnow)
+    df.select(id_col, text_col).createOrReplaceTempView(f"{name}_src")
+    return df.sparkSession.sql(
+        f"SELECT s.{id_col}, f.pos, f.h "
+        f"FROM {name}_src s, LATERAL {name}(s.{text_col}) f"
+    )

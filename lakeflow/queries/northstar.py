@@ -787,3 +787,37 @@ def filtered_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = emb.join(kept, emb.vec_id == kept.doc_id, "left_semi")
     queries = emb.filter(F.col("vec_id") < 10)
     return sim.brute_force_topk(cand, queries, k=5)
+
+
+@register(
+    "winnow_fingerprints",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+    toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+    grams AS (
+        SELECT doc_id, i,
+               CAST(('0x' || substr(md5(array_to_string(w[i+1 : i+3], ' ')), 1, 8)) AS BIGINT) AS h
+        FROM toks, UNNEST(range(0, greatest(len(w) - 3, 0) + 1)) AS u(i)
+    ),
+    wmins AS (
+        SELECT doc_id, i AS s,
+               min(h) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+               count(*) OVER (PARTITION BY doc_id) AS m
+        FROM grams
+    ),
+    sel AS (
+        SELECT w.doc_id, max(g.i) AS pos, w.wmin AS h
+        FROM (SELECT * FROM wmins WHERE s <= m - 4) w
+        JOIN grams g
+          ON g.doc_id = w.doc_id AND g.i BETWEEN w.s AND w.s + 3 AND g.h = w.wmin
+        GROUP BY w.doc_id, w.s, w.wmin
+    )
+    SELECT DISTINCT doc_id, CAST(pos AS INT) AS pos, h FROM sel
+    """,
+)
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing local fingerprints via Python UDTF (operators/text.py) —
+    plagiarism-detection-grade near-dup evidence; the oracle reproduces the
+    rightmost-min window selection in pure SQL."""
+    return tx.winnow_fingerprints(load_table(spark, sf_dir, "documents"))

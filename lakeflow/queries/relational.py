@@ -1720,3 +1720,44 @@ def grouping_sets_status_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(F.sum("l_quantity"), 2).alias("sum_qty"),
         )
     )
+
+
+@register(
+    "weighted_avg_price_udaf",
+    oracle="""
+    SELECT l_returnflag,
+           (floor((
+               sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                   * CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT))
+               / CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 100.0
+           ) * 1000000.0 + 0.5) / 1000000.0) AS wavg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def weighted_avg_price_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate via a pandas GROUPED_AGG UDF (SURVEY.md §2.10 UDAF
+    headroom): quantity-weighted average price per returnflag.
+
+    Arrow moves each group to Python once; the accumulation happens in exact
+    integer cents (price·qty products scaled to int64), so the result is
+    independent of row arrival order — the property that lets a Python UDAF
+    hash-match a SQL oracle at all. At 100 TB prefer the pure-SQL form (it
+    keeps partial aggregation map-side); this entry exists to prove the
+    custom-UDAF path works and stays deterministic.
+    """
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # functionType passed explicitly: `from __future__ import annotations`
+    # stringifies the hints, defeating pandas_udf's signature inference.
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def wavg(price, qty):
+        p = (price * 100.0).round().astype("int64")
+        q = (qty * 100.0).round().astype("int64")
+        return float((p * q).sum()) / float(q.sum()) / 100.0
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        rnd(wavg("l_extendedprice", "l_quantity"), 6).alias("wavg_price")
+    )
