@@ -1761,3 +1761,41 @@ def weighted_avg_price_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         rnd(wavg("l_extendedprice", "l_quantity"), 6).alias("wavg_price")
     )
+
+
+@register(
+    "recursive_month_spine",
+    oracle="""
+    WITH RECURSIVE months(m) AS (
+        SELECT TIMESTAMP '1995-01-01 00:00:00' AS m
+        UNION ALL
+        SELECT m + INTERVAL 1 MONTH FROM months
+        WHERE m < TIMESTAMP '2001-12-01 00:00:00'
+    )
+    SELECT strftime(m, '%Y-%m') AS month,
+           count(o_orderkey) AS n_orders
+    FROM months LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
+    GROUP BY m
+    """,
+)
+def recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification via a RECURSIVE CTE (Spark 4 SQL): generate the
+    full month spine, left-join facts so empty months surface as zero — the
+    standard reporting-gap fix. The recursion materializes ~84 rows on the
+    driver side of the plan; the fact join stays a broadcast of the spine,
+    so at 100 TB the cost is one pass over orders."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+            SELECT TIMESTAMP '1995-01-01 00:00:00' AS m
+            UNION ALL
+            SELECT m + INTERVAL 1 MONTH FROM months
+            WHERE m < TIMESTAMP '2001-12-01 00:00:00'
+        )
+        SELECT date_format(m, 'yyyy-MM') AS month,
+               count(o_orderkey) AS n_orders
+        FROM months LEFT JOIN orders_v ON date_trunc('MONTH', o_orderdate) = m
+        GROUP BY m
+        """
+    )
