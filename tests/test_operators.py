@@ -477,3 +477,18 @@ def test_pysource_stream_replays_exactly(spark, tmp_path):
     assert streamed.count() == 300
     assert streamed.exceptAll(batch).isEmpty()
     assert batch.exceptAll(streamed).isEmpty()
+
+
+def test_observed_metrics_ride_the_action(spark):
+    """observe() must report rows/null-keys/non-positives from the SAME job
+    that materializes the frame — no second pass."""
+    from lakeflow.operators.transforms import observed_quality_metrics
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (None, 5.0), (3, -2.0), (4, 0.0)],
+        "k int, v double",
+    )
+    observed, obs = observed_quality_metrics(df, "k", "v")
+    assert observed.count() == 4
+    got = obs.get
+    assert (got["rows"], got["null_keys"], got["nonpositive"]) == (4, 1, 2)
