@@ -1799,3 +1799,73 @@ def recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY m
         """
     )
+
+
+@register(
+    "variant_props_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion via the VARIANT type (Spark 4): parse the
+    JSON payload once into the binary variant encoding, then path-extract
+    typed fields — schema-on-read without committing to a StructType up
+    front (the generalization of the reference's fixed from_json envelope,
+    /root/reference/src/bronze/ohlcv_1m.py:10-19). At scale variant beats
+    re-parsing JSON strings per access: one decode, many cheap typed gets."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("event_type", F.parse_json("props").alias("v"))
+        .select(
+            "event_type", F.variant_get("v", "$.k", "bigint").alias("k")
+        )
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "fuzzy_name_pairs",
+    oracle="""
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey
+     AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    """,
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance entity matching with blocking: candidate pairs only
+    within a nation block (the classic record-linkage layout), scored with
+    built-in ``levenshtein`` and kept at distance ≤ 2.
+
+    The equi-join on the block key keeps the pair space |block|² instead of
+    |table|², and the distance runs JVM-side post-join — at 100 TB the block
+    key would be a coarser fingerprint (sorted-neighborhood key, phonetic
+    code), but the plan shape is identical."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    a = cust.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_name").alias("name_a"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_name").alias("name_b"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    return (
+        a.join(b, "nk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 2)
+        .select("id_a", "id_b", "dist")
+    )
