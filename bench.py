@@ -94,8 +94,12 @@ def main() -> None:
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
+        try:
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # one broken query must not sink the run
+            print(f"  {name}: FAILED {exc!r}"[:300], file=sys.stderr)
+            continue
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
 

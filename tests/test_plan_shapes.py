@@ -108,3 +108,26 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_q16_anti_join_is_broadcast(spark):
+    """The NOT IN exclusion list is tiny — it must plan as a broadcast
+    left-anti join, never a shuffled one."""
+    plan = _plan(spark, "q16_supplier_part_counts")
+    assert "BroadcastHashJoin LeftAnti" in plan.replace(
+        "BroadcastHashJoin LeftAnti BuildRight", "BroadcastHashJoin LeftAnti"
+    ) or ("LeftAnti" in plan and "BroadcastHashJoin" in plan)
+
+
+def test_grouping_sets_single_scan(spark):
+    """GROUPING SETS must produce one Expand over one join — not a
+    self-union of per-breakdown scans."""
+    plan = _plan(spark, "grouping_sets_status_flag")
+    assert plan.count("Expand") == 1
+    assert plan.count("Scan parquet") == 2  # orders + lineitem, once each
+
+
+def test_stratified_sample_is_scan_side(spark):
+    """The per-stratum hash filter must not introduce any exchange."""
+    plan = _plan(spark, "stratified_lang_sample")
+    assert "Exchange" not in plan
