@@ -1,0 +1,94 @@
+"""Lakehouse table-format detection + MERGE SQL generation (SURVEY.md §7.3).
+
+The reference gets ``MERGE INTO``, streaming table reads, and time travel
+from the Iceberg runtime jar + session extension
+(/root/reference/docker/spark/conf/spark-defaults.conf:8-12). This repo keeps
+the format pluggable: when an Iceberg/Delta extension is on the classpath the
+SCD merges can run as a single transactional MERGE statement; otherwise the
+DataFrame algebra in :mod:`lakeflow.operators.merge` plus
+:class:`lakeflow.tables.VersionedTable` supplies the same semantics
+(merge-on-read → overwrite-on-write, snapshots via manifests).
+
+``detect_lakehouse_format`` probes the JVM classpath — no config parsing, no
+import side effects — so the same pipeline code picks the right path on any
+cluster.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import SparkSession
+
+_EXTENSION_CLASSES = {
+    "iceberg": "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions",
+    "delta": "io.delta.sql.DeltaSparkSessionExtension",
+}
+
+
+def detect_lakehouse_format(spark: SparkSession) -> str | None:
+    """Return "iceberg" / "delta" when the matching session-extension class is
+    loadable, else None (→ use the DataFrame merge fallback)."""
+    jvm = spark.sparkContext._jvm
+    for fmt, cls in _EXTENSION_CLASSES.items():
+        try:
+            jvm.java.lang.Class.forName(cls)
+            return fmt
+        except Exception:
+            continue
+    return None
+
+
+def scd1_merge_sql(
+    target: str, source: str, keys: Sequence[str], cols: Sequence[str]
+) -> str:
+    """The reference's SCD1 upsert MERGE verbatim-in-shape
+    (/root/reference/src/silver/_silver_utils.py:176-186), parameterized."""
+    on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+    sets = ", ".join(f"t.{c} = s.{c}" for c in cols if c not in keys)
+    names = ", ".join(cols)
+    vals = ", ".join(f"s.{c}" for c in cols)
+    return (
+        f"MERGE INTO {target} t USING {source} s ON {on} "
+        f"WHEN MATCHED THEN UPDATE SET {sets} "
+        f"WHEN NOT MATCHED THEN INSERT ({names}) VALUES ({vals})"
+    )
+
+
+def scd2_expire_sql(
+    target: str,
+    source: str,
+    keys: Sequence[str],
+    tracked: Sequence[str],
+    effective_ts: str,
+) -> str:
+    """Phase 1 of the reference's two-phase SCD2
+    (/root/reference/src/silver/_silver_utils.py:136-142): expire current rows
+    whose tracked columns differ null-safely."""
+    on = " AND ".join(f"t.{k} = s.{k}" for k in keys) + " AND t.is_current = 1"
+    changed = " OR ".join(f"NOT (t.{c} <=> s.{c})" for c in tracked)
+    return (
+        f"MERGE INTO {target} t USING {source} s ON {on} "
+        f"WHEN MATCHED AND ({changed}) THEN UPDATE SET "
+        f"t.end_timestamp = TIMESTAMP '{effective_ts}', t.is_current = 0"
+    )
+
+
+def scd2_insert_sql(
+    target: str,
+    source: str,
+    keys: Sequence[str],
+    cols: Sequence[str],
+    effective_ts: str,
+) -> str:
+    """Phase 2 (/root/reference/src/silver/_silver_utils.py:143-149): insert a
+    new current version for every source row without a current match."""
+    on = " AND ".join(f"t.{k} = s.{k}" for k in keys) + " AND t.is_current = 1"
+    names = ", ".join(list(cols) + ["start_timestamp", "end_timestamp", "is_current"])
+    vals = ", ".join(
+        [f"s.{c}" for c in cols] + [f"TIMESTAMP '{effective_ts}'", "NULL", "1"]
+    )
+    return (
+        f"MERGE INTO {target} t USING {source} s ON {on} "
+        f"WHEN NOT MATCHED THEN INSERT ({names}) VALUES ({vals})"
+    )

@@ -492,3 +492,28 @@ def test_observed_metrics_ride_the_action(spark):
     assert observed.count() == 4
     got = obs.get
     assert (got["rows"], got["null_keys"], got["nonpositive"]) == (4, 1, 2)
+
+
+def test_format_detection_and_merge_sql(spark):
+    """No lakehouse jars in this env → detection must return None (DataFrame
+    fallback); the generated MERGE statements must carry the reference's
+    exact clause structure for when a format IS present."""
+    from lakeflow.formats import (
+        detect_lakehouse_format,
+        scd1_merge_sql,
+        scd2_expire_sql,
+        scd2_insert_sql,
+    )
+
+    assert detect_lakehouse_format(spark) is None
+
+    m1 = scd1_merge_sql("silver.dim", "src", ["k"], ["k", "v"])
+    assert "WHEN MATCHED THEN UPDATE SET t.v = s.v" in m1
+    assert "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)" in m1
+
+    e = scd2_expire_sql("silver.dim", "src", ["k"], ["v"], "2024-01-01 00:00:00")
+    assert "t.is_current = 1" in e and "NOT (t.v <=> s.v)" in e
+    assert "t.is_current = 0" in e
+
+    i = scd2_insert_sql("silver.dim", "src", ["k"], ["k", "v"], "2024-01-01 00:00:00")
+    assert "WHEN NOT MATCHED THEN INSERT" in i and "is_current" in i
