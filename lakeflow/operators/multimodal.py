@@ -147,3 +147,40 @@ def sample_frames(media: DataFrame, frame_bytes: int = 256) -> DataFrame:
             )
 
     return media.mapInPandas(do_sample, schema=FRAME_SCHEMA)
+
+
+FEATURES_SCHEMA = "media_id long, embedding array<float>"
+
+
+def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
+    """mapInPandas feature extraction: (media_id, payload) → unit-norm float
+    embedding — the encoder stage of a multimodal training pipeline.
+
+    Stub encoder (no model runtime in container): md5-stream bytes mapped to
+    [-0.5, 0.5) then L2-normalized — deterministic per payload, so tests and
+    oracles can assert exact values. The Spark contract is the real part:
+    binary in, ``array<float>`` out, Arrow-batched, one row per input — a
+    real CLIP/ViT encoder drops in by replacing the inner function, and the
+    output column feeds operators/similarity.py unchanged (cosine top-k, LSH,
+    IVF) for cross-modal retrieval.
+    """
+    import hashlib
+    import math
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vecs = []
+            for p in pdf["payload"]:
+                stream = b""
+                seed = bytes(p)
+                while len(stream) < dim:
+                    seed = hashlib.md5(seed).digest()
+                    stream += seed
+                raw = [b / 256.0 - 0.5 for b in stream[:dim]]
+                nrm = math.sqrt(sum(x * x for x in raw)) or 1.0
+                vecs.append([float(x / nrm) for x in raw])
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"].astype("int64"), "embedding": vecs}
+            )
+
+    return media.mapInPandas(encode, schema=FEATURES_SCHEMA)

@@ -517,3 +517,30 @@ def test_format_detection_and_merge_sql(spark):
 
     i = scd2_insert_sql("silver.dim", "src", ["k"], ["k", "v"], "2024-01-01 00:00:00")
     assert "WHEN NOT MATCHED THEN INSERT" in i and "is_current" in i
+
+
+def test_multimodal_feature_extraction(spark):
+    """Encoder plumbing: one unit-norm dim-16 vector per payload,
+    deterministic across runs, composable with the ANN operators."""
+    from lakeflow.operators.multimodal import attach_binary_payload, extract_features
+    from lakeflow.operators.similarity import brute_force_topk
+
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} body text") for i in range(8)],
+        "doc_id long, text string",
+    )
+    media = attach_binary_payload(docs)
+    feats = extract_features(media, dim=16)
+    rows = feats.collect()
+    assert len(rows) == 8 and all(len(r.embedding) == 16 for r in rows)
+    import math
+
+    for r in rows:
+        assert abs(math.sqrt(sum(x * x for x in r.embedding)) - 1.0) < 1e-5
+    again = {r.media_id: r.embedding for r in extract_features(media, dim=16).collect()}
+    assert all(again[r.media_id] == r.embedding for r in rows)
+
+    topk = brute_force_topk(
+        feats, feats.limit(2), k=3, id_col="media_id", vec_col="embedding"
+    )
+    assert topk.count() == 6
