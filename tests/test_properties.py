@@ -74,3 +74,43 @@ def test_scd1_upsert_is_idempotent(spark, target, source):
     assert {(r.k, r.v) for r in once.collect()} == {
         (r.k, r.v) for r in twice.collect()
     }
+
+
+edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9), st.integers(min_value=0, max_value=9)
+    ).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=15,
+)
+
+
+@given(edges=edges_strategy)
+@settings(**_SETTINGS)
+def test_dup_clusters_matches_union_find(spark, edges):
+    """The distributed min-label propagation must agree with a driver-side
+    union-find on arbitrary graphs (chains, cycles, stars — not just the
+    near-cliques dedup produces)."""
+    from lakeflow.operators.dedup import dup_clusters
+
+    # Reference: classic union-find with min-root canonicalization.
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "id_a long, id_b long"
+    )
+    got = {r.id: r.cluster_id for r in dup_clusters(pairs).collect()}
+    assert got == want
