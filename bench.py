@@ -30,6 +30,8 @@ BENCH_QUERIES = [
     "q9_product_profit",
     "q13_order_count_distribution",
     "q21_waiting_suppliers",
+    "q16_supplier_part_counts",
+    "fuzzy_name_pairs",
     "candles_15m",
     "latest_event_per_user",
     "event_value_delta",
@@ -49,6 +51,7 @@ BENCH_QUERIES = [
     "cosine_topk",
     "ivf_topk",
     "text_quality",
+    "winnow_fingerprints",
     # streaming engine end-to-end
     "stream_candles_15m",
     "stream_stream_view_to_purchase",

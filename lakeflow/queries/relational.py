@@ -1865,7 +1865,10 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, "nk")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("dist", F.levenshtein("name_a", "name_b"))
-        .filter(F.col("dist") <= 2)
+        # Thresholded levenshtein early-exits any pair drifting past the
+        # bound (O(k·n) per pair instead of O(n²)); it returns the true
+        # distance when ≤ threshold, else -1.
+        .withColumn("dist", F.levenshtein("name_a", "name_b", 2))
+        .filter(F.col("dist") >= 0)
         .select("id_a", "id_b", "dist")
     )
