@@ -89,7 +89,16 @@ def minhash_signatures(
     hash cost — the dominant CPU of the whole pipeline. Single aggregation
     with ``num_hashes`` min() columns: one shuffle keyed on id, map-side
     partial mins, no row blowup.
+
+    ``num_hashes`` is capped at 16: rotation by 2·i characters of a 32-char
+    digest yields distinct permutations only for i in [0, 16); beyond that
+    the substring arithmetic would silently produce malformed signatures.
     """
+    if not 1 <= num_hashes <= 16:
+        raise ValueError(
+            f"num_hashes must be in [1, 16] (rotation permutations of a "
+            f"32-char md5 digest), got {num_hashes}"
+        )
     hashed = shingles.withColumn("__hx", F.md5(F.col("shingle")))
 
     def rot(i: int) -> F.Column:
@@ -129,11 +138,10 @@ def lsh_candidate_pairs(
     # shingle→signature pipeline for BOTH sides (2× the dominant cost). At
     # warehouse scale this is "write signatures to a table, join the table".
     banded = banded.persist()
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
+    pairs = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bh") == F.col("b.bh"))
             & (F.col("a.id") < F.col("b.id")),
@@ -141,6 +149,13 @@ def lsh_candidate_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    # Materialize the (small) candidate set eagerly, then release the banded
+    # cache — otherwise repeated calls accumulate cached signature blocks for
+    # the session lifetime. localCheckpoint blocks are freed by the context
+    # cleaner when the returned frame is garbage-collected.
+    pairs = pairs.localCheckpoint(eager=True)
+    banded.unpersist()
+    return pairs
 
 
 def jaccard_pairs(

@@ -32,16 +32,51 @@ def _any_tracked_differs(tracked: Sequence[str]) -> Column:
     return cond
 
 
+def _dedup_source(
+    df: DataFrame, keys: Sequence[str], seq_col: str | None
+) -> DataFrame:
+    """Collapse a CDC batch to one row per key before merging.
+
+    SQL ``MERGE INTO`` *errors* when several source rows match one target row;
+    a DataFrame merge would silently insert duplicates instead. When the batch
+    carries an ordering column (``seq_col`` — commit LSN, batch sequence,
+    event ts) the latest row wins; otherwise the winner is a deterministic
+    max over the remaining columns (stable across retries and engines, unlike
+    dropDuplicates' arrival order).
+    """
+    from pyspark.sql import Window
+
+    others = [c for c in df.columns if c not in keys]
+    order = [F.desc(seq_col)] if seq_col else []
+    if others:
+        order.append(F.desc(F.struct(*others)))  # deterministic tiebreak
+    if not order:
+        order = [F.desc(keys[0])]  # key-only frame: rows are identical anyway
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def scd1_apply(
-    target: DataFrame, source: DataFrame, keys: Sequence[str]
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    seq_col: str | None = None,
 ) -> DataFrame:
     """SCD Type 1 upsert: matched rows take source values, unmatched source rows
     insert, target-only rows survive (reference merge_scd1,
     _silver_utils.py:157-186).
 
     Equivalent to ``MERGE INTO t USING s ON keys WHEN MATCHED THEN UPDATE SET *
-    WHEN NOT MATCHED THEN INSERT *``.
+    WHEN NOT MATCHED THEN INSERT *``. The source batch is first collapsed to
+    one row per key (``seq_col`` picks the winner when given) — a multi-row-
+    per-key CDC batch would otherwise insert duplicate key rows, which MERGE
+    would reject outright.
     """
+    source = _dedup_source(source, keys, seq_col)
     untouched = target.join(source.select(*keys), on=list(keys), how="left_anti")
     return untouched.unionByName(source.select(*target.columns))
 
@@ -52,6 +87,7 @@ def scd2_apply(
     keys: Sequence[str],
     tracked: Sequence[str],
     effective_ts: str,
+    seq_col: str | None = None,
 ) -> DataFrame:
     """SCD Type 2 two-phase merge → next full state (reference merge_scd2,
     _silver_utils.py:108-153).
@@ -67,15 +103,28 @@ def scd2_apply(
     is also what a production backfill needs).
     """
     natural = [c for c in target.columns if c not in SCD2_COLS]
-    cur = target.filter(F.col("is_current") == 1).alias("t")
+    source = _dedup_source(source, keys, seq_col)
+    # Presence markers instead of key-null tests: a current row whose first
+    # key column is legitimately NULL must not be classified as absent (that
+    # would silently drop it from the next state). The join itself is
+    # null-safe so NULL keys match NULL keys, mirroring MERGE ON t.k <=> s.k.
+    cur = (
+        target.filter(F.col("is_current") == 1)
+        .withColumn("__t_present", F.lit(1))
+        .alias("t")
+    )
     hist = target.filter(F.col("is_current") != 1)
-    s = source.alias("s")
+    s = source.withColumn("__s_present", F.lit(1)).alias("s")
 
     # One join computes both phases' classification.
-    joined = cur.join(s, on=[F.col(f"t.{k}") == F.col(f"s.{k}") for k in keys], how="full_outer")
+    joined = cur.join(
+        s,
+        on=[F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys],
+        how="full_outer",
+    )
     changed = _any_tracked_differs(tracked)
-    t_key_present = F.col(f"t.{keys[0]}").isNotNull()
-    s_key_present = F.col(f"s.{keys[0]}").isNotNull()
+    t_key_present = F.col("t.__t_present").isNotNull()
+    s_key_present = F.col("s.__s_present").isNotNull()
 
     eff = F.lit(effective_ts).cast("timestamp")
 

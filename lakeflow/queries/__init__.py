@@ -48,4 +48,49 @@ def _load_all() -> None:
     )
 
 
+# Names that received a green CORRECTNESS row in round 1 (CORRECTNESS_r01.json).
+# The driver verifies queries in registration order and stopped after 50 in
+# round 1, leaving 46 registered queries without a verdict. Per VERDICT.md
+# "Next round #1" we reorder so the unverified queries come FIRST this round:
+# batch/SQL queries before the slow streaming ones (hedges a time-budgeted
+# driver), previously-green queries last. The reorder is deterministic and
+# does not change any query's semantics.
+_ROUND1_GREEN = frozenset(
+    {
+        "scd1_customer_state", "scd2_customer_state", "time_travel_customer_v1",
+        "sql_api_top_nations", "medallion_gold_dim", "exact_dedup_docs",
+        "minhash_lsh_pairs", "ngram_jaccard_pairs", "simhash_signatures",
+        "simhash_near_pairs", "cosine_topk", "lsh_bucketed_topk",
+        "embedding_near_dups", "text_quality", "lang_id", "token_counts",
+        "doc_fingerprints", "token_counts_pandas", "multimodal_meta",
+        "ivf_topk", "frame_sample_plumbing", "jsonl_roundtrip_langs",
+        "dedup_clusters", "hash_sampled_docs", "chunk_documents", "redact_pii",
+        "stratified_lang_sample", "quality_filter_verdict",
+        "filtered_cosine_topk", "winnow_fingerprints", "candles_15m",
+        "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+        "q6_forecast_revenue", "q10_returned_items", "star_dim_customer",
+        "dual_nation_lookup", "latest_event_per_user", "clean_customer",
+        "incremental_orders", "customers_with_big_orders",
+        "customers_without_orders", "event_value_delta", "moving_avg_1h",
+        "top3_orders_per_segment", "custkeys_f_and_o", "custkeys_f_not_o",
+        "order_priority_union", "rollup_status_priority",
+    }
+)
+
+
+def _reorder_for_driver() -> None:
+    """Reorder QUERIES so round-1-unverified queries are checked first."""
+    unchecked = [n for n in QUERIES if n not in _ROUND1_GREEN]
+    # Within the unchecked block, run cheap batch queries before streaming
+    # end-to-end queries (micro-batch machinery dominates their wall time).
+    slow = [n for n in unchecked if n.startswith(("stream_", "pysource_"))]
+    fast = [n for n in unchecked if n not in slow]
+    green = [n for n in QUERIES if n in _ROUND1_GREEN]
+    ordered = fast + slow + green
+    reordered = {n: QUERIES[n] for n in ordered}
+    QUERIES.clear()
+    QUERIES.update(reordered)
+
+
 _load_all()
+_reorder_for_driver()

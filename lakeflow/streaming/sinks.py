@@ -100,13 +100,16 @@ def stream_upsert(
     """
     import tempfile as _tf
 
-    from lakeflow.operators.merge import scd1_apply
+    from lakeflow.operators.merge import _dedup_source, scd1_apply
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         if table.current_version() is None:
-            state = batch_df
+            # First load: still collapse to one row per key — a CDC batch may
+            # carry several versions of the same key (scd1_apply dedups its
+            # source internally on the merge path).
+            state = _dedup_source(batch_df, keys, None)
         else:
             state = scd1_apply(table.read(), batch_df, keys=keys)
         table.commit(state, mode="overwrite")
@@ -144,13 +147,18 @@ def stream_scd2(
     shuffles only (current ∪ batch) rows — history rows never move.
     """
     import tempfile as _tf
+    from datetime import datetime, timedelta
 
     from pyspark.sql import functions as F
 
-    from lakeflow.operators.merge import scd2_apply
+    from lakeflow.operators.merge import _dedup_source, scd2_apply
 
     def default_ts(batch_id: int) -> str:
-        return f"2024-06-01 00:{batch_id % 60:02d}:00"
+        # Monotonic in batch_id (no modulo): effective timestamps must never
+        # repeat or go backward on a long-running stream, or SCD2 start/end
+        # ordering corrupts after enough micro-batches.
+        base = datetime(2024, 6, 1)
+        return (base + timedelta(minutes=batch_id)).strftime("%Y-%m-%d %H:%M:%S")
 
     ts_of = batch_ts or default_ts
 
@@ -159,7 +167,7 @@ def stream_scd2(
             return
         eff = ts_of(batch_id)
         if table.current_version() is None:
-            state = batch_df.withColumn(
+            state = _dedup_source(batch_df, keys, None).withColumn(
                 "start_timestamp", F.lit(eff).cast("timestamp")
             ).withColumn(
                 "end_timestamp", F.lit(None).cast("timestamp")
