@@ -118,13 +118,24 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 4, rows_per_band: int = 4
+    signatures: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Band the signature and emit candidate pairs sharing any band bucket.
 
     Output: (id_a, id_b) with id_a < id_b, distinct. The self-join keys on
-    (band_idx, band_hash) — cost proportional to real collisions. At 100 TB
-    add a salt on huge buckets (degenerate content) before the join.
+    (band_idx, band_hash) — cost proportional to real collisions.
+
+    ``max_bucket`` is the degenerate-bucket guard for huge corpora: a bucket
+    with B members emits O(B²) pairs, and boilerplate-heavy content (empty
+    docs, license headers) produces buckets with millions of members. When
+    set, buckets larger than ``max_bucket`` are split by a secondary md5 salt
+    so per-bucket pair counts stay O(max_bucket²)·splits. Cross-salt pairs
+    inside a degenerate bucket are forgone deliberately — content that
+    degenerate belongs to exact dedup (identical fingerprints), which runs
+    before LSH in the pipeline.
     """
     band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
     banded = signatures.select("id", "sigs", band_idx).select(
@@ -134,6 +145,23 @@ def lsh_candidate_pairs(
             F.array_join(F.slice("sigs", F.col("band") * rows_per_band + 1, rows_per_band), "|")
         ).alias("bh"),
     )
+    if max_bucket is not None:
+        sizes = banded.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("__n"))
+        n_salts = F.greatest(F.ceil(F.col("__n") / max_bucket), F.lit(1))
+        banded = (
+            banded.join(sizes, on=["band", "bh"])
+            .withColumn(
+                "salt",
+                F.pmod(
+                    F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10)
+                    .cast("long"),
+                    n_salts,
+                ),
+            )
+            .drop("__n")
+        )
+    else:
+        banded = banded.withColumn("salt", F.lit(0))
     # Materialize once: the self-join would otherwise recompute the whole
     # shingle→signature pipeline for BOTH sides (2× the dominant cost). At
     # warehouse scale this is "write signatures to a table, join the table".
@@ -144,6 +172,7 @@ def lsh_candidate_pairs(
             banded.alias("b"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.salt") == F.col("b.salt"))
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
@@ -173,6 +202,43 @@ def jaccard_pairs(
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            rnd(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+    )
+    if min_sim > 0:
+        out = out.filter(F.col("jaccard") >= min_sim)
+    return out
+
+
+def jaccard_verify(
+    shingles: DataFrame, candidates: DataFrame, min_sim: float = 0.0
+) -> DataFrame:
+    """Exact n-gram Jaccard for a given candidate pair list — the verification
+    stage of the LSH pipeline (candidates from :func:`lsh_candidate_pairs`).
+
+    Per-pair intersection: candidates (small) broadcast-join the shingle
+    relation on each side, shared shingles are counted per pair. Cost is
+    O(|candidates| · shingles_per_doc) — the raw shingle self-join in
+    :func:`jaccard_pairs` never runs. Pairs with zero shared shingles drop
+    out (their Jaccard is 0, below any positive ``min_sim``).
+    """
+    sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = shingles.withColumnsRenamed({"id": "id_a"})
+    b = shingles.withColumnsRenamed({"id": "id_b"})
+    inter = (
+        a.join(F.broadcast(candidates), "id_a")
+        .join(b, on=["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     out = (

@@ -75,6 +75,19 @@ def _hyperplane(dim: int, plane_idx: int, table_idx: int) -> list[float]:
     return vals
 
 
+def sign_bucket(vec, dim: int, planes: int, table_idx: int = 0):
+    """Sign-random-projection bucket id: bit p = sign(v·h_p) for ``planes``
+    deterministic md5-derived hyperplanes. Pure Catalyst expression."""
+    hp = [
+        F.array(*[F.lit(x) for x in _hyperplane(dim, p, table_idx)])
+        for p in range(planes)
+    ]
+    bits = F.lit(0)
+    for p in range(planes):
+        bits = bits * 2 + F.when(dot(vec, hp[p]) >= 0, 1).otherwise(0)
+    return bits
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -91,15 +104,9 @@ def lsh_bucketed_topk(
     At 100 TB: corpus bucket ids are precomputable and partition-prunable;
     the join fans out per bucket instead of per pair.
     """
-    hp = [
-        F.array(*[F.lit(x) for x in _hyperplane(dim, p, 0)]) for p in range(planes)
-    ]
 
     def bucket(vec):
-        bits = F.lit(0)
-        for p in range(planes):
-            bits = bits * 2 + F.when(dot(vec, hp[p]) >= 0, 1).otherwise(0)
-        return bits
+        return sign_bucket(vec, dim, planes)
 
     q = queries.select(
         F.col(id_col).alias("qid"),
@@ -128,18 +135,80 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    dim: int = 64,
+    planes: int = 8,
+    probe_bits: int = 1,
+    eager: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: cos >= threshold, id_a < id_b.
 
-    Test-scale: full self-join. Scale path: route through LSH buckets first
-    (same trick as lsh_bucketed_topk) so only same-bucket pairs are scored.
+    Scale path (the registered one): sign-projection buckets + multi-probe.
+    Each vector lands in its exact bucket plus every bucket within
+    ``probe_bits`` bit-flips, and pairing is an *equi-join* on the probe key —
+    no nested-loop over all pairs. Two vectors are compared iff their buckets
+    differ by at most 2·probe_bits sign bits, which near-identical vectors
+    (the near-dup regime) virtually always satisfy; recall against the exact
+    form is pinned by a parity test (`embedding_near_dups_exact`). Precision
+    is exact — every candidate is re-scored with the true cosine.
+
+    At 100 TB: bucket ids are computed at ingest; the probe explode costs
+    (planes·probe_bits + 1)× rows but each bucket is a partition-prunable
+    key, so total compare cost is Σ bucket², not n².
     """
     normed = fan_out(corpus).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), norm(vec_col).alias("n")
     )
-    # Materialize once: norms per vector, and the self-join reads the small
-    # normed relation twice instead of recomputing it.
-    normed = normed.persist()
+    bucket = sign_bucket(F.col("v"), dim, planes)
+    if probe_bits not in (0, 1):
+        raise ValueError("probe_bits must be 0 (exact bucket) or 1 (one flip)")
+    probes = [bucket] + (
+        [bucket.bitwiseXOR(F.lit(1 << p)) for p in range(planes)]
+        if probe_bits
+        else []
+    )
+    keyed = normed.select(
+        "id", "v", "n", F.explode(F.array(*probes)).alias("pk")
+    )
+    # Materialize once: the self-join would otherwise recompute the
+    # projections for both sides; release the cache after the (small) pair
+    # set is materialized, mirroring lsh_candidate_pairs.
+    if eager:
+        keyed = keyed.persist()
+    a = keyed.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"), "pk"
+    )
+    b = keyed.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"), "pk"
+    )
+    pairs = (
+        a.join(b, on=["pk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            rnd(dot("va", "vb") / (F.col("na") * F.col("nb")), round_to).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+    if eager:
+        pairs = pairs.localCheckpoint(eager=True)
+        keyed.unpersist()
+    return pairs
+
+
+def embedding_near_dups_exact(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact pairwise form of :func:`embedding_near_dups` — O(n²) nested-loop
+    self-join. Test/oracle twin only: pins the bucketed path's recall."""
+    normed = fan_out(corpus).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), norm(vec_col).alias("n")
+    )
     a = normed.select(
         F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na")
     )

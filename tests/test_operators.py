@@ -544,3 +544,70 @@ def test_multimodal_feature_extraction(spark):
         feats, feats.limit(2), k=3, id_col="media_id", vec_col="embedding"
     )
     assert topk.count() == 6
+
+
+def test_bucketed_near_dups_match_exact_at_high_threshold(spark):
+    """The multi-probe bucketed near-dup join must find exactly the pairs the
+    O(n²) exact form finds in the near-dup regime (cos >= 0.95): vectors that
+    close virtually never straddle >2 sign projections, and the parity here
+    pins it for the fixture corpus + planted perturbed duplicates."""
+    from pyspark.sql import functions as F
+
+    from lakeflow.catalog import load_table
+    from lakeflow.operators.similarity import (
+        embedding_near_dups,
+        embedding_near_dups_exact,
+    )
+
+    from .conftest import SF_DIR
+
+    base = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    # Plant near-identical copies: +1e-3 on the first component, new ids.
+    dups = base.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.concat(
+            F.array(F.col("embedding")[0] + F.lit(1e-3)),
+            F.slice("embedding", 2, 63),
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(dups)
+    got = sorted(
+        tuple(r) for r in embedding_near_dups(corpus, threshold=0.95).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in embedding_near_dups_exact(corpus, threshold=0.95).collect()
+    )
+    assert len(want) >= dups.count()  # every planted pair qualifies
+    assert got == want
+
+
+def test_lsh_salt_guard_bounds_degenerate_buckets(spark):
+    """A corpus of near-identical boilerplate collapses into one LSH bucket;
+    the salt guard must bound per-bucket pair counts instead of emitting
+    O(B²) pairs, and must be a no-op when buckets are under the cap."""
+    from lakeflow.operators import dedup as dd
+
+    docs = spark.range(200).selectExpr(
+        "id AS doc_id",
+        "'the same boilerplate license header text repeated' AS text",
+    )
+    shingles = dd.word_shingles(docs, n=3)
+    sigs = dd.minhash_signatures(shingles, num_hashes=16)
+
+    unsalted = dd.lsh_candidate_pairs(sigs).count()
+    assert unsalted == 200 * 199 // 2  # degenerate: all pairs collide
+
+    salted = dd.lsh_candidate_pairs(sigs, max_bucket=50)
+    n_salted = salted.count()
+    # 4 salt groups of ~50 → ~4·C(50,2); allow hash-imbalance headroom but
+    # require an order-of-magnitude cut vs the unsalted quadratic blowup.
+    assert n_salted < unsalted / 3
+
+    # Under-cap corpora are untouched by the guard.
+    small = sigs.limit(20)
+    a = sorted(tuple(r) for r in dd.lsh_candidate_pairs(small).collect())
+    b = sorted(
+        tuple(r) for r in dd.lsh_candidate_pairs(small, max_bucket=50).collect()
+    )
+    assert a == b

@@ -131,3 +131,27 @@ def test_stratified_sample_is_scan_side(spark):
     """The per-stratum hash filter must not introduce any exchange."""
     plan = _plan(spark, "stratified_lang_sample")
     assert "Exchange" not in plan
+
+
+def test_embedding_near_dups_has_no_nested_loop(spark):
+    """Near-dup pair generation must be an equi-join on the probe key — an
+    all-pairs BroadcastNestedLoopJoin would be O(n²) at corpus scale."""
+    from lakeflow.catalog import load_table
+    from lakeflow.operators.similarity import embedding_near_dups
+
+    df = embedding_near_dups(
+        load_table(spark, SF_DIR, "embeddings"), threshold=0.5, eager=False
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ngram_jaccard_runs_on_lsh_candidates(spark):
+    """The registered Jaccard query must verify LSH candidate pairs (the
+    materialized candidate list feeds the join) — never the raw shingle
+    self-join. The checkpointed candidate set shows up as an RDD scan."""
+    plan = _plan(spark, "ngram_jaccard_pairs")
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
