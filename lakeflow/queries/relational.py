@@ -23,6 +23,7 @@ from pyspark.sql.types import (
 
 from lakeflow.catalog import load_table
 from lakeflow.operators.aggregates import grouped_agg, scalar_max, tumbling_candles
+from lakeflow.operators import linkage as lk
 from lakeflow.operators.joins import anti_join, lookup_chain, semi_join, star_flatten
 from lakeflow.operators.transforms import (
     dedup_latest,
@@ -1841,34 +1842,23 @@ def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance entity matching with blocking: candidate pairs only
-    within a nation block (the classic record-linkage layout), scored with
-    built-in ``levenshtein`` and kept at distance ≤ 2.
+    """Edit-distance entity matching at scale: symmetric-delete (SymSpell)
+    candidate generation — pairs must share a ≤2-deletion variant of the
+    name, an *equi-join* key — then thresholded-levenshtein verification.
 
-    The equi-join on the block key keeps the pair space |block|² instead of
-    |table|², and the distance runs JVM-side post-join — at 100 TB the block
-    key would be a coarser fingerprint (sorted-neighborhood key, phonetic
-    code), but the plan shape is identical."""
+    The deletion-neighborhood join has recall exactly 1 for lev ≤ 2 (any
+    2-edit script normalizes to ≤2 deletions on each side), so the result is
+    provably identical to the naive within-nation self-join the oracle
+    declares — but pair-generation cost is O(n·172 variants) with bucket
+    sizes set by true near-match density, where the fixed 25-nation blocking
+    went quadratic per block as data grew (operators/linkage.py)."""
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey"
     )
-    a = cust.select(
-        F.col("c_custkey").alias("id_a"),
-        F.col("c_name").alias("name_a"),
-        F.col("c_nationkey").alias("nk"),
-    )
-    b = cust.select(
-        F.col("c_custkey").alias("id_b"),
-        F.col("c_name").alias("name_b"),
-        F.col("c_nationkey").alias("nk"),
-    )
-    return (
-        a.join(b, "nk")
-        .filter(F.col("id_a") < F.col("id_b"))
-        # Thresholded levenshtein early-exits any pair drifting past the
-        # bound (O(k·n) per pair instead of O(n²)); it returns the true
-        # distance when ≤ threshold, else -1.
-        .withColumn("dist", F.levenshtein("name_a", "name_b", 2))
-        .filter(F.col("dist") >= 0)
-        .select("id_a", "id_b", "dist")
+    return lk.edit_distance_pairs(
+        cust,
+        text_col="c_name",
+        id_col="c_custkey",
+        block_cols=["c_nationkey"],
+        max_dist=2,
     )

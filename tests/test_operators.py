@@ -611,3 +611,38 @@ def test_lsh_salt_guard_bounds_degenerate_buckets(spark):
         tuple(r) for r in dd.lsh_candidate_pairs(small, max_bucket=50).collect()
     )
     assert a == b
+
+
+def test_deletion_neighborhood_matches_naive_quadratic(spark):
+    """SymSpell candidate generation must have recall 1 for lev <= 2: the
+    edit_distance_pairs result equals the naive within-block self-join on a
+    corpus with substitutions, insertions, deletions, and char runs."""
+    from lakeflow.operators.linkage import edit_distance_pairs
+
+    names = [
+        "Customer#000000001", "Customer#000000101",  # 1 substitution
+        "Customer#000010001", "Customer#100000001",  # 2-sub combos exist
+        "Customer#00000001",                         # deletion (len-1)
+        "Customer#0000000011",                       # insertion (len+1)
+        "Wide#aaaabbbb", "Wide#aaabbbb",             # run deletion
+        "Totally-Different-Name",
+    ]
+    df = spark.createDataFrame(
+        [(i, n, i % 2) for i, n in enumerate(names)], "id long, name string, blk int"
+    )
+    got = sorted(
+        tuple(r)
+        for r in edit_distance_pairs(df, "name", "id", ["blk"], 2).collect()
+    )
+    a = df.selectExpr("id AS id_a", "name AS name_a", "blk")
+    b = df.selectExpr("id AS id_b", "name AS name_b", "blk")
+    naive = (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b", 2))
+        .filter(F.col("dist") >= 0)
+        .selectExpr("id_a", "id_b", "CAST(dist AS INT) AS dist")
+    )
+    want = sorted(tuple(r) for r in naive.collect())
+    assert len(want) > 0
+    assert got == want
