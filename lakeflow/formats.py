@@ -43,9 +43,15 @@ def scd1_merge_sql(
     target: str, source: str, keys: Sequence[str], cols: Sequence[str]
 ) -> str:
     """The reference's SCD1 upsert MERGE verbatim-in-shape
-    (/root/reference/src/silver/_silver_utils.py:176-186), parameterized."""
-    on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
-    sets = ", ".join(f"t.{c} = s.{c}" for c in cols if c not in keys)
+    (/root/reference/src/silver/_silver_utils.py:176-186), parameterized.
+
+    Portability choices (verified by executing the generated statement —
+    tests/test_merge_sql_execution.py): SET columns are unqualified (Delta
+    rejects ``SET t.c = ...``; Iceberg accepts both) and key matching is
+    null-safe ``<=>`` so a NULL key matches its NULL counterpart exactly like
+    the DataFrame twin (operators.merge.scd1_apply)."""
+    on = " AND ".join(f"t.{k} <=> s.{k}" for k in keys)
+    sets = ", ".join(f"{c} = s.{c}" for c in cols if c not in keys)
     names = ", ".join(cols)
     vals = ", ".join(f"s.{c}" for c in cols)
     return (
@@ -64,13 +70,14 @@ def scd2_expire_sql(
 ) -> str:
     """Phase 1 of the reference's two-phase SCD2
     (/root/reference/src/silver/_silver_utils.py:136-142): expire current rows
-    whose tracked columns differ null-safely."""
-    on = " AND ".join(f"t.{k} = s.{k}" for k in keys) + " AND t.is_current = 1"
+    whose tracked columns differ null-safely. Unqualified SET columns +
+    null-safe key matching, as in :func:`scd1_merge_sql`."""
+    on = " AND ".join(f"t.{k} <=> s.{k}" for k in keys) + " AND t.is_current = 1"
     changed = " OR ".join(f"NOT (t.{c} <=> s.{c})" for c in tracked)
     return (
         f"MERGE INTO {target} t USING {source} s ON {on} "
         f"WHEN MATCHED AND ({changed}) THEN UPDATE SET "
-        f"t.end_timestamp = TIMESTAMP '{effective_ts}', t.is_current = 0"
+        f"end_timestamp = TIMESTAMP '{effective_ts}', is_current = 0"
     )
 
 
@@ -83,7 +90,7 @@ def scd2_insert_sql(
 ) -> str:
     """Phase 2 (/root/reference/src/silver/_silver_utils.py:143-149): insert a
     new current version for every source row without a current match."""
-    on = " AND ".join(f"t.{k} = s.{k}" for k in keys) + " AND t.is_current = 1"
+    on = " AND ".join(f"t.{k} <=> s.{k}" for k in keys) + " AND t.is_current = 1"
     names = ", ".join(list(cols) + ["start_timestamp", "end_timestamp", "is_current"])
     vals = ", ".join(
         [f"s.{c}" for c in cols] + [f"TIMESTAMP '{effective_ts}'", "NULL", "1"]

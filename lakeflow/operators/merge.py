@@ -74,10 +74,16 @@ def scd1_apply(
     WHEN NOT MATCHED THEN INSERT *``. The source batch is first collapsed to
     one row per key (``seq_col`` picks the winner when given) — a multi-row-
     per-key CDC batch would otherwise insert duplicate key rows, which MERGE
-    would reject outright.
+    would reject outright. The anti-join is null-safe, matching the generated
+    MERGE's ``<=>`` ON clause: a NULL key updates its NULL counterpart rather
+    than duplicating it (pinned by tests/test_merge_sql_execution.py).
     """
     source = _dedup_source(source, keys, seq_col)
-    untouched = target.join(source.select(*keys), on=list(keys), how="left_anti")
+    untouched = target.alias("t").join(
+        source.select(*keys).alias("s"),
+        on=[F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys],
+        how="left_anti",
+    )
     return untouched.unionByName(source.select(*target.columns))
 
 

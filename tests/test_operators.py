@@ -507,13 +507,15 @@ def test_format_detection_and_merge_sql(spark):
 
     assert detect_lakehouse_format(spark) is None
 
+    # SET columns unqualified (Delta rejects t.-prefixed), ON null-safe.
     m1 = scd1_merge_sql("silver.dim", "src", ["k"], ["k", "v"])
-    assert "WHEN MATCHED THEN UPDATE SET t.v = s.v" in m1
+    assert "ON t.k <=> s.k" in m1
+    assert "WHEN MATCHED THEN UPDATE SET v = s.v" in m1
     assert "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)" in m1
 
     e = scd2_expire_sql("silver.dim", "src", ["k"], ["v"], "2024-01-01 00:00:00")
     assert "t.is_current = 1" in e and "NOT (t.v <=> s.v)" in e
-    assert "t.is_current = 0" in e
+    assert "is_current = 0" in e
 
     i = scd2_insert_sql("silver.dim", "src", ["k"], ["k", "v"], "2024-01-01 00:00:00")
     assert "WHEN NOT MATCHED THEN INSERT" in i and "is_current" in i
