@@ -218,6 +218,64 @@ def quality_filter(
     )
 
 
+def winnow_fingerprints_jvm(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints as pure Catalyst window functions — the 100 TB
+    path (no Python workers); result-identical to the UDTF form
+    (:func:`winnow_fingerprints`, kept as the SURVEY §2.10 surface demo).
+
+    The rightmost-minimum selection collapses into a single windowed
+    aggregate: ``min(struct(h, -i))`` over a ``window``-wide row frame is
+    lexicographic, so it picks the smallest hash and, among ties, the largest
+    position — exactly Schleimer et al.'s tie-break. One shuffle for the
+    per-doc window sort, one for the final distinct.
+    """
+    from pyspark.sql import Window
+
+    from lakeflow.operators.dedup import normalize_text
+
+    toks = F.split(normalize_text(text_col), " ")
+    toked = df.select(F.col(id_col), toks.alias("__toks")).filter(
+        F.size("__toks") >= k + window - 1  # UDTF guard: m >= window
+    )
+    # Hash every k-gram: one md5 per gram, positions 0..m-1.
+    hs = F.transform(
+        F.sequence(F.lit(0), F.size("__toks") - k),
+        lambda i: F.conv(
+            F.substring(F.md5(F.array_join(F.slice("__toks", i + 1, k), " ")), 1, 8),
+            16,
+            10,
+        ).cast("bigint"),
+    )
+    grams = toked.select(F.col(id_col), F.posexplode(hs).alias("i", "h"))
+    frame = (
+        Window.partitionBy(id_col).orderBy("i").rowsBetween(0, window - 1)
+    )
+    sel = (
+        grams.select(
+            F.col(id_col),
+            "i",
+            F.count(F.lit(1)).over(Window.partitionBy(id_col)).alias("m"),
+            F.min(F.struct(F.col("h"), (-F.col("i")).alias("neg_i")))
+            .over(frame)
+            .alias("ws"),
+        )
+        .filter(F.col("i") <= F.col("m") - window)
+        .select(
+            F.col(id_col),
+            (-F.col("ws.neg_i")).cast("int").alias("pos"),
+            F.col("ws.h").alias("h"),
+        )
+        .distinct()
+    )
+    return sel
+
+
 def winnow_fingerprints(
     df: DataFrame,
     text_col: str = "text",

@@ -853,7 +853,9 @@ def filtered_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing local fingerprints via Python UDTF (operators/text.py) —
-    plagiarism-detection-grade near-dup evidence; the oracle reproduces the
-    rightmost-min window selection in pure SQL."""
-    return tx.winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+    """Winnowing local fingerprints (Schleimer et al.) via pure Catalyst
+    window functions — min(struct(h, -i)) over a sliding row frame picks the
+    rightmost minimum with no Python in the path. The UDTF twin
+    (operators/text.py winnow_fingerprints) stays as the §2.10 surface demo;
+    a parity test pins the two identical."""
+    return tx.winnow_fingerprints_jvm(load_table(spark, sf_dir, "documents"))

@@ -648,3 +648,19 @@ def test_deletion_neighborhood_matches_naive_quadratic(spark):
     want = sorted(tuple(r) for r in naive.collect())
     assert len(want) > 0
     assert got == want
+
+
+def test_winnow_jvm_matches_udtf(spark):
+    """The Catalyst-window winnowing (registered query) must reproduce the
+    UDTF form exactly — same fingerprint positions and hashes, including
+    rightmost-min tie-breaks and the short-document guard."""
+    from lakeflow.catalog import load_table
+    from lakeflow.operators.text import winnow_fingerprints, winnow_fingerprints_jvm
+
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    jvm = sorted(tuple(r) for r in winnow_fingerprints_jvm(docs).collect())
+    udtf = sorted(tuple(r) for r in winnow_fingerprints(docs).collect())
+    assert len(jvm) > 0
+    assert jvm == udtf
