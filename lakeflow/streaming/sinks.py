@@ -81,6 +81,23 @@ def run_to_memory(
     return name, q
 
 
+BUCKET_COL = "__bucket"
+
+
+def _with_bucket(df: DataFrame, keys: list[str], num_buckets: int) -> DataFrame:
+    """Stable key-hash bucket column: the merge partition key. xxhash64 of
+    the natural key is engine- and retry-stable, so a key always lands in
+    the same bucket — the property partition-scoped rewrites rely on."""
+    from pyspark.sql import functions as F
+
+    return df.withColumn(
+        BUCKET_COL,
+        F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(num_buckets)).cast(
+            "int"
+        ),
+    )
+
+
 def stream_upsert(
     df: DataFrame,
     table,
@@ -88,6 +105,7 @@ def stream_upsert(
     checkpoint: str | None = None,
     available_now: bool = True,
     processing_time: str | None = None,
+    num_buckets: int | None = None,
 ) -> StreamingQuery:
     """Streaming upsert (the Iceberg/Delta ``MERGE INTO`` streaming sink,
     reference T5 + M3 combined) into a :class:`lakeflow.tables.VersionedTable`.
@@ -95,8 +113,14 @@ def stream_upsert(
     Each micro-batch SCD1-merges into the current snapshot via foreachBatch
     and commits a new version — so the table stays queryable (and
     time-travelable) between batches, and a replayed batch after failure
-    re-merges idempotently (same keys → same state). At scale, partition the
-    table on a stable key hash so each merge rewrites only touched partitions.
+    re-merges idempotently (same keys → same state).
+
+    With ``num_buckets`` set, the table is partitioned on a stable key-hash
+    bucket and each micro-batch reads, merges, and rewrites ONLY the buckets
+    its keys touch (``VersionedTable.commit_replace_partitions``) — per-batch
+    cost O(batch ∪ touched buckets), not O(table). Without it, the merge
+    rewrites the full state (fine for small dimensions, the reference's own
+    regime).
     """
     import tempfile as _tf
 
@@ -104,6 +128,18 @@ def stream_upsert(
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
+            return
+        if num_buckets is not None:
+            batch = _with_bucket(batch_df, keys, num_buckets)
+            touched = [
+                r[0] for r in batch.select(BUCKET_COL).distinct().collect()
+            ]
+            if table.current_version() is None:
+                state = _dedup_source(batch, keys, None)
+            else:
+                current = table.read_partitions(BUCKET_COL, touched)
+                state = scd1_apply(current, batch, keys=keys)
+            table.commit_replace_partitions(state, BUCKET_COL)
             return
         if table.current_version() is None:
             # First load: still collapse to one row per key — a CDC batch may
@@ -133,10 +169,15 @@ def stream_scd2(
     checkpoint: str | None = None,
     available_now: bool = True,
     processing_time: str | None = None,
+    num_buckets: int | None = None,
 ) -> StreamingQuery:
     """Streaming SCD Type 2 history build (reference M2 lifted into the
     streaming path): each micro-batch expires changed current rows and
     inserts new versions into a :class:`lakeflow.tables.VersionedTable`.
+
+    ``num_buckets`` enables partition-scoped rewrites exactly as in
+    :func:`stream_upsert`: history and current rows of a key share its hash
+    bucket, so expiring + inserting a key's versions touches only its bucket.
 
     ``batch_ts`` maps batch_id → effective timestamp literal so replays are
     deterministic (the reference's ``current_timestamp()`` is not); the
@@ -162,16 +203,34 @@ def stream_scd2(
 
     ts_of = batch_ts or default_ts
 
+    def first_state(batch: DataFrame, eff: str) -> DataFrame:
+        return (
+            _dedup_source(batch, keys, None)
+            .withColumn("start_timestamp", F.lit(eff).cast("timestamp"))
+            .withColumn("end_timestamp", F.lit(None).cast("timestamp"))
+            .withColumn("is_current", F.lit(1))
+        )
+
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         eff = ts_of(batch_id)
+        if num_buckets is not None:
+            batch = _with_bucket(batch_df, keys, num_buckets)
+            touched = [
+                r[0] for r in batch.select(BUCKET_COL).distinct().collect()
+            ]
+            if table.current_version() is None:
+                state = first_state(batch, eff)
+            else:
+                current = table.read_partitions(BUCKET_COL, touched)
+                state = scd2_apply(
+                    current, batch, keys=keys, tracked=tracked, effective_ts=eff
+                )
+            table.commit_replace_partitions(state, BUCKET_COL, _operation="scd2")
+            return
         if table.current_version() is None:
-            state = _dedup_source(batch_df, keys, None).withColumn(
-                "start_timestamp", F.lit(eff).cast("timestamp")
-            ).withColumn(
-                "end_timestamp", F.lit(None).cast("timestamp")
-            ).withColumn("is_current", F.lit(1))
+            state = first_state(batch_df, eff)
         else:
             state = scd2_apply(
                 table.read(), batch_df, keys=keys, tracked=tracked, effective_ts=eff

@@ -144,7 +144,124 @@ class VersionedTable:
         os.replace(tmp, os.path.join(self._snap_dir, f"{version:08d}.json"))
         return version
 
+    def commit_replace_partitions(
+        self,
+        df: DataFrame,
+        partition_col: str,
+        stats_cols: Sequence[str] | None = None,
+        _operation: str = "replace_partitions",
+    ) -> int:
+        """Commit ``df`` as the new state of exactly the partitions it
+        contains; every other partition's data dirs carry over untouched.
+
+        This is Iceberg's copy-on-write replace-partitions, at directory
+        granularity: the manifest records which ``partition_col`` values each
+        dir holds (``dir_parts``). A commit keeps disjoint dirs as-is, writes
+        the new rows to one fresh dir, and rewrites only the *remainder* of
+        dirs that mix touched and untouched partitions (steady-state
+        streaming converges to partition-pure dirs, so per-batch write cost
+        is O(touched partitions), never O(table)).
+        """
+        from pyspark.sql import functions as F
+
+        shadow = f"{partition_col}__p"
+
+        def write_split(frame: DataFrame) -> dict[str, list[str]]:
+            """One write job, split into per-partition subdirectories via a
+            shadow copy of the partition column (partitionBy strips its
+            column from the data files; the shadow keeps the real column in
+            place). Each subdir enters the manifest as a partition-pure dir.
+            """
+            base = os.path.join(self.root, "data", uuid.uuid4().hex)
+            frame.withColumn(shadow, F.col(partition_col)).write.mode(
+                "overwrite"
+            ).partitionBy(shadow).parquet(base)
+            return {
+                os.path.join(base, name): [name.split("=", 1)[1]]
+                for name in os.listdir(base)
+                if name.startswith(f"{shadow}=")
+            }
+
+        # Partition values are canonicalized to their directory-name strings
+        # so manifest coverage and batch-touched sets always compare equal.
+        touched = {
+            str(r[0]) for r in df.select(partition_col).distinct().collect()
+        }
+        prev = self.current_version()
+        keep_dirs: list[str] = []
+        rewrite_dirs: list[str] = []
+        stats: dict = {}
+        dir_parts: dict[str, list] = {}
+        if prev is not None:
+            m = self._manifest(prev)
+            stats = dict(m.get("stats", {}))
+            prev_parts = m.get("dir_parts", {})
+            for d in m["dirs"]:
+                parts = prev_parts.get(d)
+                if parts is not None and not (set(parts) & touched):
+                    keep_dirs.append(d)
+                    dir_parts[d] = parts
+                else:
+                    # Unknown coverage or overlap → its untouched remainder
+                    # must be rewritten (empty in steady state: write_split
+                    # keeps every dir single-partition).
+                    rewrite_dirs.append(d)
+
+        new_dirs: list[str] = []
+        if rewrite_dirs:
+            remainder = self.spark.read.parquet(*rewrite_dirs).filter(
+                ~F.col(partition_col).cast("string").isin(list(touched))
+            )
+            rem = write_split(remainder)
+            new_dirs.extend(rem)
+            dir_parts.update(rem)
+        new = write_split(df)
+        new_dirs.extend(new)
+        dir_parts.update(new)
+
+        version = (prev or 0) + 1
+        manifest = {
+            "version": version,
+            "operation": _operation,
+            "dirs": keep_dirs + new_dirs,
+            "stats": {d: s for d, s in stats.items() if d in keep_dirs},
+            "dir_parts": dir_parts,
+        }
+        tmp = os.path.join(self._snap_dir, f".{version:08d}.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, os.path.join(self._snap_dir, f"{version:08d}.json"))
+        return version
+
     # -- read path ---------------------------------------------------------
+    def read_partitions(
+        self, partition_col: str, values: Sequence, version: int | None = None
+    ) -> DataFrame:
+        """Scan only the dirs whose recorded partition coverage intersects
+        ``values`` (dirs without coverage info are conservatively read); the
+        residual filter keeps results exact. The streaming-merge read path:
+        a micro-batch touching 3 of 1024 buckets reads ~3/1024 of the table.
+        """
+        from pyspark.sql import functions as F
+
+        if version is None:
+            version = self.current_version()
+        if version is None:
+            raise ValueError(f"table {self.root} has no snapshots")
+        m = self._manifest(version)
+        dir_parts = m.get("dir_parts", {})
+        vals = {str(v) for v in values}
+        dirs = [
+            d
+            for d in m["dirs"]
+            if dir_parts.get(d) is None or (set(dir_parts[d]) & vals)
+        ]
+        if not dirs:
+            return self.read(version).filter(F.lit(False))
+        return self.spark.read.parquet(*dirs).filter(
+            F.col(partition_col).cast("string").isin(list(vals))
+        )
+
     def read(self, version: int | None = None) -> DataFrame:
         """Scan the table at ``version`` (default: latest) — ``FOR VERSION
         AS OF`` over the manifest's directory list."""

@@ -223,3 +223,84 @@ def test_stream_scd2_builds_history_per_microbatch(spark, tmp_path):
     # key 2 unchanged: single current row
     assert len(by_key[2]) == 1 and by_key[2][0].is_current == 1
     assert table.current_version() == 2
+
+
+def test_partition_scoped_stream_upsert_rewrites_only_touched_buckets(
+    spark, tmp_path
+):
+    """With num_buckets set, a micro-batch must rewrite only the data dirs of
+    the key-hash buckets it touches: dirs for untouched buckets carry over
+    into the next manifest verbatim, and replaying a batch is idempotent."""
+    from lakeflow.streaming.sinks import BUCKET_COL, _with_bucket, stream_upsert
+    from lakeflow.tables import VersionedTable
+
+    n_buckets = 8
+    table = VersionedTable(spark, str(tmp_path / "tbl"))
+
+    # Batch 1: a broad first load across many buckets.
+    batch1 = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(40)], "k long, v string"
+    )
+    # Batch 2: touches exactly one key → one bucket.
+    batch2 = spark.createDataFrame([(7, "UPDATED")], "k long, v string")
+
+    import shutil
+
+    src = tmp_path / "stream"
+    src.mkdir()
+    for i, b in enumerate([batch1, batch2]):
+        d = tmp_path / f"b{i}"
+        b.coalesce(1).write.parquet(str(d))
+        for f in d.glob("*.parquet"):
+            dst = src / f"{i:03d}.parquet"
+            shutil.copy(f, dst)
+            import os as _os
+
+            _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.schema("k long, v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = stream_upsert(stream, table, keys=["k"], num_buckets=n_buckets)
+    q.awaitTermination()
+
+    # Semantics: plain SCD1 ground truth.
+    state = {(r.k, r.v) for r in table.read().select("k", "v").collect()}
+    want = {(i, f"v{i}") for i in range(40) if i != 7} | {(7, "UPDATED")}
+    assert state == want
+
+    # Scope: batch 2's manifest keeps batch 1's dir for every untouched
+    # bucket; only the touched bucket's data moved.
+    assert table.current_version() == 2
+    m1, m2 = table._manifest(1), table._manifest(2)
+    touched = {
+        r[0]
+        for r in _with_bucket(batch2, ["k"], n_buckets)
+        .select(BUCKET_COL)
+        .distinct()
+        .collect()
+    }
+    carried = set(m1["dirs"]) & set(m2["dirs"])
+    assert carried, "untouched-bucket dirs must carry over, not be rewritten"
+    for d in carried:
+        assert not (set(m2["dir_parts"][d]) & touched)
+    # Every touched bucket's data lives in a new dir.
+    new_dirs = set(m2["dirs"]) - set(m1["dirs"])
+    assert new_dirs
+
+    # Reading one bucket scans a strict subset of dirs.
+    sub = table.read_partitions(BUCKET_COL, list(touched))
+    assert {(r.k, r.v) for r in sub.select("k", "v").collect()} >= {(7, "UPDATED")}
+
+    # Replay idempotency: applying batch 2 again yields identical state.
+    from lakeflow.operators.merge import scd1_apply
+
+    b2 = _with_bucket(batch2, ["k"], n_buckets)
+    again = scd1_apply(
+        table.read_partitions(BUCKET_COL, list(touched)), b2, keys=["k"]
+    )
+    table.commit_replace_partitions(again, BUCKET_COL)
+    state3 = {(r.k, r.v) for r in table.read().select("k", "v").collect()}
+    assert state3 == want
