@@ -213,3 +213,51 @@ def medallion_gold_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipe = build_medallion_pipeline(spark, cust_csv, nat_csv, f"{work}/wh")
     results = pipe.run()
     return spark.read.parquet(results["gold_dim_customer"])
+
+
+@register(
+    "ddl_roundtrip",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('AAA', '2024-01-02 09:15:00', CAST(101.5 AS DOUBLE), CAST(1000 AS BIGINT), CAST(2024 AS INT)),
+        ('AAA', '2024-01-02 09:30:00', CAST(102.25 AS DOUBLE), CAST(1500 AS BIGINT), CAST(2024 AS INT)),
+        ('BBB', '2023-12-29 14:00:00', CAST(55.0 AS DOUBLE), CAST(800 AS BIGINT), CAST(2023 AS INT))
+    ) AS t(symbol, ts_str, close, volume, event_year)
+    """,
+)
+def ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 DDL surface, driver-checked: CREATE SCHEMA / CREATE TABLE
+    PARTITIONED BY / INSERT INTO ... VALUES / SHOW / DESCRIBE / read-back —
+    the capability set of the reference's Trino init script
+    (/root/reference/docker/init/lakehouse_init.sql:1-59) on Spark's managed
+    catalog. Partitioning on event_year mirrors the reference's
+    year-partitioned bronze tables; the read-back is the oracle-compared
+    result, with the timestamp formatted engine-neutrally."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS lakeflow_ddl")
+    spark.sql("DROP TABLE IF EXISTS lakeflow_ddl.ohlcv_demo")
+    spark.sql(
+        """
+        CREATE TABLE lakeflow_ddl.ohlcv_demo (
+            symbol STRING, ts TIMESTAMP, close DOUBLE, volume BIGINT,
+            event_year INT
+        ) USING parquet PARTITIONED BY (event_year)
+        """
+    )
+    spark.sql(
+        """
+        INSERT INTO lakeflow_ddl.ohlcv_demo VALUES
+            ('AAA', TIMESTAMP '2024-01-02 09:15:00', 101.5D, 1000, 2024),
+            ('AAA', TIMESTAMP '2024-01-02 09:30:00', 102.25D, 1500, 2024),
+            ('BBB', TIMESTAMP '2023-12-29 14:00:00', 55.0D, 800, 2023)
+        """
+    )
+    # Introspection surface: must execute (results are engine-specific).
+    spark.sql("SHOW DATABASES").collect()
+    spark.sql("DESCRIBE EXTENDED lakeflow_ddl.ohlcv_demo").collect()
+    return spark.sql(
+        """
+        SELECT symbol, date_format(ts, 'yyyy-MM-dd HH:mm:ss') AS ts_str,
+               close, volume, event_year
+        FROM lakeflow_ddl.ohlcv_demo
+        """
+    )
