@@ -25,19 +25,21 @@ def fan_out(
     A single small parquet file scans as ONE task, so per-row-expensive
     pipelines (shingling, hashing, vector math) run single-threaded no matter
     how many executors exist. One cheap round-robin shuffle of the raw rows
-    buys full parallelism for everything downstream. On a 100 TB input the
-    scan already has thousands of splits and this is a no-op; the explicit
-    partition count keeps AQE from coalescing it away.
+    buys full parallelism for everything downstream.
 
-    ``barrier=True`` repartitions even when parallelism is already sufficient:
-    the exchange doubles as a materialization fence, stopping Catalyst's
-    project-collapsing from inlining an expensive expression (e.g. a regex
-    split) into every downstream reference — see word_shingles.
+    Contract: call this on inputs far below cluster scale (dimension-sized
+    corpora feeding CPU-heavy operators). A 100 TB scan already has
+    thousands of splits — there, skip the helper rather than pay a full
+    shuffle. No ``df.rdd`` probing: converting to an RDD forces a complete
+    physical plan per invocation (r1 VERDICT), so the helper repartitions
+    unconditionally instead of inspecting current parallelism.
+
+    ``barrier=True`` documents call sites where the exchange doubles as a
+    materialization fence, stopping Catalyst's project-collapsing from
+    inlining an expensive expression (e.g. a regex split) into every
+    downstream reference — see word_shingles.
     """
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
-    current = df.rdd.getNumPartitions()
-    if current >= n:
-        return df.repartition(current) if barrier else df
     return df.repartition(n)
 
 

@@ -233,8 +233,19 @@ def ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     catalog. Partitioning on event_year mirrors the reference's
     year-partitioned bronze tables; the read-back is the oracle-compared
     result, with the timestamp formatted engine-neutrally."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
     spark.sql("CREATE DATABASE IF NOT EXISTS lakeflow_ddl")
     spark.sql("DROP TABLE IF EXISTS lakeflow_ddl.ohlcv_demo")
+    # A fresh session's metastore doesn't know a previous run's table, so the
+    # DROP above can't clear its leftover managed location — remove it, or
+    # CREATE fails with LOCATION_ALREADY_EXISTS.
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(
+        os.path.join(wh, "lakeflow_ddl.db", "ohlcv_demo"), ignore_errors=True
+    )
     spark.sql(
         """
         CREATE TABLE lakeflow_ddl.ohlcv_demo (

@@ -114,3 +114,37 @@ def test_dup_clusters_matches_union_find(spark, edges):
     )
     got = {r.id: r.cluster_id for r in dup_clusters(pairs).collect()}
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    names=st.lists(
+        st.text(alphabet="ab1", min_size=0, max_size=8), min_size=2, max_size=12
+    )
+)
+def test_symmetric_delete_pairs_match_naive(spark, names):
+    """SymSpell deletion-neighborhood candidates have recall 1 for lev<=2:
+    edit_distance_pairs equals the naive all-pairs join on arbitrary strings
+    (tiny alphabet maximizes near-matches, indels, and char runs)."""
+    from pyspark.sql import functions as F
+
+    from lakeflow.operators.linkage import edit_distance_pairs
+
+    df = spark.createDataFrame(
+        [(i, n, 0) for i, n in enumerate(names)], "id long, name string, blk int"
+    )
+    got = sorted(
+        tuple(r)
+        for r in edit_distance_pairs(df, "name", "id", ["blk"], 2).collect()
+    )
+    a = df.selectExpr("id AS id_a", "name AS name_a", "blk")
+    b = df.selectExpr("id AS id_b", "name AS name_b", "blk")
+    naive = (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b", 2))
+        .filter(F.col("dist") >= 0)
+        .selectExpr("id_a", "id_b", "CAST(dist AS INT) AS dist")
+    )
+    want = sorted(tuple(r) for r in naive.collect())
+    assert got == want
