@@ -79,7 +79,8 @@ _ROUND1_GREEN = frozenset(
 
 
 def _reorder_for_driver() -> None:
-    """Reorder QUERIES so round-1-unverified queries are checked first."""
+    """Reorder QUERIES and ORACLES so round-1-unverified queries are checked
+    first, whichever dict the driver iterates."""
     unchecked = [n for n in QUERIES if n not in _ROUND1_GREEN]
     # Within the unchecked block, run cheap batch queries before streaming
     # end-to-end queries (micro-batch machinery dominates their wall time).
@@ -90,6 +91,9 @@ def _reorder_for_driver() -> None:
     reordered = {n: QUERIES[n] for n in ordered}
     QUERIES.clear()
     QUERIES.update(reordered)
+    reordered_oracles = {n: ORACLES[n] for n in ordered if n in ORACLES}
+    ORACLES.clear()
+    ORACLES.update(reordered_oracles)
 
 
 _load_all()
