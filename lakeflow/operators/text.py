@@ -218,6 +218,68 @@ def quality_filter(
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 keyword retrieval: top-``k`` docs for a bag of query terms.
+
+    Inverted-index plan shape: tokens explode scan-side (the posting list),
+    term frequencies and doc lengths are algebraic aggregates with map-side
+    combine, and only docs containing ≥1 query term are ever scored (the
+    inner join on the term set IS the index probe). Global top-k is a
+    TakeOrderedAndProject — no full sort. At 100 TB the tf/df relations are
+    the precomputed index tables; the query-time work is |postings(terms)|.
+
+    Determinism contract: per-term contributions are fixed to 6 decimals and
+    summed as integer micro-units, so the total is addition-order-free and
+    any SQL engine replays the exact score (ties broken by id).
+    """
+    from lakeflow.operators.transforms import fan_out
+
+    toks = fan_out(df.select(F.col(id_col).alias("id"), F.col(text_col))).select(
+        "id", F.explode(F.split(normalize_text(text_col), " ")).alias("tok")
+    )
+    dl = toks.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sum_dl")
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(query_terms))
+        .groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    avgdl = F.col("sum_dl") / F.col("n")
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    term_score = idf * (
+        F.col("tf")
+        * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "id",
+            F.floor(term_score * 1_000_000.0 + 0.5).cast("bigint").alias("micro"),
+        )
+        .groupBy("id")
+        .agg((F.sum("micro") / 1_000_000.0).alias("bm25"))
+    )
+    return (
+        scored.select(F.col("id").alias(id_col), "bm25")
+        .orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def winnow_fingerprints_jvm(
     df: DataFrame,
     text_col: str = "text",
@@ -274,6 +336,56 @@ def winnow_fingerprints_jvm(
         .distinct()
     )
     return sel
+
+
+def winnow_containment(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs whose winnowing
+    fingerprints substantially overlap a benchmark/eval set.
+
+    The dominant leakage check in training-data pipelines: any shared
+    passage of ≥ k+window−1 tokens between a training doc and an eval doc
+    shares a fingerprint (the winnowing guarantee), so the contained-share
+    of a doc's distinct fingerprint hashes is a passage-overlap score.
+    Output: (id, n_fp, n_hits, containment, contaminated).
+
+    Scale shape: fingerprints are computed scan-side per doc; the benchmark
+    hash set is tiny relative to the corpus (eval sets are small) and
+    broadcast into a semi-join-style membership count. No pairwise work.
+    """
+    corpus_fp = winnow_fingerprints_jvm(
+        corpus, text_col=text_col, id_col=id_col, k=k, window=window
+    ).select(F.col(id_col).alias("id"), "h").distinct()
+    bench_h = (
+        winnow_fingerprints_jvm(
+            benchmark, text_col=text_col, id_col=id_col, k=k, window=window
+        )
+        .select("h")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    counts = (
+        corpus_fp.join(F.broadcast(bench_h), "h", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fp"),
+            F.count("__hit").alias("n_hits"),
+        )
+    )
+    return counts.select(
+        F.col("id").alias(id_col),
+        "n_fp",
+        "n_hits",
+        rnd(F.col("n_hits") / F.col("n_fp"), 6).alias("containment"),
+        (F.col("n_hits") / F.col("n_fp") >= threshold).alias("contaminated"),
+    )
 
 
 def winnow_fingerprints(

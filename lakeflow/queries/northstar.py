@@ -825,10 +825,8 @@ def filtered_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.brute_force_topk(cand, queries, k=5)
 
 
-@register(
-    "winnow_fingerprints",
-    oracle=f"""
-    WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+_WINNOW_CTE = f"""
+    norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
     toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
     grams AS (
         SELECT doc_id, i,
@@ -849,6 +847,13 @@ def filtered_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
           ON g.doc_id = w.doc_id AND g.i BETWEEN w.s AND w.s + 3 AND g.h = w.wmin
         GROUP BY w.doc_id, w.s, w.wmin
     )
+"""
+
+
+@register(
+    "winnow_fingerprints",
+    oracle=f"""
+    WITH {_WINNOW_CTE}
     SELECT DISTINCT doc_id, CAST(pos AS INT) AS pos, h FROM sel
     """,
 )
@@ -859,3 +864,118 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/text.py winnow_fingerprints) stays as the §2.10 surface demo;
     a parity test pins the two identical."""
     return tx.winnow_fingerprints_jvm(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "bm25_keyword_topk",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+    toks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM norm),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n, sum(dl) AS sum_dl FROM dl),
+    tf AS (
+        SELECT doc_id, tok, count(*) AS tf FROM toks
+        WHERE tok IN ('spark', 'window', 'join') GROUP BY 1, 2
+    ),
+    df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    micro AS (
+        SELECT t.doc_id,
+               CAST(floor(
+                 (ln((n - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE))
+                     + CAST(1.0 AS DOUBLE))
+                  * ((tf * CAST(2.2 AS DOUBLE))
+                     / (tf + CAST(1.2 AS DOUBLE)
+                            * (CAST(0.25 AS DOUBLE)
+                               + (CAST(0.75 AS DOUBLE) * dl) / (sum_dl / n)))))
+                 * 1000000.0 + 0.5) AS BIGINT) AS m
+        FROM tf t JOIN df USING (tok) JOIN dl USING (doc_id), stats
+    ),
+    scored AS (SELECT doc_id, sum(m) / 1000000.0 AS bm25 FROM micro GROUP BY doc_id)
+    SELECT doc_id, bm25 FROM scored ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+)
+def bm25_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for a fixed keyword query — the inverted-index retrieval
+    shape (posting-list explode → algebraic tf/df/dl aggregates → score only
+    docs containing a query term → global top-k). Per-term contributions are
+    fixed-point micro-units so the score is addition-order-free and
+    engine-replayable."""
+    return tx.bm25_topk(
+        load_table(spark, sf_dir, "documents"), ["spark", "window", "join"], k=10
+    )
+
+
+@register(
+    "winnow_decontamination",
+    oracle=f"""
+    WITH {_WINNOW_CTE},
+    fp AS (SELECT DISTINCT doc_id, h FROM sel),
+    meta AS (SELECT doc_id, source FROM documents),
+    bench AS (
+        SELECT DISTINCT f.h FROM fp f JOIN meta m ON f.doc_id = m.doc_id
+        WHERE m.source = 'src0'
+    ),
+    corp AS (
+        SELECT f.doc_id, f.h FROM fp f JOIN meta m ON f.doc_id = m.doc_id
+        WHERE m.source <> 'src0'
+    ),
+    cnt AS (
+        SELECT c.doc_id, count(*) AS n_fp, count(b.h) AS n_hits
+        FROM corp c LEFT JOIN bench b ON c.h = b.h GROUP BY c.doc_id
+    )
+    SELECT doc_id, n_fp, n_hits,
+           (floor((n_hits / n_fp) * 1000000.0 + 0.5) / 1000000.0) AS containment,
+           (n_hits / n_fp) >= CAST(0.5 AS DOUBLE) AS contaminated
+    FROM cnt
+    """,
+)
+def winnow_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: treat source='src0' docs as the eval set
+    and score every other doc by the share of its winnowing fingerprints
+    that appear in the eval set (any shared ≥6-token passage shares a
+    fingerprint). The standard leakage gate before training-data release."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    return tx.winnow_containment(corpus, bench, threshold=0.5)
+
+
+@register(
+    "incremental_doc_dedup",
+    oracle=f"""
+    WITH fps AS (SELECT doc_id, source, md5({_NORM}) AS fp FROM documents),
+    hist AS (SELECT DISTINCT fp FROM fps WHERE source <> 'src19'),
+    batch AS (SELECT * FROM fps WHERE source = 'src19'),
+    fresh AS (
+        SELECT b.fp, min(b.doc_id) AS keep_id, count(*) AS n_in_batch
+        FROM batch b WHERE b.fp NOT IN (SELECT fp FROM hist)
+        GROUP BY b.fp
+    )
+    SELECT fp, keep_id, n_in_batch FROM fresh
+    """,
+)
+def incremental_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus ingestion dedup: a new batch (source='src19') is
+    anti-joined on content fingerprint against the historical corpus, then
+    deduped within itself — only genuinely new content survives. At 100 TB
+    the historical side is the fingerprint index table (one slim column),
+    not the corpus; the anti-join shuffles fingerprints only."""
+    from lakeflow.operators.dedup import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("source") == "src19").select(
+        "doc_id", fingerprint("text").alias("fp")
+    )
+    hist = (
+        docs.filter(F.col("source") != "src19")
+        .select(fingerprint("text").alias("fp"))
+        .distinct()
+    )
+    return (
+        batch.join(hist, "fp", "left_anti")
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_in_batch"),
+        )
+    )

@@ -155,3 +155,11 @@ def test_ngram_jaccard_runs_on_lsh_candidates(spark):
     assert "ExistingRDD" in plan or "LocalTableScan" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_topk_is_take_ordered(spark):
+    """BM25's global top-k must be TakeOrderedAndProject (streamed per
+    partition, k rows to the driver) — never a full global sort."""
+    plan = _plan(spark, "bm25_keyword_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
