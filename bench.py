@@ -52,6 +52,10 @@ BENCH_QUERIES = [
     "ivf_topk",
     "text_quality",
     "winnow_fingerprints",
+    "bm25_keyword_topk",
+    "winnow_decontamination",
+    "embedding_near_dups",
+    "ngram_jaccard_pairs",
     # streaming engine end-to-end
     "stream_candles_15m",
     "stream_stream_view_to_purchase",

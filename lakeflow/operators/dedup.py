@@ -235,8 +235,11 @@ def jaccard_verify(
     sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = shingles.withColumnsRenamed({"id": "id_a"})
     b = shingles.withColumnsRenamed({"id": "id_b"})
+    # Plain equi-joins: AQE broadcasts the candidate list while it is small
+    # and falls back to shuffle when a huge corpus yields many candidates —
+    # forcing broadcast here would OOM exactly at the scale that matters.
     inter = (
-        a.join(F.broadcast(candidates), "id_a")
+        a.join(candidates, "id_a")
         .join(b, on=["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
