@@ -78,16 +78,30 @@ _ROUND1_GREEN = frozenset(
 )
 
 
+# Queries first registered in round 2 — verified locally but never seen by
+# the driver; they rank behind the round-1 registrations still awaiting a
+# driver verdict (those convert SURVEY §2 rows from untested to done).
+_ROUND2_NEW = frozenset(
+    {
+        "ddl_roundtrip", "bm25_keyword_topk", "winnow_decontamination",
+        "incremental_doc_dedup", "table_snapshots_history",
+    }
+)
+
+
 def _reorder_for_driver() -> None:
     """Reorder QUERIES and ORACLES so round-1-unverified queries are checked
     first, whichever dict the driver iterates."""
-    unchecked = [n for n in QUERIES if n not in _ROUND1_GREEN]
+    unchecked = [
+        n for n in QUERIES if n not in _ROUND1_GREEN and n not in _ROUND2_NEW
+    ]
     # Within the unchecked block, run cheap batch queries before streaming
     # end-to-end queries (micro-batch machinery dominates their wall time).
     slow = [n for n in unchecked if n.startswith(("stream_", "pysource_"))]
     fast = [n for n in unchecked if n not in slow]
+    new = [n for n in QUERIES if n in _ROUND2_NEW]
     green = [n for n in QUERIES if n in _ROUND1_GREEN]
-    ordered = fast + slow + green
+    ordered = fast + slow + new + green
     reordered = {n: QUERIES[n] for n in ordered}
     QUERIES.clear()
     QUERIES.update(reordered)

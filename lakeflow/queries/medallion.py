@@ -272,3 +272,37 @@ def ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lakeflow_ddl.ohlcv_demo
         """
     )
+
+
+@register(
+    "table_snapshots_history",
+    oracle="""
+    SELECT * FROM (VALUES
+        (CAST(1 AS INT), 'append',    CAST(1 AS INT)),
+        (CAST(2 AS INT), 'append',    CAST(2 AS INT)),
+        (CAST(3 AS INT), 'overwrite', CAST(1 AS INT)),
+        (CAST(4 AS INT), 'compact',   CAST(1 AS INT))
+    ) AS t(version, operation, n_dirs)
+    """,
+)
+def table_snapshots_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 snapshot-metadata surface: the Iceberg ``t.snapshots`` analog over
+    VersionedTable manifests (reference experiments/spark_iceberg_example.ipynb
+    cells 10-11). Two appends, an overwrite, and a compaction produce a
+    deterministic history — version, operation, and manifest dir count."""
+    import tempfile
+
+    from pyspark.sql import functions as FN
+
+    from lakeflow.tables import VersionedTable
+
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="lakeflow_snap_"))
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    t.commit(cust.filter(FN.col("c_custkey") <= 100), mode="append")
+    t.commit(
+        cust.filter((FN.col("c_custkey") > 100) & (FN.col("c_custkey") <= 200)),
+        mode="append",
+    )
+    t.commit(cust.filter(FN.col("c_custkey") <= 50), mode="overwrite")
+    t.compact()
+    return t.snapshots().select("version", "operation", "n_dirs")

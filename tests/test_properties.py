@@ -148,3 +148,52 @@ def test_symmetric_delete_pairs_match_naive(spark, names):
     )
     want = sorted(tuple(r) for r in naive.collect())
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    batches=st.lists(
+        st.lists(
+            st.tuples(st.integers(0, 30), st.integers(0, 99)),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_partition_scoped_commits_fold_like_scd1(spark, tmp_path_factory, batches):
+    """Folding arbitrary key/value batches through bucket-scoped
+    replace-partitions commits must equal folding them through plain SCD1
+    merges, and every manifest dir must stay partition-pure."""
+    from pyspark.sql import functions as F
+
+    from lakeflow.operators.merge import _dedup_source, scd1_apply
+    from lakeflow.streaming.sinks import BUCKET_COL, _with_bucket
+    from lakeflow.tables import VersionedTable
+
+    root = tmp_path_factory.mktemp("vt")
+    table = VersionedTable(spark, str(root))
+    truth = None
+    for rows in batches:
+        batch = _with_bucket(
+            spark.createDataFrame(rows, "k int, v int"), ["k"], 4
+        )
+        touched = [r[0] for r in batch.select(BUCKET_COL).distinct().collect()]
+        if table.current_version() is None:
+            state = _dedup_source(batch, ["k"], None)
+            truth = state
+        else:
+            state = scd1_apply(
+                table.read_partitions(BUCKET_COL, touched), batch, keys=["k"]
+            )
+            truth = scd1_apply(truth, batch, keys=["k"])
+        table.commit_replace_partitions(state, BUCKET_COL)
+
+    got = sorted(tuple(r) for r in table.read().select("k", "v").collect())
+    want = sorted(tuple(r) for r in truth.select("k", "v").collect())
+    assert got == want
+
+    m = table._manifest(table.current_version())
+    for d, parts in m["dir_parts"].items():
+        assert len(parts) == 1  # write_split keeps dirs partition-pure
