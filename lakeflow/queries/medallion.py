@@ -232,27 +232,27 @@ def ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (/root/reference/docker/init/lakehouse_init.sql:1-59) on Spark's managed
     catalog. Partitioning on event_year mirrors the reference's
     year-partitioned bronze tables; the read-back is the oracle-compared
-    result, with the timestamp formatted engine-neutrally."""
-    import os
-    import shutil
-    from urllib.parse import urlparse
+    result, with the timestamp formatted engine-neutrally.
 
-    spark.sql("CREATE DATABASE IF NOT EXISTS lakeflow_ddl")
+    Locations are explicit tempdirs: the default warehouse lives under the
+    *driver's* cwd (may be read-only), and a fresh session's metastore
+    doesn't know a previous run's managed table, so a leftover managed
+    location would fail CREATE with LOCATION_ALREADY_EXISTS. Unique external
+    locations sidestep both."""
+    import tempfile
+
+    db_loc = tempfile.mkdtemp(prefix="lakeflow_ddl_db_")
+    tbl_loc = tempfile.mkdtemp(prefix="lakeflow_ddl_tbl_")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS lakeflow_ddl LOCATION '{db_loc}'")
     spark.sql("DROP TABLE IF EXISTS lakeflow_ddl.ohlcv_demo")
-    # A fresh session's metastore doesn't know a previous run's table, so the
-    # DROP above can't clear its leftover managed location — remove it, or
-    # CREATE fails with LOCATION_ALREADY_EXISTS.
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    shutil.rmtree(
-        os.path.join(wh, "lakeflow_ddl.db", "ohlcv_demo"), ignore_errors=True
-    )
     spark.sql(
         """
         CREATE TABLE lakeflow_ddl.ohlcv_demo (
             symbol STRING, ts TIMESTAMP, close DOUBLE, volume BIGINT,
             event_year INT
         ) USING parquet PARTITIONED BY (event_year)
-        """
+        LOCATION '{loc}'
+        """.format(loc=tbl_loc)
     )
     spark.sql(
         """
