@@ -1,0 +1,76 @@
+"""Time-series regularization operators (SURVEY.md §2.5 headroom).
+
+The reference's OHLCV domain stops at windowed aggregation; real time-series
+consumers also need *regular* grids: densify each key's observed range onto a
+fixed step and fill the gaps (forward/backward fill at the edges, linear
+interpolation between anchors). Everything here is window functions over one
+per-key sort — one shuffle, no joins beyond the spine attach, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from lakeflow.functions.rounding import rnd
+
+
+def densify_interpolate(
+    present: DataFrame,
+    key_col: str = "user_id",
+    bucket_col: str = "bucket",
+    val_col: str = "v",
+    step: int = 3600,
+    round_to: int = 6,
+) -> DataFrame:
+    """Regularize a sparse (key, bucket, value) series onto a ``step`` grid.
+
+    Each key's spine spans its own [min, max] bucket. Missing buckets take
+    the linear interpolation between the nearest observed anchors; before
+    the first / after the last anchor they take the nearest value (bfill /
+    ffill). Output: (key, bucket, observed, value).
+
+    Scale shape: the spine explode is O(span/step) rows per key; anchors
+    come from running last/first-value windows over ONE per-key sort —
+    the same shuffle the spine join already needs. At 100 TB the bucket
+    column doubles as the time-partition key.
+    """
+    spans = present.groupBy(key_col).agg(
+        F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi")
+    )
+    spine = spans.select(
+        key_col,
+        F.explode(F.sequence("__lo", "__hi", F.lit(step))).alias(bucket_col),
+    )
+    j = spine.join(present, [key_col, bucket_col], "left")
+    v = F.col(val_col)
+    b = F.col(bucket_col)
+    w_prev = (
+        Window.partitionBy(key_col)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy(key_col)
+        .orderBy(bucket_col)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    anchor_b = F.when(v.isNotNull(), b)
+    prev_v = F.last(v, ignorenulls=True).over(w_prev)
+    prev_b = F.last(anchor_b, ignorenulls=True).over(w_prev)
+    next_v = F.first(v, ignorenulls=True).over(w_next)
+    next_b = F.first(anchor_b, ignorenulls=True).over(w_next)
+    filled = (
+        F.when(v.isNotNull(), v)
+        .when(prev_v.isNull(), next_v)  # bfill before the first anchor
+        .when(next_v.isNull(), prev_v)  # ffill after the last anchor
+        .otherwise(
+            prev_v + (next_v - prev_v) * ((b - prev_b) / (next_b - prev_b))
+        )
+    )
+    return j.select(
+        key_col,
+        bucket_col,
+        v.isNotNull().alias("observed"),
+        rnd(filled, round_to).alias(val_col),
+    )

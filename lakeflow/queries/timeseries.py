@@ -217,3 +217,71 @@ def gap_sessions_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         rnd(F.sum("value"), 2).alias("total_value"),
     )
+
+
+@register(
+    "interpolated_hourly_value",
+    oracle="""
+    WITH cents AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS bucket,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        FROM events
+    ),
+    present AS (
+        SELECT user_id, bucket, (sum(c) / count(*)) / 100.0 AS v
+        FROM cents GROUP BY 1, 2
+    ),
+    spans AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi FROM present GROUP BY 1),
+    spine AS (
+        SELECT user_id, unnest(generate_series(lo, hi, 3600)) AS bucket FROM spans
+    ),
+    j AS (
+        SELECT s.user_id, s.bucket, p.v
+        FROM spine s LEFT JOIN present p USING (user_id, bucket)
+    ),
+    w AS (
+        SELECT user_id, bucket, v,
+               last_value(v IGNORE NULLS) OVER
+                   (PARTITION BY user_id ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+               last_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS) OVER
+                   (PARTITION BY user_id ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+               first_value(v IGNORE NULLS) OVER
+                   (PARTITION BY user_id ORDER BY bucket
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+               first_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS) OVER
+                   (PARTITION BY user_id ORDER BY bucket
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+        FROM j
+    )
+    SELECT user_id, bucket, (v IS NOT NULL) AS observed,
+           (floor((CASE WHEN v IS NOT NULL THEN v
+                        WHEN pv IS NULL THEN nv
+                        WHEN nv IS NULL THEN pv
+                        ELSE pv + (nv - pv) * ((bucket - pb) / (nb - pb))
+                   END) * 1000000.0 + 0.5) / 1000000.0) AS v
+    FROM w
+    """,
+)
+def interpolated_hourly_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular hourly grid per user: average event value per present hour
+    (exact integer-cents so the per-bucket mean is order-free), then densify
+    each user's span and fill gaps — linear interpolation between anchors,
+    nearest-value at the edges (operators/timeseries.py). The standard
+    feature-engineering step before any sequence model."""
+    from lakeflow.operators.timeseries import densify_interpolate
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = ev.select(
+        "user_id",
+        (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("bigint").alias("bucket"),
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("c"),
+    )
+    present = cents.groupBy("user_id", "bucket").agg(
+        ((F.sum("c") / F.count(F.lit(1))) / 100.0).alias("v")
+    )
+    return densify_interpolate(
+        present, key_col="user_id", bucket_col="bucket", val_col="v", step=3600
+    )
