@@ -85,7 +85,7 @@ _ROUND2_NEW = frozenset(
     {
         "ddl_roundtrip", "bm25_keyword_topk", "winnow_decontamination",
         "incremental_doc_dedup", "table_snapshots_history",
-        "interpolated_hourly_value",
+        "interpolated_hourly_value", "orc_roundtrip_langs",
     }
 )
 

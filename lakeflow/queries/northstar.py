@@ -979,3 +979,29 @@ def incremental_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_in_batch"),
         )
     )
+
+
+@register(
+    "orc_roundtrip_langs",
+    oracle="""
+    SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def orc_roundtrip_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip fidelity (the second columnar interchange format Spark
+    ships natively): documents → ORC files → read back → aggregate. The
+    oracle aggregates the original table, so any row lost or value mangled
+    by the format conversion breaks the hash."""
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    path = tempfile.mkdtemp(prefix="lakeflow_orc_") + "/docs"
+    docs.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
