@@ -48,14 +48,13 @@ def _load_all() -> None:
     )
 
 
-# Names that received a green CORRECTNESS row in round 1 (CORRECTNESS_r01.json).
-# The driver verifies queries in registration order and stopped after 50 in
-# round 1, leaving 46 registered queries without a verdict. Per VERDICT.md
-# "Next round #1" we reorder so the unverified queries come FIRST this round:
-# batch/SQL queries before the slow streaming ones (hedges a time-budgeted
-# driver), previously-green queries last. The reorder is deterministic and
-# does not change any query's semantics.
-_ROUND1_GREEN = frozenset(
+# Driver-verified queries by round (CORRECTNESS_r01.json / CORRECTNESS_r02.json;
+# regenerate with ``python scripts/update_green_set.py``). A row counts as
+# verified when rows+schema+hash all matched, or when it is a by-design
+# rows-only query (``err == "no_oracle"`` with a non-negative row count) —
+# those two (approx_distinct_users, stream_gap_sessions) get the driver's
+# weaker check every time and must not hog priority slots.
+_VERIFIED_R1 = frozenset(
     {
         "scd1_customer_state", "scd2_customer_state", "time_travel_customer_v1",
         "sql_api_top_nations", "medallion_gold_dim", "exact_dedup_docs",
@@ -77,32 +76,77 @@ _ROUND1_GREEN = frozenset(
     }
 )
 
-
-# Queries first registered in round 2 — verified locally but never seen by
-# the driver; they rank behind the round-1 registrations still awaiting a
-# driver verdict (those convert SURVEY §2 rows from untested to done).
-_ROUND2_NEW = frozenset(
+_VERIFIED_R2 = frozenset(
     {
-        "ddl_roundtrip", "bm25_keyword_topk", "winnow_decontamination",
-        "incremental_doc_dedup", "table_snapshots_history",
-        "interpolated_hourly_value", "orc_roundtrip_langs",
+        "acctbal_distribution_ranks", "approx_distinct_users",
+        "asof_purchase_view", "banded_price_match", "bm25_keyword_topk",
+        "cube_flag_status", "ddl_roundtrip", "distinct_parts_per_flag",
+        "fuzzy_name_pairs", "gap_sessions_batch", "grouping_sets_status_flag",
+        "monthly_revenue", "parse_event_props", "pivot_status_by_priority",
+        "price_percentiles", "pysource_tick_candles", "q11_important_parts",
+        "q12_priority_shipping", "q13_order_count_distribution",
+        "q14_promo_revenue", "q15_top_supplier", "q16_supplier_part_counts",
+        "q17_small_qty_revenue", "q18_large_volume_customers",
+        "q19_disjunctive_revenue", "q20_bulk_suppliers", "q21_waiting_suppliers",
+        "q22_idle_rich_customers", "q2_cheapest_supplier", "q4_order_priority",
+        "q7_nation_volume", "q8_market_share", "q9_product_profit",
+        "recursive_month_spine", "session_windows_30m",
+        "sliding_windows_30m15m", "stats_by_flag", "stream_candles_15m",
+        "stream_event_dedup", "stream_gap_sessions", "stream_session_windows",
+        "stream_static_enrich", "stream_stream_view_to_purchase",
+        "table_snapshots_history", "unpivot_priority_metrics",
+        "user_event_type_sets", "user_value_trend", "variant_props_stats",
+        "weighted_avg_price_udaf", "winnow_decontamination",
+    }
+)
+
+# Queries whose implementation or oracle was rewritten AFTER the round that
+# verified them — their green row belongs to code that no longer exists
+# (VERDICT r2 "What's missing #2", ADVICE r2 medium). Treated as unverified
+# in the reorder so the current code gets a fresh driver verdict.
+_REWRITTEN_SINCE_GREEN = frozenset(
+    {
+        "embedding_near_dups",    # r2: bucketed multi-probe rewrite
+        "ngram_jaccard_pairs",    # r2: LSH-candidate verify rewrite
+        "winnow_fingerprints",    # r2: JVM window-function rewrite
+        "minhash_lsh_pairs",      # r2: salt-guard path added
+        "scd1_customer_state",    # r2: null-key hardening (commit 7d8bfdc)
+        "scd2_customer_state",    # r2: null-key hardening (commit 7d8bfdc)
     }
 )
 
 
 def _reorder_for_driver() -> None:
-    """Reorder QUERIES and ORACLES so round-1-unverified queries are checked
-    first, whichever dict the driver iterates."""
-    unchecked = [
-        n for n in QUERIES if n not in _ROUND1_GREEN and n not in _ROUND2_NEW
+    """Reorder QUERIES and ORACLES so the driver's ~50 verification slots go
+    where they buy new information, whichever dict the driver iterates:
+
+    1. never driver-verified (incl. queries new this round),
+    2. verified once but rewritten since (their verdict is stale),
+    3. previously verified, oldest verdict first (r1 before r2).
+
+    Within blocks 1-2, cheap batch queries run before streaming/pysource
+    end-to-end queries (micro-batch machinery dominates their wall time),
+    hedging a time-budgeted driver.
+    """
+    verified = _VERIFIED_R1 | _VERIFIED_R2
+
+    def slow_last(names: list[str]) -> list[str]:
+        slow = [n for n in names if n.startswith(("stream_", "pysource_"))]
+        return [n for n in names if n not in slow] + slow
+
+    never = slow_last([n for n in QUERIES if n not in verified])
+    stale = slow_last(
+        [n for n in QUERIES if n in _REWRITTEN_SINCE_GREEN]
+    )
+    r1_green = [
+        n for n in QUERIES
+        if n in _VERIFIED_R1 and n not in _REWRITTEN_SINCE_GREEN
     ]
-    # Within the unchecked block, run cheap batch queries before streaming
-    # end-to-end queries (micro-batch machinery dominates their wall time).
-    slow = [n for n in unchecked if n.startswith(("stream_", "pysource_"))]
-    fast = [n for n in unchecked if n not in slow]
-    new = [n for n in QUERIES if n in _ROUND2_NEW]
-    green = [n for n in QUERIES if n in _ROUND1_GREEN]
-    ordered = fast + slow + new + green
+    r2_green = [
+        n for n in QUERIES
+        if n in _VERIFIED_R2 and n not in _REWRITTEN_SINCE_GREEN
+    ]
+    ordered = never + stale + r1_green + r2_green
     reordered = {n: QUERIES[n] for n in ordered}
     QUERIES.clear()
     QUERIES.update(reordered)
