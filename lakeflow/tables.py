@@ -27,11 +27,47 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import uuid
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Row, SparkSession
+
+#: Directory name Hive/Spark use for NULL (and empty-string) partition values.
+HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+_HIVE_ESCAPE_RE = re.compile("%([0-9A-Fa-f]{2})")
+
+
+def _unescape_partition_dir(raw: str) -> str:
+    """Inverse of Hive's ``escapePathName`` (%XX → char).
+
+    Spark escapes ``%`` itself on write, so this is an exact inverse for any
+    directory name Spark produced; applying it to the NULL sentinel is a
+    no-op (it contains no ``%``).
+    """
+    return _HIVE_ESCAPE_RE.sub(lambda m: chr(int(m.group(1), 16)), raw)
+
+
+def _partition_token(partition_col: str):
+    """Canonical partition-identity expression: Spark's string rendering of
+    the value, with NULL and empty string collapsed to the Hive default
+    partition sentinel — exactly how Spark names partition directories
+    (``ExternalCatalogUtils.getPartitionValueString``)."""
+    from pyspark.sql import functions as F
+
+    s = F.col(partition_col).cast("string")
+    return F.when(
+        s.isNull() | (s == ""), F.lit(HIVE_DEFAULT_PARTITION)
+    ).otherwise(s)
+
+
+def _partition_value_token(value) -> str:
+    """Python-side twin of ``_partition_token`` for caller-supplied values."""
+    if value is None or value == "":
+        return HIVE_DEFAULT_PARTITION
+    return str(value)
 
 
 class VersionedTable:
@@ -161,31 +197,47 @@ class VersionedTable:
         dirs that mix touched and untouched partitions (steady-state
         streaming converges to partition-pure dirs, so per-batch write cost
         is O(touched partitions), never O(table)).
-        """
-        from pyspark.sql import functions as F
 
+        Partition identity is the Spark string rendering of the value, with
+        NULL mapped to ``HIVE_DEFAULT_PARTITION`` — the same token on the
+        manifest side (unescaped directory names) and the batch side
+        (``_partition_token`` expression), so Hive-escaped characters
+        (space, ``/``, ``:``...) and NULL partitions replace correctly.
+        Hive-layout caveat: an empty-string value shares the NULL sentinel
+        directory and reads back as NULL, as in Hive/Spark partitioned
+        tables.
+        """
         shadow = f"{partition_col}__p"
 
         def write_split(frame: DataFrame) -> dict[str, list[str]]:
             """One write job, split into per-partition subdirectories via a
             shadow copy of the partition column (partitionBy strips its
             column from the data files; the shadow keeps the real column in
-            place). Each subdir enters the manifest as a partition-pure dir.
+            place). Each subdir enters the manifest as a partition-pure dir,
+            keyed by its canonical (unescaped) partition token.
             """
+            from pyspark.sql import functions as F
+
             base = os.path.join(self.root, "data", uuid.uuid4().hex)
             frame.withColumn(shadow, F.col(partition_col)).write.mode(
                 "overwrite"
             ).partitionBy(shadow).parquet(base)
             return {
-                os.path.join(base, name): [name.split("=", 1)[1]]
+                os.path.join(base, name): [
+                    _unescape_partition_dir(name.split("=", 1)[1])
+                ]
                 for name in os.listdir(base)
                 if name.startswith(f"{shadow}=")
             }
 
-        # Partition values are canonicalized to their directory-name strings
-        # so manifest coverage and batch-touched sets always compare equal.
+        # Canonical tokens of the partitions this batch touches, rendered by
+        # Spark (not Python str()) so they match the directory names Spark
+        # writes and the remainder predicate below.
         touched = {
-            str(r[0]) for r in df.select(partition_col).distinct().collect()
+            r[0]
+            for r in df.select(
+                _partition_token(partition_col).alias("t")
+            ).distinct().collect()
         }
         prev = self.current_version()
         keep_dirs: list[str] = []
@@ -209,8 +261,12 @@ class VersionedTable:
 
         new_dirs: list[str] = []
         if rewrite_dirs:
+            # Token comparison is null-safe: NULL partition rows carry the
+            # sentinel token, so they are kept when untouched and replaced
+            # when the batch touches the NULL partition (a bare ~isin would
+            # evaluate to NULL and silently drop them).
             remainder = self.spark.read.parquet(*rewrite_dirs).filter(
-                ~F.col(partition_col).cast("string").isin(list(touched))
+                ~_partition_token(partition_col).isin(list(touched))
             )
             rem = write_split(remainder)
             new_dirs.extend(rem)
@@ -239,8 +295,9 @@ class VersionedTable:
     ) -> DataFrame:
         """Scan only the dirs whose recorded partition coverage intersects
         ``values`` (dirs without coverage info are conservatively read); the
-        residual filter keeps results exact. The streaming-merge read path:
-        a micro-batch touching 3 of 1024 buckets reads ~3/1024 of the table.
+        residual filter keeps results exact. ``None`` in ``values`` selects
+        the NULL partition. The streaming-merge read path: a micro-batch
+        touching 3 of 1024 buckets reads ~3/1024 of the table.
         """
         from pyspark.sql import functions as F
 
@@ -250,7 +307,7 @@ class VersionedTable:
             raise ValueError(f"table {self.root} has no snapshots")
         m = self._manifest(version)
         dir_parts = m.get("dir_parts", {})
-        vals = {str(v) for v in values}
+        vals = {_partition_value_token(v) for v in values}
         dirs = [
             d
             for d in m["dirs"]
@@ -259,7 +316,7 @@ class VersionedTable:
         if not dirs:
             return self.read(version).filter(F.lit(False))
         return self.spark.read.parquet(*dirs).filter(
-            F.col(partition_col).cast("string").isin(list(vals))
+            _partition_token(partition_col).isin(list(vals))
         )
 
     def read(self, version: int | None = None) -> DataFrame:

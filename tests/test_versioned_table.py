@@ -304,3 +304,63 @@ def test_partition_scoped_stream_upsert_rewrites_only_touched_buckets(
     table.commit_replace_partitions(again, BUCKET_COL)
     state3 = {(r.k, r.v) for r in table.read().select("k", "v").collect()}
     assert state3 == want
+
+
+def test_replace_partitions_with_hive_escaped_values(spark, tmp_path):
+    """Partition values Hive escapes in directory names (space, '/', ':')
+    must still replace — not duplicate — when touched again, and survive
+    untouched when another partition is replaced."""
+    table = VersionedTable(spark, str(tmp_path / "tbl"))
+    base = spark.createDataFrame(
+        [("a b", 1), ("x/y", 2), ("t:00", 3), ("plain", 4)],
+        "cat string, v int",
+    )
+    table.commit_replace_partitions(base, "cat")
+
+    # Replace one escaped partition: its old row must vanish.
+    table.commit_replace_partitions(
+        spark.createDataFrame([("x/y", 20)], "cat string, v int"), "cat"
+    )
+    state = {(r.cat, r.v) for r in table.read().collect()}
+    assert state == {("a b", 1), ("x/y", 20), ("t:00", 3), ("plain", 4)}
+
+    # Replace an unescaped partition: escaped ones carry over exactly once.
+    table.commit_replace_partitions(
+        spark.createDataFrame([("plain", 40)], "cat string, v int"), "cat"
+    )
+    state = {(r.cat, r.v) for r in table.read().collect()}
+    assert state == {("a b", 1), ("x/y", 20), ("t:00", 3), ("plain", 40)}
+    rows = table.read().collect()
+    assert len(rows) == 4, f"duplicate rows after replace: {rows}"
+
+    # read_partitions addresses escaped values too.
+    got = {(r.cat, r.v) for r in table.read_partitions("cat", ["a b"]).collect()}
+    assert got == {("a b", 1)}
+
+
+def test_replace_partitions_null_partition(spark, tmp_path):
+    """NULL partition rows must neither be dropped by a rewrite of other
+    partitions nor survive a replace that targets the NULL partition."""
+    table = VersionedTable(spark, str(tmp_path / "tbl"))
+    base = spark.createDataFrame(
+        [(None, 1), ("alpha", 2), ("beta", 3)], "cat string, v int"
+    )
+    table.commit_replace_partitions(base, "cat")
+
+    # Touch a non-NULL partition: the NULL row must survive.
+    table.commit_replace_partitions(
+        spark.createDataFrame([("alpha", 20)], "cat string, v int"), "cat"
+    )
+    state = {(r.cat, r.v) for r in table.read().collect()}
+    assert state == {(None, 1), ("alpha", 20), ("beta", 3)}
+
+    # Touch the NULL partition: its old row must be replaced, others kept.
+    table.commit_replace_partitions(
+        spark.createDataFrame([(None, 10)], "cat string, v int"), "cat"
+    )
+    state = {(r.cat, r.v) for r in table.read().collect()}
+    assert state == {(None, 10), ("alpha", 20), ("beta", 3)}
+
+    # None addresses the NULL partition on the read path.
+    got = {(r.cat, r.v) for r in table.read_partitions("cat", [None]).collect()}
+    assert got == {(None, 10)}
