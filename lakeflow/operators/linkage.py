@@ -89,6 +89,13 @@ def edit_distance_pairs(
     # class. On digit-heavy keys this cuts variant duplicates ~2×, and every
     # distinct variant string keeps exactly one representative — recall is
     # unchanged (verified against the naive quadratic join in tests).
+    # The deletion neighborhood multiplies per-row CPU by ~C(len,2): a
+    # narrow scan (one small parquet file → one task) would serialize that
+    # string building on a single core. fan_out spreads the skinny input
+    # rows across all cores before the explode.
+    from lakeflow.operators.transforms import fan_out
+
+    df = fan_out(df)
     first_of_run = (
         f"(x = 1 OR substring({text_col}, x, 1) != substring({text_col}, x - 1, 1))"
     )
@@ -137,7 +144,6 @@ def edit_distance_pairs(
         a.join(b, on=["vh", *block_cols])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
     )
     if eager:
         cand = cand.localCheckpoint(eager=True)
@@ -152,5 +158,10 @@ def edit_distance_pairs(
         # returns the true distance when <= threshold, else -1.
         .withColumn("dist", F.levenshtein("txt_a", "txt_b", max_dist))
         .filter(F.col("dist") >= 0)
+        # Pair dedup runs AFTER the cheap thresholded verify: a true pair
+        # shares ~2 deletion variants on average, so deduping the verified
+        # survivors shuffles far fewer rows than deduping raw candidates
+        # (the duplicate factor is bounded by the variant count either way).
+        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", F.col("dist").cast("int").alias("dist"))
     )
