@@ -97,30 +97,55 @@ def lsh_bucketed_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    num_tables: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: score only candidates in the query's sign-projection
-    bucket. bucket = bits of sign(v·h_p) for ``planes`` fixed hyperplanes.
+    """Approximate top-k: score only candidates sharing the query's
+    sign-projection bucket in at least one of ``num_tables`` hash tables.
+    bucket_t = bits of sign(v·h_{t,p}) for ``planes`` fixed md5-derived
+    hyperplanes per table; more tables = union of candidate sets = higher
+    recall at ``num_tables``× the bucketing cost (the classic LSH recall
+    knob). Candidates colliding in several tables are deduped before
+    scoring, so each (query, candidate) pair is scored once.
 
     At 100 TB: corpus bucket ids are precomputable and partition-prunable;
-    the join fans out per bucket instead of per pair.
+    the join fans out per (table, bucket) instead of per pair.
     """
+    if num_tables < 1:
+        raise ValueError(f"num_tables must be >= 1, got {num_tables}")
 
-    def bucket(vec):
-        return sign_bucket(vec, dim, planes)
+    def table_keys(vec):
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    sign_bucket(vec, dim, planes, t).alias("bkt"),
+                )
+                for t in range(num_tables)
+            ]
+        )
 
     q = queries.select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("qv"),
         norm(vec_col).alias("qn"),
-    ).withColumn("bucket", bucket(F.col("qv")))
+    ).select("qid", "qv", "qn", F.explode(table_keys(F.col("qv"))).alias("tk"))
     c = fan_out(corpus).select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("cv"),
         norm(vec_col).alias("cn"),
-    ).withColumn("bucket", bucket(F.col("cv")))
-    scored = c.join(F.broadcast(q), on="bucket").filter(
-        F.col("qid") != F.col("vid")
-    ).select("qid", "vid", rnd(dot("qv", "cv") / (F.col("qn") * F.col("cn")), round_to).alias("cos"))
+    ).select("vid", "cv", "cn", F.explode(table_keys(F.col("cv"))).alias("tk"))
+    scored = (
+        c.join(F.broadcast(q), on="tk")
+        .filter(F.col("qid") != F.col("vid"))
+        # A pair colliding in multiple tables must score once, not once per
+        # collision (duplicate rows would also break the rank tiebreak).
+        .dropDuplicates(["qid", "vid"])
+        .select(
+            "qid",
+            "vid",
+            rnd(dot("qv", "cv") / (F.col("qn") * F.col("cn")), round_to).alias("cos"),
+        )
+    )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vid"))
     return (
         scored.withColumn("rn", F.row_number().over(w))

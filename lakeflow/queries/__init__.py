@@ -112,6 +112,8 @@ _REWRITTEN_SINCE_GREEN = frozenset(
         "minhash_lsh_pairs",      # r2: salt-guard path added
         "scd1_customer_state",    # r2: null-key hardening (commit 7d8bfdc)
         "scd2_customer_state",    # r2: null-key hardening (commit 7d8bfdc)
+        "lsh_bucketed_topk",      # r3: num_tables generalization (same output)
+        "fuzzy_name_pairs",       # r3: fan_out + late pair dedup (same output)
     }
 )
 

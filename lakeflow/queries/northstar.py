@@ -93,6 +93,55 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "minhash_lsh_salted_pairs",
+    oracle=f"""
+    WITH {_SHINGLES},
+    hashed AS (SELECT doc_id, md5(shingle) AS h FROM sh),
+    seeded AS (
+        SELECT doc_id, i,
+               substr(h, 2 * i + 1) || substr(h, 1, 2 * i) AS hr
+        FROM hashed, UNNEST(range(0, 16)) AS s(i)
+    ),
+    mins AS (SELECT doc_id, i, min(hr) AS mh FROM seeded GROUP BY doc_id, i),
+    sigs AS (SELECT doc_id, list(mh ORDER BY i) AS sigs FROM mins GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id, band_i,
+               md5(array_to_string(sigs[band_i*4+1 : band_i*4+4], '|')) AS bh
+        FROM sigs, UNNEST(range(0, 4)) AS t(band_i)
+    ),
+    sized AS (
+        SELECT doc_id, band_i, bh,
+               greatest(CAST(ceil(count(*) OVER (PARTITION BY band_i, bh) / 2.0)
+                        AS BIGINT), 1) AS n_salts
+        FROM bands
+    ),
+    salted AS (
+        SELECT doc_id, band_i, bh,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % n_salts AS salt
+        FROM sized
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM salted a JOIN salted b
+      ON a.band_i = b.band_i AND a.bh = b.bh AND a.salt = b.salt
+     AND a.doc_id < b.doc_id
+    """,
+)
+def minhash_lsh_salted_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The degenerate-bucket-guarded LSH path: same MinHash banding as
+    minhash_lsh_pairs, but with ``max_bucket=2`` so oversize band buckets are
+    split by a deterministic md5 salt before pairing. At 100 TB this is the
+    guard that keeps boilerplate-heavy buckets (empty docs, license headers)
+    from emitting O(B²) pairs; cross-salt pairs inside a split bucket are
+    deliberately forgone (exact dedup owns that content), and the oracle
+    replays the identical salt split so the approximation is pinned."""
+    docs = load_table(spark, sf_dir, "documents")
+    shingles = dd.word_shingles(docs, n=3)
+    sigs = dd.minhash_signatures(shingles, num_hashes=16)
+    return dd.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4, max_bucket=2)
+
+
+@register(
     "ngram_jaccard_pairs",
     oracle=f"""
     WITH {_SHINGLES},
@@ -255,6 +304,57 @@ def lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return sim.lsh_bucketed_topk(emb, queries, k=5, dim=64, planes=8)
+
+
+_PLANES_T1 = [sim._hyperplane(64, p, 1) for p in range(8)]
+_PLANES_T1_SQL = ", ".join(
+    f"{_vec_sql(v)}::DOUBLE[] AS g{p}" for p, v in enumerate(_PLANES_T1)
+)
+_BUCKET_T1_SQL = (
+    "(" + " + ".join(
+        f"(CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i] * g{p}[i])) >= 0 "
+        f"THEN {1 << (7 - p)} ELSE 0 END)"
+        for p in range(8)
+    ) + ")"
+)
+
+
+@register(
+    "lsh_multitable_topk",
+    oracle=f"""
+    WITH hp AS (SELECT {_PLANES_SQL}, {_PLANES_T1_SQL}),
+    e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+               {_BUCKET_SQL} AS b0, {_BUCKET_T1_SQL} AS b1
+        FROM e, hp
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, b0, b1 FROM n WHERE vec_id < 10),
+    scored AS (
+        SELECT q.qid, c.vec_id AS vid,
+               (floor((list_sum(list_transform(range(1, 65), i -> qv[i] * c.v[i]))
+                     / (qn * c.nrm)) * 1000000.0 + 0.5) / 1000000.0) AS cos
+        FROM q JOIN n c
+          ON (q.b0 = c.b0 OR q.b1 = c.b1) AND c.vec_id <> q.qid
+    )
+    SELECT qid, vid, cos FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def lsh_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH recall knob exercised: two independent sign-projection hash
+    tables (md5-derived hyperplane sets 0 and 1), candidates = union of
+    same-bucket matches across tables, each pair scored once. Recall strictly
+    dominates the single-table query at 2× bucketing cost; the oracle replays
+    both tables, so the approximation stays hash-pinned."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return sim.lsh_bucketed_topk(emb, queries, k=5, dim=64, planes=8, num_tables=2)
 
 
 _PROBES_SQL = "[bucket, " + ", ".join(f"xor(bucket, {1 << p})" for p in range(8)) + "]"

@@ -688,3 +688,45 @@ def test_kafka_stream_surface(spark):
         pytest.skip("kafka connector jar not on classpath; wiring verified")
     assert df.isStreaming
     assert set(df.columns) == {"symbol", "time", "close"}
+
+
+def test_multitable_lsh_recall_monotone_vs_brute_force(spark):
+    """The num_tables knob must buy recall: candidates are unioned across
+    independent hash tables, so recall@5 against the exact brute-force top-5
+    is non-decreasing in num_tables, and multi-table strictly improves on
+    single-table for the fixture corpus (which has known misses at 1 table).
+    num_tables=1 must reproduce the original single-table results exactly."""
+    from pyspark.sql import functions as F
+
+    from lakeflow.catalog import load_table
+    from lakeflow.operators.similarity import brute_force_topk, lsh_bucketed_topk
+
+    from .conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.qid, r.vid) for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    assert exact
+
+    recalls = {}
+    results = {}
+    # 4 planes (16 buckets): collision probability per table is high enough
+    # at fixture scale that extra tables measurably move recall; 8 planes
+    # leaves non-near-dup neighbors in distinct buckets at any table count.
+    for t in (1, 2, 4):
+        got = {
+            (r.qid, r.vid)
+            for r in lsh_bucketed_topk(
+                emb, queries, k=5, dim=64, planes=4, num_tables=t
+            ).collect()
+        }
+        results[t] = got
+        recalls[t] = len(got & exact) / len(exact)
+    assert recalls[1] <= recalls[2] <= recalls[4], recalls
+    assert recalls[4] > recalls[1], recalls
+    # Each extra table only ever adds candidates for the same (planes, dim):
+    # a pair found at t tables is still bucket-matched at t+1 tables, and the
+    # exact-cosine ranking is identical — so hits only grow.
+    assert results[1] & exact <= results[2] & exact <= results[4] & exact
