@@ -135,3 +135,126 @@ def test_scd2_merge_sql_state_matches_dataframe_twin(spark):
         key=repr,
     )
     assert spark_state == duck_state
+
+
+# ---------------------------------------------------------------------------
+# Property tests: hypothesis-generated CDC batches through the same
+# MERGE-translation pipeline. Generators deliberately produce NULL keys,
+# duplicate source keys, no-op updates (source row == target row), NULL
+# tracked values, and brand-new keys. Sources with duplicate keys are first
+# collapsed by operators.merge._dedup_source — the deduped batch is what the
+# generated MERGE runs on (SQL MERGE rejects multi-match sources outright),
+# and the raw batch is what the DataFrame twin receives, so the dedup +
+# merge contract is exercised end to end.
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from lakeflow.operators.merge import _dedup_source
+
+_KEYS = st.one_of(st.none(), st.integers(min_value=0, max_value=3))
+_VALS = st.one_of(st.none(), st.sampled_from(["a", "b", "c"]))
+_XS = st.one_of(st.none(), st.sampled_from([1.0, 2.5, -3.0]))
+_ROW = st.tuples(_KEYS, _VALS, _XS)
+
+# Target state tables are keyed: one row per key (None is a valid key).
+_TARGET = st.lists(_ROW, max_size=6).map(
+    lambda rows: list({r[0]: r for r in rows}.values())
+)
+# CDC batches may carry several rows per key.
+_SOURCE = st.lists(_ROW, max_size=8)
+
+_PROP_SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+def _spark_df(spark, rows):
+    return spark.createDataFrame(rows, "k int, v string, x double")
+
+
+def _deduped_rows(spark, source_rows):
+    """The deterministic one-row-per-key batch the generated MERGE consumes."""
+    return [
+        tuple(r)
+        for r in _dedup_source(_spark_df(spark, source_rows), ["k"], None).collect()
+    ]
+
+
+def _load_duck(con, table, schema, rows):
+    con.execute(f"CREATE TABLE {table} ({schema})")
+    if rows:
+        con.executemany(
+            f"INSERT INTO {table} VALUES "
+            f"({', '.join('?' * len(schema.split(',')))})",
+            rows,
+        )
+
+
+@_PROP_SETTINGS
+@given(target_rows=_TARGET, source_rows=_SOURCE)
+def test_scd1_merge_translation_matches_twin_on_generated_batches(
+    spark, target_rows, source_rows
+):
+    con = duckdb.connect()
+    _load_duck(con, "tgt", SCHEMA, target_rows)
+    _load_duck(con, "src", SCHEMA, _deduped_rows(spark, source_rows))
+    run_merge_in_duckdb(con, scd1_merge_sql("tgt", "src", ["k"], ["k", "v", "x"]))
+    duck_state = sorted(
+        map(tuple, con.execute("SELECT * FROM tgt").fetchall()), key=repr
+    )
+
+    applied = scd1_apply(
+        _spark_df(spark, target_rows), _spark_df(spark, source_rows), ["k"]
+    )
+    spark_state = sorted((tuple(r) for r in applied.collect()), key=repr)
+    assert spark_state == duck_state
+
+
+@_PROP_SETTINGS
+@given(target_rows=_TARGET, source_rows=_SOURCE)
+def test_scd2_merge_translation_matches_twin_on_generated_batches(
+    spark, target_rows, source_rows
+):
+    from pyspark.sql import functions as F
+
+    eff = "2026-03-01 00:00:00"
+    scd2_schema = SCHEMA + (
+        ", start_timestamp TIMESTAMP, end_timestamp TIMESTAMP, is_current INT"
+    )
+    seeded = [
+        r + ("2026-01-01 00:00:00", None, 1) for r in target_rows
+    ]
+    con = duckdb.connect()
+    _load_duck(con, "tgt", scd2_schema, seeded)
+    _load_duck(con, "src", SCHEMA, _deduped_rows(spark, source_rows))
+    run_merge_in_duckdb(con, scd2_expire_sql("tgt", "src", ["k"], ["v", "x"], eff))
+    run_merge_in_duckdb(
+        con, scd2_insert_sql("tgt", "src", ["k"], ["k", "v", "x"], eff)
+    )
+    duck_state = sorted(
+        (
+            tuple(str(c) for c in row)
+            for row in con.execute("SELECT * FROM tgt").fetchall()
+        ),
+        key=repr,
+    )
+
+    target = (
+        _spark_df(spark, target_rows)
+        .withColumn(
+            "start_timestamp", F.lit("2026-01-01 00:00:00").cast("timestamp")
+        )
+        .withColumn("end_timestamp", F.lit(None).cast("timestamp"))
+        .withColumn("is_current", F.lit(1))
+    )
+    applied = scd2_apply(
+        target, _spark_df(spark, source_rows), ["k"], ["v", "x"], eff
+    )
+    spark_state = sorted(
+        (tuple(str(c) for c in row) for row in applied.collect()), key=repr
+    )
+    assert spark_state == duck_state
