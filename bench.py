@@ -60,6 +60,13 @@ BENCH_QUERIES = [
     "stream_candles_15m",
     "stream_stream_view_to_purchase",
     "gap_sessions_batch",
+    # previously unbenched surface (VERDICT r3 ask #4)
+    "pysource_tick_candles",
+    "ddl_roundtrip",
+    "interpolated_hourly_value",
+    "incremental_doc_dedup",
+    "minhash_lsh_salted_pairs",
+    "lsh_multitable_topk",
 ]
 
 
@@ -94,8 +101,10 @@ def main() -> None:
         # on the tiny fixture so the timed streaming query measures the query,
         # not first-stream machinery warmup.
         QUERIES["stream_candles_15m"](spark, "/root/testdata/sf0.001").count()
-    except Exception:
-        pass
+    except Exception as exc:
+        # A failed warmup silently cascades into every timed query (the r3
+        # 1.3-2.4× drift) — make it loud, but keep benching.
+        print(f"  STREAM-WARMUP FAILED: {exc!r}"[:300], file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

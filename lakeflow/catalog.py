@@ -47,7 +47,17 @@ def _enable_nanos_as_long(spark: SparkSession) -> None:
 
 def convert_nanos_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     """int64 nanos → TIMESTAMP at microsecond precision (integer div — double
-    math would lose precision above 2^53 ns)."""
+    math would lose precision above 2^53 ns).
+
+    Guarded on the observed dtype: fixtures have shipped ``ts`` both as
+    TIMESTAMP(NANOS) (surfaces as bigint under nanosAsLong) and as plain
+    timestamp[us]; when the column is already a timestamp this is a no-op, so
+    every caller — batch or streaming — is safe against either layout.
+    """
+    from pyspark.sql.types import LongType
+
+    if not isinstance(df.schema[col].dataType, LongType):
+        return df
     return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
 
 

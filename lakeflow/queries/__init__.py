@@ -100,20 +100,52 @@ _VERIFIED_R2 = frozenset(
     }
 )
 
+_VERIFIED_R3 = frozenset(
+    {
+        "candles_15m", "chunk_documents", "clean_customer", "cosine_topk",
+        "customers_with_big_orders", "customers_without_orders",
+        "dedup_clusters", "doc_fingerprints", "dual_nation_lookup",
+        "embedding_near_dups", "event_value_delta", "exact_dedup_docs",
+        "filtered_cosine_topk", "frame_sample_plumbing", "fuzzy_name_pairs",
+        "hash_sampled_docs", "incremental_doc_dedup", "incremental_orders",
+        "interpolated_hourly_value", "ivf_topk", "jsonl_roundtrip_langs",
+        "lang_id", "latest_event_per_user", "lsh_bucketed_topk",
+        "lsh_multitable_topk", "medallion_gold_dim", "minhash_lsh_pairs",
+        "minhash_lsh_salted_pairs", "multimodal_meta", "ngram_jaccard_pairs",
+        "orc_roundtrip_langs", "q10_returned_items", "q1_pricing_summary",
+        "q3_shipping_priority", "q5_local_supplier_volume",
+        "q6_forecast_revenue", "quality_filter_verdict", "redact_pii",
+        "scd1_customer_state", "scd2_customer_state", "simhash_near_pairs",
+        "simhash_signatures", "sql_api_top_nations", "star_dim_customer",
+        "stratified_lang_sample", "text_quality", "time_travel_customer_v1",
+        "token_counts", "token_counts_pandas", "winnow_fingerprints",
+    }
+)
+
 # Queries whose implementation or oracle was rewritten AFTER the round that
 # verified them — their green row belongs to code that no longer exists
 # (VERDICT r2 "What's missing #2", ADVICE r2 medium). Treated as unverified
 # in the reorder so the current code gets a fresh driver verdict.
 _REWRITTEN_SINCE_GREEN = frozenset(
     {
-        "embedding_near_dups",    # r2: bucketed multi-probe rewrite
-        "ngram_jaccard_pairs",    # r2: LSH-candidate verify rewrite
-        "winnow_fingerprints",    # r2: JVM window-function rewrite
-        "minhash_lsh_pairs",      # r2: salt-guard path added
-        "scd1_customer_state",    # r2: null-key hardening (commit 7d8bfdc)
-        "scd2_customer_state",    # r2: null-key hardening (commit 7d8bfdc)
-        "lsh_bucketed_topk",      # r3: num_tables generalization (same output)
-        "fuzzy_name_pairs",       # r3: fan_out + late pair dedup (same output)
+        # r4: all six stream_* queries moved to the dtype-guarded
+        # events_stream helper after the micros-fixture breakage (VERDICT r3
+        # "What's wrong #1") — their r2 greens predate both the fixture
+        # change and the fix.
+        "stream_candles_15m",
+        "stream_static_enrich",
+        "stream_event_dedup",
+        "stream_gap_sessions",
+        "stream_stream_view_to_purchase",
+        "stream_session_windows",
+        # r3: tables.py partition-identity rewrite (commit f1c3897) landed
+        # after its r2 green; the driver never re-judged it (VERDICT r3
+        # "What's missing #3").
+        "table_snapshots_history",
+        # r4: densify_interpolate rewritten after its r3 green — off-grid
+        # guard added and the O(n²) unboundedFollowing anchor frames replaced
+        # with running frames over a descending sort (33s → 4.4s at sf0.1).
+        "interpolated_hourly_value",
     }
 )
 
@@ -130,7 +162,7 @@ def _reorder_for_driver() -> None:
     end-to-end queries (micro-batch machinery dominates their wall time),
     hedging a time-budgeted driver.
     """
-    verified = _VERIFIED_R1 | _VERIFIED_R2
+    verified = _VERIFIED_R1 | _VERIFIED_R2 | _VERIFIED_R3
 
     def slow_last(names: list[str]) -> list[str]:
         slow = [n for n in names if n.startswith(("stream_", "pysource_"))]
@@ -140,15 +172,15 @@ def _reorder_for_driver() -> None:
     stale = slow_last(
         [n for n in QUERIES if n in _REWRITTEN_SINCE_GREEN]
     )
-    r1_green = [
-        n for n in QUERIES
-        if n in _VERIFIED_R1 and n not in _REWRITTEN_SINCE_GREEN
-    ]
-    r2_green = [
-        n for n in QUERIES
-        if n in _VERIFIED_R2 and n not in _REWRITTEN_SINCE_GREEN
-    ]
-    ordered = never + stale + r1_green + r2_green
+    latest_green: dict[str, int] = {}
+    for rnd, names in enumerate((_VERIFIED_R1, _VERIFIED_R2, _VERIFIED_R3), 1):
+        for n in names:
+            latest_green[n] = rnd
+    greens = sorted(
+        (n for n in QUERIES if n in verified and n not in _REWRITTEN_SINCE_GREEN),
+        key=lambda n: latest_green[n],
+    )
+    ordered = never + stale + greens
     reordered = {n: QUERIES[n] for n in ordered}
     QUERIES.clear()
     QUERIES.update(reordered)

@@ -12,9 +12,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from lakeflow.catalog import _enable_nanos_as_long, convert_nanos_ts, table_path
+from lakeflow.catalog import table_path
 from lakeflow.queries import register
-from lakeflow.sources.streams import file_stream
+from lakeflow.sources.streams import events_stream
 from lakeflow.streaming.candles import streaming_candles
 from lakeflow.streaming.sinks import run_to_memory
 
@@ -43,12 +43,7 @@ def stream_candles_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
     (T1 watermark, T2 tumbling window, T3 append mode, T4 availableNow
     trigger, T5 checkpoint): emits exactly the windows the final watermark
     (max event time − 1 min) has closed."""
-    ev_path = table_path(sf_dir, "events")
-    _enable_nanos_as_long(spark)
-    schema = spark.read.parquet(ev_path).schema  # ts arrives as int64 nanos
-    stream = convert_nanos_ts(
-        file_stream(spark, sf_dir, schema, glob_filter="events.parquet")
-    )
+    stream = events_stream(spark, sf_dir)
     candles = streaming_candles(stream, watermark="1 minutes")
     name, _ = run_to_memory(candles)
     return spark.table(name)
@@ -69,12 +64,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     every input row is emitted exactly once."""
     from pyspark.sql import functions as F
 
-    ev_path = table_path(sf_dir, "events")
-    _enable_nanos_as_long(spark)
-    schema = spark.read.parquet(ev_path).schema
-    stream = convert_nanos_ts(
-        file_stream(spark, sf_dir, schema, glob_filter="events.parquet")
-    )
+    stream = events_stream(spark, sf_dir)
     dim = spark.read.parquet(table_path(sf_dir, "customer")).select(
         "c_custkey", "c_name", "c_mktsegment"
     )
@@ -96,16 +86,9 @@ def stream_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     every replayed row back to exactly-once — the oracle is simply the
     distinct original events. State size is bounded by the watermark window —
     the 100 TB-stream-safe dedup."""
-    ev_path = table_path(sf_dir, "events")
-    _enable_nanos_as_long(spark)
-    schema = spark.read.parquet(ev_path).schema
-
-    def src() -> DataFrame:
-        return convert_nanos_ts(
-            file_stream(spark, sf_dir, schema, glob_filter="events.parquet")
-        )
-
-    doubled = src().unionByName(src())  # simulated at-least-once delivery
+    doubled = events_stream(spark, sf_dir).unionByName(
+        events_stream(spark, sf_dir)
+    )  # simulated at-least-once delivery
     deduped = (
         doubled.withWatermark("ts", "10 minutes")
         .dropDuplicatesWithinWatermark(["event_id"])
@@ -125,12 +108,7 @@ def stream_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates across batches."""
     from lakeflow.streaming.stateful import sessionize_stream
 
-    ev_path = table_path(sf_dir, "events")
-    _enable_nanos_as_long(spark)
-    schema = spark.read.parquet(ev_path).schema
-    stream = convert_nanos_ts(
-        file_stream(spark, sf_dir, schema, glob_filter="events.parquet")
-    ).select("ts", "user_id", "value")
+    stream = events_stream(spark, sf_dir).select("ts", "user_id", "value")
     sessions = sessionize_stream(stream, gap="30 minutes", watermark="1 minutes")
     name, _ = run_to_memory(sessions)
     return spark.table(name)
@@ -155,12 +133,9 @@ def stream_stream_view_to_purchase(spark: SparkSession, sf_dir: str) -> DataFram
     hence fully oracle-checkable."""
     from pyspark.sql import functions as F
 
-    ev_path = table_path(sf_dir, "events")
-    _enable_nanos_as_long(spark)
-    schema = spark.read.parquet(ev_path).schema
-    src = convert_nanos_ts(
-        file_stream(spark, sf_dir, schema, glob_filter="events.parquet")
-    ).select("event_id", "ts", "user_id", "event_type")
+    src = events_stream(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type"
+    )
     views = (
         src.filter(F.col("event_type") == "view")
         .withWatermark("ts", "1 minutes")
@@ -223,12 +198,7 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays gaps-and-islands SQL with the same HAVING cutoff."""
     from pyspark.sql import functions as F
 
-    ev_path = table_path(sf_dir, "events")
-    _enable_nanos_as_long(spark)
-    schema = spark.read.parquet(ev_path).schema
-    stream = convert_nanos_ts(
-        file_stream(spark, sf_dir, schema, glob_filter="events.parquet")
-    )
+    stream = events_stream(spark, sf_dir)
     sessions = (
         stream.withWatermark("ts", "1 minutes")
         .groupBy("user_id", F.session_window("ts", "30 minutes").alias("__w"))

@@ -72,6 +72,25 @@ def file_stream(
     return reader.load(path)
 
 
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events fixture as a typed file stream with ``ts`` as TIMESTAMP.
+
+    Shared entry point for every streaming events consumer: reads the batch
+    schema (so the stream sees exactly what the files carry), then normalizes
+    ``ts`` whatever the fixture layout — int64 TIMESTAMP(NANOS) under
+    ``nanosAsLong`` or plain timestamp[us] — via the dtype-guarded
+    ``convert_nanos_ts``.
+    """
+    from lakeflow.catalog import _enable_nanos_as_long, convert_nanos_ts, table_path
+
+    _enable_nanos_as_long(spark)
+    ev_path = table_path(sf_dir, "events")
+    schema = spark.read.parquet(ev_path).schema
+    return convert_nanos_ts(
+        file_stream(spark, sf_dir, schema, glob_filter="events.parquet")
+    )
+
+
 def rate_stream(spark: SparkSession, rows_per_second: int = 30) -> DataFrame:
     """Synthetic load source (the producer-replay analog,
     /root/reference/src/producer/ohlcv_producer.py:42-61)."""

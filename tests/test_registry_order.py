@@ -14,9 +14,15 @@ from lakeflow.queries import (
     _REWRITTEN_SINCE_GREEN,
     _VERIFIED_R1,
     _VERIFIED_R2,
+    _VERIFIED_R3,
 )
 
-_VERIFIED = _VERIFIED_R1 | _VERIFIED_R2
+_VERIFIED = _VERIFIED_R1 | _VERIFIED_R2 | _VERIFIED_R3
+
+_LATEST_GREEN: dict[str, int] = {}
+for _rnd, _names in enumerate((_VERIFIED_R1, _VERIFIED_R2, _VERIFIED_R3), 1):
+    for _n in _names:
+        _LATEST_GREEN[_n] = _rnd
 
 
 def test_never_verified_queries_come_first():
@@ -42,16 +48,26 @@ def test_rewritten_since_green_precede_stable_greens():
 
 
 def test_oldest_verdicts_reverified_before_newest():
+    """Stable greens are ordered by the round of their LATEST verdict,
+    oldest first — re-verification pressure goes where evidence is stalest."""
     names = list(QUERIES)
-    r1_idx = [
-        i for i, n in enumerate(names)
-        if n in _VERIFIED_R1 and n not in _REWRITTEN_SINCE_GREEN
+    stable = [
+        (i, _LATEST_GREEN[n]) for i, n in enumerate(names)
+        if n in _VERIFIED and n not in _REWRITTEN_SINCE_GREEN
     ]
-    r2_idx = [
-        i for i, n in enumerate(names)
-        if n in _VERIFIED_R2 and n not in _REWRITTEN_SINCE_GREEN
-    ]
-    assert max(r1_idx) < min(r2_idx)
+    rounds_in_order = [r for _, r in sorted(stable)]
+    assert rounds_in_order == sorted(rounds_in_order)
+
+
+def test_stale_set_covers_round3_breakage():
+    """The six stream_* queries (dtype-guard rewrite) and the rewritten
+    table_snapshots_history must hold front-of-queue slots in round 4."""
+    expected = {
+        "stream_candles_15m", "stream_static_enrich", "stream_event_dedup",
+        "stream_gap_sessions", "stream_stream_view_to_purchase",
+        "stream_session_windows", "table_snapshots_history",
+    }
+    assert expected <= _REWRITTEN_SINCE_GREEN
 
 
 def test_oracle_order_mirrors_query_order():
