@@ -71,6 +71,13 @@ def edit_distance_pairs(
     O(n · variants) with bucket sizes driven by true near-match density —
     scale-invariant where a fixed block key (e.g. 25 nations) goes quadratic
     as data grows.
+
+    A length-band prefilter (|len_a − len_b| <= max_dist) on the candidate
+    join is deliberately NOT applied: two equal variant strings have equal
+    length, and each side deleted at most ``max_dist`` chars to reach it, so
+    the band is already implied by the equi-join key — an explicit filter
+    would only drop xxhash64-collision candidates (which the levenshtein
+    verify removes anyway) while widening every shuffled row.
     """
     if max_dist != 2:
         raise ValueError("edit_distance_pairs currently supports max_dist=2")

@@ -885,3 +885,40 @@ def test_densify_offgrid_policies(spark):
 
     with pytest.raises(ValueError):
         densify_interpolate(df, offgrid="nope")
+
+
+def test_bucketed_near_dups_recall_at_registered_threshold(spark):
+    """Pin recall of the bucketed multi-probe near-dup join at the REGISTERED
+    operating point (threshold 0.5, the embedding_near_dups query): the DuckDB
+    oracle replays the same buckets, so a recall regression is invisible to
+    the correctness gate — this exact-twin comparison is the only check that
+    fails if the bucket/probe construction loses pairs it used to find.
+
+    The miss-set is accepted explicitly, with a pinned floor: when this test
+    was written the construction found 1/1 exact pairs at sf0.01 and 10/14 at
+    sf0.1; the floor 2/3 accepts that measured operating point and fails on
+    any regression below it. Runs at sf0.01 — the sf0.001 corpus has no
+    cos ≥ 0.5 pairs at all, so only the mid fixture exercises the recall.
+    """
+    from lakeflow.catalog import load_table
+    from lakeflow.operators.similarity import (
+        embedding_near_dups,
+        embedding_near_dups_exact,
+    )
+
+    from .conftest import SF_DIR_MID
+
+    corpus = load_table(spark, SF_DIR_MID, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    got = {
+        (r.id_a, r.id_b) for r in embedding_near_dups(corpus, threshold=0.5).collect()
+    }
+    want = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dups_exact(corpus, threshold=0.5).collect()
+    }
+    assert got <= want  # no false pairs: rescoring is exact
+    assert len(want) > 0
+    recall = len(got & want) / len(want)
+    assert recall >= 2 / 3, f"recall dropped to {recall:.3f} ({len(got)}/{len(want)})"
