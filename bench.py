@@ -67,6 +67,10 @@ BENCH_QUERIES = [
     "incremental_doc_dedup",
     "minhash_lsh_salted_pairs",
     "lsh_multitable_topk",
+    # training-batch prep (new in r4)
+    "doc_repetition_signals",
+    "pack_sequences",
+    "source_mix_report",
 ]
 
 
@@ -105,6 +109,15 @@ def main() -> None:
         # A failed warmup silently cascades into every timed query (the r3
         # 1.3-2.4× drift) — make it loud, but keep benching.
         print(f"  STREAM-WARMUP FAILED: {exc!r}"[:300], file=sys.stderr)
+    try:
+        # Python DataSource machinery (planner, python runner) costs ~3s on
+        # first touch; warm it so pysource_tick_candles times the query.
+        from lakeflow.sources.pysource import register_tick_source
+
+        register_tick_source(spark)
+        spark.read.format("lakeflow_ticks").option("n", "64").load().count()
+    except Exception as exc:
+        print(f"  PYSOURCE-WARMUP FAILED: {exc!r}"[:300], file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -443,3 +443,84 @@ def winnow_fingerprints(
         f"SELECT s.{id_col}, f.pos, f.h "
         f"FROM {name}_src s, LATERAL {name}(s.{text_col}) f"
     )
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc repetition/diversity signals (the Gopher-style repetition
+    filters): token count, distinct-token count, type-token ratio, and the
+    corpus-quality workhorse ``top_token_frac`` — the share of the document
+    occupied by its single most frequent token. Boilerplate, keyword-stuffed,
+    and generation-looped documents all light up on these before any
+    expensive dedup runs.
+
+    Shape: explode → two-stage aggregation. The first groupBy(doc, token)
+    partially aggregates map-side, so shuffle rows are bounded by per-doc
+    VOCABULARY, not token count — linear scan cost and shuffle ∝ distinct
+    (doc, token) pairs at 100 TB. The per-row array-expression alternative
+    (aggregate over array_distinct × filter) is quadratic in document length,
+    which a 100k-token document turns into 10^10 ops — rejected.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
+    )
+    counts = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+    return counts.groupBy(id_col).agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        rnd(F.count(F.lit(1)) / F.sum("c"), 6).alias("type_token_ratio"),
+        rnd(F.max("c") / F.sum("c"), 6).alias("top_token_frac"),
+    )
+
+
+def pack_budget_bins(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    budget: int = 512,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Deterministic sequence packing: group whole documents into contiguous
+    token-budget bins — the batching step before LLM training, where each bin
+    becomes one (padded/packed) training sequence group.
+
+    Semantics: within shard ``id % n_shards``, documents are laid out in id
+    order; a document belongs to the bin its STARTING token offset falls in
+    (offset quantized by ``budget``). Every bin holds contiguous whole
+    documents and overflows the budget by at most one document — the standard
+    streaming-packing approximation, chosen over exact first-fit because it
+    needs no per-bin running state (exact restart-sum packing is inherently
+    sequential; this is one window cumsum).
+
+    Scale shape: the cumsum windows over ``n_shards`` independent shards, so
+    parallelism is a knob, not a bottleneck — no global sort ever happens.
+    At 100 TB raise n_shards to O(cores); determinism holds because the
+    shard key is ``id % n_shards``, not a hash.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        token_count_ws(text_col).alias("n_tokens"),
+        (F.col(id_col) % n_shards).alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    binned = toks.withColumn(
+        "bin_id",
+        (F.col("shard") * F.lit(1_000_000_000) + F.floor(start / budget)).cast(
+            "bigint"
+        ),
+    )
+    return binned.groupBy("bin_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.min(id_col).alias("first_doc"),
+        F.max(id_col).alias("last_doc"),
+    )

@@ -1105,3 +1105,109 @@ def orc_roundtrip_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+_RS_NORM = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+
+
+@register(
+    "doc_repetition_signals",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split({_RS_NORM}, ' ')) AS tok
+        FROM documents
+    ),
+    c AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT)   AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           (floor((count(*) / sum(c)) * 1000000.0 + 0.5) / 1000000.0) AS type_token_ratio,
+           (floor((max(c) / sum(c)) * 1000000.0 + 0.5) / 1000000.0)   AS top_token_frac
+    FROM c GROUP BY doc_id
+    """,
+)
+def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: type-token ratio and most-frequent-
+    token share per document — the cheap signals that catch boilerplate,
+    keyword stuffing, and generation loops before any pairwise dedup runs.
+    Two-stage aggregation keeps shuffle rows bounded by per-doc vocabulary
+    (operators/text.py repetition_signals)."""
+    return tx.repetition_signals(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               len(string_split({_RS_NORM}, ' ')) AS n_tokens,
+               doc_id % 32 AS shard
+        FROM documents
+    ),
+    c AS (
+        SELECT *, sum(n_tokens) OVER (
+            PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING
+        ) AS cum FROM t
+    )
+    SELECT CAST(shard * 1000000000 + floor((cum - n_tokens) / 512) AS BIGINT) AS bin_id,
+           CAST(count(*) AS BIGINT)      AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM c GROUP BY 1
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches: whole documents grouped into
+    contiguous 512-token-budget bins, sharded by doc_id % 32 so the packing
+    cumsum parallelizes with no global sort (operators/text.py
+    pack_budget_bins — each bin overflows by at most one document, the
+    streaming-packing approximation)."""
+    return tx.pack_budget_bins(
+        load_table(spark, sf_dir, "documents"), budget=512, n_shards=32
+    )
+
+
+@register(
+    "source_mix_report",
+    oracle=f"""
+    WITH t AS (
+        SELECT source, lang, len(string_split({_RS_NORM}, ' ')) AS n_tokens
+        FROM documents
+    ),
+    g AS (
+        SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        FROM t GROUP BY 1, 2
+    )
+    SELECT source, lang, n_docs, total_tokens,
+           (floor((total_tokens / (sum(total_tokens) OVER ())) * 1000000.0 + 0.5)
+                / 1000000.0) AS token_share
+    FROM g
+    """,
+)
+def source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-composition report (the dataset-card table): docs and token
+    mass per (source, language) with each cell's share of total tokens.
+    The share window runs over the already-aggregated frame — a handful of
+    rows — so the final single-partition window is free at any corpus size."""
+    from lakeflow.functions.rounding import rnd
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(tx.token_count_ws("text")).cast("bigint").alias("total_tokens"),
+    )
+    from pyspark.sql import Window
+
+    return g.select(
+        "source",
+        "lang",
+        "n_docs",
+        "total_tokens",
+        rnd(
+            F.col("total_tokens")
+            / F.sum("total_tokens").over(Window.partitionBy()),
+            6,
+        ).alias("token_share"),
+    )
