@@ -163,3 +163,35 @@ def test_bm25_topk_is_take_ordered(spark):
     plan = _plan(spark, "bm25_keyword_topk")
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pack_sequences_has_no_global_sort(spark):
+    """Sequence packing must stay shard-parallel: the cumsum window partitions
+    by shard, so no single-partition exchange (a global sort would serialize
+    the whole corpus through one task at 100 TB). The final tiny aggregation
+    exchanges by bin_id — also not single-partition."""
+    plan = _plan(spark, "pack_sequences")
+    assert "SinglePartition" not in plan, "packing collapsed to one partition"
+    assert "hashpartitioning(shard" in plan, "cumsum window lost shard partitioning"
+
+
+def test_repetition_signals_partial_aggregates(spark):
+    """Repetition signals must partially aggregate map-side so shuffle rows
+    are bounded by per-doc vocabulary, not corpus token count."""
+    plan = _plan(spark, "doc_repetition_signals")
+    assert "partial_count" in plan or "partial_sum" in plan, (
+        "token counting lost its map-side partial aggregation"
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_source_mix_share_window_runs_post_aggregation(spark):
+    """The token-share window may single-partition ONLY the aggregated
+    (source, lang) frame — the raw documents scan must aggregate first."""
+    plan = _plan(spark, "source_mix_report")
+    agg_pos = plan.find("HashAggregate")
+    win_pos = plan.find("Window")
+    assert agg_pos != -1 and win_pos != -1
+    # executedPlan prints top-down: the Window must sit ABOVE the aggregate
+    # (appear earlier), consuming its output — not the raw scan.
+    assert win_pos < agg_pos, "share window consumes pre-aggregation rows"
