@@ -197,3 +197,63 @@ def test_partition_scoped_commits_fold_like_scd1(spark, tmp_path_factory, batche
     m = table._manifest(table.current_version())
     for d, parts in m["dir_parts"].items():
         assert len(parts) == 1  # write_split keeps dirs partition-pure
+
+
+doc_texts = st.lists(
+    st.text(alphabet="ab c", min_size=1, max_size=40), min_size=1, max_size=12
+)
+
+
+@given(texts=doc_texts, budget=st.integers(2, 8), n_shards=st.integers(1, 3))
+@settings(**_SETTINGS)
+def test_pack_budget_bins_properties(spark, texts, budget, n_shards):
+    """Packing invariants on arbitrary corpora: every document lands in
+    exactly one bin, token mass is conserved, bins are doc-id-contiguous
+    within their shard, and no bin exceeds budget by more than one document
+    (the documented streaming-packing overflow bound)."""
+    from pyspark.sql import functions as F
+
+    from lakeflow.operators.text import pack_budget_bins, token_count_ws
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    out = pack_budget_bins(docs, budget=budget, n_shards=n_shards).collect()
+    toks = {
+        r.doc_id: r.n
+        for r in docs.select("doc_id", token_count_ws("text").alias("n")).collect()
+    }
+
+    assert sum(r.n_docs for r in out) == len(texts)  # each doc exactly once
+    assert sum(r.total_tokens for r in out) == sum(toks.values())
+    for r in out:
+        shard = r.bin_id // 1_000_000_000
+        ids = [
+            d for d in sorted(toks) if d % (n_shards) == shard
+            and r.first_doc <= d <= r.last_doc
+        ]
+        # contiguity: the bin covers every shard doc between first and last
+        assert r.n_docs == len(ids)
+        # overflow bound: strictly over budget only via its last doc
+        if r.total_tokens > budget:
+            assert r.total_tokens - toks[max(ids)] < budget
+
+
+@given(texts=doc_texts)
+@settings(**_SETTINGS)
+def test_repetition_signals_properties(spark, texts):
+    """Signal invariants: 1 <= n_types <= n_tokens, ratios in (0, 1],
+    top_token_frac >= 1/n_types, and a doc of one repeated token drives
+    type_token_ratio -> 1/n and top_token_frac -> 1."""
+    from lakeflow.operators.text import repetition_signals
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    rows = repetition_signals(docs).collect()
+    assert len(rows) == len(texts)
+    for r in rows:
+        assert 1 <= r.n_types <= r.n_tokens
+        assert 0 < r.type_token_ratio <= 1.0
+        assert 0 < r.top_token_frac <= 1.0
+        assert r.top_token_frac * r.n_types >= 0.999  # max >= mean
