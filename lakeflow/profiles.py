@@ -54,6 +54,14 @@ def cluster_profile(
         ),
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.session.timeZone": "UTC",
+        # Runtime bloom-filter join pruning: when a selective dim filter
+        # feeds a shuffle join, inject a bloom filter of the dim keys into
+        # the fact scan — rows that cannot match die before the shuffle.
+        # On by default in Spark, but gated by size thresholds that assume
+        # cluster scale; pin it on so a conf fork can't silently lose the
+        # dominant shuffle reducer (behavior pinned by
+        # tests/test_plan_shapes.py::test_runtime_bloom_filter_injects).
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     }
     if streaming:
         conf.update(

@@ -195,3 +195,40 @@ def test_source_mix_share_window_runs_post_aggregation(spark):
     # executedPlan prints top-down: the Window must sit ABOVE the aggregate
     # (appear earlier), consuming its output — not the raw scan.
     assert win_pos < agg_pos, "share window consumes pre-aggregation rows"
+
+
+def test_runtime_bloom_filter_injects(spark):
+    """Runtime bloom-filter join pruning (profiles.py): a selective dim
+    filter feeding a shuffle join must inject a bloom filter of the dim keys
+    into the fact side, killing non-matching rows before the shuffle. The
+    default size gates assume cluster scale, so this pins the MECHANISM at
+    fixture scale by lowering them; production thresholds stay default."""
+    from pyspark.sql import functions as F
+
+    from lakeflow.catalog import load_table
+
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF_DIR, "lineitem")
+        orders = load_table(spark, SF_DIR, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_extendedprice"))
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan or "BloomFilter" in plan, (
+            "runtime bloom filter no longer injects on a selective shuffle join"
+        )
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
