@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "doc_repetition_signals",
     "pack_sequences",
     "source_mix_report",
+    "salted_event_type_stats",
 ]
 
 

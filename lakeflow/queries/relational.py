@@ -1862,3 +1862,37 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         block_cols=["c_nationkey"],
         max_dist=2,
     )
+
+
+@register(
+    "salted_event_type_stats",
+    oracle="""
+    SELECT event_type,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_value,
+           CAST(count(event_id) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def salted_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe aggregation as a driver-checked query: event_type has ~5
+    values over the whole table — the textbook hot-key shape where one
+    reducer owns each final group. salted_two_phase_agg spreads every hot key
+    over 16 salted reducers, then combines 16 tiny partials per key
+    (operators/aggregates.py). Sums run in exact integer cents so the salted
+    two-phase result is bit-identical to the oracle's single-phase sum
+    regardless of combination order."""
+    from lakeflow.operators.aggregates import salted_two_phase_agg
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+        "event_id",
+    )
+    s = salted_two_phase_agg(
+        ev, ["event_type"], {"cents": "sum", "event_id": "count"}
+    )
+    return s.select(
+        "event_type",
+        (F.col("sum_cents") / 100.0).alias("sum_value"),
+        F.col("count_event_id").alias("n_events"),
+    )

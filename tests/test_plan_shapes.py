@@ -232,3 +232,41 @@ def test_runtime_bloom_filter_injects(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_salted_agg_runs_two_phases(spark):
+    """The salted aggregation must show both phases: a partial aggregate
+    keyed by (event_type, __salt) and a final aggregate keyed by event_type —
+    the shape that spreads a hot key over n_salts reducers."""
+    plan = _plan(spark, "salted_event_type_stats")
+    assert "__salt" in plan, "salt column vanished — skew spreading lost"
+    assert plan.count("Exchange") >= 2, "two-phase agg collapsed to one exchange"
+
+
+def test_dynamic_partition_pruning_injects(spark, tmp_path):
+    """Dynamic partition pruning: a fact table PARTITIONED BY the join key,
+    joined to a selectively-filtered dim, must get a dynamicpruning subquery
+    on its scan — at 100 TB this is what turns a full-fact scan into reading
+    only the partitions the dim filter selects."""
+    from pyspark.sql import functions as F
+
+    from lakeflow.catalog import load_table
+
+    from .conftest import SF_DIR
+
+    fact_path = str(tmp_path / "events_by_type")
+    load_table(spark, SF_DIR, "events").write.partitionBy("event_type").parquet(
+        fact_path
+    )
+    fact = spark.read.parquet(fact_path)
+    dim = spark.createDataFrame(
+        [("view", 1.0), ("purchase", 9.9), ("click", 0.1)],
+        "event_type string, weight double",
+    ).filter(F.col("weight") > 5.0)
+    j = fact.join(dim, "event_type").groupBy("event_type").agg(
+        F.sum("value").alias("s")
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), (
+        "partitioned scan lost its dynamic pruning subquery"
+    )
