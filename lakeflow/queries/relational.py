@@ -1896,3 +1896,38 @@ def salted_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sum_cents") / 100.0).alias("sum_value"),
         F.col("count_event_id").alias("n_events"),
     )
+
+
+@register(
+    "zorder_pruned_scan",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_value
+    FROM events
+    WHERE user_id BETWEEN 100 AND 300 AND value BETWEEN 20.0 AND 80.0
+    """,
+)
+def zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered layout round-trip (catalog.py::write_zordered):
+    events rewritten clustered on the (user_id, value) Z-curve, then a
+    two-dimensional range predicate aggregates over the read-back — the
+    oracle runs the same predicate on the original table, so any row lost or
+    reordered value in the clustered rewrite breaks the hash. The pruning
+    payoff (tight per-file min/max envelopes on BOTH dimensions) is pinned
+    separately by test_zorder_write_tightens_file_envelopes."""
+    import tempfile
+
+    from lakeflow.catalog import write_zordered
+
+    ev = load_table(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="lakeflow_zorder_") + "/events_z"
+    write_zordered(ev, path, ["user_id", "value"], n_files=16)
+    back = spark.read.parquet(path)
+    return back.filter(
+        F.col("user_id").between(100, 300) & F.col("value").between(20.0, 80.0)
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint")) / 100.0
+        ).alias("sum_value"),
+    )
