@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "pack_sequences",
     "source_mix_report",
     "salted_event_type_stats",
+    "zorder_pruned_scan",
 ]
 
 
