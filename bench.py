@@ -73,6 +73,8 @@ BENCH_QUERIES = [
     "source_mix_report",
     "salted_event_type_stats",
     "zorder_pruned_scan",
+    "unigram_logprob_scores",
+    "dedup_survivors",
 ]
 
 

@@ -524,3 +524,49 @@ def pack_budget_bins(
         F.min(id_col).alias("first_doc"),
         F.max(id_col).alias("last_doc"),
     )
+
+
+def unigram_logprob_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Statistical-LM quality scoring, unigram form: each document scored by
+    the mean log-probability of its tokens under the corpus's own unigram
+    distribution — the simplified shape of a KenLM perplexity filter.
+    Gibberish, rare-token spam, and wrong-language text score far below the
+    corpus mode; the score feeds the same keep/drop gate as quality_features.
+
+    Two linear passes, Spark-shaped: (1) global token frequencies — one
+    groupBy(token) whose map-side partial combine bounds shuffle rows by
+    vocabulary; (2) token → log p(token) equi-join back onto the exploded
+    docs, then a per-doc mean. The vocabulary frame is tiny relative to the
+    corpus (Heaps' law), so at 100 TB the join broadcasts; nothing is ever
+    quadratic. Probabilities use exact integer counts and a fixed evaluation
+    order (sum of rounded log-probs), so the DuckDB oracle reproduces the
+    score bit-for-bit.
+
+    Output: (id, n_tokens, avg_logprob) — natural log, rounded.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
+    )
+    total = toks.count()  # control-plane scalar: corpus token count
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tc"))
+    # Per-token log-probs quantized to exact integer micro-nats BEFORE the
+    # sum: bigint accumulation is order-free, so the distributed mean cannot
+    # drift an ulp from the oracle's however partitions combine.
+    scored = toks.join(F.broadcast(vocab), "tok").select(
+        F.col(id_col),
+        F.floor(F.log(F.col("tc") / F.lit(float(total))) * 1e6 + 0.5)
+        .cast("bigint")
+        .alias("lp_micro"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        rnd(
+            F.sum("lp_micro") / F.count(F.lit(1)) / 1e6, round_to
+        ).alias("avg_logprob"),
+    )

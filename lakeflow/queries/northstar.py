@@ -1211,3 +1211,58 @@ def source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("token_share"),
     )
+
+
+@register(
+    "unigram_logprob_scores",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split({_RS_NORM}, ' ')) AS tok
+        FROM documents
+    ),
+    vocab AS (SELECT tok, count(*) AS tc FROM toks GROUP BY tok),
+    total AS (SELECT count(*) AS n FROM toks),
+    scored AS (
+        SELECT t.doc_id,
+               CAST(floor(ln(v.tc / (SELECT CAST(n AS DOUBLE) FROM total)) * 1000000.0 + 0.5) AS BIGINT) AS lp_micro
+        FROM toks t JOIN vocab v USING (tok)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           (floor((sum(lp_micro) / count(*) / 1000000.0) * 1000000.0 + 0.5) / 1000000.0) AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-LM quality filter (the simplified KenLM-perplexity shape):
+    per-doc mean log-probability under the corpus's own unigram distribution.
+    Vocabulary aggregation bounds the shuffle; the tiny vocab frame
+    broadcasts for the re-join; log-probs accumulate as exact integer
+    micro-nats so the distributed mean is order-free
+    (operators/text.py unigram_logprob_scores)."""
+    return tx.unigram_logprob_scores(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_survivors",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, md5({_RS_NORM}) AS fp FROM documents
+    ),
+    keep AS (SELECT fp, min(doc_id) AS keep_id FROM keyed GROUP BY fp)
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN keep k ON d.doc_id = k.keep_id
+    """,
+)
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus AFTER exact dedup — the query users actually run downstream
+    of dedup analysis: keep the lowest-id document per identical normalized
+    text, return surviving rows with their metadata. One fingerprint
+    aggregation plus a semi-join back; no text ever moves twice."""
+    from lakeflow.operators.dedup import exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    keep = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+    return docs.join(keep, "doc_id", "left_semi").select(
+        "doc_id", "lang", "source"
+    )
