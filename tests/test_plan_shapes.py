@@ -270,3 +270,36 @@ def test_dynamic_partition_pruning_injects(spark, tmp_path):
     assert "dynamicpruning" in plan.lower(), (
         "partitioned scan lost its dynamic pruning subquery"
     )
+
+
+def test_repetition_shuffle_bounded_by_vocabulary_measured(spark):
+    """Not just plan shape — measured cost: the rows entering the shuffle of
+    doc_repetition_signals (partial-aggregate output) must be strictly fewer
+    than the exploded token rows, proving the map-side combine bounds the
+    shuffle by per-doc vocabulary as SCALE.md claims. Also: zero spill at
+    fixture scale."""
+    from lakeflow.observability import execution_metrics, shuffle_summary
+    from lakeflow.queries import QUERIES
+
+    df = QUERIES["doc_repetition_signals"](spark, SF_DIR)
+    rows = execution_metrics(df)
+    token_rows = max(
+        (
+            r["value"] or 0
+            for r in rows
+            if r["operator"] == "Generate" and r["metric"] == "number of output rows"
+        ),
+        default=0,
+    )
+    agg_rows = [
+        r["value"] or 0
+        for r in rows
+        if r["operator"] == "HashAggregate"
+        and r["metric"] == "number of output rows"
+    ]
+    assert token_rows > 0 and agg_rows, "metrics missing from status store"
+    assert min(agg_rows) < token_rows, (
+        f"partial aggregate no longer combines map-side: "
+        f"{min(agg_rows)} agg rows vs {token_rows} token rows"
+    )
+    assert shuffle_summary(df)["spill_bytes"] == 0
