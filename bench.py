@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "zorder_pruned_scan",
     "unigram_logprob_scores",
     "dedup_survivors",
+    "cdc_orders_state",
 ]
 
 

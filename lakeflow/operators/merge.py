@@ -160,3 +160,42 @@ def scd2_apply(
         .unionByName(kept_or_expired)
         .unionByName(inserts)
     )
+
+
+def apply_changes(
+    target: DataFrame | None,
+    changes: DataFrame,
+    keys: Sequence[str],
+    seq_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Ordered changefeed application (the APPLY CHANGES INTO shape, M-layer
+    generalization of scd1_apply): ``changes`` carries upserts and deletes
+    with a per-key ordering column; the result is the target state AFTER the
+    whole feed — latest change wins per key, and a key whose latest change is
+    a delete is absent.
+
+    ``target=None`` applies the feed to an empty table (initial hydration).
+    Out-of-order delivery is handled by ``seq_col`` (ties broken on the
+    payload, mirroring _dedup_source): reordering a feed never changes the
+    result, the property CDC pipelines actually need.
+
+    Scale: one ranked dedup of the batch (window over keys — the batch, not
+    the table) + one key equi-join against the target. No global sort.
+    """
+    from lakeflow.operators.transforms import dedup_latest
+
+    payload_cols = [
+        c for c in changes.columns if c not in (*keys, seq_col, op_col)
+    ]
+    latest = dedup_latest(
+        changes, list(keys), seq_col, tiebreak_cols=[op_col, *payload_cols]
+    )
+    survivors = latest.filter(F.col(op_col) != delete_op).select(
+        *keys, *payload_cols
+    )
+    if target is None:
+        return survivors
+    untouched = target.join(latest.select(*keys), list(keys), "left_anti")
+    return untouched.unionByName(survivors)

@@ -1931,3 +1931,46 @@ def zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint")) / 100.0
         ).alias("sum_value"),
     )
+
+
+@register(
+    "cdc_orders_state",
+    oracle="""
+    WITH feed AS (
+        SELECT o_custkey, o_orderkey,
+               CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+               o_totalprice, o_orderpriority
+        FROM orders
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY o_custkey
+            ORDER BY o_orderkey DESC, op DESC, o_totalprice DESC,
+                     o_orderpriority DESC
+        ) AS rn
+        FROM feed
+    )
+    SELECT o_custkey, o_totalprice, o_orderpriority
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_orders_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changefeed application as a checked query (operators/merge.py
+    apply_changes — the APPLY CHANGES INTO shape): orders re-read as an
+    ordered CDC feed keyed by customer (seq = orderkey; finalized orders act
+    as deletes), hydrating an empty table. Latest change wins per key;
+    a key whose latest change is a delete is absent. The oracle replays the
+    same ranked-dedup semantics, so reordering invariance and delete
+    handling are both value-checked."""
+    from lakeflow.operators.merge import apply_changes
+
+    feed = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", "D").otherwise("U").alias("op"),
+        "o_totalprice",
+        "o_orderpriority",
+    )
+    return apply_changes(
+        None, feed, keys=["o_custkey"], seq_col="o_orderkey", op_col="op"
+    )

@@ -962,3 +962,48 @@ def test_embeddings_fixture_dtype_robustness(spark, tmp_path, elem_type):
         test_embeddings_fixture_dtype_robustness._ref = got
     else:
         assert got == test_embeddings_fixture_dtype_robustness._ref
+
+
+def test_apply_changes_semantics(spark):
+    """CDC apply: latest change per key wins, a key whose latest change is a
+    delete vanishes, untouched target keys survive, and reordering the feed
+    never changes the result."""
+    from lakeflow.operators.merge import apply_changes
+
+    target = spark.createDataFrame(
+        [(1, "old"), (2, "keep"), (3, "stale")], "k long, v string"
+    )
+    feed = spark.createDataFrame(
+        [
+            (1, 10, "U", "v1"),
+            (1, 20, "U", "v2"),   # latest for k=1 → wins
+            (3, 5, "D", None),    # latest for k=3 is delete → k=3 gone
+            (4, 1, "U", "new"),
+            (4, 2, "D", None),    # inserted then deleted → absent
+            (5, 7, "D", None),
+            (5, 9, "U", "back"),  # deleted then re-upserted → present
+        ],
+        "k long, seq long, op string, v string",
+    )
+    want = {(1, "v2"), (2, "keep"), (5, "back")}
+    got = {
+        (r.k, r.v)
+        for r in apply_changes(target, feed, ["k"], "seq").collect()
+    }
+    assert got == want
+    # reordering invariance: shuffled feed, same result
+    import random
+
+    rows = feed.collect()
+    random.Random(7).shuffle(rows)
+    shuffled = spark.createDataFrame(rows, feed.schema)
+    got2 = {
+        (r.k, r.v)
+        for r in apply_changes(target, shuffled, ["k"], "seq").collect()
+    }
+    assert got2 == want
+    # empty-target hydration
+    got3 = {
+        (r.k, r.v) for r in apply_changes(None, feed, ["k"], "seq").collect()
+    }
+    assert got3 == {(1, "v2"), (5, "back")}
