@@ -248,3 +248,50 @@ def stream_scd2(
     elif processing_time:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def stream_apply_changes(
+    df: DataFrame,
+    table,
+    keys: list[str],
+    seq_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+    checkpoint: str | None = None,
+    available_now: bool = True,
+    processing_time: str | None = None,
+) -> StreamingQuery:
+    """Streaming changefeed application (the APPLY CHANGES INTO streaming
+    sink): each micro-batch of ordered upserts+deletes folds into a
+    :class:`lakeflow.tables.VersionedTable` via
+    :func:`lakeflow.operators.merge.apply_changes`, committing one snapshot
+    per batch.
+
+    Semantics a CDC consumer needs, inherited from apply_changes: latest
+    seq wins per key WITHIN a batch, deletes remove rows, and replaying a
+    batch after failure recommits the same state (idempotent — commit
+    version advances, content does not). Cross-batch ordering is the
+    feed's responsibility (micro-batches arrive in order); within-batch
+    disorder is harmless.
+    """
+    import tempfile as _tf
+
+    from lakeflow.operators.merge import apply_changes
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        target = None if table.current_version() is None else table.read()
+        state = apply_changes(
+            target, batch_df, keys, seq_col, op_col=op_col, delete_op=delete_op
+        )
+        table.commit(state, mode="overwrite")
+
+    writer = df.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint or _tf.mkdtemp(prefix="lakeflow-ckpt-")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

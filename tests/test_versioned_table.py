@@ -364,3 +364,56 @@ def test_replace_partitions_null_partition(spark, tmp_path):
     # None addresses the NULL partition on the read path.
     got = {(r.cat, r.v) for r in table.read_partitions("cat", [None]).collect()}
     assert got == {(None, 10)}
+
+
+def test_stream_apply_changes_folds_cdc_feed(spark, tmp_path):
+    """Streaming APPLY CHANGES: a two-batch changefeed (maxFilesPerTrigger=1)
+    folds into the versioned table batch by batch — upserts land, deletes
+    remove, the final state equals the batch apply_changes over the whole
+    feed, and each micro-batch left one snapshot."""
+    from lakeflow.operators.merge import apply_changes
+    from lakeflow.sources.streams import file_stream
+    from lakeflow.streaming.sinks import stream_apply_changes
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    feed_dir = tmp_path / "feed"
+    feed_dir.mkdir()
+    schema_pa = pa.schema(
+        [
+            ("k", pa.int64()),
+            ("seq", pa.int64()),
+            ("op", pa.string()),
+            ("v", pa.string()),
+        ]
+    )
+    rows1 = [(1, 1, "U", "a"), (2, 2, "U", "b"), (3, 3, "U", "c")]
+    rows2 = [(2, 4, "D", None), (3, 5, "U", "c2"), (4, 6, "U", "d")]
+    for fname, rows in (("batch1.parquet", rows1), ("batch2.parquet", rows2)):
+        cols = list(zip(*rows))
+        pq.write_table(
+            pa.table(
+                {f.name: list(c) for f, c in zip(schema_pa, cols)},
+                schema=schema_pa,
+            ),
+            feed_dir / fname,
+        )
+    b1 = spark.createDataFrame(rows1, "k long, seq long, op string, v string")
+    b2 = spark.createDataFrame(rows2, "k long, seq long, op string, v string")
+
+    table = VersionedTable(spark, str(tmp_path / "state"))
+    stream = file_stream(
+        spark, str(feed_dir), b1.schema, max_files_per_trigger=1
+    )
+    q = stream_apply_changes(stream, table, keys=["k"], seq_col="seq")
+    q.awaitTermination()
+
+    got = {(r.k, r.v) for r in table.read().collect()}
+    whole_feed = b1.unionByName(b2)
+    want = {
+        (r.k, r.v)
+        for r in apply_changes(None, whole_feed, ["k"], "seq").collect()
+    }
+    assert got == want == {(1, "a"), (3, "c2"), (4, "d")}
+    assert table.current_version() == 2  # one commit per micro-batch
