@@ -260,6 +260,7 @@ def stream_apply_changes(
     checkpoint: str | None = None,
     available_now: bool = True,
     processing_time: str | None = None,
+    num_buckets: int | None = None,
 ) -> StreamingQuery:
     """Streaming changefeed application (the APPLY CHANGES INTO streaming
     sink): each micro-batch of ordered upserts+deletes folds into a
@@ -273,6 +274,11 @@ def stream_apply_changes(
     version advances, content does not). Cross-batch ordering is the
     feed's responsibility (micro-batches arrive in order); within-batch
     disorder is harmless.
+
+    With ``num_buckets`` set, the table partitions on the stable key-hash
+    bucket and each micro-batch reads, applies, and rewrites ONLY its
+    touched buckets (as :func:`stream_upsert`) — per-batch IO is
+    O(batch ∪ touched buckets), the form that survives a 100 TB target.
     """
     import tempfile as _tf
 
@@ -280,6 +286,24 @@ def stream_apply_changes(
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
+            return
+        if num_buckets is not None:
+            batch = _with_bucket(batch_df, keys, num_buckets)
+            touched = [
+                r[0] for r in batch.select(BUCKET_COL).distinct().collect()
+            ]
+            target = (
+                None
+                if table.current_version() is None
+                else table.read_partitions(BUCKET_COL, touched)
+            )
+            # The bucket column rides through as payload: apply_changes
+            # excludes (keys, seq, op) and keeps the rest, and a key's
+            # bucket never changes, so survivors keep a correct bucket.
+            state = apply_changes(
+                target, batch, keys, seq_col, op_col=op_col, delete_op=delete_op
+            )
+            table.commit_replace_partitions(state, BUCKET_COL)
             return
         target = None if table.current_version() is None else table.read()
         state = apply_changes(

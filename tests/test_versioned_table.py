@@ -417,3 +417,60 @@ def test_stream_apply_changes_folds_cdc_feed(spark, tmp_path):
     }
     assert got == want == {(1, "a"), (3, "c2"), (4, "d")}
     assert table.current_version() == 2  # one commit per micro-batch
+
+
+def test_stream_apply_changes_bucketed_matches_full_rewrite(spark, tmp_path):
+    """Partition-scoped CDC apply: with num_buckets, each micro-batch rewrites
+    only its touched key-hash buckets, and the final state is identical to
+    the full-rewrite path over the same feed."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lakeflow.sources.streams import file_stream
+    from lakeflow.streaming.sinks import stream_apply_changes
+
+    feed_dir = tmp_path / "feed"
+    feed_dir.mkdir()
+    schema_pa = pa.schema(
+        [
+            ("k", pa.int64()),
+            ("seq", pa.int64()),
+            ("op", pa.string()),
+            ("v", pa.string()),
+        ]
+    )
+    rows1 = [(i, i, "U", f"v{i}") for i in range(20)]
+    rows2 = [(3, 100, "D", None), (7, 101, "U", "v7b"), (25, 102, "U", "v25")]
+    for fname, rows in (("b1.parquet", rows1), ("b2.parquet", rows2)):
+        cols = list(zip(*rows))
+        pq.write_table(
+            pa.table(
+                {f.name: list(c) for f, c in zip(schema_pa, cols)},
+                schema=schema_pa,
+            ),
+            feed_dir / fname,
+        )
+    schema = spark.read.parquet(str(feed_dir / "b1.parquet")).schema
+
+    tables = {}
+    for label, nb in (("full", None), ("bucketed", 8)):
+        t = VersionedTable(spark, str(tmp_path / label))
+        stream = file_stream(spark, str(feed_dir), schema, max_files_per_trigger=1)
+        q = stream_apply_changes(
+            stream, t, keys=["k"], seq_col="seq", num_buckets=nb
+        )
+        q.awaitTermination()
+        tables[label] = t
+
+    full = {(r.k, r.v) for r in tables["full"].read().select("k", "v").collect()}
+    bucketed = {
+        (r.k, r.v) for r in tables["bucketed"].read().select("k", "v").collect()
+    }
+    assert full == bucketed
+    assert (3, None) not in {(k, v) for k, v in full} and all(
+        k != 3 for k, _ in full
+    )
+    assert (7, "v7b") in full and (25, "v25") in full and len(full) == 20
+    # the second bucketed commit replaced only the touched buckets
+    m = tables["bucketed"]._manifest(tables["bucketed"].current_version())
+    assert m["operation"] == "replace_partitions"
