@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "unigram_logprob_scores",
     "dedup_survivors",
     "cdc_orders_state",
+    "top_bigram_phrases",
 ]
 
 

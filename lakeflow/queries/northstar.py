@@ -1266,3 +1266,43 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(keep, "doc_id", "left_semi").select(
         "doc_id", "lang", "source"
     )
+
+
+@register(
+    "top_bigram_phrases",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split({_RS_NORM}, ' ') AS ts FROM documents
+    ),
+    grams AS (
+        SELECT unnest(list_transform(
+                   range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1]
+               )) AS gram
+        FROM toks WHERE len(ts) >= 2
+    ),
+    counted AS (SELECT gram, CAST(count(*) AS BIGINT) AS n FROM grams GROUP BY gram)
+    SELECT gram, n FROM counted
+    ORDER BY n DESC, gram ASC LIMIT 20
+    """,
+)
+def top_bigram_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level phrase report: the 20 most frequent word bigrams — the
+    "what is actually in my corpus" table every dataset card carries.
+    Bigrams are built scan-side from the token array (one transform, no
+    self-join), counted with map-side partial aggregation (shuffle bounded
+    by distinct bigrams), and the top-k runs as TakeOrdered — no global
+    sort of the bigram table ever happens. Deterministic (gram ASC)
+    tiebreak keeps the cut stable across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    from lakeflow.operators.dedup import normalize_text
+
+    toks = docs.select(F.split(normalize_text("text"), " ").alias("ts")).filter(
+        F.size("ts") >= 2
+    )
+    grams = toks.select(
+        F.explode(
+            F.expr("transform(sequence(1, size(ts) - 1), i -> concat(ts[i - 1], ' ', ts[i]))")
+        ).alias("gram")
+    )
+    counted = grams.groupBy("gram").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return counted.orderBy(F.desc("n"), F.asc("gram")).limit(20)
