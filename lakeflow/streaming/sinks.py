@@ -142,7 +142,11 @@ def stream_upsert(
             else:
                 current = table.read_partitions(BUCKET_COL, touched)
                 state = scd1_apply(current, batch, keys=keys)
-            table.commit_replace_partitions(state, BUCKET_COL)
+            # Upserts never empty a bucket, but passing the known touched set
+            # keeps the replace decision independent of that invariant.
+            table.commit_replace_partitions(
+                state, BUCKET_COL, touched_values=touched
+            )
             return
         if table.current_version() is None:
             # First load: still collapse to one row per key — a CDC batch may
@@ -230,7 +234,9 @@ def stream_scd2(
                 state = scd2_apply(
                     current, batch, keys=keys, tracked=tracked, effective_ts=eff
                 )
-            table.commit_replace_partitions(state, BUCKET_COL, _operation="scd2")
+            table.commit_replace_partitions(
+                state, BUCKET_COL, touched_values=touched, _operation="scd2"
+            )
             return
         if table.current_version() is None:
             state = first_state(batch_df, eff)
@@ -303,7 +309,13 @@ def stream_apply_changes(
             state = apply_changes(
                 target, batch, keys, seq_col, op_col=op_col, delete_op=delete_op
             )
-            table.commit_replace_partitions(state, BUCKET_COL)
+            # touched_values is load-bearing here: a batch that deletes every
+            # key in a bucket leaves no state row to name that bucket, and
+            # without it the bucket's old dirs would carry over and resurrect
+            # the deleted keys.
+            table.commit_replace_partitions(
+                state, BUCKET_COL, touched_values=touched
+            )
             return
         target = None if table.current_version() is None else table.read()
         state = apply_changes(

@@ -185,10 +185,20 @@ class VersionedTable:
         df: DataFrame,
         partition_col: str,
         stats_cols: Sequence[str] | None = None,
+        touched_values: Sequence | None = None,
         _operation: str = "replace_partitions",
     ) -> int:
         """Commit ``df`` as the new state of exactly the partitions it
-        contains; every other partition's data dirs carry over untouched.
+        contains — plus any ``touched_values`` partitions — with every other
+        partition's data dirs carried over untouched.
+
+        ``touched_values`` exists for the delete-to-empty case: a CDC batch
+        that deletes every key in a bucket produces a state df with NO rows
+        for that bucket, so the df alone cannot name it. Callers that know
+        which partitions a batch touched (the streaming merge sinks) pass
+        them explicitly; the union with the df-derived set decides what is
+        replaced, so an emptied partition's old dirs are dropped instead of
+        carried over (which would resurrect its deleted keys on next read).
 
         This is Iceberg's copy-on-write replace-partitions, at directory
         granularity: the manifest records which ``partition_col`` values each
@@ -239,6 +249,8 @@ class VersionedTable:
                 _partition_token(partition_col).alias("t")
             ).distinct().collect()
         }
+        if touched_values is not None:
+            touched |= {_partition_value_token(v) for v in touched_values}
         prev = self.current_version()
         keep_dirs: list[str] = []
         rewrite_dirs: list[str] = []

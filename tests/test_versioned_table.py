@@ -474,3 +474,89 @@ def test_stream_apply_changes_bucketed_matches_full_rewrite(spark, tmp_path):
     # the second bucketed commit replaced only the touched buckets
     m = tables["bucketed"]._manifest(tables["bucketed"].current_version())
     assert m["operation"] == "replace_partitions"
+
+
+def test_commit_replace_partitions_touched_values_empties_partition(
+    spark, tmp_path
+):
+    """An explicit touched_values entry replaces a partition even when the
+    new state has zero rows for it (the delete-to-empty case, ADVICE r4
+    high): without it the partition's old dirs would carry over."""
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    df = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("b", 3)], "part string, v int"
+    )
+    t.commit_replace_partitions(df, "part")
+
+    # New state touches {a, b} but contains only b-rows: a was emptied.
+    survivors = spark.createDataFrame([("b", 9)], "part string, v int")
+    t.commit_replace_partitions(survivors, "part", touched_values=["a", "b"])
+    assert {(r.part, r.v) for r in t.read().collect()} == {("b", 9)}
+
+    # Untouched partitions still carry over when not named.
+    t.commit_replace_partitions(
+        spark.createDataFrame([("c", 7)], "part string, v int"),
+        "part",
+        touched_values=["c"],
+    )
+    assert {(r.part, r.v) for r in t.read().collect()} == {("b", 9), ("c", 7)}
+
+
+def test_stream_apply_changes_delete_empties_singleton_bucket(spark, tmp_path):
+    """A CDC batch that deletes the ONLY key in a bucket must not resurrect
+    it: the sink passes its batch-derived touched buckets to
+    commit_replace_partitions, so the emptied bucket's dirs are dropped
+    (ADVICE r4 high — the df-derived set alone cannot name an empty bucket)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lakeflow.sources.streams import file_stream
+    from lakeflow.streaming.sinks import _with_bucket, stream_apply_changes
+
+    num_buckets = 8
+    keys = list(range(1, 9))
+    kdf = spark.createDataFrame([(k,) for k in keys], "k long")
+    bucket_of = {
+        r["k"]: r["__bucket"]
+        for r in _with_bucket(kdf, ["k"], num_buckets).collect()
+    }
+    # Pick a key alone in its bucket (exists w.h.p.; assert so the test is
+    # self-checking rather than silently vacuous).
+    from collections import Counter
+
+    counts = Counter(bucket_of.values())
+    lone = next(k for k in keys if counts[bucket_of[k]] == 1)
+
+    feed_dir = tmp_path / "feed"
+    feed_dir.mkdir()
+    schema_pa = pa.schema(
+        [
+            ("k", pa.int64()),
+            ("seq", pa.int64()),
+            ("op", pa.string()),
+            ("v", pa.string()),
+        ]
+    )
+    rows1 = [(k, k, "U", f"v{k}") for k in keys]
+    rows2 = [(lone, 100, "D", None)]
+    for fname, rows in (("b1.parquet", rows1), ("b2.parquet", rows2)):
+        cols = list(zip(*rows))
+        pq.write_table(
+            pa.table(
+                {f.name: list(c) for f, c in zip(schema_pa, cols)},
+                schema=schema_pa,
+            ),
+            feed_dir / fname,
+        )
+    schema = spark.read.parquet(str(feed_dir / "b1.parquet")).schema
+
+    t = VersionedTable(spark, str(tmp_path / "state"))
+    stream = file_stream(spark, str(feed_dir), schema, max_files_per_trigger=1)
+    q = stream_apply_changes(
+        stream, t, keys=["k"], seq_col="seq", num_buckets=num_buckets
+    )
+    q.awaitTermination()
+
+    got = {(r.k, r.v) for r in t.read().select("k", "v").collect()}
+    assert all(k != lone for k, _ in got), "deleted key resurrected"
+    assert got == {(k, f"v{k}") for k in keys if k != lone}
