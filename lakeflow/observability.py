@@ -24,8 +24,11 @@ _SIZE = {"B": 1, "KiB": 1 << 10, "MiB": 1 << 20, "GiB": 1 << 30, "TiB": 1 << 40}
 
 def _parse_value(s: str) -> int | None:
     """'1,000' → 1000; '233.0 B' / '1.5 MiB' → bytes; timing/percentile
-    displays → None (kept raw)."""
-    s = s.strip().splitlines()[0]
+    displays and empty strings → None (kept raw)."""
+    lines = s.strip().splitlines()
+    if not lines:
+        return None
+    s = lines[0]
     m = re.fullmatch(r"([\d,]+(?:\.\d+)?)\s*(B|KiB|MiB|GiB|TiB)?", s)
     if not m:
         return None

@@ -11,6 +11,8 @@ RE2 (DuckDB/others) interpret identically, so the ops are oracle-replayable.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -531,6 +533,7 @@ def unigram_logprob_scores(
     text_col: str = "text",
     id_col: str = "doc_id",
     round_to: int = 6,
+    min_count: int = 1,
 ) -> DataFrame:
     """Statistical-LM quality scoring, unigram form: each document scored by
     the mean log-probability of its tokens under the corpus's own unigram
@@ -538,31 +541,75 @@ def unigram_logprob_scores(
     Gibberish, rare-token spam, and wrong-language text score far below the
     corpus mode; the score feeds the same keep/drop gate as quality_features.
 
-    Two linear passes, Spark-shaped: (1) global token frequencies — one
-    groupBy(token) whose map-side partial combine bounds shuffle rows by
-    vocabulary; (2) token → log p(token) equi-join back onto the exploded
-    docs, then a per-doc mean. The vocabulary frame is tiny relative to the
-    corpus (Heaps' law), so at 100 TB the join broadcasts; nothing is ever
-    quadratic. Probabilities use exact integer counts and a fixed evaluation
-    order (sum of rounded log-probs), so the DuckDB oracle reproduces the
-    score bit-for-bit.
+    Scale shape: the vocabulary is one groupBy(token) whose map-side partial
+    combine bounds shuffle rows by vocabulary; it is persisted
+    (MEMORY_AND_DISK — vocab-sized, spills rather than OOMs), and the corpus
+    token total is a one-row aggregate over that cached frame, so deriving
+    the scalar costs no second scan of the exploded tokens (the old shape
+    paid a separate ``toks.count()`` pass, and ReuseExchange cannot dedup
+    the two subtrees because column pruning diverges them). The scoring
+    query then scans the corpus exactly once (the join probe); the build
+    side comes from the cache, and the join strategy is left to AQE, which
+    broadcasts when the cached vocab is small and shuffle-joins when it is
+    not — a 100 TB web corpus has billions of distinct whitespace tokens,
+    and the previous forced broadcast would OOM the driver exactly at the
+    scale this operator targets.
+
+    ``min_count`` is the KenLM-style frequency floor for that regime:
+    tokens seen fewer than ``min_count`` times pool into one OOV bucket
+    (scored by the pooled rare mass), so the joinable vocab shrinks to the
+    head that real LM filters keep. The default 1 keeps every token and is
+    the oracle-checked configuration.
+
+    Determinism: per-token log-probs are quantized to exact integer
+    micro-nats BEFORE the sum, so bigint accumulation is order-free and the
+    distributed mean cannot drift an ulp however partitions combine. The
+    residual cross-engine risk is ``ln`` itself (JVM Math.log is within 1
+    ulp, not correctly-rounded); a flip needs the two engines' ln to
+    straddle a 0.5-micro-nat boundary (~1e-10 per distinct count) AND the
+    final 1e-6-rounded mean to sit on its own boundary —
+    ``tests/test_operators.py`` pins Spark-vs-DuckDB agreement over the
+    fixture's full distinct-count domain so any drift is caught at the
+    operating point.
 
     Output: (id, n_tokens, avg_logprob) — natural log, rounded.
     """
+    from pyspark import StorageLevel
+
     toks = df.select(
         F.col(id_col),
         F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
     )
-    total = toks.count()  # control-plane scalar: corpus token count
-    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tc"))
-    # Per-token log-probs quantized to exact integer micro-nats BEFORE the
-    # sum: bigint accumulation is order-free, so the distributed mean cannot
-    # drift an ulp from the oracle's however partitions combine.
-    scored = toks.join(F.broadcast(vocab), "tok").select(
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tc")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    stats_cols = [F.sum("tc").alias("n")]
+    if min_count > 1:
+        stats_cols.append(
+            F.sum(
+                F.when(F.col("tc") < min_count, F.col("tc")).otherwise(F.lit(0))
+            ).alias("oov_mass")
+        )
+    # Control-plane scalars off the cached aggregate (this action also
+    # materializes the cache the join below reuses). The cache lives until
+    # LRU eviction or spark.catalog.clearCache(); it is the join build side,
+    # so holding it is the point, not a leak.
+    stats = vocab.agg(*stats_cols).collect()[0]
+    total = stats["n"] or 1  # empty corpus: toks has no rows, value unused
+    kept = (
+        vocab.filter(F.col("tc") >= min_count) if min_count > 1 else vocab
+    )
+    joined = toks.join(kept, "tok", "left" if min_count > 1 else "inner")
+    lp = F.log(F.col("tc") / F.lit(float(total)))
+    if min_count > 1:
+        # Pooled rare mass, floored at one count so an all-kept corpus
+        # cannot produce log(0).
+        lp = F.coalesce(
+            lp, F.lit(math.log(max(stats["oov_mass"] or 0, 1) / float(total)))
+        )
+    scored = joined.select(
         F.col(id_col),
-        F.floor(F.log(F.col("tc") / F.lit(float(total))) * 1e6 + 0.5)
-        .cast("bigint")
-        .alias("lp_micro"),
+        F.floor(lp * 1e6 + 0.5).cast("bigint").alias("lp_micro"),
     )
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_tokens"),

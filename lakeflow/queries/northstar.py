@@ -1236,8 +1236,9 @@ def source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical-LM quality filter (the simplified KenLM-perplexity shape):
     per-doc mean log-probability under the corpus's own unigram distribution.
-    Vocabulary aggregation bounds the shuffle; the tiny vocab frame
-    broadcasts for the re-join; log-probs accumulate as exact integer
+    Vocabulary aggregation bounds the shuffle; the persisted vocab aggregate
+    yields the corpus total (no second token scan) and serves the re-join,
+    whose strategy AQE picks; log-probs accumulate as exact integer
     micro-nats so the distributed mean is order-free
     (operators/text.py unigram_logprob_scores)."""
     return tx.unigram_logprob_scores(load_table(spark, sf_dir, "documents"))
