@@ -991,28 +991,35 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q11_important_parts",
     oracle="""
+    WITH per_part AS (
+      SELECT l_partkey, sum(l_extendedprice * l_quantity) AS raw_value
+      FROM lineitem GROUP BY l_partkey)
     SELECT l_partkey,
-           (floor((sum(l_extendedprice * l_quantity)) * 100.0 + 0.5) / 100.0)
-           AS part_value
-    FROM lineitem
-    GROUP BY l_partkey
-    HAVING sum(l_extendedprice * l_quantity) >
-           (SELECT 0.005 * sum(l_extendedprice * l_quantity) FROM lineitem)
+           (floor((raw_value) * 100.0 + 0.5) / 100.0) AS part_value
+    FROM per_part
+    WHERE raw_value > (SELECT 1.2 * avg(raw_value) FROM per_part)
     """,
 )
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q11 shape: HAVING against a scalar subquery (global total).
+    """TPC-H Q11 shape: HAVING against a scalar subquery over the same
+    aggregate.
 
-    Both aggregates come off one shuffled pass in Spark's reused exchange; the
-    one-row total is crossed in as a broadcast nested loop — no second scan of
-    the fact table at scale (AQE reuses the exchange).
+    The canonical Q11 keeps parts above a FIXED fraction of the global total
+    and scales that fraction by 1/SF; a fixed fraction can't be mirrored in a
+    static oracle that never sees SF, and unscaled it returns an empty set at
+    small SF (the r4 verdict's trivially-green finding). The scale-invariant
+    equivalent used here keeps parts above 1.2x the average per-part value —
+    non-empty at every SF, so the hash check has teeth. The one-row threshold
+    is crossed in as a broadcast nested loop.
     """
     li = load_table(spark, sf_dir, "lineitem")
     value = F.col("l_extendedprice") * F.col("l_quantity")
     per_part = li.groupBy("l_partkey").agg(F.sum(value).alias("raw_value"))
-    total = li.agg((F.lit(0.005) * F.sum(value)).alias("threshold"))
+    threshold = per_part.agg(
+        (F.lit(1.2) * F.avg("raw_value")).alias("threshold")
+    )
     return (
-        per_part.join(F.broadcast(total))
+        per_part.join(F.broadcast(threshold))
         .filter(F.col("raw_value") > F.col("threshold"))
         .select("l_partkey", rnd(F.col("raw_value"), 2).alias("part_value"))
     )
@@ -1067,18 +1074,29 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
            (floor((sum(c_acctbal)) * 100.0 + 0.5) / 100.0) AS totacctbal
     FROM customer
     WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
-      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
     GROUP BY c_nationkey
     """,
 )
 def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: scalar-avg subquery + NOT EXISTS anti join.
 
-    The anti join probes only distinct o_custkey (shuffle of one slim column);
-    the average is a one-row broadcast.
+    The anti join probes only distinct o_custkey (shuffle of one slim
+    column, further shrunk by the pushed date filter); the average is a
+    one-row broadcast. "Idle" means no orders since 2000-01-01 — the
+    fixture's order feed covers every customer over its full 1995-2001
+    range, so the canonical never-ordered predicate selects the empty set
+    at every SF (the r4 verdict's trivially-green finding); a recency
+    cutoff keeps the anti-join semantics and a non-empty, hash-checkable
+    result.
     """
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+    )
     avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
         F.avg("c_acctbal").alias("avg_bal")
     )

@@ -98,20 +98,71 @@ def stream_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-@register("stream_gap_sessions")  # arbitrary-state streaming op → rows-only check
+@register(
+    "stream_gap_sessions",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, epoch_ms(ts) AS m,
+               CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v_micro
+        FROM events
+    ),
+    marked AS (
+        SELECT *, CASE WHEN lag(m) OVER w IS NULL
+                            OR m - lag(m) OVER w > 1800000
+                       THEN 1 ELSE 0 END AS new_session
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY m)
+    ),
+    sessions AS (
+        SELECT *, sum(new_session) OVER (
+            PARTITION BY user_id ORDER BY m ROWS UNBOUNDED PRECEDING
+        ) AS session_no
+        FROM marked
+    ),
+    agg AS (
+        SELECT user_id, session_no,
+               max(session_no) OVER (PARTITION BY user_id) AS last_no,
+               min(m) * 1000 AS session_start_us,
+               max(m) * 1000 AS session_end_us,
+               CAST(count(*) AS BIGINT) AS n_events,
+               sum(v_micro) / 1000000.0 AS total_value
+        FROM sessions GROUP BY user_id, session_no
+    )
+    SELECT user_id, session_start_us, session_end_us, n_events, total_value
+    FROM agg
+    WHERE session_no < last_no
+       OR session_end_us / 1000 + 1800000 <
+          (SELECT epoch_ms(max(ts)) - 60000 FROM events)
+    """,
+)
 def stream_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState, SURVEY.md §2.8 T7
     headroom): per-user gap-based sessionization, 30-minute inactivity gap.
     State = one open session per user, closed by a newer event or by the
     event-time timeout; sessions stream out in append mode. Not expressible
     with built-in session_window when per-session state must carry arbitrary
-    aggregates across batches."""
+    aggregates across batches.
+
+    Oracle (VERDICT r4 "Next round #3" — this was the last SQL-expressible
+    rows-only query): gaps-and-islands over millisecond-truncated event
+    times (the operator's own precision), micro-unit value sums (order-free
+    on both engines), and the exact emission set — every non-last session
+    per user (a successor event proved its gap) plus last sessions whose
+    end + gap lies strictly below the final watermark (max ts − 1 min, the
+    event-time-timeout rule)."""
+    from pyspark.sql import functions as F
+
     from lakeflow.streaming.stateful import sessionize_stream
 
     stream = events_stream(spark, sf_dir).select("ts", "user_id", "value")
     sessions = sessionize_stream(stream, gap="30 minutes", watermark="1 minutes")
     name, _ = run_to_memory(sessions)
-    return spark.table(name)
+    return spark.table(name).select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "n_events",
+        "total_value",
+    )
 
 
 @register(

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Iterable
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -45,7 +46,9 @@ _STATE_SCHEMA = StructType(
         StructField("start_ms", LongType()),
         StructField("end_ms", LongType()),
         StructField("n_events", LongType()),
-        StructField("total_value", DoubleType()),
+        # Exact integer micro-units of the session value sum (see
+        # _make_sessionizer); emitted as double micro/1e6.
+        StructField("total_micro", LongType()),
     ]
 )
 
@@ -67,13 +70,21 @@ def _make_sessionizer(gap_ms: int):
             for pdf in pdfs:
                 pdf = pdf.sort_values("ts")
                 ts_ms = (pdf["ts"].astype("int64") // 1_000_000).tolist()
-                vals = pdf["value"].tolist()
+                # Exact integer micro-units: accumulation is order-free, so
+                # the session total cannot drift an ulp between a replay, a
+                # repartition, and the DuckDB oracle's own summation order
+                # (the repo-wide rnd() determinism pattern).
+                vals = (
+                    np.floor(pdf["value"].to_numpy() * 1e6 + 0.5)
+                    .astype("int64")
+                    .tolist()
+                )
                 for t, v in zip(ts_ms, vals):
                     if cur is None:
-                        cur = [t, t, 0, 0.0]
+                        cur = [t, t, 0, 0]
                     elif t - cur[1] > gap_ms:
                         closed.append((user_id, cur[0], cur[1], cur[2], cur[3]))
-                        cur = [t, t, 0, 0.0]
+                        cur = [t, t, 0, 0]
                     cur[1] = t
                     cur[2] += 1
                     cur[3] += v
@@ -87,6 +98,7 @@ def _make_sessionizer(gap_ms: int):
             out = pd.DataFrame(closed, columns=[f.name for f in SESSION_SCHEMA])
             out["session_start"] = pd.to_datetime(out["session_start"], unit="ms")
             out["session_end"] = pd.to_datetime(out["session_end"], unit="ms")
+            out["total_value"] = out["total_value"].astype("int64") / 1e6
             return iter([out])
         return iter([])
 
