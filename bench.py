@@ -125,31 +125,43 @@ def main() -> None:
     except Exception as exc:
         print(f"  PYSOURCE-WARMUP FAILED: {exc!r}"[:300], file=sys.stderr)
 
-    timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = QUERIES[name]
-        t0 = time.perf_counter()
-        try:
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-        except Exception as exc:  # one broken query must not sink the run
-            print(f"  {name}: FAILED {exc!r}"[:300], file=sys.stderr)
-            continue
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
+    def run_set(names: list[str]) -> dict[str, float]:
+        timings: dict[str, float] = {}
+        for name in names:
+            fn = QUERIES[name]
+            t0 = time.perf_counter()
+            try:
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+            except Exception as exc:  # one broken query must not sink the run
+                print(f"  {name}: FAILED {exc!r}"[:300], file=sys.stderr)
+                continue
+            timings[name] = round(time.perf_counter() - t0, 3)
+            print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
+        return timings
 
+    timings = run_set(BENCH_QUERIES)
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "lakeflow headline queries, end-to-end (noop sink)",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    record = {
+        "metric": "lakeflow headline queries, end-to-end (noop sink)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+
+    # Full-surface sweep (VERDICT r4 ask #6): every registered query not in
+    # the headline set, in sorted order so the tail is stable round-over-
+    # round. The headline "value" stays comparable to prior rounds; the
+    # tail rides along as separate keys. --headline-only skips it.
+    if "--headline-only" not in sys.argv:
+        tail = sorted(n for n in QUERIES if n not in BENCH_QUERIES)
+        print(f"  -- full-surface tail ({len(tail)} queries) --", file=sys.stderr)
+        tail_timings = run_set(tail)
+        record["full_queries"] = tail_timings
+        record["full_total"] = round(total + sum(tail_timings.values()), 3)
+
+    print(json.dumps(record))
     spark.stop()
 
 
