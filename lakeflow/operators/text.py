@@ -514,9 +514,14 @@ def pack_budget_bins(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    # Bin-id encoding: shard in the high bits (stride 2^40), bin offset in
+    # the low 40 bits. A shard overflows only past 2^40 bins ≈ 5.6e14 tokens
+    # per shard at budget=512 — far beyond the 100 TB corpus target even at
+    # n_shards=32 (the previous 1e9 stride collided at ~512 G tokens/shard,
+    # ADVICE r4).
     binned = toks.withColumn(
         "bin_id",
-        (F.col("shard") * F.lit(1_000_000_000) + F.floor(start / budget)).cast(
+        (F.col("shard") * F.lit(1 << 40) + F.floor(start / budget)).cast(
             "bigint"
         ),
     )

@@ -167,6 +167,10 @@ _REWRITTEN_SINCE_GREEN = frozenset(
         # r5: stream_gap_sessions gained a DuckDB oracle (VERDICT r4
         # "Next round #3") — its prior verdicts were rows-only.
         "stream_gap_sessions",
+        # r5: pack_sequences bin-id stride widened 1e9 → 2^40 (ADVICE r4:
+        # the old stride collided across shards at ~512 G tokens/shard);
+        # bin_id values changed on both engines.
+        "pack_sequences",
         # r5: cdc_orders_state's sink path fixed for bucket-emptying deletes
         # (ADVICE r4 high): commit_replace_partitions now takes an explicit
         # touched-partition union so a batch that deletes every key in a

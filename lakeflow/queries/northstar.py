@@ -1149,7 +1149,7 @@ def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING
         ) AS cum FROM t
     )
-    SELECT CAST(shard * 1000000000 + floor((cum - n_tokens) / 512) AS BIGINT) AS bin_id,
+    SELECT CAST(shard * 1099511627776 + floor((cum - n_tokens) / 512) AS BIGINT) AS bin_id,
            CAST(count(*) AS BIGINT)      AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
            min(doc_id) AS first_doc,

@@ -924,44 +924,43 @@ def test_bucketed_near_dups_recall_at_registered_threshold(spark):
     assert recall >= 2 / 3, f"recall dropped to {recall:.3f} ({len(got)}/{len(want)})"
 
 
-@pytest.mark.parametrize("elem_type", ["float", "double"])
-def test_embeddings_fixture_dtype_robustness(spark, tmp_path, elem_type):
+def test_embeddings_fixture_dtype_robustness(spark, tmp_path):
     """Similarity ops must analyze and score identically whether the fixture
     ships embedding as array<float> (today) or array<double> (the plausible
     regeneration drift) — all math promotes per-element to double, so scores
     must be bit-identical, not merely close (same r3-class hardening as the
-    events ts test)."""
+    events ts test). Both layouts run inside ONE test body and compare
+    directly (ADVICE r4: the previous parametrized form stashed the
+    reference on a function attribute, which silently skipped the
+    comparison under xdist or single-case runs)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     from lakeflow.operators.similarity import brute_force_topk
 
     vecs = [[float(i + j) / 10.0 for j in range(8)] for i in range(20)]
-    tbl = pa.table(
-        {
-            "vec_id": pa.array(range(20), pa.int64()),
-            "embedding": pa.array(vecs, pa.list_(getattr(pa, f"{elem_type}32" if elem_type == "float" else "float64")())),
-            "label": pa.array([i % 3 for i in range(20)], pa.int32()),
-        }
-    )
-    d = tmp_path / elem_type
-    d.mkdir()
-    pq.write_table(tbl, d / "embeddings.parquet")
-
-    df = spark.read.parquet(str(d / "embeddings.parquet"))
-    got = sorted(
-        (r.qid, r.vid, r.cos)
-        for r in brute_force_topk(df, df.limit(3), k=2).collect()
-    )
-    assert len(got) == 6
-    # the double-typed run is the ground truth; float32 STORAGE with double
-    # accumulation must reproduce it exactly for these exactly-representable
-    # inputs
-    assert all(isinstance(c, float) for _, _, c in got)
-    if not hasattr(test_embeddings_fixture_dtype_robustness, "_ref"):
-        test_embeddings_fixture_dtype_robustness._ref = got
-    else:
-        assert got == test_embeddings_fixture_dtype_robustness._ref
+    results = {}
+    for elem_type, pa_type in (("float", pa.float32()), ("double", pa.float64())):
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(range(20), pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa_type)),
+                "label": pa.array([i % 3 for i in range(20)], pa.int32()),
+            }
+        )
+        d = tmp_path / elem_type
+        d.mkdir()
+        pq.write_table(tbl, d / "embeddings.parquet")
+        df = spark.read.parquet(str(d / "embeddings.parquet"))
+        results[elem_type] = sorted(
+            (r.qid, r.vid, r.cos)
+            for r in brute_force_topk(df, df.limit(3), k=2).collect()
+        )
+    assert len(results["double"]) == 6
+    assert all(isinstance(c, float) for _, _, c in results["double"])
+    # float32 STORAGE with double accumulation must reproduce the
+    # double-typed ground truth exactly for these representable inputs
+    assert results["float"] == results["double"]
 
 
 def test_apply_changes_semantics(spark):
