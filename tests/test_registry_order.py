@@ -15,12 +15,15 @@ from lakeflow.queries import (
     _VERIFIED_R1,
     _VERIFIED_R2,
     _VERIFIED_R3,
+    _VERIFIED_R4,
 )
 
-_VERIFIED = _VERIFIED_R1 | _VERIFIED_R2 | _VERIFIED_R3
+_VERIFIED = _VERIFIED_R1 | _VERIFIED_R2 | _VERIFIED_R3 | _VERIFIED_R4
 
 _LATEST_GREEN: dict[str, int] = {}
-for _rnd, _names in enumerate((_VERIFIED_R1, _VERIFIED_R2, _VERIFIED_R3), 1):
+for _rnd, _names in enumerate(
+    (_VERIFIED_R1, _VERIFIED_R2, _VERIFIED_R3, _VERIFIED_R4), 1
+):
     for _n in _names:
         _LATEST_GREEN[_n] = _rnd
 
@@ -32,6 +35,9 @@ def test_never_verified_queries_come_first():
     assert all(n not in _VERIFIED for n in front), (
         "a previously-verified query sits ahead of a never-verified one"
     )
+    # All 114 queries have at least one verdict as of r4, so the never-
+    # verified block is empty until new queries are registered.
+    assert n_never == 0 or front
 
 
 def test_rewritten_since_green_precede_stable_greens():
@@ -59,13 +65,15 @@ def test_oldest_verdicts_reverified_before_newest():
     assert rounds_in_order == sorted(rounds_in_order)
 
 
-def test_stale_set_covers_round3_breakage():
-    """The six stream_* queries (dtype-guard rewrite) and the rewritten
-    table_snapshots_history must hold front-of-queue slots in round 4."""
+def test_stale_set_covers_round5_rewrites():
+    """Every query whose implementation or oracle changed in round 5 must
+    hold a front-of-queue slot: the unigram scale rework, the q11/q22
+    predicate rescale, the new gap-sessions oracle, the CDC delete fix, and
+    the pack bin-id stride widening."""
     expected = {
-        "stream_candles_15m", "stream_static_enrich", "stream_event_dedup",
-        "stream_gap_sessions", "stream_stream_view_to_purchase",
-        "stream_session_windows", "table_snapshots_history",
+        "unigram_logprob_scores", "q11_important_parts",
+        "q22_idle_rich_customers", "stream_gap_sessions",
+        "cdc_orders_state", "pack_sequences",
     }
     assert expected <= _REWRITTEN_SINCE_GREEN
 
