@@ -1307,3 +1307,109 @@ def top_bigram_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counted = grams.groupBy("gram").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     return counted.orderBy(F.desc("n"), F.asc("gram")).limit(20)
+
+
+@register(
+    "curation_funnel",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, lang, md5({_RS_NORM}) AS fp,
+               len(string_split({_RS_NORM}, ' ')) AS nt
+        FROM documents
+    ),
+    keep AS (SELECT fp, min(doc_id) AS keep_id FROM keyed GROUP BY fp),
+    norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+    feats AS (
+        SELECT doc_id,
+               len(string_split(t, ' ')) AS n_tokens,
+               (floor((length(t) - length(regexp_replace(t, '[a-z]', '', 'g')))
+                   / CAST(length(t) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS alpha_ratio,
+               (floor((length(t) - length(regexp_replace(t, '[0-9]', '', 'g')))
+                   / CAST(length(t) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS digit_ratio,
+               (floor(len(list_filter(string_split(t, ' '), w -> w IN ({_IN_LIST})))
+                   / CAST(len(string_split(t, ' ')) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS stop_ratio
+        FROM norm
+    ),
+    q AS (
+        SELECT doc_id,
+               (n_tokens >= 20 AND alpha_ratio >= 0.55
+                AND digit_ratio <= 0.15 AND stop_ratio >= 0.01) AS qkeep
+        FROM feats
+    ),
+    flags AS (
+        SELECT k.doc_id, k.nt,
+               (k.doc_id IN (SELECT keep_id FROM keep)) AS surv,
+               q.qkeep,
+               (CAST(('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+                < CASE k.lang WHEN 'en' THEN 25 ELSE 80 END) AS samp
+        FROM keyed k JOIN q USING (doc_id)
+    )
+    SELECT 'a_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS total_tokens FROM flags
+    UNION ALL
+    SELECT 'b_dedup', CAST(count(*) AS BIGINT), CAST(sum(nt) AS BIGINT)
+    FROM flags WHERE surv
+    UNION ALL
+    SELECT 'c_quality', CAST(count(*) AS BIGINT), CAST(sum(nt) AS BIGINT)
+    FROM flags WHERE surv AND qkeep
+    UNION ALL
+    SELECT 'd_final', CAST(count(*) AS BIGINT), CAST(sum(nt) AS BIGINT)
+    FROM flags WHERE surv AND qkeep AND samp
+    """,
+)
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel: the per-stage doc/token attrition report
+    (raw → exact-dedup survivors → quality gate → language-rebalanced final
+    mix) every training-data pipeline publishes in its dataset card.
+
+    Composes the registered primitives with their exact semantics — exact
+    dedup's min-id survivor rule, the quality gate's first-failing-rule
+    thresholds, and the md5-fate stratified sampler — so the funnel is
+    hash-checkable end to end. Spark shape: one pass computes per-doc flags
+    (the dedup survivor bit arrives via a fingerprint aggregate + join);
+    each row then explodes into the stages it survives and one aggregation
+    produces the 4-row funnel. At 100 TB nothing here is new cost: the
+    flags are the same scans the individual stages already run, and the
+    funnel output is 4 rows."""
+    from lakeflow.operators.dedup import exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    keep = exact_dedup(docs).select(
+        F.col("keep_id").alias("doc_id"), F.lit(True).alias("surv")
+    )
+    quality = tx.quality_filter(docs).select(
+        "doc_id", F.col("keep").alias("qkeep")
+    )
+    sampled = transforms.stratified_hash_sample(
+        docs, "doc_id", "lang", {"en": 0.25}, default_rate=0.8
+    ).select("doc_id", F.lit(True).alias("samp"))
+    flags = (
+        docs.select("doc_id", tx.token_count_ws("text").alias("nt"))
+        .join(keep, "doc_id", "left")
+        .join(quality, "doc_id", "left")
+        .join(sampled, "doc_id", "left")
+        .select(
+            "nt",
+            F.coalesce("surv", F.lit(False)).alias("surv"),
+            F.coalesce("qkeep", F.lit(False)).alias("qkeep"),
+            F.coalesce("samp", F.lit(False)).alias("samp"),
+        )
+    )
+    stage = F.array_compact(
+        F.array(
+            F.lit("a_raw"),
+            F.when(F.col("surv"), F.lit("b_dedup")),
+            F.when(F.col("surv") & F.col("qkeep"), F.lit("c_quality")),
+            F.when(
+                F.col("surv") & F.col("qkeep") & F.col("samp"), F.lit("d_final")
+            ),
+        )
+    )
+    return (
+        flags.select(F.explode(stage).alias("stage"), "nt")
+        .groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("nt").cast("bigint").alias("total_tokens"),
+        )
+    )
