@@ -477,6 +477,66 @@ def repetition_signals(
     )
 
 
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-doc n-gram novelty: the fraction of a document's DISTINCT word
+    n-grams that appear in no other document. Boilerplate, templated pages,
+    and quotation-heavy documents score low; original prose scores high —
+    the between-doc complement of repetition_signals' within-doc ratios,
+    and a standard pre-dedup curation signal (cheap to compute, catches
+    near-boilerplate that exact dedup misses).
+
+    Shape: distinct (doc, gram) pairs built scan-side from the token array
+    (one transform, no self-join), then (1) groupBy(gram) counting the DOCS
+    that contain it — map-side partial combine bounds shuffle rows by
+    distinct grams — and (2) an equi-join back on gram plus a per-doc mean
+    of the uniqueness bit. Both shuffles key on gram/doc; nothing is ever
+    pairwise, so cost at 100 TB is two bounded shuffles, not doc².
+
+    Output: (id, n_grams, novelty) — docs shorter than ``n`` tokens emit
+    n_grams=0, novelty=NULL (no gram evidence either way).
+    """
+    toks = df.select(
+        F.col(id_col), F.split(normalize_text(text_col), " ").alias("ts")
+    )
+    grams = toks.select(
+        F.col(id_col),
+        F.explode(
+            # sequence(1, 0) DESCENDS in Spark, so short docs need an
+            # explicit empty-array branch rather than a clamped bound.
+            F.expr(
+                f"CASE WHEN size(ts) >= {n} THEN "
+                f"array_distinct(transform(sequence(1, size(ts) - {n - 1}), "
+                f"i -> array_join(slice(ts, i, {n}), ' '))) "
+                f"ELSE array() END"
+            )
+        ).alias("gram"),
+    )
+    doc_freq = grams.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("df")  # distinct per doc already
+    )
+    scored = grams.join(doc_freq, "gram").select(
+        F.col(id_col), (F.col("df") == 1).cast("int").alias("uniq")
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        rnd(F.sum("uniq") / F.count(F.lit(1)), round_to).alias("novelty"),
+    )
+    # Short docs (< n tokens) have no grams; keep them with NULL novelty so
+    # the report covers the whole corpus.
+    base = df.select(F.col(id_col))
+    return base.join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_grams", F.lit(0).cast("bigint")).alias("n_grams"),
+        "novelty",
+    )
+
+
 def pack_budget_bins(
     df: DataFrame,
     text_col: str = "text",

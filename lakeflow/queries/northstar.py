@@ -1413,3 +1413,42 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("nt").cast("bigint").alias("total_tokens"),
         )
     )
+
+
+@register(
+    "doc_ngram_novelty",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split({_RS_NORM}, ' ') AS ts FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(
+                   range(1, greatest(len(ts) - 1, 1)),
+                   i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2]
+               )) AS gram
+        FROM toks WHERE len(ts) >= 3
+    ),
+    doc_freq AS (SELECT gram, count(*) AS df FROM grams GROUP BY gram),
+    per_doc AS (
+        SELECT g.doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               (floor(sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END)
+                      / CAST(count(*) AS DOUBLE) * 1000000.0 + 0.5)
+                / 1000000.0) AS novelty
+        FROM grams g JOIN doc_freq f USING (gram) GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+           p.novelty
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 3-gram novelty — share of a document's distinct word trigrams
+    found in no other document. The between-doc boilerplate detector that
+    complements repetition_signals' within-doc ratios: templated or
+    quotation-heavy docs score low before any expensive dedup runs
+    (operators/text.py ngram_novelty; two gram-keyed shuffles, never
+    pairwise)."""
+    return tx.ngram_novelty(load_table(spark, sf_dir, "documents"), n=3)

@@ -1029,3 +1029,25 @@ def test_sessionize_tws_surface(spark):
     assert df.schema.fieldNames() == [
         "user_id", "session_start", "session_end", "n_events", "total_value",
     ]
+
+
+def test_ngram_novelty_hand_computed(spark):
+    """3-gram novelty: doc 1 and doc 2 share one trigram ('a b c'), so each
+    loses exactly that gram from its unique set; a doc shorter than n emits
+    n_grams=0 with NULL novelty."""
+    from lakeflow.operators.text import ngram_novelty
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),      # grams: 'a b c' (shared), 'b c d' → novelty 1/2
+            (2, "a b c"),        # grams: 'a b c' (shared) → novelty 0
+            (3, "x y z w"),      # grams all unique → novelty 1
+            (4, "p q"),          # too short → 0 grams, NULL novelty
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_grams, r.novelty)
+        for r in ngram_novelty(df, n=3).collect()
+    }
+    assert got == {1: (2, 0.5), 2: (1, 0.0), 3: (2, 1.0), 4: (0, None)}
