@@ -386,3 +386,60 @@ def ml_minhash_pairs(
         F.col(f"datasetB.{id_col}").alias("id_b"),
         rnd(F.col("jaccard_distance"), 6).alias("jaccard_distance"),
     ).filter(F.col("id_a") < F.col("id_b"))
+
+
+def ivf_kmeans_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF top-k with MLlib-TRAINED coarse centroids: fit
+    ``pyspark.ml.clustering.KMeans`` (seeded) on the corpus embeddings,
+    then run the same cell-probe plan as :func:`ivf_topk` with the learned
+    centroids. Trained cells track the data distribution, so recall at a
+    given n_probe beats the seed-vector demo centroids on clustered
+    corpora — this is the production form of the registered query's
+    deterministic twin.
+
+    Seeded and deterministic within Spark (same data, same partitioning),
+    but KMeans is not oracle-reproducible in SQL, so like
+    :func:`ml_minhash_pairs` it is verified by a recall test against
+    :func:`brute_force_topk` rather than registered with an oracle. At
+    100 TB: fit on a hash-sample (KMeans cost is per-point; the coarse
+    quantizer needs ~nlist·1e3 points, not the corpus), persist centroids
+    to a table, and assign cell ids at ingest as ivf_topk's docstring
+    prescribes.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    train = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=nlist, seed=seed, featuresCol="features").fit(train)
+    spark = corpus.sparkSession
+    cents = spark.createDataFrame(
+        [(i,) for i in range(len(model.clusterCenters()))], f"{id_col} long"
+    ).join(
+        spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+            f"{id_col} long, {vec_col} array<double>",
+        ),
+        id_col,
+    )
+    return ivf_topk(
+        corpus,
+        queries,
+        centroids=cents,
+        k=k,
+        n_probe=n_probe,
+        id_col=id_col,
+        vec_col=vec_col,
+        round_to=round_to,
+    )

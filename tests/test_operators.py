@@ -1051,3 +1051,36 @@ def test_ngram_novelty_hand_computed(spark):
         for r in ngram_novelty(df, n=3).collect()
     }
     assert got == {1: (2, 0.5), 2: (1, 0.0), 3: (2, 1.0), 4: (0, None)}
+
+
+def test_ivf_kmeans_recall_vs_brute_force(spark):
+    """MLlib-KMeans-trained IVF: recall against the exact cosine top-k must
+    rise monotonically with the probe count and clear a floor at 8/16
+    cells (the fixture embeddings are near-uniform — IVF's hardest case —
+    so the floor is about cell coverage, not cluster luck). Wherever the
+    approximate and exact results agree on a pair, the rescored cosine is
+    bit-identical (precision is exact by construction)."""
+    from .conftest import SF_DIR
+
+    from lakeflow.catalog import load_table
+    from lakeflow.operators.similarity import brute_force_topk, ivf_kmeans_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.qid, r.vid): r.cos
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    recalls = []
+    for n_probe in (4, 8):
+        approx = {
+            (r.qid, r.vid): r.cos
+            for r in ivf_kmeans_topk(
+                emb, queries, k=5, n_probe=n_probe, nlist=16
+            ).collect()
+        }
+        hits = set(exact) & set(approx)
+        recalls.append(len(hits) / len(exact))
+        assert all(exact[p] == approx[p] for p in hits)
+    assert recalls == sorted(recalls), f"recall not monotone: {recalls}"
+    assert recalls[-1] >= 0.75, f"trained-IVF recall {recalls[-1]:.2f} at 8/16"
