@@ -1452,3 +1452,67 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/text.py ngram_novelty; two gram-keyed shuffles, never
     pairwise)."""
     return tx.ngram_novelty(load_table(spark, sf_dir, "documents"), n=3)
+
+
+@register(
+    "source_temperature_weights",
+    oracle=f"""
+    WITH t AS (
+        SELECT source, len(string_split({_RS_NORM}, ' ')) AS n_tokens
+        FROM documents
+    ),
+    g AS (
+        SELECT source, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        FROM t GROUP BY source
+    ),
+    p AS (
+        SELECT source, total_tokens,
+               (floor((total_tokens / (sum(total_tokens) OVER ()))
+                      * 1000000.0 + 0.5) / 1000000.0) AS token_share,
+               CAST(floor(pow(total_tokens / (sum(total_tokens) OVER ()),
+                              1.0 / CAST(0.7 AS DOUBLE)) * 1000000.0 + 0.5)
+                    AS BIGINT) AS w_micro
+        FROM g
+    )
+    SELECT source, total_tokens, token_share,
+           (floor((w_micro / CAST(sum(w_micro) OVER () AS DOUBLE))
+                  * 1000000.0 + 0.5) / 1000000.0) AS weight
+    FROM p
+    """,
+)
+def source_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source sampling weights (T=0.7) — the standard
+    multi-source training-mix computation: raise each source's token share
+    to 1/T and renormalize, flattening the head and up-weighting small
+    sources. Shares come from exact bigint token totals; the powered
+    weights are quantized to integer micro-units BEFORE renormalization so
+    the tiny cross-source sum is order-free on both engines (pow itself is
+    double-quantized, the unigram ln pattern). Windows run over the
+    per-source frame — a handful of rows — so cost at 100 TB is the one
+    token-count scan."""
+    from pyspark.sql import Window
+
+    from lakeflow.functions.rounding import rnd
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("source").agg(
+        F.sum(tx.token_count_ws("text")).cast("bigint").alias("total_tokens")
+    )
+    w = Window.partitionBy()
+    share = F.col("total_tokens") / F.sum("total_tokens").over(w)
+    p = g.select(
+        "source",
+        "total_tokens",
+        rnd(share, 6).alias("token_share"),
+        F.floor(F.pow(share, F.lit(1.0 / 0.7)) * 1e6 + 0.5)
+        .cast("bigint")
+        .alias("w_micro"),
+    )
+    return p.select(
+        "source",
+        "total_tokens",
+        "token_share",
+        rnd(F.col("w_micro") / F.sum("w_micro").over(w).cast("double"), 6).alias(
+            "weight"
+        ),
+    )
