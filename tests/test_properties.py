@@ -227,7 +227,7 @@ def test_pack_budget_bins_properties(spark, texts, budget, n_shards):
     assert sum(r.n_docs for r in out) == len(texts)  # each doc exactly once
     assert sum(r.total_tokens for r in out) == sum(toks.values())
     for r in out:
-        shard = r.bin_id // 1_000_000_000
+        shard = r.bin_id >> 40  # shard rides the high bits (2^40 stride)
         ids = [
             d for d in sorted(toks) if d % (n_shards) == shard
             and r.first_doc <= d <= r.last_doc
