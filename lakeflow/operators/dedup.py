@@ -293,7 +293,9 @@ def simhash16(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     return sums.select("id", sig.cast("int").alias("simhash"))
 
 
-def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_near_pairs(
+    sigs: DataFrame, max_hamming: int = 3, cache: bool = True
+) -> DataFrame:
     """Pairs with Hamming(simhash) <= max_hamming, via pigeonhole blocking.
 
     The 16-bit signature splits into 4 nibble blocks; ``max_hamming <= 3``
@@ -303,6 +305,16 @@ def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
     are deduped before the exact Hamming filter, which keeps results identical
     to the naive self-join. At 100 TB the bucket key is a partition key and
     each bucket compares locally.
+
+    ``cache`` persists the keyed signature frame (4 small rows per doc)
+    so the self-join's two sides share ONE run of the upstream signature
+    pipeline (the token explode + md5 + 16-column aggregate that dominates
+    when ``sigs`` is ``simhash16(...)``) — per-partition cache locking
+    makes whichever side materializes first feed the other. Unlike
+    lsh_candidate_pairs the PAIR set is not eagerly checkpointed: a
+    saturated 16-bit signature space emits millions of pairs (3.8M at
+    sf0.1), and materializing them twice — once into checkpoint blocks,
+    once for the consumer — costs more than the cache it would release.
     """
     n_blocks = 4
     if max_hamming >= n_blocks:
@@ -321,12 +333,14 @@ def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
     keyed = sigs.select("id", "simhash", F.explode(blocks).alias("b")).select(
         "id", "simhash", F.col("b.blk").alias("blk"), F.col("b.nib").alias("nib")
     )
+    if cache:
+        keyed = keyed.persist()
     a = keyed.alias("a")
     b = keyed.alias("b")
     ham = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash")).cast("int")
     )
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.blk") == F.col("b.blk"))
@@ -341,6 +355,7 @@ def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
+    return pairs
 
 
 def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
