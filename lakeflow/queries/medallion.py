@@ -306,3 +306,46 @@ def table_snapshots_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.commit(cust.filter(FN.col("c_custkey") <= 50), mode="overwrite")
     t.compact()
     return t.snapshots().select("version", "operation", "n_dirs")
+
+
+@register(
+    "table_changes_feed",
+    oracle="""
+    SELECT c_custkey, c_acctbal, 'delete' AS change_type
+    FROM customer WHERE c_custkey <= 20
+    UNION ALL
+    SELECT c_custkey, c_acctbal + 100, 'update'
+    FROM customer WHERE c_custkey BETWEEN 21 AND 40
+    UNION ALL
+    SELECT c_custkey, c_acctbal, 'insert'
+    FROM customer WHERE c_custkey BETWEEN 201 AND 250
+    """,
+)
+def table_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 extension: the change-data-feed read between two snapshots
+    (Delta ``table_changes`` analog over VersionedTable time travel,
+    tables.py::table_diff). v1 holds customers 1-200; v2 deletes 1-20,
+    bumps 21-40's balance by 100, and inserts 201-250 — the diff must
+    recover exactly those deletes (pre-image), updates (post-image), and
+    inserts via one full-outer key join of the two snapshot reads."""
+    import tempfile
+
+    from pyspark.sql import functions as FN
+
+    from lakeflow.tables import VersionedTable, table_diff
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="lakeflow_cdf_"))
+    t.commit(cust.filter(FN.col("c_custkey") <= 200), mode="append")
+    v2 = (
+        cust.filter(
+            (FN.col("c_custkey") > 20) & (FN.col("c_custkey") <= 250)
+        ).withColumn(
+            "c_acctbal",
+            FN.when(
+                FN.col("c_custkey") <= 40, FN.col("c_acctbal") + 100
+            ).otherwise(FN.col("c_acctbal")),
+        )
+    )
+    t.commit(v2, mode="overwrite")
+    return table_diff(t, ["c_custkey"], from_version=1, to_version=2)

@@ -560,3 +560,34 @@ def test_stream_apply_changes_delete_empties_singleton_bucket(spark, tmp_path):
     got = {(r.k, r.v) for r in t.read().select("k", "v").collect()}
     assert all(k != lone for k, _ in got), "deleted key resurrected"
     assert got == {(k, f"v{k}") for k in keys if k != lone}
+
+
+def test_table_diff_classifies_changes(spark, tmp_path):
+    """CDF read between snapshots: inserts carry the post-image, deletes the
+    pre-image, updates detect any null-safe payload change, and unchanged
+    keys (including NULL-payload ones) are absent."""
+    from lakeflow.tables import table_diff
+
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, None), (4, "d")], "k long, v string"
+        )
+    )
+    t.commit(
+        spark.createDataFrame(
+            # 1 unchanged, 2 updated, 3 NULL→value (update), 4 deleted, 5 new
+            [(1, "a"), (2, "B"), (3, "c"), (5, None)], "k long, v string"
+        ),
+        mode="overwrite",
+    )
+    got = {
+        (r.k, r.v, r.change_type)
+        for r in table_diff(t, ["k"], from_version=1, to_version=2).collect()
+    }
+    assert got == {
+        (2, "B", "update"),
+        (3, "c", "update"),
+        (4, "d", "delete"),
+        (5, None, "insert"),
+    }
