@@ -591,3 +591,39 @@ def test_table_diff_classifies_changes(spark, tmp_path):
         (4, "d", "delete"),
         (5, None, "insert"),
     }
+
+
+def test_table_diff_roundtrips_through_apply_changes(spark, tmp_path):
+    """The CDC read and write paths are inverses: applying table_diff(v1,v2)
+    as a changefeed onto the v1 state reproduces the v2 state exactly —
+    ties the feed derivation (table_diff) to the feed application
+    (operators/merge.py::apply_changes) end to end."""
+    from pyspark.sql import functions as F
+
+    from lakeflow.operators.merge import apply_changes
+    from lakeflow.tables import table_diff
+
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(1, 8)], "k long, v string"
+        )
+    )
+    t.commit(
+        spark.createDataFrame(
+            # delete 1-2, update 3-4, keep 5-7, insert 8-9
+            [(3, "V3"), (4, "V4"), (5, "v5"), (6, "v6"), (7, "v7"),
+             (8, "v8"), (9, "v9")],
+            "k long, v string",
+        ),
+        mode="overwrite",
+    )
+    feed = table_diff(t, ["k"], from_version=1, to_version=2).select(
+        "k", "v",
+        F.lit(1).alias("seq"),
+        F.when(F.col("change_type") == "delete", "D").otherwise("U").alias("op"),
+    )
+    rebuilt = apply_changes(t.read(version=1), feed, ["k"], "seq")
+    got = {(r.k, r.v) for r in rebuilt.collect()}
+    want = {(r.k, r.v) for r in t.read(version=2).collect()}
+    assert got == want
