@@ -74,45 +74,91 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     payload: Mapping[str, str],
+    direction: str = "backward",
+    tolerance_seconds: int | None = None,
+    how: str = "left",
 ) -> DataFrame:
-    """Backward as-of join: for each left row, attach the payload of the
-    latest right row with ``right_ts <= left_ts`` within the same key group
-    (the trades/quotes pattern; DuckDB spells it ASOF JOIN).
+    """As-of join: for each left row, attach the payload of the nearest
+    right row within the same key group — the latest with
+    ``right_ts <= left_ts`` (``direction="backward"``, the trades/quotes
+    pattern; DuckDB spells it ASOF JOIN) or the earliest with
+    ``right_ts >= left_ts`` (``direction="forward"``, next-event
+    attribution). ``tolerance_seconds`` bounds the match gap like pandas
+    ``merge_asof``: a nearest row farther than the tolerance is no match
+    (payload NULL under ``how="left"``, row dropped under ``how="inner"``).
 
     Spark-first phrasing (no range-join explosion): union both sides tagged,
-    sort once per key by time, and carry the right payload forward with
-    ``last(..., ignorenulls)``. ONE shuffle on the key columns and one
-    in-partition sort — survives any scale where a single key's history fits
-    a partition; salt the key with a coarse time bucket beyond that.
+    sort once per key by time (descending for forward), and carry the right
+    payload across with ``last(..., ignorenulls)``. ONE shuffle on the key
+    columns and one in-partition sort — survives any scale where a single
+    key's history fits a partition; salt the key with a coarse time bucket
+    beyond that.
 
     ``payload`` maps right column -> output name. Right rows at the same
     timestamp as a left row DO match (ties ordered right-before-left).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if how not in ("left", "inner"):
+        raise ValueError(f"how must be left|inner, got {how!r}")
     on = list(on)
     pay_out = list(payload.values())
+    need_match_ts = tolerance_seconds is not None or how == "inner"
+    carried = dict(payload)
+    if need_match_ts:
+        carried[right_ts] = "__match_ts"
+        pay_out = pay_out + ["__match_ts"]
     l_tagged = left.select(
         *on,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__is_left"),
         *[F.col(c) for c in left.columns if c not in on],
-        *[F.lit(None).cast(right.schema[src].dataType).alias(dst) for src, dst in payload.items()],
+        *[
+            F.lit(None).cast(right.schema[src].dataType).alias(dst)
+            for src, dst in carried.items()
+        ],
     )
     r_tagged = right.select(
         *on,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__is_left"),
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in on],
-        *[F.col(src).alias(dst) for src, dst in payload.items()],
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left.columns
+            if c not in on
+        ],
+        *[F.col(src).alias(dst) for src, dst in carried.items()],
     )
+    order = F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
     w = (
         Window.partitionBy(*on)
-        .orderBy("__ts", "__is_left")
+        .orderBy(order, F.col("__is_left").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = r_tagged.unionByName(l_tagged).withColumns(
         {dst: F.last(dst, ignorenulls=True).over(w) for dst in pay_out}
     )
-    return filled.filter(F.col("__is_left") == 1).drop("__ts", "__is_left")
+    out = filled.filter(F.col("__is_left") == 1)
+    if need_match_ts:
+        gap = (
+            F.col("__ts").cast("double") - F.col("__match_ts").cast("double")
+            if direction == "backward"
+            else F.col("__match_ts").cast("double") - F.col("__ts").cast("double")
+        )
+        ok = F.col("__match_ts").isNotNull()
+        if tolerance_seconds is not None:
+            ok = ok & (gap <= F.lit(float(tolerance_seconds)))
+        if how == "inner":
+            out = out.filter(ok)
+        else:
+            out = out.withColumns(
+                {
+                    dst: F.when(ok, F.col(dst))
+                    for dst in payload.values()
+                }
+            )
+        out = out.drop("__match_ts")
+    return out.drop("__ts", "__is_left")
 
 
 def semi_join(left: DataFrame, right: DataFrame, on: Sequence[str]) -> DataFrame:

@@ -285,3 +285,69 @@ def interpolated_hourly_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return densify_interpolate(
         present, key_col="user_id", bucket_col="bucket", val_col="v", step=3600
     )
+
+
+@register(
+    "asof_next_purchase",
+    oracle=f"""
+    WITH v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+    p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    ranked AS (
+        SELECT v.event_id AS view_id, v.user_id, v.ts AS v_ts,
+               p.event_id AS pid, p.ts AS p_ts,
+               row_number() OVER (PARTITION BY v.event_id
+                                  ORDER BY p.ts, p.event_id) AS rn
+        FROM v JOIN p ON v.user_id = p.user_id
+                     AND p.ts >= v.ts
+                     AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    )
+    SELECT view_id, user_id, strftime(v_ts, '{_STRF}') AS view_ts,
+           pid AS next_purchase_id,
+           CAST(epoch_us(p_ts) - epoch_us(v_ts) AS BIGINT) AS gap_us
+    FROM ranked WHERE rn = 1
+    """,
+)
+def asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of with tolerance (pandas merge_asof semantics): each view
+    event attributes the user's NEXT purchase within 30 minutes — the
+    first-touch attribution query, and the as-of counterpart of the
+    stream-stream interval join (which keeps ALL pairs in the window; this
+    keeps the first). Inner semantics: views with no purchase inside the
+    tolerance drop out. Same union + sort-once-per-key plan as the backward
+    form, with a descending in-partition sort."""
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_eid"),
+        "ts",
+    )
+    joined = asof_join(
+        views,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        payload={"p_eid": "next_purchase_id"},
+        direction="forward",
+        tolerance_seconds=30 * 60,
+        how="inner",
+    )
+    # __match_ts is internal; recompute the gap from the purchase side via a
+    # slim re-join on the attributed purchase id (broadcast at any scale:
+    # the id->ts map is the purchase table's two columns).
+    p_ts = purchases.select(
+        F.col("p_eid").alias("next_purchase_id"), F.col("ts").alias("p_ts")
+    )
+    return (
+        joined.join(p_ts, "next_purchase_id")
+        .select(
+            F.col("event_id").alias("view_id"),
+            "user_id",
+            F.date_format("ts", TS_FMT).alias("view_ts"),
+            "next_purchase_id",
+            (F.unix_micros("p_ts") - F.unix_micros("ts")).alias("gap_us"),
+        )
+    )

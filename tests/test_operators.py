@@ -1084,3 +1084,49 @@ def test_ivf_kmeans_recall_vs_brute_force(spark):
         assert all(exact[p] == approx[p] for p in hits)
     assert recalls == sorted(recalls), f"recall not monotone: {recalls}"
     assert recalls[-1] >= 0.75, f"trained-IVF recall {recalls[-1]:.2f} at 8/16"
+
+
+def test_asof_join_forward_tolerance_semantics(spark):
+    """Forward as-of with tolerance: each left row attaches the EARLIEST
+    right row at-or-after it; a nearest match beyond the tolerance is NULL
+    under how='left' and dropped under how='inner'; equal timestamps match."""
+    from datetime import datetime
+
+    from lakeflow.operators.joins import asof_join
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(m):
+        return t0.replace(minute=m)
+
+    left = spark.createDataFrame(
+        [(1, ts(0), "a"), (1, ts(30), "b"), (2, ts(0), "c")],
+        "k long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        # k=1: events at :05 and :06 (first wins for 'a'); nothing after :30
+        # k=2: only at :20 — beyond the 10-minute tolerance for 'c'
+        [(1, ts(5), 100), (1, ts(6), 101), (2, ts(20), 200)],
+        "k long, ts timestamp, rv int",
+    )
+    kw = dict(
+        on=["k"], left_ts="ts", right_ts="ts", payload={"rv": "rv"},
+        direction="forward", tolerance_seconds=600,
+    )
+    left_mode = {
+        (r.tag, r.rv) for r in asof_join(left, right, how="left", **kw).collect()
+    }
+    assert left_mode == {("a", 100), ("b", None), ("c", None)}
+    inner = {
+        (r.tag, r.rv) for r in asof_join(left, right, how="inner", **kw).collect()
+    }
+    assert inner == {("a", 100)}
+    # backward default unchanged: 'b' sees the latest prior (:06 -> 101)
+    back = {
+        (r.tag, r.rv)
+        for r in asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="ts",
+            payload={"rv": "rv"},
+        ).collect()
+    }
+    assert back == {("a", None), ("b", 101), ("c", None)}
