@@ -201,3 +201,41 @@ def observed_quality_metrics(
             F.sum((F.col(numeric_col) <= 0).cast("long")).alias("nonpositive")
         )
     return df.observe(obs, *metrics), obs
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    lower: float = 0.05,
+    upper: float = 0.95,
+) -> DataFrame:
+    """Clip ``value_col`` to its per-group [lower, upper] exact interpolated
+    percentiles (winsorization) — the numeric-outlier twin of the text
+    quality gate: fat-finger and corrupted values stop dominating means and
+    regressions without dropping rows.
+
+    Adds ``<value_col>_w`` (clipped), keeping the original. Exact
+    ``F.percentile`` (linear interpolation, the quantile_cont definition)
+    rather than approx_percentile: the bounds are deterministic and
+    engine-reproducible, so the result is oracle-checkable. Shape: one
+    group aggregate for the bounds, broadcast back onto the rows (the
+    bounds frame is |groups| rows), one clip projection — the fact table
+    shuffles only for the percentile aggregate itself, whose sort is
+    per-group inside Spark's percentile implementation.
+    """
+    from pyspark.sql import functions as F
+
+    gcols = list(group_cols)
+    bounds = df.groupBy(*gcols).agg(
+        F.percentile(value_col, F.lit(lower)).alias("__lo"),
+        F.percentile(value_col, F.lit(upper)).alias("__hi"),
+    )
+    joined = (
+        df.join(F.broadcast(bounds), on=gcols) if gcols
+        else df.crossJoin(F.broadcast(bounds))
+    )
+    return joined.withColumn(
+        f"{value_col}_w",
+        F.least(F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi")),
+    ).drop("__lo", "__hi")

@@ -1992,3 +1992,45 @@ def cdc_orders_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_changes(
         None, feed, keys=["o_custkey"], seq_col="o_orderkey", op_col="op"
     )
+
+
+@register(
+    "winsorized_price_stats",
+    oracle="""
+    WITH b AS (
+        SELECT o_orderpriority,
+               quantile_cont(o_totalprice, 0.05) AS lo,
+               quantile_cont(o_totalprice, 0.95) AS hi
+        FROM orders GROUP BY o_orderpriority
+    ),
+    c AS (
+        SELECT o.o_orderpriority,
+               least(greatest(o.o_totalprice, b.lo), b.hi) AS w
+        FROM orders o JOIN b USING (o_orderpriority)
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           sum(CAST(floor(w * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_winsorized
+    FROM c GROUP BY o_orderpriority
+    """,
+)
+def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-robust aggregation: order totals clipped to per-priority
+    [p05, p95] exact percentiles (operators/transforms.py::winsorize), then
+    summed in exact integer cents so the distributed sum is order-free.
+    Spark's F.percentile and DuckDB's quantile_cont share the linear
+    interpolation definition, verified bit-exact on the fixture — the
+    bounds, the clip, and the sum all reproduce across engines."""
+    from lakeflow.operators.transforms import winsorize
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = winsorize(
+        orders.select("o_orderpriority", "o_totalprice"),
+        "o_totalprice",
+        ["o_orderpriority"],
+    )
+    cents = F.floor(F.col("o_totalprice_w") * 100 + 0.5).cast("bigint")
+    return w.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        (F.sum(cents) / 100.0).alias("sum_winsorized"),
+    )
