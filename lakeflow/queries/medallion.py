@@ -349,3 +349,106 @@ def table_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t.commit(v2, mode="overwrite")
     return table_diff(t, ["c_custkey"], from_version=1, to_version=2)
+
+
+# -- data-quality expectations (silver-layer gate, DLT EXPECT analog) -------
+
+# One shared rule set: the contract a silver orders table would declare.
+# Oracle mirrors Expectation.passes() exactly: COALESCE(pred, FALSE), so a
+# NULL predicate counts as a violation on both engines.
+_ORDER_RULES_SQL = [
+    # (name, action, SQL predicate — valid in both Spark SQL and DuckDB)
+    ("custkey_present", "fail", "o_custkey IS NOT NULL"),
+    ("date_before_2001", "warn", "o_orderdate < TIMESTAMP '2001-01-01'"),
+    ("orderkey_positive", "fail", "o_orderkey > 0"),
+    ("price_in_range", "drop", "o_totalprice > 0 AND o_totalprice <= 450000"),
+    ("status_known", "drop", "o_orderstatus IN ('F', 'O')"),
+]
+
+
+def _order_expectations():
+    from lakeflow.quality import Expectation
+
+    return [Expectation(n, p, a) for n, a, p in _ORDER_RULES_SQL]
+
+
+_EXPECT_REPORT_ORACLE = """
+    WITH agg AS (
+        SELECT count(*) AS n,
+{counters}
+        FROM orders
+    )
+{unions}
+    ORDER BY expectation
+""".format(
+    counters=",\n".join(
+        f"            CAST(sum(CASE WHEN NOT COALESCE({pred}, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_{name}"
+        for name, _a, pred in _ORDER_RULES_SQL
+    ),
+    unions="\n    UNION ALL\n".join(
+        f"""    SELECT '{name}' AS expectation, '{action}' AS action,
+           n AS n_rows, v_{name} AS n_violations,
+           (floor((n - v_{name}) / CAST(n AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS pass_rate
+    FROM agg"""
+        for name, action, _p in _ORDER_RULES_SQL
+    ),
+)
+
+
+@register("expectations_report_orders", oracle=_EXPECT_REPORT_ORACLE)
+def expectations_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit over orders: per-rule violation counts and pass
+    rates from ONE aggregate pass (lakeflow.quality.expectation_report) —
+    the DLT-expectations metrics surface. The reference's silver layer
+    computes this kind of validity inline per transform
+    (/root/reference/src/silver/_silver_utils.py); here the rules are a
+    declarative spec and the report is derived, never a per-rule rescan."""
+    from lakeflow.quality import expectation_report
+
+    return expectation_report(
+        load_table(spark, sf_dir, "orders"), _order_expectations()
+    )
+
+
+_QUARANTINE_ORACLE = """
+    WITH checked AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+{flags}
+        FROM orders
+    )
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           array_to_string(
+               list_filter([{terms}], x -> x IS NOT NULL), ','
+           ) AS violated
+    FROM checked
+    WHERE NOT (ok_price_in_range AND ok_status_known
+               AND ok_custkey_present AND ok_orderkey_positive)
+""".format(
+    flags=",\n".join(
+        f"            COALESCE({pred}, FALSE) AS ok_{name}"
+        for name, _a, pred in _ORDER_RULES_SQL
+    ),
+    # Alphabetical rule order — matches quality.annotate's array_sort.
+    terms=", ".join(
+        f"CASE WHEN NOT ok_{name} THEN '{name}' END"
+        for name, _a, _p in sorted(_ORDER_RULES_SQL)
+    ),
+)
+
+
+@register("quarantine_orders", oracle=_QUARANTINE_ORACLE)
+def quarantine_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quarantine side of the expectations gate: rows failing any
+    drop/fail rule, annotated with every rule they violate (warn included)
+    as a sorted CSV — the audit trail a DLT ON VIOLATION quarantine table
+    keeps. Scan-side projection + filter; no shuffle, no UDF."""
+    from lakeflow.quality import split
+
+    orders = load_table(spark, sf_dir, "orders")
+    _good, bad = split(orders, _order_expectations())
+    return bad.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.array_join("violations", ",").alias("violated"),
+    )

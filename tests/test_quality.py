@@ -1,0 +1,93 @@
+"""Unit tests for the declarative expectations layer (lakeflow.quality)."""
+
+from __future__ import annotations
+
+import pytest
+
+from lakeflow.quality import (
+    Expectation,
+    ExpectationFailedError,
+    annotate,
+    enforce,
+    expectation_report,
+    split,
+)
+
+RULES = [
+    Expectation("v_positive", "v > 0", "drop"),
+    Expectation("name_present", "name IS NOT NULL", "fail"),
+    Expectation("v_small", "v < 100", "warn"),
+]
+
+
+def _frame(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a", 10.0),     # clean
+            (2, "b", -5.0),     # drops: v_positive
+            (3, "c", 250.0),    # warn only: v_small — stays in good
+            (4, "d", None),     # NULL predicate → violation (v_positive, v_small)
+        ],
+        "id int, name string, v double",
+    )
+
+
+def test_annotate_names_all_failed_rules_sorted(spark):
+    rows = {r["id"]: r["violations"] for r in annotate(_frame(spark), RULES).collect()}
+    assert rows[1] == []
+    assert rows[2] == ["v_positive"]
+    assert rows[3] == ["v_small"]
+    # NULL value fails both null-unsafe predicates, sorted order
+    assert rows[4] == ["v_positive", "v_small"]
+
+
+def test_split_gates_on_drop_and_fail_only(spark):
+    good, bad = split(_frame(spark), RULES)
+    assert sorted(r["id"] for r in good.collect()) == [1, 3]
+    bad_rows = {r["id"]: r["violations"] for r in bad.collect()}
+    assert sorted(bad_rows) == [2, 4]
+    assert bad_rows[4] == ["v_positive", "v_small"]
+
+
+def test_enforce_passes_when_fail_rules_hold(spark):
+    out = enforce(_frame(spark), RULES)
+    assert sorted(r["id"] for r in out.collect()) == [1, 3]
+
+
+def test_enforce_raises_on_fail_breach(spark):
+    df = _frame(spark).union(
+        spark.createDataFrame([(5, None, 1.0)], "id int, name string, v double")
+    )
+    with pytest.raises(ExpectationFailedError, match="name_present"):
+        enforce(df, RULES)
+
+
+def test_report_counts_and_rates(spark):
+    rows = {
+        r["expectation"]: r
+        for r in expectation_report(_frame(spark), RULES).collect()
+    }
+    assert rows["v_positive"]["n_violations"] == 2  # id 2 and NULL id 4
+    assert rows["v_small"]["n_violations"] == 2     # id 3 and NULL id 4
+    assert rows["name_present"]["n_violations"] == 0
+    assert all(r["n_rows"] == 4 for r in rows.values())
+    assert rows["name_present"]["pass_rate"] == 1.0
+    assert rows["v_positive"]["pass_rate"] == 0.5
+
+
+def test_report_is_single_pass(spark):
+    """All rule counters fold into ONE aggregate: the optimized plan contains
+    exactly one scan of the input (no per-rule rescans)."""
+    df = _frame(spark)
+    plan = expectation_report(df, RULES)._jdf.queryExecution().executedPlan().toString()
+    assert plan.lower().count("scan existingrdd") <= 1
+
+
+def test_duplicate_rule_names_rejected(spark):
+    with pytest.raises(ValueError, match="duplicate"):
+        annotate(_frame(spark), [RULES[0], Expectation("v_positive", "v > 1")])
+
+
+def test_bad_action_rejected():
+    with pytest.raises(ValueError, match="action"):
+        Expectation("x", "v > 0", "explode")
