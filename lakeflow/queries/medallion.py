@@ -452,3 +452,42 @@ def quarantine_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.array_join("violations", ",").alias("violated"),
     )
+
+
+@register(
+    "schema_evolution_nullfill",
+    oracle="""
+    SELECT c_custkey, c_acctbal, CAST(NULL AS VARCHAR) AS segment
+    FROM customer WHERE c_custkey <= 100
+    UNION ALL
+    SELECT c_custkey, c_acctbal, c_mktsegment AS segment
+    FROM customer WHERE c_custkey BETWEEN 101 AND 150
+    """,
+)
+def schema_evolution_nullfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10/S11 extension: metadata-only additive schema evolution on a
+    versioned table (Iceberg add-column / Delta mergeSchema analog,
+    tables.py::VersionedTable._evolve_schema). v1 commits (custkey,
+    acctbal); v2 appends rows carrying a NEW ``segment`` column under
+    ``merge_schema=True``. The latest read returns the evolved shape with
+    pre-evolution rows NULL-backfilled — no v1 data file is rewritten."""
+    import tempfile
+
+    from pyspark.sql import functions as FN
+
+    from lakeflow.tables import VersionedTable
+
+    cust = load_table(spark, sf_dir, "customer")
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="lakeflow_evolve_"))
+    t.commit(
+        cust.filter(FN.col("c_custkey") <= 100).select("c_custkey", "c_acctbal")
+    )
+    t.commit(
+        cust.filter(
+            (FN.col("c_custkey") > 100) & (FN.col("c_custkey") <= 150)
+        ).select(
+            "c_custkey", "c_acctbal", FN.col("c_mktsegment").alias("segment")
+        ),
+        merge_schema=True,
+    )
+    return t.read()

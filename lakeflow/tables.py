@@ -118,6 +118,58 @@ class VersionedTable:
             rows, schema="version int, operation string, n_dirs int, n_rows bigint"
         )
 
+    def schema(self, version: int | None = None):
+        """The table schema recorded at ``version`` (None = latest), or None
+        for manifests written before schema tracking."""
+        from pyspark.sql.types import StructType
+
+        if version is None:
+            version = self.current_version()
+        if version is None:
+            return None
+        raw = self._manifest(version).get("schema")
+        return StructType.fromJson(json.loads(raw)) if raw else None
+
+    @staticmethod
+    def _evolve_schema(current, incoming, merge_schema: bool):
+        """Next table schema for an append commit.
+
+        Identical schemas pass through. With ``merge_schema`` (Iceberg/Delta
+        ``mergeSchema``): columns NEW in the batch are appended to the table
+        schema (old dirs read them back as NULL); columns MISSING from the
+        batch stay (the batch's files read back NULL for them); a column
+        present on both sides must keep its exact type — type mutation is
+        rejected, the same stance Delta takes without an explicit overwrite.
+        Without ``merge_schema`` any difference is an error, so a pipeline
+        can't silently fork a table's shape.
+        """
+        from pyspark.sql.types import StructType
+
+        cur = {f.name: f for f in current.fields}
+        inc = {f.name: f for f in incoming.fields}
+        if [f.name for f in current.fields] == [f.name for f in incoming.fields] and all(
+            cur[n].dataType == inc[n].dataType for n in cur
+        ):
+            return current
+        conflicts = [
+            n
+            for n in cur
+            if n in inc and cur[n].dataType != inc[n].dataType
+        ]
+        if conflicts:
+            raise ValueError(
+                f"schema evolution cannot change column types: {conflicts} "
+                f"({[(n, str(cur[n].dataType), str(inc[n].dataType)) for n in conflicts]})"
+            )
+        if not merge_schema:
+            raise ValueError(
+                "append schema differs from table schema "
+                f"(table={sorted(cur)}, batch={sorted(inc)}); pass "
+                "merge_schema=True to evolve additively"
+            )
+        added = [f for f in incoming.fields if f.name not in cur]
+        return StructType(list(current.fields) + added)
+
     # -- write path --------------------------------------------------------
     def commit(
         self,
@@ -125,6 +177,7 @@ class VersionedTable:
         mode: str = "append",
         partition_by: Sequence[str] | None = None,
         stats_cols: Sequence[str] | None = None,
+        merge_schema: bool = False,
         _operation: str | None = None,
     ) -> int:
         """Write ``df`` as a new snapshot; returns the new version number.
@@ -137,6 +190,13 @@ class VersionedTable:
         columns in the manifest — Iceberg's file-skipping stats at directory
         granularity. ``scan`` then prunes whole dirs without opening a single
         parquet footer.
+
+        ``merge_schema`` permits additive evolution on append: batch columns
+        the table lacks join the schema (prior snapshots' rows read NULL for
+        them), and batch-missing table columns backfill NULL — the manifest
+        records the authoritative schema, so no data file is ever rewritten
+        for a schema change (Iceberg's metadata-only evolution). Type changes
+        are rejected either way.
         """
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
@@ -149,9 +209,16 @@ class VersionedTable:
         prev = self.current_version()
         if mode == "overwrite" or prev is None:
             dirs, stats = [], {}
+            next_schema = df.schema
         else:
             pm = self._manifest(prev)
             dirs, stats = pm["dirs"], dict(pm.get("stats", {}))
+            prev_schema = self.schema(prev)
+            next_schema = (
+                self._evolve_schema(prev_schema, df.schema, merge_schema)
+                if prev_schema is not None
+                else df.schema
+            )
         if stats_cols:
             from pyspark.sql import functions as F
 
@@ -172,6 +239,7 @@ class VersionedTable:
             "operation": _operation or mode,
             "dirs": dirs + [data_dir],
             "stats": stats,
+            "schema": json.dumps(next_schema.jsonValue()),
         }
         # Write-then-rename: readers never observe a half-written manifest.
         tmp = os.path.join(self._snap_dir, f".{version:08d}.json.tmp")
@@ -252,6 +320,21 @@ class VersionedTable:
         if touched_values is not None:
             touched |= {_partition_value_token(v) for v in touched_values}
         prev = self.current_version()
+        prev_schema = self.schema(prev) if prev is not None else None
+        if prev_schema is not None:
+            # Replace-partitions never evolves the schema (a CDC state frame
+            # keeps one shape across batches); loud mismatch beats silent NULLs.
+            if {f.name: f.dataType for f in prev_schema.fields} != {
+                f.name: f.dataType for f in df.schema.fields
+            }:
+                raise ValueError(
+                    "replace-partitions schema mismatch: table "
+                    f"{[(f.name, str(f.dataType)) for f in prev_schema.fields]} vs batch "
+                    f"{[(f.name, str(f.dataType)) for f in df.schema.fields]}"
+                )
+            next_schema = prev_schema
+        else:
+            next_schema = df.schema
         keep_dirs: list[str] = []
         rewrite_dirs: list[str] = []
         stats: dict = {}
@@ -277,7 +360,10 @@ class VersionedTable:
             # sentinel token, so they are kept when untouched and replaced
             # when the batch touches the NULL partition (a bare ~isin would
             # evaluate to NULL and silently drop them).
-            remainder = self.spark.read.parquet(*rewrite_dirs).filter(
+            remainder_reader = self.spark.read
+            if prev_schema is not None:
+                remainder_reader = remainder_reader.schema(prev_schema)
+            remainder = remainder_reader.parquet(*rewrite_dirs).filter(
                 ~_partition_token(partition_col).isin(list(touched))
             )
             rem = write_split(remainder)
@@ -294,6 +380,7 @@ class VersionedTable:
             "dirs": keep_dirs + new_dirs,
             "stats": {d: s for d, s in stats.items() if d in keep_dirs},
             "dir_parts": dir_parts,
+            "schema": json.dumps(next_schema.jsonValue()),
         }
         tmp = os.path.join(self._snap_dir, f".{version:08d}.json.tmp")
         with open(tmp, "w") as fh:
@@ -327,9 +414,20 @@ class VersionedTable:
         ]
         if not dirs:
             return self.read(version).filter(F.lit(False))
-        return self.spark.read.parquet(*dirs).filter(
+        return self._read_dirs(dirs, version).filter(
             _partition_token(partition_col).isin(list(vals))
         )
+
+    def _read_dirs(self, dirs: Sequence[str], version: int) -> DataFrame:
+        """Multi-dir parquet scan under the manifest-recorded schema: columns
+        a file predates read back NULL (Iceberg-style metadata-only schema
+        evolution — no rewrite). Pre-schema-tracking manifests fall back to
+        footer inference."""
+        st = self.schema(version)
+        reader = self.spark.read
+        if st is not None:
+            reader = reader.schema(st)
+        return reader.parquet(*dirs)
 
     def read(self, version: int | None = None) -> DataFrame:
         """Scan the table at ``version`` (default: latest) — ``FOR VERSION
@@ -339,7 +437,7 @@ class VersionedTable:
         if version is None:
             raise ValueError(f"table {self.root} has no snapshots")
         dirs = self._manifest(version)["dirs"]
-        return self.spark.read.parquet(*dirs)
+        return self._read_dirs(dirs, version)
 
     def scan(
         self,
@@ -359,9 +457,9 @@ class VersionedTable:
         dirs = m["dirs"]
         pruned = self._kept_dirs(m, between or {})
         if not pruned:
-            df = self.spark.read.parquet(*dirs).limit(0)
+            df = self._read_dirs(dirs, version).limit(0)
         else:
-            df = self.spark.read.parquet(*pruned)
+            df = self._read_dirs(pruned, version)
         from pyspark.sql import functions as F
 
         for c, (lo, hi) in (between or {}).items():
@@ -392,14 +490,88 @@ class VersionedTable:
         return len(m["dirs"]) - len(self._kept_dirs(m, between))
 
     # -- maintenance -------------------------------------------------------
-    def compact(self, stats_cols: Sequence[str] | None = None) -> int:
-        """Rewrite the current version's dirs into one dir (the small-file
-        compaction a streaming ``stream_upsert`` table needs periodically).
-        Logically a no-op: the new snapshot holds the same rows."""
-        df = self.read()
-        return self.commit(
-            df, mode="overwrite", stats_cols=stats_cols, _operation="compact"
+    def _dir_bytes(self, d: str) -> int:
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _dirs, files in os.walk(d)
+            for f in files
+            if not f.startswith((".", "_"))
         )
+
+    def compact(
+        self,
+        stats_cols: Sequence[str] | None = None,
+        small_dir_max_bytes: int | None = None,
+    ) -> int:
+        """Small-file compaction (Delta ``OPTIMIZE`` / Iceberg
+        ``rewrite_data_files``). Logically a no-op: the new snapshot holds
+        the same rows.
+
+        Default rewrites every dir into one. With ``small_dir_max_bytes``
+        only dirs BELOW the threshold are coalesced and everything else is
+        carried over by manifest reference — the incremental form a
+        streaming table needs, where per-run cost is O(small dirs), never
+        O(table). A steady stream of tiny micro-batch commits compacts in
+        work proportional to the tiny tail; already-compacted data is not
+        re-read (rewriting 100 TB to fix kilobyte files would be the
+        classic compaction own-goal).
+        """
+        if small_dir_max_bytes is None:
+            df = self.read()
+            return self.commit(
+                df, mode="overwrite", stats_cols=stats_cols, _operation="compact"
+            )
+        version = self.current_version()
+        if version is None:
+            raise ValueError(f"table {self.root} has no snapshots")
+        m = self._manifest(version)
+        small = [d for d in m["dirs"] if self._dir_bytes(d) < small_dir_max_bytes]
+        if len(small) <= 1:
+            # Nothing to coalesce; skip the no-op commit.
+            return version
+        keep = [d for d in m["dirs"] if d not in set(small)]
+        merged_dir = os.path.join(self.root, "data", uuid.uuid4().hex)
+        self._read_dirs(small, version).write.mode("overwrite").parquet(merged_dir)
+
+        stats = {d: s for d, s in m.get("stats", {}).items() if d in keep}
+        if stats_cols:
+            from pyspark.sql import functions as F
+
+            row = (
+                self.spark.read.parquet(merged_dir)
+                .agg(
+                    *[F.min(c).alias(f"min_{c}") for c in stats_cols],
+                    *[F.max(c).alias(f"max_{c}") for c in stats_cols],
+                )
+                .collect()[0]
+            )
+            stats[merged_dir] = {
+                c: [row[f"min_{c}"], row[f"max_{c}"]] for c in stats_cols
+            }
+        dir_parts = {
+            d: p for d, p in m.get("dir_parts", {}).items() if d in keep
+        }
+        prev_parts = m.get("dir_parts", {})
+        if all(prev_parts.get(d) is not None for d in small):
+            # Coverage union keeps the merged dir partition-prunable.
+            dir_parts[merged_dir] = sorted(
+                {p for d in small for p in prev_parts[d]}
+            )
+        new_version = version + 1
+        manifest = {
+            "version": new_version,
+            "operation": "compact",
+            "dirs": keep + [merged_dir],
+            "stats": stats,
+            "schema": m.get("schema"),
+        }
+        if dir_parts:
+            manifest["dir_parts"] = dir_parts
+        tmp = os.path.join(self._snap_dir, f".{new_version:08d}.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, os.path.join(self._snap_dir, f"{new_version:08d}.json"))
+        return new_version
 
     # -- maintenance -------------------------------------------------------
     def expire_snapshots(self, keep_last: int = 1) -> list[int]:

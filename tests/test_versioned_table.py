@@ -627,3 +627,98 @@ def test_table_diff_roundtrips_through_apply_changes(spark, tmp_path):
     got = {(r.k, r.v) for r in rebuilt.collect()}
     want = {(r.k, r.v) for r in t.read(version=2).collect()}
     assert got == want
+
+
+def test_schema_evolution_appends_column_with_null_backfill(spark, tmp_path):
+    """merge_schema append: the new column joins the table schema, rows from
+    pre-evolution snapshots read it back NULL, and no old file is rewritten
+    (metadata-only evolution)."""
+    import pytest
+
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit(spark.createDataFrame([(1, "a")], "id int, name string"))
+    old_dirs = t._manifest(1)["dirs"]
+    # Additive append without the flag is rejected...
+    with pytest.raises(ValueError, match="merge_schema"):
+        t.commit(
+            spark.createDataFrame(
+                [(2, "b", 9.5)], "id int, name string, score double"
+            )
+        )
+    # ...and accepted with it.
+    t.commit(
+        spark.createDataFrame(
+            [(2, "b", 9.5)], "id int, name string, score double"
+        ),
+        merge_schema=True,
+    )
+    rows = {r["id"]: r for r in t.read().collect()}
+    assert rows[1]["score"] is None and rows[2]["score"] == 9.5
+    assert t.read().columns == ["id", "name", "score"]
+    # old files untouched; time travel sees the old shape
+    assert t._manifest(2)["dirs"][0] == old_dirs[0]
+    assert t.read(version=1).columns == ["id", "name"]
+
+
+def test_schema_evolution_missing_batch_column_backfills_null(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit(spark.createDataFrame([(1, "a")], "id int, name string"))
+    t.commit(spark.createDataFrame([(2,)], "id int"), merge_schema=True)
+    rows = {r["id"]: r["name"] for r in t.read().collect()}
+    assert rows == {1: "a", 2: None}
+
+
+def test_schema_evolution_rejects_type_change(spark, tmp_path):
+    import pytest
+
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit(spark.createDataFrame([(1, "a")], "id int, name string"))
+    with pytest.raises(ValueError, match="change column types"):
+        t.commit(
+            spark.createDataFrame([(2.0, "b")], "id double, name string"),
+            merge_schema=True,
+        )
+
+
+def test_incremental_compact_rewrites_only_small_dirs(spark, tmp_path):
+    """compact(small_dir_max_bytes=...) coalesces the tiny-commit tail and
+    carries large dirs over by reference — per-run IO is O(small dirs)."""
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    big = spark.range(0, 50_000).selectExpr(
+        "id", "repeat('x', 64) AS pad"
+    ).coalesce(1)
+    t.commit(big)
+    big_dir = t._manifest(1)["dirs"][0]
+    for i in range(3):  # tiny micro-batch-style appends
+        t.commit(
+            spark.createDataFrame(
+                [(1_000_000 + i, "y")], "id bigint, pad string"
+            )
+        )
+    threshold = t._dir_bytes(big_dir)  # big dir is >= threshold → kept
+    v = t.compact(small_dir_max_bytes=threshold)
+    m = t._manifest(v)
+    assert big_dir in m["dirs"], "large dir must carry over by reference"
+    assert len(m["dirs"]) == 2  # big + one merged dir
+    assert t.read().count() == 50_003
+    # idempotent: nothing small left to merge → no new version
+    assert t.compact(small_dir_max_bytes=threshold) == v
+
+
+def test_incremental_compact_preserves_partition_coverage(spark, tmp_path):
+    """After compacting a bucketed streaming table, read_partitions can still
+    prune: the merged dir records the union of its inputs' coverage."""
+    from pyspark.sql import functions as F
+
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    for b in range(4):
+        t.commit_replace_partitions(
+            spark.createDataFrame([(b * 10, b)], "id int, bucket int"),
+            "bucket",
+        )
+    v = t.compact(small_dir_max_bytes=10**9)
+    m = t._manifest(v)
+    assert len(m["dirs"]) == 1
+    assert sorted(m["dir_parts"][m["dirs"][0]]) == ["0", "1", "2", "3"]
+    got = t.read_partitions("bucket", [2]).collect()
+    assert [(r["id"], r["bucket"]) for r in got] == [(20, 2)]
