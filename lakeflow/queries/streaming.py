@@ -302,3 +302,74 @@ def pysource_tick_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling_candles(
         ticks, ts_col="ts", key_cols=("symbol",), value_col="price"
     )
+
+
+@register(
+    "stream_left_outer_views",
+    oracle="""
+    SELECT a.event_id AS view_id, b.event_id AS purchase_id, a.user_id
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'view' AND b.event_type = 'purchase'
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    UNION ALL
+    SELECT a.event_id, CAST(NULL AS BIGINT), a.user_id
+    FROM events a
+    WHERE a.event_type = 'view'
+      AND NOT EXISTS (
+          SELECT 1 FROM events b
+          WHERE b.user_id = a.user_id AND b.event_type = 'purchase'
+            AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+      )
+      AND a.ts + INTERVAL 30 MINUTE
+          < (SELECT least(
+                 max(CASE WHEN event_type = 'view' THEN ts END),
+                 max(CASE WHEN event_type = 'purchase' THEN ts END)
+             ) FROM events) - INTERVAL 1 MINUTE
+    """,
+)
+def stream_left_outer_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER time-interval join: every view pairs with
+    same-user purchases within 30 minutes, and views with no such purchase
+    still emit (NULL purchase) — but only once the watermark proves no
+    match can arrive, i.e. after it passes view_ts + 30 min. That delayed
+    null emission is the part inner joins (stream_stream_view_to_purchase)
+    don't exercise; state stays bounded by interval + watermark exactly as
+    in the inner case. On bounded input the emitted set is the batch left
+    join restricted to views whose match window the final watermark closed.
+    The global watermark is the MIN across the two input streams (each
+    computes max(ts) − 1 min over ITS filtered subset), so the oracle's
+    cutoff is least(max view ts, max purchase ts) − 1 min — with one side
+    lagging, nulls stall exactly as they would in production."""
+    from pyspark.sql import functions as F
+
+    src = events_stream(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    views = (
+        src.filter(F.col("event_type") == "view")
+        .withWatermark("ts", "1 minutes")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+    )
+    purchases = (
+        src.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 minutes")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    ).select("view_id", "purchase_id", F.col("v_user").alias("user_id"))
+    name, _ = run_to_memory(joined)
+    return spark.table(name)
