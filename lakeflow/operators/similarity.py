@@ -443,3 +443,155 @@ def ivf_kmeans_topk(
         vec_col=vec_col,
         round_to=round_to,
     )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebook: DataFrame,
+    k: int = 5,
+    n_subspaces: int = 4,
+    dim: int = 64,
+    shortlist: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric-distance (ADC) shortlisting
+    and exact cosine re-rank (Jégou et al., "Product Quantization for
+    Nearest Neighbor Search", TPAMI 2011 — the IVF-PQ family FAISS ships).
+
+    The vector splits into ``n_subspaces`` contiguous subvectors; each
+    subspace has its own codebook (here: the subvectors of the caller's
+    ``codebook`` rows — deterministic seed codewords, same stance as
+    ivf_topk's seed centroids; swap in per-subspace KMeans in production,
+    the plan is identical). A corpus vector is stored as ``n_subspaces``
+    small codes; a query precomputes one distance TABLE per subspace
+    (|codebook| entries) and approximate distance is a pure table-lookup
+    sum — no per-pair D-dim math.
+
+    Scale shape: encoding is one scan with the codebook broadcast
+    (n_subspaces·|codebook| subvectors); at 100 TB codes are computed at
+    ingest and stored — 4 bytes/vector here vs 256 for the raw float64s, a
+    64× cut in candidate-scan IO, which is the entire point of PQ. The ADC
+    stage broadcasts the per-query lookup tables (n_subspaces·|codebook|
+    doubles per query) against the codes-only corpus; only the ``shortlist``
+    survivors per query read full vectors again for the exact re-rank.
+
+    Determinism: sub-distances quantize to integer micro-units before any
+    sum or argmin (order-free bigint accumulation; ties break on code id /
+    vid), so encode, shortlist, and re-rank reproduce bit-for-bit across
+    engines — the registered query is hash-checked against a DuckDB oracle.
+
+    Output: (qid, vid, cos) — exact rounded cosine of the top-k survivors.
+    """
+    if dim % n_subspaces != 0:
+        raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
+    sub_len = dim // n_subspaces
+    ms = F.sequence(F.lit(0), F.lit(n_subspaces - 1))
+
+    def sqd_micro(a, b):
+        d = F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        )
+        raw = F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x)
+        return F.floor(raw * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+
+    def subspaces(df: DataFrame, idc: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(idc),
+            F.explode(ms).alias("m"),
+            F.col(vec_col).alias("__v"),
+        ).select(
+            idc,
+            "m",
+            F.slice("__v", F.col("m") * sub_len + 1, sub_len).alias("sv"),
+        )
+
+    cw = subspaces(codebook, "cid").withColumnRenamed("sv", "cw")
+
+    # Encode: nearest codeword per (vector, subspace); codes collapse to one
+    # int array per vector, ordered by subspace.
+    enc = (
+        subspaces(fan_out(corpus), "vid")
+        .join(F.broadcast(cw), "m")
+        .select("vid", "m", F.col("cid"), sqd_micro("sv", "cw").alias("sqd"))
+    )
+    w_enc = Window.partitionBy("vid", "m").orderBy(F.asc("sqd"), F.asc("cid"))
+    codes = (
+        enc.withColumn("rn", F.row_number().over(w_enc))
+        .filter(F.col("rn") == 1)
+        .groupBy("vid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "cid"))),
+                lambda s: s["cid"],
+            ).alias("codes")
+        )
+    )
+
+    # Per-query ADC lookup table, flattened in (m, cid) order so entry
+    # (m, code) sits at index m * |codebook| + code.
+    n_codes = codebook.count()
+    dtab = (
+        subspaces(queries, "qid")
+        .join(F.broadcast(cw), "m")
+        .select("qid", "m", "cid", sqd_micro("sv", "cw").alias("sqd"))
+        .groupBy("qid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "cid", "sqd"))),
+                lambda s: s["sqd"],
+            ).alias("dt")
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(dtab))
+        .filter(F.col("qid") != F.col("vid"))
+        .select(
+            "qid",
+            "vid",
+            F.expr(
+                f"aggregate(sequence(0, {n_subspaces - 1}), CAST(0 AS BIGINT), "
+                f"(acc, m) -> acc + dt[m * {n_codes} + codes[m]])"
+            ).alias("adc"),
+        )
+    )
+    w_short = Window.partitionBy("qid").orderBy(F.asc("adc"), F.asc("vid"))
+    short = (
+        adc.withColumn("rn", F.row_number().over(w_short))
+        .filter(F.col("rn") <= shortlist)
+        .select("qid", "vid")
+    )
+
+    # Exact re-rank of the shortlist only.
+    c = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("cv"),
+        norm(vec_col).alias("cn"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        norm(vec_col).alias("qn"),
+    )
+    scored = (
+        short.join(c, "vid")
+        .join(F.broadcast(q), "qid")
+        .select(
+            "qid",
+            "vid",
+            rnd(dot("qv", "cv") / (F.col("qn") * F.col("cn")), round_to).alias(
+                "cos"
+            ),
+        )
+    )
+    w_final = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w_final))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

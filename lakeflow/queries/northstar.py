@@ -1516,3 +1516,84 @@ def source_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weight"
         ),
     )
+
+
+_SQD16 = (
+    "CAST(floor(list_sum(list_transform(range(1, 17), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))) * 1000000.0 + 0.5) AS BIGINT)"
+)
+
+
+@register(
+    "pq_adc_topk",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    sub AS (
+        SELECT vec_id, m, v[m * 16 + 1 : m * 16 + 16] AS sv
+        FROM e, UNNEST(range(0, 4)) AS t(m)
+    ),
+    cb AS (SELECT vec_id AS cid, m, sv AS cw FROM sub WHERE vec_id < 16),
+    enc AS (
+        SELECT vid, m, code FROM (
+            SELECT s.vec_id AS vid, s.m, cb.cid AS code,
+                   row_number() OVER (
+                       PARTITION BY s.vec_id, s.m
+                       ORDER BY {_SQD16.format(a='s.sv', b='cb.cw')}, cb.cid
+                   ) AS rn
+            FROM sub s JOIN cb USING (m)
+        ) WHERE rn = 1
+    ),
+    dt AS (
+        SELECT s.vec_id AS qid, s.m, cb.cid,
+               {_SQD16.format(a='s.sv', b='cb.cw')} AS sqd
+        FROM sub s JOIN cb USING (m)
+        WHERE s.vec_id < 10
+    ),
+    adc AS (
+        SELECT d.qid, enc.vid, sum(d.sqd) AS adc
+        FROM enc JOIN dt d ON enc.m = d.m AND enc.code = d.cid
+        WHERE d.qid <> enc.vid
+        GROUP BY d.qid, enc.vid
+    ),
+    short AS (
+        SELECT qid, vid FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY qid ORDER BY adc, vid
+            ) AS rn FROM adc
+        ) WHERE rn <= 64
+    ),
+    n AS (
+        SELECT vec_id, v, sqrt(list_sum(list_transform(v, y -> y * y))) AS nrm
+        FROM e
+    ),
+    scored AS (
+        SELECT s.qid, s.vid,
+               {_R6.format(x=f"{_DOT64.format(a='q.v', b='c.v')} / (q.nrm * c.nrm)")} AS cos
+        FROM short s
+        JOIN n c ON c.vec_id = s.vid
+        JOIN n q ON q.vec_id = s.qid
+    )
+    SELECT qid, vid, cos FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY qid ORDER BY cos DESC, vid
+        ) AS rn FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.py::pq_adc_topk): 4
+    subspaces x 16 seed codewords (the subvectors of vec_id < 16) encode
+    each corpus vector as 4 small codes; the 10 query vectors score
+    candidates by table-lookup ADC distance, shortlist 64, and exact-cosine
+    re-rank the survivors. Codes are 4 bytes/vector vs 256 for raw floats —
+    the candidate-scan IO cut that makes billion-vector search feasible."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.pq_adc_topk(
+        emb,
+        queries=emb.filter(F.col("vec_id") < 10),
+        codebook=emb.filter(F.col("vec_id") < 16),
+        k=5,
+    )

@@ -1130,3 +1130,37 @@ def test_asof_join_forward_tolerance_semantics(spark):
         ).collect()
     }
     assert back == {("a", None), ("b", 101), ("c", None)}
+
+
+def test_pq_adc_recall_at_operating_point_and_exact_at_full_shortlist(spark):
+    """PQ/ADC invariants: (a) recall@5 against exact brute force at the
+    registered operating point (shortlist 64 of 500) holds at the measured
+    0.7 floor; (b) with shortlist >= |corpus| the exact re-rank sees every
+    candidate, so the result IS the brute-force top-k — the approximation
+    lives entirely in the shortlist cut, never in the scoring."""
+    from pyspark.sql import functions as F
+
+    from lakeflow.catalog import load_table
+    from lakeflow.operators import similarity as sim
+
+    from .conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    cb = emb.filter(F.col("vec_id") < 16)
+    exact = {
+        (r["qid"], r["vid"])
+        for r in sim.brute_force_topk(emb, q, k=5).collect()
+    }
+
+    got = {
+        (r["qid"], r["vid"])
+        for r in sim.pq_adc_topk(emb, q, cb, k=5, shortlist=64).collect()
+    }
+    assert len(got & exact) / len(exact) >= 0.7
+
+    full = sim.pq_adc_topk(emb, q, cb, k=5, shortlist=500)
+    assert {(r["qid"], r["vid"], r["cos"]) for r in full.collect()} == {
+        (r["qid"], r["vid"], r["cos"])
+        for r in sim.brute_force_topk(emb, q, k=5).collect()
+    }
