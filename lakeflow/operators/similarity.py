@@ -595,3 +595,55 @@ def pq_adc_topk(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_to: int = 6,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query vector,
+    the top-k most-similar corpus vectors carrying a DIFFERENT label — the
+    near-miss examples a contrastive loss learns the most from (easy
+    negatives are already far away; random negatives are mostly easy).
+
+    Same plan as :func:`brute_force_topk` with the label-mismatch predicate
+    fused into the broadcast join, so disqualified pairs are dropped before
+    any vector math. At 100 TB the same shape runs over an ANN shortlist
+    (lsh/ivf/pq) instead of the full corpus; the mining predicate is
+    identical.
+
+    Output: (qid, vid, label, cos) ranked per query on rounded cosine.
+    """
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        norm(vec_col).alias("qn"),
+        F.col(label_col).alias("q_label"),
+    )
+    c = fan_out(corpus).select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("cv"),
+        norm(vec_col).alias("cn"),
+        F.col(label_col).alias("label"),
+    )
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("qid") != F.col("vid"))
+        & (F.col("q_label") != F.col("label")),
+    ).select(
+        "qid",
+        "vid",
+        "label",
+        rnd(dot("qv", "cv") / (F.col("qn") * F.col("cn")), round_to).alias("cos"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

@@ -682,3 +682,38 @@ def unigram_logprob_scores(
             F.sum("lp_micro") / F.count(F.lit(1)) / 1e6, round_to
         ).alias("avg_logprob"),
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    val_pct: int = 10,
+    test_pct: int = 10,
+) -> DataFrame:
+    """Train/val/test assignment keyed on the DUPLICATE-GROUP fingerprint,
+    not the row id: every doc whose normalized text collides lands in the
+    same split, so an exact duplicate of a training document can never leak
+    into eval — the contamination mode a naive per-row split invites the
+    moment a corpus contains duplicates (most web corpora: ~30%).
+
+    Deterministic (md5 of the content fingerprint), so incremental ingestion
+    never reassigns an existing group, and engine-reproducible. Scan-side
+    projection: the fingerprint is computed where the text already is; no
+    shuffle, no state.
+
+    Output: (id, fp, split) with split ∈ {train, val, test}.
+    """
+    from lakeflow.operators.dedup import normalize_text
+
+    fp = F.md5(normalize_text(text_col))
+    bucket = (
+        F.conv(F.substring(fp, 1, 8), 16, 10).cast("bigint") % 100
+    )
+    train_hi = 100 - val_pct - test_pct
+    split = (
+        F.when(bucket < train_hi, F.lit("train"))
+        .when(bucket < 100 - test_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.select(F.col(id_col), fp.alias("fp"), split.alias("split"))

@@ -1597,3 +1597,81 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         codebook=emb.filter(F.col("vec_id") < 16),
         k=5,
     )
+
+
+@register(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, label, v,
+               sqrt(list_sum(list_transform(v, y -> y * y))) AS nrm
+        FROM e
+    ),
+    q AS (
+        SELECT vec_id AS qid, label AS q_label, v AS qv, nrm AS qn
+        FROM n WHERE vec_id < 10
+    ),
+    scored AS (
+        SELECT q.qid, c.vec_id AS vid, c.label,
+               {_R6.format(x=f"{_DOT64.format(a='q.qv', b='c.v')} / (q.qn * c.nrm)")} AS cos
+        FROM q, n c
+        WHERE c.vec_id <> q.qid AND c.label <> q.q_label
+    )
+    SELECT qid, vid, label, cos FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training data prep (operators/similarity.py::
+    hard_negatives): per query vector, the 5 most-similar corpus vectors
+    with a DIFFERENT label — near-miss negatives, the ones a contrastive
+    loss learns from. Label-mismatch is fused into the broadcast join, so
+    disqualified pairs drop before any vector math; at 100 TB the identical
+    mining predicate runs over an ANN shortlist instead of the full corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.hard_negatives(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "leakage_safe_split_report",
+    oracle=f"""
+    WITH fps AS (
+        SELECT doc_id, md5({_NORM}) AS fp FROM documents
+    ),
+    assigned AS (
+        SELECT doc_id, fp,
+               CASE
+                 WHEN CAST(('0x' || substr(fp, 1, 8)) AS BIGINT) % 100 < 80
+                   THEN 'train'
+                 WHEN CAST(('0x' || substr(fp, 1, 8)) AS BIGINT) % 100 < 90
+                   THEN 'val'
+                 ELSE 'test'
+               END AS split
+        FROM fps
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT fp) AS BIGINT) AS n_groups
+    FROM assigned GROUP BY split
+    """,
+)
+def leakage_safe_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe corpus split (operators/text.py::leakage_safe_split):
+    80/10/10 train/val/test assigned by hashing the duplicate-group
+    fingerprint, so all copies of a duplicated document share a split and
+    eval can never contain a training dup. The report aggregates docs and
+    distinct groups per split — the sanity check run before any training
+    job."""
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = tx.leakage_safe_split(docs)
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("fp").cast("bigint").alias("n_groups"),
+    )

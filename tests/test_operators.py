@@ -1164,3 +1164,21 @@ def test_pq_adc_recall_at_operating_point_and_exact_at_full_shortlist(spark):
         (r["qid"], r["vid"], r["cos"])
         for r in sim.brute_force_topk(emb, q, k=5).collect()
     }
+
+
+def test_leakage_safe_split_keeps_duplicates_together(spark):
+    """Every doc sharing a content fingerprint must share a split — the
+    invariant that makes the split leakage-safe under duplication."""
+    from lakeflow.operators.text import leakage_safe_split
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i % 10} body text") for i in range(100)],
+        "doc_id long, text string",
+    )
+    out = leakage_safe_split(df).collect()
+    by_fp = {}
+    for r in out:
+        by_fp.setdefault(r["fp"], set()).add(r["split"])
+    assert len(by_fp) == 10
+    assert all(len(s) == 1 for s in by_fp.values())
+    assert {r["split"] for r in out} <= {"train", "val", "test"}
