@@ -100,3 +100,82 @@ def shuffle_summary(df: DataFrame, run: bool = True) -> dict[str, int]:
         "shuffle_bytes_written": total("Exchange", "shuffle bytes written"),
         "spill_bytes": total(None, "spill size"),
     }
+
+
+class StreamingMetricsListener:
+    """Per-micro-batch streaming telemetry: input rows, processing rate, and
+    stateful-operator state size, captured from QueryProgressEvents — the
+    programmatic form of the Streaming UI, and the numbers a production
+    stream alerts on (state growth ⇒ watermark misconfigured; falling rate
+    ⇒ falling behind the source).
+
+    Usage::
+
+        listener = StreamingMetricsListener.attach(spark)
+        ... run stream to completion ...
+        listener.detach()
+        listener.summary(query_name)
+
+    The underlying hook is ``spark.streams.addListener`` — driver-side,
+    zero cost on executors; progress objects are built by the engine either
+    way. Capture is append-only per (query name, batch id) so restarted or
+    multi-batch availableNow runs accumulate a full history.
+    """
+
+    def __init__(self, spark) -> None:
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        self.progress: list[dict] = []
+        outer = self
+
+        class _L(StreamingQueryListener):
+            def onQueryStarted(self, event) -> None:  # noqa: N802
+                pass
+
+            def onQueryProgress(self, event) -> None:  # noqa: N802
+                p = event.progress
+                state = p.stateOperators or []
+                outer.progress.append(
+                    {
+                        "name": p.name,
+                        "batch_id": p.batchId,
+                        "input_rows": p.numInputRows,
+                        "rows_per_sec": p.processedRowsPerSecond,
+                        "state_rows": sum(s.numRowsTotal for s in state),
+                        "state_bytes": sum(s.memoryUsedBytes for s in state),
+                        "watermark": p.eventTime.get("watermark"),
+                    }
+                )
+
+            def onQueryIdle(self, event) -> None:  # noqa: N802
+                pass
+
+            def onQueryTerminated(self, event) -> None:  # noqa: N802
+                pass
+
+        self._listener = _L()
+        self._spark = spark
+
+    @classmethod
+    def attach(cls, spark) -> "StreamingMetricsListener":
+        inst = cls(spark)
+        spark.streams.addListener(inst._listener)
+        return inst
+
+    def detach(self) -> None:
+        self._spark.streams.removeListener(self._listener)
+
+    def summary(self, name: str | None = None) -> dict:
+        """Totals over captured batches (optionally for one query name)."""
+        rows = [
+            r
+            for r in self.progress
+            if name is None or r["name"] == name
+        ]
+        return {
+            "n_batches": len(rows),
+            "input_rows": sum(r["input_rows"] for r in rows),
+            "max_state_rows": max((r["state_rows"] for r in rows), default=0),
+            "max_state_bytes": max((r["state_bytes"] for r in rows), default=0),
+            "final_watermark": rows[-1]["watermark"] if rows else None,
+        }

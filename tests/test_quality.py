@@ -91,3 +91,39 @@ def test_duplicate_rule_names_rejected(spark):
 def test_bad_action_rejected():
     with pytest.raises(ValueError, match="action"):
         Expectation("x", "v > 0", "explode")
+
+
+def test_streaming_listener_captures_state_metrics(spark):
+    """StreamingMetricsListener must observe the stateful windowed agg: at
+    least one batch, all input rows counted, nonzero state, and a final
+    watermark — the production signals for watermark misconfiguration."""
+    import time
+
+    from lakeflow.observability import StreamingMetricsListener
+    from lakeflow.sources.streams import events_stream
+    from lakeflow.streaming.candles import streaming_candles
+    from lakeflow.streaming.sinks import run_to_memory
+
+    from .conftest import SF_DIR
+
+    listener = StreamingMetricsListener.attach(spark)
+    try:
+        stream = events_stream(spark, SF_DIR)
+        candles = streaming_candles(stream, watermark="1 minutes")
+        name, _q = run_to_memory(candles, name="listener_probe")
+        # Listener events are delivered asynchronously on the listener bus.
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            s = listener.summary("listener_probe")
+            if s["n_batches"] and s["final_watermark"]:
+                break
+            time.sleep(0.5)
+    finally:
+        listener.detach()
+    from lakeflow.catalog import load_table
+
+    s = listener.summary("listener_probe")
+    assert s["n_batches"] >= 1
+    assert s["input_rows"] == load_table(spark, SF_DIR, "events").count()
+    assert s["max_state_rows"] > 0
+    assert s["final_watermark"] is not None
