@@ -492,3 +492,32 @@ def test_embedding_near_dups_join_cost_equals_bucket_sq_measured(spark):
         f"predicts {expected}"
     )
     assert max(join_rows) < n * (n - 1) // 2
+
+
+def test_pq_adc_candidate_scoring_is_codes_only_measured(spark):
+    """Measured PQ property: the ADC candidate stage scores CODES, not raw
+    vectors — the 64-dim embedding column is read only by the encode pass
+    and the shortlist re-rank, never per candidate pair. Proxy at fixture
+    scale: total parquet-scan rows stay at a small multiple of the corpus
+    (encode + re-rank + query reads), NOT corpus x queries, and the run
+    spills nothing."""
+    from lakeflow.catalog import load_table
+    from lakeflow.observability import execution_metrics, shuffle_summary
+    from lakeflow.queries import QUERIES
+
+    from .conftest import SF_DIR
+
+    n_corpus = load_table(spark, SF_DIR, "embeddings").count()
+    df = QUERIES["pq_adc_topk"](spark, SF_DIR)
+    rows = execution_metrics(df)
+    parquet_scan_rows = sum(
+        r["value"] or 0
+        for r in rows
+        if r["operator"].startswith("Scan")
+        and r["metric"] == "number of output rows"
+    )
+    assert 0 < parquet_scan_rows <= 6 * n_corpus, (
+        f"PQ pipeline re-reads vectors per pair: {parquet_scan_rows} "
+        f"scan rows vs corpus {n_corpus}"
+    )
+    assert shuffle_summary(df, run=False)["spill_bytes"] == 0
