@@ -491,3 +491,41 @@ def schema_evolution_nullfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         merge_schema=True,
     )
     return t.read()
+
+
+@register(
+    "compaction_roundtrip",
+    oracle="""
+    SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey <= 118
+    """,
+)
+def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental small-file compaction (tables.py::VersionedTable.compact
+    with small_dir_max_bytes — Delta OPTIMIZE / Iceberg rewrite_data_files):
+    six tiny micro-batch-style commits coalesce into one dir while the
+    large initial commit is carried over by manifest reference, and the
+    compacted read returns exactly the pre-compaction rows. The assert
+    pins the O(small dirs) property; the oracle hash-checks the data."""
+    import tempfile
+
+    from pyspark.sql import functions as FN
+
+    from lakeflow.tables import VersionedTable
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="lakeflow_compact_"))
+    t.commit(cust.filter(FN.col("c_custkey") <= 100).coalesce(1))
+    big_dir = t._manifest(1)["dirs"][0]
+    for i in range(6):
+        lo, hi = 100 + i * 3, 103 + i * 3
+        t.commit(
+            cust.filter(
+                (FN.col("c_custkey") > lo) & (FN.col("c_custkey") <= hi)
+            ).coalesce(1)
+        )
+    v = t.compact(small_dir_max_bytes=t._dir_bytes(big_dir))
+    m = t._manifest(v)
+    assert big_dir in m["dirs"] and len(m["dirs"]) == 2, (
+        f"expected carried big dir + one merged dir, got {len(m['dirs'])}"
+    )
+    return t.read()

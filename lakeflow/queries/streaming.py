@@ -373,3 +373,49 @@ def stream_left_outer_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("view_id", "purchase_id", F.col("v_user").alias("user_id"))
     name, _ = run_to_memory(joined)
     return spark.table(name)
+
+
+@register(
+    "stream_quarantine_events",
+    oracle="""
+    SELECT event_id, event_type, value,
+           CASE WHEN NOT COALESCE(value >= 0, FALSE)
+                     AND NOT COALESCE(event_type IN ('view', 'click', 'purchase', 'signup', 'error'), FALSE)
+                THEN 'known_type,value_nonnegative'
+                WHEN NOT COALESCE(value >= 0, FALSE) THEN 'value_nonnegative'
+                ELSE 'known_type'
+           END AS violated
+    FROM events
+    WHERE NOT (COALESCE(value >= 0, FALSE)
+               AND COALESCE(event_type IN ('view', 'click', 'purchase', 'signup', 'error'), FALSE))
+    """,
+)
+def stream_quarantine_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectations gate on a LIVE stream (lakeflow.quality over a streaming
+    frame): the quarantine side of a declarative rule set, running inside
+    the micro-batch engine. The gate and violation annotation are scan-side
+    Catalyst projections, so they stream stateless — no watermark, no
+    state store; rows emit exactly once in append mode. The oracle replays
+    the same null-safe predicates in batch SQL."""
+    from pyspark.sql import functions as F
+
+    from lakeflow.quality import Expectation, split
+
+    rules = [
+        Expectation("value_nonnegative", "value >= 0", "drop"),
+        Expectation(
+            "known_type",
+            "event_type IN ('view', 'click', 'purchase', 'signup', 'error')",
+            "drop",
+        ),
+    ]
+    stream = events_stream(spark, sf_dir).select("event_id", "event_type", "value")
+    _good, bad = split(stream, rules)
+    out = bad.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.array_join("violations", ",").alias("violated"),
+    )
+    name, _ = run_to_memory(out)
+    return spark.table(name)
