@@ -18,9 +18,13 @@ it scales:
 - Old versions stay readable until ``expire_snapshots`` drops their
   now-unreferenced data dirs (Iceberg's expire_snapshots).
 
-Not provided (documented limits, same stance as SURVEY.md §7.3): concurrent
-writers (no atomic manifest swap on plain FS), row-level deletes (rewrite the
-affected partition instead — commit with mode="overwrite").
+Concurrency: the manifest publish is an atomic exclusive link, so two
+writers racing from the same base version resolve to exactly one winner —
+the loser raises :class:`CommitConflictError` and retries from the new
+current version (Iceberg's optimistic concurrency; its orphaned data dir is
+reclaimed by ``remove_orphans``). Not provided (documented limits, same
+stance as SURVEY.md §7.3): row-level deletes (rewrite the affected partition
+instead — commit with mode="overwrite").
 """
 
 from __future__ import annotations
@@ -36,6 +40,12 @@ from pyspark.sql import DataFrame, Row, SparkSession
 
 #: Directory name Hive/Spark use for NULL (and empty-string) partition values.
 HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+
+class CommitConflictError(RuntimeError):
+    """Another writer published the same snapshot version first (optimistic
+    concurrency): re-read the current version and retry the commit."""
+
 
 _HIVE_ESCAPE_RE = re.compile("%([0-9A-Fa-f]{2})")
 
@@ -241,12 +251,38 @@ class VersionedTable:
             "stats": stats,
             "schema": json.dumps(next_schema.jsonValue()),
         }
-        # Write-then-rename: readers never observe a half-written manifest.
-        tmp = os.path.join(self._snap_dir, f".{version:08d}.json.tmp")
+        self._publish_manifest(manifest)
+        return version
+
+    def _publish_manifest(self, manifest: dict) -> None:
+        """Atomically publish a snapshot manifest with optimistic-concurrency
+        conflict detection (Iceberg's atomic metadata swap).
+
+        Write-then-LINK: the content lands in a hidden tmp file, then
+        ``os.link`` creates the versioned name — link is atomic AND fails
+        with EEXIST if another writer already published that version, so of
+        two writers racing from the same base snapshot exactly one wins and
+        the loser gets :class:`CommitConflictError` (retry = re-read the new
+        current version, re-derive, re-commit — its data dir is orphaned
+        until :meth:`remove_orphans`). A plain ``os.replace`` would let the
+        second writer silently overwrite the first's commit.
+        """
+        version = manifest["version"]
+        final = os.path.join(self._snap_dir, f"{version:08d}.json")
+        tmp = os.path.join(
+            self._snap_dir, f".{version:08d}-{uuid.uuid4().hex}.json.tmp"
+        )
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
-        os.replace(tmp, os.path.join(self._snap_dir, f"{version:08d}.json"))
-        return version
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            raise CommitConflictError(
+                f"version {version} of {self.root} was committed concurrently; "
+                "re-read the table and retry the commit"
+            ) from None
+        finally:
+            os.unlink(tmp)
 
     def commit_replace_partitions(
         self,
@@ -382,10 +418,7 @@ class VersionedTable:
             "dir_parts": dir_parts,
             "schema": json.dumps(next_schema.jsonValue()),
         }
-        tmp = os.path.join(self._snap_dir, f".{version:08d}.json.tmp")
-        with open(tmp, "w") as fh:
-            json.dump(manifest, fh)
-        os.replace(tmp, os.path.join(self._snap_dir, f"{version:08d}.json"))
+        self._publish_manifest(manifest)
         return version
 
     # -- read path ---------------------------------------------------------
@@ -567,10 +600,7 @@ class VersionedTable:
         }
         if dir_parts:
             manifest["dir_parts"] = dir_parts
-        tmp = os.path.join(self._snap_dir, f".{new_version:08d}.json.tmp")
-        with open(tmp, "w") as fh:
-            json.dump(manifest, fh)
-        os.replace(tmp, os.path.join(self._snap_dir, f"{new_version:08d}.json"))
+        self._publish_manifest(manifest)
         return new_version
 
     # -- maintenance -------------------------------------------------------
@@ -586,6 +616,39 @@ class VersionedTable:
                     shutil.rmtree(d)
             os.remove(os.path.join(self._snap_dir, f"{v:08d}.json"))
         return expired
+
+    def remove_orphans(self) -> list[str]:
+        """Delete data dirs referenced by NO manifest (Iceberg's
+        remove_orphan_files): the residue of conflict-losing commits and
+        crashed writes. Distinct from ``expire_snapshots`` — orphans were
+        never reachable from any snapshot, so deleting them can't break
+        time travel. Returns the removed dirs.
+
+        Production caveat (same as Iceberg's): only run while no in-flight
+        commit is between its data write and manifest publish, or guard
+        with a min-age filter; this single-writer form takes the simple
+        path.
+        """
+        data_root = os.path.join(self.root, "data")
+        live = {
+            os.path.basename(d.rstrip("/"))
+            for v in self.versions()
+            for d in self._manifest(v)["dirs"]
+        }
+        # Partition-split dirs register subpaths (base/shadow=X); keep their
+        # base dirs live too.
+        live |= {
+            os.path.basename(os.path.dirname(d.rstrip("/")))
+            for v in self.versions()
+            for d in self._manifest(v)["dirs"]
+        }
+        removed = []
+        for name in os.listdir(data_root):
+            if name not in live:
+                target = os.path.join(data_root, name)
+                shutil.rmtree(target)
+                removed.append(target)
+        return sorted(removed)
 
 
 def table_diff(

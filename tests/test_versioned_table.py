@@ -722,3 +722,71 @@ def test_incremental_compact_preserves_partition_coverage(spark, tmp_path):
     assert sorted(m["dir_parts"][m["dirs"][0]]) == ["0", "1", "2", "3"]
     got = t.read_partitions("bucket", [2]).collect()
     assert [(r["id"], r["bucket"]) for r in got] == [(20, 2)]
+
+
+def test_concurrent_commit_conflict_detected(spark, tmp_path):
+    """Optimistic concurrency: two writers deriving from the same base
+    version race to publish the same snapshot number — exactly one wins,
+    the loser raises CommitConflictError, and a retry from the NEW current
+    version lands cleanly with both writers' rows preserved."""
+    import pytest
+
+    from lakeflow.tables import CommitConflictError, VersionedTable
+
+    root = str(tmp_path / "tbl")
+    a = VersionedTable(spark, root)
+    b = VersionedTable(spark, root)
+    a.commit(spark.range(0, 5).toDF("id"))
+
+    # Simulate the race: both handles observed version 1; "a" publishes
+    # version 2 first, then "b" tries to publish its own version 2.
+    a.commit(spark.range(10, 12).toDF("id"))
+    base = b._manifest(2)  # what b WOULD have written over
+    df_b = spark.range(20, 22).toDF("id")
+    data_dir = tmp_path / "tbl" / "data"
+    with pytest.raises(CommitConflictError, match="committed concurrently"):
+        # Re-publish version 2 from b's stale view of the world.
+        import uuid as _uuid
+
+        d = str(data_dir / _uuid.uuid4().hex)
+        df_b.write.parquet(d)
+        b._publish_manifest(
+            {
+                "version": 2,
+                "operation": "append",
+                "dirs": base["dirs"] + [d],
+                "stats": {},
+                "schema": base.get("schema"),
+            }
+        )
+    # Retry path: normal commit now sees version 2 and lands as 3.
+    v = b.commit(df_b)
+    assert v == 3
+    assert sorted(r.id for r in b.read().collect()) == [0, 1, 2, 3, 4, 10, 11, 20, 21]
+
+
+def test_remove_orphans_deletes_only_unreferenced_dirs(spark, tmp_path):
+    from lakeflow.tables import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit(spark.range(0, 5).toDF("id"))
+    t.commit(spark.range(5, 8).toDF("id"), mode="overwrite")
+    # Orphan: a data dir written but never published (crashed commit).
+    orphan = str(tmp_path / "tbl" / "data" / "deadbeefcafe")
+    spark.range(100, 103).toDF("id").write.parquet(orphan)
+    removed = t.remove_orphans()
+    assert removed == [orphan]
+    # Every snapshot still reads (orphans were unreachable by definition).
+    assert t.read(version=1).count() == 5
+    assert t.read(version=2).count() == 3
+
+
+def test_remove_orphans_keeps_partition_split_dirs(spark, tmp_path):
+    from lakeflow.tables import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit_replace_partitions(
+        spark.createDataFrame([(1, 0), (2, 1)], "id int, bucket int"), "bucket"
+    )
+    assert t.remove_orphans() == []
+    assert t.read().count() == 2
