@@ -419,3 +419,40 @@ def stream_quarantine_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name, _ = run_to_memory(out)
     return spark.table(name)
+
+
+@register(
+    "stream_table_appends",
+    oracle="""
+    SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey <= 150
+    """,
+)
+def stream_table_appends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse streaming-table read (sources/table_stream.py — the real
+    form of SURVEY §2.1 S3, Delta/Iceberg's readStream over a table): three
+    append commits land in a VersionedTable, and the changes stream emits
+    each commit's added rows as a micro-batch, offset = snapshot version.
+    The union of batches must equal the table — which the oracle checks
+    against the source rows directly."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lakeflow.sources.table_stream import register_table_changes_source
+    from lakeflow.tables import VersionedTable
+
+    register_table_changes_source(spark)
+    cust = spark.read.parquet(table_path(sf_dir, "customer")).select(
+        "c_custkey", "c_acctbal"
+    )
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="lakeflow_tstream_"))
+    t.commit(cust.filter(F.col("c_custkey") <= 50))
+    t.commit(cust.filter((F.col("c_custkey") > 50) & (F.col("c_custkey") <= 100)))
+    t.commit(cust.filter((F.col("c_custkey") > 100) & (F.col("c_custkey") <= 150)))
+    stream = (
+        spark.readStream.format("lakeflow_table_changes")
+        .option("path", t.root)
+        .load()
+    )
+    name, _ = run_to_memory(stream)
+    return spark.table(name)

@@ -1,0 +1,141 @@
+"""Streaming reads of a VersionedTable's commit history (the Delta/Iceberg
+"streaming table source": ``spark.readStream.format("delta")`` /
+``stream_from`` — reference S3's real lakehouse form, which the sandbox's
+missing jars otherwise reduce to a file-stream analog).
+
+``spark.readStream.format("lakeflow_table_changes").option("path", root)``
+emits each commit's APPENDED rows as a micro-batch; the stream offset is the
+snapshot version number, so checkpoint recovery resumes exactly at the next
+unread commit and replay is snapshot-identical (manifests are immutable).
+
+Scale shape: the offset is one integer; per micro-batch the reader opens
+ONLY the data dirs the new manifest added (manifest diff — set difference of
+two dir lists, driver-side JSON), never rescans the table, and never lists
+the filesystem. Non-append commits (overwrite / replace-partitions rewrite
+history, so "what changed" is not derivable from added dirs alone) follow
+Delta's contract: fail the stream by default, or skip with
+``.option("on_change", "skip")`` (Delta's ``skipChangeCommits``).
+
+The reader yields Arrow-read rows driver-side (pyarrow, no Spark session in
+the DataSource sandbox), which is the micro-batch hand-off point; the heavy
+lifting — whatever the query does with the batch — runs distributed as
+usual. For 100 TB commits swap the simple reader for a partition-planning
+``streamReader`` that maps each added dir to an input split; the offset
+contract is unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator
+
+from pyspark.sql import SparkSession
+from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+
+def _manifest(root: str, version: int) -> dict:
+    with open(os.path.join(root, "_snapshots", f"{version:08d}.json")) as fh:
+        return json.load(fh)
+
+
+def _versions(root: str) -> list[int]:
+    snap = os.path.join(root, "_snapshots")
+    return sorted(
+        int(f.split(".")[0]) for f in os.listdir(snap) if f.endswith(".json")
+    )
+
+
+class TableChangesDataSource(DataSource):
+    """``format("lakeflow_table_changes")``; options: path, on_change
+    (fail|skip), start_version (exclusive, default 0 = from genesis)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "lakeflow_table_changes"
+
+    def schema(self):
+        from pyspark.sql.types import StructType
+
+        root = self.options["path"]
+        vs = _versions(root)
+        if not vs:
+            raise ValueError(f"table {root} has no snapshots")
+        raw = _manifest(root, vs[-1]).get("schema")
+        if raw is None:
+            raise ValueError(
+                f"table {root} predates schema tracking; recommit once to "
+                "record a schema before streaming it"
+            )
+        return StructType.fromJson(json.loads(raw))
+
+    def simpleStreamReader(self, schema) -> "TableChangesStreamReader":
+        return TableChangesStreamReader(
+            root=self.options["path"],
+            on_change=self.options.get("on_change", "fail"),
+            start_version=int(self.options.get("start_version", "0")),
+            columns=[f.name for f in schema.fields],
+        )
+
+
+class TableChangesStreamReader(SimpleDataSourceStreamReader):
+    """Offset = last snapshot version fully emitted."""
+
+    def __init__(
+        self, root: str, on_change: str, start_version: int, columns: list[str]
+    ) -> None:
+        if on_change not in ("fail", "skip"):
+            raise ValueError(f"on_change must be fail|skip, got {on_change!r}")
+        self.root = root
+        self.on_change = on_change
+        self.start_version = start_version
+        self.columns = columns
+
+    def initialOffset(self) -> dict:
+        return {"version": self.start_version}
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        vs = _versions(self.root)
+        end = {"version": max(vs[-1], int(start["version"])) if vs else 0}
+        return self.readBetweenOffsets(start, end), end
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        import pyarrow.parquet as pq
+
+        rows: list[tuple] = []
+        prev_dirs: set[str] | None = None
+        for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
+            m = _manifest(self.root, v)
+            if prev_dirs is None:
+                prev_dirs = (
+                    set(_manifest(self.root, v - 1)["dirs"]) if v > 1 else set()
+                )
+            added = [d for d in m["dirs"] if d not in prev_dirs]
+            removed = prev_dirs - set(m["dirs"])
+            if removed:
+                if self.on_change == "fail":
+                    raise RuntimeError(
+                        f"version {v} of {self.root} rewrites history "
+                        f"({m['operation']}); stream appends only, or set "
+                        "on_change=skip to ignore change commits"
+                    )
+                prev_dirs = set(m["dirs"])
+                continue
+            for d in added:
+                table = pq.read_table(d)
+                cols = [
+                    table.column(c).to_pylist() if c in table.column_names
+                    # Schema-evolution backfill: files written before a
+                    # column existed read NULL for it.
+                    else [None] * table.num_rows
+                    for c in self.columns
+                ]
+                rows.extend(zip(*cols) if cols else [])
+            prev_dirs = set(m["dirs"])
+        # List-backed: the engine pickles prefetched batches for replay.
+        return iter(rows)
+
+
+def register_table_changes_source(spark: SparkSession) -> None:
+    """Idempotent registration of the table-changes stream source."""
+    spark.dataSource.register(TableChangesDataSource)

@@ -790,3 +790,79 @@ def test_remove_orphans_keeps_partition_split_dirs(spark, tmp_path):
     )
     assert t.remove_orphans() == []
     assert t.read().count() == 2
+
+
+def test_table_changes_stream_resumes_at_next_commit(spark, tmp_path):
+    """Streaming a VersionedTable's commit history: run 1 drains commits 1-2,
+    a new commit lands, run 2 with the SAME checkpoint emits ONLY commit 3 —
+    the version offset resumes exactly, no replays, no misses."""
+    from lakeflow.sources.table_stream import register_table_changes_source
+    from lakeflow.tables import VersionedTable
+
+    register_table_changes_source(spark)
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit(spark.range(0, 5).toDF("id"))
+    t.commit(spark.range(5, 8).toDF("id"))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain() -> None:
+        q = (
+            spark.readStream.format("lakeflow_table_changes")
+            .option("path", t.root)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    assert sorted(r.id for r in spark.read.parquet(out).collect()) == list(range(8))
+    t.commit(spark.range(100, 102).toDF("id"))
+    drain()
+    got = sorted(r.id for r in spark.read.parquet(out).collect())
+    assert got == list(range(8)) + [100, 101]  # commit 3 exactly once
+
+
+def test_table_changes_stream_change_commit_policy(spark, tmp_path):
+    """Non-append commits rewrite history: default FAILS the stream (Delta's
+    contract); on_change=skip ignores the change commit and streams appends
+    on either side of it."""
+    import tempfile
+
+    from lakeflow.sources.table_stream import register_table_changes_source
+    from lakeflow.tables import VersionedTable
+
+    register_table_changes_source(spark)
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit(spark.range(0, 5).toDF("id"))
+    t.commit(spark.range(100, 103).toDF("id"), mode="overwrite")
+    t.commit(spark.range(200, 202).toDF("id"))
+
+    def run(on_change: str, name: str):
+        return (
+            spark.readStream.format("lakeflow_table_changes")
+            .option("path", t.root)
+            .option("on_change", on_change)
+            .load()
+            .writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", tempfile.mkdtemp())
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    q = run("fail", "tcp_fail")
+    with pytest.raises(StreamingQueryException, match="rewrites history"):
+        q.awaitTermination(120)
+
+    q = run("skip", "tcp_skip")
+    q.awaitTermination(120)
+    got = sorted(r.id for r in spark.table("tcp_skip").collect())
+    # v1 appends 0-4; v2 overwrite skipped; v3 appends 200-201.
+    assert got == [0, 1, 2, 3, 4, 200, 201]
