@@ -2034,3 +2034,34 @@ def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         (F.sum(cents) / 100.0).alias("sum_winsorized"),
     )
+
+
+@register(
+    "bloom_pruned_scan",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer WHERE c_custkey = 777
+    """,
+)
+def bloom_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dir Bloom-filter index round-trip (tables.py::scan_point —
+    Delta's bloom index at directory granularity): customer committed in 8
+    chunks with a bloom on c_custkey, then a point lookup opens only dirs
+    whose bloom admits the key. Zone maps cannot prune equality on an
+    unclustered high-cardinality key — every chunk spans most of the
+    domain; the bloom cuts it from manifest metadata alone. The assert pins
+    a real cut; the oracle hash-checks the looked-up row against the source."""
+    import tempfile
+
+    from lakeflow.tables import VersionedTable
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="lakeflow_bloom_"))
+    for i in range(8):
+        t.commit(
+            cust.filter(F.col("c_custkey") % 8 == i), bloom_cols=["c_custkey"]
+        )
+    assert t.pruned_dirs_point("c_custkey", 777) >= 5, "bloom index not pruning"
+    return t.scan_point("c_custkey", 777)

@@ -188,6 +188,8 @@ class VersionedTable:
         partition_by: Sequence[str] | None = None,
         stats_cols: Sequence[str] | None = None,
         merge_schema: bool = False,
+        bloom_cols: Sequence[str] | None = None,
+        bloom_bits: int = 4096,
         _operation: str | None = None,
     ) -> int:
         """Write ``df`` as a new snapshot; returns the new version number.
@@ -207,6 +209,15 @@ class VersionedTable:
         records the authoritative schema, so no data file is ever rewritten
         for a schema change (Iceberg's metadata-only evolution). Type changes
         are rejected either way.
+
+        ``bloom_cols`` records a per-dir Bloom filter for those columns
+        (Delta's bloom-filter index, at directory granularity): the distinct
+        ``bloom_bits``-bucket positions of two md5-derived hashes per value.
+        Zone-map stats prune RANGE predicates but are useless for point
+        lookups on high-cardinality unclustered keys (every dir spans most
+        of the domain); the bloom answers "could this dir contain key X?"
+        from ≤``bloom_bits`` bits of manifest metadata — ``scan_point`` then
+        prunes dirs with no false negatives.
         """
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
@@ -218,11 +229,12 @@ class VersionedTable:
 
         prev = self.current_version()
         if mode == "overwrite" or prev is None:
-            dirs, stats = [], {}
+            dirs, stats, bloom = [], {}, {}
             next_schema = df.schema
         else:
             pm = self._manifest(prev)
             dirs, stats = pm["dirs"], dict(pm.get("stats", {}))
+            bloom = dict(pm.get("bloom", {}))
             prev_schema = self.schema(prev)
             next_schema = (
                 self._evolve_schema(prev_schema, df.schema, merge_schema)
@@ -243,6 +255,34 @@ class VersionedTable:
             stats[data_dir] = {
                 c: [row[f"min_{c}"], row[f"max_{c}"]] for c in stats_cols
             }
+        if bloom_cols:
+            from pyspark.sql import functions as F
+
+            new_rows = self.spark.read.parquet(data_dir)
+            bloom[data_dir] = {}
+            for c in bloom_cols:
+                h = F.md5(F.col(c).cast("string"))
+                bits = (
+                    new_rows.select(
+                        F.explode(
+                            F.array(
+                                F.conv(F.substring(h, 1, 8), 16, 10).cast(
+                                    "bigint"
+                                )
+                                % bloom_bits,
+                                F.conv(F.substring(h, 9, 8), 16, 10).cast(
+                                    "bigint"
+                                )
+                                % bloom_bits,
+                            )
+                        ).alias("b")
+                    )
+                    .where(F.col("b").isNotNull())
+                    .distinct()
+                    .collect()
+                )
+                # Control-plane collect bounded by bloom_bits, not data size.
+                bloom[data_dir][c] = sorted(int(r["b"]) for r in bits)
         version = (prev or 0) + 1
         manifest = {
             "version": version,
@@ -251,6 +291,9 @@ class VersionedTable:
             "stats": stats,
             "schema": json.dumps(next_schema.jsonValue()),
         }
+        if bloom:
+            manifest["bloom"] = bloom
+            manifest["bloom_bits"] = bloom_bits
         self._publish_manifest(manifest)
         return version
 
@@ -521,6 +564,62 @@ class VersionedTable:
             version = self.current_version()
         m = self._manifest(version)
         return len(m["dirs"]) - len(self._kept_dirs(m, between))
+
+    @staticmethod
+    def _bloom_positions(value, bloom_bits: int) -> tuple[int, int]:
+        """Python twin of the commit-side hash: two md5-derived bucket
+        positions of Spark's string rendering of the value (exact for
+        int/string keys — the point-lookup types)."""
+        import hashlib
+
+        h = hashlib.md5(str(value).encode()).hexdigest()
+        return int(h[:8], 16) % bloom_bits, int(h[8:16], 16) % bloom_bits
+
+    def _bloom_kept_dirs(self, manifest: dict, col: str, value) -> list[str]:
+        """Dirs whose bloom could contain ``value`` (no bloom = keep: the
+        filter gives false positives, never false negatives)."""
+        bloom = manifest.get("bloom", {})
+        bits = manifest.get("bloom_bits")
+        if not bloom or bits is None:
+            return manifest["dirs"]
+        h1, h2 = self._bloom_positions(value, bits)
+
+        def keep(d: str) -> bool:
+            positions = bloom.get(d, {}).get(col)
+            if positions is None:
+                return True
+            s = set(positions)
+            return h1 in s and h2 in s
+
+        return [d for d in manifest["dirs"] if keep(d)]
+
+    def scan_point(self, col: str, value, version: int | None = None) -> DataFrame:
+        """Point lookup through the per-dir Bloom index: open only dirs whose
+        bloom admits ``value`` (plus dirs with no bloom), with the equality
+        residual applied so results are exact. Zone maps can't prune this
+        shape on unclustered high-cardinality keys; the bloom prunes it from
+        manifest metadata alone. Use ``pruned_dirs_point`` to observe the cut.
+        """
+        from pyspark.sql import functions as F
+
+        if version is None:
+            version = self.current_version()
+        if version is None:
+            raise ValueError(f"table {self.root} has no snapshots")
+        m = self._manifest(version)
+        kept = self._bloom_kept_dirs(m, col, value)
+        if not kept:
+            return self.read(version).filter(F.lit(False))
+        return self._read_dirs(kept, version).filter(F.col(col) == F.lit(value))
+
+    def pruned_dirs_point(
+        self, col: str, value, version: int | None = None
+    ) -> int:
+        """How many manifest dirs ``scan_point`` skips for this lookup."""
+        if version is None:
+            version = self.current_version()
+        m = self._manifest(version)
+        return len(m["dirs"]) - len(self._bloom_kept_dirs(m, col, value))
 
     # -- maintenance -------------------------------------------------------
     def _dir_bytes(self, d: str) -> int:

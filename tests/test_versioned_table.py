@@ -866,3 +866,30 @@ def test_table_changes_stream_change_commit_policy(spark, tmp_path):
     got = sorted(r.id for r in spark.table("tcp_skip").collect())
     # v1 appends 0-4; v2 overwrite skipped; v3 appends 200-201.
     assert got == [0, 1, 2, 3, 4, 200, 201]
+
+
+def test_bloom_index_prunes_point_lookups(spark, tmp_path):
+    """Per-dir bloom index: a point lookup opens only dirs whose bloom admits
+    the key — most dirs prune, results stay exact, and a absent key prunes
+    everything. Zone maps cannot make this cut on an unclustered key."""
+    from pyspark.sql import functions as F
+
+    from lakeflow.tables import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    for i in range(8):
+        t.commit(
+            spark.range(i * 1000, i * 1000 + 1000)
+            .toDF("id")
+            .withColumn("payload", F.col("id") * 2),
+            bloom_cols=["id"],
+        )
+    # Present key: exactly its home dir survives (plus bloom false positives,
+    # bounded in expectation; 2k bits set of 4096 → fp ~ (0.5)^2 per dir).
+    got = t.scan_point("id", 3_500).collect()
+    assert [(r["id"], r["payload"]) for r in got] == [(3500, 7000)]
+    assert t.pruned_dirs_point("id", 3_500) >= 5
+    # Absent key: overwhelmingly pruned, exact empty result either way.
+    assert t.scan_point("id", 999_999).count() == 0
+    # A column without a bloom keeps every dir (no false negatives).
+    assert t.pruned_dirs_point("payload", 7000) == 0
