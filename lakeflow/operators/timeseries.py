@@ -120,3 +120,48 @@ def densify_interpolate(
         v.isNotNull().alias("observed"),
         rnd(filled, round_to).alias(val_col),
     )
+
+
+def ewma_trailing(
+    df,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    k: int = 8,
+    round_to: int = 6,
+):
+    """Trailing exponentially-weighted moving average over the last ``k``
+    observations per key — the smoothing step feature pipelines run before
+    thresholding noisy per-entity signals (decay 0.5 per step; the infinite-
+    history EWMA truncated where weights fall below 1/2^k, i.e. sub-rounding).
+
+    Exact cross-engine arithmetic by construction: each weight is a power of
+    two, so ``w * v`` is exact in binary floating point, and the k-term
+    numerator/denominator sums are written in fixed order — any engine
+    evaluating the same formula produces the identical double, no quantize
+    step needed. Head-of-series rows renormalize over the lags that exist.
+
+    Scale shape: one window (hash partition by key, in-partition sort), k
+    ``lag`` reads evaluated incrementally — O(k) per row, no per-row array
+    materialization and no unboundedFollowing O(n²) frame.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from lakeflow.functions.rounding import rnd
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for i in range(k):
+        term = F.lag(value_col, i).over(w)
+        wt = F.lit(0.5**i)
+        num = num + F.coalesce(term * wt, F.lit(0.0))
+        den = den + F.when(term.isNotNull(), wt).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        F.col(key_col),
+        F.col(value_col),
+        rnd(num / den, round_to).alias("ewma"),
+    )

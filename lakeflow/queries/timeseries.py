@@ -351,3 +351,41 @@ def asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_micros("p_ts") - F.unix_micros("ts")).alias("gap_us"),
         )
     )
+
+
+_EWMA_K = 8
+_EWMA_LAGS = ",\n               ".join(
+    f"lag(value, {i}) OVER win AS t{i}" for i in range(_EWMA_K)
+)
+_EWMA_NUM = "0.0"
+_EWMA_DEN = "0.0"
+for _i in range(_EWMA_K):
+    _w = 0.5**_i
+    _EWMA_NUM = f"({_EWMA_NUM} + COALESCE(t{_i} * {_w!r}, 0.0))"
+    _EWMA_DEN = f"({_EWMA_DEN} + (CASE WHEN t{_i} IS NOT NULL THEN {_w!r} ELSE 0.0 END))"
+
+
+@register(
+    "ewma_user_value",
+    oracle=f"""
+    WITH lagged AS (
+        SELECT event_id, user_id, value,
+               {_EWMA_LAGS}
+        FROM events
+        WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id, value,
+           (floor(({_EWMA_NUM} / {_EWMA_DEN}) * 1000000.0 + 0.5) / 1000000.0) AS ewma
+    FROM lagged
+    """,
+)
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing EWMA smoothing (operators/timeseries.py::ewma_trailing):
+    per-user decay-0.5 weighted average of the last 8 event values — the
+    standard noise filter before per-entity thresholding. Power-of-two
+    weights make every product exact in binary floating point, so Spark and
+    the oracle agree bit-for-bit with no quantization step; one window, k
+    incremental lag reads, no O(n²) frame."""
+    from lakeflow.operators.timeseries import ewma_trailing
+
+    return ewma_trailing(load_table(spark, sf_dir, "events"), k=_EWMA_K)
