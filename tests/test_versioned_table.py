@@ -893,3 +893,48 @@ def test_bloom_index_prunes_point_lookups(spark, tmp_path):
     assert t.scan_point("id", 999_999).count() == 0
     # A column without a bloom keeps every dir (no false negatives).
     assert t.pruned_dirs_point("payload", 7000) == 0
+
+
+def test_streaming_medallion_between_versioned_tables(spark, tmp_path):
+    """Full lakehouse streaming hop: bronze commits are read as a changes
+    STREAM (table_stream source) and folded into a silver VersionedTable by
+    the APPLY CHANGES sink — incremental across runs via the shared
+    checkpoint, so each drain processes only bronze commits it has not seen.
+    Silver must equal the batch application of the whole feed."""
+    from lakeflow.sources.table_stream import register_table_changes_source
+    from lakeflow.streaming.sinks import stream_apply_changes
+    from lakeflow.tables import VersionedTable
+
+    register_table_changes_source(spark)
+    bronze = VersionedTable(spark, str(tmp_path / "bronze"))
+    silver = VersionedTable(spark, str(tmp_path / "silver"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def feed(rows):
+        return spark.createDataFrame(
+            rows, "k int, seq int, op string, val string"
+        )
+
+    def drain():
+        stream = (
+            spark.readStream.format("lakeflow_table_changes")
+            .option("path", bronze.root)
+            .load()
+        )
+        q = stream_apply_changes(
+            stream, silver, keys=["k"], seq_col="seq", checkpoint=ckpt
+        )
+        q.awaitTermination(120)
+
+    bronze.commit(feed([(1, 1, "U", "a"), (2, 1, "U", "b")]))
+    drain()
+    assert {(r.k, r.val) for r in silver.read().collect()} == {(1, "a"), (2, "b")}
+    v_after_first = silver.current_version()
+
+    # Second hop: an update, a delete, and an insert land in bronze.
+    bronze.commit(feed([(1, 2, "U", "a2"), (2, 2, "D", "b"), (3, 1, "U", "c")]))
+    drain()
+    assert {(r.k, r.val) for r in silver.read().collect()} == {(1, "a2"), (3, "c")}
+    # Incremental: run 2 consumed only the new bronze commit (one more
+    # silver commit, not a reprocess of the full feed).
+    assert silver.current_version() == v_after_first + 1
