@@ -1220,10 +1220,16 @@ def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the group — fine to sf-scale; the 100 TB path is approx_percentile
     (t-digest, mergeable, engine-specific values → kept out of the oracle)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        rnd(F.percentile("l_extendedprice", F.lit(0.5)), 2).alias("p50"),
-        rnd(F.percentile("l_extendedprice", F.lit(0.9)), 2).alias("p90"),
-        rnd(F.percentile("l_extendedprice", F.lit(0.99)), 2).alias("p99"),
+    # One percentile buffer per group serving all three fractions — three
+    # scalar percentile() aggs would sort/buffer the group three times.
+    pcts = F.percentile(
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+    )
+    return li.groupBy("l_returnflag").agg(pcts.alias("__p")).select(
+        "l_returnflag",
+        rnd(F.col("__p")[0], 2).alias("p50"),
+        rnd(F.col("__p")[1], 2).alias("p90"),
+        rnd(F.col("__p")[2], 2).alias("p99"),
     )
 
 
