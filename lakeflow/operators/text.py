@@ -717,3 +717,68 @@ def leakage_safe_split(
         .otherwise(F.lit("test"))
     )
     return df.select(F.col(id_col), fp.alias("fp"), split.alias("split"))
+
+
+def boilerplate_strip(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_tokens: int = 8,
+    max_df: int = 3,
+) -> DataFrame:
+    """Segment-level dedup inside documents (the CCNet/RefinedWeb line-dedup
+    pass): split each document into segments, drop every segment whose
+    fingerprint appears in ``max_df`` or more DISTINCT documents (headers,
+    footers, nav bars, license blurbs — boilerplate that whole-doc dedup
+    can't touch because the surrounding text differs), and reassemble the
+    survivors in order.
+
+    Segmentation here is fixed ``seg_tokens``-token windows of the
+    normalized text (the fixture corpus has no newline structure); on real
+    web text swap the segmenter for a newline split — every downstream step
+    is segmentation-agnostic.
+
+    Scale shape: one explode, one fingerprint groupBy (shuffle bounded by
+    distinct segments, map-side combined), one fp-keyed join back, one
+    per-doc reassembly groupBy. No pairwise comparisons anywhere — the df
+    threshold does the work a quadratic similarity pass would.
+
+    Output: (id, clean_text, n_segs, n_dropped); a fully-boilerplate doc
+    keeps an empty clean_text rather than vanishing.
+    """
+    from lakeflow.operators.dedup import normalize_text
+
+    toks = F.split(normalize_text(text_col), " ")
+    n = F.ceil(F.size(toks) / F.lit(float(seg_tokens))).cast("int")
+    segs = F.when(n > 0, F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * seg_tokens + 1, seg_tokens), " "
+        ),
+    )).otherwise(F.array().cast("array<string>"))
+    ex = df.select(
+        F.col(id_col), F.posexplode(segs).alias("pos", "seg")
+    ).withColumn("fp", F.md5("seg"))
+    dfreq = ex.groupBy("fp").agg(
+        F.countDistinct(id_col).alias("seg_df")
+    )
+    kept = ex.join(dfreq, "fp").filter(F.col("seg_df") < max_df)
+    out = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                lambda s: s["seg"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("bigint").alias("__n_kept"),
+    )
+    totals = ex.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segs")
+    )
+    return totals.join(out, id_col, "left").select(
+        id_col,
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        "n_segs",
+        (F.col("n_segs") - F.coalesce("__n_kept", F.lit(0))).alias("n_dropped"),
+    )

@@ -1675,3 +1675,45 @@ def leakage_safe_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.countDistinct("fp").cast("bigint").alias("n_groups"),
     )
+
+
+@register(
+    "boilerplate_stripped_docs",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+    toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+    segs AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(w[i * 8 + 1 : i * 8 + 8], ' ') AS seg
+        FROM toks,
+             UNNEST(range(0, CAST(ceil(len(w) / 8.0) AS BIGINT))) AS u(i)
+    ),
+    fps AS (SELECT doc_id, pos, seg, md5(seg) AS fp FROM segs),
+    dfreq AS (SELECT fp, count(DISTINCT doc_id) AS seg_df FROM fps GROUP BY fp),
+    kept AS (
+        SELECT f.doc_id, f.pos, f.seg
+        FROM fps f JOIN dfreq d USING (fp) WHERE d.seg_df < 3
+    ),
+    reassembled AS (
+        SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS clean_text,
+               CAST(count(*) AS BIGINT) AS n_kept
+        FROM kept GROUP BY doc_id
+    ),
+    totals AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs FROM segs GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           COALESCE(r.clean_text, '') AS clean_text,
+           t.n_segs,
+           t.n_segs - COALESCE(r.n_kept, 0) AS n_dropped
+    FROM totals t LEFT JOIN reassembled r USING (doc_id)
+    """,
+)
+def boilerplate_stripped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level boilerplate dedup (operators/text.py::boilerplate_strip
+    — the CCNet/RefinedWeb line-dedup pass): 8-token segments whose
+    fingerprint recurs in >= 3 distinct documents are dropped and the doc
+    reassembled from the survivors in order. Whole-doc dedup cannot remove
+    repeated headers/footers embedded in otherwise-distinct pages; this is
+    the pass that does, with no pairwise comparisons anywhere."""
+    return tx.boilerplate_strip(load_table(spark, sf_dir, "documents"))

@@ -1182,3 +1182,23 @@ def test_leakage_safe_split_keeps_duplicates_together(spark):
     assert len(by_fp) == 10
     assert all(len(s) == 1 for s in by_fp.values())
     assert {r["split"] for r in out} <= {"train", "val", "test"}
+
+
+def test_boilerplate_strip_drops_repeated_segments_keeps_unique(spark):
+    """Planted boilerplate: an 8-token header shared by 5 docs is stripped
+    everywhere, unique bodies survive in order, and an all-boilerplate doc
+    collapses to empty instead of disappearing."""
+    from lakeflow.operators.text import boilerplate_strip
+
+    header = "common header tokens appear in every page x"  # 8 tokens
+    rows = [
+        (i, f"{header} unique body {i} words for doc {i}") for i in range(5)
+    ] + [(99, header)]  # pure boilerplate
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in boilerplate_strip(df, max_df=3).collect()}
+    assert len(out) == 6
+    for i in range(5):
+        assert out[i]["clean_text"] == f"unique body {i} words for doc {i}"
+        assert out[i]["n_dropped"] == 1
+    assert out[99]["clean_text"] == ""
+    assert out[99]["n_dropped"] == out[99]["n_segs"] == 1
