@@ -1717,3 +1717,54 @@ def boilerplate_stripped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     repeated headers/footers embedded in otherwise-distinct pages; this is
     the pass that does, with no pairwise comparisons anywhere."""
     return tx.boilerplate_strip(load_table(spark, sf_dir, "documents"))
+
+
+_SH64_SUMS = ", ".join(
+    "sum(CASE WHEN ({src} & {mask}) != 0 THEN 1 ELSE -1 END) AS s{j}".format(
+        src="hb_lo" if _j < 32 else "hb_hi", mask=1 << (_j % 32), j=_j
+    )
+    for _j in range(64)
+)
+_SH64_BLOCKS = ", ".join(
+    "CAST(("
+    + " + ".join(
+        f"CASE WHEN s{16 * _k + _i} > 0 THEN {1 << _i} ELSE 0 END"
+        for _i in range(16)
+    )
+    + f") AS INT) AS b{_k}"
+    for _k in range(4)
+)
+
+
+@register(
+    "simhash64_near_pairs",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+    toks AS (SELECT DISTINCT doc_id, unnest(string_split(t, ' ')) AS tok FROM norm),
+    h AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS hb_lo,
+               CAST(('0x' || substr(md5(tok), 9, 8)) AS BIGINT) AS hb_hi
+        FROM toks
+    ),
+    sums AS (SELECT doc_id, {_SH64_SUMS} FROM h GROUP BY doc_id),
+    sig AS (SELECT doc_id, {_SH64_BLOCKS} FROM sums)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+              + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+             AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+        + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
+    """,
+)
+def simhash64_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-width SimHash near-dup pairs (operators/dedup.py::
+    simhash64_blocks + simhash64_near_pairs): 64-bit signatures in four
+    16-bit blocks, pigeonhole equi-join on (block, value). The 16-bit demo
+    saturates dense corpora (nibble cardinality 16 ⇒ n²/16 candidates);
+    16-bit blocks collide only on 16 identical consecutive bits, so
+    candidates track true near-dups. The oracle replays the naive O(n²)
+    join — blocking must lose nothing at max_hamming <= 3."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.simhash64_near_pairs(dd.simhash64_blocks(docs))
