@@ -1768,3 +1768,45 @@ def simhash64_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     join — blocking must lose nothing at max_hamming <= 3."""
     docs = load_table(spark, sf_dir, "documents")
     return dd.simhash64_near_pairs(dd.simhash64_blocks(docs))
+
+
+@register(
+    "source_overlap_matrix",
+    oracle=f"""
+    WITH fps AS (
+        SELECT DISTINCT source, md5({_NORM}) AS fp FROM documents
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS shared_fps
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-source duplication matrix: for every source pair, how many
+    normalized-content fingerprints they share — the audit run before
+    mixing corpora (double-counted content inflates a source's effective
+    weight and leaks "held-out" sources into training). Fingerprint
+    equi-join on distinct (source, fp): shuffle bounded by distinct
+    fingerprints, pair fan-out bounded by sources-per-fingerprint — never
+    doc x doc."""
+    from lakeflow.operators.dedup import normalize_text
+
+    fps = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", F.md5(normalize_text("text")).alias("fp"))
+        .distinct()
+    )
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fps"))
+    )
