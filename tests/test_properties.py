@@ -257,3 +257,26 @@ def test_repetition_signals_properties(spark, texts):
         assert 0 < r.type_token_ratio <= 1.0
         assert 0 < r.top_token_frac <= 1.0
         assert r.top_token_frac * r.n_types >= 0.999  # max >= mean
+
+
+def test_boilerplate_strip_identity_when_threshold_never_hit(spark):
+    """With a document-frequency threshold no segment can reach, stripping
+    is the identity on normalized text: clean_text == normalized input and
+    n_dropped == 0 for every doc — reassembly provably preserves order and
+    content."""
+    from pyspark.sql import functions as F
+
+    from lakeflow.operators.dedup import normalize_text
+    from lakeflow.operators.text import boilerplate_strip
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"tok{i}_{j}" for j in range(1 + (i * 7) % 23)))
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    out = boilerplate_strip(docs, max_df=10**9)
+    norm = {r["doc_id"]: r["t"] for r in
+            docs.select("doc_id", normalize_text("text").alias("t")).collect()}
+    for r in out.collect():
+        assert r["n_dropped"] == 0
+        assert r["clean_text"] == norm[r["doc_id"]]
