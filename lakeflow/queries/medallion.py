@@ -529,3 +529,34 @@ def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"expected carried big dir + one merged dir, got {len(m['dirs'])}"
     )
     return t.read()
+
+
+@register(
+    "rollback_restore",
+    oracle="""
+    SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey <= 200
+    """,
+)
+def rollback_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta RESTORE analog (tables.py::VersionedTable.rollback): a bad
+    overwrite lands as v2, rollback re-references v1's data dirs as v3 —
+    metadata-only, no rewrite, v2 stays time-travelable — and the latest
+    read equals the pre-incident table, which the oracle hash-checks."""
+    import tempfile
+
+    from pyspark.sql import functions as FN
+
+    from lakeflow.tables import VersionedTable
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="lakeflow_rollback_"))
+    t.commit(cust.filter(FN.col("c_custkey") <= 200))
+    t.commit(
+        cust.filter(FN.col("c_custkey") <= 10).withColumn(
+            "c_acctbal", FN.lit(-1.0)
+        ),
+        mode="overwrite",
+    )  # the incident
+    v = t.rollback(to_version=1)
+    assert v == 3 and t._manifest(3)["dirs"] == t._manifest(1)["dirs"]
+    return t.read()

@@ -191,6 +191,7 @@ class VersionedTable:
         bloom_cols: Sequence[str] | None = None,
         bloom_bits: int = 4096,
         _operation: str | None = None,
+        _existing_dir: str | None = None,
     ) -> int:
         """Write ``df`` as a new snapshot; returns the new version number.
 
@@ -221,11 +222,16 @@ class VersionedTable:
         """
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
-        data_dir = os.path.join(self.root, "data", uuid.uuid4().hex)
-        writer = df.write.mode("overwrite").format("parquet")
-        if partition_by:
-            writer = writer.partitionBy(*list(partition_by))
-        writer.save(data_dir)
+        if _existing_dir is not None:
+            # WAP publish path: the data is already staged on disk; adopting
+            # it avoids a second write of the full batch.
+            data_dir = _existing_dir
+        else:
+            data_dir = os.path.join(self.root, "data", uuid.uuid4().hex)
+            writer = df.write.mode("overwrite").format("parquet")
+            if partition_by:
+                writer = writer.partitionBy(*list(partition_by))
+            writer.save(data_dir)
 
         prev = self.current_version()
         if mode == "overwrite" or prev is None:
@@ -296,6 +302,60 @@ class VersionedTable:
             manifest["bloom_bits"] = bloom_bits
         self._publish_manifest(manifest)
         return version
+
+    def rollback(self, to_version: int) -> int:
+        """Restore the table to a prior snapshot's content as a NEW commit
+        (Delta ``RESTORE`` / Iceberg rollback): metadata-only — the new
+        manifest re-references ``to_version``'s data dirs, so no data moves,
+        the bad versions stay time-travelable for forensics, and readers of
+        "latest" see the restored state immediately.
+        """
+        m = self._manifest(to_version)  # raises if the version never existed
+        cur = self.current_version()
+        manifest = {
+            "version": cur + 1,
+            "operation": f"rollback_to_{to_version}",
+            "dirs": m["dirs"],
+            "stats": m.get("stats", {}),
+            "schema": m.get("schema"),
+        }
+        for k in ("dir_parts", "bloom", "bloom_bits"):
+            if k in m:
+                manifest[k] = m[k]
+        self._publish_manifest(manifest)
+        return cur + 1
+
+    def commit_audited(
+        self,
+        df: DataFrame,
+        expectations,
+        mode: str = "append",
+        **commit_kwargs,
+    ) -> int:
+        """Write-audit-publish (Iceberg's WAP pattern): stage the data,
+        audit the STAGED files against a declarative expectation list
+        (:mod:`lakeflow.quality`), and only then publish the manifest.
+
+        A batch that breaches any ``fail``-level rule never becomes a
+        snapshot — readers cannot observe it, unlike validate-after-commit,
+        which leaves a bad version visible until someone rolls back. The
+        audit reads back what was actually written (the files a publish
+        would expose), not the input frame, so write-path corruption is in
+        scope. On breach the staged dir is left for :meth:`remove_orphans`
+        and :class:`lakeflow.quality.ExpectationFailedError` propagates.
+        """
+        from lakeflow.quality import enforce
+
+        staged = os.path.join(self.root, "data", uuid.uuid4().hex)
+        df.write.mode("overwrite").parquet(staged)
+        enforce(self.spark.read.parquet(staged), expectations)
+        return self.commit(
+            self.spark.read.parquet(staged),
+            mode=mode,
+            _operation=f"{mode}_audited",
+            _existing_dir=staged,
+            **commit_kwargs,
+        )
 
     def _publish_manifest(self, manifest: dict) -> None:
         """Atomically publish a snapshot manifest with optimistic-concurrency

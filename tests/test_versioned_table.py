@@ -938,3 +938,45 @@ def test_streaming_medallion_between_versioned_tables(spark, tmp_path):
     # Incremental: run 2 consumed only the new bronze commit (one more
     # silver commit, not a reprocess of the full feed).
     assert silver.current_version() == v_after_first + 1
+
+
+def test_rollback_restores_prior_content_metadata_only(spark, tmp_path):
+    """Delta RESTORE semantics: rollback re-references the old version's
+    dirs as a new commit — latest readers see the restored state, the bad
+    version stays time-travelable, and no data is rewritten."""
+    from lakeflow.tables import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit(spark.range(0, 5).toDF("id"))
+    t.commit(spark.range(100, 200).toDF("id"), mode="overwrite")  # bad load
+    v = t.rollback(to_version=1)
+    assert v == 3
+    assert sorted(r.id for r in t.read().collect()) == [0, 1, 2, 3, 4]
+    assert t.read(version=2).count() == 100  # forensics intact
+    assert t._manifest(3)["dirs"] == t._manifest(1)["dirs"]  # no rewrite
+    ops = [r.operation for r in t.snapshots().orderBy("version").collect()]
+    assert ops[-1] == "rollback_to_1"
+
+
+def test_commit_audited_blocks_bad_batch_before_publish(spark, tmp_path):
+    """Write-audit-publish: a batch breaching a fail-level expectation never
+    becomes a snapshot; a clean batch publishes once (no double write),
+    and the rejected staging dir is reclaimable as an orphan."""
+    import pytest
+
+    from lakeflow.quality import Expectation, ExpectationFailedError
+    from lakeflow.tables import VersionedTable
+
+    rules = [Expectation("id_positive", "id >= 0", "fail")]
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    v = t.commit_audited(spark.range(0, 5).toDF("id"), rules)
+    assert v == 1 and t.read().count() == 5
+    assert t._manifest(1)["operation"] == "append_audited"
+
+    bad = spark.createDataFrame([(-1,), (7,)], "id long")
+    with pytest.raises(ExpectationFailedError, match="id_positive"):
+        t.commit_audited(bad, rules)
+    assert t.current_version() == 1  # nothing published
+    assert t.read().count() == 5
+    removed = t.remove_orphans()
+    assert len(removed) == 1  # the rejected staging dir
