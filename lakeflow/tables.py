@@ -863,3 +863,82 @@ def table_diff(
             "change_type",
         )
     )
+
+
+class TableCatalog:
+    """Named versioned tables under one warehouse root (the catalog layer a
+    lakehouse exposes as ``db.table``): create/load/list/drop plus SQL
+    registration, so ``spark.sql`` can query a VersionedTable's latest
+    snapshot by name.
+
+    Names map to directories (``root/<name>``); listing is a directory
+    listing, existence is a manifest check — all driver-side metadata, no
+    data IO. ``register_view`` materializes nothing: it binds a temp view
+    to the CURRENT snapshot's scan, so re-register after commits that
+    should become visible (snapshot-isolation semantics, same as pinning a
+    version in Iceberg).
+    """
+
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _path(self, name: str) -> str:
+        if not re.fullmatch(r"[A-Za-z0-9_]+", name):
+            raise ValueError(f"invalid table name {name!r}")
+        return os.path.join(self.root, name)
+
+    def create(self, name: str, df: DataFrame | None = None, **commit_kwargs) -> VersionedTable:
+        if os.path.isdir(self._path(name)):
+            raise ValueError(f"table {name!r} already exists")
+        t = VersionedTable(self.spark, self._path(name))
+        if df is not None:
+            t.commit(df, **commit_kwargs)
+        return t
+
+    def load(self, name: str) -> VersionedTable:
+        if not os.path.isdir(self._path(name)):
+            raise ValueError(f"no such table {name!r}")
+        return VersionedTable(self.spark, self._path(name))
+
+    def tables(self) -> list[str]:
+        return sorted(
+            n
+            for n in os.listdir(self.root)
+            if os.path.isdir(os.path.join(self.root, n, "_snapshots"))
+        )
+
+    def drop(self, name: str) -> None:
+        shutil.rmtree(self._path(name))
+
+    def register_view(self, name: str, version: int | None = None) -> None:
+        """Bind ``name`` as a temp view over the (default: latest) snapshot."""
+        self.load(name).read(version=version).createOrReplaceTempView(name)
+
+    def maintain(
+        self,
+        name: str,
+        small_dir_max_bytes: int = 32 << 20,
+        max_small_dirs: int = 8,
+        keep_snapshots: int = 10,
+    ) -> dict:
+        """One maintenance pass (the scheduled OPTIMIZE+VACUUM job every
+        lakehouse runs): incremental small-file compaction once the tiny-dir
+        count crosses ``max_small_dirs``, snapshot expiry past
+        ``keep_snapshots``, and orphan-file cleanup. Policy thresholds keep
+        steady-state cost O(small dirs) + O(metadata) per pass — a table
+        with nothing to do costs a directory listing.
+        """
+        t = self.load(name)
+        report = {"compacted": False, "expired": [], "orphans_removed": 0}
+        m = t._manifest(t.current_version())
+        small = [
+            d for d in m["dirs"] if t._dir_bytes(d) < small_dir_max_bytes
+        ]
+        if len(small) > max_small_dirs:
+            t.compact(small_dir_max_bytes=small_dir_max_bytes)
+            report["compacted"] = True
+        report["expired"] = t.expire_snapshots(keep_last=keep_snapshots)
+        report["orphans_removed"] = len(t.remove_orphans())
+        return report

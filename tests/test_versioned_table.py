@@ -980,3 +980,45 @@ def test_commit_audited_blocks_bad_batch_before_publish(spark, tmp_path):
     assert t.read().count() == 5
     removed = t.remove_orphans()
     assert len(removed) == 1  # the rejected staging dir
+
+
+def test_table_catalog_lifecycle_and_sql(spark, tmp_path):
+    from lakeflow.tables import TableCatalog
+
+    cat = TableCatalog(spark, str(tmp_path / "wh"))
+    cat.create("dim_a", spark.range(0, 5).toDF("id"))
+    cat.create("dim_b", spark.range(5, 8).toDF("id"))
+    assert cat.tables() == ["dim_a", "dim_b"]
+    cat.register_view("dim_a")
+    assert spark.sql("SELECT count(*) AS n FROM dim_a").first()["n"] == 5
+    # snapshot isolation: view pins the registered snapshot until re-bound
+    cat.load("dim_a").commit(spark.range(100, 102).toDF("id"))
+    assert spark.sql("SELECT count(*) AS n FROM dim_a").first()["n"] == 5
+    cat.register_view("dim_a")
+    assert spark.sql("SELECT count(*) AS n FROM dim_a").first()["n"] == 7
+    import pytest
+
+    with pytest.raises(ValueError, match="already exists"):
+        cat.create("dim_a")
+    cat.drop("dim_b")
+    assert cat.tables() == ["dim_a"]
+    with pytest.raises(ValueError, match="invalid table name"):
+        cat.load("../escape")
+
+
+def test_catalog_maintain_policy(spark, tmp_path):
+    """maintain() compacts only past the small-dir threshold, expires old
+    snapshots, and reclaims orphans — and is a cheap no-op when idle."""
+    from lakeflow.tables import TableCatalog
+
+    cat = TableCatalog(spark, str(tmp_path / "wh"))
+    t = cat.create("events", spark.range(0, 10).toDF("id"))
+    for i in range(12):
+        t.commit(spark.range(100 + i, 101 + i).toDF("id"))
+    r = cat.maintain("events", max_small_dirs=8, keep_snapshots=2)
+    assert r["compacted"] is True
+    assert len(r["expired"]) >= 10
+    assert cat.load("events").read().count() == 22
+    # second pass: nothing left to do
+    r2 = cat.maintain("events", max_small_dirs=8, keep_snapshots=2)
+    assert r2["compacted"] is False and r2["expired"] == []
