@@ -932,6 +932,8 @@ class TableCatalog:
         """
         t = self.load(name)
         report = {"compacted": False, "expired": [], "orphans_removed": 0}
+        if t.current_version() is None:
+            return report  # empty table: nothing to maintain
         m = t._manifest(t.current_version())
         small = [
             d for d in m["dirs"] if t._dir_bytes(d) < small_dir_max_bytes
