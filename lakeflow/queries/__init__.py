@@ -176,6 +176,14 @@ _REWRITTEN_SINCE_GREEN = frozenset(
         # touched-partition union so a batch that deletes every key in a
         # bucket still rewrites that bucket.
         "cdc_orders_state",
+        # r5 late: price_percentiles replanned (one shared percentile buffer
+        # for p50/p90/p99 instead of three scalar aggs).
+        "price_percentiles",
+        # r5 late: the VersionedTable write path changed materially (manifest
+        # schema recording, atomic-exclusive publish) — the table-backed
+        # greens deserve fresh verdicts on the new format.
+        "table_snapshots_history",
+        "time_travel_customer_v1",
     }
 )
 
