@@ -560,3 +560,38 @@ def rollback_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = t.rollback(to_version=1)
     assert v == 3 and t._manifest(3)["dirs"] == t._manifest(1)["dirs"]
     return t.read()
+
+
+@register(
+    "scd2_asof_state",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer
+    """,
+)
+def scd2_asof_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup over SCD2 history (the AS OF join a dimension's
+    consumers run): after the T1 merge, reconstruct the dimension AS OF a
+    time between T0 and T1 — validity-interval filter
+    start <= t < end (open end = current). The result must equal the
+    ORIGINAL customer snapshot exactly: changed keys resolve to their
+    expired pre-merge row, unchanged keys to their current row, and T1
+    inserts fall outside the window — which the oracle hash-checks."""
+    c = load_table(spark, sf_dir, "customer").select(_NATURAL)
+    target = (
+        c.withColumn("start_timestamp", F.lit(T0).cast("timestamp"))
+        .withColumn("end_timestamp", F.lit(None).cast("timestamp"))
+        .withColumn("is_current", F.lit(1).cast("int"))
+    )
+    state = scd2_apply(
+        target,
+        _source_batch(c),
+        keys=["c_custkey"],
+        tracked=["c_acctbal", "c_mktsegment"],
+        effective_ts=T1,
+    )
+    t_mid = F.lit("2026-01-15 00:00:00").cast("timestamp")
+    return state.filter(
+        (F.col("start_timestamp") <= t_mid)
+        & (F.col("end_timestamp").isNull() | (F.col("end_timestamp") > t_mid))
+    ).select(*_NATURAL)

@@ -1810,3 +1810,37 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fps"))
     )
+
+
+@register(
+    "fixed_k_per_lang_sample",
+    oracle="""
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rn
+        FROM documents
+    ) WHERE rn <= 20
+    """,
+)
+def fixed_k_per_lang_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-SIZE per-stratum sample: exactly min(k, |stratum|)
+    docs per language, chosen by md5-hash rank — the reservoir-sampling
+    contract (k per group) without reservoir state, reproducible across
+    engines, runs, and partitionings. Complements stratified_hash_sample's
+    fixed-RATE form: rates keep proportions, fixed k caps eval-set or
+    few-shot pools. One window per stratum; WindowGroupLimit prunes to the
+    top-k map-side before the shuffle."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "lang")
+    )
