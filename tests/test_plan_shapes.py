@@ -521,3 +521,35 @@ def test_pq_adc_candidate_scoring_is_codes_only_measured(spark):
         f"scan rows vs corpus {n_corpus}"
     )
     assert shuffle_summary(df, run=False)["spill_bytes"] == 0
+
+
+def test_boilerplate_strip_has_no_pairwise_join(spark):
+    """Segment dedup must stay fp-keyed: no CartesianProduct and no
+    BroadcastNestedLoopJoin anywhere in the plan — the df threshold does
+    the work a quadratic similarity pass would."""
+    from lakeflow.queries import QUERIES
+
+    plan = (
+        QUERIES["boilerplate_stripped_docs"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ewma_single_window_no_extra_exchange(spark):
+    """The trailing EWMA is ONE window over one shuffle: k lag reads share
+    the (key hash-partition, ts sort) — a per-lag window would pay k
+    exchanges."""
+    from lakeflow.queries import QUERIES
+
+    plan = (
+        QUERIES["ewma_user_value"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Window") - plan.count("WindowGroupLimit") == 1
+    assert plan.count("Exchange") <= 2  # one shuffle (+AQE read coalesce)

@@ -1022,3 +1022,56 @@ def test_catalog_maintain_policy(spark, tmp_path):
     # second pass: nothing left to do
     r2 = cat.maintain("events", max_small_dirs=8, keep_snapshots=2)
     assert r2["compacted"] is False and r2["expired"] == []
+
+
+def test_stream_enrich_with_refreshed_dimension_table(spark, tmp_path):
+    """Production stream-static pattern: foreachBatch re-resolves the
+    dimension from its VersionedTable every micro-batch, so a dimension
+    commit between drains is visible to later batches without restarting
+    the stream (a statically-bound DataFrame would pin the old snapshot)."""
+    from lakeflow.tables import VersionedTable
+
+    dim = VersionedTable(spark, str(tmp_path / "dim"))
+    dim.commit(spark.createDataFrame([(1, "bronze")], "user_id int, tier string"))
+
+    src_dir, out, ckpt = (
+        str(tmp_path / "src"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    enriched_out = []
+
+    def enrich(batch_df, batch_id):
+        joined = batch_df.join(dim.read(), "user_id", "left")  # re-resolved
+        enriched_out.extend(
+            (r["user_id"], r["event"], r["tier"]) for r in joined.collect()
+        )
+
+    def drain():
+        q = (
+            spark.readStream.schema("user_id int, event string")
+            .parquet(src_dir)
+            .writeStream.foreachBatch(enrich)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame([(1, "login")], "user_id int, event string").write.mode(
+        "append"
+    ).parquet(src_dir)
+    drain()
+    assert (1, "login", "bronze") in enriched_out
+
+    # Dimension upgrade lands between drains...
+    dim.commit(
+        spark.createDataFrame([(1, "gold")], "user_id int, tier string"),
+        mode="overwrite",
+    )
+    spark.createDataFrame([(1, "purchase")], "user_id int, event string").write.mode(
+        "append"
+    ).parquet(src_dir)
+    drain()
+    # ...and the new batch sees it.
+    assert (1, "purchase", "gold") in enriched_out
