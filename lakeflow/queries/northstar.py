@@ -1844,3 +1844,89 @@ def fixed_k_per_lang_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .select("doc_id", "lang")
     )
+
+
+@register(
+    "semantic_dedup_survivors",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, v, sqrt(list_sum(list_transform(v, y -> y * y))) AS nrm
+        FROM e
+    ),
+    cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 16),
+    c_assign AS (
+        SELECT vid, cid, v, nrm FROM (
+            SELECT x.vec_id AS vid, cent.cid, x.v, x.nrm,
+                   row_number() OVER (PARTITION BY x.vec_id
+                                      ORDER BY {_CCOS} DESC, cent.cid) AS rn
+            FROM n x, cent
+        ) WHERE rn = 1
+    ),
+    dropped AS (
+        SELECT DISTINCT b.vid
+        FROM c_assign a JOIN c_assign b
+          ON a.cid = b.cid AND a.vid < b.vid
+        WHERE {_R6.format(x=f"{_DOT64.format(a='a.v', b='b.v')} / (a.nrm * b.nrm)")} >= 0.35
+    )
+    SELECT c.vid AS vec_id, c.cid
+    FROM c_assign c LEFT JOIN dropped d ON c.vid = d.vid
+    WHERE d.vid IS NULL
+    """,
+)
+def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup (Abbas et al. 2023): coarse-quantize
+    embeddings into cells (16 seed centroids, same assignment as ivf_topk),
+    then WITHIN each cell drop every vector with a smaller-id neighbor at
+    cosine >= 0.35 (chosen at the fixture's within-cell 99th percentile so
+    the drop path demonstrably fires — ~10%% of vectors fall); survivors
+    keep their cell id. Pairwise work is confined
+    to cells — the property that makes semantic dedup tractable at corpus
+    scale (all-pairs never runs; at 100 TB the cell id is a partition key
+    and each cell dedups locally)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from lakeflow.functions.vectors import dot, norm as vnorm
+    from lakeflow.functions.rounding import rnd as _rnd
+    from pyspark.sql import Window
+
+    cent = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cv_c"),
+        vnorm("embedding").alias("cn_c"),
+    )
+    x = emb.select(
+        F.col("vec_id").alias("vid"),
+        F.col("embedding").alias("v"),
+        vnorm("embedding").alias("nrm"),
+    )
+    scored = x.join(F.broadcast(cent)).select(
+        "vid", "v", "nrm", "cid",
+        _rnd(dot("v", "cv_c") / (F.col("nrm") * F.col("cn_c")), 6).alias("ccos"),
+    )
+    w = Window.partitionBy("vid").orderBy(F.desc("ccos"), F.asc("cid"))
+    cells = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vid", "cid", "v", "nrm")
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid")) & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .filter(
+            _rnd(
+                dot("a.v", "b.v") / (F.col("a.nrm") * F.col("b.nrm")), 6
+            )
+            >= 0.35
+        )
+        .select(F.col("b.vid").alias("vid"))
+        .distinct()
+    )
+    return cells.join(dropped, "vid", "left_anti").select(
+        F.col("vid").alias("vec_id"), "cid"
+    )
