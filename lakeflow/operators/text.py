@@ -782,3 +782,104 @@ def boilerplate_strip(
         "n_segs",
         (F.col("n_segs") - F.coalesce("__n_kept", F.lit(0))).alias("n_dropped"),
     )
+
+
+def bigram_logprob_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    backoff: float = 0.4,
+    round_to: int = 6,
+    counts_from: DataFrame | None = None,
+) -> DataFrame:
+    """Bigram-LM quality scoring with stupid backoff (Brants et al. 2007):
+    each document scored by the mean log-probability of its token
+    transitions under the corpus's own bigram counts —
+    p(w2|w1) = c(w1 w2)/c(w1) when the bigram was seen, else
+    ``backoff`` * c(w2)/N. One step up from the unigram filter: it also
+    penalizes texts whose words are individually common but ordered
+    implausibly (shuffled text, keyword stuffing, bad MT).
+
+    Scale shape: bigram and unigram count aggregates are map-side combined
+    (shuffle bounded by distinct n-grams); the scoring pass scans the
+    corpus transitions once and joins the two count tables under AQE's
+    strategy choice — nothing force-broadcasts a web-scale vocabulary
+    (the unigram operator's r4 lesson). Per-transition log-probs quantize
+    to integer micro-nats before the sum, so bigint accumulation is
+    order-free; cross-engine ln agreement over the fixture's full
+    count-ratio domain is pinned by test (same regime as the unigram op).
+
+    ``counts_from`` scores against a DIFFERENT corpus's counts (the
+    held-out regime, and the one where backoff actually fires — a corpus
+    scored under its own counts has no unseen bigram by construction);
+    default None self-scores.
+
+    Output: (id, n_bigrams, avg_logprob) — docs with < 2 tokens emit
+    n_bigrams=0, avg_logprob NULL. Smoothing floor: an unseen w2 scores
+    as count 1 (closed vocabulary assumption would log(0) otherwise).
+    """
+    from pyspark.sql import Window
+
+    from lakeflow.operators.dedup import normalize_text
+
+    def transitions(frame: DataFrame):
+        t = frame.select(
+            F.col(id_col),
+            F.posexplode(
+                F.split(normalize_text(text_col), " ")
+            ).alias("pos", "w2"),
+        )
+        w = Window.partitionBy(id_col).orderBy("pos")
+        return t, t.withColumn("w1", F.lag("w2").over(w)).filter(
+            F.col("w1").isNotNull()
+        )
+
+    toks, trans = transitions(df)
+    c_toks, c_trans = (
+        (toks, trans) if counts_from is None else transitions(counts_from)
+    )
+    cb = c_trans.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    cu = c_toks.groupBy("w2").agg(F.count(F.lit(1)).alias("cu")).persist()
+    total = cu.agg(F.sum("cu")).collect()[0][0] or 1
+
+    uni = cu.withColumnRenamed("w2", "u_tok")
+    scored = (
+        trans.join(cb, ["w1", "w2"], "left")
+        .join(
+            cu.withColumnRenamed("cu", "cu1").withColumnRenamed("w2", "w1"),
+            "w1",
+            "left",
+        )
+        .join(uni, F.col("w2") == F.col("u_tok"), "left")
+        .select(
+            F.col(id_col),
+            F.when(
+                F.col("cb").isNotNull() & F.col("cu1").isNotNull(),
+                F.log(F.col("cb") / F.col("cu1").cast("double")),
+            )
+            .otherwise(
+                F.log(
+                    F.lit(backoff)
+                    * F.coalesce(F.col("cu"), F.lit(1)).cast("double")
+                    / F.lit(float(total))
+                )
+            )
+            .alias("lp"),
+        )
+        .select(
+            id_col,
+            F.floor(F.col("lp") * 1e6 + 0.5).cast("bigint").alias("lp_micro"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        rnd(F.sum("lp_micro") / F.count(F.lit(1)) / 1e6, round_to).alias(
+            "avg_logprob"
+        ),
+    )
+    base = df.select(F.col(id_col))
+    return base.join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_bigrams", F.lit(0).cast("bigint")).alias("n_bigrams"),
+        "avg_logprob",
+    )

@@ -1930,3 +1930,66 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cells.join(dropped, "vid", "left_anti").select(
         F.col("vid").alias("vec_id"), "cid"
     )
+
+
+@register(
+    "bigram_logprob_scores",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split({_RS_NORM}, ' ') AS w FROM documents
+    ),
+    tok_rows AS (
+        SELECT doc_id, u.i AS pos, w[u.i] AS tok
+        FROM toks, UNNEST(range(1, len(w) + 1)) AS u(i)
+    ),
+    trans AS (
+        SELECT doc_id, w[u.i] AS w1, w[u.i + 1] AS w2
+        FROM toks, UNNEST(range(1, len(w))) AS u(i)
+    ),
+    cb AS (
+        SELECT w1, w2, count(*) AS cb FROM trans
+        WHERE doc_id % 2 = 0 GROUP BY w1, w2
+    ),
+    cu AS (
+        SELECT tok, count(*) AS cu FROM tok_rows
+        WHERE doc_id % 2 = 0 GROUP BY tok
+    ),
+    total AS (SELECT count(*) AS n FROM tok_rows WHERE doc_id % 2 = 0),
+    scored AS (
+        SELECT t.doc_id,
+               CAST(floor(
+                   (CASE WHEN cb.cb IS NOT NULL AND c1.cu IS NOT NULL
+                         THEN ln(cb.cb / CAST(c1.cu AS DOUBLE))
+                         ELSE ln(0.4 * CAST(COALESCE(c2.cu, 1) AS DOUBLE)
+                                 / (SELECT CAST(n AS DOUBLE) FROM total))
+                    END) * 1000000.0 + 0.5) AS BIGINT) AS lp_micro
+        FROM trans t
+        LEFT JOIN cb ON t.w1 = cb.w1 AND t.w2 = cb.w2
+        LEFT JOIN cu c1 ON t.w1 = c1.tok
+        LEFT JOIN cu c2 ON t.w2 = c2.tok
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               (floor((sum(lp_micro) / count(*) / 1000000.0) * 1000000.0 + 0.5)
+                   / 1000000.0) AS avg_logprob
+        FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_bigrams, 0) AS n_bigrams,
+           p.avg_logprob
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scores with stupid backoff (operators/text.py::
+    bigram_logprob_scores): transitions scored against the EVEN-doc_id
+    half's counts — the held-out regime, so odd docs hit unseen bigrams
+    and the backoff branch (0.4 * unigram, count-1 floor for unseen
+    types) genuinely executes. One step past the unigram filter: word
+    order now matters, so shuffled-text spam scores low even when its
+    words are common."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.bigram_logprob_scores(
+        docs, counts_from=docs.filter(F.col("doc_id") % 2 == 0)
+    )

@@ -1287,3 +1287,30 @@ def test_simhash64_blocking_cuts_candidates_vs_16bit(spark):
         .collect()
     }
     assert blocked == naive
+
+
+def test_bigram_backoff_hand_computed(spark):
+    """Exact bigram+backoff values on a corpus small enough to hand-check:
+    seen transitions use c(w1 w2)/c(w1); an unseen transition of seen words
+    backs off to 0.4*c(w2)/N; an unseen word floors at count 1."""
+    import math
+
+    from lakeflow.operators.text import bigram_logprob_scores
+
+    lm = spark.createDataFrame([(0, "a b a b c")], "doc_id long, text string")
+    # counts: cb: (a,b)=2 (b,a)=1 (b,c)=1 ; cu: a=2 b=2 c=1 ; N=5
+    score_df = spark.createDataFrame(
+        [(1, "a b"), (2, "c a"), (3, "a z")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in bigram_logprob_scores(score_df, counts_from=lm).collect()
+    }
+
+    def micro(x):
+        return math.floor(math.log(x) * 1e6 + 0.5) / 1e6
+
+    assert out[1]["avg_logprob"] == round(micro(2 / 2), 6)          # seen: c(ab)/c(a)
+    assert out[2]["avg_logprob"] == round(micro(0.4 * 2 / 5), 6)    # backoff to cu[a]
+    assert out[3]["avg_logprob"] == round(micro(0.4 * 1 / 5), 6)    # unseen word floor
+    assert all(out[i]["n_bigrams"] == 1 for i in (1, 2, 3))
