@@ -561,12 +561,34 @@ def pack_budget_bins(
     At 100 TB raise n_shards to O(cores); determinism holds because the
     shard key is ``id % n_shards``, not a hash.
     """
+    binned = assign_budget_bins(df, text_col, id_col, budget, n_shards)
+    return binned.groupBy("bin_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.min(id_col).alias("first_doc"),
+        F.max(id_col).alias("last_doc"),
+    )
+
+
+def assign_budget_bins(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    budget: int = 512,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Per-document bin assignment underlying :func:`pack_budget_bins`:
+    (id, n_tokens, shard, bin_id) with the original columns retained.
+    Bin-id encoding: shard in the high bits (stride 2^40), bin offset in
+    the low 40 bits. A shard overflows only past 2^40 bins ≈ 5.6e14 tokens
+    per shard at budget=512 — far beyond the 100 TB corpus target even at
+    n_shards=32 (the previous 1e9 stride collided at ~512 G tokens/shard,
+    ADVICE r4).
+    """
     from pyspark.sql import Window
 
-    toks = df.select(
-        F.col(id_col),
-        token_count_ws(text_col).alias("n_tokens"),
-        (F.col(id_col) % n_shards).alias("shard"),
+    toks = df.withColumn("n_tokens", token_count_ws(text_col)).withColumn(
+        "shard", F.col(id_col) % n_shards
     )
     w = (
         Window.partitionBy("shard")
@@ -574,22 +596,45 @@ def pack_budget_bins(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     start = F.sum("n_tokens").over(w) - F.col("n_tokens")
-    # Bin-id encoding: shard in the high bits (stride 2^40), bin offset in
-    # the low 40 bits. A shard overflows only past 2^40 bins ≈ 5.6e14 tokens
-    # per shard at budget=512 — far beyond the 100 TB corpus target even at
-    # n_shards=32 (the previous 1e9 stride collided at ~512 G tokens/shard,
-    # ADVICE r4).
-    binned = toks.withColumn(
+    return toks.withColumn(
         "bin_id",
         (F.col("shard") * F.lit(1 << 40) + F.floor(start / budget)).cast(
             "bigint"
         ),
     )
+
+
+def pack_texts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    budget: int = 512,
+    n_shards: int = 32,
+    separator: str = "<|eot|>",
+) -> DataFrame:
+    """Materialize the packed training sequences themselves: each token-budget
+    bin's documents concatenated IN id ORDER with an end-of-text separator —
+    the actual artifact a training job reads, where :func:`pack_budget_bins`
+    reports only the bin statistics.
+
+    Scale shape: the bin assignment's per-shard cumsum, then one groupBy(bin)
+    whose payload is the bin's own documents (~budget tokens) — output rows
+    are training sequences, so the shuffle volume IS the corpus, moved once.
+
+    Output: (bin_id, n_docs, packed_text).
+    """
+    binned = assign_budget_bins(df, text_col, id_col, budget, n_shards)
     return binned.groupBy("bin_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
-        F.min(id_col).alias("first_doc"),
-        F.max(id_col).alias("last_doc"),
+        F.concat_ws(
+            separator,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col(id_col), F.col(text_col)))
+                ),
+                lambda s: s[text_col],
+            ),
+        ).alias("packed_text"),
     )
 
 

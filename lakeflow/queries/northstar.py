@@ -1993,3 +1993,34 @@ def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.bigram_logprob_scores(
         docs, counts_from=docs.filter(F.col("doc_id") % 2 == 0)
     )
+
+
+@register(
+    "packed_training_text",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, text,
+               len(string_split({_RS_NORM}, ' ')) AS n_tokens,
+               doc_id % 32 AS shard
+        FROM documents
+    ),
+    c AS (
+        SELECT *, sum(n_tokens) OVER (
+            PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING
+        ) AS cum FROM t
+    )
+    SELECT CAST(shard * 1099511627776 + floor((cum - n_tokens) / 512) AS BIGINT) AS bin_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           string_agg(text, '<|eot|>' ORDER BY doc_id) AS packed_text
+    FROM c GROUP BY 1
+    """,
+)
+def packed_training_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packed sequences themselves (operators/text.py::pack_texts):
+    each 512-token bin's documents concatenated in id order with an
+    end-of-text separator — the artifact a training job actually reads,
+    where pack_sequences reports only bin statistics. Hash-checking the
+    concatenated strings pins both membership AND intra-bin order."""
+    return tx.pack_texts(
+        load_table(spark, sf_dir, "documents"), budget=512, n_shards=32
+    )
