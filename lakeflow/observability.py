@@ -142,6 +142,9 @@ class StreamingMetricsListener:
                         "input_rows": p.numInputRows,
                         "rows_per_sec": p.processedRowsPerSecond,
                         "state_rows": sum(s.numRowsTotal for s in state),
+                        "late_rows_dropped": sum(
+                            s.numRowsDroppedByWatermark for s in state
+                        ),
                         "state_bytes": sum(s.memoryUsedBytes for s in state),
                         "watermark": p.eventTime.get("watermark"),
                     }
@@ -176,6 +179,7 @@ class StreamingMetricsListener:
             "n_batches": len(rows),
             "input_rows": sum(r["input_rows"] for r in rows),
             "max_state_rows": max((r["state_rows"] for r in rows), default=0),
+            "late_rows_dropped": sum(r["late_rows_dropped"] for r in rows),
             "max_state_bytes": max((r["state_bytes"] for r in rows), default=0),
             "final_watermark": rows[-1]["watermark"] if rows else None,
         }

@@ -126,4 +126,5 @@ def test_streaming_listener_captures_state_metrics(spark):
     assert s["n_batches"] >= 1
     assert s["input_rows"] == load_table(spark, SF_DIR, "events").count()
     assert s["max_state_rows"] > 0
+    assert s["late_rows_dropped"] == 0  # bounded in-order fixture drops none
     assert s["final_watermark"] is not None
