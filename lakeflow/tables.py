@@ -347,7 +347,12 @@ class VersionedTable:
         from lakeflow.quality import enforce
 
         staged = os.path.join(self.root, "data", uuid.uuid4().hex)
-        df.write.mode("overwrite").parquet(staged)
+        writer = df.write.mode("overwrite")
+        partition_by = commit_kwargs.get("partition_by")
+        if partition_by:
+            # Stage in the final layout; the publish adopts the dir as-is.
+            writer = writer.partitionBy(*list(partition_by))
+        writer.parquet(staged)
         enforce(self.spark.read.parquet(staged), expectations)
         return self.commit(
             self.spark.read.parquet(staged),
