@@ -456,3 +456,45 @@ def stream_table_appends(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name, _ = run_to_memory(stream)
     return spark.table(name)
+
+
+@register(
+    "stream_update_counts",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_update_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE output mode (T3's other half — every other streaming query
+    runs append): an unwindowed running count per event type emits a
+    revised row each micro-batch. The memory sink keeps every revision;
+    because counts only grow, max(n) per key IS the final state however
+    the engine batched the input — which the oracle checks against the
+    batch counts. The aggregation state is keyed by event_type only
+    (bounded by key cardinality), the regime where update mode without a
+    watermark is production-safe."""
+    from pyspark.sql import functions as F
+
+    import tempfile
+    import uuid as _uuid
+
+    stream = events_stream(spark, sf_dir)
+    counts = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    name = f"mem_{_uuid.uuid4().hex[:12]}"
+    q = (
+        counts.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="lakeflow-ckpt-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.max("n").alias("n_events"))
+    )
