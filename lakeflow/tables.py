@@ -949,3 +949,9 @@ class TableCatalog:
         report["expired"] = t.expire_snapshots(keep_last=keep_snapshots)
         report["orphans_removed"] = len(t.remove_orphans())
         return report
+
+    def maintain_all(self, **policy) -> dict[str, dict]:
+        """Run :meth:`maintain` over every table; returns name → report.
+        The whole-warehouse scheduled job: per-table cost is policy-bounded,
+        so the sweep is proportional to what actually needs work."""
+        return {name: self.maintain(name, **policy) for name in self.tables()}

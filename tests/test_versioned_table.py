@@ -1075,3 +1075,41 @@ def test_stream_enrich_with_refreshed_dimension_table(spark, tmp_path):
     drain()
     # ...and the new batch sees it.
     assert (1, "purchase", "gold") in enriched_out
+
+
+def test_table_changes_stream_start_version(spark, tmp_path):
+    """start_version skips history: a consumer attaching at version N sees
+    only commits AFTER N — the 'from now on' subscription mode."""
+    import tempfile
+
+    from lakeflow.sources.table_stream import register_table_changes_source
+    from lakeflow.tables import VersionedTable
+
+    register_table_changes_source(spark)
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit(spark.range(0, 5).toDF("id"))
+    t.commit(spark.range(5, 8).toDF("id"))
+    q = (
+        spark.readStream.format("lakeflow_table_changes")
+        .option("path", t.root)
+        .option("start_version", "1")
+        .load()
+        .writeStream.format("memory")
+        .queryName("from_v1")
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(r.id for r in spark.table("from_v1").collect()) == [5, 6, 7]
+
+
+def test_catalog_maintain_all(spark, tmp_path):
+    from lakeflow.tables import TableCatalog
+
+    cat = TableCatalog(spark, str(tmp_path / "wh"))
+    cat.create("a", spark.range(0, 3).toDF("id"))
+    cat.create("b")  # empty table: maintain must no-op, not crash
+    reports = cat.maintain_all(keep_snapshots=1)
+    assert set(reports) == {"a", "b"}
+    assert reports["b"] == {"compacted": False, "expired": [], "orphans_removed": 0}
