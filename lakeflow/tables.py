@@ -247,48 +247,42 @@ class VersionedTable:
                 if prev_schema is not None
                 else df.schema
             )
-        if stats_cols:
+        if stats_cols or bloom_cols:
+            # ALL per-dir metadata (zone-map min/max + bloom bit sets) folds
+            # into ONE aggregate job over the freshly written dir — a
+            # commit-heavy streaming workload pays one metadata pass, not
+            # one per index kind per column. collect_set payload is bounded
+            # by bloom_bits, never by data size.
             from pyspark.sql import functions as F
 
-            row = (
-                self.spark.read.parquet(data_dir)
-                .agg(
-                    *[F.min(c).alias(f"min_{c}") for c in stats_cols],
-                    *[F.max(c).alias(f"max_{c}") for c in stats_cols],
-                )
-                .collect()[0]
-            )
-            stats[data_dir] = {
-                c: [row[f"min_{c}"], row[f"max_{c}"]] for c in stats_cols
-            }
-        if bloom_cols:
-            from pyspark.sql import functions as F
-
-            new_rows = self.spark.read.parquet(data_dir)
-            bloom[data_dir] = {}
-            for c in bloom_cols:
+            aggs = []
+            for c in stats_cols or ():
+                aggs.append(F.min(c).alias(f"min_{c}"))
+                aggs.append(F.max(c).alias(f"max_{c}"))
+            for c in bloom_cols or ():
                 h = F.md5(F.col(c).cast("string"))
-                bits = (
-                    new_rows.select(
-                        F.explode(
-                            F.array(
-                                F.conv(F.substring(h, 1, 8), 16, 10).cast(
-                                    "bigint"
-                                )
-                                % bloom_bits,
-                                F.conv(F.substring(h, 9, 8), 16, 10).cast(
-                                    "bigint"
-                                )
-                                % bloom_bits,
+                for part, (lo, ln) in (("a", (1, 8)), ("b", (9, 8))):
+                    aggs.append(
+                        F.collect_set(
+                            F.conv(F.substring(h, lo, ln), 16, 10).cast(
+                                "bigint"
                             )
-                        ).alias("b")
+                            % bloom_bits
+                        ).alias(f"bloom_{part}_{c}")
                     )
-                    .where(F.col("b").isNotNull())
-                    .distinct()
-                    .collect()
-                )
-                # Control-plane collect bounded by bloom_bits, not data size.
-                bloom[data_dir][c] = sorted(int(r["b"]) for r in bits)
+            row = self.spark.read.parquet(data_dir).agg(*aggs).collect()[0]
+            if stats_cols:
+                stats[data_dir] = {
+                    c: [row[f"min_{c}"], row[f"max_{c}"]] for c in stats_cols
+                }
+            if bloom_cols:
+                bloom[data_dir] = {
+                    c: sorted(
+                        {int(b) for b in row[f"bloom_a_{c}"]}
+                        | {int(b) for b in row[f"bloom_b_{c}"]}
+                    )
+                    for c in bloom_cols
+                }
         version = (prev or 0) + 1
         manifest = {
             "version": version,
