@@ -595,3 +595,39 @@ def scd2_asof_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("start_timestamp") <= t_mid)
         & (F.col("end_timestamp").isNull() | (F.col("end_timestamp") > t_mid))
     ).select(*_NATURAL)
+
+
+@register(
+    "sql_lakehouse_time_travel",
+    oracle="""
+    SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey <= 100
+    """,
+)
+def sql_lakehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The versioned-table layer driven ENTIRELY through SQL strings
+    (lakeflow/sqlx.py — the Delta/Iceberg SQL-extension analog, matching
+    the reference's SQL-first style): CREATE VERSIONED TABLE AS SELECT,
+    INSERT INTO VERSIONED, then a time-travel SELECT ... FOR VERSION AS OF
+    back to the pre-insert snapshot, which must hash-equal the plain
+    source SELECT."""
+    import tempfile
+
+    from lakeflow.sqlx import LakehouseSQL
+    from lakeflow.tables import TableCatalog
+
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("src_customer")
+    lh = LakehouseSQL(
+        spark, TableCatalog(spark, tempfile.mkdtemp(prefix="lakeflow_sqlx_"))
+    )
+    lh.execute(
+        "CREATE VERSIONED TABLE cust_dim AS "
+        "SELECT c_custkey, c_acctbal FROM src_customer WHERE c_custkey <= 100"
+    )
+    lh.execute(
+        "INSERT INTO VERSIONED cust_dim "
+        "SELECT c_custkey, c_acctbal FROM src_customer "
+        "WHERE c_custkey BETWEEN 101 AND 150"
+    )
+    return lh.execute(
+        "SELECT c_custkey, c_acctbal FROM cust_dim FOR VERSION AS OF 1"
+    )

@@ -1,0 +1,133 @@
+"""SQL surface for the versioned-table layer (Delta/Iceberg SQL-extension
+analog): the statements a lakehouse adds on top of ANSI SQL, dispatched onto
+:class:`lakeflow.tables.TableCatalog` / :class:`VersionedTable`, with
+everything else delegated verbatim to ``spark.sql``.
+
+The reference drives its whole pipeline through SQL strings (DDL + MERGE in
+/root/reference/src/silver/_silver_utils.py:121-186; Trino time travel in
+/root/reference/experiments/trino_iceberg_example.sql:40-43). Spark SQL
+alone cannot reach our manifest-backed tables, so this module adds the
+minimal grammar that does:
+
+    CREATE VERSIONED TABLE t AS SELECT ...
+    INSERT INTO VERSIONED t SELECT ...
+    SELECT ... FROM t ...                       -- latest snapshot
+    SELECT ... FROM t FOR VERSION AS OF 3 ...   -- time travel
+    DESCRIBE HISTORY t
+    OPTIMIZE t
+    VACUUM t [RETAIN <n> SNAPSHOTS]
+    ROLLBACK TABLE t TO VERSION <n>
+
+Deliberately a SMALL grammar, recognized by anchored regular expressions —
+statement heads are unambiguous, so there is no parser to get subtly wrong,
+and any unrecognized statement falls through to ``spark.sql`` untouched.
+Time travel works by binding each ``name FOR VERSION AS OF k`` (and each
+bare catalog-table reference) to a snapshot-pinned temp view before
+delegation — the same snapshot-isolation mechanics ``register_view`` gives
+the DataFrame API.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from lakeflow.tables import TableCatalog
+
+_CREATE = re.compile(
+    r"^\s*CREATE\s+VERSIONED\s+TABLE\s+(\w+)\s+AS\s+(.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_INSERT = re.compile(
+    r"^\s*INSERT\s+INTO\s+VERSIONED\s+(\w+)\s+(.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_HISTORY = re.compile(r"^\s*DESCRIBE\s+HISTORY\s+(\w+)\s*$", re.IGNORECASE)
+_OPTIMIZE = re.compile(r"^\s*OPTIMIZE\s+(\w+)\s*$", re.IGNORECASE)
+_VACUUM = re.compile(
+    r"^\s*VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+SNAPSHOTS)?\s*$", re.IGNORECASE
+)
+_ROLLBACK = re.compile(
+    r"^\s*ROLLBACK\s+TABLE\s+(\w+)\s+TO\s+VERSION\s+(\d+)\s*$", re.IGNORECASE
+)
+_TIME_TRAVEL = re.compile(
+    r"\b(\w+)\s+FOR\s+VERSION\s+AS\s+OF\s+(\d+)", re.IGNORECASE
+)
+
+
+class LakehouseSQL:
+    """Execute lakehouse SQL against a :class:`TableCatalog`.
+
+    ``execute`` returns a DataFrame for queries/DESCRIBE, and a small result
+    dict for maintenance statements (what OPTIMIZE/VACUUM did).
+    """
+
+    def __init__(self, spark: SparkSession, catalog: TableCatalog) -> None:
+        self.spark = spark
+        self.catalog = catalog
+
+    def execute(self, stmt: str):
+        m = _CREATE.match(stmt)
+        if m:
+            name, select = m.group(1), m.group(2)
+            self.catalog.create(name, self._query(select))
+            return {"created": name}
+        m = _INSERT.match(stmt)
+        if m:
+            name, select = m.group(1), m.group(2)
+            version = self.catalog.load(name).commit(self._query(select))
+            return {"inserted_into": name, "version": version}
+        m = _HISTORY.match(stmt)
+        if m:
+            return self.catalog.load(m.group(1)).snapshots()
+        m = _OPTIMIZE.match(stmt)
+        if m:
+            t = self.catalog.load(m.group(1))
+            before = t.current_version()
+            after = t.compact(small_dir_max_bytes=32 << 20)
+            return {"optimized": m.group(1), "compacted": after != before}
+        m = _VACUUM.match(stmt)
+        if m:
+            t = self.catalog.load(m.group(1))
+            keep = int(m.group(2)) if m.group(2) else 1
+            expired = t.expire_snapshots(keep_last=keep)
+            orphans = t.remove_orphans()
+            return {
+                "vacuumed": m.group(1),
+                "expired": expired,
+                "orphans_removed": len(orphans),
+            }
+        m = _ROLLBACK.match(stmt)
+        if m:
+            v = self.catalog.load(m.group(1)).rollback(int(m.group(2)))
+            return {"rolled_back": m.group(1), "new_version": v}
+        return self._query(stmt)
+
+    def _query(self, sql: str) -> DataFrame:
+        """Bind versioned-table references, then delegate to spark.sql.
+
+        ``name FOR VERSION AS OF k`` pins that snapshot under a unique view
+        name; bare references to catalog tables bind their LATEST snapshot.
+        Views are (re)bound per statement — each query sees a consistent
+        snapshot, later commits need a new statement to become visible.
+        """
+        tables = set(self.catalog.tables())
+
+        def pin(m: re.Match) -> str:
+            name, version = m.group(1), int(m.group(2))
+            if name not in tables:
+                return m.group(0)
+            view = f"__{name}_v{version}"
+            self.catalog.load(name).read(version=version).createOrReplaceTempView(
+                view
+            )
+            return view
+
+        rewritten = _TIME_TRAVEL.sub(pin, sql)
+        # Latest-snapshot binding for bare references (word-boundary match is
+        # safe: these are our own \w+ table names).
+        for name in tables:
+            if re.search(rf"\b{name}\b", rewritten):
+                self.catalog.register_view(name)
+        return self.spark.sql(rewritten)

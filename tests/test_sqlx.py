@@ -1,0 +1,63 @@
+"""Lakehouse SQL surface (lakeflow.sqlx): DDL, time travel, maintenance."""
+
+from __future__ import annotations
+
+import pytest
+
+from lakeflow.sqlx import LakehouseSQL
+from lakeflow.tables import TableCatalog
+
+
+@pytest.fixture()
+def lh(spark, tmp_path):
+    return LakehouseSQL(spark, TableCatalog(spark, str(tmp_path / "wh")))
+
+
+def test_create_insert_select_roundtrip(lh, spark):
+    lh.execute("CREATE VERSIONED TABLE dim AS SELECT id FROM range(5)")
+    r = lh.execute("INSERT INTO VERSIONED dim SELECT id FROM range(100, 103)")
+    assert r["version"] == 2
+    got = lh.execute("SELECT count(*) AS n FROM dim").first()["n"]
+    assert got == 8
+
+
+def test_time_travel_select(lh):
+    lh.execute("CREATE VERSIONED TABLE t AS SELECT id FROM range(5)")
+    lh.execute("INSERT INTO VERSIONED t SELECT id FROM range(100, 103)")
+    v1 = lh.execute("SELECT count(*) AS n FROM t FOR VERSION AS OF 1").first()
+    latest = lh.execute("SELECT count(*) AS n FROM t").first()
+    assert (v1["n"], latest["n"]) == (5, 8)
+    # both versions of the same table in ONE statement
+    diff = lh.execute(
+        "SELECT (SELECT count(*) FROM t) - "
+        "(SELECT count(*) FROM t FOR VERSION AS OF 1) AS added"
+    ).first()
+    assert diff["added"] == 3
+
+
+def test_describe_history_and_rollback(lh):
+    lh.execute("CREATE VERSIONED TABLE t AS SELECT id FROM range(3)")
+    lh.execute("INSERT INTO VERSIONED t SELECT id FROM range(10, 12)")
+    hist = lh.execute("DESCRIBE HISTORY t")
+    assert [r["version"] for r in hist.orderBy("version").collect()] == [1, 2]
+    r = lh.execute("ROLLBACK TABLE t TO VERSION 1")
+    assert r["new_version"] == 3
+    assert lh.execute("SELECT count(*) AS n FROM t").first()["n"] == 3
+
+
+def test_optimize_and_vacuum(lh, spark):
+    lh.execute("CREATE VERSIONED TABLE t AS SELECT id FROM range(3)")
+    for i in range(4):
+        lh.execute(
+            f"INSERT INTO VERSIONED t SELECT id FROM range({10 * i}, {10 * i + 1})"
+        )
+    r = lh.execute("OPTIMIZE t")
+    assert r["compacted"] is True
+    r = lh.execute("VACUUM t RETAIN 1 SNAPSHOTS")
+    assert len(r["expired"]) >= 4
+    assert lh.execute("SELECT count(*) AS n FROM t").first()["n"] == 7
+
+
+def test_non_lakehouse_sql_falls_through(lh):
+    got = lh.execute("SELECT 1 + 1 AS two").first()["two"]
+    assert got == 2
