@@ -17,6 +17,8 @@ minimal grammar that does:
     OPTIMIZE t
     VACUUM t [RETAIN <n> SNAPSHOTS]
     ROLLBACK TABLE t TO VERSION <n>
+    APPLY CHANGES INTO t FROM <view_or_select> KEYS (k1, k2)
+        SEQUENCE BY <col> [OPS <op_col> DELETE WHEN '<val>']
 
 Deliberately a SMALL grammar, recognized by anchored regular expressions —
 statement heads are unambiguous, so there is no parser to get subtly wrong,
@@ -50,6 +52,12 @@ _VACUUM = re.compile(
 )
 _ROLLBACK = re.compile(
     r"^\s*ROLLBACK\s+TABLE\s+(\w+)\s+TO\s+VERSION\s+(\d+)\s*$", re.IGNORECASE
+)
+_APPLY = re.compile(
+    r"^\s*APPLY\s+CHANGES\s+INTO\s+(\w+)\s+FROM\s+(.+?)\s+"
+    r"KEYS\s*\(([^)]+)\)\s+SEQUENCE\s+BY\s+(\w+)"
+    r"(?:\s+OPS\s+(\w+)\s+DELETE\s+WHEN\s+'([^']+)')?\s*$",
+    re.IGNORECASE | re.DOTALL,
 )
 _TIME_TRAVEL = re.compile(
     r"\b(\w+)\s+FOR\s+VERSION\s+AS\s+OF\s+(\d+)", re.IGNORECASE
@@ -102,7 +110,47 @@ class LakehouseSQL:
         if m:
             v = self.catalog.load(m.group(1)).rollback(int(m.group(2)))
             return {"rolled_back": m.group(1), "new_version": v}
+        m = _APPLY.match(stmt)
+        if m:
+            return self._apply_changes(*m.groups())
         return self._query(stmt)
+
+    def _apply_changes(
+        self,
+        name: str,
+        source: str,
+        keys_csv: str,
+        seq_col: str,
+        op_col: str | None,
+        delete_op: str | None,
+    ) -> dict:
+        """DLT's ``APPLY CHANGES INTO`` as a batch statement: fold an ordered
+        changefeed (latest sequence wins per key; delete rows remove) into
+        the versioned table and commit one snapshot. ``FROM`` takes a view
+        name or a parenthesized SELECT; without an OPS clause every feed row
+        is an upsert."""
+        from lakeflow.operators.merge import apply_changes
+
+        src = source.strip()
+        feed = self._query(
+            src[1:-1] if src.startswith("(") and src.endswith(")") else
+            f"SELECT * FROM {src}"
+        )
+        keys = [k.strip() for k in keys_csv.split(",")]
+        if op_col is None:
+            # No OPS clause: every feed row is an upsert; synthesize the
+            # column apply_changes keys its delete test on.
+            from pyspark.sql import functions as F
+
+            feed = feed.withColumn("__op", F.lit("U"))
+            op_col, delete_op = "__op", "__never"
+        t = self.catalog.load(name)
+        target = None if t.current_version() is None else t.read()
+        state = apply_changes(
+            target, feed, keys, seq_col, op_col=op_col, delete_op=delete_op
+        )
+        version = t.commit(state, mode="overwrite")
+        return {"applied_into": name, "version": version}
 
     def _query(self, sql: str) -> DataFrame:
         """Bind versioned-table references, then delegate to spark.sql.

@@ -61,3 +61,29 @@ def test_optimize_and_vacuum(lh, spark):
 def test_non_lakehouse_sql_falls_through(lh):
     got = lh.execute("SELECT 1 + 1 AS two").first()["two"]
     assert got == 2
+
+
+def test_apply_changes_statement(lh, spark):
+    """APPLY CHANGES INTO folds an ordered upsert+delete feed through SQL:
+    latest sequence wins per key, the delete op removes its key, and the
+    no-OPS form treats every row as an upsert."""
+    lh.execute("CREATE VERSIONED TABLE s AS SELECT 1 AS k, 'a' AS val")
+    spark.createDataFrame(
+        [(1, 2, "U", "a2"), (1, 1, "U", "a1"), (2, 1, "U", "b"), (2, 2, "D", "b")],
+        "k int, seq int, op string, val string",
+    ).createOrReplaceTempView("feed")
+    r = lh.execute(
+        "APPLY CHANGES INTO s FROM feed KEYS (k) SEQUENCE BY seq "
+        "OPS op DELETE WHEN 'D'"
+    )
+    assert r["applied_into"] == "s"
+    got = {(r["k"], r["val"]) for r in lh.execute("SELECT k, val FROM s").collect()}
+    assert got == {(1, "a2")}  # k=1 latest upsert wins, k=2 deleted
+
+    # no-OPS form: plain keyed upserts from an inline SELECT
+    lh.execute(
+        "APPLY CHANGES INTO s FROM "
+        "(SELECT 3 AS k, 1 AS seq, 'c' AS val) KEYS (k) SEQUENCE BY seq"
+    )
+    got = {(r["k"], r["val"]) for r in lh.execute("SELECT k, val FROM s").collect()}
+    assert got == {(1, "a2"), (3, "c")}
