@@ -128,3 +128,55 @@ def test_streaming_listener_captures_state_metrics(spark):
     assert s["max_state_rows"] > 0
     assert s["late_rows_dropped"] == 0  # bounded in-order fixture drops none
     assert s["final_watermark"] is not None
+
+
+def test_streaming_dead_letter_queue_routes_both_sides(spark, tmp_path):
+    """Production gate pattern: one foreachBatch splits each micro-batch on
+    the expectation rules — good rows upsert into silver, violations append
+    to a dead-letter table WITH their violated-rule list — so bad data is
+    never dropped silently and never pollutes silver."""
+    from pyspark.sql import functions as F
+
+    from lakeflow.operators.merge import scd1_apply
+    from lakeflow.quality import split
+    from lakeflow.tables import VersionedTable
+
+    rules = [
+        Expectation("value_nonneg", "value >= 0", "drop"),
+        Expectation("known_type", "event_type IN ('view', 'click')", "drop"),
+    ]
+    silver = VersionedTable(spark, str(tmp_path / "silver"))
+    dlq = VersionedTable(spark, str(tmp_path / "dlq"))
+
+    def gate_batch(batch_df, batch_id):
+        good, bad = split(batch_df, rules)
+        state = (
+            good
+            if silver.current_version() is None
+            else scd1_apply(silver.read(), good, keys=["event_id"])
+        )
+        silver.commit(state, mode="overwrite")
+        if not bad.isEmpty():
+            dlq.commit(
+                bad.withColumn("violated", F.array_join("violations", ","))
+                .drop("violations")
+            )
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, "view", 1.0), (2, "spam", 2.0), (3, "click", -5.0)],
+        "event_id long, event_type string, value double",
+    ).write.parquet(src)
+    q = (
+        spark.readStream.schema("event_id long, event_type string, value double")
+        .parquet(src)
+        .writeStream.foreachBatch(gate_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    assert [r["event_id"] for r in silver.read().collect()] == [1]
+    dlq_rows = {r["event_id"]: r["violated"] for r in dlq.read().collect()}
+    assert dlq_rows == {2: "known_type", 3: "value_nonneg"}
