@@ -1884,9 +1884,13 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine >= 0.35 (chosen at the fixture's within-cell 99th percentile so
     the drop path demonstrably fires — ~10%% of vectors fall); survivors
     keep their cell id. Pairwise work is confined
-    to cells — the property that makes semantic dedup tractable at corpus
-    scale (all-pairs never runs; at 100 TB the cell id is a partition key
-    and each cell dedups locally)."""
+    to cells — all-pairs never runs — and stays bounded because nlist is a
+    SCALING knob, not a constant: production fits KMeans with
+    nlist ≈ corpus / target_cell_size (cf. ivf_kmeans_topk, SemDeDup's own
+    recipe), so per-cell population — and hence per-cell pairwise cost —
+    holds constant as the corpus grows; the cell id becomes a partition
+    key and each cell dedups locally. The fixture's 16 seed centroids are
+    the oracle-reproducible stand-in."""
     emb = load_table(spark, sf_dir, "embeddings")
     from lakeflow.functions.vectors import dot, norm as vnorm
     from lakeflow.functions.rounding import rnd as _rnd

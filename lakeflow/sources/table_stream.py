@@ -16,12 +16,12 @@ history, so "what changed" is not derivable from added dirs alone) follow
 Delta's contract: fail the stream by default, or skip with
 ``.option("on_change", "skip")`` (Delta's ``skipChangeCommits``).
 
-The reader yields Arrow-read rows driver-side (pyarrow, no Spark session in
-the DataSource sandbox), which is the micro-batch hand-off point; the heavy
-lifting — whatever the query does with the batch — runs distributed as
-usual. For 100 TB commits swap the simple reader for a partition-planning
-``streamReader`` that maps each added dir to an input split; the offset
-contract is unchanged.
+The default reader is the partition-planning form
+(:class:`TableChangesPartitionedReader`): the driver plans one input split
+per added data dir (manifest diff only — JSON, no data IO), and EXECUTORS
+read the parquet via pyarrow — the shape that holds when one commit lands
+terabytes. :class:`TableChangesStreamReader` keeps the simple driver-side
+variant for reference/debugging.
 """
 
 from __future__ import annotations
@@ -31,7 +31,12 @@ import os
 from collections.abc import Iterator
 
 from pyspark.sql import SparkSession
-from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 def _manifest(root: str, version: int) -> dict:
@@ -69,13 +74,91 @@ class TableChangesDataSource(DataSource):
             )
         return StructType.fromJson(json.loads(raw))
 
-    def simpleStreamReader(self, schema) -> "TableChangesStreamReader":
-        return TableChangesStreamReader(
+    def streamReader(self, schema) -> "TableChangesPartitionedReader":
+        return TableChangesPartitionedReader(
             root=self.options["path"],
             on_change=self.options.get("on_change", "fail"),
             start_version=int(self.options.get("start_version", "0")),
             columns=[f.name for f in schema.fields],
         )
+
+
+class _DirPartition(InputPartition):
+    def __init__(self, directory: str, columns: list[str]) -> None:
+        self.directory = directory
+        self.columns = columns
+
+
+class TableChangesPartitionedReader(DataSourceStreamReader):
+    """Partition-planning reader: the DRIVER only diffs manifests (JSON);
+    each added data dir becomes one input split whose parquet is read on an
+    EXECUTOR — the shape that holds when a single commit lands terabytes.
+    Offset = last snapshot version fully emitted; planning a batch twice
+    yields identical splits (manifests are immutable), so recovery replay
+    is exact.
+    """
+
+    def __init__(
+        self, root: str, on_change: str, start_version: int, columns: list[str]
+    ) -> None:
+        if on_change not in ("fail", "skip"):
+            raise ValueError(f"on_change must be fail|skip, got {on_change!r}")
+        self.root = root
+        self.on_change = on_change
+        self.start_version = start_version
+        self.columns = columns
+
+    def initialOffset(self) -> dict:
+        return {"version": self.start_version}
+
+    def latestOffset(self) -> dict:
+        vs = _versions(self.root)
+        return {"version": max(vs[-1], self.start_version) if vs else self.start_version}
+
+    def _added_dirs(self, start_v: int, end_v: int) -> list[str]:
+        added: list[str] = []
+        prev_dirs: set[str] | None = None
+        for v in range(start_v + 1, end_v + 1):
+            m = _manifest(self.root, v)
+            if prev_dirs is None:
+                prev_dirs = (
+                    set(_manifest(self.root, v - 1)["dirs"]) if v > 1 else set()
+                )
+            removed = prev_dirs - set(m["dirs"])
+            if removed:
+                if self.on_change == "fail":
+                    raise RuntimeError(
+                        f"version {v} of {self.root} rewrites history "
+                        f"({m['operation']}); stream appends only, or set "
+                        "on_change=skip to ignore change commits"
+                    )
+                prev_dirs = set(m["dirs"])
+                continue
+            added.extend(d for d in m["dirs"] if d not in prev_dirs)
+            prev_dirs = set(m["dirs"])
+        return added
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        return [
+            _DirPartition(d, self.columns)
+            for d in self._added_dirs(int(start["version"]), int(end["version"]))
+        ]
+
+    def read(self, partition: _DirPartition):
+        # Runs on an executor: local pyarrow read of one data dir.
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(partition.directory)
+        cols = [
+            table.column(c).to_pylist()
+            if c in table.column_names
+            else [None] * table.num_rows
+            for c in partition.columns
+        ]
+        return iter(list(zip(*cols)) if cols else [])
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the engine's checkpoint; manifests are immutable
 
 
 class TableChangesStreamReader(SimpleDataSourceStreamReader):
