@@ -22,7 +22,10 @@ Concurrency: the manifest publish is an atomic exclusive link, so two
 writers racing from the same base version resolve to exactly one winner —
 the loser raises :class:`CommitConflictError` and retries from the new
 current version (Iceberg's optimistic concurrency; its orphaned data dir is
-reclaimed by ``remove_orphans``). Not provided (documented limits, same
+reclaimed by ``remove_orphans``). On an object store without atomic
+create-if-absent, swap the link for a conditional PUT or an external lock
+row — the same seam Delta's S3 commit coordinator fills; the conflict
+contract is unchanged. Not provided (documented limits, same
 stance as SURVEY.md §7.3): row-level deletes (rewrite the affected partition
 instead — commit with mode="overwrite").
 """
