@@ -15,6 +15,20 @@ express the semantics (and then as Arrow-batched pandas UDFs).
 
 from lakeflow.session import get_session, stop_session
 from lakeflow.catalog import TABLES, load_table, register_views
+from lakeflow.tables import (
+    CommitConflictError,
+    TableCatalog,
+    VersionedTable,
+    table_diff,
+)
+from lakeflow.quality import (
+    Expectation,
+    ExpectationFailedError,
+    enforce,
+    expectation_report,
+    split,
+)
+from lakeflow.sqlx import LakehouseSQL
 
 __all__ = [
     "get_session",
@@ -22,6 +36,16 @@ __all__ = [
     "TABLES",
     "load_table",
     "register_views",
+    "VersionedTable",
+    "TableCatalog",
+    "CommitConflictError",
+    "table_diff",
+    "Expectation",
+    "ExpectationFailedError",
+    "enforce",
+    "expectation_report",
+    "split",
+    "LakehouseSQL",
 ]
 
 __version__ = "0.1.0"
