@@ -9,8 +9,8 @@ The reference drives its whole pipeline through SQL strings (DDL + MERGE in
 alone cannot reach our manifest-backed tables, so this module adds the
 minimal grammar that does:
 
-    CREATE VERSIONED TABLE t AS SELECT ...
-    INSERT INTO VERSIONED t SELECT ...
+    CREATE VERSIONED TABLE t [PARTITIONED BY (c1, c2)] AS SELECT ...
+    INSERT INTO|OVERWRITE VERSIONED t SELECT ...
     SELECT ... FROM t ...                       -- latest snapshot
     SELECT ... FROM t FOR VERSION AS OF 3 ...   -- time travel
     DESCRIBE HISTORY t
@@ -38,11 +38,12 @@ from pyspark.sql import DataFrame, SparkSession
 from lakeflow.tables import TableCatalog
 
 _CREATE = re.compile(
-    r"^\s*CREATE\s+VERSIONED\s+TABLE\s+(\w+)\s+AS\s+(.+)$",
+    r"^\s*CREATE\s+VERSIONED\s+TABLE\s+(\w+)"
+    r"(?:\s+PARTITIONED\s+BY\s*\(([^)]+)\))?\s+AS\s+(.+)$",
     re.IGNORECASE | re.DOTALL,
 )
 _INSERT = re.compile(
-    r"^\s*INSERT\s+INTO\s+VERSIONED\s+(\w+)\s+(.+)$",
+    r"^\s*INSERT\s+(INTO|OVERWRITE)\s+VERSIONED\s+(\w+)\s+(.+)$",
     re.IGNORECASE | re.DOTALL,
 )
 _HISTORY = re.compile(r"^\s*DESCRIBE\s+HISTORY\s+(\w+)\s*$", re.IGNORECASE)
@@ -78,14 +79,22 @@ class LakehouseSQL:
     def execute(self, stmt: str):
         m = _CREATE.match(stmt)
         if m:
-            name, select = m.group(1), m.group(2)
-            self.catalog.create(name, self._query(select))
+            name, parts, select = m.group(1), m.group(2), m.group(3)
+            partition_by = (
+                [c.strip() for c in parts.split(",")] if parts else None
+            )
+            self.catalog.create(
+                name, self._query(select), partition_by=partition_by
+            )
             return {"created": name}
         m = _INSERT.match(stmt)
         if m:
-            name, select = m.group(1), m.group(2)
-            version = self.catalog.load(name).commit(self._query(select))
-            return {"inserted_into": name, "version": version}
+            mode = "overwrite" if m.group(1).upper() == "OVERWRITE" else "append"
+            name, select = m.group(2), m.group(3)
+            version = self.catalog.load(name).commit(
+                self._query(select), mode=mode
+            )
+            return {"inserted_into": name, "version": version, "mode": mode}
         m = _HISTORY.match(stmt)
         if m:
             return self.catalog.load(m.group(1)).snapshots()

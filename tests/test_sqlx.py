@@ -87,3 +87,18 @@ def test_apply_changes_statement(lh, spark):
     )
     got = {(r["k"], r["val"]) for r in lh.execute("SELECT k, val FROM s").collect()}
     assert got == {(1, "a2"), (3, "c")}
+
+
+def test_insert_overwrite_and_partitioned_create(lh, spark):
+    lh.execute(
+        "CREATE VERSIONED TABLE p PARTITIONED BY (b) AS "
+        "SELECT id, id % 2 AS b FROM range(6)"
+    )
+    # partitioned layout: reading with a partition filter prunes
+    got = lh.execute("SELECT count(*) AS n FROM p WHERE b = 1").first()["n"]
+    assert got == 3
+    r = lh.execute("INSERT OVERWRITE VERSIONED p SELECT id, id % 2 AS b FROM range(2)")
+    assert r["mode"] == "overwrite"
+    assert lh.execute("SELECT count(*) AS n FROM p").first()["n"] == 2
+    # prior snapshot still time-travelable
+    assert lh.execute("SELECT count(*) AS n FROM p FOR VERSION AS OF 1").first()["n"] == 6
