@@ -147,6 +147,7 @@ class StreamingMetricsListener:
                         ),
                         "state_bytes": sum(s.memoryUsedBytes for s in state),
                         "watermark": p.eventTime.get("watermark"),
+                        "observed": dict(p.observedMetrics or {}),
                     }
                 )
 
@@ -182,4 +183,19 @@ class StreamingMetricsListener:
             "late_rows_dropped": sum(r["late_rows_dropped"] for r in rows),
             "max_state_bytes": max((r["state_bytes"] for r in rows), default=0),
             "final_watermark": rows[-1]["watermark"] if rows else None,
+            # Per-observation-name totals of every numeric metric (the
+            # expectations counters ride here when the stream was built
+            # with quality.annotate_observed).
+            "observed_totals": self._observed_totals(rows),
         }
+
+    @staticmethod
+    def _observed_totals(rows: list[dict]) -> dict:
+        totals: dict = {}
+        for r in rows:
+            for obs_name, row in (r.get("observed") or {}).items():
+                slot = totals.setdefault(obs_name, {})
+                for k, v in row.asDict().items():
+                    if isinstance(v, (int, float)):
+                        slot[k] = slot.get(k, 0) + v
+        return totals

@@ -184,3 +184,28 @@ def expectation_report(
             round_to,
         ).alias("pass_rate"),
     ).orderBy("expectation")
+
+
+def annotate_observed(
+    df: DataFrame, expectations: list[Expectation], name: str = "expectations"
+) -> DataFrame:
+    """Attach per-rule violation counters to the frame via ``df.observe`` —
+    the STREAMING metrics path: counters ride every micro-batch's execution
+    (no extra pass, no extra job) and surface in each QueryProgressEvent's
+    ``observedMetrics[name]``, where a listener (e.g.
+    ``lakeflow.observability.StreamingMetricsListener``) or alerting hook
+    reads them. This is how DLT's event log gets its expectation counts.
+
+    Works on batch frames too (metrics ride whatever action materializes
+    the plan). Pair with :func:`gate`/:func:`split` — observation does not
+    filter.
+    """
+    _check_names(expectations)
+    return df.observe(
+        name,
+        F.count(F.lit(1)).alias("rows"),
+        *[
+            F.sum((~e.passes()).cast("bigint")).alias(f"violations_{e.name}")
+            for e in expectations
+        ],
+    )

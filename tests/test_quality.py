@@ -180,3 +180,43 @@ def test_streaming_dead_letter_queue_routes_both_sides(spark, tmp_path):
     assert [r["event_id"] for r in silver.read().collect()] == [1]
     dlq_rows = {r["event_id"]: r["violated"] for r in dlq.read().collect()}
     assert dlq_rows == {2: "known_type", 3: "value_nonneg"}
+
+
+def test_streaming_observed_expectation_metrics(spark, tmp_path):
+    """annotate_observed counters ride each micro-batch and reach the
+    listener's observedMetrics — per-rule violation counts with NO extra
+    job, the DLT-event-log metrics path."""
+    import time
+
+    from lakeflow.observability import StreamingMetricsListener
+    from lakeflow.quality import annotate_observed
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, 5.0), (2, -1.0), (3, -2.0), (4, 9.0)], "id long, v double"
+    ).write.parquet(src)
+    rules = [Expectation("v_nonneg", "v >= 0", "warn")]
+
+    listener = StreamingMetricsListener.attach(spark)
+    try:
+        stream = spark.readStream.schema("id long, v double").parquet(src)
+        observed = annotate_observed(stream, rules, name="gate")
+        q = (
+            observed.writeStream.format("memory")
+            .queryName("obs_probe")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            s = listener.summary("obs_probe")
+            if s["observed_totals"].get("gate"):
+                break
+            time.sleep(0.5)
+    finally:
+        listener.detach()
+    gate = listener.summary("obs_probe")["observed_totals"]["gate"]
+    assert gate["rows"] == 4
+    assert gate["violations_v_nonneg"] == 2
