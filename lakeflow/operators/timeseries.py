@@ -165,3 +165,68 @@ def ewma_trailing(
         F.col(value_col),
         rnd(num / den, round_to).alias("ewma"),
     )
+
+
+def rolling_zscore(
+    df,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    window: int = 8,
+    round_to: int = 6,
+):
+    """Trailing-window z-score per event — the standard streaming anomaly
+    score: how many (sample) standard deviations the current value sits
+    from the mean of the PREVIOUS ``window`` observations of its key.
+    Emitted only when the trailing window is full (fewer priors = no
+    meaningful baseline); thresholding (|z| > 3) is the caller's policy.
+
+    Determinism: values quantize to integer milli-units first, the window
+    then accumulates exact integer sum and sum-of-squares (bigint — at
+    milli scale a value of 10^6 squares to 10^18/10^6... stays in range
+    for |value| < ~10^4.8 with window 8), and mean/variance derive from
+    those integers — every engine computes the identical doubles, so the
+    z-scores hash-match with no ulp tolerance. Variance via the
+    sum-of-squares identity: var = (Σx² − (Σx)²/n)/(n−1).
+
+    One window over one shuffle (key hash-partition, ts sort), incremental
+    frame — O(1) per row, no re-aggregation.
+    """
+    from pyspark.sql import Window
+
+    from lakeflow.functions.rounding import rnd
+
+    v_milli = F.floor(F.col(value_col) * 1e3 + F.lit(0.5)).cast("bigint")
+    base = df.select(
+        F.col(id_col), F.col(key_col), F.col(ts_col), v_milli.alias("vm")
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(-window, -1)
+    )
+    n = F.count("vm").over(w)
+    s1 = F.sum("vm").over(w)
+    s2 = F.sum(F.col("vm") * F.col("vm")).over(w)
+    stats = base.select(
+        id_col,
+        key_col,
+        "vm",
+        n.alias("n"),
+        s1.alias("s1"),
+        s2.alias("s2"),
+    ).filter(F.col("n") == window)
+    mean = F.col("s1").cast("double") / F.lit(float(window))
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double")
+        / F.lit(float(window))
+    ) / F.lit(float(window - 1))
+    return stats.select(
+        id_col,
+        key_col,
+        rnd(
+            (F.col("vm").cast("double") - mean) / F.sqrt(var), round_to
+        ).alias("z"),
+    )

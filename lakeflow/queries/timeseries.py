@@ -389,3 +389,39 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakeflow.operators.timeseries import ewma_trailing
 
     return ewma_trailing(load_table(spark, sf_dir, "events"), k=_EWMA_K)
+
+
+@register(
+    "rolling_zscore_events",
+    oracle="""
+    WITH m AS (
+        SELECT event_id, user_id, ts,
+               CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS vm
+        FROM events
+    ),
+    s AS (
+        SELECT event_id, user_id, vm,
+               count(vm) OVER w AS n,
+               sum(vm) OVER w AS s1,
+               sum(vm * vm) OVER w AS s2
+        FROM m
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id,
+           (floor(((CAST(vm AS DOUBLE) - CAST(s1 AS DOUBLE) / 8.0)
+               / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / 8.0) / 7.0))
+               * 1000000.0 + 0.5) / 1000000.0) AS z
+    FROM s WHERE n = 8
+    """,
+)
+def rolling_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly scores (operators/timeseries.py::
+    rolling_zscore): each event's deviation from its user's previous 8
+    values in sample standard deviations. Integer milli-unit sum /
+    sum-of-squares accumulation makes the mean/variance — and hence every
+    z — bit-identical across engines; one incremental window, no
+    re-aggregation."""
+    from lakeflow.operators.timeseries import rolling_zscore
+
+    return rolling_zscore(load_table(spark, sf_dir, "events"), window=8)
