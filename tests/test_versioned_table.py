@@ -1113,3 +1113,41 @@ def test_catalog_maintain_all(spark, tmp_path):
     reports = cat.maintain_all(keep_snapshots=1)
     assert set(reports) == {"a", "b"}
     assert reports["b"] == {"compacted": False, "expired": [], "orphans_removed": 0}
+
+
+def test_real_thread_commit_race_loses_no_update(spark, tmp_path):
+    """Two OS threads commit concurrently with retry-on-conflict: whatever
+    the interleaving (clean serialization or a version collision), the
+    optimistic protocol must lose NEITHER update — the lost-update anomaly
+    a plain os.replace publish would allow."""
+    import threading
+
+    from lakeflow.tables import CommitConflictError, VersionedTable
+
+    root = str(tmp_path / "tbl")
+    VersionedTable(spark, root).commit(spark.range(0, 1).toDF("id"))
+    barrier = threading.Barrier(2)
+    errors = []
+
+    def writer(lo: int) -> None:
+        t = VersionedTable(spark, root)
+        df = spark.range(lo, lo + 2).toDF("id")
+        barrier.wait()
+        for _ in range(5):  # retry-on-conflict loop
+            try:
+                t.commit(df)
+                return
+            except CommitConflictError:
+                continue
+        errors.append(f"writer {lo} never landed")
+
+    threads = [threading.Thread(target=writer, args=(lo,)) for lo in (100, 200)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=120)
+    assert not errors
+    t = VersionedTable(spark, root)
+    got = sorted(r.id for r in t.read().collect())
+    assert got == [0, 100, 101, 200, 201], f"lost update: {got}"
+    assert t.current_version() == 3  # exactly two commits landed after v1
