@@ -13,6 +13,7 @@ minimal grammar that does:
     INSERT INTO|OVERWRITE VERSIONED t SELECT ...
     SELECT ... FROM t ...                       -- latest snapshot
     SELECT ... FROM t FOR VERSION AS OF 3 ...   -- time travel
+    SELECT ... FROM t FOR TIMESTAMP AS OF '2026-08-14T12:00:00+00:00' ...
     DESCRIBE HISTORY t
     OPTIMIZE t
     VACUUM t [RETAIN <n> SNAPSHOTS]
@@ -62,6 +63,9 @@ _APPLY = re.compile(
 )
 _TIME_TRAVEL = re.compile(
     r"\b(\w+)\s+FOR\s+VERSION\s+AS\s+OF\s+(\d+)", re.IGNORECASE
+)
+_TS_TRAVEL = re.compile(
+    r"\b(\w+)\s+FOR\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'", re.IGNORECASE
 )
 
 
@@ -181,7 +185,17 @@ class LakehouseSQL:
             )
             return view
 
-        rewritten = _TIME_TRAVEL.sub(pin, sql)
+        def pin_ts(m: re.Match) -> str:
+            name, ts = m.group(1), m.group(2)
+            if name not in tables:
+                return m.group(0)
+            t = self.catalog.load(name)
+            version = t.version_at(ts)
+            view = f"__{name}_v{version}"
+            t.read(version=version).createOrReplaceTempView(view)
+            return view
+
+        rewritten = _TS_TRAVEL.sub(pin_ts, _TIME_TRAVEL.sub(pin, sql))
         # Latest-snapshot binding for bare references (word-boundary match is
         # safe: these are our own \w+ table names).
         for name in tables:

@@ -32,6 +32,7 @@ instead — commit with mode="overwrite").
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 import re
@@ -373,6 +374,10 @@ class VersionedTable:
         second writer silently overwrite the first's commit.
         """
         version = manifest["version"]
+        manifest.setdefault(
+            "committed_at",
+            datetime.datetime.now(datetime.timezone.utc).isoformat(),
+        )
         final = os.path.join(self._snap_dir, f"{version:08d}.json")
         tmp = os.path.join(
             self._snap_dir, f".{version:08d}-{uuid.uuid4().hex}.json.tmp"
@@ -567,9 +572,40 @@ class VersionedTable:
             reader = reader.schema(st)
         return reader.parquet(*dirs)
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def version_at(self, timestamp: str) -> int:
+        """The snapshot current AS OF ``timestamp`` (ISO-8601, UTC assumed
+        when naive) — the latest version whose commit time is <= it.
+        Manifests from before commit-time stamping are treated as older
+        than any timestamp."""
+        target = datetime.datetime.fromisoformat(timestamp)
+        if target.tzinfo is None:
+            target = target.replace(tzinfo=datetime.timezone.utc)
+        best = None
+        for v in self.versions():
+            raw = self._manifest(v).get("committed_at")
+            at = (
+                datetime.datetime.fromisoformat(raw)
+                if raw
+                else datetime.datetime.min.replace(tzinfo=datetime.timezone.utc)
+            )
+            if at <= target:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"no snapshot of {self.root} existed at {timestamp}"
+            )
+        return best
+
+    def read(
+        self, version: int | None = None, timestamp: str | None = None
+    ) -> DataFrame:
         """Scan the table at ``version`` (default: latest) — ``FOR VERSION
-        AS OF`` over the manifest's directory list."""
+        AS OF`` — or at the snapshot current as of ``timestamp``
+        (``FOR TIMESTAMP AS OF``) over the manifest's directory list."""
+        if timestamp is not None:
+            if version is not None:
+                raise ValueError("pass version OR timestamp, not both")
+            version = self.version_at(timestamp)
         if version is None:
             version = self.current_version()
         if version is None:

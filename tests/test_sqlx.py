@@ -102,3 +102,16 @@ def test_insert_overwrite_and_partitioned_create(lh, spark):
     assert lh.execute("SELECT count(*) AS n FROM p").first()["n"] == 2
     # prior snapshot still time-travelable
     assert lh.execute("SELECT count(*) AS n FROM p FOR VERSION AS OF 1").first()["n"] == 6
+
+
+def test_timestamp_time_travel_sql(lh):
+    import datetime
+
+    lh.execute("CREATE VERSIONED TABLE tt AS SELECT id FROM range(4)")
+    ts = datetime.datetime.now(datetime.timezone.utc).isoformat()
+    lh.execute("INSERT INTO VERSIONED tt SELECT id FROM range(100, 102)")
+    n_then = lh.execute(
+        f"SELECT count(*) AS n FROM tt FOR TIMESTAMP AS OF '{ts}'"
+    ).first()["n"]
+    n_now = lh.execute("SELECT count(*) AS n FROM tt").first()["n"]
+    assert (n_then, n_now) == (4, 6)

@@ -1151,3 +1151,28 @@ def test_real_thread_commit_race_loses_no_update(spark, tmp_path):
     got = sorted(r.id for r in t.read().collect())
     assert got == [0, 100, 101, 200, 201], f"lost update: {got}"
     assert t.current_version() == 3  # exactly two commits landed after v1
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    """FOR TIMESTAMP AS OF semantics: reads resolve to the snapshot current
+    at that instant; a timestamp before the first commit errors."""
+    import pytest
+
+    from lakeflow.tables import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit(spark.range(0, 3).toDF("id"))
+    ts_between = __import__("datetime").datetime.now(
+        __import__("datetime").timezone.utc
+    ).isoformat()
+    t.commit(spark.range(3, 5).toDF("id"))
+    assert t.read(timestamp=ts_between).count() == 3
+    assert t.version_at(ts_between) == 1
+    now = __import__("datetime").datetime.now(
+        __import__("datetime").timezone.utc
+    ).isoformat()
+    assert t.read(timestamp=now).count() == 5
+    with pytest.raises(ValueError, match="no snapshot"):
+        t.version_at("2000-01-01T00:00:00+00:00")
+    with pytest.raises(ValueError, match="not both"):
+        t.read(version=1, timestamp=now)
