@@ -125,11 +125,16 @@ class VersionedTable:
                 operation=m["operation"],
                 n_dirs=len(m["dirs"]),
                 n_rows=m.get("n_rows"),
+                committed_at=m.get("committed_at"),
             )
             for m in (self._manifest(v) for v in self.versions())
         ]
         return self.spark.createDataFrame(
-            rows, schema="version int, operation string, n_dirs int, n_rows bigint"
+            rows,
+            schema=(
+                "version int, operation string, n_dirs int, n_rows bigint, "
+                "committed_at string"
+            ),
         )
 
     def schema(self, version: int | None = None):

@@ -1176,3 +1176,34 @@ def test_timestamp_time_travel(spark, tmp_path):
         t.version_at("2000-01-01T00:00:00+00:00")
     with pytest.raises(ValueError, match="not both"):
         t.read(version=1, timestamp=now)
+
+
+def test_table_changes_stream_backfills_evolved_columns(spark, tmp_path):
+    """Streaming a schema-evolved table: commits written BEFORE a column
+    existed stream back with NULL for it (the reader resolves every batch
+    against the latest recorded schema)."""
+    import tempfile
+
+    from lakeflow.sources.table_stream import register_table_changes_source
+    from lakeflow.tables import VersionedTable
+
+    register_table_changes_source(spark)
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit(spark.createDataFrame([(1, "a")], "id int, name string"))
+    t.commit(
+        spark.createDataFrame([(2, "b", 9.5)], "id int, name string, score double"),
+        merge_schema=True,
+    )
+    q = (
+        spark.readStream.format("lakeflow_table_changes")
+        .option("path", t.root)
+        .load()
+        .writeStream.format("memory")
+        .queryName("evolved_stream")
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["id"]: (r["name"], r["score"]) for r in spark.table("evolved_stream").collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
