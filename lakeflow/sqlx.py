@@ -18,6 +18,7 @@ minimal grammar that does:
     OPTIMIZE t
     VACUUM t [RETAIN <n> SNAPSHOTS]
     ROLLBACK TABLE t TO VERSION <n>
+    DELETE FROM VERSIONED t WHERE <cond>
     APPLY CHANGES INTO t FROM <view_or_select> KEYS (k1, k2)
         SEQUENCE BY <col> [OPS <op_col> DELETE WHEN '<val>']
 
@@ -54,6 +55,10 @@ _VACUUM = re.compile(
 )
 _ROLLBACK = re.compile(
     r"^\s*ROLLBACK\s+TABLE\s+(\w+)\s+TO\s+VERSION\s+(\d+)\s*$", re.IGNORECASE
+)
+_DELETE = re.compile(
+    r"^\s*DELETE\s+FROM\s+VERSIONED\s+(\w+)\s+WHERE\s+(.+)$",
+    re.IGNORECASE | re.DOTALL,
 )
 _APPLY = re.compile(
     r"^\s*APPLY\s+CHANGES\s+INTO\s+(\w+)\s+FROM\s+(.+?)\s+"
@@ -123,6 +128,10 @@ class LakehouseSQL:
         if m:
             v = self.catalog.load(m.group(1)).rollback(int(m.group(2)))
             return {"rolled_back": m.group(1), "new_version": v}
+        m = _DELETE.match(stmt)
+        if m:
+            v = self.catalog.load(m.group(1)).delete_where(m.group(2))
+            return {"deleted_from": m.group(1), "version": v}
         m = _APPLY.match(stmt)
         if m:
             return self._apply_changes(*m.groups())

@@ -25,9 +25,10 @@ current version (Iceberg's optimistic concurrency; its orphaned data dir is
 reclaimed by ``remove_orphans``). On an object store without atomic
 create-if-absent, swap the link for a conditional PUT or an external lock
 row — the same seam Delta's S3 commit coordinator fills; the conflict
-contract is unchanged. Not provided (documented limits, same
-stance as SURVEY.md §7.3): row-level deletes (rewrite the affected partition
-instead — commit with mode="overwrite").
+contract is unchanged. Row-level deletes are copy-on-write
+(``delete_where``): stats-pruned dirs carry over, the candidate remainder
+rewrites without the matching rows, and the deleted rows stay
+time-travelable until snapshot expiry — Delta's DELETE contract.
 """
 
 from __future__ import annotations
@@ -305,6 +306,53 @@ class VersionedTable:
             manifest["bloom_bits"] = bloom_bits
         self._publish_manifest(manifest)
         return version
+
+    def delete_where(
+        self,
+        condition: str,
+        prune_between: dict[str, tuple] | None = None,
+    ) -> int:
+        """Row-level DELETE as copy-on-write (Delta's ``DELETE FROM``): dirs
+        that provably cannot contain matching rows — by their recorded
+        min/max stats against ``prune_between`` — carry over by manifest
+        reference; only the remainder is read, filtered, and rewritten.
+
+        ``prune_between`` is the caller's pruning hint ({col: (lo, hi)}
+        bounding WHERE matches can live — typically the delete predicate's
+        own range); without it, or without stats, every dir rewrites (the
+        documented full-rewrite fallback). Deleted rows stay visible via
+        time travel until snapshots expire — exactly Delta's contract.
+        """
+        from pyspark.sql import functions as F
+
+        version = self.current_version()
+        if version is None:
+            raise ValueError(f"table {self.root} has no snapshots")
+        m = self._manifest(version)
+        touch = set(self._kept_dirs(m, prune_between or {}))
+        keep = [d for d in m["dirs"] if d not in touch]
+        new_dirs: list[str] = []
+        if touch:
+            survivors = self._read_dirs(sorted(touch), version).filter(
+                ~F.coalesce(F.expr(condition), F.lit(False))
+            )
+            new_dir = os.path.join(self.root, "data", uuid.uuid4().hex)
+            survivors.write.mode("overwrite").parquet(new_dir)
+            new_dirs.append(new_dir)
+        manifest = {
+            "version": version + 1,
+            "operation": "delete",
+            "dirs": keep + new_dirs,
+            "stats": {d: s for d, s in m.get("stats", {}).items() if d in keep},
+            "schema": m.get("schema"),
+        }
+        dir_parts = {
+            d: p for d, p in m.get("dir_parts", {}).items() if d in keep
+        }
+        if dir_parts:
+            manifest["dir_parts"] = dir_parts
+        self._publish_manifest(manifest)
+        return version + 1
 
     def rollback(self, to_version: int) -> int:
         """Restore the table to a prior snapshot's content as a NEW commit

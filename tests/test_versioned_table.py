@@ -1207,3 +1207,35 @@ def test_table_changes_stream_backfills_evolved_columns(spark, tmp_path):
     q.awaitTermination(120)
     rows = {r["id"]: (r["name"], r["score"]) for r in spark.table("evolved_stream").collect()}
     assert rows == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def test_delete_where_prunes_untouched_dirs(spark, tmp_path):
+    """Copy-on-write DELETE: dirs whose stats exclude the predicate range
+    carry over by reference; only the candidate remainder rewrites.
+    Deleted rows stay time-travelable until expiry."""
+    from lakeflow.tables import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    for lo in (0, 100, 200, 300):
+        t.commit(
+            spark.range(lo, lo + 50).toDF("id"), stats_cols=["id"]
+        )
+    before = set(t._manifest(4)["dirs"])
+    v = t.delete_where("id BETWEEN 120 AND 130", prune_between={"id": (120, 130)})
+    m = t._manifest(v)
+    carried = set(m["dirs"]) & before
+    assert len(carried) == 3, "stats pruning must keep 3 of 4 dirs untouched"
+    assert t.read().count() == 200 - 11
+    assert t.read().filter("id BETWEEN 120 AND 130").count() == 0
+    assert t.read(version=4).count() == 200  # time travel intact
+
+
+def test_delete_where_sql_statement(spark, tmp_path):
+    from lakeflow.sqlx import LakehouseSQL
+    from lakeflow.tables import TableCatalog
+
+    lh = LakehouseSQL(spark, TableCatalog(spark, str(tmp_path / "wh")))
+    lh.execute("CREATE VERSIONED TABLE d AS SELECT id FROM range(10)")
+    r = lh.execute("DELETE FROM VERSIONED d WHERE id >= 7")
+    assert r["deleted_from"] == "d"
+    assert lh.execute("SELECT count(*) AS n FROM d").first()["n"] == 7
