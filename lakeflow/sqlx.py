@@ -19,6 +19,7 @@ minimal grammar that does:
     VACUUM t [RETAIN <n> SNAPSHOTS]
     ROLLBACK TABLE t TO VERSION <n>
     DELETE FROM VERSIONED t WHERE <cond>
+    UPDATE VERSIONED t SET c1 = <expr>, c2 = <expr> WHERE <cond>
     APPLY CHANGES INTO t FROM <view_or_select> KEYS (k1, k2)
         SEQUENCE BY <col> [OPS <op_col> DELETE WHEN '<val>']
 
@@ -55,6 +56,10 @@ _VACUUM = re.compile(
 )
 _ROLLBACK = re.compile(
     r"^\s*ROLLBACK\s+TABLE\s+(\w+)\s+TO\s+VERSION\s+(\d+)\s*$", re.IGNORECASE
+)
+_UPDATE = re.compile(
+    r"^\s*UPDATE\s+VERSIONED\s+(\w+)\s+SET\s+(.+?)\s+WHERE\s+(.+)$",
+    re.IGNORECASE | re.DOTALL,
 )
 _DELETE = re.compile(
     r"^\s*DELETE\s+FROM\s+VERSIONED\s+(\w+)\s+WHERE\s+(.+)$",
@@ -128,6 +133,15 @@ class LakehouseSQL:
         if m:
             v = self.catalog.load(m.group(1)).rollback(int(m.group(2)))
             return {"rolled_back": m.group(1), "new_version": v}
+        m = _UPDATE.match(stmt)
+        if m:
+            name, sets, cond = m.groups()
+            set_exprs = {}
+            for part in sets.split(","):
+                col, expr = part.split("=", 1)
+                set_exprs[col.strip()] = expr.strip()
+            v = self.catalog.load(name).update_where(cond, set_exprs)
+            return {"updated": name, "version": v}
         m = _DELETE.match(stmt)
         if m:
             v = self.catalog.load(m.group(1)).delete_where(m.group(2))

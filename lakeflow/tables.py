@@ -354,6 +354,62 @@ class VersionedTable:
         self._publish_manifest(manifest)
         return version + 1
 
+    def update_where(
+        self,
+        condition: str,
+        set_exprs: dict[str, str],
+        prune_between: dict[str, tuple] | None = None,
+    ) -> int:
+        """Row-level UPDATE as copy-on-write (Delta's ``UPDATE``): the same
+        file-skipping shape as :meth:`delete_where` — stats-pruned dirs
+        carry over, candidate dirs rewrite with ``set_exprs`` applied to
+        rows matching ``condition`` (others pass through unchanged). Prior
+        values stay time-travelable until snapshot expiry.
+        """
+        from pyspark.sql import functions as F
+
+        version = self.current_version()
+        if version is None:
+            raise ValueError(f"table {self.root} has no snapshots")
+        m = self._manifest(version)
+        touch = set(self._kept_dirs(m, prune_between or {}))
+        keep = [d for d in m["dirs"] if d not in touch]
+        new_dirs: list[str] = []
+        if touch:
+            cond = F.coalesce(F.expr(condition), F.lit(False))
+            frame = self._read_dirs(sorted(touch), version)
+            types = {f.name: f.dataType for f in frame.schema.fields}
+            for col, expr in set_exprs.items():
+                if col not in types:
+                    raise ValueError(f"UPDATE of unknown column {col!r}")
+                # Cast the SET result back to the column's declared type
+                # (Delta's rule) — otherwise an expression like `v + 1`
+                # could silently fork the type between rewritten and
+                # carried-over files.
+                frame = frame.withColumn(
+                    col,
+                    F.when(cond, F.expr(expr).cast(types[col])).otherwise(
+                        F.col(col)
+                    ),
+                )
+            new_dir = os.path.join(self.root, "data", uuid.uuid4().hex)
+            frame.write.mode("overwrite").parquet(new_dir)
+            new_dirs.append(new_dir)
+        manifest = {
+            "version": version + 1,
+            "operation": "update",
+            "dirs": keep + new_dirs,
+            "stats": {d: s for d, s in m.get("stats", {}).items() if d in keep},
+            "schema": m.get("schema"),
+        }
+        dir_parts = {
+            d: p for d, p in m.get("dir_parts", {}).items() if d in keep
+        }
+        if dir_parts:
+            manifest["dir_parts"] = dir_parts
+        self._publish_manifest(manifest)
+        return version + 1
+
     def rollback(self, to_version: int) -> int:
         """Restore the table to a prior snapshot's content as a NEW commit
         (Delta ``RESTORE`` / Iceberg rollback): metadata-only — the new

@@ -1239,3 +1239,39 @@ def test_delete_where_sql_statement(spark, tmp_path):
     r = lh.execute("DELETE FROM VERSIONED d WHERE id >= 7")
     assert r["deleted_from"] == "d"
     assert lh.execute("SELECT count(*) AS n FROM d").first()["n"] == 7
+
+
+def test_update_where_rewrites_only_candidates(spark, tmp_path):
+    """Copy-on-write UPDATE: pruned dirs carry over; matching rows take the
+    SET expressions, non-matching rows in rewritten dirs pass unchanged;
+    prior values stay time-travelable."""
+    from lakeflow.tables import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    for lo in (0, 50):
+        t.commit(
+            spark.range(lo, lo + 50).toDF("id").selectExpr("id", "CAST(id AS DOUBLE) AS v"),
+            stats_cols=["id"],
+        )
+    before = set(t._manifest(2)["dirs"])
+    v = t.update_where(
+        "id BETWEEN 10 AND 12", {"v": "v + 1000"}, prune_between={"id": (10, 12)}
+    )
+    assert len(set(t._manifest(v)["dirs"]) & before) == 1  # dir 2 carried
+    got = {r["id"]: r["v"] for r in t.read().filter("id <= 13").collect()}
+    assert got[10] == 1010.0 and got[12] == 1012.0
+    assert got[9] == 9.0 and got[13] == 13.0
+    assert t.read(version=2).filter("id = 10").first()["v"] == 10.0
+
+
+def test_update_where_sql_statement(spark, tmp_path):
+    from lakeflow.sqlx import LakehouseSQL
+    from lakeflow.tables import TableCatalog
+
+    lh = LakehouseSQL(spark, TableCatalog(spark, str(tmp_path / "wh")))
+    lh.execute(
+        "CREATE VERSIONED TABLE u AS SELECT id, 'x' AS tag FROM range(5)"
+    )
+    lh.execute("UPDATE VERSIONED u SET tag = 'hot' WHERE id >= 3")
+    got = {r["id"]: r["tag"] for r in lh.execute("SELECT * FROM u").collect()}
+    assert got == {0: "x", 1: "x", 2: "x", 3: "hot", 4: "hot"}
