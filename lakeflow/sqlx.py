@@ -19,6 +19,8 @@ minimal grammar that does:
     VACUUM t [RETAIN <n> SNAPSHOTS]
     ROLLBACK TABLE t TO VERSION <n>
     DELETE FROM VERSIONED t WHERE <cond>
+    MERGE INTO VERSIONED t USING <src> ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
     UPDATE VERSIONED t SET c1 = <expr>, c2 = <expr> WHERE <cond>
     APPLY CHANGES INTO t FROM <view_or_select> KEYS (k1, k2)
         SEQUENCE BY <col> [OPS <op_col> DELETE WHEN '<val>']
@@ -65,6 +67,13 @@ _DELETE = re.compile(
     r"^\s*DELETE\s+FROM\s+VERSIONED\s+(\w+)\s+WHERE\s+(.+)$",
     re.IGNORECASE | re.DOTALL,
 )
+_MERGE = re.compile(
+    r"^\s*MERGE\s+INTO\s+VERSIONED\s+(\w+)\s+USING\s+(.+?)\s+ON\s+(.+?)\s+"
+    r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+"
+    r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ON_EQ = re.compile(r"(?:\w+\.)?(\w+)\s*=\s*(?:\w+\.)?(\w+)")
 _APPLY = re.compile(
     r"^\s*APPLY\s+CHANGES\s+INTO\s+(\w+)\s+FROM\s+(.+?)\s+"
     r"KEYS\s*\(([^)]+)\)\s+SEQUENCE\s+BY\s+(\w+)"
@@ -146,10 +155,39 @@ class LakehouseSQL:
         if m:
             v = self.catalog.load(m.group(1)).delete_where(m.group(2))
             return {"deleted_from": m.group(1), "version": v}
+        m = _MERGE.match(stmt)
+        if m:
+            return self._merge_upsert(*m.groups())
         m = _APPLY.match(stmt)
         if m:
             return self._apply_changes(*m.groups())
         return self._query(stmt)
+
+    def _merge_upsert(self, name: str, source: str, on_clause: str) -> dict:
+        """The UPDATE SET * / INSERT * MERGE (the reference's SCD1 form,
+        _silver_utils.py:157-186): keys parsed from the ON equalities, the
+        whole statement dispatched to the same scd1_apply the DataFrame API
+        uses — source rows replace matching target rows wholesale, new keys
+        insert. Conditional-clause MERGE variants stay out of the grammar
+        deliberately (use APPLY CHANGES or the DataFrame API)."""
+        from lakeflow.operators.merge import scd1_apply
+
+        pairs = _ON_EQ.findall(on_clause)
+        if not pairs or any(a != b for a, b in pairs):
+            raise ValueError(
+                f"MERGE ON clause must be key equalities (t.k = s.k): "
+                f"{on_clause!r}"
+            )
+        keys = [a for a, _b in pairs]
+        src = source.strip()
+        feed = self._query(
+            src[1:-1] if src.startswith("(") and src.endswith(")") else
+            f"SELECT * FROM {src}"
+        )
+        t = self.catalog.load(name)
+        state = scd1_apply(t.read(), feed, keys=keys)
+        version = t.commit(state, mode="overwrite")
+        return {"merged_into": name, "version": version, "keys": keys}
 
     def _apply_changes(
         self,

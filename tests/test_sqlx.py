@@ -115,3 +115,31 @@ def test_timestamp_time_travel_sql(lh):
     ).first()["n"]
     n_now = lh.execute("SELECT count(*) AS n FROM tt").first()["n"]
     assert (n_then, n_now) == (4, 6)
+
+
+def test_merge_into_upsert_star(lh, spark):
+    """MERGE INTO ... UPDATE SET * / INSERT *: source rows replace matching
+    target rows wholesale, new keys insert — the reference's SCD1 merge as
+    one SQL statement."""
+    lh.execute(
+        "CREATE VERSIONED TABLE m AS "
+        "SELECT id AS k, 'old' AS val FROM range(3)"
+    )
+    spark.createDataFrame(
+        [(1, "new"), (9, "ins")], "k bigint, val string"
+    ).createOrReplaceTempView("m_src")
+    r = lh.execute(
+        "MERGE INTO VERSIONED m USING m_src ON m.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert r["keys"] == ["k"]
+    got = {(r["k"], r["val"]) for r in lh.execute("SELECT * FROM m").collect()}
+    assert got == {(0, "old"), (1, "new"), (2, "old"), (9, "ins")}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="key equalities"):
+        lh.execute(
+            "MERGE INTO VERSIONED m USING m_src ON m.k = s.other "
+            "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+        )
