@@ -539,7 +539,7 @@ def test_stream_apply_changes_delete_empties_singleton_bucket(spark, tmp_path):
     )
     rows1 = [(k, k, "U", f"v{k}") for k in keys]
     rows2 = [(lone, 100, "D", None)]
-    for fname, rows in (("b1.parquet", rows1), ("b2.parquet", rows2)):
+    for i, (fname, rows) in enumerate((("b1.parquet", rows1), ("b2.parquet", rows2))):
         cols = list(zip(*rows))
         pq.write_table(
             pa.table(
@@ -548,6 +548,12 @@ def test_stream_apply_changes_delete_empties_singleton_bucket(spark, tmp_path):
             ),
             feed_dir / fname,
         )
+        # FileStreamSource orders micro-batches by modification time and
+        # breaks ties arbitrarily; pin distinct mtimes so the upsert batch
+        # is always applied before the delete batch (order-flake otherwise).
+        import os as _os
+
+        _os.utime(feed_dir / fname, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
     schema = spark.read.parquet(str(feed_dir / "b1.parquet")).schema
 
     t = VersionedTable(spark, str(tmp_path / "state"))
