@@ -647,3 +647,65 @@ def hard_negatives(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_terms: list[str],
+    query_vec_id: int,
+    k: int = 10,
+    k_each: int = 50,
+    rrf_k: int = 60,
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of a BM25 keyword branch and
+    an exact-cosine embedding branch (the RAG-corpus retrieval staple the
+    reference's per-modality queries stop short of).
+
+    Each branch independently produces its top-``k_each`` ranked list (BM25 =
+    posting-list probe + TakeOrdered; cosine = broadcast-query scoring +
+    per-query TakeOrdered — both 100 TB shapes already used standalone); the
+    fusion then runs on ≤ 2·k_each rows, so its cost is independent of corpus
+    size. RRF contribution per branch is ``floor(1e6 / (rrf_k + rank))`` in
+    integer micro-units — addition-order-free and exactly replayable by any
+    SQL engine (ranks are ints; IEEE division is correctly rounded, so the
+    floor is engine-stable).
+
+    Output: (doc_id, bm_rank, cos_rank, rrf_micro) — the top-``k`` fused
+    docs, branch ranks NULL where a doc appears in only one list.
+    """
+    from lakeflow.operators.text import bm25_topk
+
+    bm = bm25_topk(docs, query_terms, k=k_each, id_col=doc_id_col)
+    # Ranking windows below run on the ≤ k_each surviving rows of each
+    # branch's TakeOrdered — a single tiny partition by construction.
+    w_bm = Window.orderBy(F.desc("bm25"), F.asc(doc_id_col))
+    bm_ranked = bm.select(
+        F.col(doc_id_col).alias("doc_id"),
+        F.row_number().over(w_bm).alias("bm_rank"),
+    )
+    q = emb.filter(F.col(vec_id_col) == query_vec_id)
+    cos = brute_force_topk(emb, q, k=k_each, id_col=vec_id_col)
+    w_cos = Window.orderBy(F.desc("cos"), F.asc("vid"))
+    cos_ranked = cos.select(
+        F.col("vid").alias("doc_id"),
+        F.row_number().over(w_cos).alias("cos_rank"),
+    )
+
+    def contrib(rank_col: str):
+        return F.coalesce(
+            F.floor(F.lit(1_000_000.0) / (F.lit(rrf_k) + F.col(rank_col))).cast(
+                "bigint"
+            ),
+            F.lit(0).cast("bigint"),
+        )
+
+    fused = bm_ranked.join(cos_ranked, "doc_id", "full_outer").select(
+        "doc_id",
+        "bm_rank",
+        "cos_rank",
+        (contrib("bm_rank") + contrib("cos_rank")).alias("rrf_micro"),
+    )
+    return fused.orderBy(F.desc("rrf_micro"), F.asc("doc_id")).limit(k)

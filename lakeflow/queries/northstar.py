@@ -2028,3 +2028,83 @@ def packed_training_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.pack_texts(
         load_table(spark, sf_dir, "documents"), budget=512, n_shards=32
     )
+
+
+@register(
+    "hybrid_rrf_topk",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+    toks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM norm),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n, sum(dl) AS sum_dl FROM dl),
+    tf AS (
+        SELECT doc_id, tok, count(*) AS tf FROM toks
+        WHERE tok IN ('spark', 'window', 'join') GROUP BY 1, 2
+    ),
+    dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    micro AS (
+        SELECT t.doc_id,
+               CAST(floor(
+                 (ln((n - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE))
+                     + CAST(1.0 AS DOUBLE))
+                  * ((tf * CAST(2.2 AS DOUBLE))
+                     / (tf + CAST(1.2 AS DOUBLE)
+                            * (CAST(0.25 AS DOUBLE)
+                               + (CAST(0.75 AS DOUBLE) * dl) / (sum_dl / n)))))
+                 * 1000000.0 + 0.5) AS BIGINT) AS m
+        FROM tf t JOIN dfq USING (tok) JOIN dl USING (doc_id), stats
+    ),
+    bscored AS (SELECT doc_id, sum(m) / 1000000.0 AS bm25 FROM micro GROUP BY doc_id),
+    btop AS (SELECT doc_id, bm25 FROM bscored ORDER BY bm25 DESC, doc_id LIMIT 50),
+    bm AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS bm_rank
+        FROM btop
+    ),
+    e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    nv AS (
+        SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        FROM e
+    ),
+    qv AS (SELECT v AS qvec, nrm AS qn FROM nv WHERE vec_id = 0),
+    cscored AS (
+        SELECT c.vec_id AS vid,
+               (floor((list_sum(list_transform(range(1, 65), i -> qvec[i] * c.v[i]))
+                     / (qn * c.nrm)) * 1000000.0 + 0.5) / 1000000.0) AS cos
+        FROM qv, nv c WHERE c.vec_id <> 0
+    ),
+    ctop AS (SELECT vid, cos FROM cscored ORDER BY cos DESC, vid LIMIT 50),
+    cr AS (
+        SELECT vid AS doc_id,
+               CAST(row_number() OVER (ORDER BY cos DESC, vid) AS INT) AS cos_rank
+        FROM ctop
+    ),
+    fused AS (
+        SELECT COALESCE(bm.doc_id, cr.doc_id) AS doc_id,
+               bm.bm_rank AS bm_rank, cr.cos_rank AS cos_rank,
+               (COALESCE(CAST(floor(1000000.0 / (60 + bm.bm_rank)) AS BIGINT), 0)
+                + COALESCE(CAST(floor(1000000.0 / (60 + cr.cos_rank)) AS BIGINT), 0)
+               ) AS rrf_micro
+        FROM bm FULL OUTER JOIN cr ON bm.doc_id = cr.doc_id
+    )
+    SELECT doc_id, bm_rank, cos_rank, rrf_micro
+    FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT 10
+    """,
+)
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid RAG retrieval: reciprocal-rank fusion of the BM25 keyword
+    branch and the exact-cosine embedding branch (query = vec 0 + the fixed
+    keyword set). Each branch is its already-registered 100 TB shape; fusion
+    touches ≤ 2·k_each rows, so hybrid costs the max of its branches — not
+    their product. Integer micro-unit RRF keeps the fused score
+    engine-replayable."""
+    return sim.hybrid_rrf_topk(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+        ["spark", "window", "join"],
+        query_vec_id=0,
+        k=10,
+    )

@@ -553,3 +553,24 @@ def test_ewma_single_window_no_extra_exchange(spark):
     )
     assert plan.count("Window") - plan.count("WindowGroupLimit") == 1
     assert plan.count("Exchange") <= 2  # one shuffle (+AQE read coalesce)
+
+
+def test_funnel_window_chain_single_exchange(spark):
+    """The three dependent funnel instants (view → click → purchase) must
+    chain as Window nodes over ONE user_id shuffle — a per-step self-join
+    would re-shuffle the event table three times."""
+    plan = _plan(spark, "event_funnel_steps")
+    assert plan.count("Window") - plan.count("WindowGroupLimit") == 3
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert "Join" not in plan  # no self-joins anywhere in the funnel
+
+
+def test_hybrid_rrf_branches_take_ordered(spark):
+    """Hybrid RRF's branches must each reduce to top-k_each before fusion:
+    BM25 via TakeOrderedAndProject, cosine via WindowGroupLimit — so the
+    fusion join sees ≤ 2·k_each rows regardless of corpus size."""
+    plan = _plan(spark, "hybrid_rrf_topk")
+    assert "TakeOrderedAndProject(limit=50" in plan  # BM25 branch cap
+    assert "WindowGroupLimit" in plan  # cosine branch per-query cap
+    assert "TakeOrderedAndProject(limit=10" in plan  # fused top-k
+    assert "CartesianProduct" not in plan
