@@ -2071,3 +2071,112 @@ def bloom_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     assert t.pruned_dirs_point("c_custkey", 777) >= 5, "bloom index not pruning"
     return t.scan_point("c_custkey", 777)
+
+
+@register(
+    "event_funnel_steps",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1
+    ),
+    n AS (
+        SELECT (SELECT count(*) FROM v) AS nv,
+               (SELECT count(*) FROM c) AS nc,
+               (SELECT count(*) FROM p) AS np
+    )
+    SELECT step, users, conversion FROM (
+        SELECT '1_view' AS step, CAST(nv AS BIGINT) AS users,
+               floor(nv * 10000.0 / nv + 0.5) / 10000.0 AS conversion FROM n
+        UNION ALL
+        SELECT '2_click', CAST(nc AS BIGINT),
+               floor(nc * 10000.0 / nv + 0.5) / 10000.0 FROM n
+        UNION ALL
+        SELECT '3_purchase', CAST(np AS BIGINT),
+               floor(np * 10000.0 / nv + 0.5) / 10000.0 FROM n
+    )
+    """,
+)
+def event_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-sequenced behavioral funnel (view → click → purchase): a user
+    counts at step N only with an event AFTER their step-N-1 instant, the
+    dependency that makes naive per-type counts wrong.
+
+    Plan shape: the three dependent first-instants chain as conditional-min
+    windows over the SAME user_id partitioning, so Catalyst plans ONE
+    shuffle for the whole chain (three Window nodes, one Exchange) instead
+    of the textbook three self-joins that re-shuffle the event table per
+    step. The per-user frame then collapses with a reusing aggregation and
+    three scalar counts — at 100 TB the event table moves exactly once.
+    Conversion is fixed-point micro-rounded for engine parity."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    d = (
+        ev.withColumn(
+            "t1",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t2")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = d.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    stats = per_user.agg(
+        F.count("t1").alias("nv"), F.count("t2").alias("nc"), F.count("t3").alias("np")
+    )
+
+    def pct(c: str):
+        return F.floor(F.col(c) * 10000.0 / F.col("nv") + 0.5) / 10000.0
+
+    return (
+        stats.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("1_view").alias("step"),
+                        F.col("nv").cast("bigint").alias("users"),
+                        pct("nv").alias("conversion"),
+                    ),
+                    F.struct(
+                        F.lit("2_click").alias("step"),
+                        F.col("nc").cast("bigint").alias("users"),
+                        pct("nc").alias("conversion"),
+                    ),
+                    F.struct(
+                        F.lit("3_purchase").alias("step"),
+                        F.col("np").cast("bigint").alias("users"),
+                        pct("np").alias("conversion"),
+                    ),
+                )
+            ).alias("s")
+        )
+        .select("s.*")
+    )
