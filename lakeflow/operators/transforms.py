@@ -239,3 +239,64 @@ def winsorize(
         f"{value_col}_w",
         F.least(F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi")),
     ).drop("__lo", "__hi")
+
+
+def profile_columns(
+    df: DataFrame,
+    specs: Sequence[tuple[str, str]],
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """One-pass column profile: (col_name, n_rows, n_null, n_distinct,
+    min_val, max_val) per requested column — the data-quality census a
+    pipeline runs before trusting a new 100 TB drop.
+
+    ``specs`` is (column, kind) with kind ∈ {'int','num','ts','str'}; kind
+    picks an engine-neutral string rendering for min/max ('num' renders
+    integer cents via floor(x*100+0.5) — decimal-cast rounding is NOT
+    portable across engines, fixed-point is).
+
+    All statistics come from ONE aggregate over one scan. With
+    ``exact_distinct`` (the oracle-checkable default) the multiple
+    COUNT(DISTINCT) aggregates make Catalyst plan an Expand — the scan's
+    rows are replicated once per distinct-agg before the shuffle, an
+    O(cols) blowup that is the honest price of exact answers. At 100 TB
+    pass ``exact_distinct=False``: approx_count_distinct (HLL) keeps the
+    single pass with no Expand and ~2% error, the same trade Spark's own
+    ``df.summary`` makes.
+    """
+    from pyspark.sql import functions as F
+
+    def render(c: str, agg) -> "F.Column":
+        kind = dict(specs)[c]
+        if kind == "int":
+            return agg(F.col(c)).cast("bigint").cast("string")
+        if kind == "num":
+            return F.floor(agg(F.col(c)) * 100 + F.lit(0.5)).cast("bigint").cast(
+                "string"
+            )
+        if kind == "ts":
+            return F.date_format(agg(F.col(c)), "yyyy-MM-dd HH:mm:ss")
+        return agg(F.col(c))
+
+    nd = F.count_distinct if exact_distinct else F.approx_count_distinct
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("__total")]
+    for c, _kind in specs:
+        aggs += [
+            F.count(F.col(c)).cast("bigint").alias(f"{c}__nn"),
+            nd(F.col(c)).cast("bigint").alias(f"{c}__nd"),
+            render(c, F.min).alias(f"{c}__mn"),
+            render(c, F.max).alias(f"{c}__mx"),
+        ]
+    row = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("__total").alias("n_rows"),
+            (F.col("__total") - F.col(f"{c}__nn")).cast("bigint").alias("n_null"),
+            F.col(f"{c}__nd").alias("n_distinct"),
+            F.col(f"{c}__mn").alias("min_val"),
+            F.col(f"{c}__mx").alias("max_val"),
+        )
+        for c, _ in specs
+    ]
+    return row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")

@@ -2180,3 +2180,62 @@ def event_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s.*")
     )
+
+
+@register(
+    "column_profile_orders",
+    oracle="""
+    SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+           count(*) - count(o_orderkey) AS n_null,
+           count(DISTINCT o_orderkey) AS n_distinct,
+           CAST(min(o_orderkey) AS VARCHAR) AS min_val,
+           CAST(max(o_orderkey) AS VARCHAR) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+           count(DISTINCT o_custkey),
+           CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+           count(DISTINCT o_totalprice),
+           CAST(CAST(floor(min(o_totalprice) * 100 + 0.5) AS BIGINT) AS VARCHAR),
+           CAST(CAST(floor(max(o_totalprice) * 100 + 0.5) AS BIGINT) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+           count(DISTINCT o_orderdate),
+           strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+           strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S')
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+           count(DISTINCT o_orderstatus), min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+           count(DISTINCT o_orderpriority), min(o_orderpriority),
+           max(o_orderpriority)
+    FROM orders
+    """,
+)
+def column_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling census of the orders table: one row per column with
+    row/null/distinct counts and engine-neutral min/max renderings, all from
+    ONE aggregate over one scan (operators/transforms.py::profile_columns).
+    The oracle runs six separate passes — the point of the operator is that
+    Spark does not have to. Exact COUNT(DISTINCT) here for oracle parity;
+    the operator's approx mode (HLL) is the no-Expand 100 TB form."""
+    from lakeflow.operators.transforms import profile_columns
+
+    return profile_columns(
+        load_table(spark, sf_dir, "orders"),
+        [
+            ("o_orderkey", "int"),
+            ("o_custkey", "int"),
+            ("o_totalprice", "num"),
+            ("o_orderdate", "ts"),
+            ("o_orderstatus", "str"),
+            ("o_orderpriority", "str"),
+        ],
+    )

@@ -1314,3 +1314,41 @@ def test_bigram_backoff_hand_computed(spark):
     assert out[2]["avg_logprob"] == round(micro(0.4 * 2 / 5), 6)    # backoff to cu[a]
     assert out[3]["avg_logprob"] == round(micro(0.4 * 1 / 5), 6)    # unseen word floor
     assert all(out[i]["n_bigrams"] == 1 for i in (1, 2, 3))
+
+
+def test_profile_columns_nulls_and_approx_mode(spark):
+    """profile_columns counts nulls per column, renders min/max by kind, and
+    its approx mode drops the Expand operator (the exact-distinct price)."""
+    from pyspark.sql import functions as F
+
+    from lakeflow.operators.transforms import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, 2.5, "a"), (2, None, "b"), (None, 1.25, "b"), (4, 7.0, None)],
+        "k long, v double, s string",
+    )
+    specs = [("k", "int"), ("v", "num"), ("s", "str")]
+    out = {r["col_name"]: r for r in profile_columns(df, specs).collect()}
+    assert out["k"]["n_rows"] == 4 and out["k"]["n_null"] == 1
+    assert out["k"]["n_distinct"] == 3
+    assert (out["k"]["min_val"], out["k"]["max_val"]) == ("1", "4")
+    assert (out["v"]["min_val"], out["v"]["max_val"]) == ("125", "700")  # cents
+    assert out["s"]["n_null"] == 1 and out["s"]["n_distinct"] == 2
+
+    exact_plan = (
+        profile_columns(df, specs)._jdf.queryExecution().executedPlan().toString()
+    )
+    approx_plan = (
+        profile_columns(df, specs, exact_distinct=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Expand" in exact_plan  # exact multi-distinct pays row replication
+    assert "Expand" not in approx_plan  # HLL mode keeps the single clean pass
+    approx = {
+        r["col_name"]: r
+        for r in profile_columns(df, specs, exact_distinct=False).collect()
+    }
+    # HLL is exact at this cardinality; schema identical either way.
+    assert approx["k"]["n_distinct"] == 3
