@@ -670,3 +670,78 @@ def delete_where_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     carried = set(t._manifest(v)["dirs"]) & before
     assert len(carried) == 3, "stats pruning must keep 3 of 4 dirs untouched"
     return t.read()
+
+
+@register(
+    "mv_orders_by_status",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM orders
+    WHERE NOT (o_orderkey % 10 = 3
+               AND o_orderkey <= (SELECT CAST(floor(max(o_orderkey) / 4) AS BIGINT)
+                                  FROM orders))
+    GROUP BY o_orderstatus
+    """,
+)
+def mv_orders_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained materialized view (lakeflow/views.py — the
+    DLT materialized-view contract the reference's gold layer recomputes
+    from scratch per run): a per-status COUNT/SUM over a versioned orders
+    table, refreshed from manifest diffs only.
+
+    The base builds in four range-banded commits; the view's first refresh
+    is the full build. An append plus a stats-pruned copy-on-write DELETE
+    then churn part of the table, and the second refresh reads ONLY the
+    diffed dirs (asserted below) — removed rows fold in with sign −1, added
+    with +1 — landing on state bit-identical to a full rebuild, because
+    per-row cents quantization makes the running sums addition-order-free.
+    At 100 TB refresh IO prices the churn, never the base."""
+    import tempfile
+
+    from lakeflow.tables import VersionedTable
+    from lakeflow.views import IncrementalAggView
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    max_key = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    band = max_key // 4 + 1
+
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="lakeflow_mv_base_"))
+    # Three initial range bands (disjoint o_orderkey stats per dir).
+    for i in range(3):
+        t.commit(
+            orders.filter(
+                (F.col("o_orderkey") >= i * band)
+                & (F.col("o_orderkey") < (i + 1) * band)
+            ),
+            stats_cols=["o_orderkey"],
+        )
+    mv = IncrementalAggView(
+        spark,
+        t,
+        keys=["o_orderstatus"],
+        sums={"sum_cents": ("o_totalprice", 100)},
+        path=tempfile.mkdtemp(prefix="lakeflow_mv_"),
+        count_col="n_orders",
+    )
+    mv.refresh()  # full build of the 3-band base
+
+    # Churn: one appended band + a stats-pruned delete inside band 0.
+    t.commit(
+        orders.filter(F.col("o_orderkey") >= 3 * band), stats_cols=["o_orderkey"]
+    )
+    hi = max_key // 4
+    t.delete_where(
+        f"o_orderkey % 10 = 3 AND o_orderkey <= {hi}",
+        prune_between={"o_orderkey": (0, hi)},
+    )
+    r = mv.refresh()
+    assert r["dirs_read"] < r["dirs_total"] + 2, "refresh read beyond the diff"
+    assert r["dirs_read"] <= 3, (  # append dir + deleted band's old/new pair
+        f"expected churn-priced refresh, read {r['dirs_read']} dirs"
+    )
+    return mv.read()

@@ -1,0 +1,201 @@
+"""Incrementally-maintained aggregate materialized views.
+
+The reference's gold layer recomputes its aggregates from silver on every run
+(/root/reference/src/gold/load_to_gold.py — a full groupBy per trigger);
+Databricks DLT materialized views and Materialize/DBSP keep them fresh by
+processing only the CHANGE since last refresh. This module re-creates that
+contract on :class:`lakeflow.tables.VersionedTable` metadata alone:
+
+- The base table's manifests say exactly which data directories a version
+  added and removed. A refresh reads ONLY those dirs — removed rows enter
+  the aggregation with sign −1, added rows with +1 — and folds the signed
+  partial into the stored view state. Refresh IO is proportional to the
+  churn between versions, never to the base table (100 TB base, MB-scale
+  refresh for an append-mostly table).
+- Aggregates are restricted to the self-inverting (abelian-group) kind —
+  COUNT(*) and fixed-point SUM — because those are the ones where
+  "subtract the removed rows" is exact. Per-row values are quantized to
+  integer units (``floor(x * scale + 0.5)``) BEFORE summation, so the
+  running totals are addition-order-free: an incremental refresh and a
+  from-scratch rebuild produce bit-identical state, which is what makes
+  the view oracle-checkable. AVG derives as sum/count at read time;
+  MIN/MAX/DISTINCT are not group-invertible and would need a full
+  re-aggregate of affected groups (the same line DLT draws between
+  incremental and recompute-on-change views).
+
+Copy-on-write DML composes for free: ``delete_where``/``update_where``
+carry untouched dirs over (absent from the diff) and rewrite only candidate
+dirs (old dir → −1, rewritten dir → +1), so the refresh prices the DML's
+actual churn. An overwrite commit degenerates to remove-all + add-all —
+correct, just no longer cheap — and ``compact`` nets to zero change per
+group.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakeflow.tables import VersionedTable
+
+
+class IncrementalAggView:
+    """A keyed COUNT/SUM aggregate over a base :class:`VersionedTable`,
+    refreshed from manifest diffs.
+
+    ``sums`` maps output column → (source column, scale): each row
+    contributes ``floor(src * scale + 0.5)`` as a BIGINT, summed per key.
+    ``count_col`` is the per-key COUNT(*). State lives in its own
+    VersionedTable (itself time-travelable), and the high-watermark base
+    version is recorded in a sidecar marker written via temp-file rename.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base: VersionedTable,
+        keys: Sequence[str],
+        sums: Mapping[str, tuple[str, int]],
+        path: str,
+        count_col: str = "n_rows",
+    ) -> None:
+        self.spark = spark
+        self.base = base
+        self.keys = list(keys)
+        self.sums = dict(sums)
+        self.count_col = count_col
+        self.result = VersionedTable(spark, path)
+        self._marker_path = os.path.join(path, "_mv_state.json")
+
+    # -- marker ------------------------------------------------------------
+    def refreshed_version(self) -> int | None:
+        """Base-table version the view state currently reflects."""
+        if not os.path.exists(self._marker_path):
+            return None
+        with open(self._marker_path) as fh:
+            return json.load(fh)["base_version"]
+
+    def _write_marker(self, base_version: int) -> None:
+        tmp = self._marker_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"base_version": base_version}, fh)
+        os.replace(tmp, self._marker_path)
+
+    # -- refresh -----------------------------------------------------------
+    def _signed_partial(self, delta: DataFrame) -> DataFrame:
+        aggs = [F.sum("__sign").cast("bigint").alias(self.count_col)]
+        for out, (src, scale) in self.sums.items():
+            unit = F.floor(F.col(src) * scale + F.lit(0.5)).cast("bigint")
+            aggs.append(F.sum(unit * F.col("__sign")).cast("bigint").alias(out))
+        return delta.groupBy(*self.keys).agg(*aggs)
+
+    def refresh(self) -> dict:
+        """Fold base-table changes since the last refresh into the view.
+
+        Returns {"from_version", "to_version", "dirs_read", "dirs_total"} —
+        callers (and tests) can assert the incremental contract:
+        ``dirs_read`` counts only the dirs the base diff touched.
+        """
+        v_to = self.base.current_version()
+        if v_to is None:
+            raise ValueError("base table has no snapshots")
+        v_from = self.refreshed_version()
+        dirs_total = len(self.base._manifest(v_to)["dirs"])
+        if v_from == v_to:
+            return {
+                "from_version": v_from,
+                "to_version": v_to,
+                "dirs_read": 0,
+                "dirs_total": dirs_total,
+            }
+
+        if v_from is None:
+            added = self.base._manifest(v_to)["dirs"]
+            removed: list[str] = []
+        else:
+            old_dirs = self.base._manifest(v_from)["dirs"]
+            new_dirs = self.base._manifest(v_to)["dirs"]
+            old_set, new_set = set(old_dirs), set(new_dirs)
+            added = [d for d in new_dirs if d not in old_set]
+            removed = [d for d in old_dirs if d not in new_set]
+
+        parts = []
+        if added:
+            parts.append(
+                self.base._read_dirs(added, v_to).withColumn(
+                    "__sign", F.lit(1).cast("bigint")
+                )
+            )
+        if removed:
+            parts.append(
+                self.base._read_dirs(removed, v_from).withColumn(
+                    "__sign", F.lit(-1).cast("bigint")
+                )
+            )
+        if not parts:
+            self._write_marker(v_to)
+            return {
+                "from_version": v_from,
+                "to_version": v_to,
+                "dirs_read": 0,
+                "dirs_total": dirs_total,
+            }
+        delta = parts[0]
+        for p in parts[1:]:
+            delta = delta.unionByName(p)
+        partial = self._signed_partial(delta)
+
+        if self.result.current_version() is None:
+            merged = partial
+        else:
+            state = self.result.read()
+            val_cols = [self.count_col, *self.sums.keys()]
+            if self.keys:
+                s = state.select(
+                    *self.keys, *[F.col(c).alias(f"__s_{c}") for c in val_cols]
+                )
+                p = partial.select(
+                    *self.keys, *[F.col(c).alias(f"__p_{c}") for c in val_cols]
+                )
+                merged = s.join(p, on=self.keys, how="full_outer").select(
+                    *self.keys,
+                    *[
+                        (
+                            F.coalesce(F.col(f"__s_{c}"), F.lit(0))
+                            + F.coalesce(F.col(f"__p_{c}"), F.lit(0))
+                        )
+                        .cast("bigint")
+                        .alias(c)
+                        for c in val_cols
+                    ],
+                )
+            else:
+                # Keyless (global) view: integer sums fold by union+re-sum.
+                merged = (
+                    state.select(*val_cols)
+                    .unionByName(partial.select(*val_cols))
+                    .agg(
+                        *[
+                            F.sum(c).cast("bigint").alias(c)
+                            for c in val_cols
+                        ]
+                    )
+                )
+        # Groups whose every row was deleted leave the view entirely.
+        merged = merged.filter(F.col(self.count_col) > 0)
+        self.result.commit(merged, mode="overwrite", _operation="mv_refresh")
+        self._write_marker(v_to)
+        return {
+            "from_version": v_from,
+            "to_version": v_to,
+            "dirs_read": len(added) + len(removed),
+            "dirs_total": dirs_total,
+        }
+
+    def read(self) -> DataFrame:
+        """Current view state (keys, count, fixed-point sums)."""
+        return self.result.read()
