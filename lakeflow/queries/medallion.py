@@ -745,3 +745,41 @@ def mv_orders_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"expected churn-priced refresh, read {r['dirs_read']} dirs"
     )
     return mv.read()
+
+
+@register(
+    "clone_divergence_nations",
+    oracle="""
+    SELECT 'src' AS side, n_nationkey, n_name FROM nation
+    UNION ALL
+    SELECT 'clone', n_nationkey, n_name FROM nation
+    WHERE n_regionkey <> 0
+    """,
+)
+def clone_divergence_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shallow-clone semantics end-to-end (tables.py::clone_to — Delta's
+    SHALLOW CLONE): the clone's first manifest references the source's data
+    dirs with zero copies (asserted: the clone's own data root stays
+    empty), a copy-on-write DELETE then diverges the clone, and both sides
+    read back correctly — the cheap-fork workflow that lets a 100 TB table
+    be experimented on without duplicating it."""
+    import os
+    import tempfile
+
+    from lakeflow.tables import VersionedTable
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    src = VersionedTable(spark, tempfile.mkdtemp(prefix="lakeflow_clone_src_"))
+    src.commit(nation)
+    clone = src.clone_to(tempfile.mkdtemp(prefix="lakeflow_clone_dst_") + "/t")
+    assert os.listdir(os.path.join(clone.root, "data")) == [], (
+        "shallow clone copied data"
+    )
+    clone.delete_where("n_regionkey = 0")
+    a = src.read().select(F.lit("src").alias("side"), "n_nationkey", "n_name")
+    b = clone.read().select(
+        F.lit("clone").alias("side"), "n_nationkey", "n_name"
+    )
+    return a.unionByName(b)

@@ -10,6 +10,7 @@ alone cannot reach our manifest-backed tables, so this module adds the
 minimal grammar that does:
 
     CREATE VERSIONED TABLE t [PARTITIONED BY (c1, c2)] AS SELECT ...
+    CREATE VERSIONED TABLE t SHALLOW CLONE src [FOR VERSION AS OF <n>]
     INSERT INTO|OVERWRITE VERSIONED t SELECT ...
     SELECT ... FROM t ...                       -- latest snapshot
     SELECT ... FROM t FOR VERSION AS OF 3 ...   -- time travel
@@ -42,6 +43,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 from lakeflow.tables import TableCatalog
 
+_CLONE = re.compile(
+    r"^\s*CREATE\s+VERSIONED\s+TABLE\s+(\w+)\s+SHALLOW\s+CLONE\s+(\w+)"
+    r"(?:\s+FOR\s+VERSION\s+AS\s+OF\s+(\d+))?\s*$",
+    re.IGNORECASE,
+)
 _CREATE = re.compile(
     r"^\s*CREATE\s+VERSIONED\s+TABLE\s+(\w+)"
     r"(?:\s+PARTITIONED\s+BY\s*\(([^)]+)\))?\s+AS\s+(.+)$",
@@ -100,6 +106,13 @@ class LakehouseSQL:
         self.catalog = catalog
 
     def execute(self, stmt: str):
+        m = _CLONE.match(stmt)
+        if m:
+            dst, src, v = m.group(1), m.group(2), m.group(3)
+            t = self.catalog.load(src)
+            version = int(v) if v else t.current_version()
+            t.clone_to(self.catalog._path(dst), version=version)
+            return {"cloned": dst, "from": src, "at_version": version}
         m = _CREATE.match(stmt)
         if m:
             name, parts, select = m.group(1), m.group(2), m.group(3)

@@ -432,6 +432,45 @@ class VersionedTable:
         self._publish_manifest(manifest)
         return cur + 1
 
+    def clone_to(
+        self, dest_root: str, version: int | None = None
+    ) -> "VersionedTable":
+        """Metadata-only SHALLOW CLONE (Delta's ``CREATE TABLE ... SHALLOW
+        CLONE``): the clone's first manifest references THIS table's data
+        dirs at ``version`` (default: latest) — zero data copied, however
+        large the table. From then on the two tables diverge independently:
+        the clone's commits write under its own root, and maintenance is
+        ownership-scoped (``expire_snapshots``/``remove_orphans`` never
+        delete dirs outside their table's root), so vacuuming the clone
+        cannot reach into the source. The one shared-fate caveat is
+        Delta's too: expiring the SOURCE snapshot a clone references breaks
+        that clone's time travel to it.
+
+        The cheap-fork workflow this enables at 100 TB: clone prod, run a
+        risky backfill/experiment against the clone, diff, then promote or
+        drop — all without duplicating the base data.
+        """
+        if version is None:
+            version = self.current_version()
+        if version is None:
+            raise ValueError(f"table {self.root} has no snapshots")
+        m = self._manifest(version)
+        clone = VersionedTable(self.spark, dest_root)
+        if clone.current_version() is not None:
+            raise ValueError(f"clone destination {dest_root} is not empty")
+        manifest = {
+            "version": 1,
+            "operation": f"clone_of_{os.path.abspath(self.root)}@v{version}",
+            "dirs": m["dirs"],
+            "stats": m.get("stats", {}),
+            "schema": m.get("schema"),
+        }
+        for k in ("dir_parts", "bloom", "bloom_bits", "n_rows"):
+            if k in m:
+                manifest[k] = m[k]
+        clone._publish_manifest(manifest)
+        return clone
+
     def commit_audited(
         self,
         df: DataFrame,
@@ -916,9 +955,18 @@ class VersionedTable:
         vs = self.versions()
         expired, kept = vs[:-keep_last], vs[-keep_last:]
         live_dirs = {d for v in kept for d in self._manifest(v)["dirs"]}
+        own_data = os.path.abspath(os.path.join(self.root, "data")) + os.sep
         for v in expired:
             for d in self._manifest(v)["dirs"]:
-                if d not in live_dirs and os.path.isdir(d):
+                # Only ever delete dirs THIS table owns: a shallow clone's
+                # manifests reference the source table's dirs, and expiring
+                # the clone must not reach into the source (Delta's VACUUM-
+                # on-shallow-clone contract).
+                if (
+                    d not in live_dirs
+                    and os.path.abspath(d).startswith(own_data)
+                    and os.path.isdir(d)
+                ):
                     shutil.rmtree(d)
             os.remove(os.path.join(self._snap_dir, f"{v:08d}.json"))
         return expired

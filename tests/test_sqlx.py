@@ -143,3 +143,15 @@ def test_merge_into_upsert_star(lh, spark):
             "MERGE INTO VERSIONED m USING m_src ON m.k = s.other "
             "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
         )
+
+
+def test_shallow_clone_statement(lh):
+    lh.execute("CREATE VERSIONED TABLE src AS SELECT id FROM range(5)")
+    lh.execute("INSERT INTO VERSIONED src SELECT id FROM range(100, 103)")
+    r = lh.execute("CREATE VERSIONED TABLE fork SHALLOW CLONE src FOR VERSION AS OF 1")
+    assert r == {"cloned": "fork", "from": "src", "at_version": 1}
+    # The fork sees only v1's rows; diverging it leaves src untouched.
+    assert lh.execute("SELECT count(*) AS n FROM fork").first()["n"] == 5
+    lh.execute("INSERT INTO VERSIONED fork SELECT id FROM range(1000, 1002)")
+    assert lh.execute("SELECT count(*) AS n FROM fork").first()["n"] == 7
+    assert lh.execute("SELECT count(*) AS n FROM src").first()["n"] == 8

@@ -1281,3 +1281,50 @@ def test_update_where_sql_statement(spark, tmp_path):
     lh.execute("UPDATE VERSIONED u SET tag = 'hot' WHERE id >= 3")
     got = {r["id"]: r["tag"] for r in lh.execute("SELECT * FROM u").collect()}
     assert got == {0: "x", 1: "x", 2: "x", 3: "hot", 4: "hot"}
+
+
+def test_shallow_clone_shares_data_then_diverges(spark, tmp_path):
+    """clone_to copies NO data (the clone's manifest references the source's
+    dirs), and post-clone commits on either side are invisible to the other."""
+    import os
+
+    src = VersionedTable(spark, str(tmp_path / "src"))
+    src.commit(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    clone = src.clone_to(str(tmp_path / "clone"))
+
+    assert {(r.k, r.v) for r in clone.read().collect()} == {(1, "a"), (2, "b")}
+    # Zero data files under the clone's own data root.
+    assert os.listdir(str(tmp_path / "clone" / "data")) == []
+
+    src.commit(spark.createDataFrame([(3, "c")], "k long, v string"))
+    clone.commit(spark.createDataFrame([(9, "z")], "k long, v string"))
+    assert {r.k for r in src.read().collect()} == {1, 2, 3}
+    assert {r.k for r in clone.read().collect()} == {1, 2, 9}
+
+
+def test_clone_expire_never_deletes_source_data(spark, tmp_path):
+    """Vacuuming a shallow clone must not reach into the source table: after
+    the clone overwrites and expires its snapshots, the source still reads
+    (the Delta VACUUM-on-shallow-clone contract)."""
+    src = VersionedTable(spark, str(tmp_path / "src"))
+    src.commit(spark.createDataFrame([(1, "a")], "k long, v string"))
+    clone = src.clone_to(str(tmp_path / "clone"))
+    clone.commit(
+        spark.createDataFrame([(5, "e")], "k long, v string"), mode="overwrite"
+    )
+    expired = clone.expire_snapshots(keep_last=1)
+    assert expired == [1]
+    # The source's data dir survived the clone's vacuum.
+    assert {(r.k, r.v) for r in src.read().collect()} == {(1, "a")}
+    assert {(r.k, r.v) for r in clone.read().collect()} == {(5, "e")}
+
+
+def test_clone_refuses_nonempty_destination(spark, tmp_path):
+    import pytest
+
+    src = VersionedTable(spark, str(tmp_path / "src"))
+    src.commit(spark.createDataFrame([(1, "a")], "k long, v string"))
+    dest = VersionedTable(spark, str(tmp_path / "dest"))
+    dest.commit(spark.createDataFrame([(2, "b")], "k long, v string"))
+    with pytest.raises(ValueError, match="not empty"):
+        src.clone_to(str(tmp_path / "dest"))
