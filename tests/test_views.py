@@ -106,3 +106,40 @@ def test_update_where_churn_prices_only_rewritten_dirs(spark, tmp_path):
     # Only the first dir's replacement (+ its removal) is read: 2 of 3 dirs.
     assert r["dirs_read"] == 2 and r["dirs_total"] == 2
     assert [(r2.n, r2.sum_cents) for r2 in mv.read().collect()] == [(3, 6100)]
+
+
+def test_mv_auto_refresh_on_commit_stream(spark, tmp_path):
+    """The table-changes stream source can drive MV freshness: a foreachBatch
+    hook calls refresh() as commit micro-batches arrive, so the view tracks
+    the commit feed without any scheduler — and each refresh stays
+    manifest-diff incremental."""
+    import tempfile
+
+    from lakeflow.sources.table_stream import register_table_changes_source
+
+    register_table_changes_source(spark)
+    t = VersionedTable(spark, str(tmp_path / "base"))
+    t.commit(spark.createDataFrame([("a", 1.0), ("b", 2.0)], "k string, v double"))
+    t.commit(spark.createDataFrame([("a", 3.0)], "k string, v double"))
+    t.commit(spark.createDataFrame([("c", 0.25)], "k string, v double"))
+
+    mv = _view(spark, t, tmp_path)
+    refreshes = []
+
+    def on_batch(bdf, _bid):
+        refreshes.append(mv.refresh())
+
+    q = (
+        spark.readStream.format("lakeflow_table_changes")
+        .option("path", t.root)
+        .load()
+        .writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="lakeflow-ckpt-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    assert refreshes, "commit feed produced no refresh triggers"
+    assert _state(mv) == {"a": (2, 400), "b": (1, 200), "c": (1, 25)}
+    assert mv.refreshed_version() == t.current_version()
