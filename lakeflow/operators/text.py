@@ -928,3 +928,75 @@ def bigram_logprob_scores(
         F.coalesce("n_bigrams", F.lit(0).cast("bigint")).alias("n_bigrams"),
         "avg_logprob",
     )
+
+
+def dsir_importance_weights(
+    df: DataFrame,
+    target_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """DSIR-style data-selection weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): every RAW document gets
+    the mean per-token log-ratio between the TARGET domain's unigram
+    distribution and the raw corpus's own — positive means target-like, the
+    resampling signal that upweights domain-relevant web text. ``target_pred``
+    is a boolean Column naming the in-domain rows; everything else is raw.
+
+    Both distributions are Laplace-smoothed over the UNION vocabulary
+    ((tc + 1) / (n + V)), so a token unseen in the target cannot produce
+    log(0) and the ratio stays finite. The two vocab counts come from one
+    full-outer token join of two combine-bounded aggregates (shuffle ∝
+    vocabulary, same budget as unigram_logprob_scores); the three scalars
+    (n_target, n_raw, V) are a one-row aggregate off that cached frame. The
+    scoring pass probes the raw tokens against the vocab once, join
+    strategy left to AQE — no forced broadcast of a web-scale vocabulary.
+
+    Determinism: each token's log-ratio is the DIFFERENCE of two
+    independently micro-nat-quantized log-probs, so bigint sums are
+    addition-order-free and any SQL engine replays the score exactly.
+
+    Output (raw docs only): (id, n_tokens, avg_logratio).
+    """
+    from pyspark import StorageLevel
+
+    toks = df.select(
+        F.col(id_col),
+        target_pred.cast("boolean").alias("__is_t"),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(
+            F.sum(F.when(F.col("__is_t"), 1).otherwise(0)).alias("tc_t"),
+            F.sum(F.when(F.col("__is_t"), 0).otherwise(1)).alias("tc_r"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    s = vocab.agg(
+        F.sum("tc_t").alias("nt"),
+        F.sum("tc_r").alias("nr"),
+        F.count(F.lit(1)).alias("v"),
+    ).collect()[0]
+    nt, nr, v = float(s["nt"] or 0), float(s["nr"] or 0), float(s["v"] or 1)
+
+    def micro(tc_col: str, n: float) -> Column:
+        return F.floor(
+            F.log((F.col(tc_col) + 1.0) / F.lit(n + v)) * 1e6 + 0.5
+        ).cast("bigint")
+
+    scored = (
+        toks.filter(~F.col("__is_t"))
+        .join(vocab, "tok")
+        .select(
+            F.col(id_col),
+            (micro("tc_t", nt) - micro("tc_r", nr)).alias("lr_micro"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        rnd(F.sum("lr_micro") / F.count(F.lit(1)) / 1e6, round_to).alias(
+            "avg_logratio"
+        ),
+    )

@@ -2108,3 +2108,49 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_vec_id=0,
         k=10,
     )
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, source = 'src0' AS is_t, {_NORM} AS t
+                  FROM documents),
+    toks AS (
+        SELECT doc_id, is_t, unnest(string_split(t, ' ')) AS tok FROM norm
+    ),
+    vocab AS (
+        SELECT tok,
+               sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS tc_t,
+               sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS tc_r
+        FROM toks GROUP BY tok
+    ),
+    s AS (
+        SELECT CAST(sum(tc_t) AS DOUBLE) AS nt,
+               CAST(sum(tc_r) AS DOUBLE) AS nr,
+               CAST(count(*) AS DOUBLE) AS v
+        FROM vocab
+    ),
+    scored AS (
+        SELECT t.doc_id,
+               (CAST(floor(ln((tc_t + 1.0) / (nt + v)) * 1000000.0 + 0.5) AS BIGINT)
+                - CAST(floor(ln((tc_r + 1.0) / (nr + v)) * 1000000.0 + 0.5) AS BIGINT)
+               ) AS lr_micro
+        FROM toks t JOIN vocab USING (tok), s
+        WHERE NOT t.is_t
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           (floor((sum(lr_micro) / count(*) / 1000000.0) * 1000000.0 + 0.5)
+            / 1000000.0) AS avg_logratio
+    FROM scored GROUP BY doc_id
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights with source 'src0' as the target domain:
+    every other document scored by its mean per-token log-ratio between the
+    target and raw unigram distributions (Laplace-smoothed over the union
+    vocabulary). Positive = target-like — the importance-resampling signal
+    for domain-targeted pre-training mixes. Shuffle ∝ vocabulary; scalars
+    ride the cached vocab aggregate; micro-nat quantization keeps the
+    distributed mean engine-replayable."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.dsir_importance_weights(docs, F.col("source") == "src0")

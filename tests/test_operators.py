@@ -1352,3 +1352,34 @@ def test_profile_columns_nulls_and_approx_mode(spark):
     }
     # HLL is exact at this cardinality; schema identical either way.
     assert approx["k"]["n_distinct"] == 3
+
+
+def test_dsir_weights_hand_computed(spark):
+    """DSIR log-ratio on a 3-doc corpus: target = doc 1 ('a a'), raw docs
+    probe the smoothed target/raw unigram ratio; a token common in the
+    target scores positive, an off-target token negative."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from lakeflow.operators.text import dsir_importance_weights
+
+    df = spark.createDataFrame(
+        [(1, "a a"), (2, "a b"), (3, "b b")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dsir_importance_weights(df, F.col("doc_id") == 1).collect()
+    }
+    assert set(out) == {2, 3}  # target doc itself is not scored
+
+    # vocab: a (tc_t=2, tc_r=1), b (tc_t=0, tc_r=3); nt=2, nr=4, V=2
+    def m(tc, n):
+        return math.floor(math.log((tc + 1.0) / (n + 2.0)) * 1e6 + 0.5)
+
+    lr_a = m(2, 2) - m(1, 4)  # positive: 'a' is target-like
+    lr_b = m(0, 2) - m(3, 4)  # negative: 'b' is off-target
+    assert lr_a > 0 > lr_b
+    assert out[2]["avg_logratio"] == round((lr_a + lr_b) / 2 / 1e6, 6)
+    assert out[3]["avg_logratio"] == round((lr_b + lr_b) / 2 / 1e6, 6)
+    assert out[2]["n_tokens"] == 2 and out[3]["n_tokens"] == 2
