@@ -2154,3 +2154,64 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed mean engine-replayable."""
     docs = load_table(spark, sf_dir, "documents")
     return tx.dsir_importance_weights(docs, F.col("source") == "src0")
+
+
+@register(
+    "ccnet_perplexity_buckets",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split({_RS_NORM}, ' ')) AS tok
+        FROM documents
+    ),
+    vocab AS (SELECT tok, count(*) AS tc FROM toks GROUP BY tok),
+    total AS (SELECT count(*) AS n FROM toks),
+    scored AS (
+        SELECT t.doc_id,
+               CAST(floor(ln(v.tc / (SELECT CAST(n AS DOUBLE) FROM total))
+                    * 1000000.0 + 0.5) AS BIGINT) AS lp_micro
+        FROM toks t JOIN vocab v USING (tok)
+    ),
+    doc AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               (floor((sum(lp_micro) / count(*) / 1000000.0) * 1000000.0 + 0.5)
+                / 1000000.0) AS lp
+        FROM scored GROUP BY doc_id
+    ),
+    q AS (
+        SELECT quantile_cont(lp, 0.3333333333333333) AS b1,
+               quantile_cont(lp, 0.6666666666666666) AS b2
+        FROM doc
+    )
+    SELECT CASE WHEN lp >= b2 THEN 'head'
+                WHEN lp >= b1 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+    FROM doc, q GROUP BY 1
+    """,
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail corpus partition (Wenzek et al. 2020): docs
+    ranked by LM score (unigram mean log-prob as the KenLM stand-in) and cut
+    at the exact tercile thresholds — head keeps the most-fluent third,
+    tail is the usual drop candidate. The thresholds are two exact
+    percentiles over the per-doc score frame (doc-count-sized, not
+    corpus-sized); bucketing is a broadcast of that one-row bounds frame.
+    F.percentile and quantile_cont share the interpolation definition, so
+    the cut points — and therefore every bucket count — replay exactly."""
+    scores = tx.unigram_logprob_scores(load_table(spark, sf_dir, "documents"))
+    b = scores.agg(
+        F.percentile("avg_logprob", F.lit(1.0 / 3.0)).alias("b1"),
+        F.percentile("avg_logprob", F.lit(2.0 / 3.0)).alias("b2"),
+    )
+    lab = scores.crossJoin(F.broadcast(b)).select(
+        F.when(F.col("avg_logprob") >= F.col("b2"), F.lit("head"))
+        .when(F.col("avg_logprob") >= F.col("b1"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+        "n_tokens",
+    )
+    return lab.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+    )
