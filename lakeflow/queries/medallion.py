@@ -783,3 +783,64 @@ def clone_divergence_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("clone").alias("side"), "n_nationkey", "n_name"
     )
     return a.unionByName(b)
+
+
+@register(
+    "scd2_temporal_enrich",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE
+               WHEN c.c_custkey % 7 = 0
+                    AND e.ts >= TIMESTAMP '2024-01-15 00:00:00'
+               THEN CAST(floor(
+                     (floor((c.c_acctbal + 100) * 100 + 0.5) / 100.0) * 100
+                     + 0.5) AS BIGINT)
+               ELSE CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT)
+           END) AS BIGINT) AS sum_bal_cents
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def scd2_temporal_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event temporal dimension join (the generalized form of
+    scd2_asof_state's single-instant lookup): every event resolves the
+    dimension VERSION VALID AT ITS OWN TIMESTAMP via the SCD2 validity
+    interval — events before the T1 merge see the original attributes,
+    events after see the updated ones, per row.
+
+    Plan shape: the equality (user_id = c_custkey) is the join key — the
+    dimension history broadcasts and the validity-interval predicate rides
+    as a join filter, so the fact table never shuffles and there is no
+    interval-explosion. At 100 TB the same plan holds with the SCD2
+    history as the (still dimension-sized) broadcast side; only if history
+    outgrows broadcast does this degrade to a range-bucketed sort-merge.
+    The oracle replays the expected bal-at-event-time arithmetic directly
+    against the raw tables."""
+    t0e, t1e = "2024-01-01 00:00:00", "2024-01-15 00:00:00"
+    c = load_table(spark, sf_dir, "customer").select(_NATURAL)
+    target = (
+        c.withColumn("start_timestamp", F.lit(t0e).cast("timestamp"))
+        .withColumn("end_timestamp", F.lit(None).cast("timestamp"))
+        .withColumn("is_current", F.lit(1).cast("int"))
+    )
+    state = scd2_apply(
+        target,
+        _source_batch(c),
+        keys=["c_custkey"],
+        tracked=["c_acctbal", "c_mktsegment"],
+        effective_ts=t1e,
+    )
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    j = ev.join(
+        F.broadcast(state),
+        (ev["user_id"] == state["c_custkey"])
+        & (state["start_timestamp"] <= ev["ts"])
+        & (state["end_timestamp"].isNull() | (state["end_timestamp"] > ev["ts"])),
+    )
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_bal_cents"),
+    )
