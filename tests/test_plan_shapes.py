@@ -574,3 +574,13 @@ def test_hybrid_rrf_branches_take_ordered(spark):
     assert "WindowGroupLimit" in plan  # cosine branch per-query cap
     assert "TakeOrderedAndProject(limit=10" in plan  # fused top-k
     assert "CartesianProduct" not in plan
+
+
+def test_scd2_temporal_enrich_broadcasts_history(spark):
+    """The temporal dimension join must broadcast the SCD2 history with the
+    validity interval as a join filter — the event table never shuffles and
+    no interval explosion (cartesian/BNLJ) appears."""
+    plan = _plan(spark, "scd2_temporal_enrich")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
