@@ -280,3 +280,60 @@ def test_boilerplate_strip_identity_when_threshold_never_hit(spark):
     for r in out.collect():
         assert r["n_dropped"] == 0
         assert r["clean_text"] == norm[r["doc_id"]]
+
+
+@given(
+    ops=st.lists(
+        st.one_of(
+            st.tuples(
+                st.just("commit"),
+                st.lists(
+                    st.tuples(keys, st.integers(0, 999)), min_size=1, max_size=6
+                ),
+            ),
+            st.tuples(st.just("delete"), keys),
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    refresh_points=st.sets(st.integers(0, 5), max_size=3),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_mv_incremental_equals_rebuild_property(spark, tmp_path_factory, ops, refresh_points):
+    """Under ANY interleaving of appends, copy-on-write deletes, and refresh
+    timings, the incrementally-maintained view lands bit-identical to a
+    from-scratch rebuild of the final base version (the signed-fold algebra
+    is path-independent)."""
+    from lakeflow.tables import VersionedTable
+    from lakeflow.views import IncrementalAggView
+
+    tmp = tmp_path_factory.mktemp("mvprop")
+    base = VersionedTable(spark, str(tmp / "base"))
+    mv = IncrementalAggView(
+        spark, base, keys=["k"], sums={"s": ("v", 1)}, path=str(tmp / "mv"),
+        count_col="n",
+    )
+    committed = False
+    for i, op in enumerate(ops):
+        if op[0] == "commit":
+            base.commit(
+                spark.createDataFrame(op[1], "k int, v int"),
+            )
+            committed = True
+        elif committed:  # delete needs an existing snapshot
+            base.delete_where(f"k = {op[1]}")
+        if committed and i in refresh_points:
+            mv.refresh()  # mid-sequence refreshes must not corrupt the fold
+    if not committed:
+        return
+    mv.refresh()
+
+    fresh = IncrementalAggView(
+        spark, base, keys=["k"], sums={"s": ("v", 1)},
+        path=str(tmp / "mv_full"), count_col="n",
+    )
+    fresh.refresh()
+    got = {(r.k, r.n, r.s) for r in mv.read().collect()}
+    want = {(r.k, r.n, r.s) for r in fresh.read().collect()}
+    assert got == want
