@@ -844,3 +844,63 @@ def scd2_temporal_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("sum_bal_cents"),
     )
+
+
+@register(
+    "mv_price_extrema_by_status",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(min(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS min_cents,
+           CAST(max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS max_cents
+    FROM orders
+    WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 400000)
+    GROUP BY o_orderstatus
+    """,
+)
+def mv_price_extrema_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recompute-on-change MV tier (lakeflow/views.py DirtyGroupAggView)
+    for non-invertible MIN/MAX: per-status price extrema over a versioned
+    orders table committed in status-banded dirs with key stats. A
+    copy-on-write DELETE then removes status-F's high-price rows — the
+    extremum-delete a signed fold cannot invert — and the refresh
+    re-aggregates ONLY the dirty status, opening just its band (asserted),
+    while the other statuses carry over verbatim. The oracle recomputes the
+    final extrema from the raw table."""
+    import tempfile
+
+    from lakeflow.tables import VersionedTable
+    from lakeflow.views import DirtyGroupAggView
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_totalprice"
+    )
+    statuses = [r[0] for r in orders.select("o_orderstatus").distinct().collect()]
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="lakeflow_mvx_base_"))
+    for s in sorted(statuses):
+        t.commit(
+            orders.filter(F.col("o_orderstatus") == s),
+            stats_cols=["o_orderstatus"],
+        )
+    mv = DirtyGroupAggView(
+        spark,
+        t,
+        key="o_orderstatus",
+        path=tempfile.mkdtemp(prefix="lakeflow_mvx_"),
+        count_col="n_orders",
+        mins={"min_cents": ("o_totalprice", 100)},
+        maxs={"max_cents": ("o_totalprice", 100)},
+    )
+    mv.refresh()
+    t.delete_where(
+        "o_orderstatus = 'F' AND o_totalprice > 400000",
+        prune_between={"o_orderstatus": ("F", "F")},
+    )
+    r = mv.refresh()
+    assert r["dirty_groups"] == 1, r
+    # removed old F-band + rewritten F-band + stats-pruned re-read of the
+    # new F-band only: the other statuses' dirs are never opened.
+    assert r["dirs_read"] <= 3 and r["dirs_total"] == len(statuses), r
+    return mv.read()

@@ -18,10 +18,12 @@ contract on :class:`lakeflow.tables.VersionedTable` metadata alone:
   integer units (``floor(x * scale + 0.5)``) BEFORE summation, so the
   running totals are addition-order-free: an incremental refresh and a
   from-scratch rebuild produce bit-identical state, which is what makes
-  the view oracle-checkable. AVG derives as sum/count at read time;
-  MIN/MAX/DISTINCT are not group-invertible and would need a full
-  re-aggregate of affected groups (the same line DLT draws between
-  incremental and recompute-on-change views).
+  the view oracle-checkable. AVG derives as sum/count at read time.
+- MIN/MAX are not group-invertible; :class:`DirtyGroupAggView` is their
+  tier — it uses the manifest diff only to find the DIRTY group keys and
+  re-aggregates exactly those groups from the current base, pruned by the
+  per-dir key stats (the same incremental/recompute line DLT draws, with
+  the recompute scoped to touched groups instead of the whole view).
 
 Copy-on-write DML composes for free: ``delete_where``/``update_where``
 carry untouched dirs over (absent from the diff) and rewrite only candidate
@@ -199,3 +201,147 @@ class IncrementalAggView:
     def read(self) -> DataFrame:
         """Current view state (keys, count, fixed-point sums)."""
         return self.result.read()
+
+
+class DirtyGroupAggView:
+    """The recompute-on-change materialized-view tier for NON-invertible
+    aggregates (MIN/MAX — a delete of the group's extremum cannot be
+    "subtracted" the way :class:`IncrementalAggView` folds COUNT/SUM).
+
+    A refresh diffs the base manifests exactly like the invertible tier,
+    but uses the delta only to find the DIRTY group keys; those groups are
+    then re-aggregated from the current base and spliced over the stored
+    state (untouched groups carry over verbatim). The re-read prunes with
+    the manifest's per-dir min/max stats on the group key: only dirs whose
+    key range admits a dirty key are opened, so a base committed in
+    key-banded dirs re-reads one band per dirty band, not the table — the
+    same file-skipping the row-level DML path uses. Without key stats it
+    degrades to one filtered scan of the base, still only once per refresh.
+
+    This is precisely the incremental/recompute line DLT draws: COUNT/SUM
+    views fold deltas, MIN/MAX views recompute — but scoped to the groups
+    the delta actually touched.
+
+    ``sums``/``mins``/``maxs`` map output column → (source column, scale);
+    all values land as fixed-point BIGINTs so state is engine-replayable.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base: VersionedTable,
+        key: str,
+        path: str,
+        count_col: str = "n_rows",
+        sums: Mapping[str, tuple[str, int]] | None = None,
+        mins: Mapping[str, tuple[str, int]] | None = None,
+        maxs: Mapping[str, tuple[str, int]] | None = None,
+        max_dirty_collect: int = 100_000,
+    ) -> None:
+        self.spark = spark
+        self.base = base
+        self.key = key
+        self.sums = dict(sums or {})
+        self.mins = dict(mins or {})
+        self.maxs = dict(maxs or {})
+        self.count_col = count_col
+        self.max_dirty_collect = max_dirty_collect
+        self.result = VersionedTable(spark, path)
+        self._marker_path = os.path.join(path, "_mv_state.json")
+
+    refreshed_version = IncrementalAggView.refreshed_version
+    _write_marker = IncrementalAggView._write_marker
+    read = IncrementalAggView.read
+
+    def _aggs(self):
+        def unit(src: str, scale: int):
+            return F.floor(F.col(src) * scale + F.lit(0.5)).cast("bigint")
+
+        aggs = [F.count(F.lit(1)).cast("bigint").alias(self.count_col)]
+        for out, (src, scale) in self.sums.items():
+            aggs.append(F.sum(unit(src, scale)).cast("bigint").alias(out))
+        for out, (src, scale) in self.mins.items():
+            aggs.append(F.min(unit(src, scale)).cast("bigint").alias(out))
+        for out, (src, scale) in self.maxs.items():
+            aggs.append(F.max(unit(src, scale)).cast("bigint").alias(out))
+        return aggs
+
+    def refresh(self) -> dict:
+        v_to = self.base.current_version()
+        if v_to is None:
+            raise ValueError("base table has no snapshots")
+        v_from = self.refreshed_version()
+        m_to = self.base._manifest(v_to)
+        dirs_total = len(m_to["dirs"])
+        if v_from == v_to:
+            return {"from_version": v_from, "to_version": v_to,
+                    "dirs_read": 0, "dirs_total": dirs_total}
+
+        if v_from is None:
+            # First build: full aggregate, no dirty tracking needed.
+            state = self.base.read().groupBy(self.key).agg(*self._aggs())
+            self.result.commit(state, mode="overwrite", _operation="mv_build")
+            self._write_marker(v_to)
+            return {"from_version": None, "to_version": v_to,
+                    "dirs_read": dirs_total, "dirs_total": dirs_total}
+
+        old_dirs = self.base._manifest(v_from)["dirs"]
+        new_dirs = m_to["dirs"]
+        old_set, new_set = set(old_dirs), set(new_dirs)
+        added = [d for d in new_dirs if d not in old_set]
+        removed = [d for d in old_dirs if d not in new_set]
+        if not added and not removed:
+            self._write_marker(v_to)
+            return {"from_version": v_from, "to_version": v_to,
+                    "dirs_read": 0, "dirs_total": dirs_total}
+
+        parts = []
+        if added:
+            parts.append(self.base._read_dirs(added, v_to).select(self.key))
+        if removed:
+            parts.append(self.base._read_dirs(removed, v_from).select(self.key))
+        delta_keys = parts[0]
+        for p in parts[1:]:
+            delta_keys = delta_keys.unionByName(p)
+        dirty = [
+            r[0]
+            for r in delta_keys.distinct().limit(self.max_dirty_collect + 1).collect()
+        ]
+        if len(dirty) > self.max_dirty_collect:
+            # Churn touched more groups than worth enumerating: rebuild.
+            state = self.base.read().groupBy(self.key).agg(*self._aggs())
+            self.result.commit(state, mode="overwrite", _operation="mv_rebuild")
+            self._write_marker(v_to)
+            return {"from_version": v_from, "to_version": v_to,
+                    "dirs_read": dirs_total, "dirs_total": dirs_total}
+
+        # Stats-pruned re-read: open only dirs whose key range admits a
+        # dirty key (dirs without stats always qualify — no false skips).
+        stats = m_to.get("stats", {})
+        if any(self.key in s for s in stats.values()):
+            kept = sorted(
+                {
+                    d
+                    for v in dirty
+                    for d in self.base._kept_dirs(m_to, {self.key: (v, v)})
+                }
+            )
+        else:
+            kept = list(m_to["dirs"])
+        recomputed = (
+            self.base._read_dirs(kept, v_to)
+            .filter(F.col(self.key).isin(dirty))
+            .groupBy(self.key)
+            .agg(*self._aggs())
+        )
+        carried = self.result.read().filter(~F.col(self.key).isin(dirty))
+        state = carried.unionByName(recomputed)
+        self.result.commit(state, mode="overwrite", _operation="mv_refresh")
+        self._write_marker(v_to)
+        return {
+            "from_version": v_from,
+            "to_version": v_to,
+            "dirs_read": len(added) + len(removed) + len(kept),
+            "dirs_total": dirs_total,
+            "dirty_groups": len(dirty),
+        }

@@ -143,3 +143,72 @@ def test_mv_auto_refresh_on_commit_stream(spark, tmp_path):
     assert refreshes, "commit feed produced no refresh triggers"
     assert _state(mv) == {"a": (2, 400), "b": (1, 200), "c": (1, 25)}
     assert mv.refreshed_version() == t.current_version()
+
+
+def test_dirty_group_minmax_handles_extremum_delete(spark, tmp_path):
+    """Deleting a group's maximum is the case signed folds cannot invert:
+    the dirty-group tier re-aggregates that group and lands on the true
+    second maximum, while untouched groups carry over without a re-read."""
+    from lakeflow.views import DirtyGroupAggView
+
+    t = VersionedTable(spark, str(tmp_path / "base"))
+    # Key-banded commits with per-dir key stats → pruned dirty re-reads.
+    t.commit(
+        spark.createDataFrame(
+            [("a", 1.0), ("a", 9.0)], "k string, v double"
+        ),
+        stats_cols=["k"],
+    )
+    t.commit(
+        spark.createDataFrame(
+            [("b", 5.0), ("b", 7.5)], "k string, v double"
+        ),
+        stats_cols=["k"],
+    )
+    mv = DirtyGroupAggView(
+        spark, t, key="k", path=str(tmp_path / "mv"), count_col="n",
+        mins={"min_c": ("v", 100)}, maxs={"max_c": ("v", 100)},
+        sums={"sum_c": ("v", 100)},
+    )
+    r0 = mv.refresh()
+    assert r0["dirs_read"] == r0["dirs_total"] == 2  # first build reads all
+    state = {r.k: (r.n, r.min_c, r.max_c, r.sum_c) for r in mv.read().collect()}
+    assert state == {"a": (2, 100, 900, 1000), "b": (2, 500, 750, 1250)}
+
+    # Delete a's max; only a's band should be re-read (plus the DML churn).
+    t.delete_where("k = 'a' AND v > 8.0", prune_between={"k": ("a", "a")})
+    r1 = mv.refresh()
+    assert r1["dirty_groups"] == 1
+    # re-read = removed old a-dir + rewritten a-dir + stats-pruned kept set
+    # ({a's new dir}); b's dir is never opened.
+    assert r1["dirs_read"] <= 3
+    state = {r.k: (r.n, r.min_c, r.max_c, r.sum_c) for r in mv.read().collect()}
+    assert state == {"a": (1, 100, 100, 100), "b": (2, 500, 750, 1250)}
+
+
+def test_dirty_group_matches_full_rebuild_after_mixed_churn(spark, tmp_path):
+    from lakeflow.views import DirtyGroupAggView
+
+    t = VersionedTable(spark, str(tmp_path / "base"))
+    t.commit(
+        spark.createDataFrame(
+            [("a", 2.0), ("b", 3.0), ("c", 4.0)], "k string, v double"
+        )
+    )
+    mv = DirtyGroupAggView(
+        spark, t, key="k", path=str(tmp_path / "mv"), count_col="n",
+        maxs={"max_c": ("v", 100)},
+    )
+    mv.refresh()
+    t.commit(spark.createDataFrame([("a", 8.0), ("d", 1.0)], "k string, v double"))
+    t.delete_where("k = 'b'")
+    mv.refresh()
+
+    fresh = DirtyGroupAggView(
+        spark, t, key="k", path=str(tmp_path / "mv2"), count_col="n",
+        maxs={"max_c": ("v", 100)},
+    )
+    fresh.refresh()
+    got = {(r.k, r.n, r.max_c) for r in mv.read().collect()}
+    want = {(r.k, r.n, r.max_c) for r in fresh.read().collect()}
+    assert got == want == {("a", 2, 800), ("c", 1, 400), ("d", 1, 100)}
