@@ -25,6 +25,9 @@ minimal grammar that does:
     UPDATE VERSIONED t SET c1 = <expr>, c2 = <expr> WHERE <cond>
     APPLY CHANGES INTO t FROM <view_or_select> KEYS (k1, k2)
         SEQUENCE BY <col> [OPS <op_col> DELETE WHEN '<val>']
+    CREATE INCREMENTAL VIEW mv AS SELECT k1[, k2...], COUNT(*) AS c,
+        SUM(col) AS s[, ...] FROM t GROUP BY k1[, k2...] [WITH SCALE <n>]
+    REFRESH INCREMENTAL VIEW mv
 
 Deliberately a SMALL grammar, recognized by anchored regular expressions —
 statement heads are unambiguous, so there is no parser to get subtly wrong,
@@ -85,6 +88,17 @@ _APPLY = re.compile(
     r"KEYS\s*\(([^)]+)\)\s+SEQUENCE\s+BY\s+(\w+)"
     r"(?:\s+OPS\s+(\w+)\s+DELETE\s+WHEN\s+'([^']+)')?\s*$",
     re.IGNORECASE | re.DOTALL,
+)
+_CREATE_MV = re.compile(
+    r"^\s*CREATE\s+INCREMENTAL\s+VIEW\s+(\w+)\s+AS\s+"
+    r"SELECT\s+(.+?)\s+FROM\s+(\w+)\s+GROUP\s+BY\s+([\w\s,]+?)"
+    r"(?:\s+WITH\s+SCALE\s+(\d+))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_MV_COUNT = re.compile(r"^COUNT\(\*\)\s+AS\s+(\w+)$", re.IGNORECASE)
+_MV_SUM = re.compile(r"^SUM\((\w+)\)\s+AS\s+(\w+)$", re.IGNORECASE)
+_REFRESH_MV = re.compile(
+    r"^\s*REFRESH\s+INCREMENTAL\s+VIEW\s+(\w+)\s*$", re.IGNORECASE
 )
 _TIME_TRAVEL = re.compile(
     r"\b(\w+)\s+FOR\s+VERSION\s+AS\s+OF\s+(\d+)", re.IGNORECASE
@@ -174,7 +188,89 @@ class LakehouseSQL:
         m = _APPLY.match(stmt)
         if m:
             return self._apply_changes(*m.groups())
+        m = _CREATE_MV.match(stmt)
+        if m:
+            return self._create_mv(*m.groups())
+        m = _REFRESH_MV.match(stmt)
+        if m:
+            return self._refresh_mv(m.group(1))
         return self._query(stmt)
+
+    # -- incremental materialized views ------------------------------------
+    def _mv_spec_path(self, name: str) -> str:
+        import os
+
+        return os.path.join(self.catalog.root, f"_mv_{name}.json")
+
+    def _load_mv(self, name: str):
+        import json
+        import os
+
+        from lakeflow.views import IncrementalAggView
+
+        path = self._mv_spec_path(name)
+        if not os.path.exists(path):
+            raise ValueError(f"unknown incremental view {name!r}")
+        with open(path) as fh:
+            spec = json.load(fh)
+        return IncrementalAggView(
+            self.spark,
+            self.catalog.load(spec["base"]),
+            keys=spec["keys"],
+            sums={out: tuple(sv) for out, sv in spec["sums"].items()},
+            path=os.path.join(self.catalog.root, f"_mvdata_{name}"),
+            count_col=spec["count_col"],
+        )
+
+    def _create_mv(
+        self, name: str, select_list: str, base: str, group_by: str, scale: str | None
+    ) -> dict:
+        """DLT's incremental materialized view as a statement: the SELECT
+        list is restricted to the group keys plus COUNT(*)/SUM(col) aliases
+        (the group-invertible aggregates lakeflow/views.py folds from
+        manifest diffs); SUM values quantize at WITH SCALE (default 100 —
+        cents). The spec persists beside the warehouse so REFRESH works
+        from any later session; the first refresh runs at create time."""
+        import json
+
+        keys = [k.strip() for k in group_by.split(",")]
+        items = [s.strip() for s in select_list.split(",")]
+        lead, aggs = items[: len(keys)], items[len(keys):]
+        if lead != keys:
+            raise ValueError(
+                f"SELECT must start with the GROUP BY keys {keys}, got {lead}"
+            )
+        count_col, sums = None, {}
+        for item in aggs:
+            mc = _MV_COUNT.match(item)
+            if mc:
+                count_col = mc.group(1)
+                continue
+            ms = _MV_SUM.match(item)
+            if ms:
+                sums[ms.group(2)] = (ms.group(1), int(scale or 100))
+                continue
+            raise ValueError(
+                f"unsupported aggregate {item!r}: incremental views take "
+                "COUNT(*) AS c and SUM(col) AS s only (MIN/MAX need the "
+                "dirty-group tier via the Python API)"
+            )
+        if count_col is None:
+            raise ValueError("incremental views require COUNT(*) AS <name>")
+        with open(self._mv_spec_path(name), "w") as fh:
+            json.dump(
+                {"base": base, "keys": keys, "count_col": count_col,
+                 "sums": sums},
+                fh,
+            )
+        r = self._load_mv(name).refresh()
+        return {"created_view": name, **r}
+
+    def _refresh_mv(self, name: str) -> dict:
+        mv = self._load_mv(name)
+        r = mv.refresh()
+        mv.read().createOrReplaceTempView(name)
+        return {"refreshed_view": name, **r}
 
     def _merge_upsert(self, name: str, source: str, on_clause: str) -> dict:
         """The UPDATE SET * / INSERT * MERGE (the reference's SCD1 form,

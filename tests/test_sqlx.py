@@ -155,3 +155,38 @@ def test_shallow_clone_statement(lh):
     lh.execute("INSERT INTO VERSIONED fork SELECT id FROM range(1000, 1002)")
     assert lh.execute("SELECT count(*) AS n FROM fork").first()["n"] == 7
     assert lh.execute("SELECT count(*) AS n FROM src").first()["n"] == 8
+
+
+def test_incremental_view_statements(lh):
+    lh.execute(
+        "CREATE VERSIONED TABLE sales AS "
+        "SELECT id % 3 AS k, CAST(id AS DOUBLE) AS v FROM range(6)"
+    )
+    r = lh.execute(
+        "CREATE INCREMENTAL VIEW sales_by_k AS "
+        "SELECT k, COUNT(*) AS n, SUM(v) AS sv FROM sales GROUP BY k"
+    )
+    assert r["created_view"] == "sales_by_k" and r["dirs_read"] == 1
+
+    lh.execute(
+        "INSERT INTO VERSIONED sales "
+        "SELECT CAST(0 AS BIGINT) AS k, CAST(10.5 AS DOUBLE) AS v"
+    )
+    r2 = lh.execute("REFRESH INCREMENTAL VIEW sales_by_k")
+    # Incremental: only the appended dir is read.
+    assert r2["dirs_read"] == 1 and r2["dirs_total"] == 2
+    got = {
+        (row.k, row.n, row.sv)
+        for row in lh.execute("SELECT * FROM sales_by_k").collect()
+    }
+    # cents scale default: ids 0+3 (+10.5) / 1+4 / 2+5
+    assert got == {(0, 3, 1350), (1, 2, 500), (2, 2, 700)}
+
+
+def test_incremental_view_rejects_non_invertible_aggs(lh):
+    lh.execute("CREATE VERSIONED TABLE tt AS SELECT id AS k, id AS v FROM range(3)")
+    with pytest.raises(ValueError, match="dirty-group"):
+        lh.execute(
+            "CREATE INCREMENTAL VIEW bad AS "
+            "SELECT k, COUNT(*) AS n, MAX(v) AS m FROM tt GROUP BY k"
+        )
