@@ -115,11 +115,25 @@ class IncrementalAggView:
                 "dirs_total": dirs_total,
             }
 
+        if v_from is not None:
+            try:
+                old_dirs = self.base._manifest(v_from)["dirs"]
+            except FileNotFoundError:
+                # The snapshot this view last saw has been expired out from
+                # under us (expire_snapshots ran between refreshes). The
+                # diff is unrecoverable — fall back to a full rebuild, the
+                # same answer Delta gives a stale streaming reader.
+                v_from = None
         if v_from is None:
             added = self.base._manifest(v_to)["dirs"]
             removed: list[str] = []
+            if self.result.current_version() is not None:
+                # Rebuild replaces, never folds onto, the stale state.
+                self.result.commit(
+                    self.result.read().limit(0), mode="overwrite",
+                    _operation="mv_reset",
+                )
         else:
-            old_dirs = self.base._manifest(v_from)["dirs"]
             new_dirs = self.base._manifest(v_to)["dirs"]
             old_set, new_set = set(old_dirs), set(new_dirs)
             added = [d for d in new_dirs if d not in old_set]
@@ -277,8 +291,15 @@ class DirtyGroupAggView:
             return {"from_version": v_from, "to_version": v_to,
                     "dirs_read": 0, "dirs_total": dirs_total}
 
+        if v_from is not None:
+            try:
+                self.base._manifest(v_from)
+            except FileNotFoundError:
+                # Last-seen snapshot expired between refreshes: the dirty
+                # set is unrecoverable, rebuild from the current base.
+                v_from = None
         if v_from is None:
-            # First build: full aggregate, no dirty tracking needed.
+            # First build (or post-expiry rebuild): full aggregate.
             state = self.base.read().groupBy(self.key).agg(*self._aggs())
             self.result.commit(state, mode="overwrite", _operation="mv_build")
             self._write_marker(v_to)

@@ -212,3 +212,33 @@ def test_dirty_group_matches_full_rebuild_after_mixed_churn(spark, tmp_path):
     got = {(r.k, r.n, r.max_c) for r in mv.read().collect()}
     want = {(r.k, r.n, r.max_c) for r in fresh.read().collect()}
     assert got == want == {("a", 2, 800), ("c", 1, 400), ("d", 1, 100)}
+
+
+def test_refresh_survives_base_snapshot_expiry(spark, tmp_path):
+    """If the base snapshot a view last saw is expired between refreshes,
+    the diff is unrecoverable — refresh must rebuild from the current base
+    (replacing, never folding onto, the stale state) and land correct."""
+    from lakeflow.views import DirtyGroupAggView
+
+    t = _mk(spark, tmp_path, [("a", 1.0), ("b", 2.0)])
+    mv = _view(spark, t, tmp_path)
+    mv.refresh()
+    t.commit(spark.createDataFrame([("a", 4.0)], "k string, v double"))
+    t.commit(spark.createDataFrame([("c", 8.0)], "k string, v double"))
+    t.expire_snapshots(keep_last=1)  # drops v1 (the view's marker version)
+    r = mv.refresh()
+    assert r["from_version"] is None  # rebuild path taken
+    assert _state(mv) == {"a": (2, 500), "b": (1, 200), "c": (1, 800)}
+
+    d = DirtyGroupAggView(
+        spark, t, key="k", path=str(tmp_path / "mvd"), count_col="n",
+        maxs={"mx": ("v", 100)},
+    )
+    d.refresh()
+    t.commit(spark.createDataFrame([("a", 9.0)], "k string, v double"))
+    t.expire_snapshots(keep_last=1)
+    r2 = d.refresh()
+    assert r2["from_version"] is None
+    assert {(x.k, x.n, x.mx) for x in d.read().collect()} == {
+        ("a", 3, 900), ("b", 1, 200), ("c", 1, 800)
+    }
