@@ -584,3 +584,30 @@ def test_scd2_temporal_enrich_broadcasts_history(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dsir_single_corpus_scan_measured(spark):
+    """DSIR weights inherit unigram's one-scan contract: the scoring query's
+    live parquet scans read the documents table exactly once (the raw-token
+    probe); both distributions' counts come from the persisted union-vocab
+    aggregate, with no forced broadcast hint."""
+    from lakeflow.catalog import load_table
+    from lakeflow.observability import execution_metrics
+    from lakeflow.queries import QUERIES
+
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    df = QUERIES["dsir_importance_weights"](spark, SF_DIR)
+    rows = execution_metrics(df)
+    parquet_scan_rows = sum(
+        r["value"] or 0
+        for r in rows
+        if r["operator"].startswith("Scan")
+        and r["metric"] == "number of output rows"
+    )
+    assert parquet_scan_rows == n_docs, (
+        f"expected one corpus scan ({n_docs} rows), measured "
+        f"{parquet_scan_rows} parquet-scan rows"
+    )
+    assert any(r["operator"] == "InMemoryTableScan" for r in rows), (
+        "vocab no longer served from the persisted aggregate"
+    )
