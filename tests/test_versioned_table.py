@@ -390,7 +390,9 @@ def test_stream_apply_changes_folds_cdc_feed(spark, tmp_path):
     )
     rows1 = [(1, 1, "U", "a"), (2, 2, "U", "b"), (3, 3, "U", "c")]
     rows2 = [(2, 4, "D", None), (3, 5, "U", "c2"), (4, 6, "U", "d")]
-    for fname, rows in (("batch1.parquet", rows1), ("batch2.parquet", rows2)):
+    for i, (fname, rows) in enumerate(
+        (("batch1.parquet", rows1), ("batch2.parquet", rows2))
+    ):
         cols = list(zip(*rows))
         pq.write_table(
             pa.table(
@@ -399,6 +401,12 @@ def test_stream_apply_changes_folds_cdc_feed(spark, tmp_path):
             ),
             feed_dir / fname,
         )
+        # FileStreamSource orders micro-batches by modification time with
+        # arbitrary tie-breaking; pin distinct mtimes so batch1 always
+        # applies before batch2 (order-flake otherwise).
+        import os as _os
+
+        _os.utime(feed_dir / fname, (1_700_000_000 + i * 10,) * 2)
     b1 = spark.createDataFrame(rows1, "k long, seq long, op string, v string")
     b2 = spark.createDataFrame(rows2, "k long, seq long, op string, v string")
 
@@ -441,7 +449,7 @@ def test_stream_apply_changes_bucketed_matches_full_rewrite(spark, tmp_path):
     )
     rows1 = [(i, i, "U", f"v{i}") for i in range(20)]
     rows2 = [(3, 100, "D", None), (7, 101, "U", "v7b"), (25, 102, "U", "v25")]
-    for fname, rows in (("b1.parquet", rows1), ("b2.parquet", rows2)):
+    for i, (fname, rows) in enumerate((("b1.parquet", rows1), ("b2.parquet", rows2))):
         cols = list(zip(*rows))
         pq.write_table(
             pa.table(
@@ -450,6 +458,11 @@ def test_stream_apply_changes_bucketed_matches_full_rewrite(spark, tmp_path):
             ),
             feed_dir / fname,
         )
+        # Pin distinct mtimes: FileStreamSource breaks equal-mtime ties
+        # arbitrarily and the delete batch must not run first.
+        import os as _os
+
+        _os.utime(feed_dir / fname, (1_700_000_000 + i * 10,) * 2)
     schema = spark.read.parquet(str(feed_dir / "b1.parquet")).schema
 
     tables = {}
