@@ -2215,3 +2215,76 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("n_tokens"),
     )
+
+
+@register(
+    "fuzzy_dedup_survivors",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES},
+    {_MINHASH_BANDS_CTE},
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.id_a, c.id_b, count(*) AS i
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+        GROUP BY 1, 2
+    ),
+    verified AS (
+        SELECT id_a, id_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE (floor((i / (sa.sz + sb.sz - i)) * 1000000.0 + 0.5) / 1000000.0)
+              >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM verified
+        UNION SELECT id_b, id_a FROM verified
+    ),
+    walk AS (
+        SELECT src AS id, src AS reach FROM edges
+        UNION
+        SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+    ),
+    labels AS (
+        SELECT id, min(reach) AS cluster_id FROM (
+            SELECT id, reach FROM walk
+            UNION SELECT src, src FROM edges
+        ) GROUP BY id
+    ),
+    losers AS (SELECT id FROM labels WHERE id != cluster_id)
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT id FROM losers)
+    """,
+)
+def fuzzy_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus AFTER fuzzy (MinHash) dedup — the full production near-dedup
+    pipeline run end to end: 3-word shingles → 16 minhashes → 4×4 LSH bands →
+    exact Jaccard verification at 0.5 on candidates only → connected
+    components over verified pairs → keep the min-id canonical per cluster →
+    anti-join the losers out of the corpus. This is the BigCode/RefinedWeb
+    dedup recipe as one composable query.
+
+    Scale shape: every stage is an equi-join or combine-bounded aggregate —
+    band-bucket join cost tracks true collisions, verification cost is
+    O(|candidates|·shingles/doc), min-label propagation is O(edges) per
+    round with the driver holding only a convergence flag, and the final
+    anti-join moves only (id) for losers, never text. The DuckDB oracle
+    replays the identical minhash/band/verify math and resolves components
+    with a recursive CTE, so the distributed iterative algorithm is exactly
+    checked, not just row-counted."""
+    docs = load_table(spark, sf_dir, "documents")
+    shingles = dd.word_shingles(docs, n=3)
+    sigs = dd.minhash_signatures(shingles, num_hashes=16)
+    cands = dd.lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+    verified = dd.jaccard_verify(shingles, cands, min_sim=0.5)
+    losers = (
+        dd.dup_clusters(verified.select("id_a", "id_b"))
+        .filter(F.col("id") != F.col("cluster_id"))
+        .select(F.col("id").alias("doc_id"))
+    )
+    return docs.join(losers, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source"
+    )
