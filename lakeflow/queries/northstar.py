@@ -2288,3 +2288,86 @@ def fuzzy_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(losers, "doc_id", "left_anti").select(
         "doc_id", "lang", "source"
     )
+
+
+@register(
+    "domain_capped_sample",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               CAST(len(string_split({_RS_NORM}, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    totals AS (
+        SELECT source, sum(n_tokens) AS tot FROM toks GROUP BY source
+    ),
+    ranked AS (
+        SELECT source, tot,
+               row_number() OVER (ORDER BY tot, source) AS rn,
+               count(*) OVER () AS n
+        FROM totals
+    ),
+    med AS (SELECT tot AS cap FROM ranked WHERE rn = (n + 1) // 2),
+    rates AS (
+        SELECT t.source,
+               least(1000000, (cap * 1000000) // tot) AS rate_micro
+        FROM totals t, med
+    )
+    SELECT d.doc_id, d.source, d.n_tokens
+    FROM toks d JOIN rates r ON d.source = r.source
+    WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          % 1000000 < r.rate_micro
+    """,
+)
+def domain_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style domain balancing: cap every source's token mass at the
+    MEDIAN source's mass so no domain dominates the training mix. Instead of
+    a greedy per-domain prefix (which needs a per-source window — a skew
+    trap when one domain holds half the corpus), each source gets a
+    deterministic keep-rate cap/total in exact micro-units, and every doc
+    decides its own fate from md5(doc_id) — scan-side, reproducible across
+    runs/retries, and composable with incremental ingestion (a doc's fate
+    never changes as the corpus grows only if rates are pinned; here rates
+    re-derive per snapshot, the Gopher regime).
+
+    Scale shape: one combine-bounded aggregate to per-source totals
+    (#sources rows), the lower-median cap via a window over that tiny frame,
+    a broadcast of per-source rates back into the scan, and a scan-side
+    hash filter — no per-domain window, no shuffle of the corpus. All
+    arithmetic is integer (lower median of integer totals, integer-division
+    micro-rates), so both engines agree bit-for-bit with no float boundary
+    risk."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", tx.token_count_ws("text").alias("n_tokens")
+    )
+    totals = docs.groupBy("source").agg(F.sum("n_tokens").alias("tot"))
+    ranked = totals.select(
+        "source",
+        "tot",
+        F.row_number().over(Window.orderBy("tot", "source")).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy()
+        ).alias("n"),
+    )
+    med = ranked.filter(
+        F.col("rn") == F.expr("div(n + 1, 2)")
+    ).select(F.col("tot").alias("cap"))
+    rates = totals.crossJoin(F.broadcast(med)).select(
+        "source",
+        F.least(
+            F.lit(1_000_000).cast("bigint"),
+            F.expr("div(cap * 1000000, tot)"),
+        ).alias("rate_micro"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 1_000_000
+    )
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(bucket < F.col("rate_micro"))
+        .select("doc_id", "source", "n_tokens")
+    )
