@@ -425,3 +425,77 @@ def rolling_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakeflow.operators.timeseries import rolling_zscore
 
     return rolling_zscore(load_table(spark, sf_dir, "events"), window=8)
+
+
+@register(
+    "asof_cogroup_pandas",
+    oracle=f"""
+    SELECT l.event_id, l.user_id, strftime(l.ts, '{_STRF}') AS ts_s,
+           {sql_rnd('l.value', 2)} AS value,
+           r.event_id AS prior_view_id,
+           {sql_rnd('r.value', 2)} AS prior_view_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def asof_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The as-of join again, but through the cogrouped-pandas API —
+    ``df.groupBy(k).cogroup(other.groupBy(k)).applyInPandas`` with a
+    ``pd.merge_asof`` inside — the §2.10 surface slot the JVM twin
+    (``asof_purchase_view``, same oracle) doesn't exercise. Per user the
+    two sides arrive as Arrow batches, are merged backward-in-time, and
+    the result streams out; shuffle is one hash partition per side on
+    user_id — identical to the JVM plan — only the per-group merge runs
+    in Python. Same oracle as the JVM twin, so the two implementations
+    are pinned to each other through DuckDB's native ASOF JOIN."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("prior_view_id"),
+        F.col("ts").alias("v_ts"),
+        F.col("value").alias("prior_view_value"),
+    )
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(
+                columns=[
+                    "user_id", "event_id", "ts", "value",
+                    "prior_view_id", "prior_view_value",
+                ]
+            )
+        left = left.sort_values("ts", kind="mergesort")
+        right = right.sort_values("v_ts", kind="mergesort")
+        out = pd.merge_asof(
+            left, right.drop(columns=["user_id"]),
+            left_on="ts", right_on="v_ts", direction="backward",
+        ).drop(columns=["v_ts"])
+        # Arrow needs a nullable integer, not NaN-promoted float64.
+        out["prior_view_id"] = out["prior_view_id"].astype("Int64")
+        return out
+
+    merged = (
+        purchases.groupBy("user_id")
+        .cogroup(views.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            schema=(
+                "user_id bigint, event_id bigint, ts timestamp, value double,"
+                " prior_view_id bigint, prior_view_value double"
+            ),
+        )
+    )
+    return merged.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", TS_FMT).alias("ts_s"),
+        rnd("value", 2).alias("value"),
+        "prior_view_id",
+        rnd("prior_view_value", 2).alias("prior_view_value"),
+    )
