@@ -138,6 +138,11 @@ def main() -> None:
                 continue
             timings[name] = round(time.perf_counter() - t0, 3)
             print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
+            # Queries persist intermediates (dup_clusters labels, LM vocabs,
+            # MV state); across a 150+-query sweep those caches accumulate
+            # until the local JVM heap dies. Dropping them between queries
+            # keeps each timing self-contained and the sweep survivable.
+            spark.catalog.clearCache()
         return timings
 
     timings = run_set(BENCH_QUERIES)

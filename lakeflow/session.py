@@ -65,6 +65,16 @@ def get_session(
     if master:
         builder = builder.master(master)
     conf = dict(SCALE_DEFAULTS)
+    if master and master.startswith("local"):
+        # Local mode runs driver+executors in ONE JVM whose default heap is
+        # 1 GiB — 32 task threads plus accumulated caches OOM it long before
+        # the 128 GiB box is busy (it killed a full-surface bench run at
+        # sf0.1). Only effective at first JVM launch; harmless afterwards.
+        # On a real cluster, memory comes from spark-submit, not this knob.
+        conf.setdefault(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
     if shuffle_partitions is not None:
         conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     if extra_conf:
