@@ -442,24 +442,34 @@ def rolling_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def asof_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The as-of join again, but through the cogrouped-pandas API —
     ``df.groupBy(k).cogroup(other.groupBy(k)).applyInPandas`` with a
-    ``pd.merge_asof`` inside — the §2.10 surface slot the JVM twin
-    (``asof_purchase_view``, same oracle) doesn't exercise. Per user the
-    two sides arrive as Arrow batches, are merged backward-in-time, and
-    the result streams out; shuffle is one hash partition per side on
-    user_id — identical to the JVM plan — only the per-group merge runs
-    in Python. Same oracle as the JVM twin, so the two implementations
-    are pinned to each other through DuckDB's native ASOF JOIN."""
+    ``pd.merge_asof(by="user_id")`` inside — the §2.10 surface slot the
+    JVM twin (``asof_purchase_view``, same oracle) doesn't exercise.
+
+    The cogroup key is a coarse hash BUCKET of user_id, not user_id
+    itself: grouping per user would cross the Python boundary once per
+    user (sf0.1 spent 8.6s mostly on per-group invocation overhead),
+    while ``merge_asof(by=...)`` does the per-user as-of inside one
+    vectorized call per bucket. Bucket count bounds task count — the
+    same knob that sizes tasks at 100 TB. Same oracle as the JVM twin,
+    so the two implementations are pinned to each other through DuckDB's
+    native ASOF JOIN."""
     import pandas as pd
 
+    n_buckets = 64
     ev = load_table(spark, sf_dir, "events")
+    bucket = F.pmod(F.hash("user_id"), F.lit(n_buckets)).alias("__b")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "event_id", "ts", "value"
+        "user_id", "event_id", "ts", "value", bucket
     )
+    # The right key gets its own name: both sides derive from the same
+    # scan, so an identically-named user_id shares its attribute id across
+    # the cogroup and the plan rewriter collapses it out of the right frame.
     views = ev.filter(F.col("event_type") == "view").select(
-        "user_id",
+        F.col("user_id").alias("v_uid"),
         F.col("event_id").alias("prior_view_id"),
         F.col("ts").alias("v_ts"),
         F.col("value").alias("prior_view_value"),
+        bucket,
     )
 
     def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
@@ -470,19 +480,23 @@ def asof_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "prior_view_id", "prior_view_value",
                 ]
             )
-        left = left.sort_values("ts", kind="mergesort")
-        right = right.sort_values("v_ts", kind="mergesort")
+        left = left.drop(columns=["__b"]).sort_values("ts", kind="mergesort")
+        right = right.drop(columns=["__b"]).sort_values(
+            "v_ts", kind="mergesort"
+        )
         out = pd.merge_asof(
-            left, right.drop(columns=["user_id"]),
-            left_on="ts", right_on="v_ts", direction="backward",
-        ).drop(columns=["v_ts"])
+            left, right,
+            left_on="ts", right_on="v_ts",
+            left_by="user_id", right_by="v_uid",
+            direction="backward",
+        ).drop(columns=["v_ts", "v_uid"])
         # Arrow needs a nullable integer, not NaN-promoted float64.
         out["prior_view_id"] = out["prior_view_id"].astype("Int64")
         return out
 
     merged = (
-        purchases.groupBy("user_id")
-        .cogroup(views.groupBy("user_id"))
+        purchases.groupBy("__b")
+        .cogroup(views.groupBy("__b"))
         .applyInPandas(
             merge,
             schema=(
