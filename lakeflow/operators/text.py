@@ -1000,3 +1000,132 @@ def dsir_importance_weights(
             "avg_logratio"
         ),
     )
+
+
+def word_freq_symbols(
+    df: DataFrame, text_col: str = "text", eow: str = "</w>"
+) -> DataFrame:
+    """BPE training's working set: distinct word types with corpus
+    frequencies and their initial symbol sequences (characters + an
+    end-of-word marker). All BPE statistics derive from this frame, which is
+    VOCABULARY-sized — the corpus is scanned once and never again, exactly
+    how real BPE trainers operate (Sennrich et al. 2016 train on a word-count
+    table, not the raw text).
+
+    Output: (word, f bigint, syms array<string>).
+    """
+    words = df.select(
+        F.explode(F.split(normalize_text(text_col), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    wf = words.groupBy("word").agg(F.count(F.lit(1)).alias("f"))
+    syms = F.concat(
+        F.regexp_extract_all(F.col("word"), F.lit("."), 0),
+        F.array(F.lit(eow)),
+    )
+    return wf.select("word", "f", syms.alias("syms"))
+
+
+def bpe_pair_counts(
+    df: DataFrame, text_col: str = "text", top_k: int = 20
+) -> DataFrame:
+    """The first BPE iteration's statistic: adjacent-symbol pair frequencies
+    over the character-level tokenization, weighted by word frequency —
+    the argmax of this table is the first learned merge. Deterministic
+    (count DESC, pair ASC) tiebreak keeps the cut reproducible.
+
+    Scale shape: one corpus scan to the word-frequency table, then all pair
+    work runs on the vocabulary (Heaps'-law-sized, not corpus-sized); the
+    pair aggregate is combine-bounded by distinct pairs and the top-k is a
+    TakeOrdered, never a global sort.
+
+    Output: (pair string "a|b", n bigint).
+    """
+    wf = word_freq_symbols(df, text_col)
+    pair = F.explode(
+        F.expr(
+            "transform(sequence(1, size(syms) - 1),"
+            " i -> concat(syms[i - 1], '|', syms[i]))"
+        )
+    ).alias("pair")
+    # sequence(1, 0) DESCENDS in Spark, so a single-symbol word would index
+    # out of bounds — words with fewer than two symbols have no pairs.
+    pairs = wf.filter(F.size("syms") >= 2).select("f", pair)
+    counted = pairs.groupBy("pair").agg(F.sum("f").alias("n"))
+    return counted.orderBy(F.desc("n"), F.asc("pair")).limit(top_k)
+
+
+def _merge_pair_expr(a: str, b: str) -> str:
+    """SQL expression merging every left-to-right non-overlapping (a, b)
+    adjacency in ``syms`` into one symbol — the BPE merge application as a
+    single JVM-side fold (no Python in the loop)."""
+    qa, qb = a.replace("'", "\\'"), b.replace("'", "\\'")
+    return f"""
+    aggregate(
+        syms,
+        struct(CAST(array() AS array<string>) AS out, CAST(NULL AS string) AS p),
+        (acc, x) -> CASE
+            WHEN acc.p = '{qa}' AND x = '{qb}'
+                THEN struct(array_append(acc.out, '{qa}{qb}') AS out,
+                            CAST(NULL AS string) AS p)
+            WHEN acc.p IS NULL THEN struct(acc.out AS out, x AS p)
+            ELSE struct(array_append(acc.out, acc.p) AS out, x AS p)
+        END,
+        acc -> CASE WHEN acc.p IS NULL THEN acc.out
+                    ELSE array_append(acc.out, acc.p) END
+    )
+    """
+
+
+def bpe_learn_merges(
+    df: DataFrame, text_col: str = "text", n_merges: int = 8
+) -> list[tuple[str, str, int]]:
+    """Learn ``n_merges`` BPE merges over the corpus: iteratively count
+    adjacent symbol pairs (weighted by word frequency), take the most
+    frequent (ties broken lexicographically so training is deterministic),
+    and fold that pair into one symbol everywhere.
+
+    The driver holds only the merge table (n_merges rows — control plane);
+    each iteration is one combine-bounded aggregate plus a TakeOrdered(1)
+    over the persisted vocabulary frame, and the merge application is a
+    Catalyst ``aggregate`` fold — no Python touches a row. Real trainers
+    cap iterations in the thousands; the per-iteration cost here is
+    O(vocab · word-length), independent of corpus size after the first scan.
+
+    Returns [(left, right, weighted_count), ...] in merge order.
+    """
+    from pyspark import StorageLevel
+
+    vocab = word_freq_symbols(df, text_col).select("f", "syms").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    merges: list[tuple[str, str, int]] = []
+    current = vocab
+    for _ in range(n_merges):
+        pairs = current.filter(F.size("syms") >= 2).select(
+            "f",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1),"
+                    " i -> struct(syms[i - 1] AS a, syms[i] AS b))"
+                )
+            ).alias("pr"),
+        )
+        top = (
+            pairs.groupBy("pr.a", "pr.b")
+            .agg(F.sum("f").alias("n"))
+            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, n = top[0]["a"], top[0]["b"], top[0]["n"]
+        merges.append((a, b, n))
+        nxt = current.select(
+            "f", F.expr(_merge_pair_expr(a, b)).alias("syms")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        nxt.count()  # materialize before dropping the parent
+        current.unpersist()
+        current = nxt
+    current.unpersist()
+    return merges

@@ -2371,3 +2371,37 @@ def domain_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(bucket < F.col("rate_micro"))
         .select("doc_id", "source", "n_tokens")
     )
+
+
+@register(
+    "bpe_pair_counts",
+    oracle=f"""
+    WITH words AS (
+        SELECT unnest(string_split({_RS_NORM}, ' ')) AS w FROM documents
+    ),
+    wf AS (SELECT w, count(*) AS f FROM words WHERE w != '' GROUP BY w),
+    syms AS (
+        SELECT f, list_append(regexp_extract_all(w, '.'), '</w>') AS s FROM wf
+    ),
+    pairs AS (
+        SELECT f,
+               unnest(list_transform(range(1, len(s)),
+                                     i -> s[i] || '|' || s[i + 1])) AS pair
+        FROM syms WHERE len(s) >= 2
+    )
+    SELECT pair, CAST(sum(f) AS BIGINT) AS n FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair ASC LIMIT 20
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer induction, step one: adjacent-symbol pair frequencies over
+    the character-level corpus tokenization (+ end-of-word marker), weighted
+    by word frequency — the statistic whose argmax is BPE's first learned
+    merge. The corpus is scanned ONCE into a word-frequency table
+    (vocabulary-sized, Sennrich et al. 2016's working set); every pair
+    statistic derives from that frame with combine-bounded aggregation and a
+    TakeOrdered top-k. The full iterative trainer
+    (operators.text.bpe_learn_merges) reuses this statistic per round with
+    the merge applied as a Catalyst fold — unit-tested against hand-computed
+    merges; this query pins the distributed statistic to the DuckDB oracle."""
+    return tx.bpe_pair_counts(load_table(spark, sf_dir, "documents"), top_k=20)

@@ -1383,3 +1383,42 @@ def test_dsir_weights_hand_computed(spark):
     assert out[2]["avg_logratio"] == round((lr_a + lr_b) / 2 / 1e6, 6)
     assert out[3]["avg_logratio"] == round((lr_b + lr_b) / 2 / 1e6, 6)
     assert out[2]["n_tokens"] == 2 and out[3]["n_tokens"] == 2
+
+
+def test_bpe_learn_merges_hand_computed(spark):
+    """BPE trainer vs the classic hand-worked example: on
+    'low low low lower lowest / new newer newest low' the learned merges
+    must be l+o, lo+w, low+</w>, e+w, n+ew, e+r (count-desc, lexicographic
+    ties), and a fully-merged single-symbol word must not break pair
+    extraction (sequence(1,0) descends in Spark)."""
+    from lakeflow.operators.text import bpe_learn_merges
+
+    df = spark.createDataFrame(
+        [(1, "low low low lower lowest"), (2, "new newer newest low")],
+        "doc_id long, text string",
+    )
+    merges = bpe_learn_merges(df, n_merges=6)
+    assert merges == [
+        ("l", "o", 6),
+        ("lo", "w", 6),
+        ("low", "</w>", 4),
+        ("e", "w", 3),
+        ("n", "ew", 3),
+        ("e", "r", 2),
+    ]
+
+
+def test_bpe_merge_fold_left_to_right_nonoverlapping(spark):
+    """The Catalyst merge fold must consume greedily left-to-right without
+    overlap: 'aaa' under merge (a,a) becomes [aa, a], never [a, aa] or
+    [aa, aa]."""
+    from pyspark.sql import functions as F
+
+    from lakeflow.operators.text import _merge_pair_expr
+
+    df = spark.createDataFrame(
+        [(["a", "a", "a"],), (["a", "a", "a", "a"],), (["b", "a"],)],
+        "syms array<string>",
+    )
+    out = [r[0] for r in df.select(F.expr(_merge_pair_expr("a", "a"))).collect()]
+    assert out == [["aa", "a"], ["aa", "aa"], ["b", "a"]]
