@@ -2405,3 +2405,43 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the merge applied as a Catalyst fold — unit-tested against hand-computed
     merges; this query pins the distributed statistic to the DuckDB oracle."""
     return tx.bpe_pair_counts(load_table(spark, sf_dir, "documents"), top_k=20)
+
+
+@register(
+    "token_counts_arrow",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents)
+    SELECT doc_id, len(string_split(t, ' ')) AS n_ws
+    FROM norm
+    """,
+)
+def token_counts_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whitespace token count a third way: ``mapInArrow`` — the
+    zero-copy RecordBatch API below the pandas layer (PySpark 4's §2.10
+    completion alongside UDF/UDAF/UDTF/applyInPandas/cogroup). The batch
+    never materializes as pandas objects: normalization and splitting run
+    as pyarrow.compute kernels on Arrow buffers, the cheapest possible
+    Python boundary. Same oracle as ``token_counts`` /
+    ``token_counts_pandas``, so all three implementations stay pinned to
+    one semantic. JVM expression remains the hot-path choice; this proves
+    the plumbing."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def count_tokens(batches):
+        for batch in batches:
+            text = batch.column(batch.schema.get_field_index("text"))
+            norm = pc.replace_substring_regex(
+                pc.utf8_lower(pc.utf8_trim_whitespace(text)), r"\s+", " "
+            )
+            n = pc.list_value_length(pc.split_pattern(norm, " "))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(batch.schema.get_field_index("doc_id")),
+                    pc.cast(n, pa.int64()),
+                ],
+                names=["doc_id", "n_ws"],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInArrow(count_tokens, "doc_id bigint, n_ws bigint")
