@@ -611,3 +611,29 @@ def test_dsir_single_corpus_scan_measured(spark):
     assert any(r["operator"] == "InMemoryTableScan" for r in rows), (
         "vocab no longer served from the persisted aggregate"
     )
+
+
+def test_domain_caps_corpus_never_shuffles(spark):
+    """domain_capped_sample's scale claim: the only exchanges carry the
+    combine-bounded per-source totals (and the tiny median window) — the
+    documents scan reaches the keep-filter through a broadcast join, never
+    a sort-merge shuffle."""
+    import re
+
+    plan = _plan(spark, "domain_capped_sample")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # one exchange for the per-source aggregate, one for the median window
+    n_exchanges = len(re.findall(r"Exchange (hash|range|single)partitioning", plan))
+    assert n_exchanges <= 2, plan
+
+
+def test_bpe_pair_counts_partial_agg_and_takeordered(spark):
+    """bpe_pair_counts: pair counting must partial-aggregate map-side
+    (shuffle bounded by distinct pairs) and the top-k must run as
+    TakeOrdered, never a global sort of the pair table."""
+    plan = _plan(spark, "bpe_pair_counts")
+    assert "partial_sum" in plan or "partial_count" in plan, plan
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Sort ") == 0 or "TakeOrderedAndProject" in plan
