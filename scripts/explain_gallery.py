@@ -55,6 +55,13 @@ GALLERY = [
     ("event_funnel_steps", "three dependent conditional-min windows over ONE user_id exchange — no per-step self-joins"),
     ("hybrid_rrf_topk", "BM25 + cosine branches each capped to top-k_each before the fusion join"),
     ("column_profile_orders", "all per-column stats in one aggregate; exact-distinct Expand visible (approx mode drops it)"),
+    # fuzzy_dedup_survivors is excluded: the iterative component rounds
+    # inline their cached sub-plans repeatedly (~10k lines of formatted
+    # plan); its stages are covered piecewise by ngram_jaccard_pairs and
+    # the dedup plan tests.
+    ("domain_capped_sample", "per-source totals (combine-bounded) → median cap → broadcast rates → scan-side keep filter"),
+    ("bpe_pair_counts", "one corpus scan → vocab-sized pair agg (partial) → TakeOrdered top-k"),
+    ("asof_cogroup_pandas", "bucket-keyed FlatMapCoGroupsInPandas — Python crossed O(buckets) times"),
 ]
 
 
