@@ -157,8 +157,10 @@ _REWRITTEN_SINCE_GREEN = frozenset(
         # r5: unigram_logprob_scores rewritten for scale shape (VERDICT r4
         # "Next round #1" / "What's wrong #1"): total derived from the vocab
         # aggregate instead of a second token scan, forced vocab broadcast
-        # removed, micro-nat log precomputed driver-side to close the
-        # Math.log-vs-DuckDB-ln ulp gap (ADVICE r4 low #1).
+        # removed. The Math.log-vs-DuckDB-ln ulp gap (ADVICE r4 low #1) is
+        # accepted and pinned by a cross-engine agreement test over the
+        # fixture's full distinct-count domain (a flip needs ln to straddle
+        # a 0.5-micro-nat boundary AND the rounded mean to sit on its own).
         "unigram_logprob_scores",
         # r5: q11/q22 predicates rescaled so the sf0.01 result set is
         # non-empty (VERDICT r4 "What's wrong #2"); oracles mirrored.

@@ -337,3 +337,45 @@ def test_mv_incremental_equals_rebuild_property(spark, tmp_path_factory, ops, re
     got = {(r.k, r.n, r.s) for r in mv.read().collect()}
     want = {(r.k, r.n, r.s) for r in fresh.read().collect()}
     assert got == want
+
+
+def _bpe_merge_ref(syms: list[str], a: str, b: str) -> list[str]:
+    """Python reference for BPE merge application: greedy left-to-right
+    non-overlapping."""
+    out: list[str] = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+@given(
+    arrays=st.lists(
+        st.lists(st.sampled_from(["a", "b", "ab", "c"]), min_size=0, max_size=8),
+        min_size=1,
+        max_size=6,
+    ),
+    pair=st.tuples(
+        st.sampled_from(["a", "b", "ab"]), st.sampled_from(["a", "b", "c"])
+    ),
+)
+@settings(**_SETTINGS)
+def test_bpe_merge_fold_matches_reference(spark, arrays, pair):
+    """The Catalyst aggregate fold that applies a BPE merge must agree with
+    the greedy left-to-right non-overlapping Python reference on arbitrary
+    symbol sequences — including overlap runs (aaa), empty arrays, and
+    merges whose output symbol (ab) already exists in the input."""
+    from pyspark.sql import functions as F
+
+    from lakeflow.operators.text import _merge_pair_expr
+
+    a, b = pair
+    df = spark.createDataFrame([(arr,) for arr in arrays], "syms array<string>")
+    got = [r[0] for r in df.select(F.expr(_merge_pair_expr(a, b))).collect()]
+    want = [_bpe_merge_ref(arr, a, b) for arr in arrays]
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
