@@ -2445,3 +2445,43 @@ def token_counts_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return docs.mapInArrow(count_tokens, "doc_id bigint, n_ws bigint")
+
+
+@register(
+    "pysink_jsonl_roundtrip",
+    oracle="""
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def pysink_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The writer half of the Python DataSource API (the reader half is
+    ``lakeflow_ticks``): documents stream through the custom two-phase-commit
+    JSONL shard sink (temp shard → commit-time publish + _MANIFEST — the
+    write-audit-publish contract, so failed tasks never leave half-visible
+    shards), are read back with the schema'd JSONL reader, and aggregate per
+    lang. The oracle aggregates the ORIGINAL table, so any row lost, doubled,
+    or mangled by the sink's task/commit protocol breaks the hash."""
+    import tempfile
+
+    from lakeflow.sources.batch import read_jsonl
+    from lakeflow.sources.pysink import register_jsonl_sink
+
+    register_jsonl_sink(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="lakeflow_pysink_") + "/docs"
+    docs.write.format("lakeflow_jsonl_sink").option("path", path).mode(
+        "append"
+    ).save()
+    # Published shards only: the glob skips _MANIFEST and any .tmp shard a
+    # dead attempt left behind (the reader-side half of the WAP contract).
+    back = read_jsonl(
+        spark,
+        path + "/part-*.jsonl",
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )

@@ -1422,3 +1422,35 @@ def test_bpe_merge_fold_left_to_right_nonoverlapping(spark):
     )
     out = [r[0] for r in df.select(F.expr(_merge_pair_expr("a", "a"))).collect()]
     assert out == [["aa", "a"], ["aa", "aa"], ["b", "a"]]
+
+
+def test_pysink_jsonl_two_phase_commit(spark, tmp_path):
+    """The custom Python DataSource writer must publish shards only at
+    commit: after save() the directory holds part-*.jsonl shards named by a
+    _MANIFEST and no .tmp leftovers, and the shard union equals the input."""
+    import json as _json
+
+    from lakeflow.sources.pysink import register_jsonl_sink
+
+    register_jsonl_sink(spark)
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k long, s string, v long"
+    ).repartition(2)
+    out = str(tmp_path / "sink")
+    df.write.format("lakeflow_jsonl_sink").option("path", out).mode(
+        "append"
+    ).save()
+
+    files = sorted(p.name for p in (tmp_path / "sink").iterdir())
+    shards = [f for f in files if f.endswith(".jsonl")]
+    assert "_MANIFEST" in files
+    assert not [f for f in files if f.endswith(".tmp")]
+    assert sorted(_json.load(open(tmp_path / "sink" / "_MANIFEST"))) == shards
+
+    rows = []
+    for sh in shards:
+        with open(tmp_path / "sink" / sh) as f:
+            rows += [_json.loads(line) for line in f]
+    assert sorted((r["k"], r["s"], r["v"]) for r in rows) == [
+        (1, "a", 10), (2, "b", 20), (3, "c", 30),
+    ]
