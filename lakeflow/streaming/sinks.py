@@ -331,3 +331,40 @@ def stream_apply_changes(
     elif processing_time:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def stream_append(
+    df: DataFrame,
+    table,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+    processing_time: str | None = None,
+    txn_app: str = "stream_append",
+):
+    """Exactly-once streaming APPEND into a :class:`VersionedTable`.
+
+    Merge-based sinks (:func:`stream_upsert` / :func:`stream_scd2` /
+    :func:`stream_apply_changes`) replay idempotently because re-merging the
+    same keys reproduces the same state. A plain append has no such luck: a
+    crash between the table commit and the checkpoint write would replay the
+    micro-batch and duplicate rows. Each batch therefore commits with
+    ``txn=(txn_app, batch_id)`` — the manifest's per-app transactional
+    watermark (Delta's txnAppId/txnVersion) — and the table itself skips any
+    batch id at or below the recorded mark, making the append exactly-once
+    end to end regardless of where the failure lands.
+    """
+    import tempfile as _tf
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        table.commit(batch_df, mode="append", txn=(txn_app, int(batch_id)))
+
+    writer = df.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint or _tf.mkdtemp(prefix="lakeflow-ckpt-")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

@@ -200,10 +200,20 @@ class VersionedTable:
         merge_schema: bool = False,
         bloom_cols: Sequence[str] | None = None,
         bloom_bits: int = 4096,
+        txn: tuple[str, int] | None = None,
         _operation: str | None = None,
         _existing_dir: str | None = None,
     ) -> int:
         """Write ``df`` as a new snapshot; returns the new version number.
+
+        ``txn=(app_id, txn_version)`` makes the commit transactionally
+        idempotent (Delta's txnAppId/txnVersion): the manifest records the
+        highest txn_version seen per app, and a commit whose txn_version is
+        ``<=`` the recorded one is SKIPPED entirely (no data write, current
+        version returned). This is what makes foreachBatch APPEND sinks
+        exactly-once — merge sinks replay idempotently by construction, but
+        a replayed append (crash between commit and checkpoint) would
+        duplicate rows without the marker.
 
         ``mode="append"`` keeps prior data dirs in the manifest;
         ``mode="overwrite"`` starts the manifest fresh (data files of older
@@ -232,6 +242,12 @@ class VersionedTable:
         """
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+        if txn is not None:
+            cur = self.current_version()
+            if cur is not None:
+                recorded = self._manifest(cur).get("txns", {}).get(txn[0])
+                if recorded is not None and txn[1] <= recorded:
+                    return cur  # replayed batch: already folded, skip
         if _existing_dir is not None:
             # WAP publish path: the data is already staged on disk; adopting
             # it avoids a second write of the full batch.
@@ -304,6 +320,8 @@ class VersionedTable:
         if bloom:
             manifest["bloom"] = bloom
             manifest["bloom_bits"] = bloom_bits
+        if txn is not None:
+            manifest["txns"] = {txn[0]: txn[1]}
         self._publish_manifest(manifest)
         return version
 
@@ -526,6 +544,20 @@ class VersionedTable:
             "committed_at",
             datetime.datetime.now(datetime.timezone.utc).isoformat(),
         )
+        # Transactional watermarks survive every manifest-producing path
+        # (DML, replace-partitions, rollback, compaction): carry the prior
+        # snapshot's per-app txn versions forward, newest markers winning —
+        # otherwise any unrelated commit would forget stream progress and a
+        # later replayed append would duplicate rows.
+        if version > 1:
+            try:
+                prev_txns = self._manifest(version - 1).get("txns", {})
+            except FileNotFoundError:
+                prev_txns = {}
+            if prev_txns:
+                merged = dict(prev_txns)
+                merged.update(manifest.get("txns", {}))
+                manifest["txns"] = merged
         final = os.path.join(self._snap_dir, f"{version:08d}.json")
         tmp = os.path.join(
             self._snap_dir, f".{version:08d}-{uuid.uuid4().hex}.json.tmp"

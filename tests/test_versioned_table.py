@@ -1341,3 +1341,75 @@ def test_clone_refuses_nonempty_destination(spark, tmp_path):
     dest.commit(spark.createDataFrame([(2, "b")], "k long, v string"))
     with pytest.raises(ValueError, match="not empty"):
         src.clone_to(str(tmp_path / "dest"))
+
+
+def test_commit_txn_marker_skips_replayed_batch(spark, tmp_path):
+    """A commit carrying txn=(app, v) must be skipped when v <= the recorded
+    watermark for that app — including after unrelated commits in between
+    (the marker must survive every manifest-producing path)."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    b0 = spark.createDataFrame([(1, "a")], "k long, v string")
+    b1 = spark.createDataFrame([(2, "b")], "k long, v string")
+
+    v1 = t.commit(b0, txn=("appA", 0))
+    assert v1 == 1
+    # exact replay: no new version, no duplicate rows
+    assert t.commit(b0, txn=("appA", 0)) == 1
+    assert t.read().count() == 1
+
+    v2 = t.commit(b1, txn=("appA", 1))
+    assert v2 == 2
+    # unrelated non-txn commit must not erase the watermark
+    t.commit(spark.createDataFrame([(3, "c")], "k long, v string"))
+    assert t.commit(b0, txn=("appA", 0)) == 3  # still skipped
+    assert t.commit(b1, txn=("appA", 1)) == 3
+    assert t.read().count() == 3
+    # a second app tracks independently
+    assert t.commit(b0, txn=("appB", 0)) == 4
+
+
+def test_stream_append_is_exactly_once_under_replay(spark, tmp_path):
+    """stream_append: draining a feed appends each batch once; a simulated
+    crash-between-commit-and-checkpoint (direct re-commit of an already
+    applied batch id) must be a no-op, and a second availableNow run over
+    the same checkpoint must add nothing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lakeflow.sources.streams import file_stream
+    from lakeflow.streaming.sinks import stream_append
+
+    feed_dir = tmp_path / "feed"
+    feed_dir.mkdir()
+    schema_pa = pa.schema([("k", pa.int64()), ("v", pa.string())])
+    for i, rows in enumerate(([(1, "a"), (2, "b")], [(3, "c")])):
+        cols = list(zip(*rows))
+        pq.write_table(
+            pa.table(
+                {f.name: list(c) for f, c in zip(schema_pa, cols)},
+                schema=schema_pa,
+            ),
+            feed_dir / f"b{i}.parquet",
+        )
+        import os as _os
+
+        _os.utime(feed_dir / f"b{i}.parquet", (1_700_000_000 + i * 10,) * 2)
+
+    table = VersionedTable(spark, str(tmp_path / "state"))
+    ckpt = str(tmp_path / "ckpt")
+    schema = spark.read.parquet(str(feed_dir / "b0.parquet")).schema
+
+    stream = file_stream(spark, str(feed_dir), schema, max_files_per_trigger=1)
+    stream_append(stream, table, checkpoint=ckpt).awaitTermination()
+    assert table.read().count() == 3
+    v = table.current_version()
+
+    # crash-window replay of batch 0
+    replay = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    assert table.commit(replay, mode="append", txn=("stream_append", 0)) == v
+    assert table.read().count() == 3
+
+    # restart from the same checkpoint: nothing new to process
+    stream2 = file_stream(spark, str(feed_dir), schema, max_files_per_trigger=1)
+    stream_append(stream2, table, checkpoint=ckpt).awaitTermination()
+    assert table.read().count() == 3
