@@ -498,3 +498,78 @@ def stream_update_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.max("n").alias("n_events"))
     )
+
+
+@register(
+    "stream_txn_append_state",
+    oracle="""
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM orders WHERE o_orderkey <= 3000 GROUP BY o_orderstatus
+    """,
+)
+def stream_txn_append_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming APPEND (streaming/sinks.py::stream_append):
+    an orders slice streams through the txn-watermarked append sink into a
+    VersionedTable, then the FIRST micro-batch is deliberately re-committed
+    with its original batch id — the crash-between-commit-and-checkpoint
+    replay — and must be skipped by the manifest's per-app transactional
+    watermark (Delta's txnAppId/txnVersion). The oracle aggregates the
+    source slice directly, so a duplicated (or dropped) batch breaks both
+    the count and the exact integer-cents sum."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lakeflow.sources.streams import file_stream
+    from lakeflow.streaming.sinks import stream_append
+    from lakeflow.tables import VersionedTable
+
+    orders = spark.read.parquet(table_path(sf_dir, "orders")).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    slice_df = orders.filter(F.col("o_orderkey") <= 3000)
+    feed = tempfile.mkdtemp(prefix="lakeflow_txnfeed_")
+    # two deterministic micro-batches (maxFilesPerTrigger=1)
+    import os as _os
+
+    for i, pred in enumerate(
+        (F.col("o_orderkey") <= 1500, F.col("o_orderkey") > 1500)
+    ):
+        p = f"{feed}/b{i}"
+        slice_df.filter(pred).coalesce(1).write.parquet(p)
+        for f in _os.listdir(p):
+            _os.utime(
+                _os.path.join(p, f), (1_700_000_000 + i * 10,) * 2
+            )
+    import glob as _glob
+    import shutil as _shutil
+
+    flat = tempfile.mkdtemp(prefix="lakeflow_txnflat_")
+    for i in range(2):
+        src = _glob.glob(f"{feed}/b{i}/*.parquet")[0]
+        dst = f"{flat}/{i:03d}.parquet"
+        _shutil.copy(src, dst)
+        _os.utime(dst, (1_700_000_000 + i * 10,) * 2)
+
+    table = VersionedTable(spark, tempfile.mkdtemp(prefix="lakeflow_txntbl_"))
+    stream = file_stream(spark, flat, slice_df.schema, max_files_per_trigger=1)
+    stream_append(stream, table).awaitTermination()
+
+    # Crash-window replay: batch 0 recommits under its original id — the
+    # watermark must swallow it or the oracle's exact sums break.
+    table.commit(
+        slice_df.filter(F.col("o_orderkey") <= 1500),
+        mode="append",
+        txn=("stream_append", 0),
+    )
+
+    return table.read().groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("total_cents"),
+    )
