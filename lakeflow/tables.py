@@ -317,6 +317,12 @@ class VersionedTable:
             "stats": stats,
             "schema": json.dumps(next_schema.jsonValue()),
         }
+        if partition_by:
+            # Per-dir layout record: partition EVOLUTION is legal (a later
+            # commit may choose different partition columns), and the read
+            # path groups dirs by layout — a metadata-only change, as in
+            # Iceberg, with no rewrite of existing dirs.
+            manifest["partitioning"] = {data_dir: list(partition_by)}
         if bloom:
             manifest["bloom"] = bloom
             manifest["bloom_bits"] = bloom_bits
@@ -551,13 +557,28 @@ class VersionedTable:
         # later replayed append would duplicate rows.
         if version > 1:
             try:
-                prev_txns = self._manifest(version - 1).get("txns", {})
+                prev_m = self._manifest(version - 1)
             except FileNotFoundError:
-                prev_txns = {}
+                prev_m = {}
+            prev_txns = prev_m.get("txns", {})
             if prev_txns:
                 merged = dict(prev_txns)
                 merged.update(manifest.get("txns", {}))
                 manifest["txns"] = merged
+            # Carried-over dirs keep their recorded partition layout, so
+            # every manifest-producing path (DML, compaction, rollback)
+            # preserves evolution history without knowing about it.
+            prev_part = prev_m.get("partitioning", {})
+            carried = {
+                d: prev_part[d]
+                for d in manifest.get("dirs", [])
+                if d in prev_part
+            }
+            if carried or manifest.get("partitioning"):
+                manifest["partitioning"] = {
+                    **carried,
+                    **manifest.get("partitioning", {}),
+                }
         final = os.path.join(self._snap_dir, f"{version:08d}.json")
         tmp = os.path.join(
             self._snap_dir, f".{version:08d}-{uuid.uuid4().hex}.json.tmp"
@@ -747,10 +768,24 @@ class VersionedTable:
         evolution — no rewrite). Pre-schema-tracking manifests fall back to
         footer inference."""
         st = self.schema(version)
-        reader = self.spark.read
-        if st is not None:
-            reader = reader.schema(st)
-        return reader.parquet(*dirs)
+        part = self._manifest(version).get("partitioning", {})
+        groups: dict[tuple, list[str]] = {}
+        for d in dirs:
+            groups.setdefault(tuple(part.get(d, ())), []).append(d)
+
+        def read_group(group_dirs: Sequence[str]) -> DataFrame:
+            reader = self.spark.read
+            if st is not None:
+                reader = reader.schema(st)
+            return reader.parquet(*group_dirs)
+
+        frames = [read_group(g) for g in groups.values()]
+        out = frames[0]
+        for f in frames[1:]:
+            # Partition evolution: layouts differ but the manifest schema is
+            # authoritative on both sides, so the union is by name.
+            out = out.unionByName(f)
+        return out
 
     def version_at(self, timestamp: str) -> int:
         """The snapshot current AS OF ``timestamp`` (ISO-8601, UTC assumed

@@ -1413,3 +1413,33 @@ def test_stream_append_is_exactly_once_under_replay(spark, tmp_path):
     stream2 = file_stream(spark, str(feed_dir), schema, max_files_per_trigger=1)
     stream_append(stream2, table, checkpoint=ckpt).awaitTermination()
     assert table.read().count() == 3
+
+
+def test_partition_evolution_reads_across_layouts(spark, tmp_path):
+    """Partition evolution (Iceberg-style, metadata-only): commits may
+    choose different partition columns; reads group dirs by recorded layout
+    and union by name, time travel sees each era's layout, DML carries the
+    layout record forward, and the hive-partitioned subset still prunes."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    rows = "k long, cat string, v long"
+    t.commit(spark.createDataFrame([(1, "a", 10), (2, "b", 20)], rows))
+    t.commit(
+        spark.createDataFrame([(3, "a", 30), (4, "b", 40)], rows),
+        partition_by=["cat"],
+    )
+    t.commit(spark.createDataFrame([(5, "a", 50)], rows), partition_by=["k"])
+
+    got = sorted((r.k, r.cat, r.v) for r in t.read().collect())
+    assert got == [(1, "a", 10), (2, "b", 20), (3, "a", 30), (4, "b", 40), (5, "a", 50)]
+    assert t.read(version=1).count() == 2
+    assert t.read(version=2).count() == 4
+
+    # DML over the mixed table keeps every layer readable (and must carry
+    # the partitioning record through its fresh manifest).
+    t.delete_where("v = 20")
+    got = sorted((r.k, r.v) for r in t.read().collect())
+    assert got == [(1, 10), (3, 30), (4, 40), (5, 50)]
+
+    # compaction unifies layouts and still round-trips
+    t.compact(small_dir_max_bytes=1 << 30)
+    assert sorted((r.k, r.v) for r in t.read().collect()) == got
