@@ -904,3 +904,46 @@ def mv_price_extrema_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     # new F-band only: the other statuses' dirs are never opened.
     assert r["dirs_read"] <= 3 and r["dirs_total"] == len(statuses), r
     return mv.read()
+
+
+@register(
+    "partition_evolution_scan",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_cust,
+           CAST(sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS acctbal_cents
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def partition_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec evolution (Iceberg-style, metadata-only): the customer
+    table lands in THREE commits with three different layouts — flat, hive
+    on c_mktsegment, hive on c_nationkey — and the manifest's per-dir
+    layout record lets one read group dirs by layout and union by name.
+    The aggregate must equal the source table exactly (integer cents so the
+    sum is order-free), proving no row is lost, doubled, or re-homed across
+    layout eras."""
+    import tempfile
+
+    from lakeflow.tables import VersionedTable
+
+    cust = load_table(spark, sf_dir, "customer")
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="lakeflow_pevo_"))
+    t.commit(cust.filter(F.col("c_custkey") % 3 == 0))
+    t.commit(
+        cust.filter(F.col("c_custkey") % 3 == 1),
+        partition_by=["c_mktsegment"],
+    )
+    t.commit(
+        cust.filter(F.col("c_custkey") % 3 == 2),
+        partition_by=["c_nationkey"],
+    )
+    return t.read().groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cust"),
+        F.sum(
+            F.floor(F.col("c_acctbal") * 100.0 + F.lit(0.5)).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("acctbal_cents"),
+    )
