@@ -573,3 +573,63 @@ def stream_txn_append_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("total_cents"),
     )
+
+
+@register(
+    "tick_vwap_daily",
+    oracle="""
+    WITH ticks AS (
+        SELECT 'SYM' || CAST(s % 7 AS VARCHAR) AS symbol,
+               TIMESTAMP '2024-01-01 00:00:00' + s * INTERVAL 1 MINUTE AS ts,
+               100.0 + ((s * 37) % 100) / 10.0 AS price,
+               (s * 13) % 1000 AS volume
+        FROM UNNEST(range(0, 6000)) AS u(s)
+    )
+    SELECT symbol, CAST(ts AS DATE)::VARCHAR AS day,
+           CAST(sum(CAST(floor(price * 10.0 + 0.5) AS BIGINT) * volume)
+                AS BIGINT) AS pv_deci,
+           CAST(sum(volume) AS BIGINT) AS total_volume,
+           (floor((CAST(sum(CAST(floor(price * 10.0 + 0.5) AS BIGINT) * volume)
+                        AS DOUBLE)
+                   / (10.0 * sum(volume))) * 10000.0 + 0.5) / 10000.0) AS vwap
+    FROM ticks WHERE volume > 0
+    GROUP BY symbol, CAST(ts AS DATE)
+    """,
+)
+def tick_vwap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily VWAP per symbol over the deterministic tick source — the other
+    headline statistic of the reference's OHLCV domain (candles being the
+    first). Prices quantize to integer deci-units BEFORE the volume-weighted
+    sum, so the distributed aggregation is order-free integer arithmetic and
+    the final division rounds once on both engines; zero-volume ticks are
+    excluded so the denominator is always positive. One combine-bounded
+    aggregate over (symbol, day) — the 100 TB shape is the same shuffle the
+    candle query already proved out."""
+    from pyspark.sql import functions as F
+
+    from lakeflow.functions.rounding import rnd
+    from lakeflow.sources.pysource import register_tick_source
+
+    register_tick_source(spark)
+    ticks = spark.read.format("lakeflow_ticks").option("n", "6000").load()
+    pv = (
+        F.floor(F.col("price") * 10.0 + F.lit(0.5)).cast("bigint")
+        * F.col("volume")
+    )
+    agg = (
+        ticks.filter(F.col("volume") > 0)
+        .groupBy("symbol", F.col("ts").cast("date").cast("string").alias("day"))
+        .agg(
+            F.sum(pv).cast("bigint").alias("pv_deci"),
+            F.sum("volume").cast("bigint").alias("total_volume"),
+        )
+    )
+    return agg.select(
+        "symbol",
+        "day",
+        "pv_deci",
+        "total_volume",
+        rnd(
+            F.col("pv_deci").cast("double") / (10.0 * F.col("total_volume")), 4
+        ).alias("vwap"),
+    )
