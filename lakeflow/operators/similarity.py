@@ -709,3 +709,96 @@ def hybrid_rrf_topk(
         (contrib("bm_rank") + contrib("cos_rank")).alias("rrf_micro"),
     )
     return fused.orderBy(F.desc("rrf_micro"), F.asc("doc_id")).limit(k)
+
+
+def margin_knn_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 4,
+    min_margin: float = 1.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019, the CCMatrix /
+    LASER recipe): score every cross-side pair by its cosine RATIO to the
+    two endpoints' k-NN neighborhoods —
+    ``margin(x,y) = cos(x,y) / (mean_k cos(x, NN_B(x))/2 + mean_k cos(y,
+    NN_A(y))/2)`` — and keep each left vector's best right match above
+    ``min_margin``. Absolute cosine thresholds fail because hubness inflates
+    some vectors' similarity to everything; the margin normalizes each pair
+    by how promiscuous its endpoints are.
+
+    Determinism: per-pair cosines quantize to integer micro-units first, so
+    the k-NN neighborhood sums are exact integer arithmetic and the single
+    final division rounds once — order-free on both engines. Ranking ties
+    break on vec_id.
+
+    Scale shape: the pair table here is the exact cross product (the
+    oracle-checkable baseline); at 100 TB the pair generation step swaps for
+    an ANN shortlist (lsh_bucketed_topk / ivf_topk) and everything from the
+    margin normalization down is unchanged — the windows are per-vector
+    top-k (WindowGroupLimit prunes map-side) and the sums are
+    combine-bounded.
+
+    Output: (src_id, tgt_id, margin) — best tgt per src, margin ≥ min_margin.
+    """
+    a = left.select(
+        F.col(id_col).alias("src_id"),
+        F.col(vec_col).alias("av"),
+        norm(vec_col).alias("an"),
+    )
+    b = fan_out(right).select(
+        F.col(id_col).alias("tgt_id"),
+        F.col(vec_col).alias("bv"),
+        norm(vec_col).alias("bn"),
+    )
+    cos_micro = (
+        F.floor(
+            (dot("av", "bv") / (F.col("an") * F.col("bn"))) * 1_000_000.0
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("cos_micro")
+    )
+    pairs = b.join(F.broadcast(a), how="cross").select(
+        "src_id", "tgt_id", cos_micro
+    )
+    wa = Window.partitionBy("src_id").orderBy(
+        F.desc("cos_micro"), F.asc("tgt_id")
+    )
+    wb = Window.partitionBy("tgt_id").orderBy(
+        F.desc("cos_micro"), F.asc("src_id")
+    )
+    src_knn = (
+        pairs.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") <= k)
+        .groupBy("src_id")
+        .agg(F.sum("cos_micro").alias("src_knn_sum"))
+    )
+    tgt_knn = (
+        pairs.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") <= k)
+        .groupBy("tgt_id")
+        .agg(F.sum("cos_micro").alias("tgt_knn_sum"))
+    )
+    margined = (
+        pairs.join(src_knn, "src_id")
+        .join(tgt_knn, "tgt_id")
+        .select(
+            "src_id",
+            "tgt_id",
+            rnd(
+                (F.col("cos_micro") * F.lit(2 * k)).cast("double")
+                / (F.col("src_knn_sum") + F.col("tgt_knn_sum")),
+                6,
+            ).alias("margin"),
+        )
+    )
+    best = Window.partitionBy("src_id").orderBy(
+        F.desc("margin"), F.asc("tgt_id")
+    )
+    return (
+        margined.withColumn("rn", F.row_number().over(best))
+        .filter((F.col("rn") == 1) & (F.col("margin") >= min_margin))
+        .drop("rn")
+    )

@@ -2485,3 +2485,76 @@ def pysink_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+@register(
+    "bitext_margin_pairs",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, label, v,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        FROM e
+    ),
+    a AS (SELECT vec_id AS src_id, v AS av, nrm AS an FROM n WHERE label = 0),
+    b AS (SELECT vec_id AS tgt_id, v AS bv, nrm AS bn FROM n WHERE label = 1),
+    pairs AS (
+        SELECT src_id, tgt_id,
+               CAST(floor((list_sum(list_transform(range(1, 65),
+                                                   i -> av[i] * bv[i]))
+                           / (an * bn)) * 1000000.0 + 0.5) AS BIGINT)
+                   AS cos_micro
+        FROM a, b
+    ),
+    src_knn AS (
+        SELECT src_id, sum(cos_micro) AS src_knn_sum FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY src_id ORDER BY cos_micro DESC, tgt_id
+            ) AS rn FROM pairs
+        ) WHERE rn <= 4 GROUP BY src_id
+    ),
+    tgt_knn AS (
+        SELECT tgt_id, sum(cos_micro) AS tgt_knn_sum FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY tgt_id ORDER BY cos_micro DESC, src_id
+            ) AS rn FROM pairs
+        ) WHERE rn <= 4 GROUP BY tgt_id
+    ),
+    margined AS (
+        SELECT p.src_id, p.tgt_id,
+               (floor((CAST(p.cos_micro * 8 AS DOUBLE)
+                       / (s.src_knn_sum + t.tgt_knn_sum)) * 1000000.0 + 0.5)
+                / 1000000.0) AS margin
+        FROM pairs p
+        JOIN src_knn s USING (src_id)
+        JOIN tgt_knn t USING (tgt_id)
+    )
+    SELECT src_id, tgt_id, margin FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY src_id ORDER BY margin DESC, tgt_id
+        ) AS rn FROM margined
+    ) WHERE rn = 1 AND margin >= 1.0
+    """,
+)
+def bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitext mining (the CCMatrix/LASER parallel-corpus recipe): label-0
+    vectors are the source side, label-1 the target side, and each source
+    keeps its best cross-side match by RATIO-MARGIN score — cosine divided
+    by the mean of both endpoints' k-NN cosines — which cancels hubness
+    where a raw cosine threshold over- or under-collects. Integer micro-unit
+    cosines make the neighborhood sums order-free; one final division
+    rounds once. The registered form is the exact-pair baseline; at scale
+    the pair step swaps for an ANN shortlist (see
+    operators/similarity.py::margin_knn_pairs docstring) with the margin
+    math unchanged."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.margin_knn_pairs(
+        emb.filter(F.col("label") == 0),
+        emb.filter(F.col("label") == 1),
+        k=4,
+        min_margin=1.0,
+    )
