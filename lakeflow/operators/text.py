@@ -1129,3 +1129,45 @@ def bpe_learn_merges(
         current = nxt
     current.unpersist()
     return merges
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eow: str = "</w>",
+) -> DataFrame:
+    """Apply a learned BPE merge table (from :func:`bpe_learn_merges`) to a
+    corpus: each word starts as characters + the end-of-word marker, and the
+    merges fold in, in training order — the same greedy left-to-right
+    semantics as learning, so encode(train corpus) reproduces the trainer's
+    final segmentation. Output: (id, n_tokens, tokens array<string>) where
+    n_tokens counts subword units across the document.
+
+    Scale shape: the merge table is a plan constant (Catalyst folds, one per
+    merge — no join, no Python), so encoding is scan-side and
+    embarrassingly parallel; plan depth grows with the merge count, which
+    callers cap the way real tokenizers cap vocab size.
+    """
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("word"),
+    ).filter(F.col("word") != "")
+    syms = F.concat(
+        F.regexp_extract_all(F.col("word"), F.lit("."), 0),
+        F.array(F.lit(eow)),
+    )
+    out = words.select(F.col(id_col), syms.alias("syms"))
+    for m in merges:
+        a, b = m[0], m[1]
+        out = out.select(
+            F.col(id_col), F.expr(_merge_pair_expr(a, b)).alias("syms")
+        )
+    per_word = out.select(
+        F.col(id_col), F.size("syms").cast("bigint").alias("n"), "syms"
+    )
+    return per_word.groupBy(id_col).agg(
+        F.sum("n").alias("n_tokens"),
+        F.flatten(F.collect_list("syms")).alias("tokens"),
+    )

@@ -1454,3 +1454,29 @@ def test_pysink_jsonl_two_phase_commit(spark, tmp_path):
     assert sorted((r["k"], r["s"], r["v"]) for r in rows) == [
         (1, "a", 10), (2, "b", 20), (3, "c", 30),
     ]
+
+
+def test_bpe_encode_reproduces_trainer_segmentation(spark):
+    """Encoding the training corpus with the learned merge table must
+    reproduce the trainer's final symbol state: 'low' collapses to the
+    merged low</w> unit, 'newest' segments through the learned n+ew merge,
+    and per-doc subword counts are consistent."""
+    from pyspark.sql import functions as F
+
+    from lakeflow.operators.text import bpe_encode, bpe_learn_merges
+
+    df = spark.createDataFrame(
+        [(1, "low low low lower lowest"), (2, "new newer newest low")],
+        "doc_id long, text string",
+    )
+    merges = bpe_learn_merges(df, n_merges=6)
+    enc = {r.doc_id: r for r in bpe_encode(df, merges).collect()}
+    toks1 = list(enc[1].tokens)
+    # three 'low' occurrences fully merged into the low</w> unit
+    assert toks1.count("low</w>") == 3
+    # 'lower' = low + e + r + </w> after (l,o),(lo,w),(e,r)
+    assert toks1.count("er") == 1
+    toks2 = list(enc[2].tokens)
+    # 'new' = n+ew merged then evolves with the (n, ew) merge
+    assert "new" in toks2 or "new</w>" in "".join(toks2)
+    assert enc[1].n_tokens == len(toks1) and enc[2].n_tokens == len(toks2)
