@@ -2558,3 +2558,68 @@ def bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=4,
         min_margin=1.0,
     )
+
+
+@register(
+    "epoch_shuffled_order",
+    oracle="""
+    WITH assigned AS (
+        SELECT e.epoch, d.doc_id,
+               md5(CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR))
+                   AS h
+        FROM documents d, UNNEST([0, 1]) AS e(epoch)
+    ),
+    sharded AS (
+        SELECT epoch, doc_id, h,
+               CAST(CAST(('0x' || substr(h, 1, 8)) AS BIGINT) % 8 AS INT)
+                   AS shard
+        FROM assigned
+    )
+    SELECT CAST(epoch AS INT) AS epoch, shard,
+           CAST(row_number() OVER (
+               PARTITION BY epoch, shard ORDER BY h, doc_id
+           ) AS BIGINT) AS pos,
+           doc_id
+    FROM sharded
+    """,
+)
+def epoch_shuffled_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multi-epoch training order — the reproducible global
+    shuffle every training run needs: each (epoch, doc) hashes to a shard
+    and a within-shard position, so the data order for epoch N is a pure
+    function of ids (reruns, retries, and resumes see byte-identical order,
+    and no two epochs share an order). The 100 TB shape is the point: a
+    true global rank would be a global sort, but sharding first bounds
+    every window to one shard (n_shards = total/target-file-size is the
+    parallelism knob), which is exactly how shuffled training shards are
+    materialized in practice."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    epochs = docs.crossJoin(
+        F.broadcast(
+            docs.sparkSession.createDataFrame([(0,), (1,)], "epoch int")
+        )
+    )
+    h = F.md5(
+        F.concat(
+            F.col("epoch").cast("string"),
+            F.lit(":"),
+            F.col("doc_id").cast("string"),
+        )
+    )
+    sharded = epochs.select(
+        "epoch",
+        "doc_id",
+        h.alias("h"),
+        (
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % 8
+        ).cast("int").alias("shard"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("epoch", "shard").orderBy("h", "doc_id")
+    return sharded.select(
+        "epoch",
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+        "doc_id",
+    )
