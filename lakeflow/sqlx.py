@@ -16,7 +16,7 @@ minimal grammar that does:
     SELECT ... FROM t FOR VERSION AS OF 3 ...   -- time travel
     SELECT ... FROM t FOR TIMESTAMP AS OF '2026-08-14T12:00:00+00:00' ...
     DESCRIBE HISTORY t
-    OPTIMIZE t
+    OPTIMIZE t [ZORDER BY (c1, c2)]
     VACUUM t [RETAIN <n> SNAPSHOTS]
     ROLLBACK TABLE t TO VERSION <n>
     DELETE FROM VERSIONED t WHERE <cond>
@@ -61,7 +61,11 @@ _INSERT = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _HISTORY = re.compile(r"^\s*DESCRIBE\s+HISTORY\s+(\w+)\s*$", re.IGNORECASE)
-_OPTIMIZE = re.compile(r"^\s*OPTIMIZE\s+(\w+)\s*$", re.IGNORECASE)
+_OPTIMIZE = re.compile(
+    r"^\s*OPTIMIZE\s+(\w+)"
+    r"(?:\s+ZORDER\s+BY\s*\(\s*([\w\s,]+?)\s*\))?\s*$",
+    re.IGNORECASE,
+)
 _VACUUM = re.compile(
     r"^\s*VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+SNAPSHOTS)?\s*$", re.IGNORECASE
 )
@@ -152,6 +156,14 @@ class LakehouseSQL:
         if m:
             t = self.catalog.load(m.group(1))
             before = t.current_version()
+            if m.group(2):
+                cols = [c.strip() for c in m.group(2).split(",")]
+                after = t.optimize_zorder(cols)
+                return {
+                    "optimized": m.group(1),
+                    "zordered_by": cols,
+                    "compacted": after != before,
+                }
             after = t.compact(small_dir_max_bytes=32 << 20)
             return {"optimized": m.group(1), "compacted": after != before}
         m = _VACUUM.match(stmt)

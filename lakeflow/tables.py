@@ -934,6 +934,77 @@ class VersionedTable:
         m = self._manifest(version)
         return len(m["dirs"]) - len(self._bloom_kept_dirs(m, col, value))
 
+    def optimize_zorder(
+        self,
+        cols: Sequence[str],
+        n_dirs: int = 16,
+        bits: int = 16,
+    ) -> int:
+        """``OPTIMIZE ... ZORDER BY (cols)`` (Delta's multi-dimensional
+        clustering, as a snapshot): rewrite the table clustered on the
+        interleaved-bit Z-curve of ``cols``, split into ``n_dirs``
+        equal-Z-width dirs, each with min/max stats on every clustered
+        column. Because the Z-curve localizes ALL dimensions at once, every
+        dir gets a tight envelope on every ``cols`` member and
+        :meth:`scan`/:meth:`pruned_dirs` skip most dirs for a point or box
+        predicate on ANY of them — single-column sorting only achieves that
+        for its leading column. Logically a no-op (same rows), fully
+        time-travelable like any snapshot; a rewrite, so run it with
+        OPTIMIZE cadence, not per commit."""
+        from pyspark.sql import functions as F
+
+        from lakeflow.catalog import zorder_value
+
+        version = self.current_version()
+        if version is None:
+            raise ValueError(f"table {self.root} has no snapshots")
+        df = self.read(version)
+        zdf, zcol = zorder_value(df, list(cols), bits)
+        zr = zdf.agg(
+            F.min(zcol).alias("lo"), F.max(zcol).alias("hi")
+        ).collect()[0]
+        lo, hi = int(zr["lo"]), int(zr["hi"])
+        span = (hi - lo + 1) or 1
+        bucket = F.least(
+            F.lit(n_dirs - 1),
+            ((F.col(zcol) - F.lit(lo)) * n_dirs / F.lit(span)).cast("bigint"),
+        )
+        parent = os.path.join(self.root, "data", uuid.uuid4().hex)
+        (
+            zdf.withColumn("_zb", bucket)
+            .repartition(n_dirs, "_zb")
+            .sortWithinPartitions("_zb", zcol)
+            .drop(zcol)
+            .write.mode("overwrite")
+            .partitionBy("_zb")
+            .parquet(parent)
+        )
+        stat_rows = (
+            self.spark.read.parquet(parent)
+            .groupBy("_zb")
+            .agg(
+                *[F.min(c).alias(f"min_{c}") for c in cols],
+                *[F.max(c).alias(f"max_{c}") for c in cols],
+            )
+            .collect()
+        )
+        dirs, stats = [], {}
+        for r in sorted(stat_rows, key=lambda r: r["_zb"]):
+            d = os.path.join(parent, f"_zb={r['_zb']}")
+            dirs.append(d)
+            stats[d] = {c: [r[f"min_{c}"], r[f"max_{c}"]] for c in cols}
+        m = self._manifest(version)
+        new_version = version + 1
+        manifest = {
+            "version": new_version,
+            "operation": "optimize-zorder",
+            "dirs": dirs,
+            "stats": stats,
+            "schema": m.get("schema"),
+        }
+        self._publish_manifest(manifest)
+        return new_version
+
     # -- maintenance -------------------------------------------------------
     def _dir_bytes(self, d: str) -> int:
         return sum(

@@ -1443,3 +1443,52 @@ def test_partition_evolution_reads_across_layouts(spark, tmp_path):
     # compaction unifies layouts and still round-trips
     t.compact(small_dir_max_bytes=1 << 30)
     assert sorted((r.k, r.v) for r in t.read().collect()) == got
+
+
+def test_optimize_zorder_tightens_envelopes_and_round_trips(spark, tmp_path):
+    """OPTIMIZE ZORDER: rewriting on the 2-dim Z-curve must leave rows
+    bit-identical, time-travelable, and make a 2-dim box predicate prune
+    most dirs (single-dim stats from the pre-optimize layout prune none)."""
+    from pyspark.sql import functions as F
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    df = spark.range(0, 4096).select(
+        (F.col("id") % 64).alias("x"),
+        F.floor(F.col("id") / 64).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    t.commit(df.repartition(8), stats_cols=["x", "y"])
+    assert t.pruned_dirs({"x": (10, 12), "y": (10, 12)}) == 0
+
+    v = t.optimize_zorder(["x", "y"], n_dirs=16)
+    assert v == 2
+    assert t.pruned_dirs({"x": (10, 12), "y": (10, 12)}) >= 12
+    got = sorted(r.payload for r in t.scan(between={"x": (10, 12), "y": (10, 12)}).collect())
+    want = sorted(
+        r.payload for r in df.filter("x between 10 and 12 and y between 10 and 12").collect()
+    )
+    assert got == want
+    assert t.read().count() == 4096
+    assert t.read(version=1).count() == 4096  # pre-optimize still travels
+
+
+def test_sqlx_optimize_zorder_statement(spark, tmp_path):
+    """The SQL surface routes OPTIMIZE t ZORDER BY (x, y) to the
+    z-clustered rewrite."""
+    from pyspark.sql import functions as F
+
+    from lakeflow.sqlx import LakehouseSQL
+    from lakeflow.tables import TableCatalog
+
+    lh = LakehouseSQL(spark, TableCatalog(spark, str(tmp_path / "wh")))
+    df = spark.range(0, 1024).select(
+        (F.col("id") % 32).alias("x"),
+        F.floor(F.col("id") / 32).alias("y"),
+    )
+    df.createOrReplaceTempView("zsrc")
+    lh.execute("CREATE VERSIONED TABLE zt AS SELECT * FROM zsrc")
+    out = lh.execute("OPTIMIZE zt ZORDER BY (x, y)")
+    assert out["zordered_by"] == ["x", "y"] and out["compacted"]
+    t = lh.catalog.load("zt")
+    assert t.read().count() == 1024
+    assert t.pruned_dirs({"x": (3, 4), "y": (3, 4)}) > 0
