@@ -1492,3 +1492,43 @@ def test_sqlx_optimize_zorder_statement(spark, tmp_path):
     t = lh.catalog.load("zt")
     assert t.read().count() == 1024
     assert t.pruned_dirs({"x": (3, 4), "y": (3, 4)}) > 0
+
+
+def test_threaded_writers_all_land_with_retry(spark, tmp_path):
+    """Optimistic concurrency under REAL thread interleaving: four writers
+    race append commits; losers retry from the fresh current version. Every
+    batch must land exactly once, versions must be gapless, and the final
+    row set must be the union of all batches."""
+    import threading
+
+    from lakeflow.tables import CommitConflictError
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(spark.createDataFrame([(0, -1)], "writer int, seq int"))
+    errors: list[Exception] = []
+
+    def writer(wid: int) -> None:
+        try:
+            df = spark.createDataFrame([(wid, s) for s in range(3)],
+                                       "writer int, seq int")
+            for _ in range(50):  # bounded retry loop
+                try:
+                    t.commit(df)
+                    return
+                except CommitConflictError:
+                    continue
+            raise RuntimeError(f"writer {wid} starved")
+        except Exception as exc:  # pragma: no cover - surfaced via errors
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=300)
+    assert not errors, errors
+
+    assert t.versions() == list(range(1, 6))  # gapless: 1 seed + 4 appends
+    rows = {(r.writer, r.seq) for r in t.read().collect()}
+    want = {(0, -1)} | {(w, s) for w in range(4) for s in range(3)}
+    assert rows == want
