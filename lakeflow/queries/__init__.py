@@ -194,8 +194,12 @@ def _reorder_for_driver() -> None:
     """Reorder QUERIES and ORACLES so the driver's ~50 verification slots go
     where they buy new information, whichever dict the driver iterates:
 
-    1. never driver-verified (incl. queries new this round),
-    2. verified once but rewritten since (their verdict is stale),
+    1. verified once but rewritten since (their verdict is STALE — it
+       belongs to code that no longer exists, and several r4 verdict asks
+       hinge on their re-green, so they must not fall off the ~50-slot
+       window however many new queries a round adds),
+    2. never driver-verified (incl. queries new this round — an unverified
+       new query merely stays pending, which round N+1 absorbs),
     3. previously verified, oldest verdict first (r1 before r2).
 
     Within blocks 1-2, cheap batch queries run before streaming/pysource
@@ -222,7 +226,7 @@ def _reorder_for_driver() -> None:
         (n for n in QUERIES if n in verified and n not in _REWRITTEN_SINCE_GREEN),
         key=lambda n: latest_green[n],
     )
-    ordered = never + stale + greens
+    ordered = stale + never + greens
     reordered = {n: QUERIES[n] for n in ordered}
     QUERIES.clear()
     QUERIES.update(reordered)

@@ -28,16 +28,22 @@ for _rnd, _names in enumerate(
         _LATEST_GREEN[_n] = _rnd
 
 
-def test_never_verified_queries_come_first():
+def test_stale_then_never_verified_lead_the_order():
+    """Stale greens (rewritten since their verdict — several r4 verdict
+    asks hinge on their re-green) must occupy the very front so they never
+    fall off the driver's ~50-slot window however many new queries a round
+    registers; the never-verified block follows, before any stable green."""
     names = list(QUERIES)
+    n_stale = len([n for n in _REWRITTEN_SINCE_GREEN if n in names])
     n_never = sum(1 for n in names if n not in _VERIFIED)
-    front = names[:n_never]
-    assert all(n not in _VERIFIED for n in front), (
-        "a previously-verified query sits ahead of a never-verified one"
+    front = names[:n_stale]
+    assert all(n in _REWRITTEN_SINCE_GREEN for n in front), (
+        "a non-stale query sits inside the stale-first block"
     )
-    # All 114 queries have at least one verdict as of r4, so the never-
-    # verified block is empty until new queries are registered.
-    assert n_never == 0 or front
+    mid = names[n_stale : n_stale + n_never]
+    assert all(n not in _VERIFIED for n in mid), (
+        "a previously-verified query sits inside the never-verified block"
+    )
 
 
 def test_rewritten_since_green_precede_stable_greens():
