@@ -16,6 +16,7 @@ minimal grammar that does:
     SELECT ... FROM t FOR VERSION AS OF 3 ...   -- time travel
     SELECT ... FROM t FOR TIMESTAMP AS OF '2026-08-14T12:00:00+00:00' ...
     DESCRIBE HISTORY t
+    ALTER TABLE t ADD CONSTRAINT name CHECK (<expr>) | DROP CONSTRAINT name
     OPTIMIZE t [ZORDER BY (c1, c2)]
     VACUUM t [RETAIN <n> SNAPSHOTS]
     ROLLBACK TABLE t TO VERSION <n>
@@ -61,6 +62,15 @@ _INSERT = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _HISTORY = re.compile(r"^\s*DESCRIBE\s+HISTORY\s+(\w+)\s*$", re.IGNORECASE)
+_ADD_CONSTRAINT = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+CONSTRAINT\s+(\w+)"
+    r"\s+CHECK\s*\((.+)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_CONSTRAINT = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*$",
+    re.IGNORECASE,
+)
 _OPTIMIZE = re.compile(
     r"^\s*OPTIMIZE\s+(\w+)"
     r"(?:\s+ZORDER\s+BY\s*\(\s*([\w\s,]+?)\s*\))?\s*$",
@@ -152,6 +162,16 @@ class LakehouseSQL:
         m = _HISTORY.match(stmt)
         if m:
             return self.catalog.load(m.group(1)).snapshots()
+        m = _ADD_CONSTRAINT.match(stmt)
+        if m:
+            t = self.catalog.load(m.group(1))
+            v = t.add_constraint(m.group(2), m.group(3).strip())
+            return {"altered": m.group(1), "added_constraint": m.group(2), "version": v}
+        m = _DROP_CONSTRAINT.match(stmt)
+        if m:
+            t = self.catalog.load(m.group(1))
+            v = t.drop_constraint(m.group(2))
+            return {"altered": m.group(1), "dropped_constraint": m.group(2), "version": v}
         m = _OPTIMIZE.match(stmt)
         if m:
             t = self.catalog.load(m.group(1))

@@ -47,6 +47,10 @@ from pyspark.sql import DataFrame, Row, SparkSession
 HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
 
 
+class ConstraintViolationError(RuntimeError):
+    """A commit's rows breached a table-level CHECK constraint."""
+
+
 class CommitConflictError(RuntimeError):
     """Another writer published the same snapshot version first (optimistic
     concurrency): re-read the current version and retry the commit."""
@@ -248,6 +252,10 @@ class VersionedTable:
                 recorded = self._manifest(cur).get("txns", {}).get(txn[0])
                 if recorded is not None and txn[1] <= recorded:
                     return cur  # replayed batch: already folded, skip
+        if _existing_dir is None:
+            # Table-level CHECK constraints gate the batch BEFORE any data
+            # is written; the WAP path (_existing_dir) audits post-stage.
+            self._check_constraints(df, self.constraints())
         if _existing_dir is not None:
             # WAP publish path: the data is already staged on disk; adopting
             # it avoids a second write of the full batch.
@@ -568,6 +576,8 @@ class VersionedTable:
             # Carried-over dirs keep their recorded partition layout, so
             # every manifest-producing path (DML, compaction, rollback)
             # preserves evolution history without knowing about it.
+            if "constraints" not in manifest and prev_m.get("constraints"):
+                manifest["constraints"] = prev_m["constraints"]
             prev_part = prev_m.get("partitioning", {})
             carried = {
                 d: prev_part[d]
@@ -1004,6 +1014,79 @@ class VersionedTable:
         }
         self._publish_manifest(manifest)
         return new_version
+
+    def add_constraint(self, name: str, check_expr: str) -> int:
+        """``ALTER TABLE ADD CONSTRAINT name CHECK (expr)`` (Delta's table
+        constraints): record a SQL predicate every future commit's rows must
+        satisfy. Enforcement is one aggregate over the incoming batch —
+        violation COUNTS per rule, not row copies — and a breaching batch
+        raises :class:`ConstraintViolationError` BEFORE any data is written,
+        so a bad batch never becomes a snapshot. Existing rows are validated
+        at add time (Delta's rule: you cannot add a constraint the current
+        data violates). Constraints ride the manifest and survive every
+        manifest-producing path, like txn watermarks."""
+        version = self.current_version()
+        cons = dict(self.constraints())
+        cons[name] = check_expr
+        if version is not None:
+            self._check_constraints(self.read(version), {name: check_expr})
+        m = self._manifest(version) if version is not None else {"dirs": []}
+        manifest = {
+            "version": (version or 0) + 1,
+            "operation": f"add-constraint:{name}",
+            "dirs": m.get("dirs", []),
+            "stats": m.get("stats", {}),
+            "schema": m.get("schema"),
+            "constraints": cons,
+        }
+        self._publish_manifest(manifest)
+        return manifest["version"]
+
+    def drop_constraint(self, name: str) -> int:
+        version = self.current_version()
+        if version is None:
+            raise ValueError(f"table {self.root} has no snapshots")
+        cons = dict(self.constraints())
+        cons.pop(name, None)
+        m = self._manifest(version)
+        manifest = {
+            "version": version + 1,
+            "operation": f"drop-constraint:{name}",
+            "dirs": m["dirs"],
+            "stats": m.get("stats", {}),
+            "schema": m.get("schema"),
+            "constraints": cons,
+        }
+        # Explicitly present (possibly empty) so the carry-forward in
+        # _publish_manifest does not resurrect the dropped rule.
+        self._publish_manifest(manifest)
+        return manifest["version"]
+
+    def constraints(self) -> dict:
+        v = self.current_version()
+        return {} if v is None else self._manifest(v).get("constraints", {})
+
+    def _check_constraints(self, df: DataFrame, cons: dict) -> None:
+        """One aggregate pass: per-rule violation counts over ``df``."""
+        if not cons:
+            return
+        from pyspark.sql import functions as F
+
+        aggs = [
+            F.sum(
+                F.when(
+                    ~F.coalesce(F.expr(expr), F.lit(False)), F.lit(1)
+                ).otherwise(F.lit(0))
+            ).alias(name)
+            for name, expr in cons.items()
+        ]
+        row = df.agg(*aggs).collect()[0]
+        breached = {n: int(row[n] or 0) for n in cons if (row[n] or 0) > 0}
+        if breached:
+            raise ConstraintViolationError(
+                f"constraint violations in {self.root}: "
+                + ", ".join(f"{n} ({c} rows)" for n, c in breached.items())
+            )
 
     # -- maintenance -------------------------------------------------------
     def _dir_bytes(self, d: str) -> int:

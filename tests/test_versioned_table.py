@@ -1532,3 +1532,60 @@ def test_threaded_writers_all_land_with_retry(spark, tmp_path):
     rows = {(r.writer, r.seq) for r in t.read().collect()}
     want = {(0, -1)} | {(w, s) for w in range(4) for s in range(3)}
     assert rows == want
+
+
+def test_table_constraints_gate_commits(spark, tmp_path):
+    """Delta-style CHECK constraints: a breaching batch raises BEFORE any
+    data is written (no snapshot, no orphan rows visible), constraints
+    survive unrelated commits and DML, add-time validation rejects rules
+    the current data violates, and drop restores the old behavior."""
+    import pytest as _pytest
+
+    from lakeflow.tables import ConstraintViolationError
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(spark.createDataFrame([(1, 10.0)], "k long, v double"))
+    t.add_constraint("v_positive", "v > 0")
+
+    with _pytest.raises(ConstraintViolationError, match="v_positive"):
+        t.commit(spark.createDataFrame([(9, -1.0)], "k long, v double"))
+    assert t.read().count() == 1  # breach never became a snapshot
+
+    # survives unrelated commits and DML paths
+    t.commit(spark.createDataFrame([(2, 5.0)], "k long, v double"))
+    t.delete_where("k = 2")
+    with _pytest.raises(ConstraintViolationError):
+        t.commit(spark.createDataFrame([(3, 0.0)], "k long, v double"))
+
+    with _pytest.raises(ConstraintViolationError, match="k_small"):
+        t.add_constraint("k_small", "k < 1")
+
+    t.drop_constraint("v_positive")
+    t.commit(spark.createDataFrame([(4, -2.0)], "k long, v double"))
+    assert {r.k for r in t.read().collect()} == {1, 4}
+
+
+def test_sqlx_constraint_statements(spark, tmp_path):
+    """SQL surface: ALTER TABLE ... ADD CONSTRAINT ... CHECK (...) routes to
+    the table layer and INSERTs breaching it fail."""
+    import pytest as _pytest
+
+    from lakeflow.sqlx import LakehouseSQL
+    from lakeflow.tables import ConstraintViolationError, TableCatalog
+
+    lh = LakehouseSQL(spark, TableCatalog(spark, str(tmp_path / "wh")))
+    spark.createDataFrame([(1, 10.0)], "k long, v double").createOrReplaceTempView(
+        "csrc"
+    )
+    lh.execute("CREATE VERSIONED TABLE ct AS SELECT * FROM csrc")
+    out = lh.execute("ALTER TABLE ct ADD CONSTRAINT v_pos CHECK (v > 0)")
+    assert out["added_constraint"] == "v_pos"
+    spark.createDataFrame([(2, -1.0)], "k long, v double").createOrReplaceTempView(
+        "cbad"
+    )
+    with _pytest.raises(ConstraintViolationError):
+        lh.execute("INSERT INTO VERSIONED ct SELECT * FROM cbad")
+    out = lh.execute("ALTER TABLE ct DROP CONSTRAINT v_pos")
+    assert out["dropped_constraint"] == "v_pos"
+    lh.execute("INSERT INTO VERSIONED ct SELECT * FROM cbad")
+    assert lh.catalog.load("ct").read().count() == 2
