@@ -578,6 +578,13 @@ class VersionedTable:
             # preserves evolution history without knowing about it.
             if "constraints" not in manifest and prev_m.get("constraints"):
                 manifest["constraints"] = prev_m["constraints"]
+            # Deletion vectors ride along while any referenced dir survives;
+            # a full-rewrite manifest (no shared dirs) purges them — its
+            # data was read THROUGH the vectors, so the deletes are
+            # materialized.
+            if "delete_vectors" not in manifest and prev_m.get("delete_vectors"):
+                if set(manifest.get("dirs", [])) & set(prev_m.get("dirs", [])):
+                    manifest["delete_vectors"] = prev_m["delete_vectors"]
             prev_part = prev_m.get("partitioning", {})
             carried = {
                 d: prev_part[d]
@@ -789,7 +796,31 @@ class VersionedTable:
                 reader = reader.schema(st)
             return reader.parquet(*group_dirs)
 
-        frames = [read_group(g) for g in groups.values()]
+        dvs = self._manifest(version).get("delete_vectors", [])
+
+        def apply_dv(df: DataFrame) -> DataFrame:
+            if not dvs:
+                return df
+            from pyspark.sql import functions as F
+
+            cols = df.columns
+            dv = self.spark.read.parquet(*dvs)
+            tagged = df.select(
+                *cols,
+                F.col("_metadata.file_path").alias("__dv_fp"),
+                F.col("_metadata.row_index").alias("__dv_ri"),
+            )
+            # DVs are position lists, tiny next to data — broadcast anti-join
+            # at the scan, the merge-on-read contract: no data file was
+            # rewritten to delete these rows.
+            return tagged.join(
+                F.broadcast(dv),
+                (tagged["__dv_fp"] == dv["file_path"])
+                & (tagged["__dv_ri"] == dv["row_index"]),
+                "left_anti",
+            ).select(*cols)
+
+        frames = [apply_dv(read_group(g)) for g in groups.values()]
         out = frames[0]
         for f in frames[1:]:
             # Partition evolution: layouts differ but the manifest schema is
@@ -1015,6 +1046,53 @@ class VersionedTable:
         self._publish_manifest(manifest)
         return new_version
 
+    def delete_where_mor(
+        self,
+        condition: str,
+        prune_between: dict[str, tuple] | None = None,
+    ) -> int:
+        """Row-level DELETE as MERGE-ON-READ (Delta's deletion vectors): no
+        data file is rewritten — matching rows' (file, row-position) pairs
+        land in a deletion-vector parquet the manifest references, and every
+        read anti-joins it at the scan. Deleting k rows from a 100 TB table
+        costs O(matching dirs scanned + k positions written) instead of
+        rewriting every candidate file — the write-amplification fix
+        copy-on-write (:meth:`delete_where`) cannot offer; the read-side tax
+        is a broadcast anti-join. A full :meth:`compact` (overwrite rewrite)
+        reads through the vectors and purges them. Prior versions are
+        untouched: time travel before the delete sees the rows.
+        """
+        from pyspark.sql import functions as F
+
+        version = self.current_version()
+        if version is None:
+            raise ValueError(f"table {self.root} has no snapshots")
+        m = self._manifest(version)
+        touch = self._kept_dirs(m, prune_between or {})
+        if not touch:
+            return version
+        cond = F.coalesce(F.expr(condition), F.lit(False))
+        frame = self._read_dirs(sorted(touch), version)
+        matches = frame.filter(cond).select(
+            F.col("_metadata.file_path").alias("file_path"),
+            F.col("_metadata.row_index").alias("row_index"),
+        )
+        dv_path = os.path.join(self.root, "dv", uuid.uuid4().hex)
+        matches.write.mode("overwrite").parquet(dv_path)
+        if self.spark.read.parquet(dv_path).isEmpty():
+            shutil.rmtree(dv_path)  # never referenced; don't leave residue
+            return version  # nothing matched: no new snapshot
+        manifest = {
+            "version": version + 1,
+            "operation": "delete-mor",
+            "dirs": m["dirs"],
+            "stats": m.get("stats", {}),
+            "schema": m.get("schema"),
+            "delete_vectors": m.get("delete_vectors", []) + [dv_path],
+        }
+        self._publish_manifest(manifest)
+        return manifest["version"]
+
     def add_constraint(self, name: str, check_expr: str) -> int:
         """``ALTER TABLE ADD CONSTRAINT name CHECK (expr)`` (Delta's table
         constraints): record a SQL predicate every future commit's rows must
@@ -1176,9 +1254,14 @@ class VersionedTable:
         vs = self.versions()
         expired, kept = vs[:-keep_last], vs[-keep_last:]
         live_dirs = {d for v in kept for d in self._manifest(v)["dirs"]}
+        live_dvs = {
+            d for v in kept for d in self._manifest(v).get("delete_vectors", [])
+        }
         own_data = os.path.abspath(os.path.join(self.root, "data")) + os.sep
+        own_dv = os.path.abspath(os.path.join(self.root, "dv")) + os.sep
         for v in expired:
-            for d in self._manifest(v)["dirs"]:
+            m = self._manifest(v)
+            for d in m["dirs"]:
                 # Only ever delete dirs THIS table owns: a shallow clone's
                 # manifests reference the source table's dirs, and expiring
                 # the clone must not reach into the source (Delta's VACUUM-
@@ -1186,6 +1269,13 @@ class VersionedTable:
                 if (
                     d not in live_dirs
                     and os.path.abspath(d).startswith(own_data)
+                    and os.path.isdir(d)
+                ):
+                    shutil.rmtree(d)
+            for d in m.get("delete_vectors", []):
+                if (
+                    d not in live_dvs
+                    and os.path.abspath(d).startswith(own_dv)
                     and os.path.isdir(d)
                 ):
                     shutil.rmtree(d)
@@ -1205,6 +1295,16 @@ class VersionedTable:
         path.
         """
         data_root = os.path.join(self.root, "data")
+        dv_root = os.path.join(self.root, "dv")
+        live_dv = {
+            os.path.basename(d.rstrip("/"))
+            for v in self.versions()
+            for d in self._manifest(v).get("delete_vectors", [])
+        }
+        if os.path.isdir(dv_root):
+            for name in os.listdir(dv_root):
+                if name not in live_dv:
+                    shutil.rmtree(os.path.join(dv_root, name))
         live = {
             os.path.basename(d.rstrip("/"))
             for v in self.versions()

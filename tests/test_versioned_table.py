@@ -1589,3 +1589,46 @@ def test_sqlx_constraint_statements(spark, tmp_path):
     assert out["dropped_constraint"] == "v_pos"
     lh.execute("INSERT INTO VERSIONED ct SELECT * FROM cbad")
     assert lh.catalog.load("ct").read().count() == 2
+
+
+def test_merge_on_read_deletion_vectors(spark, tmp_path):
+    """MOR DELETE: no data file rewritten — the manifest gains a deletion
+    vector and reads anti-join it; appends keep the vectors, a full compact
+    purges them by materializing the deletes, time travel before the delete
+    sees every row, and VACUUM drops vectors only expired manifests
+    reference."""
+    import os as _os
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(spark.range(0, 100).toDF("id"), stats_cols=["id"])
+    data_dirs_before = t._manifest(1)["dirs"]
+
+    v = t.delete_where_mor("id % 10 = 0")
+    assert v == 2
+    assert t.read().count() == 90
+    assert t._manifest(2)["dirs"] == data_dirs_before  # no rewrite
+    assert len(t._manifest(2)["delete_vectors"]) == 1
+    assert t.read(version=1).count() == 100
+
+    # stacked vectors + append carry-over
+    t.delete_where_mor("id = 5")
+    t.commit(spark.range(100, 110).toDF("id"))
+    assert t.read().count() == 99
+    assert len(t._manifest(t.current_version())["delete_vectors"]) == 2
+
+    # stats-pruned scan still honors the vectors
+    got = sorted(r.id for r in t.scan(between={"id": (0, 30)}).collect())
+    assert got == [i for i in range(0, 31) if i % 10 != 0 and i != 5]
+
+    # predicate matching nothing: no new snapshot, no empty vector
+    assert t.delete_where_mor("id = 123456") == t.current_version()
+
+    # full compact reads through vectors and purges them
+    t.compact()
+    assert t.read().count() == 99
+    assert not t._manifest(t.current_version()).get("delete_vectors")
+
+    # VACUUM removes now-unreferenced vector files
+    t.expire_snapshots(keep_last=1)
+    dv_root = _os.path.join(t.root, "dv")
+    assert not _os.path.isdir(dv_root) or not _os.listdir(dv_root)
