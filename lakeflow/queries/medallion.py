@@ -947,3 +947,46 @@ def partition_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("acctbal_cents"),
     )
+
+
+@register(
+    "mor_delete_state",
+    oracle="""
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM orders
+    WHERE o_orderkey <= 5000 AND NOT (o_orderkey % 7 = 0)
+    GROUP BY o_orderstatus
+    """,
+)
+def mor_delete_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE end to end: an orders slice lands in a
+    VersionedTable, every 7th key is deleted via a DELETION VECTOR (no data
+    file rewritten — the manifest's dirs are unchanged and reads
+    broadcast-anti-join the position list), and the surviving state
+    aggregates against an oracle over the source minus the predicate. The
+    exact integer-cents sum means a single row leaking through — or over-
+    deleted — breaks the hash, pinning both the vector write and the
+    scan-side anti-join."""
+    import tempfile
+
+    from lakeflow.catalog import table_path
+    from lakeflow.tables import VersionedTable
+
+    orders = spark.read.parquet(table_path(sf_dir, "orders")).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="lakeflow_mor_"))
+    t.commit(orders.filter(F.col("o_orderkey") <= 5000).repartition(4))
+    dirs_before = t._manifest(t.current_version())["dirs"]
+    t.delete_where_mor("o_orderkey % 7 = 0")
+    assert t._manifest(t.current_version())["dirs"] == dirs_before
+    return t.read().groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("total_cents"),
+    )
