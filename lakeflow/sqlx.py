@@ -16,6 +16,7 @@ minimal grammar that does:
     SELECT ... FROM t FOR VERSION AS OF 3 ...   -- time travel
     SELECT ... FROM t FOR TIMESTAMP AS OF '2026-08-14T12:00:00+00:00' ...
     DESCRIBE HISTORY t
+    ALTER TABLE t ADD COLUMN c <type> | DROP COLUMN c
     ALTER TABLE t ADD CONSTRAINT name CHECK (<expr>) | DROP CONSTRAINT name
     OPTIMIZE t [ZORDER BY (c1, c2)]
     VACUUM t [RETAIN <n> SNAPSHOTS]
@@ -62,6 +63,14 @@ _INSERT = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _HISTORY = re.compile(r"^\s*DESCRIBE\s+HISTORY\s+(\w+)\s*$", re.IGNORECASE)
+_ADD_COLUMN = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(\w+)\s+([\w()<>, ]+?)\s*$",
+    re.IGNORECASE,
+)
+_DROP_COLUMN = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(\w+)\s*$",
+    re.IGNORECASE,
+)
 _ADD_CONSTRAINT = re.compile(
     r"^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+CONSTRAINT\s+(\w+)"
     r"\s+CHECK\s*\((.+)\)\s*$",
@@ -162,6 +171,16 @@ class LakehouseSQL:
         m = _HISTORY.match(stmt)
         if m:
             return self.catalog.load(m.group(1)).snapshots()
+        m = _ADD_COLUMN.match(stmt)
+        if m:
+            t = self.catalog.load(m.group(1))
+            v = t.add_column(m.group(2), m.group(3))
+            return {"altered": m.group(1), "added_column": m.group(2), "version": v}
+        m = _DROP_COLUMN.match(stmt)
+        if m:
+            t = self.catalog.load(m.group(1))
+            v = t.drop_column(m.group(2))
+            return {"altered": m.group(1), "dropped_column": m.group(2), "version": v}
         m = _ADD_CONSTRAINT.match(stmt)
         if m:
             t = self.catalog.load(m.group(1))

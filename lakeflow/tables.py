@@ -1093,6 +1093,65 @@ class VersionedTable:
         self._publish_manifest(manifest)
         return manifest["version"]
 
+    def add_column(self, name: str, dtype: str) -> int:
+        """``ALTER TABLE ADD COLUMN`` — metadata-only (Iceberg/Delta): the
+        authoritative manifest schema gains the column, no data file is
+        touched, and every existing row reads back NULL for it (the same
+        NULL-backfill contract as merge_schema evolution on append)."""
+        from pyspark.sql.types import StructType, _parse_datatype_string
+
+        version = self.current_version()
+        if version is None:
+            raise ValueError(f"table {self.root} has no snapshots")
+        st = self.schema(version)
+        if st is None:
+            raise ValueError("pre-schema-tracking table cannot ALTER")
+        if name in st.fieldNames():
+            raise ValueError(f"column {name!r} already exists")
+        new_st = StructType(
+            list(st.fields)
+        ).add(name, _parse_datatype_string(dtype), True)
+        m = self._manifest(version)
+        manifest = {
+            "version": version + 1,
+            "operation": f"add-column:{name}",
+            "dirs": m["dirs"],
+            "stats": m.get("stats", {}),
+            "schema": json.dumps(new_st.jsonValue()),
+        }
+        self._publish_manifest(manifest)
+        return manifest["version"]
+
+    def drop_column(self, name: str) -> int:
+        """``ALTER TABLE DROP COLUMN`` — metadata-only: the column leaves
+        the manifest schema; data files keep the bytes (time travel to
+        before the drop still reads them), and current reads simply never
+        request the column from the parquet footers."""
+        from pyspark.sql.types import StructType
+
+        version = self.current_version()
+        if version is None:
+            raise ValueError(f"table {self.root} has no snapshots")
+        st = self.schema(version)
+        if st is None or name not in st.fieldNames():
+            raise ValueError(f"no such column {name!r}")
+        new_st = StructType([f for f in st.fields if f.name != name])
+        if not new_st.fields:
+            raise ValueError("cannot drop the last column")
+        m = self._manifest(version)
+        manifest = {
+            "version": version + 1,
+            "operation": f"drop-column:{name}",
+            "dirs": m["dirs"],
+            "stats": {
+                d: {c: v for c, v in cs.items() if c != name}
+                for d, cs in m.get("stats", {}).items()
+            },
+            "schema": json.dumps(new_st.jsonValue()),
+        }
+        self._publish_manifest(manifest)
+        return manifest["version"]
+
     def add_constraint(self, name: str, check_expr: str) -> int:
         """``ALTER TABLE ADD CONSTRAINT name CHECK (expr)`` (Delta's table
         constraints): record a SQL predicate every future commit's rows must

@@ -1632,3 +1632,56 @@ def test_merge_on_read_deletion_vectors(spark, tmp_path):
     t.expire_snapshots(keep_last=1)
     dv_root = _os.path.join(t.root, "dv")
     assert not _os.path.isdir(dv_root) or not _os.listdir(dv_root)
+
+
+def test_alter_add_drop_column_metadata_only(spark, tmp_path):
+    """ALTER TABLE ADD/DROP COLUMN: metadata-only — added columns NULL-
+    backfill existing rows, dropped columns vanish from current reads and
+    stats but survive in time travel; no data file is touched either way."""
+    import pytest as _pytest
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(
+        spark.createDataFrame([(1, "a", 10)], "k long, v string, n long"),
+        stats_cols=["n"],
+    )
+    dirs = t._manifest(1)["dirs"]
+
+    t.add_column("score", "double")
+    assert t._manifest(2)["dirs"] == dirs
+    assert [r.score for r in t.read().collect()] == [None]
+    t.commit(
+        spark.createDataFrame(
+            [(2, "b", 20, 1.5)], "k long, v string, n long, score double"
+        )
+    )
+    assert sorted((r.k, r.score) for r in t.read().collect()) == [
+        (1, None), (2, 1.5),
+    ]
+    with _pytest.raises(ValueError, match="already exists"):
+        t.add_column("score", "double")
+
+    t.drop_column("v")
+    assert t.read().columns == ["k", "n", "score"]
+    assert "v" in t.read(version=3).columns  # time travel sees the column
+    # stats entries for the dropped column are scrubbed
+    for cs in t._manifest(t.current_version()).get("stats", {}).values():
+        assert "v" not in cs
+    with _pytest.raises(ValueError, match="no such column"):
+        t.drop_column("v")
+
+
+def test_sqlx_alter_column_statements(spark, tmp_path):
+    from lakeflow.sqlx import LakehouseSQL
+    from lakeflow.tables import TableCatalog
+
+    lh = LakehouseSQL(spark, TableCatalog(spark, str(tmp_path / "wh")))
+    spark.createDataFrame([(1, "a")], "k long, v string").createOrReplaceTempView(
+        "asrc"
+    )
+    lh.execute("CREATE VERSIONED TABLE at AS SELECT * FROM asrc")
+    out = lh.execute("ALTER TABLE at ADD COLUMN score double")
+    assert out["added_column"] == "score"
+    out = lh.execute("ALTER TABLE at DROP COLUMN v")
+    assert out["dropped_column"] == "v"
+    assert lh.catalog.load("at").read().columns == ["k", "score"]
