@@ -1093,6 +1093,61 @@ class VersionedTable:
         self._publish_manifest(manifest)
         return manifest["version"]
 
+    def update_where_mor(
+        self,
+        condition: str,
+        set_exprs: dict[str, str],
+        prune_between: dict[str, tuple] | None = None,
+    ) -> int:
+        """Row-level UPDATE as merge-on-read, atomically: ONE snapshot adds
+        a deletion vector hiding the old row versions AND a dir holding the
+        rewritten rows. No candidate file is rewritten (copy-on-write's
+        write amplification), and because both effects land in a single
+        manifest there is no instant where a reader can see the rows doubled
+        or missing. SET results cast to the declared column types, the same
+        rule as :meth:`update_where`."""
+        from pyspark.sql import functions as F
+
+        version = self.current_version()
+        if version is None:
+            raise ValueError(f"table {self.root} has no snapshots")
+        m = self._manifest(version)
+        touch = self._kept_dirs(m, prune_between or {})
+        if not touch:
+            return version
+        cond = F.coalesce(F.expr(condition), F.lit(False))
+        frame = self._read_dirs(sorted(touch), version)
+        types = {f.name: f.dataType for f in frame.schema.fields}
+        for col in set_exprs:
+            if col not in types:
+                raise ValueError(f"UPDATE of unknown column {col!r}")
+        matched = frame.filter(cond)
+        dv_path = os.path.join(self.root, "dv", uuid.uuid4().hex)
+        matched.select(
+            F.col("_metadata.file_path").alias("file_path"),
+            F.col("_metadata.row_index").alias("row_index"),
+        ).write.mode("overwrite").parquet(dv_path)
+        if self.spark.read.parquet(dv_path).isEmpty():
+            shutil.rmtree(dv_path)
+            return version
+        rewritten = matched
+        for col, expr in set_exprs.items():
+            rewritten = rewritten.withColumn(
+                col, F.expr(expr).cast(types[col])
+            )
+        new_dir = os.path.join(self.root, "data", uuid.uuid4().hex)
+        rewritten.select(*frame.columns).write.mode("overwrite").parquet(new_dir)
+        manifest = {
+            "version": version + 1,
+            "operation": "update-mor",
+            "dirs": m["dirs"] + [new_dir],
+            "stats": m.get("stats", {}),
+            "schema": m.get("schema"),
+            "delete_vectors": m.get("delete_vectors", []) + [dv_path],
+        }
+        self._publish_manifest(manifest)
+        return manifest["version"]
+
     def add_column(self, name: str, dtype: str) -> int:
         """``ALTER TABLE ADD COLUMN`` — metadata-only (Iceberg/Delta): the
         authoritative manifest schema gains the column, no data file is

@@ -1685,3 +1685,37 @@ def test_sqlx_alter_column_statements(spark, tmp_path):
     out = lh.execute("ALTER TABLE at DROP COLUMN v")
     assert out["dropped_column"] == "v"
     assert lh.catalog.load("at").read().columns == ["k", "score"]
+
+
+def test_update_where_mor_is_atomic_and_rewrite_free(spark, tmp_path):
+    """MOR UPDATE: one snapshot hides the old row versions behind a deletion
+    vector and appends the rewritten rows — prior dirs untouched, counts
+    stable, SET casts to declared types, time travel sees pre-update
+    values, and a full compact materializes everything."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "k long, v double"
+    ).repartition(2))
+    dirs = t._manifest(1)["dirs"]
+
+    v = t.update_where_mor("k % 5 = 0", {"v": "v + 100"})
+    assert v == 2
+    m = t._manifest(2)
+    assert m["dirs"][: len(dirs)] == dirs and len(m["dirs"]) == len(dirs) + 1
+    assert len(m["delete_vectors"]) == 1
+
+    got = {r.k: r.v for r in t.read().collect()}
+    assert len(got) == 20
+    assert got[0] == 100.0 and got[5] == 105.0 and got[7] == 7.0
+    assert {r.k: r.v for r in t.read(version=1).collect()}[0] == 0.0
+
+    # SET casts to declared type (int expr -> double column)
+    t.update_where_mor("k = 1", {"v": "42"})
+    assert dict(t.read().filter("k = 1").collect()[0].asDict())["v"] == 42.0
+
+    # no-match: no new snapshot, no residue
+    assert t.update_where_mor("k = 999", {"v": "0"}) == t.current_version()
+
+    t.compact()
+    assert not t._manifest(t.current_version()).get("delete_vectors")
+    assert {r.k: r.v for r in t.read().collect()}[5] == 105.0
