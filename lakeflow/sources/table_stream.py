@@ -118,14 +118,21 @@ class TableChangesPartitionedReader(DataSourceStreamReader):
     def _added_dirs(self, start_v: int, end_v: int) -> list[str]:
         added: list[str] = []
         prev_dirs: set[str] | None = None
+        prev_dvs: set[str] = set()
         for v in range(start_v + 1, end_v + 1):
             m = _manifest(self.root, v)
             if prev_dirs is None:
-                prev_dirs = (
-                    set(_manifest(self.root, v - 1)["dirs"]) if v > 1 else set()
-                )
+                pm = _manifest(self.root, v - 1) if v > 1 else {}
+                prev_dirs = set(pm.get("dirs", []))
+                prev_dvs = set(pm.get("delete_vectors", []))
             removed = prev_dirs - set(m["dirs"])
-            if removed:
+            # A grown deletion-vector list is ALSO a change commit: a MOR
+            # delete/update removes no dirs yet changes row visibility, and
+            # silently emitting nothing (or, for update-mor, emitting the
+            # rewritten rows as fresh appends) would corrupt downstream
+            # state — same contract as Delta's skipChangeCommits.
+            new_dvs = set(m.get("delete_vectors", [])) - prev_dvs
+            if removed or new_dvs:
                 if self.on_change == "fail":
                     raise RuntimeError(
                         f"version {v} of {self.root} rewrites history "
@@ -133,9 +140,11 @@ class TableChangesPartitionedReader(DataSourceStreamReader):
                         "on_change=skip to ignore change commits"
                     )
                 prev_dirs = set(m["dirs"])
+                prev_dvs = set(m.get("delete_vectors", []))
                 continue
             added.extend(d for d in m["dirs"] if d not in prev_dirs)
             prev_dirs = set(m["dirs"])
+            prev_dvs = set(m.get("delete_vectors", []))
         return added
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:

@@ -1719,3 +1719,66 @@ def test_update_where_mor_is_atomic_and_rewrite_free(spark, tmp_path):
     t.compact()
     assert not t._manifest(t.current_version()).get("delete_vectors")
     assert {r.k: r.v for r in t.read().collect()}[5] == 105.0
+
+
+def test_table_changes_stream_flags_mor_commits(spark, tmp_path):
+    """A MOR delete removes no dirs but changes row visibility — the
+    changes stream must treat it as a change commit: fail by default, skip
+    (without emitting the update-mor rewrite dir as fresh appends) under
+    on_change=skip."""
+    import tempfile
+
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from lakeflow.sources.table_stream import register_table_changes_source
+
+    register_table_changes_source(spark)
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    t.delete_where_mor("k = 1")
+    t.update_where_mor("k = 2", {"v": "'B'"})
+
+    def run(on_change: str, name: str):
+        return (
+            spark.readStream.format("lakeflow_table_changes")
+            .option("path", t.root)
+            .option("on_change", on_change)
+            .load()
+            .writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", tempfile.mkdtemp())
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = run("fail", "mor_fail")
+    with pytest.raises(StreamingQueryException, match="rewrites history"):
+        q.awaitTermination(120)
+
+    q = run("skip", "mor_skip")
+    q.awaitTermination(120)
+    # skip: the v1 append arrives; neither the DV commits nor update-mor's
+    # rewrite dir are emitted as appends.
+    rows = {(r.k, r.v) for r in spark.table("mor_skip").collect()}
+    assert rows == {(1, "a"), (2, "b")}
+
+
+def test_table_diff_reports_mor_changes(spark, tmp_path):
+    """The change-data-feed read (table_diff) state-diffs through read(),
+    so MOR deletes and updates appear as proper delete/update rows with
+    pre-/post-images — vectors need no special casing."""
+    from lakeflow.tables import table_diff
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    ))
+    t.delete_where_mor("k = 1")
+    t.update_where_mor("k = 2", {"v": "'B'"})
+
+    diff = {
+        (r.k, r.v, r.change_type)
+        for r in table_diff(t, ["k"], from_version=1).collect()
+    }
+    assert diff == {(1, "a", "delete"), (2, "B", "update")}
