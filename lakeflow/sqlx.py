@@ -21,10 +21,10 @@ minimal grammar that does:
     OPTIMIZE t [ZORDER BY (c1, c2)]
     VACUUM t [RETAIN <n> SNAPSHOTS]
     ROLLBACK TABLE t TO VERSION <n>
-    DELETE FROM VERSIONED t WHERE <cond>
+    DELETE FROM VERSIONED t WHERE <cond> [USING MERGE ON READ]
     MERGE INTO VERSIONED t USING <src> ON t.k = s.k
         WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
-    UPDATE VERSIONED t SET c1 = <expr>, c2 = <expr> WHERE <cond>
+    UPDATE VERSIONED t SET c1 = <expr>, c2 = <expr> WHERE <cond> [USING MERGE ON READ]
     APPLY CHANGES INTO t FROM <view_or_select> KEYS (k1, k2)
         SEQUENCE BY <col> [OPS <op_col> DELETE WHEN '<val>']
     CREATE INCREMENTAL VIEW mv AS SELECT k1[, k2...], COUNT(*) AS c,
@@ -92,11 +92,13 @@ _ROLLBACK = re.compile(
     r"^\s*ROLLBACK\s+TABLE\s+(\w+)\s+TO\s+VERSION\s+(\d+)\s*$", re.IGNORECASE
 )
 _UPDATE = re.compile(
-    r"^\s*UPDATE\s+VERSIONED\s+(\w+)\s+SET\s+(.+?)\s+WHERE\s+(.+)$",
+    r"^\s*UPDATE\s+VERSIONED\s+(\w+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)"
+    r"(\s+USING\s+MERGE\s+ON\s+READ)?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _DELETE = re.compile(
-    r"^\s*DELETE\s+FROM\s+VERSIONED\s+(\w+)\s+WHERE\s+(.+)$",
+    r"^\s*DELETE\s+FROM\s+VERSIONED\s+(\w+)\s+WHERE\s+(.+?)"
+    r"(\s+USING\s+MERGE\s+ON\s+READ)?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _MERGE = re.compile(
@@ -222,17 +224,27 @@ class LakehouseSQL:
             return {"rolled_back": m.group(1), "new_version": v}
         m = _UPDATE.match(stmt)
         if m:
-            name, sets, cond = m.groups()
+            name, sets, cond, mor = m.groups()
             set_exprs = {}
             for part in sets.split(","):
                 col, expr = part.split("=", 1)
                 set_exprs[col.strip()] = expr.strip()
-            v = self.catalog.load(name).update_where(cond, set_exprs)
-            return {"updated": name, "version": v}
+            t = self.catalog.load(name)
+            v = (
+                t.update_where_mor(cond, set_exprs)
+                if mor
+                else t.update_where(cond, set_exprs)
+            )
+            return {"updated": name, "version": v, "mor": bool(mor)}
         m = _DELETE.match(stmt)
         if m:
-            v = self.catalog.load(m.group(1)).delete_where(m.group(2))
-            return {"deleted_from": m.group(1), "version": v}
+            t = self.catalog.load(m.group(1))
+            v = (
+                t.delete_where_mor(m.group(2))
+                if m.group(3)
+                else t.delete_where(m.group(2))
+            )
+            return {"deleted_from": m.group(1), "version": v, "mor": bool(m.group(3))}
         m = _MERGE.match(stmt)
         if m:
             return self._merge_upsert(*m.groups())

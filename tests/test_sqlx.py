@@ -190,3 +190,31 @@ def test_incremental_view_rejects_non_invertible_aggs(lh):
             "CREATE INCREMENTAL VIEW bad AS "
             "SELECT k, COUNT(*) AS n, MAX(v) AS m FROM tt GROUP BY k"
         )
+
+
+def test_mor_dml_sql_routing(lh, spark):
+    """DELETE/UPDATE ... USING MERGE ON READ route to the deletion-vector
+    paths: the manifest gains a vector and no data dir is removed."""
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double"
+    ).createOrReplaceTempView("morsrc")
+    lh.execute("CREATE VERSIONED TABLE mort AS SELECT * FROM morsrc")
+    t = lh.catalog.load("mort")
+    dirs = t._manifest(t.current_version())["dirs"]
+
+    out = lh.execute("DELETE FROM VERSIONED mort WHERE k = 1 USING MERGE ON READ")
+    assert out["mor"] is True
+    m = t._manifest(t.current_version())
+    assert m["dirs"] == dirs and len(m["delete_vectors"]) == 1
+
+    out = lh.execute(
+        "UPDATE VERSIONED mort SET v = v + 1 WHERE k = 2 USING MERGE ON READ"
+    )
+    assert out["mor"] is True
+    got = {r.k: r.v for r in t.read().collect()}
+    assert got == {2: 21.0, 3: 30.0}
+
+    # plain forms still take the copy-on-write path
+    out = lh.execute("DELETE FROM VERSIONED mort WHERE k = 3")
+    assert out["mor"] is False
+    assert {r.k for r in t.read().collect()} == {2}
