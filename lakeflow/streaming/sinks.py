@@ -109,9 +109,17 @@ def stream_upsert(
     available_now: bool = True,
     processing_time: str | None = None,
     num_buckets: int | None = None,
+    mor: bool = False,
 ) -> StreamingQuery:
     """Streaming upsert (the Iceberg/Delta ``MERGE INTO`` streaming sink,
     reference T5 + M3 combined) into a :class:`lakeflow.tables.VersionedTable`.
+
+    ``mor=True`` switches the per-batch write from state rewrite to the
+    Hudi-style merge-on-read path (:meth:`VersionedTable.upsert_mor`): one
+    deletion vector + one appended dir per micro-batch, O(batch) write
+    cost; compact at OPTIMIZE cadence. Mutually exclusive with
+    ``num_buckets`` (bucketed rewrites are the copy-on-write answer to the
+    same problem).
 
     Each micro-batch SCD1-merges into the current snapshot via foreachBatch
     and commits a new version — so the table stays queryable (and
@@ -129,8 +137,14 @@ def stream_upsert(
 
     from lakeflow.operators.merge import _dedup_source, scd1_apply
 
+    if mor and num_buckets is not None:
+        raise ValueError("mor and num_buckets are mutually exclusive")
+
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
+            return
+        if mor:
+            table.upsert_mor(_dedup_source(batch_df, keys, None), keys)
             return
         if num_buckets is not None:
             batch = _with_bucket(batch_df, keys, num_buckets)

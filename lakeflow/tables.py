@@ -1148,6 +1148,62 @@ class VersionedTable:
         self._publish_manifest(manifest)
         return manifest["version"]
 
+    def upsert_mor(self, batch: DataFrame, keys: Sequence[str]) -> int:
+        """Keyed UPSERT as merge-on-read (the Hudi MOR-table write path):
+        ONE snapshot hides the stale row versions of every key the batch
+        carries (deletion vector from a broadcast semi-join of the current
+        state against the batch's key set) and appends the batch as a new
+        dir — per-batch write cost is O(batch + matching positions), never
+        a candidate-file rewrite, which is what makes high-frequency keyed
+        ingestion affordable on a huge table. Read-side tax: the DV
+        anti-join. Pair with :meth:`compact` at OPTIMIZE cadence to
+        materialize accumulated vectors; at very high key-dispersion pair
+        with bucket partitioning (:func:`streaming.sinks.stream_upsert`'s
+        ``num_buckets``) so the semi-join scans only touched buckets.
+
+        The caller collapses the batch to one row per key first
+        (``operators.merge._dedup_source``) — several versions of a key in
+        one batch would otherwise all land.
+        """
+        from pyspark.sql import functions as F
+
+        version = self.current_version()
+        if version is None:
+            return self.commit(batch, mode="append")
+        m = self._manifest(version)
+        frame = self._read_dirs(m["dirs"], version)
+        keysel = batch.select(*list(keys)).distinct()
+        # Metadata columns resolve only against the scan relation — project
+        # them BEFORE the join or the semi-join output can't name them.
+        tagged = frame.select(
+            F.col("_metadata.file_path").alias("file_path"),
+            F.col("_metadata.row_index").alias("row_index"),
+            *list(keys),
+        )
+        matched = tagged.join(F.broadcast(keysel), list(keys), "left_semi")
+        dv_path = os.path.join(self.root, "dv", uuid.uuid4().hex)
+        matched.select("file_path", "row_index").write.mode(
+            "overwrite"
+        ).parquet(dv_path)
+        has_dv = not self.spark.read.parquet(dv_path).isEmpty()
+        if not has_dv:
+            shutil.rmtree(dv_path)
+        new_dir = os.path.join(self.root, "data", uuid.uuid4().hex)
+        batch.select(*frame.columns).write.mode("overwrite").parquet(new_dir)
+        manifest = {
+            "version": version + 1,
+            "operation": "upsert-mor",
+            "dirs": m["dirs"] + [new_dir],
+            "stats": m.get("stats", {}),
+            "schema": m.get("schema"),
+        }
+        if has_dv or m.get("delete_vectors"):
+            manifest["delete_vectors"] = m.get("delete_vectors", []) + (
+                [dv_path] if has_dv else []
+            )
+        self._publish_manifest(manifest)
+        return manifest["version"]
+
     def add_column(self, name: str, dtype: str) -> int:
         """``ALTER TABLE ADD COLUMN`` — metadata-only (Iceberg/Delta): the
         authoritative manifest schema gains the column, no data file is

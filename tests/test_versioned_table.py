@@ -1782,3 +1782,51 @@ def test_table_diff_reports_mor_changes(spark, tmp_path):
         for r in table_diff(t, ["k"], from_version=1).collect()
     }
     assert diff == {(1, "a", "delete"), (2, "B", "update")}
+
+
+def test_stream_upsert_mor_matches_rewrite_path(spark, tmp_path):
+    """Hudi-style MOR streaming upsert: same feed through the MOR sink and
+    the full-rewrite sink must converge to identical state; the MOR run's
+    manifests only ever ADD dirs (plus vectors), and compact materializes."""
+    import os as _os
+    import shutil as _shutil
+
+    from lakeflow.sources.streams import file_stream
+    from lakeflow.streaming.sinks import stream_upsert
+
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string").coalesce(
+        1
+    ).write.parquet(str(src / "b1"))
+    spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string").coalesce(
+        1
+    ).write.parquet(str(src / "b2"))
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    for i, d in enumerate(sorted(src.iterdir())):
+        for f in d.glob("*.parquet"):
+            dst = stream_dir / f"{i:03d}.parquet"
+            _shutil.copy(f, dst)
+            _os.utime(dst, (1_700_000_000 + i * 10,) * 2)
+
+    results = {}
+    for label, mor in (("rewrite", False), ("mor", True)):
+        t = VersionedTable(spark, str(tmp_path / label))
+        stream = (
+            spark.readStream.schema("k long, v string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(stream_dir))
+        )
+        stream_upsert(stream, t, keys=["k"], mor=mor).awaitTermination()
+        results[label] = {(r.k, r.v) for r in t.read().collect()}
+        if mor:
+            m = t._manifest(t.current_version())
+            # batch 2's vector hides the stale (2,'b') row version
+            assert len(m.get("delete_vectors", [])) == 1
+            assert len(m["dirs"]) == 2  # one appended dir per batch
+            t.compact()
+            assert not t._manifest(t.current_version()).get("delete_vectors")
+            assert {(r.k, r.v) for r in t.read().collect()} == results[label]
+
+    assert results["rewrite"] == results["mor"] == {(1, "a"), (2, "B"), (3, "c")}
