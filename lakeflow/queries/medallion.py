@@ -990,3 +990,55 @@ def mor_delete_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("total_cents"),
     )
+
+
+@register(
+    "mor_upsert_state",
+    oracle="""
+    WITH base AS (
+        SELECT c_custkey, c_name, c_acctbal FROM customer
+        WHERE c_custkey <= 800
+    ),
+    upd AS (
+        SELECT c_custkey, c_name,
+               (floor((c_acctbal + 1000.0) * 100.0 + 0.5) / 100.0) AS c_acctbal
+        FROM customer WHERE c_custkey <= 200
+    )
+    SELECT b.c_custkey, b.c_name,
+           (floor(coalesce(u.c_acctbal, b.c_acctbal) * 100.0 + 0.5) / 100.0)
+               AS c_acctbal
+    FROM base b LEFT JOIN upd u USING (c_custkey, c_name)
+    """,
+)
+def mor_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read UPSERT end to end (the Hudi MOR write path): a customer
+    slice lands, then an update batch for the first 200 keys folds in via
+    upsert_mor — ONE snapshot adds a deletion vector (broadcast key
+    semi-join hides the stale row versions) plus the batch dir, with no
+    candidate-file rewrite (asserted on the manifest). The oracle computes
+    the same upsert as a left join over the source, so a stale version
+    leaking through the anti-join — or a fresh row lost — breaks the
+    hash."""
+    import tempfile
+
+    from lakeflow.catalog import table_path
+    from lakeflow.functions.rounding import rnd
+    from lakeflow.tables import VersionedTable
+
+    cust = spark.read.parquet(table_path(sf_dir, "customer")).select(
+        "c_custkey", "c_name", rnd("c_acctbal", 2).alias("c_acctbal")
+    )
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="lakeflow_morup_"))
+    t.commit(cust.filter(F.col("c_custkey") <= 800).repartition(4))
+    dirs_before = t._manifest(t.current_version())["dirs"]
+    batch = cust.filter(F.col("c_custkey") <= 200).select(
+        "c_custkey",
+        "c_name",
+        rnd(F.col("c_acctbal") + 1000.0, 2).alias("c_acctbal"),
+    )
+    t.upsert_mor(batch, keys=["c_custkey", "c_name"])
+    m = t._manifest(t.current_version())
+    assert m["dirs"][: len(dirs_before)] == dirs_before
+    return t.read().select(
+        "c_custkey", "c_name", rnd("c_acctbal", 2).alias("c_acctbal")
+    )
