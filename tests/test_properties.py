@@ -379,3 +379,62 @@ def test_bpe_merge_fold_matches_reference(spark, arrays, pair):
     got = [r[0] for r in df.select(F.expr(_merge_pair_expr(a, b))).collect()]
     want = [_bpe_merge_ref(arr, a, b) for arr in arrays]
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+ops = st.lists(
+    st.one_of(
+        st.tuples(
+            st.just("append"),
+            st.lists(
+                st.tuples(st.integers(0, 9), st.integers(0, 99)),
+                min_size=1,
+                max_size=4,
+            ),
+        ),
+        st.tuples(st.just("delete"), st.integers(0, 9)),
+        st.tuples(st.just("update"), st.integers(0, 9), st.integers(0, 99)),
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@given(sequence=ops)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_mor_dml_equivalent_to_copy_on_write(spark, tmp_path_factory, sequence):
+    """Merge-on-read DML must be observationally identical to copy-on-write:
+    the same arbitrary append/delete/update sequence applied through
+    delete_where_mor/update_where_mor and through delete_where/update_where
+    yields the same row multiset after every step, and compacting the MOR
+    table changes nothing."""
+    from lakeflow.tables import VersionedTable
+
+    base = tmp_path_factory.mktemp("morprop")
+    cow = VersionedTable(spark, str(base / "cow"))
+    mor = VersionedTable(spark, str(base / "mor"))
+    seeded = False
+
+    def rows(t):
+        return sorted((r.k, r.v) for r in t.read().collect())
+
+    for op in sequence:
+        if op[0] == "append":
+            df = spark.createDataFrame(op[1], "k long, v long")
+            cow.commit(df)
+            mor.commit(df)
+            seeded = True
+        elif not seeded:
+            continue
+        elif op[0] == "delete":
+            cow.delete_where(f"k = {op[1]}")
+            mor.delete_where_mor(f"k = {op[1]}")
+        else:
+            cow.update_where(f"k = {op[1]}", {"v": str(op[2])})
+            mor.update_where_mor(f"k = {op[1]}", {"v": str(op[2])})
+        if seeded:
+            assert rows(cow) == rows(mor)
+    if seeded:
+        final = rows(mor)
+        mor.compact()
+        assert rows(mor) == final
