@@ -513,3 +513,43 @@ def asof_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prior_view_id",
         rnd("prior_view_value", 2).alias("prior_view_value"),
     )
+
+
+@register(
+    "user_value_median_pandas",
+    oracle=f"""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           {sql_rnd('median(value)', 2)} AS med_value
+    FROM events GROUP BY user_id
+    """,
+)
+def user_value_median_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exact median through GROUPED-MAP ``applyInPandas`` — the
+    plain grouped-map slot of the §2.10 pandas surface (scalar UDF, UDAF,
+    UDTF, mapInPandas, mapInArrow, cogroup, and applyInPandasWithState are
+    covered elsewhere). Median is deliberately the statistic: it is exact
+    element-picking (plus one halving for even groups), so the Python path
+    cannot drift a summation ulp against DuckDB's ``median`` the way a
+    naive float mean could. One hash shuffle on user_id; each group's
+    Arrow batch is sorted and indexed in pandas."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+
+    def med(pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = pdf["value"].sort_values().reset_index(drop=True)
+        n = len(vals)
+        m = (
+            vals[n // 2]
+            if n % 2
+            else (vals[n // 2 - 1] + vals[n // 2]) / 2.0
+        )
+        return pd.DataFrame(
+            {"user_id": [pdf["user_id"].iloc[0]], "n_events": [n], "med_value": [m]}
+        )
+
+    out = ev.groupBy("user_id").applyInPandas(
+        med, schema="user_id bigint, n_events bigint, med_value double"
+    )
+    return out.select("user_id", "n_events", rnd("med_value", 2).alias("med_value"))
