@@ -252,10 +252,18 @@ class VersionedTable:
                 recorded = self._manifest(cur).get("txns", {}).get(txn[0])
                 if recorded is not None and txn[1] <= recorded:
                     return cur  # replayed batch: already folded, skip
-        if _existing_dir is None:
-            # Table-level CHECK constraints gate the batch BEFORE any data
-            # is written; the WAP path (_existing_dir) audits post-stage.
-            self._check_constraints(df, self.constraints())
+        # Table-level CHECK constraints gate every publish: the fresh-write
+        # path checks the batch BEFORE any data lands; the WAP path
+        # (_existing_dir) checks what was actually staged — either way a
+        # breaching batch never becomes a snapshot.
+        cons = self.constraints()
+        if cons:
+            target = (
+                df
+                if _existing_dir is None
+                else self.spark.read.parquet(_existing_dir)
+            )
+            self._check_constraints(target, cons)
         if _existing_dir is not None:
             # WAP publish path: the data is already staged on disk; adopting
             # it avoids a second write of the full batch.

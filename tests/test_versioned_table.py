@@ -1830,3 +1830,22 @@ def test_stream_upsert_mor_matches_rewrite_path(spark, tmp_path):
             assert {(r.k, r.v) for r in t.read().collect()} == results[label]
 
     assert results["rewrite"] == results["mor"] == {(1, "a"), (2, "B"), (3, "c")}
+
+
+def test_constraints_gate_wap_publish(spark, tmp_path):
+    """Table CHECK constraints must also gate the write-audit-publish path:
+    a staged batch that breaches a constraint never publishes, even when
+    the caller's expectation list would have let it through."""
+    import pytest as _pytest
+
+    from lakeflow.tables import ConstraintViolationError
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(spark.createDataFrame([(1, 1.0)], "k long, v double"))
+    t.add_constraint("v_pos", "v > 0")
+    with _pytest.raises(ConstraintViolationError):
+        t.commit_audited(
+            spark.createDataFrame([(2, -1.0)], "k long, v double"),
+            expectations=[],
+        )
+    assert t.read().count() == 1
