@@ -657,6 +657,10 @@ class VersionedTable:
         directory and reads back as NULL, as in Hive/Spark partitioned
         tables.
         """
+        # Same CHECK-constraint gate as commit(): the incoming state frame
+        # is bounded by the touched partitions, so the one-agg check stays
+        # O(batch state), never O(table).
+        self._check_constraints(df, self.constraints())
         shadow = f"{partition_col}__p"
 
         def write_split(frame: DataFrame) -> dict[str, list[str]]:
