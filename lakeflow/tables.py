@@ -1620,23 +1620,30 @@ class TableCatalog:
         small_dir_max_bytes: int = 32 << 20,
         max_small_dirs: int = 8,
         keep_snapshots: int = 10,
+        max_delete_vectors: int = 8,
     ) -> dict:
         """One maintenance pass (the scheduled OPTIMIZE+VACUUM job every
         lakehouse runs): incremental small-file compaction once the tiny-dir
-        count crosses ``max_small_dirs``, snapshot expiry past
-        ``keep_snapshots``, and orphan-file cleanup. Policy thresholds keep
-        steady-state cost O(small dirs) + O(metadata) per pass — a table
-        with nothing to do costs a directory listing.
+        count crosses ``max_small_dirs``, a FULL compaction once accumulated
+        merge-on-read deletion vectors cross ``max_delete_vectors`` (paying
+        down the read-side anti-join debt — Delta's DV rewrite policy),
+        snapshot expiry past ``keep_snapshots``, and orphan-file cleanup.
+        Policy thresholds keep steady-state cost O(small dirs) + O(metadata)
+        per pass — a table with nothing to do costs a directory listing.
         """
         t = self.load(name)
         report = {"compacted": False, "expired": [], "orphans_removed": 0}
         if t.current_version() is None:
             return report  # empty table: nothing to maintain
         m = t._manifest(t.current_version())
+        if len(m.get("delete_vectors", [])) > max_delete_vectors:
+            t.compact()  # full rewrite: materializes and purges the vectors
+            report["compacted"] = True
+            m = t._manifest(t.current_version())
         small = [
             d for d in m["dirs"] if t._dir_bytes(d) < small_dir_max_bytes
         ]
-        if len(small) > max_small_dirs:
+        if not report["compacted"] and len(small) > max_small_dirs:
             t.compact(small_dir_max_bytes=small_dir_max_bytes)
             report["compacted"] = True
         report["expired"] = t.expire_snapshots(keep_last=keep_snapshots)

@@ -1849,3 +1849,27 @@ def test_constraints_gate_wap_publish(spark, tmp_path):
             expectations=[],
         )
     assert t.read().count() == 1
+
+
+def test_maintain_pays_down_deletion_vector_debt(spark, tmp_path):
+    """The maintenance pass full-compacts once accumulated MOR vectors cross
+    the policy threshold, purging them; below threshold it leaves the MOR
+    debt in place."""
+    from lakeflow.tables import TableCatalog
+
+    cat = TableCatalog(spark, str(tmp_path / "wh"))
+    t = cat.create(
+        "mort", spark.createDataFrame([(i, i) for i in range(10)], "k long, v long")
+    )
+    for i in range(3):
+        t.delete_where_mor(f"k = {i}")
+    assert len(t._manifest(t.current_version())["delete_vectors"]) == 3
+
+    rep = cat.maintain("mort", max_delete_vectors=8)
+    assert not rep["compacted"]
+    assert len(t._manifest(t.current_version())["delete_vectors"]) == 3
+
+    rep = cat.maintain("mort", max_delete_vectors=2)
+    assert rep["compacted"]
+    assert not t._manifest(t.current_version()).get("delete_vectors")
+    assert t.read().count() == 7
