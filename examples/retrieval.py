@@ -44,7 +44,8 @@ def main() -> None:
     print("-- LSH-bucketed (sign projections; probe same-bucket only)")
     sim.lsh_bucketed_topk(emb, q, k=3, dim=64, planes=8).show(truncate=False)
     print("-- IVF (centroid cells; probe nearest cells only)")
-    sim.ivf_topk(emb, q, k=3).show(truncate=False)
+    centroids = emb.filter(F.col("vec_id") < 16)
+    sim.ivf_topk(emb, q, centroids=centroids, k=3).show(truncate=False)
 
     spark.stop()
 
