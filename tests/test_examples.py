@@ -1,0 +1,36 @@
+"""Examples are runnable documentation — they must keep running as the
+library evolves (the ivf_topk signature change broke retrieval.py silently
+until a manual run caught it). Each example executes as a subprocess against
+the tiny fixture; pass = exit 0."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+EXAMPLES = [
+    "batch_medallion.py",
+    "lakehouse_sql.py",
+    "streaming_cdc.py",
+    "retrieval.py",
+    "llm_curation.py",
+]
+
+
+@pytest.mark.parametrize("example", EXAMPLES)
+def test_example_runs(example):
+    proc = subprocess.run(
+        [sys.executable, os.path.join(_REPO, "examples", example)],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=_REPO,
+    )
+    assert proc.returncode == 0, (
+        f"{example} failed:\n{proc.stdout[-1500:]}\n{proc.stderr[-1500:]}"
+    )
