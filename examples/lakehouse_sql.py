@@ -43,7 +43,24 @@ def main() -> None:
     print("as of v1:")
     lh.execute("SELECT * FROM users FOR VERSION AS OF 1").orderBy("user_id").show()
 
-    lh.execute("DESCRIBE HISTORY users").show()
+    print("schema + constraint evolution (metadata-only):")
+    print(lh.execute("ALTER TABLE users ADD COLUMN score double"))
+    print(lh.execute("ALTER TABLE users ADD CONSTRAINT uid_ok CHECK (user_id >= 0)"))
+
+    print("merge-on-read DML (deletion vectors, no file rewrite):")
+    print(lh.execute("DELETE FROM VERSIONED users WHERE user_id = 100 USING MERGE ON READ"))
+    print(lh.execute(
+        "UPDATE VERSIONED users SET tier = 'platinum' WHERE user_id = 0 "
+        "USING MERGE ON READ"
+    ))
+
+    print("latest after MOR DML:")
+    lh.execute("SELECT * FROM users").orderBy("user_id").show()
+
+    print("z-order clustering (2-dim file skipping):")
+    print(lh.execute("OPTIMIZE users ZORDER BY (user_id, score)"))
+
+    lh.execute("DESCRIBE HISTORY users").show(truncate=False)
     print(lh.execute("ROLLBACK TABLE users TO VERSION 2"))
     print(lh.execute("OPTIMIZE users"))
     print(lh.execute("VACUUM users RETAIN 2 SNAPSHOTS"))

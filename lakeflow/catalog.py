@@ -121,12 +121,23 @@ def zorder_value(
     scaled = []
     top = (1 << bits) - 1
     for c in cols:
-        lo, hi = float(row[f"lo_{c}"]), float(row[f"hi_{c}"])
+        lo_raw, hi_raw = row[f"lo_{c}"], row[f"hi_{c}"]
+        if lo_raw is None:
+            # All-NULL column (e.g. freshly ALTER-ADDed): no information to
+            # interleave — contribute constant zero bits for this dimension.
+            scaled.append(F.lit(0).cast("bigint"))
+            continue
+        lo, hi = float(lo_raw), float(hi_raw)
         span = (hi - lo) or 1.0
         scaled.append(
-            F.least(
-                F.lit(top),
-                F.floor((F.col(c).cast("double") - lo) / span * top).cast("bigint"),
+            F.coalesce(
+                F.least(
+                    F.lit(top),
+                    F.floor(
+                        (F.col(c).cast("double") - lo) / span * top
+                    ).cast("bigint"),
+                ),
+                F.lit(0).cast("bigint"),  # NULL rows sort to the Z origin
             )
         )
     z = F.lit(0).cast("bigint")
