@@ -15,7 +15,7 @@ minimal grammar that does:
     SELECT ... FROM t ...                       -- latest snapshot
     SELECT ... FROM t FOR VERSION AS OF 3 ...   -- time travel
     SELECT ... FROM t FOR TIMESTAMP AS OF '2026-08-14T12:00:00+00:00' ...
-    DESCRIBE HISTORY t
+    DESCRIBE HISTORY t | DESCRIBE DETAIL t | DESCRIBE FILES t
     ALTER TABLE t ADD COLUMN c <type> | DROP COLUMN c
     ALTER TABLE t ADD CONSTRAINT name CHECK (<expr>) | DROP CONSTRAINT name
     OPTIMIZE t [ZORDER BY (c1, c2)]
@@ -63,6 +63,12 @@ _INSERT = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _HISTORY = re.compile(r"^\s*DESCRIBE\s+HISTORY\s+(\w+)\s*$", re.IGNORECASE)
+_DETAIL = re.compile(
+    r"^\s*DESCRIBE\s+DETAIL\s+(\w+)\s*$", re.IGNORECASE
+)
+_FILES = re.compile(
+    r"^\s*DESCRIBE\s+FILES\s+(\w+)\s*$", re.IGNORECASE
+)
 _ADD_COLUMN = re.compile(
     r"^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(\w+)\s+([\w()<>, ]+?)\s*$",
     re.IGNORECASE,
@@ -173,6 +179,12 @@ class LakehouseSQL:
         m = _HISTORY.match(stmt)
         if m:
             return self.catalog.load(m.group(1)).snapshots()
+        m = _DETAIL.match(stmt)
+        if m:
+            return self.catalog.load(m.group(1)).detail()
+        m = _FILES.match(stmt)
+        if m:
+            return self.catalog.load(m.group(1)).files()
         m = _ADD_COLUMN.match(stmt)
         if m:
             t = self.catalog.load(m.group(1))

@@ -791,48 +791,59 @@ class VersionedTable:
             _partition_token(partition_col).isin(list(vals))
         )
 
-    def _read_dirs(self, dirs: Sequence[str], version: int) -> DataFrame:
+    POS_FILE = "_pos_file"
+    POS_INDEX = "_pos_index"
+
+    def _read_dirs(
+        self, dirs: Sequence[str], version: int, with_positions: bool = False
+    ) -> DataFrame:
         """Multi-dir parquet scan under the manifest-recorded schema: columns
         a file predates read back NULL (Iceberg-style metadata-only schema
         evolution — no rewrite). Pre-schema-tracking manifests fall back to
-        footer inference."""
+        footer inference.
+
+        ``with_positions`` carries each row's (file, row-position) identity
+        out as the ``_pos_file``/``_pos_index`` columns — the handle the
+        merge-on-read writers need. The tagging happens PER SCAN GROUP:
+        ``_metadata`` only resolves against a scan relation, so over a
+        partition-evolved (unioned) or DV-filtered table it must be
+        projected before any union/join."""
+        from pyspark.sql import functions as F
+
         st = self.schema(version)
         part = self._manifest(version).get("partitioning", {})
         groups: dict[tuple, list[str]] = {}
         for d in dirs:
             groups.setdefault(tuple(part.get(d, ())), []).append(d)
+        dvs = self._manifest(version).get("delete_vectors", [])
 
         def read_group(group_dirs: Sequence[str]) -> DataFrame:
             reader = self.spark.read
             if st is not None:
                 reader = reader.schema(st)
-            return reader.parquet(*group_dirs)
-
-        dvs = self._manifest(version).get("delete_vectors", [])
-
-        def apply_dv(df: DataFrame) -> DataFrame:
-            if not dvs:
+            df = reader.parquet(*group_dirs)
+            base = df.columns
+            if not (dvs or with_positions):
                 return df
-            from pyspark.sql import functions as F
-
-            cols = df.columns
-            dv = self.spark.read.parquet(*dvs)
             tagged = df.select(
-                *cols,
-                F.col("_metadata.file_path").alias("__dv_fp"),
-                F.col("_metadata.row_index").alias("__dv_ri"),
+                *base,
+                F.col("_metadata.file_path").alias(self.POS_FILE),
+                F.col("_metadata.row_index").alias(self.POS_INDEX),
             )
-            # DVs are position lists, tiny next to data — broadcast anti-join
-            # at the scan, the merge-on-read contract: no data file was
-            # rewritten to delete these rows.
-            return tagged.join(
-                F.broadcast(dv),
-                (tagged["__dv_fp"] == dv["file_path"])
-                & (tagged["__dv_ri"] == dv["row_index"]),
-                "left_anti",
-            ).select(*cols)
+            if dvs:
+                dv = self.spark.read.parquet(*dvs)
+                # DVs are position lists, tiny next to data — broadcast
+                # anti-join at the scan, the merge-on-read contract: no data
+                # file was rewritten to delete these rows.
+                tagged = tagged.join(
+                    F.broadcast(dv),
+                    (tagged[self.POS_FILE] == dv["file_path"])
+                    & (tagged[self.POS_INDEX] == dv["row_index"]),
+                    "left_anti",
+                )
+            return tagged if with_positions else tagged.select(*base)
 
-        frames = [apply_dv(read_group(g)) for g in groups.values()]
+        frames = [read_group(g) for g in groups.values()]
         out = frames[0]
         for f in frames[1:]:
             # Partition evolution: layouts differ but the manifest schema is
@@ -1084,10 +1095,10 @@ class VersionedTable:
         if not touch:
             return version
         cond = F.coalesce(F.expr(condition), F.lit(False))
-        frame = self._read_dirs(sorted(touch), version)
+        frame = self._read_dirs(sorted(touch), version, with_positions=True)
         matches = frame.filter(cond).select(
-            F.col("_metadata.file_path").alias("file_path"),
-            F.col("_metadata.row_index").alias("row_index"),
+            F.col(self.POS_FILE).alias("file_path"),
+            F.col(self.POS_INDEX).alias("row_index"),
         )
         dv_path = os.path.join(self.root, "dv", uuid.uuid4().hex)
         matches.write.mode("overwrite").parquet(dv_path)
@@ -1128,7 +1139,10 @@ class VersionedTable:
         if not touch:
             return version
         cond = F.coalesce(F.expr(condition), F.lit(False))
-        frame = self._read_dirs(sorted(touch), version)
+        frame = self._read_dirs(sorted(touch), version, with_positions=True)
+        payload = [
+            c for c in frame.columns if c not in (self.POS_FILE, self.POS_INDEX)
+        ]
         types = {f.name: f.dataType for f in frame.schema.fields}
         for col in set_exprs:
             if col not in types:
@@ -1136,8 +1150,8 @@ class VersionedTable:
         matched = frame.filter(cond)
         dv_path = os.path.join(self.root, "dv", uuid.uuid4().hex)
         matched.select(
-            F.col("_metadata.file_path").alias("file_path"),
-            F.col("_metadata.row_index").alias("row_index"),
+            F.col(self.POS_FILE).alias("file_path"),
+            F.col(self.POS_INDEX).alias("row_index"),
         ).write.mode("overwrite").parquet(dv_path)
         if self.spark.read.parquet(dv_path).isEmpty():
             shutil.rmtree(dv_path)
@@ -1148,7 +1162,7 @@ class VersionedTable:
                 col, F.expr(expr).cast(types[col])
             )
         new_dir = os.path.join(self.root, "data", uuid.uuid4().hex)
-        rewritten.select(*frame.columns).write.mode("overwrite").parquet(new_dir)
+        rewritten.select(*payload).write.mode("overwrite").parquet(new_dir)
         manifest = {
             "version": version + 1,
             "operation": "update-mor",
@@ -1159,6 +1173,71 @@ class VersionedTable:
         }
         self._publish_manifest(manifest)
         return manifest["version"]
+
+    def files(self, version: int | None = None) -> DataFrame:
+        """Metadata table (Iceberg's ``t.files`` / Delta's DESCRIBE DETAIL
+        granularity): one row per data dir of the snapshot — path, bytes,
+        file count, recorded layout, and min/max stats as a map. Driver-side
+        manifest walk only; no data file is opened."""
+        import glob as _glob
+
+        if version is None:
+            version = self.current_version()
+        if version is None:
+            raise ValueError(f"table {self.root} has no snapshots")
+        m = self._manifest(version)
+        part = m.get("partitioning", {})
+        stats = m.get("stats", {})
+        rows = []
+        for d in m["dirs"]:
+            pq = _glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)
+            rows.append(
+                (
+                    d,
+                    int(sum(os.path.getsize(f) for f in pq)),
+                    len(pq),
+                    list(part.get(d, [])),
+                    {
+                        c: f"[{v[0]}, {v[1]}]"
+                        for c, v in stats.get(d, {}).items()
+                    },
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "dir string, bytes bigint, n_files int, partitioning array<string>,"
+            " stats map<string,string>",
+        )
+
+    def detail(self) -> dict:
+        """DESCRIBE DETAIL: one dict of current-table facts — version,
+        operation, dir/file counts and bytes, schema width, constraints,
+        deletion-vector count, transactional watermarks, layout mix."""
+        version = self.current_version()
+        if version is None:
+            raise ValueError(f"table {self.root} has no snapshots")
+        m = self._manifest(version)
+        fr = self.files(version).agg(
+            {"bytes": "sum", "n_files": "sum"}
+        ).collect()[0]
+        st = self.schema(version)
+        layouts = {
+            tuple(m.get("partitioning", {}).get(d, ())) for d in m["dirs"]
+        }
+        return {
+            "location": self.root,
+            "version": version,
+            "operation": m.get("operation"),
+            "committed_at": m.get("committed_at"),
+            "n_dirs": len(m["dirs"]),
+            "n_files": int(fr["sum(n_files)"] or 0),
+            "bytes": int(fr["sum(bytes)"] or 0),
+            "n_columns": len(st.fields) if st is not None else None,
+            "constraints": m.get("constraints", {}),
+            "n_delete_vectors": len(m.get("delete_vectors", [])),
+            "txns": m.get("txns", {}),
+            "n_layouts": len(layouts),
+        }
 
     def upsert_mor(self, batch: DataFrame, keys: Sequence[str]) -> int:
         """Keyed UPSERT as merge-on-read (the Hudi MOR-table write path):
@@ -1183,13 +1262,11 @@ class VersionedTable:
         if version is None:
             return self.commit(batch, mode="append")
         m = self._manifest(version)
-        frame = self._read_dirs(m["dirs"], version)
+        frame = self._read_dirs(m["dirs"], version, with_positions=True)
         keysel = batch.select(*list(keys)).distinct()
-        # Metadata columns resolve only against the scan relation — project
-        # them BEFORE the join or the semi-join output can't name them.
         tagged = frame.select(
-            F.col("_metadata.file_path").alias("file_path"),
-            F.col("_metadata.row_index").alias("row_index"),
+            F.col(self.POS_FILE).alias("file_path"),
+            F.col(self.POS_INDEX).alias("row_index"),
             *list(keys),
         )
         matched = tagged.join(F.broadcast(keysel), list(keys), "left_semi")
@@ -1201,7 +1278,10 @@ class VersionedTable:
         if not has_dv:
             shutil.rmtree(dv_path)
         new_dir = os.path.join(self.root, "data", uuid.uuid4().hex)
-        batch.select(*frame.columns).write.mode("overwrite").parquet(new_dir)
+        payload = [
+            c for c in frame.columns if c not in (self.POS_FILE, self.POS_INDEX)
+        ]
+        batch.select(*payload).write.mode("overwrite").parquet(new_dir)
         manifest = {
             "version": version + 1,
             "operation": "upsert-mor",

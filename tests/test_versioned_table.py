@@ -1873,3 +1873,38 @@ def test_maintain_pays_down_deletion_vector_debt(spark, tmp_path):
     assert rep["compacted"]
     assert not t._manifest(t.current_version()).get("delete_vectors")
     assert t.read().count() == 7
+
+
+def test_describe_detail_and_files(spark, tmp_path):
+    """files() walks only the manifest (one row per dir with bytes/layout/
+    stats); detail() summarizes version, constraints, DV debt, txns, and
+    layout mix — the DESCRIBE DETAIL surface."""
+    from lakeflow.sqlx import LakehouseSQL
+    from lakeflow.tables import TableCatalog
+
+    lh = LakehouseSQL(spark, TableCatalog(spark, str(tmp_path / "wh")))
+    spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "k long, cat string, v double"
+    ).createOrReplaceTempView("dsrc")
+    lh.execute("CREATE VERSIONED TABLE dt AS SELECT * FROM dsrc")
+    t = lh.catalog.load("dt")
+    t.commit(
+        spark.createDataFrame([(3, "a", 3.0)], "k long, cat string, v double"),
+        partition_by=["cat"],
+        stats_cols=["k"],
+    )
+    t.add_constraint("k_pos", "k > 0")
+    t.delete_where_mor("k = 1")
+
+    files = lh.execute("DESCRIBE FILES dt").collect()
+    assert len(files) == 2
+    by_layout = {tuple(r.partitioning): r for r in files}
+    assert () in by_layout and ("cat",) in by_layout
+    assert all(r.bytes > 0 and r.n_files > 0 for r in files)
+    assert by_layout[("cat",)].stats["k"] == "[3, 3]"
+
+    d = lh.execute("DESCRIBE DETAIL dt")
+    assert d["version"] == t.current_version()
+    assert d["n_dirs"] == 2 and d["n_layouts"] == 2
+    assert d["constraints"] == {"k_pos": "k > 0"}
+    assert d["n_delete_vectors"] == 1 and d["n_columns"] == 3
