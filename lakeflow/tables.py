@@ -1412,10 +1412,13 @@ class VersionedTable:
             return
         from pyspark.sql import functions as F
 
+        # SQL CHECK semantics (and Delta's): only FALSE violates — a NULL
+        # (unknown) predicate result passes. Guard nullability explicitly
+        # with NOT NULL constraints where that is the intent.
         aggs = [
             F.sum(
                 F.when(
-                    ~F.coalesce(F.expr(expr), F.lit(False)), F.lit(1)
+                    ~F.coalesce(F.expr(expr), F.lit(True)), F.lit(1)
                 ).otherwise(F.lit(0))
             ).alias(name)
             for name, expr in cons.items()

@@ -1908,3 +1908,23 @@ def test_describe_detail_and_files(spark, tmp_path):
     assert d["n_dirs"] == 2 and d["n_layouts"] == 2
     assert d["constraints"] == {"k_pos": "k > 0"}
     assert d["n_delete_vectors"] == 1 and d["n_columns"] == 3
+
+
+def test_check_constraint_null_passes(spark, tmp_path):
+    """SQL CHECK semantics: a NULL (unknown) predicate result PASSES — only
+    FALSE violates (Delta's behavior). Nullability is expressed as an
+    explicit IS NOT NULL constraint."""
+    import pytest as _pytest
+
+    from lakeflow.tables import ConstraintViolationError
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(spark.createDataFrame([(1, 1.0)], "k long, v double"))
+    t.add_constraint("v_pos", "v > 0")
+    # NULL v: v > 0 is unknown -> passes
+    t.commit(spark.createDataFrame([(2, None)], "k long, v double"))
+    assert t.read().count() == 2
+
+    t.add_constraint("v_not_null_go_forward", "v IS NOT NULL OR k <= 2")
+    with _pytest.raises(ConstraintViolationError):
+        t.commit(spark.createDataFrame([(3, None)], "k long, v double"))
