@@ -16,6 +16,7 @@ minimal grammar that does:
     SELECT ... FROM t FOR VERSION AS OF 3 ...   -- time travel
     SELECT ... FROM t FOR TIMESTAMP AS OF '2026-08-14T12:00:00+00:00' ...
     DESCRIBE HISTORY t | DESCRIBE DETAIL t | DESCRIBE FILES t
+    ANALYZE TABLE t COMPUTE STATISTICS FOR COLUMNS (c1, c2)
     ALTER TABLE t ADD COLUMN c <type> | DROP COLUMN c
     ALTER TABLE t ADD CONSTRAINT name CHECK (<expr>) | DROP CONSTRAINT name
     OPTIMIZE t [ZORDER BY (c1, c2)]
@@ -63,6 +64,11 @@ _INSERT = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _HISTORY = re.compile(r"^\s*DESCRIBE\s+HISTORY\s+(\w+)\s*$", re.IGNORECASE)
+_ANALYZE = re.compile(
+    r"^\s*ANALYZE\s+TABLE\s+(\w+)\s+COMPUTE\s+STATISTICS"
+    r"\s+FOR\s+COLUMNS\s*\(\s*([\w\s,]+?)\s*\)\s*$",
+    re.IGNORECASE,
+)
 _DETAIL = re.compile(
     r"^\s*DESCRIBE\s+DETAIL\s+(\w+)\s*$", re.IGNORECASE
 )
@@ -179,6 +185,11 @@ class LakehouseSQL:
         m = _HISTORY.match(stmt)
         if m:
             return self.catalog.load(m.group(1)).snapshots()
+        m = _ANALYZE.match(stmt)
+        if m:
+            cols = [c.strip() for c in m.group(2).split(",")]
+            v = self.catalog.load(m.group(1)).analyze(cols)
+            return {"analyzed": m.group(1), "columns": cols, "version": v}
         m = _DETAIL.match(stmt)
         if m:
             return self.catalog.load(m.group(1)).detail()

@@ -998,6 +998,52 @@ class VersionedTable:
         m = self._manifest(version)
         return len(m["dirs"]) - len(self._bloom_kept_dirs(m, col, value))
 
+    def analyze(self, cols: Sequence[str]) -> int:
+        """``ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS``: retrofit
+        per-dir min/max zone maps for ``cols`` onto the CURRENT snapshot —
+        for tables whose commits didn't pass ``stats_cols`` — so
+        :meth:`scan`/:meth:`pruned_dirs` can skip dirs afterwards. ONE scan
+        computes every dir's stats: rows group by their owning manifest dir
+        (derived from the per-row file path, a bounded CASE over the
+        manifest's dir list), with map-side partial min/max, then a
+        metadata-only manifest records the result."""
+        from pyspark.sql import functions as F
+
+        version = self.current_version()
+        if version is None:
+            raise ValueError(f"table {self.root} has no snapshots")
+        m = self._manifest(version)
+        frame = self._read_dirs(m["dirs"], version, with_positions=True)
+        owner = F.lit(None).cast("string")
+        for d in m["dirs"]:
+            owner = F.when(
+                F.col(self.POS_FILE).contains(d), F.lit(d)
+            ).otherwise(owner)
+        rows = (
+            frame.groupBy(owner.alias("__dir"))
+            .agg(
+                *[F.min(c).alias(f"min_{c}") for c in cols],
+                *[F.max(c).alias(f"max_{c}") for c in cols],
+            )
+            .collect()
+        )
+        stats = dict(m.get("stats", {}))
+        for r in rows:
+            if r["__dir"] is None:
+                continue
+            stats.setdefault(r["__dir"], {}).update(
+                {c: [r[f"min_{c}"], r[f"max_{c}"]] for c in cols}
+            )
+        manifest = {
+            "version": version + 1,
+            "operation": f"analyze:{','.join(cols)}",
+            "dirs": m["dirs"],
+            "stats": stats,
+            "schema": m.get("schema"),
+        }
+        self._publish_manifest(manifest)
+        return manifest["version"]
+
     def optimize_zorder(
         self,
         cols: Sequence[str],

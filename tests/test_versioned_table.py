@@ -1928,3 +1928,31 @@ def test_check_constraint_null_passes(spark, tmp_path):
     t.add_constraint("v_not_null_go_forward", "v IS NOT NULL OR k <= 2")
     with _pytest.raises(ConstraintViolationError):
         t.commit(spark.createDataFrame([(3, None)], "k long, v double"))
+
+
+def test_analyze_retrofits_stats_for_pruning(spark, tmp_path):
+    """ANALYZE computes per-dir zone maps in one scan for a table written
+    without stats_cols; scan pruning works afterwards and results stay
+    exact. The grouped single-pass must attribute rows to the right dir
+    even across evolved layouts."""
+    from lakeflow.sqlx import LakehouseSQL
+    from lakeflow.tables import TableCatalog
+
+    lh = LakehouseSQL(spark, TableCatalog(spark, str(tmp_path / "wh")))
+    t = lh.catalog.create(
+        "at",
+        spark.createDataFrame([(i, i) for i in range(100)], "id long, k long"),
+    )
+    t.commit(
+        spark.createDataFrame(
+            [(i, i) for i in range(1000, 1100)], "id long, k long"
+        ),
+        partition_by=["k"],  # second dir under a DIFFERENT layout
+    )
+    assert t.pruned_dirs({"k": (0, 50)}) == 0  # no stats yet
+
+    out = lh.execute("ANALYZE TABLE at COMPUTE STATISTICS FOR COLUMNS (k)")
+    assert out["columns"] == ["k"]
+    assert t.pruned_dirs({"k": (0, 50)}) == 1
+    got = sorted(r.k for r in t.scan(between={"k": (40, 60)}).collect())
+    assert got == list(range(40, 61))
