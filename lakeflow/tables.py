@@ -1004,9 +1004,12 @@ class VersionedTable:
         for tables whose commits didn't pass ``stats_cols`` — so
         :meth:`scan`/:meth:`pruned_dirs` can skip dirs afterwards. ONE scan
         computes every dir's stats: rows group by their owning manifest dir
-        (derived from the per-row file path, a bounded CASE over the
-        manifest's dir list), with map-side partial min/max, then a
-        metadata-only manifest records the result."""
+        (derived from the per-row file path, a CASE over the manifest's dir
+        list), with map-side partial min/max, then a metadata-only manifest
+        records the result. The CASE depth equals the dir count — fine at
+        OPTIMIZE-maintained dir counts (compaction bounds them); a
+        manifest with tens of thousands of dirs should compact first, or
+        this attribution becomes a join on an extracted path token."""
         from pyspark.sql import functions as F
 
         version = self.current_version()
