@@ -60,7 +60,7 @@ class TableChangesDataSource(DataSource):
         return "lakeflow_table_changes"
 
     def schema(self):
-        from pyspark.sql.types import StructType
+        from pyspark.sql.types import StringType, StructType
 
         root = self.options["path"]
         vs = _versions(root)
@@ -72,20 +72,36 @@ class TableChangesDataSource(DataSource):
                 f"table {root} predates schema tracking; recommit once to "
                 "record a schema before streaming it"
             )
-        return StructType.fromJson(json.loads(raw))
+        st = StructType.fromJson(json.loads(raw))
+        if self.options.get("mode", "append") == "cdf":
+            st = st.add("_change_type", StringType(), False)
+        return st
 
     def streamReader(self, schema) -> "TableChangesPartitionedReader":
+        mode = self.options.get("mode", "append")
+        cols = [f.name for f in schema.fields]
+        if mode == "cdf":
+            cols = [c for c in cols if c != "_change_type"]
         return TableChangesPartitionedReader(
             root=self.options["path"],
             on_change=self.options.get("on_change", "fail"),
             start_version=int(self.options.get("start_version", "0")),
-            columns=[f.name for f in schema.fields],
+            columns=cols,
+            mode=mode,
         )
 
 
 class _DirPartition(InputPartition):
     def __init__(self, directory: str, columns: list[str]) -> None:
         self.directory = directory
+        self.columns = columns
+
+
+class _DvPartition(InputPartition):
+    """One deletion-vector file: emits the DELETED rows' pre-images."""
+
+    def __init__(self, dv_path: str, columns: list[str]) -> None:
+        self.dv_path = dv_path
         self.columns = columns
 
 
@@ -99,14 +115,22 @@ class TableChangesPartitionedReader(DataSourceStreamReader):
     """
 
     def __init__(
-        self, root: str, on_change: str, start_version: int, columns: list[str]
+        self,
+        root: str,
+        on_change: str,
+        start_version: int,
+        columns: list[str],
+        mode: str = "append",
     ) -> None:
         if on_change not in ("fail", "skip"):
             raise ValueError(f"on_change must be fail|skip, got {on_change!r}")
+        if mode not in ("append", "cdf"):
+            raise ValueError(f"mode must be append|cdf, got {mode!r}")
         self.root = root
         self.on_change = on_change
         self.start_version = start_version
         self.columns = columns
+        self.mode = mode
 
     def initialOffset(self) -> dict:
         return {"version": self.start_version}
@@ -147,15 +171,72 @@ class TableChangesPartitionedReader(DataSourceStreamReader):
             prev_dvs = set(m.get("delete_vectors", []))
         return added
 
-    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
-        return [
-            _DirPartition(d, self.columns)
-            for d in self._added_dirs(int(start["version"]), int(end["version"]))
-        ]
+    def _plan_cdf(self, start_v: int, end_v: int) -> list[InputPartition]:
+        """CDF planning: per version, NEW deletion vectors become delete
+        pre-image splits and added dirs become insert splits — so a MOR
+        delete streams as 'delete' rows and an update-mor commit streams as
+        delete+insert (Delta CDF's pre/post-image pair). Dir REMOVALS
+        (overwrite / replace-partitions / compaction) still follow the
+        fail|skip policy: a history rewrite has no incremental rendering."""
+        parts: list[InputPartition] = []
+        prev_m = _manifest(self.root, start_v) if start_v >= 1 else {}
+        prev_dirs = set(prev_m.get("dirs", []))
+        prev_dvs = set(prev_m.get("delete_vectors", []))
+        for v in range(start_v + 1, end_v + 1):
+            m = _manifest(self.root, v)
+            removed = prev_dirs - set(m["dirs"])
+            if removed:
+                if self.on_change == "fail":
+                    raise RuntimeError(
+                        f"version {v} of {self.root} rewrites history "
+                        f"({m['operation']}); stream appends only, or set "
+                        "on_change=skip to ignore change commits"
+                    )
+                prev_dirs = set(m["dirs"])
+                prev_dvs = set(m.get("delete_vectors", []))
+                continue
+            for dv in m.get("delete_vectors", []):
+                if dv not in prev_dvs:
+                    parts.append(_DvPartition(dv, self.columns))
+            parts.extend(
+                _DirPartition(d, self.columns)
+                for d in m["dirs"]
+                if d not in prev_dirs
+            )
+            prev_dirs = set(m["dirs"])
+            prev_dvs = set(m.get("delete_vectors", []))
+        return parts
 
-    def read(self, partition: _DirPartition):
-        # Runs on an executor: local pyarrow read of one data dir.
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        lo, hi = int(start["version"]), int(end["version"])
+        if self.mode == "cdf":
+            return self._plan_cdf(lo, hi)
+        return [_DirPartition(d, self.columns) for d in self._added_dirs(lo, hi)]
+
+    def read(self, partition):
+        # Runs on an executor: local pyarrow read of one split.
         import pyarrow.parquet as pq
+
+        if isinstance(partition, _DvPartition):
+            dv = pq.read_table(partition.dv_path)
+            by_file: dict[str, list[int]] = {}
+            for fp, ri in zip(
+                dv.column("file_path").to_pylist(),
+                dv.column("row_index").to_pylist(),
+            ):
+                by_file.setdefault(fp, []).append(ri)
+            rows = []
+            for fp, idxs in sorted(by_file.items()):
+                local = fp[7:] if fp.startswith("file://") else fp
+                t = pq.read_table(local).take(sorted(idxs))
+                cols = [
+                    t.column(c).to_pylist()
+                    if c in t.column_names
+                    else [None] * t.num_rows
+                    for c in partition.columns
+                ]
+                rows.extend(r + ("delete",) for r in zip(*cols))
+            return iter(rows)
 
         table = pq.read_table(partition.directory)
         cols = [
@@ -164,7 +245,10 @@ class TableChangesPartitionedReader(DataSourceStreamReader):
             else [None] * table.num_rows
             for c in partition.columns
         ]
-        return iter(list(zip(*cols)) if cols else [])
+        out = list(zip(*cols)) if cols else []
+        if self.mode == "cdf":
+            out = [r + ("insert",) for r in out]
+        return iter(out)
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in the engine's checkpoint; manifests are immutable

@@ -1956,3 +1956,41 @@ def test_analyze_retrofits_stats_for_pruning(spark, tmp_path):
     assert t.pruned_dirs({"k": (0, 50)}) == 1
     got = sorted(r.k for r in t.scan(between={"k": (40, 60)}).collect())
     assert got == list(range(40, 61))
+
+
+def test_table_changes_stream_cdf_mode_emits_deletes(spark, tmp_path):
+    """mode=cdf: appends stream as 'insert' rows, a MOR delete streams its
+    pre-image as a 'delete' row, and an update-mor commit streams the
+    delete+insert pair — the streaming CDF rendering of the MOR table."""
+    import tempfile
+
+    from lakeflow.sources.table_stream import register_table_changes_source
+
+    register_table_changes_source(spark)
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    t.delete_where_mor("k = 1")
+    t.update_where_mor("k = 2", {"v": "'B'"})
+
+    q = (
+        spark.readStream.format("lakeflow_table_changes")
+        .option("path", t.root)
+        .option("mode", "cdf")
+        .load()
+        .writeStream.format("memory")
+        .queryName("cdf_all")
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = [
+        (r.k, r.v, r._change_type) for r in spark.table("cdf_all").collect()
+    ]
+    assert sorted(rows) == [
+        (1, "a", "delete"),   # MOR delete pre-image
+        (1, "a", "insert"),   # v1 append
+        (2, "B", "insert"),   # update-mor post-image
+        (2, "b", "delete"),   # update-mor pre-image
+        (2, "b", "insert"),   # v1 append
+    ]
