@@ -633,3 +633,63 @@ def tick_vwap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pv_deci").cast("double") / (10.0 * F.col("total_volume")), 4
         ).alias("vwap"),
     )
+
+
+@register(
+    "stream_cdf_mor_changes",
+    oracle="""
+    WITH slice AS (
+        SELECT c_custkey, c_name,
+               (floor(c_acctbal * 100.0 + 0.5) / 100.0) AS c_acctbal
+        FROM customer WHERE c_custkey <= 400
+    )
+    SELECT c_custkey, c_name, c_acctbal, 'insert' AS _change_type FROM slice
+    UNION ALL
+    SELECT c_custkey, c_name, c_acctbal, 'delete' FROM slice
+    WHERE c_custkey % 5 = 0
+    UNION ALL
+    SELECT c_custkey, c_name, c_acctbal, 'delete' FROM slice
+    WHERE c_custkey % 5 = 1
+    UNION ALL
+    SELECT c_custkey, c_name,
+           (floor((c_acctbal + 50.0) * 100.0 + 0.5) / 100.0), 'insert'
+    FROM slice WHERE c_custkey % 5 = 1
+    """,
+)
+def stream_cdf_mor_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming change-data-feed over a merge-on-read table end to end:
+    a customer slice lands, a MOR delete and a MOR update follow (deletion
+    vectors — no file rewrite), and the ``mode=cdf`` table-changes stream
+    renders the full history: v1's rows as inserts, each vector's
+    pyarrow-recovered pre-images as deletes, and the update's rewritten
+    rows as inserts. The oracle constructs the identical change set from
+    the source slice, so a pre-image recovered from the wrong file/position
+    — or a change lost to the skip path — breaks the hash."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lakeflow.functions.rounding import rnd
+    from lakeflow.sources.table_stream import register_table_changes_source
+    from lakeflow.tables import VersionedTable
+
+    register_table_changes_source(spark)
+    cust = spark.read.parquet(table_path(sf_dir, "customer")).select(
+        "c_custkey", "c_name", rnd("c_acctbal", 2).alias("c_acctbal")
+    )
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="lakeflow_cdfmor_"))
+    t.commit(cust.filter(F.col("c_custkey") <= 400))
+    t.delete_where_mor("c_custkey % 5 = 0")
+    t.update_where_mor(
+        "c_custkey % 5 = 1", {"c_acctbal": "c_acctbal + 50.0"}
+    )
+    stream = (
+        spark.readStream.format("lakeflow_table_changes")
+        .option("path", t.root)
+        .option("mode", "cdf")
+        .load()
+    )
+    name, _ = run_to_memory(stream)
+    return spark.table(name).select(
+        "c_custkey", "c_name", rnd("c_acctbal", 2).alias("c_acctbal"), "_change_type"
+    )
