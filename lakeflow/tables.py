@@ -998,7 +998,7 @@ class VersionedTable:
         m = self._manifest(version)
         return len(m["dirs"]) - len(self._bloom_kept_dirs(m, col, value))
 
-    def analyze(self, cols: Sequence[str]) -> int:
+    def analyze(self, cols: Sequence[str], only_missing: bool = True) -> int:
         """``ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS``: retrofit
         per-dir min/max zone maps for ``cols`` onto the CURRENT snapshot —
         for tables whose commits didn't pass ``stats_cols`` — so
@@ -1006,7 +1006,11 @@ class VersionedTable:
         computes every dir's stats: rows group by their owning manifest dir
         (derived from the per-row file path, a CASE over the manifest's dir
         list), with map-side partial min/max, then a metadata-only manifest
-        records the result. The CASE depth equals the dir count — fine at
+        records the result. ``only_missing`` (default) makes repeated runs
+        incremental — dirs already carrying stats for every requested
+        column are skipped, so an ANALYZE after each ingest scans only the
+        new data, and a fully-analyzed table costs a manifest read.
+        The CASE depth equals the scanned-dir count — fine at
         OPTIMIZE-maintained dir counts (compaction bounds them); a
         manifest with tens of thousands of dirs should compact first, or
         this attribution becomes a join on an extracted path token."""
@@ -1016,9 +1020,18 @@ class VersionedTable:
         if version is None:
             raise ValueError(f"table {self.root} has no snapshots")
         m = self._manifest(version)
-        frame = self._read_dirs(m["dirs"], version, with_positions=True)
+        have = m.get("stats", {})
+        targets = [
+            d
+            for d in m["dirs"]
+            if not only_missing
+            or any(c not in have.get(d, {}) for c in cols)
+        ]
+        if not targets:
+            return version  # every dir already carries these stats
+        frame = self._read_dirs(targets, version, with_positions=True)
         owner = F.lit(None).cast("string")
-        for d in m["dirs"]:
+        for d in targets:
             owner = F.when(
                 F.col(self.POS_FILE).contains(d), F.lit(d)
             ).otherwise(owner)

@@ -1994,3 +1994,23 @@ def test_table_changes_stream_cdf_mode_emits_deletes(spark, tmp_path):
         (2, "b", "delete"),   # update-mor pre-image
         (2, "b", "insert"),   # v1 append
     ]
+
+
+def test_analyze_is_incremental(spark, tmp_path):
+    """Repeated ANALYZE only scans dirs missing the requested stats: a
+    second run over a fully-analyzed table is a no-op (no new version), and
+    after an ingest only the new dir is scanned (its stats appear, the old
+    ones are untouched)."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(spark.createDataFrame([(i,) for i in range(50)], "k long"))
+    v = t.analyze(["k"])
+    assert t.analyze(["k"]) == v  # fully analyzed: no-op
+
+    t.commit(
+        spark.createDataFrame([(i,) for i in range(100, 150)], "k long")
+    )
+    v2 = t.analyze(["k"])
+    assert v2 == t.current_version()
+    stats = t._manifest(v2)["stats"]
+    assert len(stats) == 2
+    assert t.pruned_dirs({"k": (0, 40)}) == 1
