@@ -465,6 +465,15 @@ class VersionedTable:
             "dirs": m["dirs"],
             "stats": m.get("stats", {}),
             "schema": m.get("schema"),
+            # DATA state restores from the target — including an explicitly
+            # EMPTY deletion-vector list and the target's per-dir layouts,
+            # or _publish_manifest's carry-forward would inject the CURRENT
+            # vectors/layout map and a restore past a MOR delete would keep
+            # the rows deleted. Governance state (constraints) and stream
+            # progress (txn watermarks) deliberately keep carrying from the
+            # current manifest: RESTORE rewinds data, not table policy.
+            "delete_vectors": m.get("delete_vectors", []),
+            "partitioning": m.get("partitioning", {}),
         }
         for k in ("dir_parts", "bloom", "bloom_bits"):
             if k in m:

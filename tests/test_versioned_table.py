@@ -2014,3 +2014,23 @@ def test_analyze_is_incremental(spark, tmp_path):
     stats = t._manifest(v2)["stats"]
     assert len(stats) == 2
     assert t.pruned_dirs({"k": (0, 40)}) == 1
+
+
+def test_rollback_restores_past_mor_deletes(spark, tmp_path):
+    """RESTORE must rewind DATA state completely: rolling back past a MOR
+    delete brings the vector-hidden rows back (the rollback manifest pins
+    the target's — possibly empty — vector list instead of inheriting the
+    current one), while constraints and txn watermarks keep carrying
+    (policy and stream progress are not data)."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(spark.range(0, 10).toDF("id"), txn=("app", 7))
+    t.add_constraint("id_ok", "id >= 0")
+    t.delete_where_mor("id < 5")
+    assert t.read().count() == 5
+
+    t.rollback(1)
+    assert t.read().count() == 10  # deletes rewound
+    m = t._manifest(t.current_version())
+    assert m.get("delete_vectors", []) == []
+    assert m.get("constraints") == {"id_ok": "id >= 0"}  # policy carried
+    assert m.get("txns") == {"app": 7}  # stream progress carried
