@@ -514,7 +514,22 @@ class VersionedTable:
             "stats": m.get("stats", {}),
             "schema": m.get("schema"),
         }
-        for k in ("dir_parts", "bloom", "bloom_bits", "n_rows"):
+        # The clone must see the SAME rows as the source snapshot: deletion
+        # vectors and per-dir layouts are part of the data state (omitting
+        # the vectors resurrected MOR-deleted rows), and table policy
+        # (constraints) plus stream watermarks (txns) ride along the way
+        # Delta clones copy table properties — a stream repointed at the
+        # clone must not double-apply batches.
+        for k in (
+            "dir_parts",
+            "bloom",
+            "bloom_bits",
+            "n_rows",
+            "delete_vectors",
+            "partitioning",
+            "constraints",
+            "txns",
+        ):
             if k in m:
                 manifest[k] = m[k]
         clone._publish_manifest(manifest)

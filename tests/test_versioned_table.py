@@ -2034,3 +2034,28 @@ def test_rollback_restores_past_mor_deletes(spark, tmp_path):
     assert m.get("delete_vectors", []) == []
     assert m.get("constraints") == {"id_ok": "id >= 0"}  # policy carried
     assert m.get("txns") == {"app": 7}  # stream progress carried
+
+
+def test_shallow_clone_preserves_mor_and_policy_state(spark, tmp_path):
+    """A shallow clone of a table with deletion vectors, evolved layouts,
+    constraints, and txn watermarks must see exactly the source snapshot's
+    rows and inherit the policy state."""
+    t = VersionedTable(spark, str(tmp_path / "src"))
+    t.commit(
+        spark.createDataFrame([(i, "x") for i in range(10)], "k long, cat string"),
+        txn=("app", 3),
+    )
+    t.commit(
+        spark.createDataFrame([(100, "y")], "k long, cat string"),
+        partition_by=["cat"],
+    )
+    t.add_constraint("k_ok", "k >= 0")
+    t.delete_where_mor("k < 5")
+    assert t.read().count() == 6
+
+    c = t.clone_to(str(tmp_path / "clone"))
+    assert {r.k for r in c.read().collect()} == {5, 6, 7, 8, 9, 100}
+    m = c._manifest(1)
+    assert len(m["delete_vectors"]) == 1
+    assert m["constraints"] == {"k_ok": "k >= 0"}
+    assert m["txns"] == {"app": 3}
