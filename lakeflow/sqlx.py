@@ -25,6 +25,7 @@ minimal grammar that does:
     DELETE FROM VERSIONED t WHERE <cond> [USING MERGE ON READ]
     MERGE INTO VERSIONED t USING <src> ON t.k = s.k
         WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
+        [USING MERGE ON READ]
     UPDATE VERSIONED t SET c1 = <expr>, c2 = <expr> WHERE <cond> [USING MERGE ON READ]
     APPLY CHANGES INTO t FROM <view_or_select> KEYS (k1, k2)
         SEQUENCE BY <col> [OPS <op_col> DELETE WHEN '<val>']
@@ -116,7 +117,8 @@ _DELETE = re.compile(
 _MERGE = re.compile(
     r"^\s*MERGE\s+INTO\s+VERSIONED\s+(\w+)\s+USING\s+(.+?)\s+ON\s+(.+?)\s+"
     r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+"
-    r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*$",
+    r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*"
+    r"(\s+USING\s+MERGE\s+ON\s+READ)?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _ON_EQ = re.compile(r"(?:\w+\.)?(\w+)\s*=\s*(?:\w+\.)?(\w+)")
@@ -358,14 +360,19 @@ class LakehouseSQL:
         mv.read().createOrReplaceTempView(name)
         return {"refreshed_view": name, **r}
 
-    def _merge_upsert(self, name: str, source: str, on_clause: str) -> dict:
+    def _merge_upsert(
+        self, name: str, source: str, on_clause: str, mor: str | None = None
+    ) -> dict:
         """The UPDATE SET * / INSERT * MERGE (the reference's SCD1 form,
         _silver_utils.py:157-186): keys parsed from the ON equalities, the
         whole statement dispatched to the same scd1_apply the DataFrame API
         uses — source rows replace matching target rows wholesale, new keys
-        insert. Conditional-clause MERGE variants stay out of the grammar
-        deliberately (use APPLY CHANGES or the DataFrame API)."""
-        from lakeflow.operators.merge import scd1_apply
+        insert. With the USING MERGE ON READ suffix the same statement
+        lands as one deletion vector + one appended dir (upsert_mor)
+        instead of a state rewrite. Conditional-clause MERGE variants stay
+        out of the grammar deliberately (use APPLY CHANGES or the
+        DataFrame API)."""
+        from lakeflow.operators.merge import _dedup_source, scd1_apply
 
         pairs = _ON_EQ.findall(on_clause)
         if not pairs or any(a != b for a, b in pairs):
@@ -380,9 +387,15 @@ class LakehouseSQL:
             f"SELECT * FROM {src}"
         )
         t = self.catalog.load(name)
+        if mor:
+            version = t.upsert_mor(_dedup_source(feed, keys, None), keys)
+            return {
+                "merged_into": name, "version": version, "keys": keys,
+                "mor": True,
+            }
         state = scd1_apply(t.read(), feed, keys=keys)
         version = t.commit(state, mode="overwrite")
-        return {"merged_into": name, "version": version, "keys": keys}
+        return {"merged_into": name, "version": version, "keys": keys, "mor": False}
 
     def _apply_changes(
         self,

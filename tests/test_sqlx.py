@@ -218,3 +218,30 @@ def test_mor_dml_sql_routing(lh, spark):
     out = lh.execute("DELETE FROM VERSIONED mort WHERE k = 3")
     assert out["mor"] is False
     assert {r.k for r in t.read().collect()} == {2}
+
+
+def test_merge_into_mor_suffix(lh, spark):
+    """MERGE INTO ... USING MERGE ON READ lands as one deletion vector plus
+    one appended dir instead of a state rewrite, with identical upsert
+    semantics."""
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, v string"
+    ).createOrReplaceTempView("mm_base")
+    lh.execute("CREATE VERSIONED TABLE mmt AS SELECT * FROM mm_base")
+    t = lh.catalog.load("mmt")
+    dirs = t._manifest(t.current_version())["dirs"]
+
+    spark.createDataFrame(
+        [(2, "B"), (3, "c")], "k long, v string"
+    ).createOrReplaceTempView("mm_feed")
+    out = lh.execute(
+        "MERGE INTO VERSIONED mmt USING mm_feed ON mmt.k = mm_feed.k "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * "
+        "USING MERGE ON READ"
+    )
+    assert out["mor"] is True and out["keys"] == ["k"]
+    m = t._manifest(t.current_version())
+    assert m["dirs"][: len(dirs)] == dirs and len(m["delete_vectors"]) == 1
+    assert {(r.k, r.v) for r in t.read().collect()} == {
+        (1, "a"), (2, "B"), (3, "c"),
+    }
