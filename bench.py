@@ -161,7 +161,8 @@ def main() -> None:
     # Full-surface sweep (VERDICT r4 ask #6): every registered query not in
     # the headline set, in sorted order so the tail is stable round-over-
     # round. The headline "value" stays comparable to prior rounds; the
-    # tail rides along as separate keys. --headline-only skips it.
+    # tail rides along as separate keys (ONE json line on stdout either
+    # way — the driver contract). --headline-only skips the tail.
     if "--headline-only" not in sys.argv:
         tail = sorted(n for n in QUERIES if n not in BENCH_QUERIES)
         print(f"  -- full-surface tail ({len(tail)} queries) --", file=sys.stderr)
