@@ -148,44 +148,51 @@ _VERIFIED_R4 = frozenset(
     }
 )
 
+_VERIFIED_R5 = frozenset(
+    {
+        "bigram_logprob_scores", "bitext_margin_pairs", "bloom_pruned_scan",
+        "boilerplate_stripped_docs", "bpe_pair_counts",
+        "ccnet_perplexity_buckets", "cdc_orders_state",
+        "clone_divergence_nations", "compaction_roundtrip", "curation_funnel",
+        "delete_where_roundtrip", "doc_ngram_novelty", "domain_capped_sample",
+        "dsir_importance_weights", "epoch_shuffled_order",
+        "expectations_report_orders", "fixed_k_per_lang_sample",
+        "fuzzy_dedup_survivors", "hard_negative_mining", "hybrid_rrf_topk",
+        "leakage_safe_split_report", "mor_delete_state", "mor_upsert_state",
+        "mv_orders_by_status", "mv_price_extrema_by_status", "pack_sequences",
+        "packed_training_text", "partition_evolution_scan", "pq_adc_topk",
+        "price_percentiles", "pysink_jsonl_roundtrip", "q11_important_parts",
+        "q22_idle_rich_customers", "quarantine_orders", "rollback_restore",
+        "scd2_asof_state", "scd2_temporal_enrich", "schema_evolution_nullfill",
+        "semantic_dedup_survivors", "simhash64_near_pairs",
+        "source_overlap_matrix", "source_temperature_weights",
+        "sql_lakehouse_time_travel", "stream_gap_sessions",
+        "table_changes_feed", "table_snapshots_history",
+        "time_travel_customer_v1", "token_counts_arrow",
+        "unigram_logprob_scores", "winsorized_price_stats",
+    }
+)
+
 # Queries whose implementation or oracle was rewritten AFTER the round that
 # verified them — their green row belongs to code that no longer exists
 # (VERDICT r2 "What's missing #2", ADVICE r2 medium). Treated as unverified
 # in the reorder so the current code gets a fresh driver verdict.
 _REWRITTEN_SINCE_GREEN = frozenset(
     {
-        # r5: unigram_logprob_scores rewritten for scale shape (VERDICT r4
-        # "Next round #1" / "What's wrong #1"): total derived from the vocab
-        # aggregate instead of a second token scan, forced vocab broadcast
-        # removed. The Math.log-vs-DuckDB-ln ulp gap (ADVICE r4 low #1) is
-        # accepted and pinned by a cross-engine agreement test over the
-        # fixture's full distinct-count domain (a flip needs ln to straddle
-        # a 0.5-micro-nat boundary AND the rounded mean to sit on its own).
-        "unigram_logprob_scores",
-        # r5: q11/q22 predicates rescaled so the sf0.01 result set is
-        # non-empty (VERDICT r4 "What's wrong #2"); oracles mirrored.
-        "q11_important_parts",
-        "q22_idle_rich_customers",
-        # r5: stream_gap_sessions gained a DuckDB oracle (VERDICT r4
-        # "Next round #3") — its prior verdicts were rows-only.
-        "stream_gap_sessions",
-        # r5: pack_sequences bin-id stride widened 1e9 → 2^40 (ADVICE r4:
-        # the old stride collided across shards at ~512 G tokens/shard);
-        # bin_id values changed on both engines.
-        "pack_sequences",
-        # r5: cdc_orders_state's sink path fixed for bucket-emptying deletes
-        # (ADVICE r4 high): commit_replace_partitions now takes an explicit
-        # touched-partition union so a batch that deletes every key in a
-        # bucket still rewrites that bucket.
-        "cdc_orders_state",
-        # r5 late: price_percentiles replanned (one shared percentile buffer
-        # for p50/p90/p99 instead of three scalar aggs).
-        "price_percentiles",
-        # r5 late: the VersionedTable write path changed materially (manifest
-        # schema recording, atomic-exclusive publish) — the table-backed
-        # greens deserve fresh verdicts on the new format.
-        "table_snapshots_history",
-        "time_travel_customer_v1",
+        # r6: bitext_margin_pairs replanned from the exact all-pairs cross
+        # join to an ANN-shortlist candidate plan (VERDICT r5 "Next round
+        # #2"); the exact path stays registered as the recall oracle.
+        "bitext_margin_pairs",
+        # r6: incremental MV refresh rewritten for merge-on-read DML
+        # (ADVICE r5 high): DV changes now trigger pre-image folding /
+        # rebuild, and the reflected base version rides inside the state
+        # commit (ADVICE r5 medium #2) instead of a sidecar marker.
+        "mv_orders_by_status",
+        "mv_price_extrema_by_status",
+        # r6: MOR DML paths now enforce CHECK constraints before publish
+        # (ADVICE r5 medium #1) — same results, changed write path.
+        "mor_upsert_state",
+        "mor_delete_state",
     }
 )
 
@@ -206,7 +213,9 @@ def _reorder_for_driver() -> None:
     end-to-end queries (micro-batch machinery dominates their wall time),
     hedging a time-budgeted driver.
     """
-    verified = _VERIFIED_R1 | _VERIFIED_R2 | _VERIFIED_R3 | _VERIFIED_R4
+    verified = (
+        _VERIFIED_R1 | _VERIFIED_R2 | _VERIFIED_R3 | _VERIFIED_R4 | _VERIFIED_R5
+    )
 
     def slow_last(names: list[str]) -> list[str]:
         slow = [n for n in names if n.startswith(("stream_", "pysource_"))]
@@ -218,7 +227,8 @@ def _reorder_for_driver() -> None:
     )
     latest_green: dict[str, int] = {}
     for rnd, names in enumerate(
-        (_VERIFIED_R1, _VERIFIED_R2, _VERIFIED_R3, _VERIFIED_R4), 1
+        (_VERIFIED_R1, _VERIFIED_R2, _VERIFIED_R3, _VERIFIED_R4, _VERIFIED_R5),
+        1,
     ):
         for n in names:
             latest_green[n] = rnd
