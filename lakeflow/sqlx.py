@@ -351,7 +351,11 @@ class LakehouseSQL:
                  "sums": sums},
                 fh,
             )
-        r = self._load_mv(name).refresh()
+        mv = self._load_mv(name)
+        r = mv.refresh()
+        # Queryable immediately after CREATE — not only after the first
+        # explicit REFRESH (same registration _refresh_mv performs).
+        mv.read().createOrReplaceTempView(name)
         return {"created_view": name, **r}
 
     def _refresh_mv(self, name: str) -> dict:

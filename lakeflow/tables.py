@@ -432,6 +432,10 @@ class VersionedTable:
                         F.col(col)
                     ),
                 )
+            # CHECK constraints gate every publish — including UPDATE: the
+            # rewritten candidate rows are validated before any manifest
+            # lands (carried-over dirs passed at their own publish).
+            self._check_constraints(frame, self.constraints())
             new_dir = os.path.join(self.root, "data", uuid.uuid4().hex)
             frame.write.mode("overwrite").parquet(new_dir)
             new_dirs.append(new_dir)
@@ -819,7 +823,11 @@ class VersionedTable:
     POS_INDEX = "_pos_index"
 
     def _read_dirs(
-        self, dirs: Sequence[str], version: int, with_positions: bool = False
+        self,
+        dirs: Sequence[str],
+        version: int,
+        with_positions: bool = False,
+        dvs: Sequence[str] | None = None,
     ) -> DataFrame:
         """Multi-dir parquet scan under the manifest-recorded schema: columns
         a file predates read back NULL (Iceberg-style metadata-only schema
@@ -831,7 +839,12 @@ class VersionedTable:
         merge-on-read writers need. The tagging happens PER SCAN GROUP:
         ``_metadata`` only resolves against a scan relation, so over a
         partition-evolved (unioned) or DV-filtered table it must be
-        projected before any union/join."""
+        projected before any union/join.
+
+        ``dvs`` overrides which deletion vectors mask the scan: ``None``
+        (default) applies the manifest's vectors at ``version``; an explicit
+        list (possibly empty) applies exactly those — the raw-read handle
+        the materialized-view refresh needs to recover DV pre-images."""
         from pyspark.sql import functions as F
 
         st = self.schema(version)
@@ -839,7 +852,10 @@ class VersionedTable:
         groups: dict[tuple, list[str]] = {}
         for d in dirs:
             groups.setdefault(tuple(part.get(d, ())), []).append(d)
-        dvs = self._manifest(version).get("delete_vectors", [])
+        if dvs is None:
+            dvs = self._manifest(version).get("delete_vectors", [])
+        else:
+            dvs = list(dvs)
 
         def read_group(group_dirs: Sequence[str]) -> DataFrame:
             reader = self.spark.read
@@ -1056,8 +1072,14 @@ class VersionedTable:
         frame = self._read_dirs(targets, version, with_positions=True)
         owner = F.lit(None).cast("string")
         for d in targets:
+            # Path-boundary match (dir + "/"), not bare substring: a dir
+            # that is a proper prefix of a sibling (…/_zb=1 vs …/_zb=12)
+            # must not capture the sibling's rows regardless of CASE order.
+            # contains (not startswith) because _metadata.file_path carries
+            # a scheme prefix (file:/…) the manifest path lacks.
             owner = F.when(
-                F.col(self.POS_FILE).contains(d), F.lit(d)
+                F.col(self.POS_FILE).contains(d.rstrip("/") + "/"),
+                F.lit(d),
             ).otherwise(owner)
         rows = (
             frame.groupBy(owner.alias("__dir"))
@@ -1247,6 +1269,9 @@ class VersionedTable:
             rewritten = rewritten.withColumn(
                 col, F.expr(expr).cast(types[col])
             )
+        # Constraints gate MOR publishes too: only the rewritten rows are
+        # new — carried rows were validated at their own publish.
+        self._check_constraints(rewritten.select(*payload), self.constraints())
         new_dir = os.path.join(self.root, "data", uuid.uuid4().hex)
         rewritten.select(*payload).write.mode("overwrite").parquet(new_dir)
         manifest = {
@@ -1347,6 +1372,8 @@ class VersionedTable:
         version = self.current_version()
         if version is None:
             return self.commit(batch, mode="append")
+        # Constraints gate MOR upserts before any DV or data dir lands.
+        self._check_constraints(batch, self.constraints())
         m = self._manifest(version)
         frame = self._read_dirs(m["dirs"], version, with_positions=True)
         keysel = batch.select(*list(keys)).distinct()

@@ -29,8 +29,16 @@ Copy-on-write DML composes for free: ``delete_where``/``update_where``
 carry untouched dirs over (absent from the diff) and rewrite only candidate
 dirs (old dir → −1, rewritten dir → +1), so the refresh prices the DML's
 actual churn. An overwrite commit degenerates to remove-all + add-all —
-correct, just no longer cheap — and ``compact`` nets to zero change per
-group.
+correct, just no longer cheap.
+
+Merge-on-read DML changes visibility through DELETION VECTORS, not dirs, so
+the refresh also diffs the manifests' vector lists: rows hidden by vectors
+added since the last refresh fold in with sign −1 (``_dv_preimages`` — the
+invertible tier) or mark their groups dirty (the recompute tier). Vectors
+that DISAPPEAR with dirs intact (RESTORE past a MOR delete) resurface rows
+in place and have no incremental rendering — that forces a rebuild, as does
+compaction (whose dir diff is full-churn anyway, so the rebuild costs the
+same scan the fold would).
 """
 
 from __future__ import annotations
@@ -44,6 +52,68 @@ from pyspark.sql import functions as F
 
 from lakeflow.tables import VersionedTable
 
+# App id under which view state commits record the reflected base version
+# as a transactional watermark (see ``IncrementalAggView.refreshed_version``).
+_MV_TXN_APP = "mv"
+
+
+def _dv_preimages(
+    base: VersionedTable,
+    old_m: dict,
+    new_m: dict,
+    v_to: int,
+) -> tuple[DataFrame | None, int]:
+    """Pre-image rows hidden by deletion vectors added between two snapshots.
+
+    Merge-on-read DML changes row visibility WITHOUT touching the dir list,
+    so a dirs-only manifest diff misses it entirely (a ``delete_where_mor``
+    would leave the deleted rows' contributions in the view forever). This
+    recovers the rows the new vectors hid — the refresh folds them with
+    sign −1 — by raw-reading ONLY the referenced dirs (no DV masking) and
+    broadcast-semi-joining the new vectors' positions, the same split shape
+    as the CDF reader's delete pre-image partitions
+    (``sources/table_stream.py``).
+
+    Restricted to dirs present in BOTH snapshots: positions in dirs added
+    within the window are already excluded by the added-dir read (which
+    anti-joins the target version's vectors), and positions in removed dirs
+    are subtracted wholesale by the removed-dir read.
+
+    Returns ``(pre_image_rows_or_None, n_dirs_read)``.
+    """
+    dvs_from = old_m.get("delete_vectors", [])
+    dvs_to = new_m.get("delete_vectors", [])
+    new_dvs = [p for p in dvs_to if p not in set(dvs_from)]
+    if not new_dvs:
+        return None, 0
+    dv = base.spark.read.parquet(*new_dvs).select("file_path", "row_index")
+    common = set(old_m["dirs"]) & set(new_m["dirs"])
+    # Distinct referenced FILES are bounded by the table's file count (the
+    # same metadata scale Delta's log tracks), so mapping them to owning
+    # dirs is a driver-side loop over metadata, never data.
+    # Boundary-safe containment (dir + "/"), via contains not startswith:
+    # _metadata-derived paths carry a scheme prefix (file:/…) the manifest
+    # dirs lack, and a dir must not capture a sibling it is a prefix of.
+    files = [r[0] for r in dv.select("file_path").distinct().collect()]
+    ref = sorted(
+        d
+        for d in common
+        if any(d.rstrip("/") + "/" in f for f in files)
+    )
+    if not ref:
+        return None, 0
+    pre = base._read_dirs(ref, v_to, with_positions=True, dvs=[])
+    hidden = pre.join(
+        F.broadcast(dv),
+        (pre[base.POS_FILE] == dv["file_path"])
+        & (pre[base.POS_INDEX] == dv["row_index"]),
+        "left_semi",
+    )
+    payload = [
+        c for c in pre.columns if c not in (base.POS_FILE, base.POS_INDEX)
+    ]
+    return hidden.select(*payload), len(ref)
+
 
 class IncrementalAggView:
     """A keyed COUNT/SUM aggregate over a base :class:`VersionedTable`,
@@ -52,8 +122,10 @@ class IncrementalAggView:
     ``sums`` maps output column → (source column, scale): each row
     contributes ``floor(src * scale + 0.5)`` as a BIGINT, summed per key.
     ``count_col`` is the per-key COUNT(*). State lives in its own
-    VersionedTable (itself time-travelable), and the high-watermark base
-    version is recorded in a sidecar marker written via temp-file rename.
+    VersionedTable (itself time-travelable); the high-watermark base
+    version rides inside each state commit as a ``("mv", version)`` txn
+    watermark (atomic with the state), with a sidecar marker only as the
+    empty-delta fast path.
     """
 
     def __init__(
@@ -73,13 +145,30 @@ class IncrementalAggView:
         self.result = VersionedTable(spark, path)
         self._marker_path = os.path.join(path, "_mv_state.json")
 
-    # -- marker ------------------------------------------------------------
+    # -- watermark ---------------------------------------------------------
     def refreshed_version(self) -> int | None:
-        """Base-table version the view state currently reflects."""
-        if not os.path.exists(self._marker_path):
-            return None
-        with open(self._marker_path) as fh:
-            return json.load(fh)["base_version"]
+        """Base-table version the view state currently reflects.
+
+        Authoritative source: the ``("mv", version)`` transactional
+        watermark recorded INSIDE the state commit — watermark and state
+        land in one atomic manifest publish, so a crash between them cannot
+        leave state at ``v_to`` with the watermark at ``v_from`` (which
+        would re-fold the same delta and double-count on the next refresh).
+        The sidecar marker survives only as the empty-delta fast path
+        (nothing to commit, so no manifest to carry the txn); taking the
+        max of the two is safe because the sidecar is written only for
+        versions whose delta was empty.
+        """
+        vals = []
+        rv = self.result.current_version()
+        if rv is not None:
+            t = self.result._manifest(rv).get("txns", {}).get(_MV_TXN_APP)
+            if t is not None:
+                vals.append(int(t))
+        if os.path.exists(self._marker_path):
+            with open(self._marker_path) as fh:
+                vals.append(int(json.load(fh)["base_version"]))
+        return max(vals) if vals else None
 
     def _write_marker(self, base_version: int) -> None:
         tmp = self._marker_path + ".tmp"
@@ -106,7 +195,8 @@ class IncrementalAggView:
         if v_to is None:
             raise ValueError("base table has no snapshots")
         v_from = self.refreshed_version()
-        dirs_total = len(self.base._manifest(v_to)["dirs"])
+        m_to = self.base._manifest(v_to)
+        dirs_total = len(m_to["dirs"])
         if v_from == v_to:
             return {
                 "from_version": v_from,
@@ -115,29 +205,39 @@ class IncrementalAggView:
                 "dirs_total": dirs_total,
             }
 
+        old_m: dict | None = None
         if v_from is not None:
             try:
-                old_dirs = self.base._manifest(v_from)["dirs"]
+                old_m = self.base._manifest(v_from)
             except FileNotFoundError:
                 # The snapshot this view last saw has been expired out from
                 # under us (expire_snapshots ran between refreshes). The
                 # diff is unrecoverable — fall back to a full rebuild, the
                 # same answer Delta gives a stale streaming reader.
                 v_from = None
+        if old_m is not None and any(
+            p not in set(m_to.get("delete_vectors", []))
+            for p in old_m.get("delete_vectors", [])
+        ):
+            # Deletion vectors DISAPPEARED since the last refresh (RESTORE
+            # past a MOR delete resurfaces hidden rows in place; compaction
+            # purges vectors while replacing every dir). There is no cheaper
+            # incremental rendering than re-aggregating — and for compaction
+            # the dir diff is full-churn anyway, so the rebuild costs the
+            # same scan the fold would.
+            v_from, old_m = None, None
+
+        dv_delta: DataFrame | None = None
+        dv_dirs_read = 0
         if v_from is None:
-            added = self.base._manifest(v_to)["dirs"]
+            added = m_to["dirs"]
             removed: list[str] = []
-            if self.result.current_version() is not None:
-                # Rebuild replaces, never folds onto, the stale state.
-                self.result.commit(
-                    self.result.read().limit(0), mode="overwrite",
-                    _operation="mv_reset",
-                )
         else:
-            new_dirs = self.base._manifest(v_to)["dirs"]
-            old_set, new_set = set(old_dirs), set(new_dirs)
+            new_dirs = m_to["dirs"]
+            old_set, new_set = set(old_m["dirs"]), set(new_dirs)
             added = [d for d in new_dirs if d not in old_set]
-            removed = [d for d in old_dirs if d not in new_set]
+            removed = [d for d in old_m["dirs"] if d not in new_set]
+            dv_delta, dv_dirs_read = _dv_preimages(self.base, old_m, m_to, v_to)
 
         parts = []
         if added:
@@ -152,6 +252,10 @@ class IncrementalAggView:
                     "__sign", F.lit(-1).cast("bigint")
                 )
             )
+        if dv_delta is not None:
+            parts.append(
+                dv_delta.withColumn("__sign", F.lit(-1).cast("bigint"))
+            )
         if not parts:
             self._write_marker(v_to)
             return {
@@ -165,7 +269,10 @@ class IncrementalAggView:
             delta = delta.unionByName(p)
         partial = self._signed_partial(delta)
 
-        if self.result.current_version() is None:
+        if v_from is None or self.result.current_version() is None:
+            # Rebuild (or first build) REPLACES state in one atomic commit —
+            # never a reset-then-fold pair, whose crash window would leave
+            # an empty state behind a still-valid watermark.
             merged = partial
         else:
             state = self.result.read()
@@ -203,12 +310,20 @@ class IncrementalAggView:
                 )
         # Groups whose every row was deleted leave the view entirely.
         merged = merged.filter(F.col(self.count_col) > 0)
-        self.result.commit(merged, mode="overwrite", _operation="mv_refresh")
+        # The reflected base version rides INSIDE the commit as a txn
+        # watermark — state and watermark publish atomically, and a replay
+        # of the same refresh (txn_version <= recorded) is skipped.
+        self.result.commit(
+            merged,
+            mode="overwrite",
+            _operation="mv_refresh" if v_from is not None else "mv_build",
+            txn=(_MV_TXN_APP, v_to),
+        )
         self._write_marker(v_to)
         return {
             "from_version": v_from,
             "to_version": v_to,
-            "dirs_read": len(added) + len(removed),
+            "dirs_read": len(added) + len(removed) + dv_dirs_read,
             "dirs_total": dirs_total,
         }
 
@@ -291,27 +406,43 @@ class DirtyGroupAggView:
             return {"from_version": v_from, "to_version": v_to,
                     "dirs_read": 0, "dirs_total": dirs_total}
 
+        old_m: dict | None = None
         if v_from is not None:
             try:
-                self.base._manifest(v_from)
+                old_m = self.base._manifest(v_from)
             except FileNotFoundError:
                 # Last-seen snapshot expired between refreshes: the dirty
                 # set is unrecoverable, rebuild from the current base.
                 v_from = None
+        if old_m is not None and any(
+            p not in set(m_to.get("delete_vectors", []))
+            for p in old_m.get("delete_vectors", [])
+        ):
+            # Vectors disappeared (RESTORE / compaction): hidden rows
+            # resurface in place — no incremental dirty set exists.
+            v_from, old_m = None, None
         if v_from is None:
-            # First build (or post-expiry rebuild): full aggregate.
+            # First build (or post-expiry/post-restore rebuild): full
+            # aggregate in ONE atomic commit carrying the watermark.
             state = self.base.read().groupBy(self.key).agg(*self._aggs())
-            self.result.commit(state, mode="overwrite", _operation="mv_build")
+            self.result.commit(
+                state, mode="overwrite", _operation="mv_build",
+                txn=(_MV_TXN_APP, v_to),
+            )
             self._write_marker(v_to)
             return {"from_version": None, "to_version": v_to,
                     "dirs_read": dirs_total, "dirs_total": dirs_total}
 
-        old_dirs = self.base._manifest(v_from)["dirs"]
+        old_dirs = old_m["dirs"]
         new_dirs = m_to["dirs"]
         old_set, new_set = set(old_dirs), set(new_dirs)
         added = [d for d in new_dirs if d not in old_set]
         removed = [d for d in old_dirs if d not in new_set]
-        if not added and not removed:
+        # Merge-on-read DML adds deletion vectors without touching dirs —
+        # the rows they hid are dirty too (their group's extremum may have
+        # been the deleted row).
+        dv_delta, dv_dirs_read = _dv_preimages(self.base, old_m, m_to, v_to)
+        if not added and not removed and dv_delta is None:
             self._write_marker(v_to)
             return {"from_version": v_from, "to_version": v_to,
                     "dirs_read": 0, "dirs_total": dirs_total}
@@ -321,6 +452,8 @@ class DirtyGroupAggView:
             parts.append(self.base._read_dirs(added, v_to).select(self.key))
         if removed:
             parts.append(self.base._read_dirs(removed, v_from).select(self.key))
+        if dv_delta is not None:
+            parts.append(dv_delta.select(self.key))
         delta_keys = parts[0]
         for p in parts[1:]:
             delta_keys = delta_keys.unionByName(p)
@@ -331,7 +464,10 @@ class DirtyGroupAggView:
         if len(dirty) > self.max_dirty_collect:
             # Churn touched more groups than worth enumerating: rebuild.
             state = self.base.read().groupBy(self.key).agg(*self._aggs())
-            self.result.commit(state, mode="overwrite", _operation="mv_rebuild")
+            self.result.commit(
+                state, mode="overwrite", _operation="mv_rebuild",
+                txn=(_MV_TXN_APP, v_to),
+            )
             self._write_marker(v_to)
             return {"from_version": v_from, "to_version": v_to,
                     "dirs_read": dirs_total, "dirs_total": dirs_total}
@@ -357,12 +493,15 @@ class DirtyGroupAggView:
         )
         carried = self.result.read().filter(~F.col(self.key).isin(dirty))
         state = carried.unionByName(recomputed)
-        self.result.commit(state, mode="overwrite", _operation="mv_refresh")
+        self.result.commit(
+            state, mode="overwrite", _operation="mv_refresh",
+            txn=(_MV_TXN_APP, v_to),
+        )
         self._write_marker(v_to)
         return {
             "from_version": v_from,
             "to_version": v_to,
-            "dirs_read": len(added) + len(removed) + len(kept),
+            "dirs_read": len(added) + len(removed) + len(kept) + dv_dirs_read,
             "dirs_total": dirs_total,
             "dirty_groups": len(dirty),
         }

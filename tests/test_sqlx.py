@@ -167,6 +167,11 @@ def test_incremental_view_statements(lh):
         "SELECT k, COUNT(*) AS n, SUM(v) AS sv FROM sales GROUP BY k"
     )
     assert r["created_view"] == "sales_by_k" and r["dirs_read"] == 1
+    # Queryable immediately after CREATE — no REFRESH needed first
+    # (ADVICE r5 low: create must register the temp view too).
+    assert (
+        lh.execute("SELECT count(*) AS n FROM sales_by_k").first()["n"] == 3
+    )
 
     lh.execute(
         "INSERT INTO VERSIONED sales "

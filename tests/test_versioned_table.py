@@ -2059,3 +2059,43 @@ def test_shallow_clone_preserves_mor_and_policy_state(spark, tmp_path):
     assert len(m["delete_vectors"]) == 1
     assert m["constraints"] == {"k_ok": "k >= 0"}
     assert m["txns"] == {"app": 3}
+
+
+def test_constraints_gate_update_and_mor_dml(spark, tmp_path):
+    """CHECK constraints gate EVERY row-producing publish — not just
+    commit(): UPDATE (copy-on-write), UPDATE ... merge-on-read, and the
+    MOR upsert all reject a breaching result before any manifest lands
+    (ADVICE r5 medium: these paths published directly before)."""
+    import pytest as _pytest
+
+    from lakeflow.tables import ConstraintViolationError
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double"))
+    t.add_constraint("v_positive", "v > 0")
+    v = t.current_version()
+
+    with _pytest.raises(ConstraintViolationError, match="v_positive"):
+        t.update_where("k = 1", {"v": "-5.0"})
+    assert t.current_version() == v  # no snapshot published
+
+    with _pytest.raises(ConstraintViolationError, match="v_positive"):
+        t.update_where_mor("k = 2", {"v": "v - 100.0"})
+    assert t.current_version() == v
+
+    with _pytest.raises(ConstraintViolationError, match="v_positive"):
+        t.upsert_mor(
+            spark.createDataFrame([(3, -1.0)], "k long, v double"), keys=["k"]
+        )
+    assert t.current_version() == v
+    assert {(r.k, r.v) for r in t.read().collect()} == {(1, 10.0), (2, 20.0)}
+
+    # Compliant DML still lands on every path.
+    t.update_where("k = 1", {"v": "15.0"})
+    t.update_where_mor("k = 2", {"v": "v + 1.0"})
+    t.upsert_mor(
+        spark.createDataFrame([(3, 1.0)], "k long, v double"), keys=["k"]
+    )
+    assert {(r.k, r.v) for r in t.read().collect()} == {
+        (1, 15.0), (2, 21.0), (3, 1.0)
+    }

@@ -242,3 +242,113 @@ def test_refresh_survives_base_snapshot_expiry(spark, tmp_path):
     assert {(x.k, x.n, x.mx) for x in d.read().collect()} == {
         ("a", 3, 900), ("b", 1, 200), ("c", 1, 800)
     }
+
+
+def test_mor_delete_folds_dv_preimages_incrementally(spark, tmp_path):
+    """delete_where_mor changes NO dirs — only a deletion vector lands. The
+    refresh must still subtract the hidden rows (ADVICE r5 high: a dirs-only
+    diff would keep their contributions forever), and do it incrementally:
+    only the DV-referenced dir is re-read, not the whole base."""
+    t = VersionedTable(spark, str(tmp_path / "base"))
+    t.commit(spark.createDataFrame([("a", 1.0), ("b", 2.0)], "k string, v double"))
+    t.commit(spark.createDataFrame([("a", 4.0), ("c", 8.0)], "k string, v double"))
+    mv = _view(spark, t, tmp_path)
+    mv.refresh()
+
+    t.delete_where_mor("k = 'a' AND v < 2.0")
+    r = mv.refresh()
+    assert r["from_version"] is not None  # incremental, not a rebuild
+    assert r["dirs_read"] == 1  # only the dir the vector references
+    assert _state(mv) == {"a": (1, 400), "b": (1, 200), "c": (1, 800)}
+
+
+def test_mor_update_does_not_double_count(spark, tmp_path):
+    """update_where_mor appends the rewritten rows AND hides the old
+    versions behind a vector in one commit. The fold must add the new
+    versions (+1 via the added dir) and subtract the hidden pre-images
+    (−1 via the vector) — not just add (double-count)."""
+    t = _mk(spark, tmp_path, [("a", 1.0), ("b", 2.0)])
+    mv = _view(spark, t, tmp_path)
+    mv.refresh()
+
+    t.update_where_mor("k = 'a'", {"v": "v + 10.0"})
+    mv.refresh()
+    assert _state(mv) == {"a": (1, 1100), "b": (1, 200)}
+
+    fresh = _view(spark, t, tmp_path, "mv_full")
+    fresh.refresh()
+    assert _state(mv) == _state(fresh)
+
+
+def test_mor_upsert_folds_hidden_versions(spark, tmp_path):
+    t = _mk(spark, tmp_path, [("a", 1.0), ("b", 2.0)])
+    mv = _view(spark, t, tmp_path)
+    mv.refresh()
+
+    t.upsert_mor(
+        spark.createDataFrame([("a", 5.0), ("c", 3.0)], "k string, v double"),
+        keys=["k"],
+    )
+    mv.refresh()
+    assert _state(mv) == {"a": (1, 500), "b": (1, 200), "c": (1, 300)}
+
+
+def test_dirty_group_mor_extremum_delete(spark, tmp_path):
+    """A MOR delete of a group's maximum adds only a vector; the dirty-group
+    tier must see that group as dirty and re-land the true second maximum."""
+    from lakeflow.views import DirtyGroupAggView
+
+    t = VersionedTable(spark, str(tmp_path / "base"))
+    t.commit(
+        spark.createDataFrame(
+            [("a", 1.0), ("a", 9.0), ("b", 5.0)], "k string, v double"
+        )
+    )
+    mv = DirtyGroupAggView(
+        spark, t, key="k", path=str(tmp_path / "mv"), count_col="n",
+        maxs={"mx": ("v", 100)},
+    )
+    mv.refresh()
+    t.delete_where_mor("v > 8.0")
+    r = mv.refresh()
+    assert r["from_version"] is not None and r["dirty_groups"] == 1
+    state = {(x.k, x.n, x.mx) for x in mv.read().collect()}
+    assert state == {("a", 1, 100), ("b", 1, 500)}
+
+
+def test_restore_past_mor_delete_rebuilds_view(spark, tmp_path):
+    """RESTORE past a MOR delete removes vectors while keeping dirs — rows
+    resurface IN PLACE, which has no incremental rendering. The refresh must
+    detect the vanished vectors and rebuild (not silently keep the deleted
+    state)."""
+    t = _mk(spark, tmp_path, [("a", 1.0), ("b", 2.0)])
+    v1 = t.current_version()
+    t.delete_where_mor("k = 'a'")
+    mv = _view(spark, t, tmp_path)
+    mv.refresh()
+    assert _state(mv) == {"b": (1, 200)}
+
+    t.rollback(v1)  # vectors vanish, dirs identical
+    r = mv.refresh()
+    assert r["from_version"] is None  # rebuild path taken
+    assert _state(mv) == {"a": (1, 100), "b": (1, 200)}
+
+
+def test_watermark_rides_inside_state_commit(spark, tmp_path):
+    """The reflected base version is recorded IN the state commit (txn
+    watermark), so losing the sidecar marker — the crash window between
+    commit and marker write (ADVICE r5 medium) — cannot re-fold the same
+    delta and double-count."""
+    import os
+
+    t = _mk(spark, tmp_path, [("a", 1.0)])
+    t.commit(spark.createDataFrame([("a", 2.0)], "k string, v double"))
+    mv = _view(spark, t, tmp_path)
+    mv.refresh()
+    assert _state(mv) == {"a": (2, 300)}
+
+    os.remove(mv._marker_path)  # simulate crash before the sidecar write
+    assert mv.refreshed_version() == t.current_version()
+    r = mv.refresh()  # must be a no-op, not a double fold
+    assert r["dirs_read"] == 0
+    assert _state(mv) == {"a": (2, 300)}
