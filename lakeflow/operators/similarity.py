@@ -733,12 +733,11 @@ def margin_knn_pairs(
     final division rounds once — order-free on both engines. Ranking ties
     break on vec_id.
 
-    Scale shape: the pair table here is the exact cross product (the
-    oracle-checkable baseline); at 100 TB the pair generation step swaps for
-    an ANN shortlist (lsh_bucketed_topk / ivf_topk) and everything from the
-    margin normalization down is unchanged — the windows are per-vector
-    top-k (WindowGroupLimit prunes map-side) and the sums are
-    combine-bounded.
+    Scale shape: the pair table here is the exact cross product — the
+    RECALL BASELINE. The production path is :func:`margin_knn_pairs_ann`,
+    which swaps the pair step for an LSH shortlist and keeps everything
+    from the margin normalization down — the windows are per-vector top-k
+    (WindowGroupLimit prunes map-side) and the sums are combine-bounded.
 
     Output: (src_id, tgt_id, margin) — best tgt per src, margin ≥ min_margin.
     """
@@ -790,6 +789,154 @@ def margin_knn_pairs(
             rnd(
                 (F.col("cos_micro") * F.lit(2 * k)).cast("double")
                 / (F.col("src_knn_sum") + F.col("tgt_knn_sum")),
+                6,
+            ).alias("margin"),
+        )
+    )
+    best = Window.partitionBy("src_id").orderBy(
+        F.desc("margin"), F.asc("tgt_id")
+    )
+    return (
+        margined.withColumn("rn", F.row_number().over(best))
+        .filter((F.col("rn") == 1) & (F.col("margin") >= min_margin))
+        .drop("rn")
+    )
+
+
+def _probe_masks(planes: int, probe_bits: int) -> list[int]:
+    """All XOR masks over ``planes`` bits with at most ``probe_bits`` bits
+    set — the multi-probe neighborhood of a sign-projection bucket."""
+    from itertools import combinations
+
+    masks = []
+    for r in range(probe_bits + 1):
+        for bits in combinations(range(planes), r):
+            masks.append(sum(1 << b for b in bits))
+    return masks
+
+
+def margin_knn_pairs_ann(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 4,
+    min_margin: float = 1.0,
+    dim: int = 64,
+    planes: int = 5,
+    probe_bits: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bitext mining at corpus scale: :func:`margin_knn_pairs` with the
+    exact cross product replaced by a MULTI-PROBE LSH shortlist — candidate
+    pairs are cross-side vectors whose sign-projection buckets (the same
+    deterministic md5-derived hyperplanes as :func:`lsh_bucketed_topk`)
+    differ in at most ``probe_bits`` of ``planes`` bits. The source side
+    fans out over the XOR probe masks and equi-joins the target side on the
+    probed bucket — a plain shuffle hash join (no cross/nested-loop join,
+    neither side need fit on the driver). Each pair collides under exactly
+    ONE mask (the XOR of the two buckets), so no dedup pass is needed.
+    Cost: the probing side's shuffle volume multiplies by
+    ``Σ_(r≤probe_bits) C(planes, r)`` and pair generation is bounded by
+    probed-bucket collisions; ``planes`` is the scale knob (each extra
+    plane halves expected bucket occupancy), ``probe_bits`` the recall
+    knob — multi-probe buys more recall per candidate than extra tables
+    because near neighbors concentrate in low-Hamming-distance buckets
+    (Lv et al., VLDB 2007).
+
+    The margin math is unchanged EXCEPT the k-NN neighborhoods are taken
+    over each vector's shortlist, and the denominator uses each endpoint's
+    ACTUAL neighbor count (a shortlist can hold fewer than ``k``):
+    ``margin = 2·cos·c_a·c_b / (s_a·c_b + s_b·c_a)`` — all-integer
+    numerator/denominator (micro-unit cosines, bigint counts), one final
+    division rounded once, so the approximation itself is oracle-checkable.
+    When both counts equal ``k`` this reduces exactly to the baseline's
+    ``2k·cos/(s_a+s_b)``.
+
+    Output: (src_id, tgt_id, margin) — best tgt per src, margin ≥
+    ``min_margin``, exactly :func:`margin_knn_pairs`'s shape so the exact
+    path drops in as the recall yardstick.
+    """
+    if not 0 <= probe_bits <= planes:
+        raise ValueError(
+            f"probe_bits must be in [0, planes], got {probe_bits}"
+        )
+    masks = F.array(
+        *[F.lit(m) for m in _probe_masks(planes, probe_bits)]
+    )
+    a = left.select(
+        F.col(id_col).alias("src_id"),
+        F.col(vec_col).alias("av"),
+        norm(vec_col).alias("an"),
+        sign_bucket(F.col(vec_col), dim, planes).alias("bkt"),
+    ).select(
+        "src_id",
+        "av",
+        "an",
+        "bkt",
+        F.explode(masks).alias("mask"),
+    ).select(
+        "src_id",
+        "av",
+        "an",
+        F.col("bkt").bitwiseXOR(F.col("mask")).alias("probe"),
+    )
+    b = fan_out(right).select(
+        F.col(id_col).alias("tgt_id"),
+        F.col(vec_col).alias("bv"),
+        norm(vec_col).alias("bn"),
+        sign_bucket(F.col(vec_col), dim, planes).alias("probe"),
+    )
+    cand = a.join(b, on="probe").select(
+        "src_id",
+        "tgt_id",
+        F.floor(
+            (dot("av", "bv") / (F.col("an") * F.col("bn"))) * 1_000_000.0
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("cos_micro"),
+    )
+    wa = Window.partitionBy("src_id").orderBy(
+        F.desc("cos_micro"), F.asc("tgt_id")
+    )
+    wb = Window.partitionBy("tgt_id").orderBy(
+        F.desc("cos_micro"), F.asc("src_id")
+    )
+    src_knn = (
+        cand.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") <= k)
+        .groupBy("src_id")
+        .agg(
+            F.sum("cos_micro").alias("src_knn_sum"),
+            F.count(F.lit(1)).cast("bigint").alias("src_knn_cnt"),
+        )
+    )
+    tgt_knn = (
+        cand.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") <= k)
+        .groupBy("tgt_id")
+        .agg(
+            F.sum("cos_micro").alias("tgt_knn_sum"),
+            F.count(F.lit(1)).cast("bigint").alias("tgt_knn_cnt"),
+        )
+    )
+    margined = (
+        cand.join(src_knn, "src_id")
+        .join(tgt_knn, "tgt_id")
+        .select(
+            "src_id",
+            "tgt_id",
+            rnd(
+                (
+                    F.col("cos_micro")
+                    * 2
+                    * F.col("src_knn_cnt")
+                    * F.col("tgt_knn_cnt")
+                ).cast("double")
+                / (
+                    F.col("src_knn_sum") * F.col("tgt_knn_cnt")
+                    + F.col("tgt_knn_sum") * F.col("src_knn_cnt")
+                ),
                 6,
             ).alias("margin"),
         )

@@ -1480,3 +1480,57 @@ def test_bpe_encode_reproduces_trainer_segmentation(spark):
     # 'new' = n+ew merged then evolves with the (n, ew) merge
     assert "new" in toks2 or "new</w>" in "".join(toks2)
     assert enc[1].n_tokens == len(toks1) and enc[2].n_tokens == len(toks2)
+
+
+def test_bitext_ann_recall_vs_exact(spark):
+    """VERDICT r5 #2: the multi-probe shortlist's agreement with the exact
+    all-pairs bitext baseline, measured and pinned. Both plans are fully
+    deterministic (md5-derived hyperplanes, integer micro-unit margins), so
+    the recall on the fixture is an exact constant, not a flaky bound. The
+    fixture embeddings are near-isotropic — no planted translation pairs —
+    which is the WORST case for best-match agreement; the pinned floor is
+    therefore conservative for real bitext, where true pairs sit far above
+    the noise floor. Candidate mass must also stay strictly below the
+    cross product (the point of the shortlist)."""
+    from pyspark.sql import functions as F
+
+    from lakeflow.catalog import load_table
+    from lakeflow.operators.similarity import (
+        margin_knn_pairs,
+        margin_knn_pairs_ann,
+    )
+
+    from .conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    left = emb.filter(F.col("label") == 0)
+    right = emb.filter(F.col("label") == 1)
+    exact = {
+        (r.src_id, r.tgt_id)
+        for r in margin_knn_pairs(left, right, k=4, min_margin=1.0).collect()
+    }
+    ann = {
+        (r.src_id, r.tgt_id)
+        for r in margin_knn_pairs_ann(
+            left, right, k=4, min_margin=1.0, planes=5, probe_bits=2
+        ).collect()
+    }
+    assert exact, "fixture produced no exact margin pairs"
+    recall = len(exact & ann) / len(exact)
+    assert recall >= 0.55, f"shortlist recall degraded: {recall:.2f}"
+
+    # Shortlist cost: candidate pairs < the full cross product.
+    n_left, n_right = left.count(), right.count()
+    from lakeflow.operators.similarity import _probe_masks, sign_bucket
+
+    a = left.select(
+        sign_bucket(F.col("embedding"), 64, 5).alias("bkt")
+    ).select(
+        F.explode(
+            F.array(*[F.lit(m) for m in _probe_masks(5, 2)])
+        ).alias("mask"),
+        "bkt",
+    ).select(F.col("bkt").bitwiseXOR(F.col("mask")).alias("probe"))
+    b = right.select(sign_bucket(F.col("embedding"), 64, 5).alias("probe"))
+    n_candidates = a.join(b, on="probe").count()
+    assert n_candidates < n_left * n_right

@@ -637,3 +637,13 @@ def test_bpe_pair_counts_partial_agg_and_takeordered(spark):
     assert "partial_sum" in plan or "partial_count" in plan, plan
     assert "TakeOrderedAndProject" in plan
     assert plan.count("Sort ") == 0 or "TakeOrderedAndProject" in plan
+
+
+def test_bitext_ann_shortlist_has_no_cross_join(spark):
+    """VERDICT r5 #2: the registered bitext plan must generate candidates
+    through the LSH bucket equi-join — no CartesianProduct and no
+    BroadcastNestedLoopJoin anywhere (the exact all-pairs form survives
+    only as bitext_margin_pairs_exact, the recall baseline)."""
+    plan = _plan(spark, "bitext_margin_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
