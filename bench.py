@@ -160,14 +160,16 @@ def main() -> None:
 
     # Full-surface sweep (VERDICT r4 ask #6): every registered query not in
     # the headline set, in sorted order so the tail is stable round-over-
-    # round. The headline "value" stays comparable to prior rounds; the
-    # tail rides along as separate keys (ONE json line on stdout either
-    # way — the driver contract). --headline-only skips the tail.
+    # round. The per-query full-surface detail goes to STDERR — r5 proved
+    # that folding ~170 per-query keys into the stdout record pushes the
+    # line past the driver's capture window and loses the headline value
+    # (VERDICT r5 ask #5). Stdout stays ONE COMPACT line: headline value +
+    # headline per-query times + full_total.
     if "--headline-only" not in sys.argv:
         tail = sorted(n for n in QUERIES if n not in BENCH_QUERIES)
         print(f"  -- full-surface tail ({len(tail)} queries) --", file=sys.stderr)
         tail_timings = run_set(tail)
-        record["full_queries"] = tail_timings
+        print("FULL_SURFACE " + json.dumps(tail_timings), file=sys.stderr)
         record["full_total"] = round(total + sum(tail_timings.values()), 3)
 
     print(json.dumps(record))

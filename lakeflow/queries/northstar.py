@@ -629,6 +629,44 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ivf_kmeans_recall_verdict",
+    oracle="""
+    SELECT 'ivf_kmeans_topk recall@5, 8/16 trained cells' AS metric,
+           50 AS n_exact_pairs,
+           true AS passed
+    """,
+)
+def ivf_kmeans_recall_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION IVF form under the driver (VERDICT r5 "Next round
+    #7"): MLlib-KMeans-trained coarse centroids are not SQL-reproducible,
+    so the query emits a 1-row INVARIANT VERDICT instead of raw neighbors —
+    recall@5 of ``ivf_kmeans_topk`` (seeded KMeans, 8 of 16 probed cells)
+    against ``brute_force_topk`` must clear the 75% floor the local recall
+    test pins (tests/test_operators.py::test_ivf_kmeans_recall_vs_brute
+    _force). Everything is distributed — the hit count is a semi-join, the
+    verdict a crossed pair of scalar aggregates — and the emitted row is
+    deterministic exactly when the invariant holds, so the constant oracle
+    hash-checks it: a recall regression flips ``passed`` and breaks the
+    hash."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = sim.brute_force_topk(emb, queries, k=5).select("qid", "vid")
+    approx = sim.ivf_kmeans_topk(
+        emb, queries, k=5, n_probe=8, nlist=16
+    ).select("qid", "vid")
+    hits = exact.join(approx, ["qid", "vid"], "left_semi")
+    n_exact = exact.agg(F.count(F.lit(1)).cast("int").alias("n_exact_pairs"))
+    n_hits = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    return n_exact.crossJoin(n_hits).select(
+        F.lit("ivf_kmeans_topk recall@5, 8/16 trained cells").alias("metric"),
+        "n_exact_pairs",
+        (
+            F.col("n_hits") * 100 >= F.col("n_exact_pairs") * 75
+        ).alias("passed"),
+    )
+
+
+@register(
     "frame_sample_plumbing",
     oracle="""
     WITH m AS (
@@ -648,6 +686,73 @@ def frame_sample_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
     256 bytes/frame where a decoder would emit sampled frames."""
     media = mm.attach_binary_payload(load_table(spark, sf_dir, "documents"))
     return mm.sample_frames(media, frame_bytes=256)
+
+
+@register(
+    "multimodal_retrieval_topk",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id AS media_id, md5(text) AS h FROM documents
+    ),
+    raw AS (
+        SELECT media_id,
+               list_transform(range(1, 17),
+                   i -> CAST(('0x' || substr(h, 2 * i - 1, 2)) AS INTEGER)
+                        / 256.0 - 0.5) AS r
+        FROM m
+    ),
+    unit AS (
+        SELECT media_id, r,
+               CASE WHEN list_sum(list_transform(r, y -> y * y)) = 0 THEN 1.0
+                    ELSE sqrt(list_sum(list_transform(r, y -> y * y)))
+               END AS nn
+        FROM raw
+    ),
+    emb AS (
+        SELECT media_id,
+               list_transform(r, x -> CAST(CAST(x / nn AS FLOAT) AS DOUBLE))
+                   AS v
+        FROM unit
+    ),
+    n AS (
+        SELECT media_id, v,
+               sqrt(list_sum(list_transform(v, y -> y * y))) AS nrm
+        FROM emb
+    ),
+    q AS (
+        SELECT media_id AS qid, v AS qv, nrm AS qn FROM n WHERE media_id < 10
+    ),
+    scored AS (
+        SELECT q.qid, c.media_id AS vid,
+               (floor((list_sum(list_transform(range(1, 17),
+                                               i -> qv[i] * c.v[i]))
+                       / (qn * c.nrm)) * 1000000.0 + 0.5) / 1000000.0) AS cos
+        FROM q JOIN n c ON c.media_id <> q.qid
+    )
+    SELECT qid, vid, cos FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY qid ORDER BY cos DESC, vid
+        ) AS rn FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def multimodal_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal columns FEEDING RETRIEVAL, end to end (VERDICT r5 "Next
+    round #6"): opaque binary payloads → Arrow-batched ``mapInPandas``
+    encoder (``extract_features``: md5-stream stub where a CLIP/ViT encoder
+    slots in, unit-norm ``array<float>`` out) → exact cosine top-k over the
+    encoded corpus for the first 10 media ids. The oracle replays the stub
+    encoder bit-for-bit (one md5 digest = the 16 embedding bytes, float32
+    quantization mirrored via CAST(... AS FLOAT)), proving the whole
+    binary→embedding→ANN chain, not just each stage's plumbing."""
+    media = mm.attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    feats = mm.extract_features(media, dim=16)
+    return sim.brute_force_topk(
+        feats,
+        feats.filter(F.col("media_id") < 10),
+        k=5,
+        id_col="media_id",
+    )
 
 
 @register(
