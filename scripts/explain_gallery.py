@@ -62,7 +62,8 @@ GALLERY = [
     ("domain_capped_sample", "per-source totals (combine-bounded) → median cap → broadcast rates → scan-side keep filter"),
     ("bpe_pair_counts", "one corpus scan → vocab-sized pair agg (partial) → TakeOrdered top-k"),
     ("asof_cogroup_pandas", "bucket-keyed FlatMapCoGroupsInPandas — Python crossed O(buckets) times"),
-    ("bitext_margin_pairs", "integer micro-unit cosines → per-vector top-k windows → one-division margin"),
+    ("bitext_margin_pairs", "multi-probe LSH shortlist (XOR-mask fan-out → bucket equi-join, no cross join) → top-k windows → one-division margin"),
+    ("multimodal_retrieval_topk", "binary → Arrow mapInPandas encoder → broadcast-query cosine top-k"),
     ("epoch_shuffled_order", "hash-to-shard, bounded per-shard windows — no global sort"),
     ("tick_vwap_daily", "integer deci-unit weighted agg over the Python source — combine-bounded"),
 ]
