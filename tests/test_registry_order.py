@@ -8,22 +8,24 @@ slots. These tests fail loudly if a refactor silently demotes them.
 
 from __future__ import annotations
 
-from lakeflow.queries import (
-    ORACLES,
-    QUERIES,
-    _REWRITTEN_SINCE_GREEN,
-    _VERIFIED_R1,
-    _VERIFIED_R2,
-    _VERIFIED_R3,
-    _VERIFIED_R4,
-)
+import re
 
-_VERIFIED = _VERIFIED_R1 | _VERIFIED_R2 | _VERIFIED_R3 | _VERIFIED_R4
+import lakeflow.queries as _q
+from lakeflow.queries import ORACLES, QUERIES, _REWRITTEN_SINCE_GREEN
+
+# Collect every _VERIFIED_R<N> the registry defines, in round order, so a
+# new round's fold-in can never silently diverge from these invariants.
+_ROUNDS = sorted(
+    (int(m.group(1)), getattr(_q, name))
+    for name in dir(_q)
+    if (m := re.fullmatch(r"_VERIFIED_R(\d+)", name))
+)
+assert len(_ROUNDS) >= 5, "expected at least rounds 1-5 folded in"
+
+_VERIFIED = frozenset().union(*(names for _rnd, names in _ROUNDS))
 
 _LATEST_GREEN: dict[str, int] = {}
-for _rnd, _names in enumerate(
-    (_VERIFIED_R1, _VERIFIED_R2, _VERIFIED_R3, _VERIFIED_R4), 1
-):
+for _rnd, _names in _ROUNDS:
     for _n in _names:
         _LATEST_GREEN[_n] = _rnd
 
@@ -71,15 +73,14 @@ def test_oldest_verdicts_reverified_before_newest():
     assert rounds_in_order == sorted(rounds_in_order)
 
 
-def test_stale_set_covers_round5_rewrites():
-    """Every query whose implementation or oracle changed in round 5 must
-    hold a front-of-queue slot: the unigram scale rework, the q11/q22
-    predicate rescale, the new gap-sessions oracle, the CDC delete fix, and
-    the pack bin-id stride widening."""
+def test_stale_set_covers_round6_rewrites():
+    """Every query whose implementation or oracle changed in round 6 must
+    hold a front-of-queue slot: the bitext ANN-shortlist replan, the
+    MOR-aware materialized-view refresh, and the constraint-gated MOR DML
+    write paths."""
     expected = {
-        "unigram_logprob_scores", "q11_important_parts",
-        "q22_idle_rich_customers", "stream_gap_sessions",
-        "cdc_orders_state", "pack_sequences",
+        "bitext_margin_pairs", "mv_orders_by_status",
+        "mv_price_extrema_by_status", "mor_upsert_state", "mor_delete_state",
     }
     assert expected <= _REWRITTEN_SINCE_GREEN
 
