@@ -166,6 +166,106 @@ def chunk_documents(
     )
 
 
+def span_corruption(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    span_len: int = 2,
+    window_pct: int = 60,
+) -> DataFrame:
+    """T5/UL2-style span-corruption preprocessing: deterministically mask
+    token spans, emitting the sentinel-marked encoder input and the
+    sentinel-keyed target sequence a denoising objective trains on.
+
+    Tokens partition into fixed windows of ``window``; window ``w`` of a doc
+    corrupts iff ``md5(doc_id:w) % 100 < window_pct``, and a corrupted
+    window masks its FIRST ``span_len`` tokens. The window partition makes
+    spans non-overlapping by construction (T5 samples geometric span
+    lengths; the fixed-grid variant keeps the op a pure Catalyst
+    expression), and the expected masked-token rate is
+    ``window_pct/100 · span_len/window`` — the defaults give T5's 15%.
+    Masked span k is replaced by ``<extra_id_k>`` in the input; the target
+    is ``<extra_id_0> span0 <extra_id_1> span1 …``.
+
+    Scan-side per-row arrays only — no explode, no shuffle, no Python; at
+    100 TB this is a map stage like tokenization. The md5 window draw makes
+    every (doc, window) decision engine-replayable, so the whole
+    input/target rendering is oracle-checkable.
+
+    Output: (id, n_tokens, n_spans, n_masked, input_text, target_text).
+    """
+    if not 1 <= span_len <= window:
+        raise ValueError("need 1 <= span_len <= window")
+
+    toked = df.select(
+        F.col(id_col),
+        F.split(normalize_text(text_col), " ").alias("__toks"),
+    )
+    n = F.size("__toks")
+    n_windows = F.ceil(n / F.lit(window)).cast("int")
+
+    def window_draw(w):
+        h = F.md5(
+            F.concat_ws(
+                ":", F.col(id_col).cast("string"), w.cast("string")
+            )
+        )
+        return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % 100
+
+    corrupted = F.filter(
+        F.sequence(F.lit(0), n_windows - 1),
+        lambda w: window_draw(w) < window_pct,
+    )
+    staged = toked.select(
+        F.col(id_col), "__toks", corrupted.alias("__cw")
+    )
+
+    def sentinel(k):  # k: 0-based span index column
+        return F.concat(F.lit("<extra_id_"), k.cast("string"), F.lit(">"))
+
+    def w_of(i):
+        return (i / F.lit(window)).cast("int")
+
+    masked = lambda i: F.array_contains(F.col("__cw"), w_of(i)) & (
+        i % window < span_len
+    )
+    inp = F.transform(
+        "__toks",
+        lambda t, i: F.when(
+            masked(i) & (i % window == 0),
+            sentinel(F.array_position("__cw", w_of(i)) - 1),
+        )
+        .when(masked(i), F.lit(None))
+        .otherwise(t),
+    )
+    tgt = F.transform(
+        "__cw",
+        lambda w: F.concat_ws(
+            " ",
+            sentinel(F.array_position("__cw", w) - 1),
+            F.array_join(
+                F.slice("__toks", w * window + 1, span_len), " "
+            ),
+        ),
+    )
+    n2 = F.size("__toks")
+    return staged.select(
+        F.col(id_col),
+        n2.cast("bigint").alias("n_tokens"),
+        F.size("__cw").cast("int").alias("n_spans"),
+        F.aggregate(
+            "__cw",
+            F.lit(0).cast("bigint"),
+            lambda acc, w: acc + F.least(F.lit(span_len), n2 - w * window),
+        ).alias("n_masked"),
+        F.array_join(
+            F.filter(inp, lambda x: x.isNotNull()), " "
+        ).alias("input_text"),
+        F.array_join(tgt, " ").alias("target_text"),
+    )
+
+
 # Engine-portable patterns (no lookaround, POSIX classes only — valid in both
 # Java regex and RE2, so the DuckDB oracle applies the identical expressions).
 PII_PATTERNS: list[tuple[str, str]] = [

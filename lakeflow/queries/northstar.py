@@ -2842,3 +2842,70 @@ def epoch_shuffled_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).cast("bigint").alias("pos"),
         "doc_id",
     )
+
+
+@register(
+    "span_corruption_pairs",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents
+    ),
+    b AS (
+        SELECT doc_id, toks, len(toks) AS n,
+               CAST(ceil(len(toks) / 8.0) AS INT) AS nw
+        FROM t
+    ),
+    c AS (
+        SELECT doc_id, toks, n,
+               list_filter(range(0, nw), w ->
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                                            CAST(w AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 100 < 60) AS cw
+        FROM b
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(len(cw) AS INT) AS n_spans,
+           CAST(COALESCE(list_sum(list_transform(cw,
+                                                 w -> least(2, n - w * 8))),
+                         0) AS BIGINT) AS n_masked,
+           array_to_string(
+               list_filter(
+                   list_transform(range(0, n), i ->
+                       CASE
+                         WHEN list_contains(cw, i // 8) AND i % 8 < 2 THEN
+                           CASE WHEN i % 8 = 0
+                                THEN '<extra_id_' ||
+                                     CAST(list_position(cw, i // 8) - 1
+                                          AS VARCHAR) || '>'
+                                ELSE NULL END
+                         ELSE toks[i + 1]
+                       END),
+                   x -> x IS NOT NULL),
+               ' ') AS input_text,
+           COALESCE(array_to_string(
+               list_transform(cw, w ->
+                   concat_ws(' ',
+                       '<extra_id_' ||
+                       CAST(list_position(cw, w) - 1 AS VARCHAR) || '>',
+                       array_to_string(
+                           list_slice(toks, w * 8 + 1,
+                                      least(w * 8 + 2, n)), ' '))),
+               ' '), '') AS target_text
+    FROM c
+    """,
+)
+def span_corruption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/UL2 span-corruption preprocessing over the corpus: fixed-grid
+    windows draw a deterministic md5 corruption decision per (doc, window),
+    masked spans become ``<extra_id_k>`` sentinels in the encoder input and
+    a sentinel-keyed target sequence — defaults hit T5's 15% masked-token
+    rate. Pure scan-side Catalyst arrays (no explode, no shuffle, no
+    Python); the oracle replays the full input/target rendering, so the
+    exact strings a trainer would consume are hash-checked."""
+    return tx.span_corruption(
+        load_table(spark, sf_dir, "documents"),
+        window=8,
+        span_len=2,
+        window_pct=60,
+    )

@@ -1534,3 +1534,51 @@ def test_bitext_ann_recall_vs_exact(spark):
     b = right.select(sign_bucket(F.col("embedding"), 64, 5).alias("probe"))
     n_candidates = a.join(b, on="probe").count()
     assert n_candidates < n_left * n_right
+
+
+def test_span_corruption_hand_computed(spark):
+    """Fixed-grid span corruption: masked windows are the md5 draw, span k
+    renders as <extra_id_k> in the input and heads the target; tail windows
+    mask only what exists; empty docs pass through untouched."""
+    import hashlib
+
+    from lakeflow.operators.text import span_corruption
+
+    text = " ".join(f"w{i}" for i in range(20))  # 20 tokens, 3 windows of 8
+    df = spark.createDataFrame(
+        [(7, text), (8, "")], "doc_id long, text string"
+    )
+    rows = {
+        r.doc_id: r
+        for r in span_corruption(df, window=8, span_len=2, window_pct=60)
+        .collect()
+    }
+
+    def draw(doc_id, w):
+        h = hashlib.md5(f"{doc_id}:{w}".encode()).hexdigest()
+        return int(h[:8], 16) % 100 < 60
+
+    corrupted = [w for w in range(3) if draw(7, w)]
+    toks = text.split(" ")
+    expected_target = " ".join(
+        f"<extra_id_{k}> " + " ".join(toks[w * 8 : w * 8 + 2])
+        for k, w in enumerate(corrupted)
+    )
+    got = rows[7]
+    assert got.n_tokens == 20 and got.n_spans == len(corrupted)
+    assert got.n_masked == sum(min(2, 20 - w * 8) for w in corrupted)
+    assert got.target_text == expected_target
+    inp = got.input_text.split(" ")
+    for k, w in enumerate(corrupted):
+        assert f"<extra_id_{k}>" in inp
+    # Unmasked tokens survive in order; masked ones are gone.
+    surviving = [
+        t for i, t in enumerate(toks)
+        if not (i // 8 in corrupted and i % 8 < 2)
+    ]
+    assert [t for t in inp if not t.startswith("<extra_id_")] == surviving
+
+    empty = rows[8]
+    assert (empty.n_spans, empty.n_masked) in {(0, 0), (1, 1)}  # draw-dependent
+    if empty.n_spans == 0:
+        assert empty.target_text == ""

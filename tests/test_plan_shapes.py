@@ -647,3 +647,11 @@ def test_bitext_ann_shortlist_has_no_cross_join(spark):
     plan = _plan(spark, "bitext_margin_pairs")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_span_corruption_is_scan_side(spark):
+    """Span corruption must be a pure map stage — per-row Catalyst arrays,
+    no Exchange, no explode-induced shuffle, no Python."""
+    plan = _plan(spark, "span_corruption_pairs")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
