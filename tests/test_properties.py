@@ -438,3 +438,57 @@ def test_mor_dml_equivalent_to_copy_on_write(spark, tmp_path_factory, sequence):
         final = rows(mor)
         mor.compact()
         assert rows(mor) == final
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "x1"]),
+            min_size=1,
+            max_size=30,
+        ).map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    window=st.integers(2, 10),
+    span_len=st.integers(1, 4),
+    pct=st.sampled_from([0, 30, 60, 100]),
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_span_corruption_reconstruction_invariant(
+    spark, texts, window, span_len, pct
+):
+    """The denoising contract itself: substituting each <extra_id_k>
+    sentinel in the input with target span k reproduces the normalized
+    original text exactly, for ANY window/span/rate — masking must never
+    lose or reorder a token. Also pins n_masked == tokens removed."""
+    import re
+
+    from lakeflow.operators.text import span_corruption
+
+    span_len = min(span_len, window)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = span_corruption(
+        df, window=window, span_len=span_len, window_pct=pct
+    ).collect()
+    assert len(out) == len(texts)
+    for r in out:
+        # Parse target into span k -> tokens.
+        spans = {}
+        for m in re.finditer(
+            r"<extra_id_(\d+)>((?:(?!<extra_id_)." + r")*)", r.target_text
+        ):
+            spans[int(m.group(1))] = m.group(2).strip()
+        assert len(spans) == r.n_spans
+        rebuilt = re.sub(
+            r"<extra_id_(\d+)>", lambda m: spans[int(m.group(1))], r.input_text
+        )
+        rebuilt = re.sub(r"\s+", " ", rebuilt).strip()
+        original = re.sub(r"\s+", " ", texts[r.doc_id].lower()).strip()
+        assert rebuilt == original
+        n_input_tokens = len(
+            [t for t in r.input_text.split(" ") if not t.startswith("<extra_id_")]
+        ) if r.input_text else 0
+        assert r.n_masked == r.n_tokens - n_input_tokens
