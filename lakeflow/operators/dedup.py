@@ -419,6 +419,99 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     return labels
 
 
+def exact_substring_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+) -> DataFrame:
+    """Cross-document EXACT-SUBSTRING dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): any ``k``-token window
+    whose text occurs more than once in the corpus is removed from every
+    occurrence EXCEPT the globally first (lowest ``(doc_id, position)``) —
+    the keep-one-copy contract — and each document reassembles from its
+    surviving tokens in order.
+
+    Distributed shape (the suffix-array equivalent): every rolling window
+    fingerprints to md5 of its joined tokens; a corpus-wide group-by on the
+    fingerprint finds repeats with map-side partial counts (shuffle rows ∝
+    corpus tokens — the inherent cost of corpus-level substring dedup; at
+    100 TB this is one skinny (fp, key) shuffle, same order as tokenizing),
+    the min occurrence key per fingerprint rides out of the same aggregate,
+    and only NON-FIRST occurrences of repeated windows join back (shuffle ∝
+    true duplication). Coverage expands each such window into its token
+    positions; the rebuild is a per-row array filter — no further shuffle.
+
+    Deterministic end-to-end, so the removed text itself is
+    oracle-checkable. Docs shorter than ``k`` tokens pass through whole.
+
+    Output: (id, n_tokens, n_removed, deduped_text).
+    """
+    toked = fan_out(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.split(normalize_text(text_col), " ").alias("__toks"),
+        ),
+        barrier=True,
+    )
+    n = F.size("__toks")
+    # One occurrence key per window: doc_id * 2^32 + pos orders globally.
+    windows = (
+        toked.filter(n >= k)
+        .select(
+            "id",
+            F.explode(F.sequence(F.lit(0), n - k)).alias("pos"),
+            "__toks",
+        )
+        .select(
+            "id",
+            "pos",
+            F.md5(
+                F.array_join(F.slice("__toks", F.col("pos") + 1, k), " ")
+            ).alias("fp"),
+            (
+                F.col("id").cast("bigint") * F.lit(1 << 32)
+                + F.col("pos")
+            ).alias("okey"),
+        )
+    )
+    groups = windows.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.min("okey").alias("first_key"),
+    )
+    removed = (
+        windows.join(
+            groups.filter(F.col("n_occ") > 1).select("fp", "first_key"),
+            "fp",
+        )
+        .filter(F.col("okey") != F.col("first_key"))
+        .select("id", F.explode(F.sequence("pos", F.col("pos") + (k - 1))).alias("idx"))
+        .distinct()
+        .groupBy("id")
+        .agg(F.collect_set("idx").alias("__rm"))
+    )
+    rebuilt = toked.join(removed, "id", "left").select(
+        "id",
+        "__toks",
+        F.coalesce("__rm", F.array().cast("array<int>")).alias("__rm"),
+    )
+    kept = F.filter(
+        F.transform(
+            "__toks",
+            lambda t, i: F.when(
+                F.array_contains("__rm", i), F.lit(None)
+            ).otherwise(t),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return rebuilt.select(
+        "id",
+        F.size("__toks").cast("bigint").alias("n_tokens"),
+        F.size("__rm").cast("bigint").alias("n_removed"),
+        F.array_join(kept, " ").alias("deduped_text"),
+    )
+
+
 def simhash64_blocks(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -2845,6 +2845,59 @@ def epoch_shuffled_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "exact_substring_dedup_docs",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents
+    ),
+    w AS (
+        SELECT doc_id, i AS pos,
+               md5(array_to_string(list_slice(toks, i + 1, i + 10), ' '))
+                   AS fp,
+               doc_id * 4294967296 + i AS okey
+        FROM t,
+             LATERAL unnest(range(0, greatest(len(toks) - 9, 0))) AS u(i)
+    ),
+    g AS (
+        SELECT fp, count(*) AS n_occ, min(okey) AS first_key
+        FROM w GROUP BY fp
+    ),
+    cov AS (
+        SELECT DISTINCT w.doc_id, w.pos + j AS idx
+        FROM w JOIN g USING (fp), LATERAL unnest(range(0, 10)) AS v(j)
+        WHERE g.n_occ > 1 AND w.okey <> g.first_key
+    ),
+    rm AS (
+        SELECT doc_id, list(idx) AS rmlist FROM cov GROUP BY doc_id
+    )
+    SELECT t.doc_id AS id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(len(rmlist), 0) AS BIGINT) AS n_removed,
+           COALESCE(array_to_string(
+               list_filter(
+                   list_transform(range(0, len(toks)), i ->
+                       CASE WHEN list_contains(
+                                COALESCE(rmlist, CAST([] AS BIGINT[])), i)
+                            THEN NULL ELSE toks[i + 1] END),
+                   x -> x IS NOT NULL),
+               ' '), '') AS deduped_text
+    FROM t LEFT JOIN rm ON t.doc_id = rm.doc_id
+    """,
+)
+def exact_substring_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level exact-substring dedup (Lee et al. 2022): every repeated
+    10-token window is removed from all but its globally-first occurrence
+    and documents reassemble from the surviving tokens — the keep-one-copy
+    contract, rendered distributed as a fingerprint group-by (the
+    suffix-array equivalent; shuffle ∝ corpus tokens) plus a
+    duplication-bounded join-back. Fully deterministic, so the REMOVED TEXT
+    itself — not just counts — hash-checks against the oracle."""
+    return dd.exact_substring_dedup(
+        load_table(spark, sf_dir, "documents"), k=10
+    )
+
+
+@register(
     "span_corruption_pairs",
     oracle=f"""
     WITH t AS (

@@ -1582,3 +1582,29 @@ def test_span_corruption_hand_computed(spark):
     assert (empty.n_spans, empty.n_masked) in {(0, 0), (1, 1)}  # draw-dependent
     if empty.n_spans == 0:
         assert empty.target_text == ""
+
+
+def test_exact_substring_dedup_keep_first_semantics(spark):
+    """Lee et al. exact-substring dedup: a window repeated across docs is
+    removed from every occurrence except the globally-first (lowest
+    (doc_id, pos)); full duplicates empty out entirely; docs shorter than
+    k pass through whole; within-doc repeats also collapse to one copy."""
+    from lakeflow.operators.dedup import exact_substring_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "x y a b c d e z"),       # shares "a b c d e" with doc 1
+            (3, "p q"),                    # shorter than k
+            (4, "a b c d e f g h"),        # full duplicate of doc 1
+            (5, "m n o p q m n o p q"),    # within-doc repeat
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.id: r for r in exact_substring_dedup(df, k=5).collect()}
+    assert rows[1].deduped_text == "a b c d e f g h"  # first occurrence kept
+    assert rows[2].deduped_text == "x y z" and rows[2].n_removed == 5
+    assert rows[3].deduped_text == "p q" and rows[3].n_removed == 0
+    assert rows[4].deduped_text == "" and rows[4].n_removed == 8
+    # within-doc: second "m n o p q" removed, first kept
+    assert rows[5].deduped_text == "m n o p q" and rows[5].n_removed == 5
