@@ -634,6 +634,63 @@ def sql_lakehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_incremental_view_state",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders WHERE o_orderkey <= 4000 GROUP BY o_orderstatus
+    """,
+)
+def sql_incremental_view_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-materialized-view tier driven entirely through SQL
+    (lakeflow/sqlx.py): CREATE VERSIONED TABLE AS SELECT → CREATE
+    INCREMENTAL VIEW (which must be queryable IMMEDIATELY — the ADVICE r5
+    temp-view-at-create fix, asserted) → INSERT INTO VERSIONED → REFRESH
+    INCREMENTAL VIEW. The refreshed state must hash-equal the plain
+    aggregate over both batches — the manifest-diff fold is invisible to
+    the reader."""
+    import tempfile
+
+    from lakeflow.sqlx import LakehouseSQL
+    from lakeflow.tables import TableCatalog
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("src_orders")
+    lh = LakehouseSQL(
+        spark, TableCatalog(spark, tempfile.mkdtemp(prefix="lakeflow_sqlmv_"))
+    )
+    lh.execute(
+        "CREATE VERSIONED TABLE ord AS "
+        "SELECT o_orderkey, o_orderstatus, o_totalprice FROM src_orders "
+        "WHERE o_orderkey <= 2000"
+    )
+    lh.execute(
+        "CREATE INCREMENTAL VIEW ord_mv AS "
+        "SELECT o_orderstatus, COUNT(*) AS n_orders, "
+        "SUM(o_totalprice) AS sum_cents FROM ord GROUP BY o_orderstatus"
+    )
+    # Queryable right after CREATE, no REFRESH needed (ADVICE r5 low #2),
+    # and already consistent with the first batch.
+    n_first = lh.execute(
+        "SELECT CAST(sum(n_orders) AS BIGINT) AS t FROM ord_mv"
+    ).first()["t"]
+    n_src = spark.sql(
+        "SELECT count(*) AS t FROM src_orders WHERE o_orderkey <= 2000"
+    ).first()["t"]
+    assert n_first == n_src, "MV must reflect the base at create time"
+    lh.execute(
+        "INSERT INTO VERSIONED ord "
+        "SELECT o_orderkey, o_orderstatus, o_totalprice FROM src_orders "
+        "WHERE o_orderkey BETWEEN 2001 AND 4000"
+    )
+    lh.execute("REFRESH INCREMENTAL VIEW ord_mv")
+    return lh.execute(
+        "SELECT o_orderstatus, n_orders, sum_cents FROM ord_mv"
+    )
+
+
+@register(
     "delete_where_roundtrip",
     oracle="""
     SELECT c_custkey, c_acctbal FROM customer

@@ -655,3 +655,13 @@ def test_span_corruption_is_scan_side(spark):
     plan = _plan(spark, "span_corruption_pairs")
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_exact_substring_dedup_shuffle_shape(spark):
+    """Corpus-level substring dedup must stay fingerprint-keyed: partial
+    (map-side) aggregation on the window fingerprints, no cartesian or
+    nested-loop join anywhere — the join-back is an equi-join on fp."""
+    plan = _plan(spark, "exact_substring_dedup_docs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan or "HashAggregate" in plan
