@@ -492,3 +492,85 @@ def test_span_corruption_reconstruction_invariant(
             [t for t in r.input_text.split(" ") if not t.startswith("<extra_id_")]
         ) if r.input_text else 0
         assert r.n_masked == r.n_tokens - n_input_tokens
+
+
+_mv_ops = st.one_of(
+    st.tuples(
+        st.just("append"),
+        st.lists(
+            st.tuples(st.integers(0, 3), st.integers(0, 20)),
+            min_size=1,
+            max_size=5,
+        ),
+    ),
+    st.tuples(st.just("delete_mor"), st.integers(0, 3), st.just(0)),
+    st.tuples(st.just("update_mor"), st.integers(0, 3), st.integers(0, 20)),
+    st.tuples(
+        st.just("upsert_mor"),
+        st.lists(
+            st.tuples(st.integers(0, 3), st.integers(0, 20)),
+            min_size=1,
+            max_size=3,
+        ),
+    ),
+)
+
+
+@given(sequence=st.lists(_mv_ops, min_size=1, max_size=5))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_incremental_mv_tracks_arbitrary_mor_dml(
+    spark, tmp_path_factory, sequence
+):
+    """The round-6 headline property: after ANY sequence of appends and
+    merge-on-read DML (deletion-vector deletes/updates/upserts), an
+    incremental refresh lands bit-identical to aggregating the current base
+    from scratch — DV pre-images fold exactly, never double-counting
+    (update/upsert) and never retaining deleted contributions (delete)."""
+    from pyspark.sql import functions as F
+
+    from lakeflow.tables import VersionedTable
+    from lakeflow.views import IncrementalAggView
+
+    root = tmp_path_factory.mktemp("mvmor")
+    t = VersionedTable(spark, str(root / "base"))
+    mv = IncrementalAggView(
+        spark, t, keys=["k"], sums={"s": ("v", 1)},
+        path=str(root / "mv"), count_col="n",
+    )
+    seeded = False
+    for step, op in enumerate(sequence):
+        if op[0] == "append":
+            t.commit(spark.createDataFrame(op[1], "k long, v long"))
+            seeded = True
+        elif not seeded:
+            continue
+        elif op[0] == "delete_mor":
+            t.delete_where_mor(f"k = {op[1]}")
+        elif op[0] == "update_mor":
+            t.update_where_mor(f"k = {op[1]}", {"v": str(op[2])})
+        else:  # upsert_mor: one row per key (the caller contract)
+            dedup = {k: v for k, v in op[1]}
+            t.upsert_mor(
+                spark.createDataFrame(
+                    sorted(dedup.items()), "k long, v long"
+                ),
+                keys=["k"],
+            )
+        if not seeded:
+            continue
+        mv.refresh()
+        got = {(r.k, r.n, r.s) for r in mv.read().collect()}
+        want = {
+            (r.k, r.n, r.s)
+            for r in t.read()
+            .groupBy("k")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum(
+                    F.floor(F.col("v") * 1 + F.lit(0.5)).cast("bigint")
+                ).cast("bigint").alias("s"),
+            )
+            .collect()
+        }
+        assert got == want, f"diverged at step {step} after {op[0]}"
