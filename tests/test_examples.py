@@ -19,6 +19,7 @@ EXAMPLES = [
     "streaming_cdc.py",
     "retrieval.py",
     "llm_curation.py",
+    "mutable_lakehouse.py",
 ]
 
 
