@@ -574,3 +574,65 @@ def test_incremental_mv_tracks_arbitrary_mor_dml(
             .collect()
         }
         assert got == want, f"diverged at step {step} after {op[0]}"
+
+
+@given(sequence=st.lists(_mv_ops, min_size=1, max_size=4))
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_dirty_group_mv_tracks_arbitrary_mor_dml(
+    spark, tmp_path_factory, sequence
+):
+    """The non-invertible tier under the same churn: MIN/MAX dirty-group
+    recompute must land identical to a from-scratch aggregate after any
+    merge-on-read DML sequence — a deleted extremum re-resolves to the
+    true second extremum because DV pre-images dirty their groups."""
+    from pyspark.sql import functions as F
+
+    from lakeflow.tables import VersionedTable
+    from lakeflow.views import DirtyGroupAggView
+
+    root = tmp_path_factory.mktemp("dgmor")
+    t = VersionedTable(spark, str(root / "base"))
+    mv = DirtyGroupAggView(
+        spark, t, key="k", path=str(root / "mv"), count_col="n",
+        mins={"mn": ("v", 1)}, maxs={"mx": ("v", 1)},
+    )
+    seeded = False
+    for step, op in enumerate(sequence):
+        if op[0] == "append":
+            t.commit(spark.createDataFrame(op[1], "k long, v long"))
+            seeded = True
+        elif not seeded:
+            continue
+        elif op[0] == "delete_mor":
+            t.delete_where_mor(f"k = {op[1]}")
+        elif op[0] == "update_mor":
+            t.update_where_mor(f"k = {op[1]}", {"v": str(op[2])})
+        else:
+            dedup = {k: v for k, v in op[1]}
+            t.upsert_mor(
+                spark.createDataFrame(
+                    sorted(dedup.items()), "k long, v long"
+                ),
+                keys=["k"],
+            )
+        if not seeded:
+            continue
+        mv.refresh()
+        got = {(r.k, r.n, r.mn, r.mx) for r in mv.read().collect()}
+        want = {
+            (r.k, r.n, r.mn, r.mx)
+            for r in t.read()
+            .groupBy("k")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.min(
+                    F.floor(F.col("v") * 1 + F.lit(0.5)).cast("bigint")
+                ).alias("mn"),
+                F.max(
+                    F.floor(F.col("v") * 1 + F.lit(0.5)).cast("bigint")
+                ).alias("mx"),
+            )
+            .collect()
+        }
+        assert got == want, f"diverged at step {step} after {op[0]}"
