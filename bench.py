@@ -77,6 +77,12 @@ BENCH_QUERIES = [
     "dedup_survivors",
     "cdc_orders_state",
     "top_bigram_phrases",
+    # round-6 signature ops (bitext shortlist replaces the exact cross
+    # product; the rest are new operators)
+    "bitext_margin_pairs",
+    "span_corruption_pairs",
+    "exact_substring_dedup_docs",
+    "multimodal_retrieval_topk",
 ]
 
 
