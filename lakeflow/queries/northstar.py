@@ -2844,6 +2844,94 @@ def epoch_shuffled_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_oracle(iters: int = 3) -> str:
+    """Unrolled-iteration PageRank oracle over the md5-derived demo graph."""
+    base = "(1000000 * 15) // (100 * n.cnt)"
+    ctes = [
+        "n AS (SELECT count(*) AS cnt FROM documents)",
+        """e0 AS (
+        SELECT d.doc_id AS src,
+               CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':out:'
+                                        || CAST(u.j AS VARCHAR)), 1, 8))
+                    AS BIGINT) % n.cnt AS dst
+        FROM documents d, n, UNNEST([0, 1, 2]) AS u(j)
+    )""",
+        "e AS (SELECT src, dst FROM e0 WHERE dst <> src)",
+        "outdeg AS (SELECT src, count(*) AS od FROM e GROUP BY src)",
+        "ids AS (SELECT doc_id AS id FROM documents)",
+        "r0 AS (SELECT id, 1000000 // n.cnt AS r FROM ids CROSS JOIN n)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""c{k} AS (
+        SELECT e.dst AS id, sum(r{k - 1}.r // outdeg.od) AS s
+        FROM e JOIN r{k - 1} ON e.src = r{k - 1}.id
+               JOIN outdeg ON e.src = outdeg.src
+        GROUP BY e.dst
+    )"""
+        )
+        ctes.append(
+            f"""r{k} AS (
+        SELECT ids.id, {base} + (85 * COALESCE(c{k}.s, 0)) // 100 AS r
+        FROM ids CROSS JOIN n LEFT JOIN c{k} ON ids.id = c{k}.id
+    )"""
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT id AS doc_id, CAST(r AS BIGINT) AS rank_micro "
+        f"FROM r{iters}"
+    )
+
+
+@register("link_quality_rank", oracle=_pagerank_oracle(3))
+def link_quality_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-analysis quality prior (the Common-Crawl centrality signal
+    web-corpus curation ranks by): 3 unrolled PageRank iterations in exact
+    integer micro-units over a deterministic md5-derived demo link graph
+    (3 out-draws per doc, self-loops dropped, multi-edges count per edge).
+    Every floor division is explicit, so all three iterations replay
+    bit-exactly in the oracle — an ITERATIVE algorithm under the full hash
+    gate, not a rows-only check. The operator (`operators/graph.py`) takes
+    any (src, dst) edge table; at 100 TB the per-iteration join shuffles
+    the edge list once, with hub-page in-degree skew absorbed by partial
+    aggregation."""
+    from lakeflow.operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    edges = (
+        docs.select(
+            F.col("doc_id").alias("src"),
+            F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("j"),
+        )
+        .select(
+            "src",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("src").cast("string"),
+                                F.lit(":out:"),
+                                F.col("j").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % n
+            ).alias("dst"),
+        )
+        .filter(F.col("dst") != F.col("src"))
+    )
+    return pagerank(
+        edges, nodes=docs, id_col="doc_id", iters=3
+    ).select(F.col("id").alias("doc_id"), "rank_micro")
+
+
 @register(
     "exact_substring_dedup_docs",
     oracle=f"""

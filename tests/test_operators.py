@@ -1608,3 +1608,28 @@ def test_exact_substring_dedup_keep_first_semantics(spark):
     assert rows[4].deduped_text == "" and rows[4].n_removed == 8
     # within-doc: second "m n o p q" removed, first kept
     assert rows[5].deduped_text == "m n o p q" and rows[5].n_removed == 5
+
+
+def test_pagerank_hand_computed_and_isolated_nodes(spark):
+    """3-node chain + isolated node, 1 iteration by hand: contributions are
+    floor(rank/outdeg), damping and base are floor divisions, isolated
+    nodes keep the base rank, multi-edges contribute once per edge."""
+    from lakeflow.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 3)],  # (2,3) is a double edge
+        "src long, dst long",
+    )
+    nodes = spark.createDataFrame([(1,), (2,), (3,), (4,)], "id long")
+    r1 = {
+        r.id: r.rank_micro
+        for r in pagerank(edges, nodes, iters=1).collect()
+    }
+    # N=4: r0 = 250000 each; base = (1e6*15)//(100*4) = 37500.
+    # node1: no in-edges -> base only
+    # node2: from 1 (outdeg 2 -> 125000): base + (85*125000)//100
+    # node3: from 1 (125000) + from 2 twice (outdeg 2 -> 125000 per edge)
+    assert r1[1] == 37500
+    assert r1[2] == 37500 + (85 * 125000) // 100
+    assert r1[3] == 37500 + (85 * (125000 + 2 * 125000)) // 100
+    assert r1[4] == 37500  # isolated: base only
