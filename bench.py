@@ -89,6 +89,10 @@ BENCH_QUERIES = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # --queries a,b,c: restrict the headline set (contract test hook).
+    only: list[str] | None = None
+    if "--queries" in sys.argv:
+        only = sys.argv[sys.argv.index("--queries") + 1].split(",")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
@@ -154,7 +158,7 @@ def main() -> None:
         # default in lakeflow.session, with MEMORY_AND_DISK eviction
         # handling cache pressure across the 160+-query sweep.
 
-    timings = run_set(BENCH_QUERIES)
+    timings = run_set(only if only is not None else BENCH_QUERIES)
     total = round(sum(timings.values()), 3)
     record = {
         "metric": "lakeflow headline queries, end-to-end (noop sink)",
