@@ -64,6 +64,9 @@ GALLERY = [
     ("asof_cogroup_pandas", "bucket-keyed FlatMapCoGroupsInPandas — Python crossed O(buckets) times"),
     ("bitext_margin_pairs", "multi-probe LSH shortlist (XOR-mask fan-out → bucket equi-join, no cross join) → top-k windows → one-division margin"),
     ("multimodal_retrieval_topk", "binary → Arrow mapInPandas encoder → broadcast-query cosine top-k"),
+    ("span_corruption_pairs", "pure map stage: per-row Catalyst arrays, zero exchange"),
+    ("exact_substring_dedup_docs", "window fp group-by (map-side combine) → duplication-bounded join-back → per-row rebuild"),
+    ("link_quality_rank", "unrolled PageRank: edge-shuffle join + partial agg per iteration"),
     ("epoch_shuffled_order", "hash-to-shard, bounded per-shard windows — no global sort"),
     ("tick_vwap_daily", "integer deci-unit weighted agg over the Python source — combine-bounded"),
 ]
