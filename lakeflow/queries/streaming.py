@@ -379,15 +379,15 @@ def stream_left_outer_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_quarantine_events",
     oracle="""
     SELECT event_id, event_type, value,
-           CASE WHEN NOT COALESCE(value >= 0, FALSE)
-                     AND NOT COALESCE(event_type IN ('view', 'click', 'purchase', 'signup', 'error'), FALSE)
-                THEN 'known_type,value_nonnegative'
-                WHEN NOT COALESCE(value >= 0, FALSE) THEN 'value_nonnegative'
-                ELSE 'known_type'
+           CASE WHEN NOT COALESCE(value <= 300, FALSE)
+                     AND NOT COALESCE(event_type IN ('view', 'click', 'purchase', 'signup'), FALSE)
+                THEN 'business_type,value_in_range'
+                WHEN NOT COALESCE(value <= 300, FALSE) THEN 'value_in_range'
+                ELSE 'business_type'
            END AS violated
     FROM events
-    WHERE NOT (COALESCE(value >= 0, FALSE)
-               AND COALESCE(event_type IN ('view', 'click', 'purchase', 'signup', 'error'), FALSE))
+    WHERE NOT (COALESCE(value <= 300, FALSE)
+               AND COALESCE(event_type IN ('view', 'click', 'purchase', 'signup'), FALSE))
     """,
 )
 def stream_quarantine_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -396,16 +396,18 @@ def stream_quarantine_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     the micro-batch engine. The gate and violation annotation are scan-side
     Catalyst projections, so they stream stateless — no watermark, no
     state store; rows emit exactly once in append mode. The oracle replays
-    the same null-safe predicates in batch SQL."""
+    the same null-safe predicates in batch SQL. Rules are chosen so the
+    fixture actually quarantines rows ('error' events and outlier values) —
+    an empty quarantine would verify nothing."""
     from pyspark.sql import functions as F
 
     from lakeflow.quality import Expectation, split
 
     rules = [
-        Expectation("value_nonnegative", "value >= 0", "drop"),
+        Expectation("value_in_range", "value <= 300", "drop"),
         Expectation(
-            "known_type",
-            "event_type IN ('view', 'click', 'purchase', 'signup', 'error')",
+            "business_type",
+            "event_type IN ('view', 'click', 'purchase', 'signup')",
             "drop",
         ),
     ]
