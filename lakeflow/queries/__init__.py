@@ -193,6 +193,15 @@ _REWRITTEN_SINCE_GREEN = frozenset(
         # (ADVICE r5 medium #1) — same results, changed write path.
         "mor_upsert_state",
         "mor_delete_state",
+        # r6: both verified EMPTY result sets (the weak-evidence trap the
+        # r4 verdict flagged for q11/q22) — predicates rescaled so the
+        # fixture produces rows: the anti-join now excludes only urgent
+        # orders; the overlap matrix fingerprints 10-token windows
+        # (partial-content overlap) instead of whole docs.
+        "customers_without_orders",
+        "source_overlap_matrix",
+        # (stream_quarantine_events was retuned for the same reason but has
+        # never been driver-verified, so it already sits in the never block.)
     }
 )
 

@@ -1878,8 +1878,15 @@ def simhash64_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "source_overlap_matrix",
     oracle=f"""
-    WITH fps AS (
-        SELECT DISTINCT source, md5({_NORM}) AS fp FROM documents
+    WITH t AS (
+        SELECT source, string_split({_NORM}, ' ') AS toks FROM documents
+    ),
+    fps AS (
+        SELECT DISTINCT source,
+               md5(array_to_string(list_slice(toks, i + 1, i + 10), ' '))
+                   AS fp
+        FROM t,
+             LATERAL unnest(range(0, greatest(len(toks) - 9, 0))) AS u(i)
     )
     SELECT a.source AS source_a, b.source AS source_b,
            CAST(count(*) AS BIGINT) AS shared_fps
@@ -1889,17 +1896,35 @@ def simhash64_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-source duplication matrix: for every source pair, how many
-    normalized-content fingerprints they share — the audit run before
+    distinct 10-token window fingerprints they share — the audit run before
     mixing corpora (double-counted content inflates a source's effective
-    weight and leaks "held-out" sources into training). Fingerprint
+    weight and leaks "held-out" sources into training). Window (not
+    whole-doc) fingerprints catch PARTIAL content overlap — boilerplate
+    and quoted passages — which is what cross-source contamination looks
+    like in practice (the fixture has no cross-source whole-doc dup, so
+    the old whole-doc form verified an empty matrix). Fingerprint
     equi-join on distinct (source, fp): shuffle bounded by distinct
     fingerprints, pair fan-out bounded by sources-per-fingerprint — never
     doc x doc."""
     from lakeflow.operators.dedup import normalize_text
 
+    toked = load_table(spark, sf_dir, "documents").select(
+        "source", F.split(normalize_text("text"), " ").alias("__toks")
+    )
+    n = F.size("__toks")
     fps = (
-        load_table(spark, sf_dir, "documents")
-        .select("source", F.md5(normalize_text("text")).alias("fp"))
+        toked.filter(n >= 10)
+        .select(
+            "source",
+            F.explode(F.sequence(F.lit(0), n - 10)).alias("pos"),
+            "__toks",
+        )
+        .select(
+            "source",
+            F.md5(
+                F.array_join(F.slice("__toks", F.col("pos") + 1, 10), " ")
+            ).alias("fp"),
+        )
         .distinct()
     )
     a, b = fps.alias("a"), fps.alias("b")

@@ -497,13 +497,22 @@ def customers_with_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "customers_without_orders",
     oracle="""
     SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderpriority = '1-URGENT')
     """,
 )
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join: NOT EXISTS."""
+    """Left-anti join: NOT EXISTS, with the probe side pre-filtered (the
+    filter lands before the shuffle — anti-join input ∝ urgent orders).
+    The predicate keeps the result NON-EMPTY on the fixture (every
+    customer has some order, so the unfiltered form verified an empty
+    set — weak evidence, same trap as the r4 q11/q22 finding)."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
     return anti_join(c, o, ["c_custkey"]).select("c_custkey", "c_name")
 
 
