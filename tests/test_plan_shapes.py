@@ -665,3 +665,12 @@ def test_exact_substring_dedup_shuffle_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_source_overlap_matrix_is_fp_keyed(spark):
+    """The window-fingerprint overlap matrix must pair sources through the
+    fp equi-join (bounded by sources-per-fingerprint) — never a doc x doc
+    or source x source nested loop."""
+    plan = _plan(spark, "source_overlap_matrix")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
