@@ -32,6 +32,12 @@ minimal grammar that does:
     CREATE INCREMENTAL VIEW mv AS SELECT k1[, k2...], COUNT(*) AS c,
         SUM(col) AS s[, ...] FROM t GROUP BY k1[, k2...] [WITH SCALE <n>]
     REFRESH INCREMENTAL VIEW mv
+    CREATE SCHEMA [IF NOT EXISTS] s | SHOW SCHEMAS | SHOW TABLES [IN s]
+
+Table names are ``t`` or ``schema.table`` (the reference's namespaced
+layering, docker/init/lakehouse_init.sql — ``silver.processed_company``);
+dotted references bind through a mangled temp-view alias because Spark temp
+views cannot carry dots.
 
 Deliberately a SMALL grammar, recognized by anchored regular expressions —
 statement heads are unambiguous, so there is no parser to get subtly wrong,
@@ -51,71 +57,71 @@ from pyspark.sql import DataFrame, SparkSession
 from lakeflow.tables import TableCatalog
 
 _CLONE = re.compile(
-    r"^\s*CREATE\s+VERSIONED\s+TABLE\s+(\w+)\s+SHALLOW\s+CLONE\s+(\w+)"
+    r"^\s*CREATE\s+VERSIONED\s+TABLE\s+([\w.]+)\s+SHALLOW\s+CLONE\s+([\w.]+)"
     r"(?:\s+FOR\s+VERSION\s+AS\s+OF\s+(\d+))?\s*$",
     re.IGNORECASE,
 )
 _CREATE = re.compile(
-    r"^\s*CREATE\s+VERSIONED\s+TABLE\s+(\w+)"
+    r"^\s*CREATE\s+VERSIONED\s+TABLE\s+([\w.]+)"
     r"(?:\s+PARTITIONED\s+BY\s*\(([^)]+)\))?\s+AS\s+(.+)$",
     re.IGNORECASE | re.DOTALL,
 )
 _INSERT = re.compile(
-    r"^\s*INSERT\s+(INTO|OVERWRITE)\s+VERSIONED\s+(\w+)\s+(.+)$",
+    r"^\s*INSERT\s+(INTO|OVERWRITE)\s+VERSIONED\s+([\w.]+)\s+(.+)$",
     re.IGNORECASE | re.DOTALL,
 )
-_HISTORY = re.compile(r"^\s*DESCRIBE\s+HISTORY\s+(\w+)\s*$", re.IGNORECASE)
+_HISTORY = re.compile(r"^\s*DESCRIBE\s+HISTORY\s+([\w.]+)\s*$", re.IGNORECASE)
 _ANALYZE = re.compile(
-    r"^\s*ANALYZE\s+TABLE\s+(\w+)\s+COMPUTE\s+STATISTICS"
+    r"^\s*ANALYZE\s+TABLE\s+([\w.]+)\s+COMPUTE\s+STATISTICS"
     r"\s+FOR\s+COLUMNS\s*\(\s*([\w\s,]+?)\s*\)\s*$",
     re.IGNORECASE,
 )
 _DETAIL = re.compile(
-    r"^\s*DESCRIBE\s+DETAIL\s+(\w+)\s*$", re.IGNORECASE
+    r"^\s*DESCRIBE\s+DETAIL\s+([\w.]+)\s*$", re.IGNORECASE
 )
 _FILES = re.compile(
-    r"^\s*DESCRIBE\s+FILES\s+(\w+)\s*$", re.IGNORECASE
+    r"^\s*DESCRIBE\s+FILES\s+([\w.]+)\s*$", re.IGNORECASE
 )
 _ADD_COLUMN = re.compile(
-    r"^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(\w+)\s+([\w()<>, ]+?)\s*$",
+    r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMN\s+(\w+)\s+([\w()<>, ]+?)\s*$",
     re.IGNORECASE,
 )
 _DROP_COLUMN = re.compile(
-    r"^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(\w+)\s*$",
+    r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+COLUMN\s+(\w+)\s*$",
     re.IGNORECASE,
 )
 _ADD_CONSTRAINT = re.compile(
-    r"^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+CONSTRAINT\s+(\w+)"
+    r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+CONSTRAINT\s+(\w+)"
     r"\s+CHECK\s*\((.+)\)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _DROP_CONSTRAINT = re.compile(
-    r"^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*$",
+    r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*$",
     re.IGNORECASE,
 )
 _OPTIMIZE = re.compile(
-    r"^\s*OPTIMIZE\s+(\w+)"
+    r"^\s*OPTIMIZE\s+([\w.]+)"
     r"(?:\s+ZORDER\s+BY\s*\(\s*([\w\s,]+?)\s*\))?\s*$",
     re.IGNORECASE,
 )
 _VACUUM = re.compile(
-    r"^\s*VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+SNAPSHOTS)?\s*$", re.IGNORECASE
+    r"^\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+SNAPSHOTS)?\s*$", re.IGNORECASE
 )
 _ROLLBACK = re.compile(
-    r"^\s*ROLLBACK\s+TABLE\s+(\w+)\s+TO\s+VERSION\s+(\d+)\s*$", re.IGNORECASE
+    r"^\s*ROLLBACK\s+TABLE\s+([\w.]+)\s+TO\s+VERSION\s+(\d+)\s*$", re.IGNORECASE
 )
 _UPDATE = re.compile(
-    r"^\s*UPDATE\s+VERSIONED\s+(\w+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)"
+    r"^\s*UPDATE\s+VERSIONED\s+([\w.]+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)"
     r"(\s+USING\s+MERGE\s+ON\s+READ)?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _DELETE = re.compile(
-    r"^\s*DELETE\s+FROM\s+VERSIONED\s+(\w+)\s+WHERE\s+(.+?)"
+    r"^\s*DELETE\s+FROM\s+VERSIONED\s+([\w.]+)\s+WHERE\s+(.+?)"
     r"(\s+USING\s+MERGE\s+ON\s+READ)?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _MERGE = re.compile(
-    r"^\s*MERGE\s+INTO\s+VERSIONED\s+(\w+)\s+USING\s+(.+?)\s+ON\s+(.+?)\s+"
+    r"^\s*MERGE\s+INTO\s+VERSIONED\s+([\w.]+)\s+USING\s+(.+?)\s+ON\s+(.+?)\s+"
     r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+"
     r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*"
     r"(\s+USING\s+MERGE\s+ON\s+READ)?\s*$",
@@ -123,14 +129,14 @@ _MERGE = re.compile(
 )
 _ON_EQ = re.compile(r"(?:\w+\.)?(\w+)\s*=\s*(?:\w+\.)?(\w+)")
 _APPLY = re.compile(
-    r"^\s*APPLY\s+CHANGES\s+INTO\s+(\w+)\s+FROM\s+(.+?)\s+"
+    r"^\s*APPLY\s+CHANGES\s+INTO\s+([\w.]+)\s+FROM\s+(.+?)\s+"
     r"KEYS\s*\(([^)]+)\)\s+SEQUENCE\s+BY\s+(\w+)"
     r"(?:\s+OPS\s+(\w+)\s+DELETE\s+WHEN\s+'([^']+)')?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _CREATE_MV = re.compile(
     r"^\s*CREATE\s+INCREMENTAL\s+VIEW\s+(\w+)\s+AS\s+"
-    r"SELECT\s+(.+?)\s+FROM\s+(\w+)\s+GROUP\s+BY\s+([\w\s,]+?)"
+    r"SELECT\s+(.+?)\s+FROM\s+([\w.]+)\s+GROUP\s+BY\s+([\w\s,]+?)"
     r"(?:\s+WITH\s+SCALE\s+(\d+))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -139,11 +145,19 @@ _MV_SUM = re.compile(r"^SUM\((\w+)\)\s+AS\s+(\w+)$", re.IGNORECASE)
 _REFRESH_MV = re.compile(
     r"^\s*REFRESH\s+INCREMENTAL\s+VIEW\s+(\w+)\s*$", re.IGNORECASE
 )
+_CREATE_SCHEMA = re.compile(
+    r"^\s*CREATE\s+SCHEMA\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*$",
+    re.IGNORECASE,
+)
+_SHOW_SCHEMAS = re.compile(r"^\s*SHOW\s+SCHEMAS\s*$", re.IGNORECASE)
+_SHOW_TABLES = re.compile(
+    r"^\s*SHOW\s+TABLES(?:\s+IN\s+(\w+))?\s*$", re.IGNORECASE
+)
 _TIME_TRAVEL = re.compile(
-    r"\b(\w+)\s+FOR\s+VERSION\s+AS\s+OF\s+(\d+)", re.IGNORECASE
+    r"(?<![\w.])([\w.]+)\s+FOR\s+VERSION\s+AS\s+OF\s+(\d+)", re.IGNORECASE
 )
 _TS_TRAVEL = re.compile(
-    r"\b(\w+)\s+FOR\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'", re.IGNORECASE
+    r"(?<![\w.])([\w.]+)\s+FOR\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'", re.IGNORECASE
 )
 
 
@@ -159,6 +173,25 @@ class LakehouseSQL:
         self.catalog = catalog
 
     def execute(self, stmt: str):
+        m = _CREATE_SCHEMA.match(stmt)
+        if m:
+            self.catalog.create_schema(m.group(1))
+            return {"created_schema": m.group(1)}
+        if _SHOW_SCHEMAS.match(stmt):
+            return self.spark.createDataFrame(
+                [(s,) for s in self.catalog.schemas()] or [],
+                "schema_name string",
+            )
+        m = _SHOW_TABLES.match(stmt)
+        if m:
+            prefix = f"{m.group(1)}." if m.group(1) else ""
+            names = [
+                n for n in self.catalog.tables()
+                if (n.startswith(prefix) if prefix else "." not in n)
+            ]
+            return self.spark.createDataFrame(
+                [(n,) for n in names] or [], "table_name string"
+            )
         m = _CLONE.match(stmt)
         if m:
             dst, src, v = m.group(1), m.group(2), m.group(3)
@@ -452,7 +485,7 @@ class LakehouseSQL:
             name, version = m.group(1), int(m.group(2))
             if name not in tables:
                 return m.group(0)
-            view = f"__{name}_v{version}"
+            view = f"__{self.catalog.view_name(name)}_v{version}"
             self.catalog.load(name).read(version=version).createOrReplaceTempView(
                 view
             )
@@ -464,14 +497,19 @@ class LakehouseSQL:
                 return m.group(0)
             t = self.catalog.load(name)
             version = t.version_at(ts)
-            view = f"__{name}_v{version}"
+            view = f"__{self.catalog.view_name(name)}_v{version}"
             t.read(version=version).createOrReplaceTempView(view)
             return view
 
         rewritten = _TS_TRAVEL.sub(pin_ts, _TIME_TRAVEL.sub(pin, sql))
-        # Latest-snapshot binding for bare references (word-boundary match is
-        # safe: these are our own \w+ table names).
-        for name in tables:
-            if re.search(rf"\b{name}\b", rewritten):
-                self.catalog.register_view(name)
+        # Latest-snapshot binding for bare references. Dotted (schema.table)
+        # names rewrite to their mangled view alias and must bind BEFORE
+        # flat names (longest first, dot-aware boundaries) so a flat `t`
+        # never captures the `t` inside `s.t`.
+        for name in sorted(tables, key=len, reverse=True):
+            pattern = rf"(?<![\w.]){re.escape(name)}(?![\w.])"
+            if re.search(pattern, rewritten):
+                view = self.catalog.register_view(name)
+                if view != name:
+                    rewritten = re.sub(pattern, view, rewritten)
         return self.spark.sql(rewritten)

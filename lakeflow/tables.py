@@ -1779,9 +1779,16 @@ class TableCatalog:
         os.makedirs(root, exist_ok=True)
 
     def _path(self, name: str) -> str:
-        if not re.fullmatch(r"[A-Za-z0-9_]+", name):
+        """Resolve ``table`` or ``schema.table`` (the reference's
+        namespace-qualified naming, docker/init/lakehouse_init.sql — e.g.
+        ``silver.processed_company``) to a directory: dots map to
+        subdirectories, one level deep."""
+        parts = name.split(".")
+        if len(parts) > 2 or not all(
+            re.fullmatch(r"[A-Za-z0-9_]+", p) for p in parts
+        ):
             raise ValueError(f"invalid table name {name!r}")
-        return os.path.join(self.root, name)
+        return os.path.join(self.root, *parts)
 
     def create(self, name: str, df: DataFrame | None = None, **commit_kwargs) -> VersionedTable:
         if os.path.isdir(self._path(name)):
@@ -1796,19 +1803,55 @@ class TableCatalog:
             raise ValueError(f"no such table {name!r}")
         return VersionedTable(self.spark, self._path(name))
 
-    def tables(self) -> list[str]:
+    def create_schema(self, name: str) -> None:
+        """``CREATE SCHEMA`` (namespace): a directory level tables nest
+        under — metadata-only, idempotent, the reference's
+        bronze/silver/gold layering."""
+        if not re.fullmatch(r"[A-Za-z0-9_]+", name):
+            raise ValueError(f"invalid schema name {name!r}")
+        os.makedirs(os.path.join(self.root, name), exist_ok=True)
+
+    def schemas(self) -> list[str]:
+        """Namespaces: directories that are not themselves tables."""
         return sorted(
             n
             for n in os.listdir(self.root)
-            if os.path.isdir(os.path.join(self.root, n, "_snapshots"))
+            if os.path.isdir(os.path.join(self.root, n))
+            and not os.path.isdir(os.path.join(self.root, n, "_snapshots"))
         )
+
+    def tables(self) -> list[str]:
+        """All table names, flat and schema-qualified (``schema.table``)."""
+        out = []
+        for n in os.listdir(self.root):
+            if os.path.isdir(os.path.join(self.root, n, "_snapshots")):
+                out.append(n)
+            elif os.path.isdir(os.path.join(self.root, n)):
+                out.extend(
+                    f"{n}.{t}"
+                    for t in os.listdir(os.path.join(self.root, n))
+                    if os.path.isdir(
+                        os.path.join(self.root, n, t, "_snapshots")
+                    )
+                )
+        return sorted(out)
 
     def drop(self, name: str) -> None:
         shutil.rmtree(self._path(name))
 
-    def register_view(self, name: str, version: int | None = None) -> None:
-        """Bind ``name`` as a temp view over the (default: latest) snapshot."""
-        self.load(name).read(version=version).createOrReplaceTempView(name)
+    @staticmethod
+    def view_name(name: str) -> str:
+        """Temp-view alias for a table name: Spark temp views cannot carry
+        dots, so ``schema.table`` registers as ``schema__table`` (the SQL
+        layer rewrites dotted references to this alias)."""
+        return name.replace(".", "__")
+
+    def register_view(self, name: str, version: int | None = None) -> str:
+        """Bind ``name`` as a temp view over the (default: latest) snapshot;
+        returns the view name actually registered (dots mangled)."""
+        view = self.view_name(name)
+        self.load(name).read(version=version).createOrReplaceTempView(view)
+        return view
 
     def maintain(
         self,

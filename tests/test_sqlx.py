@@ -250,3 +250,44 @@ def test_merge_into_mor_suffix(lh, spark):
     assert {(r.k, r.v) for r in t.read().collect()} == {
         (1, "a"), (2, "B"), (3, "c"),
     }
+
+
+def test_namespaced_tables_and_schemas(lh, spark):
+    """Reference parity (docker/init/lakehouse_init.sql): schema-qualified
+    table names drive the whole statement surface — CTAS, INSERT, SELECT
+    (incl. time travel), DESCRIBE, MOR DML — and flat names with the same
+    leaf coexist untouched."""
+    lh.execute("CREATE SCHEMA ns_silver")
+    lh.execute("CREATE SCHEMA IF NOT EXISTS ns_silver")  # idempotent
+    lh.execute(
+        "CREATE VERSIONED TABLE ns_silver.co AS "
+        "SELECT id AS k, CAST(id * 2 AS BIGINT) AS v FROM range(5)"
+    )
+    lh.execute(
+        "INSERT INTO VERSIONED ns_silver.co SELECT id AS k, id AS v "
+        "FROM range(5, 8)"
+    )
+    assert lh.execute("SELECT count(*) AS n FROM ns_silver.co").first()["n"] == 8
+    assert (
+        lh.execute("SELECT k FROM ns_silver.co FOR VERSION AS OF 1").count()
+        == 5
+    )
+    assert lh.execute("DESCRIBE HISTORY ns_silver.co").count() == 2
+    r = lh.execute(
+        "DELETE FROM VERSIONED ns_silver.co WHERE k = 1 USING MERGE ON READ"
+    )
+    assert r["mor"] is True
+    assert lh.execute("SELECT count(*) AS n FROM ns_silver.co").first()["n"] == 7
+
+    # A flat table with the same LEAF name is a different table.
+    lh.execute("CREATE VERSIONED TABLE co AS SELECT 99 AS k, 0 AS v FROM range(1)")
+    assert lh.execute("SELECT max(k) AS mk FROM co").first()["mk"] == 99
+    assert lh.execute("SELECT count(*) AS n FROM ns_silver.co").first()["n"] == 7
+
+    assert [
+        r.table_name
+        for r in lh.execute("SHOW TABLES IN ns_silver").collect()
+    ] == ["ns_silver.co"]
+    assert "ns_silver" in {
+        r.schema_name for r in lh.execute("SHOW SCHEMAS").collect()
+    }
