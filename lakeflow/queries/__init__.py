@@ -200,6 +200,11 @@ _REWRITTEN_SINCE_GREEN = frozenset(
         # (partial-content overlap) instead of whole docs.
         "customers_without_orders",
         "source_overlap_matrix",
+        # r6: the SQL layer's latest-snapshot binder was rewritten for
+        # schema-qualified names (dot-aware boundaries, longest-first alias
+        # rewrite) — the r5 verdict for this query belongs to the old
+        # word-boundary binder.
+        "sql_lakehouse_time_travel",
         # (stream_quarantine_events was retuned for the same reason but has
         # never been driver-verified, so it already sits in the never block.)
     }

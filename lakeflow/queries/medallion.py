@@ -1099,3 +1099,74 @@ def mor_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read().select(
         "c_custkey", "c_name", rnd("c_acctbal", 2).alias("c_acctbal")
     )
+
+
+@register(
+    "sql_namespaced_layers",
+    oracle="""
+    SELECT substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS order_month,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM orders
+    WHERE o_orderkey <= 3000 AND o_orderstatus = 'F'
+    GROUP BY 1
+    """,
+)
+def sql_namespaced_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's schema-qualified medallion layering
+    (docker/init/lakehouse_init.sql — CREATE SCHEMA bronze/silver/gold,
+    tables addressed as ``silver.processed_company``) driven entirely
+    through lakeflow's SQL surface: CREATE SCHEMA ×3, CTAS into
+    ``bronze.orders``, a cleaned CTAS into ``silver.orders`` that SELECTs
+    FROM the dotted bronze name, a gold CTAS aggregating the dotted silver
+    name, and a final SELECT from ``gold.monthly_revenue``. SHOW TABLES IN
+    silver is asserted en route, and a FLAT table named ``orders`` is
+    created too — the dot-aware binder must never confuse it with
+    ``bronze.orders``/``silver.orders`` (longest-first alias rewrite,
+    sqlx.py). Revenue sums exact integer cents on both sides so parallel
+    summation cannot flip the hash."""
+    import tempfile
+
+    from lakeflow.sqlx import LakehouseSQL
+    from lakeflow.tables import TableCatalog
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("src_orders")
+    lh = LakehouseSQL(
+        spark, TableCatalog(spark, tempfile.mkdtemp(prefix="lakeflow_ns_"))
+    )
+    for s in ("bronze", "silver", "gold"):
+        lh.execute(f"CREATE SCHEMA IF NOT EXISTS {s}")
+    lh.execute(
+        "CREATE VERSIONED TABLE bronze.orders AS "
+        "SELECT o_orderkey, o_orderstatus, o_totalprice, "
+        "CAST(o_orderdate AS STRING) AS o_orderdate "
+        "FROM src_orders WHERE o_orderkey <= 3000"
+    )
+    # A flat decoy with the same leaf name: must stay distinct from the
+    # qualified tables through every statement below.
+    lh.execute(
+        "CREATE VERSIONED TABLE orders AS "
+        "SELECT CAST(-1 AS BIGINT) AS o_orderkey FROM range(1)"
+    )
+    lh.execute(
+        "CREATE VERSIONED TABLE silver.orders AS "
+        "SELECT o_orderkey, o_orderstatus, "
+        "substr(o_orderdate, 1, 7) AS order_month, "
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents "
+        "FROM bronze.orders"
+    )
+    lh.execute(
+        "CREATE VERSIONED TABLE gold.monthly_revenue AS "
+        "SELECT order_month, CAST(count(*) AS BIGINT) AS n_orders, "
+        "CAST(sum(price_cents) AS BIGINT) AS revenue_cents "
+        "FROM silver.orders WHERE o_orderstatus = 'F' "
+        "GROUP BY order_month"
+    )
+    shown = [
+        r.table_name for r in lh.execute("SHOW TABLES IN silver").collect()
+    ]
+    assert shown == ["silver.orders"], shown
+    return lh.execute(
+        "SELECT order_month, n_orders, revenue_cents FROM gold.monthly_revenue"
+    )
