@@ -3075,3 +3075,79 @@ def span_corruption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         span_len=2,
         window_pct=60,
     )
+
+
+@register(
+    "gopher_quality_flags",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_NORM} AS t, text AS raw FROM documents),
+    f AS (
+        SELECT doc_id,
+               CAST(len(string_split(t, ' ')) AS BIGINT) AS n_words,
+               length(t) AS n_chars,
+               CAST(length(t) - length(replace(t, '#', '')) AS BIGINT)
+                 + CAST(floor((length(t) - length(replace(t, '...', ''))) / 3)
+                        AS BIGINT) AS symbols,
+               CAST(len(list_filter(string_split(t, ' '),
+                                    w -> regexp_matches(w, '[a-z]')))
+                    AS BIGINT) AS alpha_words,
+               CAST(len(list_filter(
+                        ['the','be','to','of','and','that','have','with'],
+                        s -> list_contains(string_split(t, ' '), s)))
+                    AS BIGINT) AS stop_hits,
+               string_split(raw, chr(10)) AS lines
+        FROM norm
+    ),
+    r AS (
+        SELECT doc_id, n_words,
+               floor(((n_chars - (n_words - 1)) / n_words) * 1000000.0 + 0.5)
+                 / 1000000.0 AS mean_word_len,
+               floor((symbols / n_words) * 1000000.0 + 0.5)
+                 / 1000000.0 AS symbol_word_ratio,
+               floor((alpha_words / n_words) * 1000000.0 + 0.5)
+                 / 1000000.0 AS alpha_word_ratio,
+               stop_hits,
+               floor((len(list_filter(lines,
+                          l -> regexp_matches(trim(l), '^[-*•]')))
+                      / len(lines)) * 1000000.0 + 0.5)
+                 / 1000000.0 AS bullet_ratio,
+               floor((len(list_filter(lines,
+                          l -> regexp_matches(rtrim(l), '\\.\\.\\.$')))
+                      / len(lines)) * 1000000.0 + 0.5)
+                 / 1000000.0 AS ellipsis_ratio
+        FROM f
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+           alpha_word_ratio, stop_hits,
+           (n_words >= 50 AND n_words <= 100000)          AS passes_word_count,
+           (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+                                                          AS passes_mean_word_len,
+           (symbol_word_ratio < 0.1)                      AS passes_symbol_ratio,
+           (bullet_ratio < 0.9)                           AS passes_bullet_lines,
+           (ellipsis_ratio < 0.3)                         AS passes_ellipsis_lines,
+           (alpha_word_ratio >= 0.8)                      AS passes_alpha_words,
+           (stop_hits >= 1)                               AS passes_stopwords,
+           (n_words >= 50 AND n_words <= 100000
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND symbol_word_ratio < 0.1
+            AND bullet_ratio < 0.9 AND ellipsis_ratio < 0.3
+            AND alpha_word_ratio >= 0.8
+            AND stop_hits >= 1)                           AS passes_gopher
+    FROM r
+    """,
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher rule filter (Rae et al. 2021 App. A) over the
+    corpus: per-document features, one boolean per rule, and the
+    conjunction — the standard first gate of a pretraining curation
+    funnel. Pure scan-side Catalyst projection (zero shuffles); the oracle
+    replays every rule so a boundary drift on any of the 7 checks breaks
+    the hash. The fixture's short docs make passes_word_count/
+    passes_stopwords genuinely variable, so the verdict verifies real
+    rule firings, not a constant column. min_stop_hits is fixture-scaled
+    to 1 (the synthetic vocabulary carries only 'the' from the 8-word stop
+    list) so the conjunction varies; the operator default stays at the
+    published 2."""
+    return tx.gopher_quality_flags(
+        load_table(spark, sf_dir, "documents"), min_stop_hits=1
+    )

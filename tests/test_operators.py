@@ -1633,3 +1633,32 @@ def test_pagerank_hand_computed_and_isolated_nodes(spark):
     assert r1[2] == 37500 + (85 * 125000) // 100
     assert r1[3] == 37500 + (85 * (125000 + 2 * 125000)) // 100
     assert r1[4] == 37500  # isolated: base only
+
+
+def test_gopher_rules_fire_on_crafted_docs(spark):
+    """The line/symbol Gopher rules the flat fixture can't exercise: a
+    bullet-list doc, an ellipsis-heavy doc, a hash-spam doc, and a long
+    clean doc that passes everything at published thresholds."""
+    from lakeflow.operators.text import gopher_quality_flags
+
+    clean = ("the quick brown fox jumps over the lazy dog and that have "
+             "with be to of " * 8).strip()
+    bullets = "\n".join(f"• item {i} in the list" for i in range(10))
+    dots = "\n".join(f"line {i} trails off..." for i in range(10))
+    hashes = "the " + "# " * 40 + "word"
+    df = spark.createDataFrame(
+        [(1, clean), (2, bullets), (3, dots), (4, hashes)],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_quality_flags(df, min_words=10).collect()
+    }
+    assert out[1]["passes_gopher"] is True
+    assert out[2]["passes_bullet_lines"] is False  # 10/10 bullet lines
+    assert out[3]["passes_ellipsis_lines"] is False  # 10/10 '...' lines
+    assert out[4]["passes_symbol_ratio"] is False  # 40 '#' / 42 words
+    assert out[4]["passes_stopwords"] is False  # only 'the' present
+    # feature values, not just flags
+    assert out[2]["n_words"] == 60  # 10 lines x 6 ws-tokens (incl. bullet)
+    assert out[3]["symbol_word_ratio"] > 0.1  # '...' counted as symbols
