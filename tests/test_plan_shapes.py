@@ -674,3 +674,15 @@ def test_source_overlap_matrix_is_fp_keyed(spark):
     plan = _plan(spark, "source_overlap_matrix")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gopher_rules_are_scan_side(spark):
+    """The Gopher rule filter must be one JVM projection over the scan —
+    zero Exchange, zero Python (the higher-order array lambdas keep it out
+    of whole-stage codegen, but it stays a single map stage):
+    cheapest-filter-first placement in the funnel only holds if it really
+    is scan-speed."""
+    plan = _plan(spark, "gopher_quality_flags")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.strip().startswith(("Project", "*(1) Project", "AdaptiveSparkPlan"))
