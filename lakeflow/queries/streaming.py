@@ -695,3 +695,99 @@ def stream_cdf_mor_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select(
         "c_custkey", "c_name", rnd("c_acctbal", 2).alias("c_acctbal"), "_change_type"
     )
+
+
+@register(
+    "stream_doc_dedup",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL  -- cross-batch duplicates: same text, later arrival
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0
+        UNION ALL  -- novel text arriving twice WITHIN the final batch
+        SELECT doc_id + 3000000, text || ' novel' FROM documents
+        WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT doc_id + 4000000, text || ' novel' FROM documents
+        WHERE doc_id % 7 = 0
+    ),
+    fps AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+        FROM corpus
+    )
+    SELECT fp, CAST(min(doc_id) AS BIGINT) AS keep_id FROM fps GROUP BY fp
+    """,
+)
+def stream_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time streaming corpus dedup
+    (streaming/sinks.py::stream_dedup_ingest): three sequential
+    micro-batches (maxFilesPerTrigger=1) — the documents table split in two
+    doc_id halves, then a third batch carrying DELIBERATE duplicates (the
+    fixture itself has zero dup texts, which would leave the dedup paths
+    unexercised — the weak-evidence trap): re-keyed copies of every 5th doc
+    (must be dropped by the index anti-join, their text arrived in batch
+    0/1) plus two re-keyed copies of a novel text per 7th doc (the lower
+    doc_id copy must survive via within-batch keep-first, the higher must
+    drop). Keep-first-by-arrival equals global min doc_id per fingerprint
+    because batch order follows doc_id ranges, so the oracle's one GROUP BY
+    over the replayed corpus construction checks every drop AND every
+    survivor — a duplicate leaking through any micro-batch shows up as an
+    extra row, a lost survivor as a missing one. Both appends ride per-app
+    txn watermarks, making each table exactly-once under replay
+    (regression-tested with a deliberate batch-0 recommit)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lakeflow.operators.dedup import fingerprint
+    from lakeflow.sources.streams import file_stream
+    from lakeflow.streaming.sinks import stream_dedup_ingest
+    from lakeflow.tables import VersionedTable
+
+    raw = spark.read.parquet(table_path(sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    n = raw.agg(F.max("doc_id")).first()[0]
+    cut = n // 2
+    novel = raw.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" novel")).alias("text")
+    )
+    batches = [
+        raw.filter(F.col("doc_id") <= cut),
+        raw.filter(F.col("doc_id") > cut),
+        raw.filter(F.col("doc_id") % 5 == 0)
+        .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+        .unionByName(
+            novel.select(
+                (F.col("doc_id") + 3_000_000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            novel.select(
+                (F.col("doc_id") + 4_000_000).alias("doc_id"), "text"
+            )
+        ),
+    ]
+    feed = tempfile.mkdtemp(prefix="lakeflow_dedupfeed_")
+    for i, b in enumerate(batches):
+        part = tempfile.mkdtemp(prefix="lakeflow_deduppart_")
+        b.select("doc_id", fingerprint("text").alias("fp")).coalesce(
+            1
+        ).write.mode("overwrite").parquet(part)
+        src = glob.glob(f"{part}/*.parquet")[0]
+        dst = f"{feed}/{i:03d}.parquet"
+        shutil.copy(src, dst)
+        os.utime(dst, (1_700_000_000 + i * 10,) * 2)
+
+    survivors = VersionedTable(spark, tempfile.mkdtemp(prefix="lakeflow_surv_"))
+    index = VersionedTable(spark, tempfile.mkdtemp(prefix="lakeflow_fpidx_"))
+    schema = "doc_id bigint, fp string"
+    stream = file_stream(spark, feed, schema, max_files_per_trigger=1)
+    stream_dedup_ingest(stream, survivors, index).awaitTermination()
+    return survivors.read().select(
+        "fp", F.col("doc_id").cast("bigint").alias("keep_id")
+    )

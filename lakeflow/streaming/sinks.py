@@ -382,3 +382,73 @@ def stream_append(
     elif processing_time:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def stream_dedup_ingest(
+    df: DataFrame,
+    survivors,
+    index,
+    fp_col: str = "fp",
+    order_col: str = "doc_id",
+    checkpoint: str | None = None,
+    available_now: bool = True,
+    processing_time: str | None = None,
+    txn_app: str = "stream_dedup",
+):
+    """Ingest-time content dedup: each micro-batch keeps only rows whose
+    fingerprint is unseen — first within the batch (min ``order_col`` per
+    ``fp_col``), then absent from the historical fingerprint index — and
+    appends the keepers to ``survivors`` while their fingerprints join the
+    ``index`` table. The streaming twin of the batch
+    ``incremental_doc_dedup`` anti-join: a corpus built through this sink
+    is duplicate-free BY CONSTRUCTION, which is how a 100 TB pretraining
+    corpus wants to ingest (dedup per arriving batch against a slim
+    fingerprint index — one column, not the corpus — instead of periodic
+    full-corpus dedup sweeps).
+
+    Both appends carry ``txn=(txn_app+suffix, batch_id)`` per-app
+    transactional watermarks, so a crash-window replay of a micro-batch is
+    swallowed by whichever table already committed it — the survivors
+    corpus can never double-append, and the index never regresses
+    (exactly-once on each table independently, same mechanics as
+    :func:`stream_append`).
+    """
+    import tempfile as _tf
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        w = Window.partitionBy(fp_col).orderBy(order_col)
+        first_in_batch = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if index.current_version() is not None:
+            # USING-style join hoists the key column to the front; reselect
+            # the input order so every batch appends with one stable schema.
+            fresh = first_in_batch.join(
+                index.read().select(fp_col), fp_col, "left_anti"
+            ).select(*batch_df.columns)
+        else:
+            fresh = first_in_batch
+        survivors.commit(
+            fresh, mode="append", txn=(f"{txn_app}_survivors", int(batch_id))
+        )
+        index.commit(
+            fresh.select(fp_col),
+            mode="append",
+            txn=(f"{txn_app}_index", int(batch_id)),
+        )
+
+    writer = df.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint or _tf.mkdtemp(prefix="lakeflow-ckpt-")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

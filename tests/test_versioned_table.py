@@ -2099,3 +2099,76 @@ def test_constraints_gate_update_and_mor_dml(spark, tmp_path):
     assert {(r.k, r.v) for r in t.read().collect()} == {
         (1, 15.0), (2, 21.0), (3, 1.0)
     }
+
+
+def test_stream_dedup_ingest_dedups_and_replays_exactly_once(spark, tmp_path):
+    """stream_dedup_ingest: within-batch keep-first and index anti-join both
+    fire across three micro-batches; a crash-window recommit of batch 0
+    (either table) is swallowed by the per-app txn watermark; a checkpoint
+    restart appends nothing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lakeflow.sources.streams import file_stream
+    from lakeflow.streaming.sinks import stream_dedup_ingest
+
+    feed_dir = tmp_path / "feed"
+    feed_dir.mkdir()
+    schema_pa = pa.schema([("doc_id", pa.int64()), ("fp", pa.string())])
+    # b0: fresh A, B plus a within-batch dup of A (id 3 must drop)
+    # b1: fresh C plus a cross-batch dup of B (id 5 must drop)
+    # b2: dup of A again (id 6 must drop)
+    batches = [
+        [(1, "A"), (2, "B"), (3, "A")],
+        [(4, "C"), (5, "B")],
+        [(6, "A")],
+    ]
+    import os as _os
+
+    for i, rows in enumerate(batches):
+        ids, fps = zip(*rows)
+        pq.write_table(
+            pa.table({"doc_id": list(ids), "fp": list(fps)}, schema=schema_pa),
+            feed_dir / f"b{i}.parquet",
+        )
+        _os.utime(feed_dir / f"b{i}.parquet", (1_700_000_000 + i * 10,) * 2)
+
+    survivors = VersionedTable(spark, str(tmp_path / "surv"))
+    index = VersionedTable(spark, str(tmp_path / "idx"))
+    ckpt = str(tmp_path / "ckpt")
+    stream = file_stream(
+        spark, str(feed_dir), "doc_id bigint, fp string",
+        max_files_per_trigger=1,
+    )
+    stream_dedup_ingest(
+        stream, survivors, index, checkpoint=ckpt
+    ).awaitTermination()
+
+    state = {(r.doc_id, r.fp) for r in survivors.read().collect()}
+    assert state == {(1, "A"), (2, "B"), (4, "C")}
+    assert {r.fp for r in index.read().collect()} == {"A", "B", "C"}
+    v_s, v_i = survivors.current_version(), index.current_version()
+
+    # crash-window replay of batch 0 on each table: watermark swallows it
+    replay = spark.createDataFrame([(1, "A"), (2, "B")], "doc_id long, fp string")
+    assert (
+        survivors.commit(replay, mode="append", txn=("stream_dedup_survivors", 0))
+        == v_s
+    )
+    assert (
+        index.commit(
+            replay.select("fp"), mode="append", txn=("stream_dedup_index", 0)
+        )
+        == v_i
+    )
+    assert survivors.read().count() == 3 and index.read().count() == 3
+
+    # checkpoint restart: nothing new
+    stream2 = file_stream(
+        spark, str(feed_dir), "doc_id bigint, fp string",
+        max_files_per_trigger=1,
+    )
+    stream_dedup_ingest(
+        stream2, survivors, index, checkpoint=ckpt
+    ).awaitTermination()
+    assert survivors.read().count() == 3
