@@ -209,3 +209,77 @@ def annotate_observed(
             for e in expectations
         ],
     )
+
+
+def distribution_drift(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    n_buckets: int = 10,
+    bucket_width: int = 64,
+    threshold_micro: int = 100_000,
+) -> DataFrame:
+    """Per-group distribution drift vs the rest of the corpus: total
+    variation distance between each group's bucketed histogram of
+    ``value_col`` and the histogram of everything else — the monitoring
+    check a pipeline runs when a new crawl snapshot or source lands, before
+    letting it into the training mix (a PSI-style drift gate, but TV
+    distance so the whole computation stays in integer micro-units:
+    p and q quantize to floor(count * 1e6 / total) and the statistic is
+    sum(|p-q|)/2 — bit-exact across engines and summation orders, which a
+    float PSI's ln() cannot promise).
+
+    Buckets are fixed-width (``least(n_buckets-1, value // bucket_width)``),
+    so bucketing is scan-side and the (group x bucket) grid — built by a
+    cross join of two tiny distinct frames so empty cells count zero — is
+    the only shuffle-bearing state: |groups| x n_buckets rows, regardless
+    of corpus size. Returns one row per group: total docs, TV distance in
+    micro-units, and the ``drifted`` flag at ``threshold_micro``
+    (0.1 by default).
+    """
+    from pyspark.sql import functions as F
+
+    bucket = F.least(
+        F.lit(n_buckets - 1), (F.col(value_col) / bucket_width).cast("bigint")
+    )
+    counts = (
+        df.select(F.col(group_col).alias("grp"), bucket.alias("bucket"))
+        .groupBy("grp", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    grid = (
+        counts.select("grp")
+        .distinct()
+        .crossJoin(F.broadcast(df.sparkSession.range(n_buckets).select(F.col("id").alias("bucket"))))
+    )
+    full = grid.join(counts, ["grp", "bucket"], "left").fillna(0, ["cnt"])
+    tot = full.groupBy("grp").agg(F.sum("cnt").cast("bigint").alias("grp_total"))
+    gtot = full.agg(F.sum("cnt")).first()[0]
+    per_bucket_global = (
+        full.groupBy("bucket").agg(F.sum("cnt").cast("bigint").alias("all_cnt"))
+    )
+    j = (
+        full.join(tot, "grp")
+        .join(F.broadcast(per_bucket_global), "bucket")
+        .withColumn("rest_cnt", F.col("all_cnt") - F.col("cnt"))
+        .withColumn("rest_total", F.lit(int(gtot)) - F.col("grp_total"))
+        # integer `div`, not float floor: cnt * 1e6 can pass 2^53 at corpus
+        # scale, where double division silently loses exactness
+        .withColumn("p_micro", F.expr("(cnt * 1000000L) div grp_total"))
+        .withColumn("q_micro", F.expr("(rest_cnt * 1000000L) div rest_total"))
+    )
+    return (
+        j.groupBy("grp")
+        .agg(
+            F.max("grp_total").alias("n_docs"),
+            (F.sum(F.abs(F.col("p_micro") - F.col("q_micro"))) / 2)
+            .cast("bigint")
+            .alias("tv_micro"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_docs",
+            "tv_micro",
+            (F.col("tv_micro") > threshold_micro).alias("drifted"),
+        )
+    )

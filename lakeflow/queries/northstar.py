@@ -3151,3 +3151,61 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.gopher_quality_flags(
         load_table(spark, sf_dir, "documents"), min_stop_hits=1
     )
+
+
+@register(
+    "source_drift_report",
+    oracle="""
+    WITH counts AS (
+        SELECT source AS grp,
+               least(9, n_chars // 64) AS bucket,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM documents GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT g.grp, b.bucket, coalesce(c.cnt, 0) AS cnt
+        FROM (SELECT DISTINCT grp FROM counts) g
+        CROSS JOIN (SELECT unnest(range(10)) AS bucket) b
+        LEFT JOIN counts c ON c.grp = g.grp AND c.bucket = b.bucket
+    ),
+    tot AS (SELECT grp, sum(cnt) AS grp_total FROM grid GROUP BY grp),
+    pb AS (SELECT bucket, sum(cnt) AS all_cnt FROM grid GROUP BY bucket),
+    gt AS (SELECT sum(cnt) AS gtot FROM grid),
+    terms AS (
+        SELECT g.grp, t.grp_total,
+               (g.cnt * 1000000) // t.grp_total AS p_micro,
+               ((p.all_cnt - g.cnt) * 1000000) // (gt.gtot - t.grp_total)
+                   AS q_micro
+        FROM grid g
+        JOIN tot t USING (grp)
+        JOIN pb p USING (bucket)
+        CROSS JOIN gt
+    )
+    SELECT grp AS source,
+           CAST(max(grp_total) AS BIGINT) AS n_docs,
+           CAST(sum(abs(p_micro - q_micro)) // 2 AS BIGINT) AS tv_micro,
+           (CAST(sum(abs(p_micro - q_micro)) // 2 AS BIGINT) > 200000)
+               AS drifted
+    FROM terms GROUP BY grp
+    """,
+)
+def source_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor (lakeflow/quality.py::distribution_drift):
+    per-source total-variation distance between the source's bucketed
+    n_chars histogram and the rest of the corpus — the gate a pipeline runs
+    on a freshly landed crawl snapshot before admitting it to the training
+    mix. Histograms quantize to integer micro-units and the statistic is
+    sum(|p-q|)/2 via integer `div`, so the verdict is bit-exact across
+    engines and summation orders (a float PSI's ln() cannot promise that).
+    Shuffle state is |sources| x 10 grid rows regardless of corpus size.
+    threshold_micro is fixture-scaled to 0.2 (25-doc sources make every
+    histogram noisy enough to clear the 0.1 default) so the flag verifies
+    real threshold crossings in both directions."""
+    from lakeflow.quality import distribution_drift
+
+    return distribution_drift(
+        load_table(spark, sf_dir, "documents"),
+        "source",
+        "n_chars",
+        threshold_micro=200_000,
+    )
