@@ -28,6 +28,16 @@ def main() -> None:
     docs = load_table(spark, sf_dir, "documents")
     n0 = docs.count()
 
+    # 0. Gopher rule gate — scan-side, zero shuffles, so it runs FIRST:
+    # every doc it drops never reaches the shuffle-bearing stages below
+    # (thresholds scaled for the tiny synthetic docs).
+    rules = tx.gopher_quality_flags(docs, min_words=25, min_stop_hits=0)
+    docs = docs.join(
+        rules.filter(F.col("passes_gopher")).select("doc_id"), "doc_id",
+        "left_semi",
+    )
+    n0g = docs.count()
+
     # 1. exact dedup: keep one doc per normalized-content fingerprint
     keep = dd.exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
     docs1 = docs.join(keep, "doc_id", "left_semi")
@@ -56,7 +66,10 @@ def main() -> None:
         split.filter(F.col("split") == "train").select("doc_id"), "doc_id", "left_semi"
     )
     bins = tx.pack_budget_bins(train, budget=512)
-    print(f"funnel: raw={n0} deduped={n1} stripped={n2} quality={n3}")
+    print(
+        f"funnel: raw={n0} gopher={n0g} deduped={n1} stripped={n2} "
+        f"quality={n3}"
+    )
     print(f"train bins: {bins.count()}, "
           f"avg tokens/bin: {bins.agg(F.avg('total_tokens')).first()[0]:.1f}")
     spark.stop()
