@@ -949,3 +949,132 @@ def margin_knn_pairs_ann(
         .filter((F.col("rn") == 1) & (F.col("margin") >= min_margin))
         .drop("rn")
     )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 20,
+    lam_num: int = 7,
+    lam_den: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance re-rank (Carbonell & Goldstein 1998) of
+    each query's cosine shortlist: greedily pick k results maximizing
+    ``λ·cos(q,d) − (1−λ)·max_{s∈selected} cos(d,s)`` — the standard
+    diversity pass a retrieval pipeline runs so the top-k aren't five
+    near-copies of the same document.
+
+    Entirely Catalyst, entirely integer: cosines quantize to micro-units
+    (the same ordered double fold both engines reproduce bit-for-bit) and
+    λ enters as the rational ``lam_num/lam_den``, so every greedy score is
+    ``lam_num·cos_micro − (lam_den−lam_num)·max_pair_micro`` in BIGINT —
+    order-free, engine-exact, vid tiebreak. The greedy loop unrolls into k
+    plan stages (anti-join remaining → max-over-selected pair join →
+    window argmax); per stage the frames are |queries|·shortlist rows, so
+    at 100 TB the cost lives in the shortlist generation (brute force here;
+    swap any ANN op for the candidate stage), never in the re-rank —
+    pairwise work is shortlist², per query, independent of corpus size.
+
+    Output: (qid, vid, rank, mmr_micro).
+    """
+    cand = (
+        brute_force_topk(
+            corpus, queries, k=shortlist, id_col=id_col, vec_col=vec_col
+        )
+        .withColumn(
+            "cos_micro",
+            F.floor(F.col("cos") * 1_000_000.0 + F.lit(0.5)).cast("bigint"),
+        )
+        .drop("cos", "rank")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        norm(vec_col).alias("nrm"),
+    )
+    candv = cand.join(cv, "vid").select("qid", "vid", "v", "nrm")
+    left = candv.select(
+        "qid",
+        "vid",
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    right = candv.select(
+        F.col("qid").alias("qid_b"),
+        F.col("vid").alias("other_vid"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    pairs = (
+        left.join(
+            right,
+            (F.col("qid") == F.col("qid_b"))
+            & (F.col("vid") != F.col("other_vid")),
+        )
+        .select(
+            "qid",
+            "vid",
+            "other_vid",
+            F.floor(
+                dot(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb"))
+                * 1_000_000.0
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("pair_micro"),
+        )
+    )
+    pen = lam_den - lam_num
+    w = Window.partitionBy("qid")
+    selected = (
+        cand.withColumn(
+            "rn",
+            F.row_number().over(
+                w.orderBy(F.desc("cos_micro"), F.asc("vid"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "qid",
+            "vid",
+            F.lit(1).alias("rank"),
+            (F.lit(lam_num) * F.col("cos_micro"))
+            .cast("bigint")
+            .alias("mmr_micro"),
+        )
+    )
+    for step in range(2, k + 1):
+        sel_ids = selected.select("qid", F.col("vid").alias("other_vid"))
+        max_pair = (
+            pairs.join(sel_ids, ["qid", "other_vid"])
+            .groupBy("qid", "vid")
+            .agg(F.max("pair_micro").alias("max_pair"))
+        )
+        rem = cand.join(
+            selected.select("qid", "vid"), ["qid", "vid"], "left_anti"
+        )
+        pick = (
+            rem.join(max_pair, ["qid", "vid"])
+            .withColumn(
+                "score",
+                F.lit(lam_num) * F.col("cos_micro")
+                - F.lit(pen) * F.col("max_pair"),
+            )
+            .withColumn(
+                "rn",
+                F.row_number().over(w.orderBy(F.desc("score"), F.asc("vid"))),
+            )
+            .filter(F.col("rn") == 1)
+            .select(
+                "qid",
+                "vid",
+                F.lit(step).alias("rank"),
+                F.col("score").cast("bigint").alias("mmr_micro"),
+            )
+        )
+        selected = selected.unionByName(pick)
+    return selected

@@ -3209,3 +3209,89 @@ def source_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         threshold_micro=200_000,
     )
+
+
+def _mmr_oracle(k: int, shortlist: int, lam_num: int, lam_den: int) -> str:
+    """Unrolled greedy-MMR oracle: k non-recursive stages over the integer
+    micro-unit candidate/pair matrices (recursive CTEs can't aggregate over
+    the recursive relation, so the loop unrolls — k is small by nature)."""
+    pen = lam_den - lam_num
+    sql = f"""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, v,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        FROM e
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+    scored AS (
+        SELECT q.qid, c.vec_id AS vid, c.v, c.nrm,
+               (floor((list_sum(list_transform(range(1, 65), i -> qv[i] * c.v[i]))
+                     / (qn * c.nrm)) * 1000000.0 + 0.5) / 1000000.0) AS cos
+        FROM q, n c WHERE c.vec_id <> q.qid
+    ),
+    cand AS (
+        SELECT qid, vid, v, nrm,
+               CAST(floor(cos * 1000000.0 + 0.5) AS BIGINT) AS cos_micro
+        FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn
+              FROM scored)
+        WHERE rn <= {shortlist}
+    ),
+    pairs AS (
+        SELECT a.qid, a.vid, b.vid AS other_vid,
+               CAST(floor((list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+                     / (a.nrm * b.nrm)) * 1000000.0 + 0.5) AS BIGINT) AS pair_micro
+        FROM cand a JOIN cand b ON a.qid = b.qid AND a.vid <> b.vid
+    ),
+    s1 AS (
+        SELECT qid, vid AS v1, {lam_num} * cos_micro AS sc1
+        FROM (SELECT qid, vid, cos_micro,
+                     row_number() OVER (PARTITION BY qid ORDER BY cos_micro DESC, vid) AS rn
+              FROM cand)
+        WHERE rn = 1
+    )"""
+    for m in range(2, k + 1):
+        joins = " ".join(
+            f"JOIN s{j} ON s{j}.qid = c.qid" for j in range(1, m)
+        )
+        in_list = ", ".join(f"s{j}.v{j}" for j in range(1, m))
+        sql += f""",
+    p{m} AS (
+        SELECT c.qid, c.vid,
+               {lam_num} * c.cos_micro - {pen} * max(p.pair_micro) AS score
+        FROM cand c {joins}
+        JOIN pairs p ON p.qid = c.qid AND p.vid = c.vid
+                    AND p.other_vid IN ({in_list})
+        WHERE c.vid NOT IN ({in_list})
+        GROUP BY c.qid, c.vid, c.cos_micro
+    ),
+    s{m} AS (
+        SELECT qid, vid AS v{m}, score AS sc{m}
+        FROM (SELECT qid, vid, score,
+                     row_number() OVER (PARTITION BY qid ORDER BY score DESC, vid) AS rn
+              FROM p{m})
+        WHERE rn = 1
+    )"""
+    unions = "\n    UNION ALL ".join(
+        f"SELECT qid, v{m} AS vid, CAST({m} AS INT) AS rank, "
+        f"CAST(sc{m} AS BIGINT) AS mmr_micro FROM s{m}"
+        for m in range(1, k + 1)
+    )
+    return sql + "\n    " + unions
+
+
+@register("mmr_diverse_topk", oracle=_mmr_oracle(5, 20, 7, 10))
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-rank (operators/similarity.py::mmr_rerank) of each
+    query's 20-candidate cosine shortlist down to 5, λ = 7/10: the greedy
+    selection runs as unrolled Catalyst stages over integer micro-unit
+    scores, so the oracle's 5-stage SQL replay must match every pick,
+    every rank, and every score bit-for-bit — a single wrong penalty or
+    tiebreak anywhere in the greedy chain breaks the hash."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.mmr_rerank(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, shortlist=20
+    )

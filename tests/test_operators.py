@@ -1662,3 +1662,45 @@ def test_gopher_rules_fire_on_crafted_docs(spark):
     # feature values, not just flags
     assert out[2]["n_words"] == 60  # 10 lines x 6 ws-tokens (incl. bullet)
     assert out[3]["symbol_word_ratio"] > 0.1  # '...' counted as symbols
+
+
+def test_mmr_rerank_diversifies_and_respects_lambda(spark):
+    """MMR semantics: rank 1 is always the plain cosine argmax; with λ=1
+    the whole ranking degenerates to plain cosine top-k; with a diversity
+    penalty the tail picks must deviate from plain top-k somewhere (the
+    fixture's near-dup-rich shortlists make that certain)."""
+    from lakeflow.catalog import load_table
+    from lakeflow.operators.similarity import brute_force_topk, mmr_rerank
+
+    from .conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter("vec_id < 5")
+    plain = brute_force_topk(emb, queries, k=5)
+    plain_sets = {}
+    plain_first = {}
+    for i, r in enumerate(plain.collect()):
+        plain_sets.setdefault(r.qid, []).append(r.vid)
+    for q, vids in plain_sets.items():
+        plain_first[q] = vids[0]  # brute_force_topk emits rank order
+
+    mmr = mmr_rerank(emb, queries, k=5, shortlist=20).collect()
+    by_q = {}
+    for r in mmr:
+        by_q.setdefault(r.qid, {})[r.rank] = r.vid
+    deviated = False
+    for q, picks in by_q.items():
+        assert len(picks) == 5
+        assert picks[1] == plain_first[q], "rank 1 must be the cosine argmax"
+        if [picks[i] for i in range(1, 6)] != plain_sets[q]:
+            deviated = True
+    assert deviated, "diversity penalty never changed a pick"
+
+    # λ = 1 (no penalty): identical ranking to plain cosine top-k
+    lam1 = mmr_rerank(emb, queries, k=5, shortlist=20, lam_num=10).collect()
+    for r in lam1:
+        assert by_ranked(plain_sets, r.qid, r.rank) == r.vid
+
+
+def by_ranked(plain_sets, qid, rank):
+    return plain_sets[qid][rank - 1]
