@@ -1170,3 +1170,43 @@ def sql_namespaced_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lh.execute(
         "SELECT order_month, n_orders, revenue_cents FROM gold.monthly_revenue"
     )
+
+
+@register(
+    "delta_export_roundtrip",
+    oracle="""
+    SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey <= 100
+    """,
+)
+def delta_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-table-format interop at the FORMAT level (formats.py::
+    export_delta / read_delta_log — the public delta.io PROTOCOL.md, the
+    jar-free answer to the reference's Iceberg runtime at
+    docker/spark/conf/spark-defaults.conf:8-12): a two-commit
+    VersionedTable history exports as a Delta transaction log, and the
+    INDEPENDENT log-replay reader (which never touches lakeflow manifests)
+    time-travels to delta commit 0 — which must hash-equal the plain
+    pre-insert SELECT. A wrong add/remove fold, path mapping, or schema
+    rendering anywhere in the log breaks the hash."""
+    import tempfile
+
+    from lakeflow.formats import export_delta, read_delta_log
+    from lakeflow.tables import VersionedTable
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="lakeflow_dexp_"))
+    t.commit(cust.filter(F.col("c_custkey") <= 100).repartition(2))
+    t.commit(
+        cust.filter(
+            (F.col("c_custkey") > 100) & (F.col("c_custkey") <= 150)
+        ),
+        mode="append",
+    )
+    out = tempfile.mkdtemp(prefix="lakeflow_dlog_")
+    n = export_delta(t, out)
+    assert n == 2, n
+    # latest must carry both commits; the RETURNED frame is commit 0
+    assert read_delta_log(spark, out).count() == t.read().count()
+    return read_delta_log(spark, out, version=0)

@@ -1,0 +1,117 @@
+"""Delta transaction-log interop (formats.py::export_delta/read_delta_log).
+
+The export is validated two ways: structurally (commit-0 carries protocol +
+metaData with the spec's required fields; adds carry partitionValues, size,
+modificationTime) and behaviorally (an INDEPENDENT log-replay reader
+reconstructs every historical version bit-identical to the source
+VersionedTable — time travel included). The reader never touches lakeflow
+manifests, so agreement means the log itself carries the table.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakeflow.formats import export_delta, read_delta_log
+from lakeflow.tables import VersionedTable
+
+
+def _rows(df):
+    return sorted(tuple(str(x) for x in r) for r in df.collect())
+
+
+def test_full_history_round_trips_through_the_delta_log(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "src"))
+    base = spark.range(20).selectExpr("id AS k", "CAST(id * 1.5 AS DOUBLE) AS v")
+    t.commit(base.filter("k < 10").repartition(2))
+    t.commit(base.filter("k >= 10").repartition(2), mode="append")
+    t.commit(base.filter("k % 2 = 0"), mode="overwrite")
+    # schema evolution: the commit must re-emit metaData
+    t.commit(
+        base.filter("k = 1").withColumn("w", F.lit("x")),
+        mode="append",
+        merge_schema=True,
+    )
+    out = str(tmp_path / "delta")
+    assert export_delta(t, out) == 4
+
+    versions = t.versions()
+    for i, v in enumerate(versions):
+        got = read_delta_log(spark, out, version=i)
+        exp = t.read(version=v)
+        assert sorted(got.columns) == sorted(exp.columns)
+        assert _rows(got.select(*sorted(got.columns))) == _rows(
+            exp.select(*sorted(exp.columns))
+        )
+    # default read = latest
+    assert read_delta_log(spark, out).count() == t.read().count()
+
+
+def test_commit_zero_is_protocol_conformant(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "src"))
+    t.commit(
+        spark.range(5).selectExpr("id AS k"),
+        txn=("exporter_app", 7),
+    )
+    out = str(tmp_path / "delta")
+    export_delta(t, out)
+    (c0,) = sorted(glob.glob(os.path.join(out, "_delta_log", "*.json")))
+    assert os.path.basename(c0) == "%020d.json" % 0
+    actions = [json.loads(line) for line in open(c0)]
+    kinds = [next(iter(a)) for a in actions]
+    assert kinds[0] == "protocol" and kinds[1] == "metaData"
+    proto = actions[0]["protocol"]
+    assert proto["minReaderVersion"] == 1 and proto["minWriterVersion"] == 2
+    meta = actions[1]["metaData"]
+    for req in ("id", "format", "schemaString", "partitionColumns"):
+        assert req in meta
+    assert meta["format"]["provider"] == "parquet"
+    assert {"appId": "exporter_app", "version": 7} in [
+        a.get("txn") for a in actions
+    ]
+    adds = [a["add"] for a in actions if "add" in a]
+    assert adds, "commit 0 must add the initial files"
+    for add in adds:
+        assert add["dataChange"] is True
+        assert isinstance(add["partitionValues"], dict)
+        assert add["size"] > 0 and "modificationTime" in add
+        assert not os.path.isabs(add["path"])
+        assert os.path.exists(os.path.join(out, add["path"]))
+
+
+def test_partitioned_export_recovers_partition_column(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "src"))
+    df = spark.range(12).selectExpr("id AS k", "CAST(id % 3 AS INT) AS p")
+    t.commit(df, partition_by=["p"])
+    out = str(tmp_path / "delta")
+    export_delta(t, out)
+    c0 = sorted(glob.glob(os.path.join(out, "_delta_log", "*.json")))[0]
+    actions = [json.loads(line) for line in open(c0)]
+    meta = next(a["metaData"] for a in actions if "metaData" in a)
+    assert meta["partitionColumns"] == ["p"]
+    adds = [a["add"] for a in actions if "add" in a]
+    assert all(set(a["partitionValues"]) == {"p"} for a in adds)
+    got = read_delta_log(spark, out)
+    assert _rows(got.select("k", "p")) == _rows(t.read().select("k", "p"))
+
+
+def test_export_guards_mor_debt_and_mixed_layouts(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "mor"))
+    t.commit(spark.range(10).selectExpr("id AS k"))
+    t.delete_where_mor("k < 3")
+    with pytest.raises(ValueError, match="deletion-vector"):
+        export_delta(t, str(tmp_path / "d1"))
+    t.compact()
+    assert export_delta(t, str(tmp_path / "d1")) >= 1
+
+    t2 = VersionedTable(spark, str(tmp_path / "mixed"))
+    df = spark.range(8).selectExpr("id AS k", "CAST(id % 2 AS INT) AS p")
+    t2.commit(df.filter("k < 4"), partition_by=["p"])
+    t2.commit(df.filter("k >= 4"), mode="append", partition_by=["k"])
+    with pytest.raises(ValueError, match="partition layouts"):
+        export_delta(t2, str(tmp_path / "d2"))
