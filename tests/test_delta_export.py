@@ -115,3 +115,22 @@ def test_export_guards_mor_debt_and_mixed_layouts(spark, tmp_path):
     t2.commit(df.filter("k >= 4"), mode="append", partition_by=["k"])
     with pytest.raises(ValueError, match="partition layouts"):
         export_delta(t2, str(tmp_path / "d2"))
+
+
+def test_import_delta_replays_history_into_a_versioned_table(spark, tmp_path):
+    from lakeflow.formats import import_delta
+
+    t = VersionedTable(spark, str(tmp_path / "src"))
+    base = spark.range(15).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    t.commit(base.filter("k < 8"))
+    t.commit(base.filter("k >= 8"), mode="append")
+    t.commit(base.filter("k % 3 = 0"), mode="overwrite")
+    out = str(tmp_path / "delta")
+    export_delta(t, out)
+
+    imp = import_delta(spark, out, str(tmp_path / "imported"))
+    assert len(imp.versions()) == 3
+    for i, v in enumerate(t.versions()):
+        assert _rows(imp.read(version=i + 1)) == _rows(t.read(version=v))
+    ops = [r.operation for r in imp.snapshots().collect()]
+    assert ops == [f"import_delta:{i}" for i in range(3)]
