@@ -1210,3 +1210,42 @@ def delta_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # latest must carry both commits; the RETURNED frame is commit 0
     assert read_delta_log(spark, out).count() == t.read().count()
     return read_delta_log(spark, out, version=0)
+
+
+@register(
+    "renamed_column_scan",
+    oracle="""
+    SELECT c_custkey,
+           (floor(c_acctbal * 100 + 0.5) / 100) AS balance
+    FROM customer WHERE c_custkey <= 200
+    """,
+)
+def renamed_column_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE RENAME COLUMN as metadata-only column mapping
+    (tables.py::rename_column — the Delta column-mapping / Iceberg rename
+    contract): commit a slice under the old name, rename through the SQL
+    surface, append a second slice under the NEW name, and scan — the read
+    must coalesce both physical epochs into one logical column with no
+    file rewritten. The oracle aliases the source column, so a row from
+    either epoch binding to the wrong (or a NULL) physical column breaks
+    the hash."""
+    import tempfile
+
+    from lakeflow.sqlx import LakehouseSQL
+    from lakeflow.tables import TableCatalog
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", rnd("c_acctbal", 2).alias("c_acctbal")
+    )
+    cat = TableCatalog(spark, tempfile.mkdtemp(prefix="lakeflow_ren_"))
+    t = cat.create("cust_ren", cust.filter(F.col("c_custkey") <= 100))
+    lh = LakehouseSQL(spark, cat)
+    out = lh.execute("ALTER TABLE cust_ren RENAME COLUMN c_acctbal TO balance")
+    assert out["renamed_column"] == "c_acctbal->balance"
+    t.commit(
+        cust.filter(
+            (F.col("c_custkey") > 100) & (F.col("c_custkey") <= 200)
+        ).withColumnRenamed("c_acctbal", "balance"),
+        mode="append",
+    )
+    return t.read().select("c_custkey", "balance")

@@ -90,6 +90,10 @@ _DROP_COLUMN = re.compile(
     r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+COLUMN\s+(\w+)\s*$",
     re.IGNORECASE,
 )
+_RENAME_COLUMN = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*$",
+    re.IGNORECASE,
+)
 _ADD_CONSTRAINT = re.compile(
     r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+CONSTRAINT\s+(\w+)"
     r"\s+CHECK\s*\((.+)\)\s*$",
@@ -241,6 +245,15 @@ class LakehouseSQL:
             t = self.catalog.load(m.group(1))
             v = t.drop_column(m.group(2))
             return {"altered": m.group(1), "dropped_column": m.group(2), "version": v}
+        m = _RENAME_COLUMN.match(stmt)
+        if m:
+            t = self.catalog.load(m.group(1))
+            v = t.rename_column(m.group(2), m.group(3))
+            return {
+                "altered": m.group(1),
+                "renamed_column": f"{m.group(2)}->{m.group(3)}",
+                "version": v,
+            }
         m = _ADD_CONSTRAINT.match(stmt)
         if m:
             t = self.catalog.load(m.group(1))

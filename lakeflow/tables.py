@@ -857,16 +857,45 @@ class VersionedTable:
         else:
             dvs = list(dvs)
 
+        aliased = st is not None and any(
+            (f.metadata or {}).get(self.ALIASES_KEY) for f in st.fields
+        )
+
         def read_group(group_dirs: Sequence[str]) -> DataFrame:
             reader = self.spark.read
-            if st is not None:
+            if st is not None and not aliased:
                 reader = reader.schema(st)
+            elif aliased:
+                # One scan group can hold files from BOTH sides of a rename
+                # (different physical column names) — merge the footers so
+                # every historical name is in scope.
+                reader = reader.option("mergeSchema", "true")
             df = reader.parquet(*group_dirs)
-            base = df.columns
+            if aliased:
+                # Rename history: each logical column COALESCEs over every
+                # present historical name (a file physically stores exactly
+                # one of them, null elsewhere); columns a group predates
+                # stay NULL-backfilled.
+                present = set(df.columns)
+                sel = []
+                for f in st.fields:
+                    names = [f.name] + list(
+                        (f.metadata or {}).get(self.ALIASES_KEY, [])
+                    )
+                    srcs = [F.col(n) for n in names if n in present]
+                    expr = (
+                        F.coalesce(*srcs)
+                        if len(srcs) > 1
+                        else (srcs[0] if srcs else F.lit(None))
+                    )
+                    sel.append(expr.cast(f.dataType).alias(f.name))
+            else:
+                sel = [F.col(c) for c in df.columns]
+            base = [f.name for f in st.fields] if aliased else df.columns
             if not (dvs or with_positions):
-                return df
+                return df.select(*sel) if aliased else df
             tagged = df.select(
-                *base,
+                *sel,
                 F.col("_metadata.file_path").alias(self.POS_FILE),
                 F.col("_metadata.row_index").alias(self.POS_INDEX),
             )
@@ -1465,6 +1494,74 @@ class VersionedTable:
             },
             "schema": json.dumps(new_st.jsonValue()),
         }
+        self._publish_manifest(manifest)
+        return manifest["version"]
+
+    ALIASES_KEY = "lakeflow.aliases"
+
+    def rename_column(self, old: str, new: str) -> int:
+        """``ALTER TABLE RENAME COLUMN`` — metadata-only (the Delta
+        column-mapping / Iceberg rename contract): no data file is touched.
+        The renamed field records its prior names as schema-metadata
+        aliases, and the read path resolves each logical column to the
+        first of (current name, newest alias, ...) present in a scan
+        group's footers — so dirs written before AND after the rename union
+        into one logical schema. Per-dir zone-map stats and bloom keys
+        rename with it, so stats pruning keeps working across the rename.
+        Time travel to a pre-rename version still reads the old name.
+
+        Renaming a column referenced by a CHECK constraint is rejected
+        (drop the constraint first — Delta's rule)."""
+        from pyspark.sql.types import StructField, StructType
+
+        version = self.current_version()
+        if version is None:
+            raise ValueError(f"table {self.root} has no snapshots")
+        st = self.schema(version)
+        if st is None:
+            raise ValueError("pre-schema-tracking table cannot ALTER")
+        if old not in st.fieldNames():
+            raise ValueError(f"no such column {old!r}")
+        if new in st.fieldNames():
+            raise ValueError(f"column {new!r} already exists")
+        for f in st.fields:
+            taken = (f.metadata or {}).get(self.ALIASES_KEY, [])
+            if new in taken:
+                raise ValueError(
+                    f"{new!r} is a historical name of column {f.name!r}"
+                )
+        for cname, expr in self.constraints().items():
+            if re.search(rf"\b{re.escape(old)}\b", expr):
+                raise ValueError(
+                    f"column {old!r} is referenced by constraint {cname!r}: "
+                    "drop the constraint before renaming"
+                )
+        fields = []
+        for f in st.fields:
+            if f.name == old:
+                md = dict(f.metadata or {})
+                md[self.ALIASES_KEY] = [old] + list(
+                    md.get(self.ALIASES_KEY, [])
+                )
+                fields.append(StructField(new, f.dataType, f.nullable, md))
+            else:
+                fields.append(f)
+        m = self._manifest(version)
+        manifest = {
+            "version": version + 1,
+            "operation": f"rename-column:{old}->{new}",
+            "dirs": m["dirs"],
+            "stats": {
+                d: {(new if c == old else c): v for c, v in cs.items()}
+                for d, cs in m.get("stats", {}).items()
+            },
+            "schema": json.dumps(StructType(fields).jsonValue()),
+        }
+        if "bloom" in m:
+            manifest["bloom"] = {
+                d: {(new if c == old else c): v for c, v in cs.items()}
+                for d, cs in m["bloom"].items()
+            }
         self._publish_manifest(manifest)
         return manifest["version"]
 

@@ -2172,3 +2172,78 @@ def test_stream_dedup_ingest_dedups_and_replays_exactly_once(spark, tmp_path):
         stream2, survivors, index, checkpoint=ckpt
     ).awaitTermination()
     assert survivors.read().count() == 3
+
+
+def test_rename_column_is_metadata_only_and_reads_across_epochs(spark, tmp_path):
+    """RENAME COLUMN: old dirs (old physical name) and new dirs (new name)
+    union into one logical schema; no file is rewritten; time travel to the
+    pre-rename version shows the old name; a second rename chains through
+    the alias history."""
+    import glob
+    import os
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    df = spark.range(6).selectExpr("id AS k", "CAST(id * 10 AS DOUBLE) AS amount")
+    t.commit(df.filter("k < 3"))
+    files_before = set(glob.glob(str(tmp_path / "t") + "/**/*.parquet", recursive=True))
+    v_pre = t.current_version()
+
+    t.rename_column("amount", "value")
+    assert files_before == set(
+        glob.glob(str(tmp_path / "t") + "/**/*.parquet", recursive=True)
+    ), "rename must not touch data files"
+    assert t.read().columns == ["k", "value"]
+    # new-epoch append writes the NEW name; both epochs read as one
+    t.commit(df.filter("k >= 3").withColumnRenamed("amount", "value"), mode="append")
+    got = {(r.k, r.value) for r in t.read().collect()}
+    assert got == {(i, float(i * 10)) for i in range(6)}
+    # time travel: pre-rename version keeps the old name
+    assert t.read(version=v_pre).columns == ["k", "amount"]
+
+    # chained rename: value -> amt resolves files written under BOTH priors
+    t.rename_column("value", "amt")
+    got2 = {(r.k, r.amt) for r in t.read().collect()}
+    assert got2 == {(i, float(i * 10)) for i in range(6)}
+
+    # row-level DML through the renamed logical name
+    t.update_where("k = 0", {"amt": "amt + 1"})
+    assert {r.amt for r in t.read().filter("k = 0").collect()} == {1.0}
+
+
+def test_rename_column_keeps_stats_pruning_and_guards(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    df = spark.range(100).selectExpr("id AS k", "id AS metric")
+    t.commit(df.filter("k < 50").repartition(1))
+    t.commit(df.filter("k >= 50").repartition(1), mode="append")
+    t.rename_column("metric", "score")
+    # zone-map stats renamed with the column: pruning still cuts a dir
+    pruned = t.scan(between={"score": (0, 10)})
+    assert {r.k for r in pruned.collect()} == set(range(11))
+    m = t._manifest(t.current_version())
+    assert all("score" in cs for cs in m["stats"].values() if cs)
+
+    t.add_constraint("nonneg", "score >= 0")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="constraint"):
+        t.rename_column("score", "points")
+    t.drop_constraint("nonneg")
+    t.rename_column("score", "points")
+    with _pt.raises(ValueError, match="historical name"):
+        t.rename_column("points", "score")  # old name stays reserved
+
+
+def test_rename_column_sql_route(spark, tmp_path):
+    from lakeflow.sqlx import LakehouseSQL
+    from lakeflow.tables import TableCatalog
+
+    cat = TableCatalog(spark, str(tmp_path))
+    lh = LakehouseSQL(spark, cat)
+    lh.execute(
+        "CREATE VERSIONED TABLE r AS SELECT id AS k, id * 2 AS v FROM range(4)"
+    )
+    out = lh.execute("ALTER TABLE r RENAME COLUMN v TO doubled")
+    assert out["renamed_column"] == "v->doubled"
+    assert lh.execute("SELECT sum(doubled) AS s FROM r").first()["s"] == 12
