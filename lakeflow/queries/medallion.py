@@ -1249,3 +1249,68 @@ def renamed_column_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         mode="append",
     )
     return t.read().select("c_custkey", "balance")
+
+
+@register(
+    "generated_ingest_parts",
+    oracle="""
+    SELECT CAST(substr(CAST(o_orderdate AS VARCHAR), 1, 4) AS INT)
+               AS ingest_year,
+           substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS ingest_month,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders WHERE o_orderkey <= 5000
+    GROUP BY 1, 2
+    """,
+)
+def generated_ingest_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED columns end-to-end (tables.py::set_generated — the
+    reference's materialized ingest_year/ingest_month bronze columns,
+    src/bronze ingestion + SURVEY §1.3, as Delta GENERATED ALWAYS AS):
+    declare the derivations through SQL, append a batch that OMITS both
+    columns (they must derive), partition the second batch by the
+    generated year, and aggregate by the generated parts — the oracle
+    derives the same parts from the raw source, so a wrong or missing
+    derivation in any batch breaks the hash."""
+    import tempfile
+
+    from lakeflow.sqlx import LakehouseSQL
+    from lakeflow.tables import TableCatalog
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("string").alias("o_orderdate")
+    )
+    cat = TableCatalog(spark, tempfile.mkdtemp(prefix="lakeflow_gen_"))
+    t = cat.create("ord_gen", orders.filter(F.col("o_orderkey") <= 2500))
+    lh = LakehouseSQL(spark, cat)
+    lh.execute(
+        "ALTER TABLE ord_gen ADD GENERATED COLUMN ingest_year int "
+        "AS (CAST(substr(o_orderdate, 1, 4) AS INT))"
+    )
+    lh.execute(
+        "ALTER TABLE ord_gen ADD GENERATED COLUMN ingest_month string "
+        "AS (substr(o_orderdate, 1, 7))"
+    )
+    # batch 2 omits both generated columns AND lands partitioned by the
+    # derived year — the lakehouse-native layout the reference gets from
+    # its materialized ingest columns.
+    t.commit(
+        orders.filter(
+            (F.col("o_orderkey") > 2500) & (F.col("o_orderkey") <= 5000)
+        ),
+        mode="append",
+        partition_by=["ingest_year"],
+    )
+    # batch 1 predates the declaration: backfill its NULLs via
+    # copy-on-write UPDATE through the same derivation, then aggregate.
+    t.update_where(
+        "ingest_year IS NULL",
+        {
+            "ingest_year": "CAST(substr(o_orderdate, 1, 4) AS INT)",
+            "ingest_month": "substr(o_orderdate, 1, 7)",
+        },
+    )
+    return (
+        t.read()
+        .groupBy("ingest_year", "ingest_month")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    )

@@ -94,6 +94,11 @@ _RENAME_COLUMN = re.compile(
     r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*$",
     re.IGNORECASE,
 )
+_ADD_GENERATED = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+GENERATED\s+COLUMN\s+(\w+)"
+    r"\s+([\w()<>, ]+?)\s+AS\s*\((.+)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _ADD_CONSTRAINT = re.compile(
     r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+CONSTRAINT\s+(\w+)"
     r"\s+CHECK\s*\((.+)\)\s*$",
@@ -245,6 +250,15 @@ class LakehouseSQL:
             t = self.catalog.load(m.group(1))
             v = t.drop_column(m.group(2))
             return {"altered": m.group(1), "dropped_column": m.group(2), "version": v}
+        m = _ADD_GENERATED.match(stmt)
+        if m:
+            t = self.catalog.load(m.group(1))
+            v = t.set_generated(m.group(2), m.group(3), m.group(4))
+            return {
+                "altered": m.group(1),
+                "generated_column": m.group(2),
+                "version": v,
+            }
         m = _RENAME_COLUMN.match(stmt)
         if m:
             t = self.catalog.load(m.group(1))

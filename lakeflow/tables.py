@@ -252,6 +252,23 @@ class VersionedTable:
                 recorded = self._manifest(cur).get("txns", {}).get(txn[0])
                 if recorded is not None and txn[1] <= recorded:
                     return cur  # replayed batch: already folded, skip
+        # Generated columns derive (batch omits them) or validate (batch
+        # supplies them) BEFORE constraints, so a constraint may reference
+        # a generated column. The WAP path validates the staged files
+        # instead — staged data is immutable, so a missing generated column
+        # there is a hard error, not a derivation.
+        gen = self.generated_columns()
+        if gen:
+            if _existing_dir is None:
+                df = self._apply_generated(df, gen)
+            else:
+                staged = self.spark.read.parquet(_existing_dir)
+                missing = [c for c in gen if c not in staged.columns]
+                if missing:
+                    raise ValueError(
+                        f"staged data lacks generated columns {missing}"
+                    )
+                self._apply_generated(staged, gen)
         # Table-level CHECK constraints gate every publish: the fresh-write
         # path checks the batch BEFORE any data lands; the WAP path
         # (_existing_dir) checks what was actually staged — either way a
@@ -419,19 +436,30 @@ class VersionedTable:
             cond = F.coalesce(F.expr(condition), F.lit(False))
             frame = self._read_dirs(sorted(touch), version)
             types = {f.name: f.dataType for f in frame.schema.fields}
-            for col, expr in set_exprs.items():
+            for col in set_exprs:
                 if col not in types:
                     raise ValueError(f"UPDATE of unknown column {col!r}")
-                # Cast the SET result back to the column's declared type
-                # (Delta's rule) — otherwise an expression like `v + 1`
-                # could silently fork the type between rewritten and
-                # carried-over files.
-                frame = frame.withColumn(
-                    col,
-                    F.when(cond, F.expr(expr).cast(types[col])).otherwise(
-                        F.col(col)
-                    ),
-                )
+            # ONE select, so the WHERE and every SET expression evaluate
+            # against the PRE-update row (ANSI UPDATE semantics): chained
+            # withColumn would re-evaluate the condition on already-updated
+            # rows — a multi-column SET whose first assignment falsifies
+            # the WHERE silently skipped the rest. SET results cast back to
+            # the column's declared type (Delta's rule) so an expression
+            # like `v + 1` cannot fork the type between rewritten and
+            # carried-over files.
+            frame = frame.select(
+                *[
+                    F.when(
+                        cond,
+                        F.expr(set_exprs[c]).cast(types[c]),
+                    )
+                    .otherwise(F.col(c))
+                    .alias(c)
+                    if c in set_exprs
+                    else F.col(c)
+                    for c in frame.columns
+                ]
+            )
             # CHECK constraints gate every publish — including UPDATE: the
             # rewritten candidate rows are validated before any manifest
             # lands (carried-over dirs passed at their own publish).
@@ -532,6 +560,7 @@ class VersionedTable:
             "delete_vectors",
             "partitioning",
             "constraints",
+            "generated",
             "txns",
         ):
             if k in m:
@@ -614,6 +643,10 @@ class VersionedTable:
             # preserves evolution history without knowing about it.
             if "constraints" not in manifest and prev_m.get("constraints"):
                 manifest["constraints"] = prev_m["constraints"]
+            # Generated-column definitions are table policy like
+            # constraints: carry them across every manifest-producing path.
+            if "generated" not in manifest and prev_m.get("generated"):
+                manifest["generated"] = prev_m["generated"]
             # Deletion vectors ride along while any referenced dir survives;
             # a full-rewrite manifest (no shared dirs) purges them — its
             # data was read THROUGH the vectors, so the deletes are
@@ -1293,11 +1326,16 @@ class VersionedTable:
         if self.spark.read.parquet(dv_path).isEmpty():
             shutil.rmtree(dv_path)
             return version
-        rewritten = matched
-        for col, expr in set_exprs.items():
-            rewritten = rewritten.withColumn(
-                col, F.expr(expr).cast(types[col])
-            )
+        # One select: every SET expression sees the PRE-update row, so
+        # cross-referencing SETs (a = b, b = a) swap instead of cascading.
+        rewritten = matched.select(
+            *[
+                F.expr(set_exprs[c]).cast(types[c]).alias(c)
+                if c in set_exprs
+                else F.col(c)
+                for c in matched.columns
+            ]
+        )
         # Constraints gate MOR publishes too: only the rewritten rows are
         # new — carried rows were validated at their own publish.
         self._check_constraints(rewritten.select(*payload), self.constraints())
@@ -1496,6 +1534,75 @@ class VersionedTable:
         }
         self._publish_manifest(manifest)
         return manifest["version"]
+
+    def set_generated(self, name: str, dtype: str, expr: str) -> int:
+        """Declare a GENERATED column (Delta's ``GENERATED ALWAYS AS`` — the
+        reference's materialized ``ingest_year``/``ingest_month`` bronze
+        columns, SURVEY §1.3): a NEW column whose value every future commit
+        derives from ``expr`` when the batch omits it, and VALIDATES (one
+        aggregate, before any byte lands) when the batch supplies it —
+        so the derivation can never drift from the declaration. Metadata
+        only: rows committed before the declaration read NULL (the additive
+        NULL-backfill contract), and the definition rides the manifest like
+        constraints, surviving every manifest-producing path and clones."""
+        from pyspark.sql.types import StructType, _parse_datatype_string
+
+        version = self.current_version()
+        if version is None:
+            raise ValueError(f"table {self.root} has no snapshots")
+        st = self.schema(version)
+        if st is None:
+            raise ValueError("pre-schema-tracking table cannot ALTER")
+        if name in st.fieldNames():
+            raise ValueError(f"column {name!r} already exists")
+        new_st = StructType(list(st.fields)).add(
+            name, _parse_datatype_string(dtype), True
+        )
+        m = self._manifest(version)
+        gen = dict(m.get("generated", {}))
+        gen[name] = {"dtype": dtype, "expr": expr}
+        manifest = {
+            "version": version + 1,
+            "operation": f"add-generated:{name}",
+            "dirs": m["dirs"],
+            "stats": m.get("stats", {}),
+            "schema": json.dumps(new_st.jsonValue()),
+            "generated": gen,
+        }
+        self._publish_manifest(manifest)
+        return manifest["version"]
+
+    def generated_columns(self) -> dict:
+        v = self.current_version()
+        return {} if v is None else self._manifest(v).get("generated", {})
+
+    def _apply_generated(self, df: DataFrame, gen: dict) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        supplied = {c: s for c, s in gen.items() if c in df.columns}
+        for c, s in gen.items():
+            if c not in df.columns:
+                df = df.withColumn(c, F.expr(s["expr"]).cast(s["dtype"]))
+        if supplied:
+            row = df.agg(
+                *[
+                    F.sum(
+                        (
+                            ~F.col(c).eqNullSafe(
+                                F.expr(s["expr"]).cast(s["dtype"])
+                            )
+                        ).cast("long")
+                    ).alias(c)
+                    for c, s in supplied.items()
+                ]
+            ).collect()[0]
+            bad = {c: int(row[c] or 0) for c in supplied if row[c]}
+            if bad:
+                raise ValueError(
+                    f"generated-column mismatch (rows disagreeing with the "
+                    f"declared expression): {bad}"
+                )
+        return df
 
     ALIASES_KEY = "lakeflow.aliases"
 

@@ -2247,3 +2247,103 @@ def test_rename_column_sql_route(spark, tmp_path):
     out = lh.execute("ALTER TABLE r RENAME COLUMN v TO doubled")
     assert out["renamed_column"] == "v->doubled"
     assert lh.execute("SELECT sum(doubled) AS s FROM r").first()["s"] == 12
+
+
+def test_generated_columns_derive_validate_and_survive_dml(spark, tmp_path):
+    """GENERATED ALWAYS AS: batches omitting the column get it derived;
+    batches supplying a WRONG value are rejected before any byte lands; the
+    definition survives DML/compaction manifests and clones; constraints
+    may reference the generated column."""
+    import pytest as _pt
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(1, "2024-03-05"), (2, "2023-11-20")], "k long, d string"
+    )
+    t.commit(df)
+    t.set_generated("ingest_year", "int", "CAST(substr(d, 1, 4) AS INT)")
+    # pre-declaration rows read NULL; a new batch derives the value
+    t.commit(
+        spark.createDataFrame([(3, "2025-06-01")], "k long, d string"),
+        mode="append",
+    )
+    got = {(r.k, r.ingest_year) for r in t.read().collect()}
+    assert got == {(1, None), (2, None), (3, 2025)}
+
+    # supplying a wrong value is rejected
+    bad = spark.createDataFrame(
+        [(4, "2025-01-01", 1999)], "k long, d string, ingest_year int"
+    )
+    with _pt.raises(ValueError, match="generated-column mismatch"):
+        t.commit(bad, mode="append")
+    # supplying the RIGHT value passes
+    t.commit(
+        spark.createDataFrame(
+            [(4, "2025-01-01", 2025)], "k long, d string, ingest_year int"
+        ),
+        mode="append",
+    )
+    # a constraint can reference the generated column
+    t.delete_where("k <= 2")  # drop NULL-epoch rows first
+    t.add_constraint("year_floor", "ingest_year >= 2000")
+    v = t.current_version()
+    t.compact()
+    assert t.generated_columns().keys() == {"ingest_year"}  # carried
+    clone = t.clone_to(str(tmp_path / "clone"))
+    assert clone.generated_columns().keys() == {"ingest_year"}
+    assert t.current_version() > v
+
+
+def test_generated_column_sql_route_and_partitioning(spark, tmp_path):
+    from lakeflow.sqlx import LakehouseSQL
+    from lakeflow.tables import TableCatalog
+
+    cat = TableCatalog(spark, str(tmp_path))
+    lh = LakehouseSQL(spark, cat)
+    lh.execute(
+        "CREATE VERSIONED TABLE g AS "
+        "SELECT id AS k, CAST(concat('2024-0', id + 1, '-15') AS STRING) AS d "
+        "FROM range(3)"
+    )
+    out = lh.execute(
+        "ALTER TABLE g ADD GENERATED COLUMN ingest_month string "
+        "AS (substr(d, 1, 7))"
+    )
+    assert out["generated_column"] == "ingest_month"
+    lh.execute(
+        "INSERT INTO VERSIONED g SELECT id + 10 AS k, '2024-09-30' AS d "
+        "FROM range(2)"
+    )
+    months = {
+        r.ingest_month
+        for r in lh.execute("SELECT ingest_month FROM g WHERE k >= 10").collect()
+    }
+    assert months == {"2024-09"}
+
+
+def test_update_where_evaluates_where_and_sets_against_old_row(spark, tmp_path):
+    """ANSI UPDATE semantics: a SET that falsifies its own WHERE must not
+    skip the remaining SET columns, and cross-referencing SETs swap values
+    instead of cascading — on both the copy-on-write and merge-on-read
+    paths."""
+    # multi-SET where the first assignment falsifies the WHERE
+    t = VersionedTable(spark, str(tmp_path / "cow"))
+    t.commit(
+        spark.createDataFrame([(1, None, None), (2, 5, 7)], "k long, a int, b int")
+    )
+    t.update_where("a IS NULL", {"a": "10", "b": "20"})
+    got = {(r.k, r.a, r.b) for r in t.read().collect()}
+    assert got == {(1, 10, 20), (2, 5, 7)}
+
+    # cross-referencing SETs: swap, not cascade
+    t.update_where("k = 2", {"a": "b", "b": "a"})
+    got = {(r.k, r.a, r.b) for r in t.read().collect()}
+    assert got == {(1, 10, 20), (2, 7, 5)}
+
+    t2 = VersionedTable(spark, str(tmp_path / "mor"))
+    t2.commit(
+        spark.createDataFrame([(1, 5, 7), (2, 3, 4)], "k long, a int, b int")
+    )
+    t2.update_where_mor("k = 1", {"a": "b", "b": "a"})
+    got = {(r.k, r.a, r.b) for r in t2.read().collect()}
+    assert got == {(1, 7, 5), (2, 3, 4)}
