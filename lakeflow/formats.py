@@ -204,7 +204,15 @@ def export_delta(table, path: str) -> int:
                     }
                 }
             )
-        if m.get("schema") != prev_schema or i == 0:
+        # CHECK constraints export as Delta's table configuration
+        # (`delta.constraints.<name>` — how real Delta persists ALTER TABLE
+        # ADD CONSTRAINT); a schema OR constraint change re-emits metaData.
+        conf = {
+            f"delta.constraints.{k}": v
+            for k, v in (m.get("constraints") or {}).items()
+        }
+        meta_state = (m.get("schema"), tuple(sorted(conf.items())))
+        if meta_state != prev_schema or i == 0:
             actions.append(
                 {
                     "metaData": {
@@ -212,12 +220,12 @@ def export_delta(table, path: str) -> int:
                         "format": {"provider": "parquet", "options": {}},
                         "schemaString": m["schema"],
                         "partitionColumns": part_cols,
-                        "configuration": {},
+                        "configuration": conf,
                         "createdTime": ts,
                     }
                 }
             )
-            prev_schema = m.get("schema")
+            prev_schema = meta_state
         for app, ver in sorted((m.get("txns") or {}).items()):
             actions.append({"txn": {"appId": app, "version": ver}})
         for rel in sorted(set(prev_files) - set(files)):

@@ -134,3 +134,21 @@ def test_import_delta_replays_history_into_a_versioned_table(spark, tmp_path):
         assert _rows(imp.read(version=i + 1)) == _rows(t.read(version=v))
     ops = [r.operation for r in imp.snapshots().collect()]
     assert ops == [f"import_delta:{i}" for i in range(3)]
+
+
+def test_constraints_export_as_delta_configuration(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "src"))
+    t.commit(spark.range(5).selectExpr("id AS k"))
+    t.add_constraint("k_nonneg", "k >= 0")
+    out = str(tmp_path / "delta")
+    export_delta(t, out)
+    commits = sorted(glob.glob(os.path.join(out, "_delta_log", "*.json")))
+    metas = [
+        json.loads(line)["metaData"]
+        for c in commits
+        for line in open(c)
+        if '"metaData"' in line
+    ]
+    # commit 0: no constraint yet; the add-constraint commit re-emits
+    assert metas[0]["configuration"] == {}
+    assert metas[-1]["configuration"] == {"delta.constraints.k_nonneg": "k >= 0"}
