@@ -46,6 +46,10 @@ def main() -> None:
     print("schema + constraint evolution (metadata-only):")
     print(lh.execute("ALTER TABLE users ADD COLUMN score double"))
     print(lh.execute("ALTER TABLE users ADD CONSTRAINT uid_ok CHECK (user_id >= 0)"))
+    print(lh.execute("ALTER TABLE users RENAME COLUMN score TO rating"))
+    print(lh.execute(
+        "ALTER TABLE users ADD GENERATED COLUMN uid_bucket int AS (CAST(user_id % 10 AS INT))"
+    ))
 
     print("merge-on-read DML (deletion vectors, no file rewrite):")
     print(lh.execute("DELETE FROM VERSIONED users WHERE user_id = 100 USING MERGE ON READ"))
