@@ -1439,6 +1439,12 @@ class VersionedTable:
         version = self.current_version()
         if version is None:
             return self.commit(batch, mode="append")
+        # Generated columns derive-or-validate on MOR upserts too — a CDC
+        # batch that omits a declared column must not land NULLs where
+        # every other commit path would derive the value.
+        gen = self.generated_columns()
+        if gen:
+            batch = self._apply_generated(batch, gen)
         # Constraints gate MOR upserts before any DV or data dir lands.
         self._check_constraints(batch, self.constraints())
         m = self._manifest(version)

@@ -2347,3 +2347,20 @@ def test_update_where_evaluates_where_and_sets_against_old_row(spark, tmp_path):
     t2.update_where_mor("k = 1", {"a": "b", "b": "a"})
     got = {(r.k, r.a, r.b) for r in t2.read().collect()}
     assert got == {(1, 7, 5), (2, 3, 4)}
+
+
+def test_generated_columns_derive_on_mor_upserts(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(
+        spark.createDataFrame([(1, "2024-01-05", 2024)],
+                              "k long, d string, y int")
+    )
+    t.set_generated("y2", "int", "y + 1")
+    # MOR upsert batch omits the generated column: must derive, not NULL
+    t.upsert_mor(
+        spark.createDataFrame([(1, "2024-02-01", 2024), (2, "2025-03-01", 2025)],
+                              "k long, d string, y int"),
+        keys=["k"],
+    )
+    got = {(r.k, r.y2) for r in t.read().collect()}
+    assert got == {(1, 2025), (2, 2026)}
