@@ -967,16 +967,22 @@ def mmr_rerank(
     diversity pass a retrieval pipeline runs so the top-k aren't five
     near-copies of the same document.
 
-    Entirely Catalyst, entirely integer: cosines quantize to micro-units
-    (the same ordered double fold both engines reproduce bit-for-bit) and
-    λ enters as the rational ``lam_num/lam_den``, so every greedy score is
+    Shortlist scoring and ALL pairwise cosines stay in Catalyst and
+    quantize to integer micro-units (the same ordered double fold both
+    engines reproduce bit-for-bit); λ enters as the rational
+    ``lam_num/lam_den``, so every greedy score is
     ``lam_num·cos_micro − (lam_den−lam_num)·max_pair_micro`` in BIGINT —
-    order-free, engine-exact, vid tiebreak. The greedy loop unrolls into k
-    plan stages (anti-join remaining → max-over-selected pair join →
-    window argmax); per stage the frames are |queries|·shortlist rows, so
-    at 100 TB the cost lives in the shortlist generation (brute force here;
-    swap any ANN op for the candidate stage), never in the re-rank —
-    pairwise work is shortlist², per query, independent of corpus size.
+    order-free, engine-exact, vid tiebreak. The greedy selection itself
+    runs per query group in ONE cogrouped-pandas pass over the integer
+    matrices (≤ shortlist rows + shortlist² pairs per query): the
+    sequential k-step loop is inherently serial per query, and expressing
+    it as k unrolled Catalyst stages costs ~20 shuffle stages for
+    frames of a few hundred rows (measured 10-15s at sf0.1 vs ~1s
+    cogrouped — the join machinery, not the math). Pure INTEGER
+    arithmetic in the pandas step keeps it engine-exact; the distribution
+    unit is the query id, so at 100 TB the cost lives in the shortlist
+    generation (brute force here; swap any ANN op for the candidate
+    stage), never in the re-rank.
 
     Output: (qid, vid, rank, mmr_micro).
     """
@@ -1028,53 +1034,56 @@ def mmr_rerank(
             .alias("pair_micro"),
         )
     )
+    import pandas as pd
+
+    # `pairs` derives from `cand`, so cogrouping the two trips Spark's
+    # ambiguous-self-join analysis (shared attribute ids). Checkpointing
+    # severs the lineage — and materializes each tiny frame exactly once
+    # (|queries|·shortlist rows / ·shortlist² pairs), so the shortlist
+    # scoring never re-executes either.
+    cand = cand.localCheckpoint()
+    pairs = pairs.localCheckpoint()
+
     pen = lam_den - lam_num
-    w = Window.partitionBy("qid")
-    selected = (
-        cand.withColumn(
-            "rn",
-            F.row_number().over(
-                w.orderBy(F.desc("cos_micro"), F.asc("vid"))
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .select(
-            "qid",
-            "vid",
-            F.lit(1).alias("rank"),
-            (F.lit(lam_num) * F.col("cos_micro"))
-            .cast("bigint")
-            .alias("mmr_micro"),
-        )
+    kk, ln = int(k), int(lam_num)
+
+    def greedy(cands: pd.DataFrame, prs: pd.DataFrame) -> pd.DataFrame:
+        if cands.empty:
+            return pd.DataFrame(
+                {"qid": [], "vid": [], "rank": [], "mmr_micro": []}
+            ).astype({"qid": "int64", "vid": "int64", "rank": "int32",
+                      "mmr_micro": "int64"})
+        qid = int(cands["qid"].iloc[0])
+        cos = {int(v): int(c) for v, c in
+               zip(cands["vid"], cands["cos_micro"])}
+        pair = {(int(a), int(b)): int(p) for a, b, p in
+                zip(prs["vid"], prs["other_vid"], prs["pair_micro"])}
+        remaining = sorted(cos)
+        selected: list[int] = []
+        out = []
+        for rank in range(1, min(kk, len(remaining) + len(selected)) + 1):
+            best_v, best_s = None, None
+            for v in remaining:
+                if selected:
+                    s_ = ln * cos[v] - pen * max(
+                        pair[(v, s)] for s in selected
+                    )
+                else:
+                    s_ = ln * cos[v]
+                if best_s is None or s_ > best_s:
+                    best_v, best_s = v, s_
+            if best_v is None:
+                break
+            out.append((qid, best_v, rank, best_s))
+            selected.append(best_v)
+            remaining.remove(best_v)
+        return pd.DataFrame(
+            out, columns=["qid", "vid", "rank", "mmr_micro"]
+        ).astype({"qid": "int64", "vid": "int64", "rank": "int32",
+                  "mmr_micro": "int64"})
+
+    return (
+        cand.groupBy("qid")
+        .cogroup(pairs.groupBy("qid"))
+        .applyInPandas(greedy, "qid long, vid long, rank int, mmr_micro long")
     )
-    for step in range(2, k + 1):
-        sel_ids = selected.select("qid", F.col("vid").alias("other_vid"))
-        max_pair = (
-            pairs.join(sel_ids, ["qid", "other_vid"])
-            .groupBy("qid", "vid")
-            .agg(F.max("pair_micro").alias("max_pair"))
-        )
-        rem = cand.join(
-            selected.select("qid", "vid"), ["qid", "vid"], "left_anti"
-        )
-        pick = (
-            rem.join(max_pair, ["qid", "vid"])
-            .withColumn(
-                "score",
-                F.lit(lam_num) * F.col("cos_micro")
-                - F.lit(pen) * F.col("max_pair"),
-            )
-            .withColumn(
-                "rn",
-                F.row_number().over(w.orderBy(F.desc("score"), F.asc("vid"))),
-            )
-            .filter(F.col("rn") == 1)
-            .select(
-                "qid",
-                "vid",
-                F.lit(step).alias("rank"),
-                F.col("score").cast("bigint").alias("mmr_micro"),
-            )
-        )
-        selected = selected.unionByName(pick)
-    return selected

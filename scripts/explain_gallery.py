@@ -71,7 +71,7 @@ GALLERY = [
     ("tick_vwap_daily", "integer deci-unit weighted agg over the Python source — combine-bounded"),
     ("gopher_quality_flags", "all 7 published rules in ONE scan-side JVM projection — zero exchange, zero Python"),
     ("source_drift_report", "fixed grid (groups x buckets) — integer micro-unit TV distance, state independent of corpus size"),
-    ("mmr_diverse_topk", "greedy MMR unrolled into k stages: anti-join remaining → max-over-selected → window argmax, all integer scores"),
+    ("mmr_diverse_topk", "JVM shortlist + pair cosines (integer micro-units) → ONE cogrouped-pandas greedy per query"),
 ]
 
 
