@@ -636,3 +636,71 @@ def test_dirty_group_mv_tracks_arbitrary_mor_dml(
             .collect()
         }
         assert got == want, f"diverged at step {step} after {op[0]}"
+
+
+@given(
+    ops=st.lists(
+        st.one_of(
+            st.tuples(
+                st.just("commit"),
+                st.lists(
+                    st.tuples(keys, st.integers(0, 99)), min_size=1, max_size=5
+                ),
+            ),
+            st.tuples(st.just("delete"), keys),
+            st.tuples(st.just("mor_delete"), keys),
+            st.tuples(st.just("update"), keys),
+            st.just(("rename",)),
+            st.just(("compact",)),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_rename_amid_dml_matches_model(spark, tmp_path_factory, ops):
+    """Metadata-only RENAME interleaved with appends, copy-on-write and
+    merge-on-read deletes, updates, and compaction must stay equivalent to
+    a plain Python multiset model — the alias-resolving read path cannot
+    lose, duplicate, or mis-bind a row no matter where the rename lands
+    in the history (files from every naming epoch coexist)."""
+    from lakeflow.tables import VersionedTable
+
+    tmp = tmp_path_factory.mktemp("renprop")
+    t = VersionedTable(spark, str(tmp / "t"))
+    model: list[tuple[int, int]] = []
+    name, gen, committed = "v", 0, False
+    for op in ops:
+        if op[0] == "commit":
+            t.commit(
+                spark.createDataFrame(op[1], f"k int, {name} int"),
+                mode="append" if committed else "overwrite",
+            )
+            model.extend(op[1])
+            committed = True
+        elif not committed:
+            continue
+        elif op[0] == "delete":
+            t.delete_where(f"k = {op[1]}")
+            model = [(k, v) for k, v in model if k != op[1]]
+        elif op[0] == "mor_delete":
+            t.delete_where_mor(f"k = {op[1]}")
+            model = [(k, v) for k, v in model if k != op[1]]
+        elif op[0] == "update":
+            t.update_where(f"k = {op[1]}", {name: f"{name} + 10"})
+            model = [
+                (k, v + 10) if k == op[1] else (k, v) for k, v in model
+            ]
+        elif op[0] == "rename":
+            gen += 1
+            new = f"v{gen}"
+            t.rename_column(name, new)
+            name = new
+        elif op[0] == "compact":
+            t.compact()
+    if not committed:
+        return
+    got = sorted((r["k"], r[name]) for r in t.read().collect())
+    assert got == sorted(model)
+    assert t.read().columns == ["k", name]
