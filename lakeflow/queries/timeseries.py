@@ -553,3 +553,64 @@ def user_value_median_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         med, schema="user_id bigint, n_events bigint, med_value double"
     )
     return out.select("user_id", "n_events", rnd("med_value", 2).alias("med_value"))
+
+
+@register(
+    "sft_transcripts",
+    oracle=f"""
+    WITH turns AS (
+        SELECT user_id,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS rn,
+               (CASE WHEN (row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               )) % 2 = 1 THEN 'user' ELSE 'assistant' END)
+               || ': [' || strftime(ts, '{_STRF}') || '] ' || event_type
+               || ' value_cents='
+               || CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS VARCHAR)
+                   AS line
+        FROM events WHERE user_id < 40
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           string_agg(line, chr(10) ORDER BY rn) AS transcript
+    FROM turns GROUP BY user_id
+    """,
+)
+def sft_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation flattening for SFT data prep: each user's event stream
+    becomes one training transcript — turns ordered by (ts, event_id),
+    roles alternating user/assistant, every line deterministically
+    rendered (formatted event time, integer cents). The whole render is
+    Catalyst (row_number → concat → collect_list of (rn, line) structs →
+    array_sort → array_join), one shuffle on the conversation key — the
+    shape any chat-template rendering takes at corpus scale, where the
+    transcript string is the training artifact. The oracle re-renders
+    every line and the exact newline-joined concatenation, so a turn
+    ordering, role parity, or formatting drift anywhere breaks the hash."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    rn = F.row_number().over(w)
+    line = F.concat(
+        F.when(rn % 2 == 1, F.lit("user")).otherwise(F.lit("assistant")),
+        F.lit(": ["),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+        F.lit("] "),
+        F.col("event_type"),
+        F.lit(" value_cents="),
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .cast("string"),
+    )
+    turns = ev.select("user_id", rn.alias("rn"), line.alias("line"))
+    return turns.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("transcript"),
+    )
