@@ -62,7 +62,7 @@ def main() -> None:
     lh.execute("SELECT * FROM users").orderBy("user_id").show()
 
     print("z-order clustering (2-dim file skipping):")
-    print(lh.execute("OPTIMIZE users ZORDER BY (user_id, score)"))
+    print(lh.execute("OPTIMIZE users ZORDER BY (user_id, rating)"))
 
     lh.execute("DESCRIBE HISTORY users").show(truncate=False)
     print(lh.execute("ROLLBACK TABLE users TO VERSION 2"))
