@@ -152,3 +152,59 @@ def test_constraints_export_as_delta_configuration(spark, tmp_path):
     # commit 0: no constraint yet; the add-constraint commit re-emits
     assert metas[0]["configuration"] == {}
     assert metas[-1]["configuration"] == {"delta.constraints.k_nonneg": "k >= 0"}
+
+
+def test_delta_log_stream_source_emits_commits_and_resumes(spark, tmp_path):
+    """Streaming from the exported _delta_log: an availableNow run emits
+    every commit's added files (partition columns recovered); after the
+    source table appends and the log re-exports, a start_commit-offset run
+    emits only the new commit (the same exclusive-offset contract the
+    engine checkpoint replays); a remove-bearing commit fails the stream
+    unless on_change=skip drops it."""
+    from lakeflow.formats import import_delta  # noqa: F401 (sanity import)
+    from lakeflow.sources.delta_stream import register_delta_log_source
+    from lakeflow.streaming.sinks import run_to_memory
+
+    register_delta_log_source(spark)
+    t = VersionedTable(spark, str(tmp_path / "src"))
+    df = spark.range(9).selectExpr("id AS k", "CAST(id % 3 AS INT) AS p")
+    t.commit(df.filter("k < 6"), partition_by=["p"])
+    out = str(tmp_path / "delta")
+    export_delta(t, out)
+
+    ckpt = str(tmp_path / "ckpt")
+    stream = spark.readStream.format("lakeflow_delta_log").option(
+        "path", out
+    ).load()
+    name, q = run_to_memory(stream, name="dlog1")
+    import pyspark.sql.functions as F  # noqa
+
+    first = {(r.k, r.p) for r in spark.table(name).collect()}
+    assert first == {(i, i % 3) for i in range(6)}
+
+    # append at the source, re-export: the log gains commit 1
+    t.commit(df.filter("k >= 6"), mode="append", partition_by=["p"])
+    assert export_delta(t, out) == 2
+    stream2 = spark.readStream.format("lakeflow_delta_log").option(
+        "path", out
+    ).option("start_commit", "0").load()
+    name2, _ = run_to_memory(stream2, name="dlog2")
+    second = {(r.k, r.p) for r in spark.table(name2).collect()}
+    assert second == {(i, i % 3) for i in range(6, 9)}
+
+    # a rewrite commit (overwrite) must fail... or skip with the option
+    t.commit(df.filter("k = 0"), mode="overwrite")
+    export_delta(t, out)
+    stream3 = spark.readStream.format("lakeflow_delta_log").option(
+        "path", out
+    ).load()
+    import pytest as _pt
+
+    with _pt.raises(Exception, match="removes files|STREAM_FAILED"):
+        run_to_memory(stream3, name="dlog3")
+    stream4 = spark.readStream.format("lakeflow_delta_log").option(
+        "path", out
+    ).option("on_change", "skip").load()
+    name4, _ = run_to_memory(stream4, name="dlog4")
+    # change commit dropped: only the two append commits' rows
+    assert spark.table(name4).count() == 9
