@@ -1314,3 +1314,49 @@ def generated_ingest_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("ingest_year", "ingest_month")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
     )
+
+
+@register(
+    "stream_delta_log_appends",
+    oracle="""
+    SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey <= 150
+    """,
+)
+def stream_delta_log_appends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming a Delta transaction log end-to-end
+    (sources/delta_stream.py — the jar-free
+    ``readStream.format("delta")``): a two-commit VersionedTable history
+    exports to a `_delta_log` (formats.py::export_delta) and the custom
+    Python DataSource streams it availableNow — driver parses commit
+    JSONs only, executors pyarrow-read one added file per split. The
+    emitted union of both commits must hash-equal the plain source
+    SELECT, so a dropped file, a double-read, or a mis-bound column in
+    either commit breaks the hash."""
+    import tempfile
+
+    from lakeflow.formats import export_delta
+    from lakeflow.sources.delta_stream import register_delta_log_source
+    from lakeflow.streaming.sinks import run_to_memory
+    from lakeflow.tables import VersionedTable
+
+    register_delta_log_source(spark)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="lakeflow_dls_"))
+    t.commit(cust.filter(F.col("c_custkey") <= 100).repartition(2))
+    t.commit(
+        cust.filter(
+            (F.col("c_custkey") > 100) & (F.col("c_custkey") <= 150)
+        ),
+        mode="append",
+    )
+    out = tempfile.mkdtemp(prefix="lakeflow_dlslog_")
+    assert export_delta(t, out) == 2
+    stream = (
+        spark.readStream.format("lakeflow_delta_log")
+        .option("path", out)
+        .load()
+    )
+    name, _ = run_to_memory(stream)
+    return spark.table(name)
