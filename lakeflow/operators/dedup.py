@@ -117,6 +117,26 @@ def minhash_signatures(
     )
 
 
+def band_buckets(
+    signatures: DataFrame, bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH band bucket keys of each signature: (id, band, bh) — one row per
+    (doc, band), bh = md5 of that band's signature slice. The shared
+    primitive under pairwise candidate generation AND the incremental
+    ingest index (:func:`incremental_fuzzy_dedup`)."""
+    band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
+    return signatures.select("id", "sigs", band_idx).select(
+        "id",
+        "band",
+        F.md5(
+            F.array_join(
+                F.slice("sigs", F.col("band") * rows_per_band + 1, rows_per_band),
+                "|",
+            )
+        ).alias("bh"),
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = 4,
@@ -137,14 +157,7 @@ def lsh_candidate_pairs(
     degenerate belongs to exact dedup (identical fingerprints), which runs
     before LSH in the pipeline.
     """
-    band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
-    banded = signatures.select("id", "sigs", band_idx).select(
-        "id",
-        "band",
-        F.md5(
-            F.array_join(F.slice("sigs", F.col("band") * rows_per_band + 1, rows_per_band), "|")
-        ).alias("bh"),
-    )
+    banded = band_buckets(signatures, bands=bands, rows_per_band=rows_per_band)
     if max_bucket is not None:
         sizes = banded.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("__n"))
         n_salts = F.greatest(F.ceil(F.col("__n") / max_bucket), F.lit(1))
@@ -628,3 +641,74 @@ def simhash64_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def incremental_fuzzy_dedup(
+    batch: DataFrame,
+    index: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """Ingest-time NEAR-dup dedup of one arriving batch against a historical
+    LSH bucket index — the fuzzy companion of the exact streaming ingest
+    path (:func:`lakeflow.streaming.sinks.stream_dedup_ingest`), and how a
+    continuously-growing 100 TB corpus stays near-dup-free without periodic
+    full-corpus MinHash sweeps: the history is represented ONLY by its
+    distinct ``(band, bh)`` bucket keys (two slim columns, ∝ corpus docs ×
+    bands, never the text), and a batch doc is dropped when any of its
+    bands lands in an indexed bucket.
+
+    Within the batch the rule is deterministic bucket-leader-wins: a doc
+    survives iff it is the min-id member of EVERY bucket it occupies (and
+    no bucket is historical). This one-pass form is the distributed
+    approximation of sequential arrival — order-free, replayable, and
+    exactly expressible in SQL for the oracle — at the price of
+    occasionally dropping a doc whose only lower-id bucket-mate was itself
+    dropped (strictly conservative: never admits a near-dup).
+
+    Returns ``(survivor_ids, survivor_buckets)``: append the second to the
+    index table for the next batch. Cost per batch: signature construction
+    (scan-side) + one semi-join against the index on (band, bh).
+    """
+    banded = band_buckets(
+        minhash_signatures(
+            word_shingles(batch, text_col=text_col, id_col=id_col, n=shingle_n),
+            num_hashes=num_hashes,
+        ),
+        bands=bands,
+        rows_per_band=rows_per_band,
+    )
+    dropped = None
+    if index is not None:
+        hist_hit = (
+            banded.join(index, ["band", "bh"], "left_semi")
+            .select("id")
+            .distinct()
+        )
+        dropped = hist_hit
+    leaders = banded.groupBy("band", "bh").agg(F.min("id").alias("lead"))
+    non_leader = (
+        banded.join(leaders, ["band", "bh"])
+        .filter(F.col("id") != F.col("lead"))
+        .select("id")
+        .distinct()
+    )
+    dropped = non_leader if dropped is None else dropped.union(non_leader)
+    survivors = (
+        batch.select(F.col(id_col).alias("id"))
+        .distinct()
+        .join(dropped.distinct(), "id", "left_anti")
+        .select(F.col("id").alias(id_col))
+    )
+    survivor_buckets = (
+        banded.join(
+            survivors.select(F.col(id_col).alias("id")), "id", "left_semi"
+        )
+        .select("band", "bh")
+        .distinct()
+    )
+    return survivors, survivor_buckets

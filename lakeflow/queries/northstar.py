@@ -3295,3 +3295,96 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.mmr_rerank(
         emb, emb.filter(F.col("vec_id") < 10), k=5, shortlist=20
     )
+
+
+@register(
+    "incremental_fuzzy_dedup_docs",
+    oracle=r"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL  -- near-dups of HISTORY arriving in the batch
+        SELECT doc_id + 1000000, text || ' tail' FROM documents
+        WHERE source <> 'src19' AND doc_id % 10 = 0
+        UNION ALL  -- near-dups of batch docs WITHIN the batch
+        SELECT doc_id + 2000000, text || ' tail' FROM documents
+        WHERE source = 'src19' AND doc_id % 5 = 0
+    ),
+    batch_ids AS (
+        SELECT doc_id FROM documents WHERE source = 'src19'
+        UNION ALL SELECT doc_id + 1000000 FROM documents
+        WHERE source <> 'src19' AND doc_id % 10 = 0
+        UNION ALL SELECT doc_id + 2000000 FROM documents
+        WHERE source = 'src19' AND doc_id % 5 = 0
+    ),
+    hist_ids AS (SELECT doc_id FROM documents WHERE source <> 'src19'),
+    norm AS (SELECT doc_id,
+                    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+             FROM corpus),
+    toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+    sh AS (SELECT DISTINCT doc_id,
+                  array_to_string(w[i+1 : i+3], ' ') AS shingle
+           FROM toks, UNNEST(range(0, greatest(len(w) - 3, 0) + 1)) AS u(i)),
+    hashed AS (SELECT doc_id, md5(shingle) AS h FROM sh),
+    seeded AS (SELECT doc_id, i,
+                      substr(h, 2 * i + 1) || substr(h, 1, 2 * i) AS hr
+               FROM hashed, UNNEST(range(0, 16)) AS s(i)),
+    mins AS (SELECT doc_id, i, min(hr) AS mh FROM seeded GROUP BY doc_id, i),
+    sigs AS (SELECT doc_id, list(mh ORDER BY i) AS sigs
+             FROM mins GROUP BY doc_id),
+    bands AS (SELECT doc_id, band_i,
+                     md5(array_to_string(sigs[band_i*4+1 : band_i*4+4], '|'))
+                         AS bh
+              FROM sigs, UNNEST(range(0, 4)) AS t(band_i)),
+    hist_idx AS (SELECT DISTINCT band_i, bh
+                 FROM bands JOIN hist_ids USING (doc_id)),
+    batch_b AS (SELECT b.* FROM bands b JOIN batch_ids USING (doc_id)),
+    hist_hit AS (SELECT DISTINCT doc_id
+                 FROM batch_b JOIN hist_idx USING (band_i, bh)),
+    leaders AS (SELECT band_i, bh, min(doc_id) AS lead
+                FROM batch_b GROUP BY 1, 2),
+    nonlead AS (SELECT DISTINCT b.doc_id FROM batch_b b JOIN leaders l
+                ON b.band_i = l.band_i AND b.bh = l.bh
+               AND b.doc_id <> l.lead)
+    SELECT CAST(doc_id AS BIGINT) AS keep_id FROM batch_ids
+    WHERE doc_id NOT IN (SELECT doc_id FROM hist_hit)
+      AND doc_id NOT IN (SELECT doc_id FROM nonlead)
+    """,
+)
+def incremental_fuzzy_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time NEAR-dup dedup against a historical LSH bucket index
+    (operators/dedup.py::incremental_fuzzy_dedup — the fuzzy companion of
+    `incremental_doc_dedup`/`stream_doc_dedup`, and the form that keeps a
+    growing 100 TB corpus near-dup-free with no full-corpus sweep: history
+    is two slim bucket-key columns). The fixture has no natural near-dups,
+    so the batch deliberately carries one-word-appended copies of history
+    docs (must drop via the index semi-join) and of its own docs (must
+    drop via within-batch bucket-leader-wins), alongside the genuinely
+    novel src19 docs (must survive). The oracle replays shingling, the 16
+    rotated minhashes, banding, the historical index, and both drop rules
+    over the identical corpus construction — any admitted near-dup or
+    lost survivor breaks the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("source") != "src19")
+    near_hist = hist.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+    )
+    batch_base = docs.filter(F.col("source") == "src19").select(
+        "doc_id", "text"
+    )
+    near_batch = batch_base.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+    )
+    batch = batch_base.unionByName(near_hist).unionByName(near_batch)
+    index = (
+        dd.band_buckets(
+            dd.minhash_signatures(dd.word_shingles(hist), num_hashes=16),
+            bands=4,
+            rows_per_band=4,
+        )
+        .select("band", "bh")
+        .distinct()
+    )
+    survivors, _buckets = dd.incremental_fuzzy_dedup(batch, index)
+    return survivors.select(F.col("doc_id").cast("bigint").alias("keep_id"))
