@@ -1360,3 +1360,35 @@ def stream_delta_log_appends(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name, _ = run_to_memory(stream)
     return spark.table(name)
+
+
+@register(
+    "table_schema_changes",
+    oracle="""
+    SELECT * FROM (VALUES
+        (CAST(1 AS INT), 'add',    'k',          'bigint'),
+        (CAST(1 AS INT), 'add',    'v',          'double'),
+        (CAST(2 AS INT), 'add',    'w',          'string'),
+        (CAST(3 AS INT), 'rename', 'v->amount',  'double'),
+        (CAST(4 AS INT), 'drop',   'w',          'string'),
+        (CAST(5 AS INT), 'add',    'g',          'int')
+    ) AS t(version, change, "column", dtype)
+    """,
+)
+def table_schema_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution audit log (tables.py::schema_changes — the
+    ``DESCRIBE HISTORY``-for-schemas metadata table): a create, an ADD
+    COLUMN, a RENAME (must report as ONE rename via the alias metadata,
+    never a drop+add), a DROP, and a GENERATED declaration produce a
+    deterministic change log, value-checked row by row."""
+    import tempfile
+
+    from lakeflow.tables import VersionedTable
+
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="lakeflow_schlog_"))
+    t.commit(spark.range(3).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v"))
+    t.add_column("w", "string")
+    t.rename_column("v", "amount")
+    t.drop_column("w")
+    t.set_generated("g", "int", "CAST(k % 7 AS INT)")
+    return t.schema_changes()

@@ -142,6 +142,60 @@ class VersionedTable:
             ),
         )
 
+    def schema_changes(self) -> DataFrame:
+        """Schema-evolution log as a DataFrame: one row per column change
+        per version (``add`` / ``drop`` / ``rename`` / ``type`` — the audit
+        trail a reviewer asks for before trusting a long-lived table).
+        Renames are recognized via the alias metadata the rename path
+        records, so they report as ONE rename, not a drop+add."""
+        rows = []
+        prev: dict[str, str] = {}
+        prev_names: set[str] = set()
+        for v in self.versions():
+            st = self.schema(v)
+            if st is None:
+                continue
+            cur = {f.name: f.dataType.simpleString() for f in st.fields}
+            renames = {}
+            for f in st.fields:
+                if f.name not in prev_names:
+                    for old in (f.metadata or {}).get(self.ALIASES_KEY, []):
+                        if old in prev_names and old not in cur:
+                            renames[f.name] = old
+                            break
+            for name, dtype in cur.items():
+                if name in renames:
+                    rows.append(
+                        Row(
+                            version=v,
+                            change="rename",
+                            column=f"{renames[name]}->{name}",
+                            dtype=dtype,
+                        )
+                    )
+                elif name not in prev_names:
+                    rows.append(
+                        Row(version=v, change="add", column=name, dtype=dtype)
+                    )
+                elif prev.get(name) != dtype:
+                    rows.append(
+                        Row(version=v, change="type", column=name, dtype=dtype)
+                    )
+            renamed_from = set(renames.values())
+            for name in prev_names - set(cur) - renamed_from:
+                rows.append(
+                    Row(
+                        version=v,
+                        change="drop",
+                        column=name,
+                        dtype=prev.get(name),
+                    )
+                )
+            prev, prev_names = cur, set(cur)
+        return self.spark.createDataFrame(
+            rows, schema="version int, change string, column string, dtype string"
+        )
+
     def schema(self, version: int | None = None):
         """The table schema recorded at ``version`` (None = latest), or None
         for manifests written before schema tracking."""
