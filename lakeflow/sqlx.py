@@ -71,6 +71,9 @@ _INSERT = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _HISTORY = re.compile(r"^\s*DESCRIBE\s+HISTORY\s+([\w.]+)\s*$", re.IGNORECASE)
+_SCHEMA_HISTORY = re.compile(
+    r"^\s*DESCRIBE\s+SCHEMA\s+HISTORY\s+([\w.]+)\s*$", re.IGNORECASE
+)
 _ANALYZE = re.compile(
     r"^\s*ANALYZE\s+TABLE\s+([\w.]+)\s+COMPUTE\s+STATISTICS"
     r"\s+FOR\s+COLUMNS\s*\(\s*([\w\s,]+?)\s*\)\s*$",
@@ -226,6 +229,9 @@ class LakehouseSQL:
                 self._query(select), mode=mode
             )
             return {"inserted_into": name, "version": version, "mode": mode}
+        m = _SCHEMA_HISTORY.match(stmt)
+        if m:
+            return self.catalog.load(m.group(1)).schema_changes()
         m = _HISTORY.match(stmt)
         if m:
             return self.catalog.load(m.group(1)).snapshots()

@@ -291,3 +291,23 @@ def test_namespaced_tables_and_schemas(lh, spark):
     assert "ns_silver" in {
         r.schema_name for r in lh.execute("SHOW SCHEMAS").collect()
     }
+
+
+def test_describe_schema_history(lh, spark):
+    lh.execute(
+        "CREATE VERSIONED TABLE sh AS SELECT id AS k, id * 1.0 AS v FROM range(3)"
+    )
+    lh.execute("ALTER TABLE sh ADD COLUMN w string")
+    lh.execute("ALTER TABLE sh RENAME COLUMN v TO amount")
+    rows = [
+        (r.version, r.change, r["column"])
+        for r in lh.execute("DESCRIBE SCHEMA HISTORY sh")
+        .orderBy("version", "column")
+        .collect()
+    ]
+    assert rows == [
+        (1, "add", "k"),
+        (1, "add", "v"),
+        (2, "add", "w"),
+        (3, "rename", "v->amount"),
+    ]
