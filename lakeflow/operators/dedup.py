@@ -681,7 +681,10 @@ def incremental_fuzzy_dedup(
         ),
         bands=bands,
         rows_per_band=rows_per_band,
-    )
+    # Referenced by the index probe, the leader rule, AND the survivor
+    # bucket extraction — persist so the shingle→signature pipeline (the
+    # dominant cost, as in lsh_candidate_pairs) runs once per batch.
+    ).persist()
     dropped = None
     if index is not None:
         hist_hit = (
