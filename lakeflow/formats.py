@@ -170,6 +170,16 @@ def export_delta(table, path: str) -> int:
         )
 
     manifests = {v: table._manifest(v) for v in versions}
+    latest_schema = table.schema(versions[-1])
+    if latest_schema is not None and any(
+        (f.metadata or {}).get(table.ALIASES_KEY) for f in latest_schema.fields
+    ):
+        raise ValueError(
+            "table has RENAME COLUMN history: files from different epochs "
+            "carry different physical column names, which Delta's "
+            "one-physical-name-per-column mapping cannot express — rewrite "
+            "the table (e.g. commit(read(), mode='overwrite')) before export"
+        )
     if manifests[versions[-1]].get("delete_vectors"):
         raise ValueError(
             "latest snapshot has merge-on-read deletion-vector debt: "
@@ -320,6 +330,8 @@ def read_delta_log(
         for pc, val in zip(part_cols, key):
             df = df.withColumn(pc, F.lit(val).cast(schema[pc].dataType))
         frames.append(df.select(*[f.name for f in schema.fields]))
+    if not frames:  # every file removed: a legitimately empty version
+        return spark.createDataFrame([], schema)
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)

@@ -208,3 +208,25 @@ def test_delta_log_stream_source_emits_commits_and_resumes(spark, tmp_path):
     name4, _ = run_to_memory(stream4, name="dlog4")
     # change commit dropped: only the two append commits' rows
     assert spark.table(name4).count() == 9
+
+
+def test_export_guards_rename_history_and_reads_empty_versions(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "ren"))
+    t.commit(spark.range(4).selectExpr("id AS k", "id AS v"))
+    t.rename_column("v", "w")
+    with pytest.raises(ValueError, match="RENAME COLUMN history"):
+        export_delta(t, str(tmp_path / "d"))
+    # rewrite collapses the epochs to one physical name: export works again
+    t.commit(t.read(), mode="overwrite")
+    assert export_delta(t, str(tmp_path / "d")) >= 1
+    got = read_delta_log(spark, str(tmp_path / "d"))
+    assert sorted(got.columns) == ["k", "w"] and got.count() == 4
+
+    # an all-removed (empty overwrite) version reads back as 0 rows
+    t2 = VersionedTable(spark, str(tmp_path / "empty"))
+    t2.commit(spark.range(3).selectExpr("id AS k"))
+    t2.commit(spark.range(0).selectExpr("id AS k"), mode="overwrite")
+    out2 = str(tmp_path / "d2")
+    export_delta(t2, out2)
+    assert read_delta_log(spark, out2).count() == 0
+    assert read_delta_log(spark, out2, version=0).count() == 3
