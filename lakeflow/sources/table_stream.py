@@ -79,9 +79,15 @@ class TableChangesDataSource(DataSource):
 
     def streamReader(self, schema) -> "TableChangesPartitionedReader":
         mode = self.options.get("mode", "append")
-        cols = [f.name for f in schema.fields]
-        if mode == "cdf":
-            cols = [c for c in cols if c != "_change_type"]
+        # Each output column resolves against a dir's parquet by trying its
+        # current name, then every historical alias (RENAME COLUMN writes
+        # per-epoch physical names) — otherwise a start_version=0 replay of
+        # pre-rename commits would stream NULLs for the renamed column.
+        cols = [
+            [f.name] + list((f.metadata or {}).get("lakeflow.aliases", []))
+            for f in schema.fields
+            if not (mode == "cdf" and f.name == "_change_type")
+        ]
         return TableChangesPartitionedReader(
             root=self.options["path"],
             on_change=self.options.get("on_change", "fail"),
@@ -217,6 +223,14 @@ class TableChangesPartitionedReader(DataSourceStreamReader):
         # Runs on an executor: local pyarrow read of one split.
         import pyarrow.parquet as pq
 
+        def col_of(t, names):
+            if isinstance(names, str):  # pre-alias checkpoints
+                names = [names]
+            for n in names:
+                if n in t.column_names:
+                    return t.column(n).to_pylist()
+            return [None] * t.num_rows
+
         if isinstance(partition, _DvPartition):
             dv = pq.read_table(partition.dv_path)
             by_file: dict[str, list[int]] = {}
@@ -229,22 +243,12 @@ class TableChangesPartitionedReader(DataSourceStreamReader):
             for fp, idxs in sorted(by_file.items()):
                 local = fp[7:] if fp.startswith("file://") else fp
                 t = pq.read_table(local).take(sorted(idxs))
-                cols = [
-                    t.column(c).to_pylist()
-                    if c in t.column_names
-                    else [None] * t.num_rows
-                    for c in partition.columns
-                ]
+                cols = [col_of(t, c) for c in partition.columns]
                 rows.extend(r + ("delete",) for r in zip(*cols))
             return iter(rows)
 
         table = pq.read_table(partition.directory)
-        cols = [
-            table.column(c).to_pylist()
-            if c in table.column_names
-            else [None] * table.num_rows
-            for c in partition.columns
-        ]
+        cols = [col_of(table, c) for c in partition.columns]
         out = list(zip(*cols)) if cols else []
         if self.mode == "cdf":
             out = [r + ("insert",) for r in out]
@@ -299,13 +303,18 @@ class TableChangesStreamReader(SimpleDataSourceStreamReader):
                 continue
             for d in added:
                 table = pq.read_table(d)
-                cols = [
-                    table.column(c).to_pylist() if c in table.column_names
+
+                def col_of(names):
+                    if isinstance(names, str):
+                        names = [names]
+                    for n in names:
+                        if n in table.column_names:
+                            return table.column(n).to_pylist()
                     # Schema-evolution backfill: files written before a
                     # column existed read NULL for it.
-                    else [None] * table.num_rows
-                    for c in self.columns
-                ]
+                    return [None] * table.num_rows
+
+                cols = [col_of(c) for c in self.columns]
                 rows.extend(zip(*cols) if cols else [])
             prev_dirs = set(m["dirs"])
         # List-backed: the engine pickles prefetched batches for replay.

@@ -2364,3 +2364,27 @@ def test_generated_columns_derive_on_mor_upserts(spark, tmp_path):
     )
     got = {(r.k, r.y2) for r in t.read().collect()}
     assert got == {(1, 2025), (2, 2026)}
+
+
+def test_table_stream_replays_pre_rename_commits_with_values(spark, tmp_path):
+    """A start-from-genesis table-changes stream over a RENAMED table must
+    emit real values for the renamed column in pre-rename commits (alias
+    resolution at the split reader), not NULLs."""
+    from lakeflow.sources.table_stream import register_table_changes_source
+    from lakeflow.streaming.sinks import run_to_memory
+
+    register_table_changes_source(spark)
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"))
+    t.rename_column("v", "w")
+    t.commit(
+        spark.createDataFrame([(3, 30)], "k long, w long"), mode="append"
+    )
+    stream = (
+        spark.readStream.format("lakeflow_table_changes")
+        .option("path", str(tmp_path / "t"))
+        .load()
+    )
+    name, _ = run_to_memory(stream)
+    got = {(r.k, r.w) for r in spark.table(name).collect()}
+    assert got == {(1, 10), (2, 20), (3, 30)}
