@@ -1582,6 +1582,14 @@ class VersionedTable:
         if not new_st.fields:
             raise ValueError("cannot drop the last column")
         m = self._manifest(version)
+        for gname, spec in (m.get("generated") or {}).items():
+            if gname != name and re.search(
+                rf"\b{re.escape(name)}\b", spec["expr"]
+            ):
+                raise ValueError(
+                    f"column {name!r} is referenced by generated column "
+                    f"{gname!r}: drop that column first"
+                )
         manifest = {
             "version": version + 1,
             "operation": f"drop-column:{name}",
@@ -1592,6 +1600,13 @@ class VersionedTable:
             },
             "schema": json.dumps(new_st.jsonValue()),
         }
+        if m.get("generated"):
+            # Dropping a generated column retires its derivation too —
+            # explicitly present (possibly empty) so the carry-forward in
+            # _publish_manifest cannot resurrect it on the next commit.
+            manifest["generated"] = {
+                g: s for g, s in m["generated"].items() if g != name
+            }
         self._publish_manifest(manifest)
         return manifest["version"]
 
@@ -1702,6 +1717,15 @@ class VersionedTable:
                 raise ValueError(
                     f"column {old!r} is referenced by constraint {cname!r}: "
                     "drop the constraint before renaming"
+                )
+        for gname, spec in self.generated_columns().items():
+            if gname == old or re.search(
+                rf"\b{re.escape(old)}\b", spec["expr"]
+            ):
+                raise ValueError(
+                    f"column {old!r} is a generated column or referenced by "
+                    f"generated column {gname!r}: drop that declaration "
+                    "before renaming"
                 )
         fields = []
         for f in st.fields:

@@ -2388,3 +2388,25 @@ def test_table_stream_replays_pre_rename_commits_with_values(spark, tmp_path):
     name, _ = run_to_memory(stream)
     got = {(r.k, r.w) for r in spark.table(name).collect()}
     assert got == {(1, 10), (2, 20), (3, 30)}
+
+
+def test_generated_column_drop_and_rename_interactions(spark, tmp_path):
+    """Dropping a generated column must retire its derivation (no
+    resurrection on the next commit); renaming a generated column or one
+    of its inputs is refused until the declaration is dropped."""
+    import pytest as _pt
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(spark.createDataFrame([(1, 5)], "k long, y int"))
+    t.set_generated("y2", "int", "y + 1")
+    with _pt.raises(ValueError, match="generated"):
+        t.rename_column("y2", "z")  # the generated column itself
+    with _pt.raises(ValueError, match="generated"):
+        t.rename_column("y", "yy")  # an input of the derivation
+    with _pt.raises(ValueError, match="generated"):
+        t.drop_column("y")  # dropping the input is refused too
+    t.drop_column("y2")
+    t.commit(spark.createDataFrame([(2, 6)], "k long, y int"), mode="append")
+    assert t.read().columns == ["k", "y"]  # derivation retired, no y2
+    t.rename_column("y", "yy")  # legal now
+    assert set(t.read().columns) == {"k", "yy"}
