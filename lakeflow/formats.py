@@ -206,11 +206,14 @@ def export_delta(table, path: str) -> int:
         ts = _delta_ms(m["committed_at"]) if m.get("committed_at") else 0
         actions = []
         if i == 0:
+            # Generated columns are a writer feature (minWriterVersion 4 in
+            # the protocol); plain tables stay at the widest-compatible 2.
+            has_generated = any(m.get("generated") for m in manifests.values())
             actions.append(
                 {
                     "protocol": {
                         "minReaderVersion": 1,
-                        "minWriterVersion": 2,
+                        "minWriterVersion": 4 if has_generated else 2,
                     }
                 }
             )
@@ -221,14 +224,26 @@ def export_delta(table, path: str) -> int:
             f"delta.constraints.{k}": v
             for k, v in (m.get("constraints") or {}).items()
         }
-        meta_state = (m.get("schema"), tuple(sorted(conf.items())))
+        # Generated columns render the way real Delta persists them: the
+        # expression rides the schemaString field metadata.
+        schema_str = m["schema"]
+        if m.get("generated"):
+            sj = json.loads(schema_str)
+            for fld in sj["fields"]:
+                spec = m["generated"].get(fld["name"])
+                if spec:
+                    fld.setdefault("metadata", {})[
+                        "delta.generationExpression"
+                    ] = spec["expr"]
+            schema_str = json.dumps(sj)
+        meta_state = (schema_str, tuple(sorted(conf.items())))
         if meta_state != prev_schema or i == 0:
             actions.append(
                 {
                     "metaData": {
                         "id": table_id,
                         "format": {"provider": "parquet", "options": {}},
-                        "schemaString": m["schema"],
+                        "schemaString": schema_str,
                         "partitionColumns": part_cols,
                         "configuration": conf,
                         "createdTime": ts,

@@ -230,3 +230,29 @@ def test_export_guards_rename_history_and_reads_empty_versions(spark, tmp_path):
     export_delta(t2, out2)
     assert read_delta_log(spark, out2).count() == 0
     assert read_delta_log(spark, out2, version=0).count() == 3
+
+
+def test_generated_columns_export_as_generation_expressions(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "src"))
+    t.commit(spark.createDataFrame([(1, "2024-05-01")], "k long, d string"))
+    t.set_generated("y", "int", "CAST(substr(d, 1, 4) AS INT)")
+    t.commit(
+        spark.createDataFrame([(2, "2025-06-01")], "k long, d string"),
+        mode="append",
+    )
+    out = str(tmp_path / "delta")
+    export_delta(t, out)
+    commits = sorted(glob.glob(os.path.join(out, "_delta_log", "*.json")))
+    actions = [json.loads(line) for c in commits for line in open(c)]
+    proto = next(a["protocol"] for a in actions if "protocol" in a)
+    assert proto["minWriterVersion"] == 4  # generated-columns writer feature
+    metas = [a["metaData"] for a in actions if "metaData" in a]
+    fields = json.loads(metas[-1]["schemaString"])["fields"]
+    y = next(f for f in fields if f["name"] == "y")
+    assert (
+        y["metadata"]["delta.generationExpression"]
+        == "CAST(substr(d, 1, 4) AS INT)"
+    )
+    # derived values ride the data files; the replay reader sees them
+    got = {(r.k, r.y) for r in read_delta_log(spark, out).collect()}
+    assert got == {(1, None), (2, 2025)}
