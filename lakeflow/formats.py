@@ -363,6 +363,7 @@ def import_delta(spark: SparkSession, path: str, dest: str):
     anywhere forces state replay and the uniform path keeps the importer
     trivially verifiable). Returns the new table."""
     import glob
+    import json
     import os
 
     from lakeflow.tables import VersionedTable
@@ -371,6 +372,7 @@ def import_delta(spark: SparkSession, path: str, dest: str):
     if not commits:
         raise ValueError(f"no Delta commits at {path}")
     t = VersionedTable(spark, dest)
+    meta = None
     for c in commits:
         i = int(os.path.basename(c).split(".")[0])
         t.commit(
@@ -378,4 +380,33 @@ def import_delta(spark: SparkSession, path: str, dest: str):
             mode="overwrite",
             _operation=f"import_delta:{i}",
         )
+        with open(c) as fh:
+            for line in fh:
+                if line.strip():
+                    a = json.loads(line)
+                    if "metaData" in a:
+                        meta = a["metaData"]
+    # Table policy imports too: CHECK constraints from the Delta
+    # configuration, generated columns from the schema's
+    # generationExpression metadata (NULL-epoch rows tolerated).
+    if meta is not None:
+        for k, v in (meta.get("configuration") or {}).items():
+            if k.startswith("delta.constraints."):
+                t.add_constraint(k[len("delta.constraints.") :], v)
+        from pyspark.sql.types import _parse_datatype_string
+
+        for fld in json.loads(meta["schemaString"])["fields"]:
+            expr = (fld.get("metadata") or {}).get("delta.generationExpression")
+            if expr:
+                dtype = (
+                    fld["type"]
+                    if isinstance(fld["type"], str)
+                    else json.dumps(fld["type"])
+                )
+                # normalize Delta's spelling ('integer') to Spark DDL ('int')
+                t.set_generated(
+                    fld["name"],
+                    _parse_datatype_string(dtype).simpleString(),
+                    expr,
+                )
     return t

@@ -1622,6 +1622,8 @@ class VersionedTable:
         constraints, surviving every manifest-producing path and clones."""
         from pyspark.sql.types import StructType, _parse_datatype_string
 
+        from pyspark.sql import functions as F
+
         version = self.current_version()
         if version is None:
             raise ValueError(f"table {self.root} has no snapshots")
@@ -1629,10 +1631,35 @@ class VersionedTable:
         if st is None:
             raise ValueError("pre-schema-tracking table cannot ALTER")
         if name in st.fieldNames():
-            raise ValueError(f"column {name!r} already exists")
-        new_st = StructType(list(st.fields)).add(
-            name, _parse_datatype_string(dtype), True
-        )
+            # Attaching a derivation to an EXISTING column (the import /
+            # retrofit path): the type must match and every non-NULL value
+            # must already satisfy the expression — NULLs are tolerated as
+            # the pre-declaration backfill epoch.
+            declared = _parse_datatype_string(dtype)
+            if st[name].dataType != declared:
+                raise ValueError(
+                    f"column {name!r} is {st[name].dataType.simpleString()}, "
+                    f"declaration says {dtype!r}"
+                )
+            bad = (
+                self.read(version)
+                .filter(
+                    F.col(name).isNotNull()
+                    & ~F.col(name).eqNullSafe(F.expr(expr).cast(dtype))
+                )
+                .limit(1)
+                .count()
+            )
+            if bad:
+                raise ValueError(
+                    f"existing non-NULL values of {name!r} disagree with "
+                    f"the declared expression"
+                )
+            new_st = st
+        else:
+            new_st = StructType(list(st.fields)).add(
+                name, _parse_datatype_string(dtype), True
+            )
         m = self._manifest(version)
         gen = dict(m.get("generated", {}))
         gen[name] = {"dtype": dtype, "expr": expr}

@@ -256,3 +256,40 @@ def test_generated_columns_export_as_generation_expressions(spark, tmp_path):
     # derived values ride the data files; the replay reader sees them
     got = {(r.k, r.y) for r in read_delta_log(spark, out).collect()}
     assert got == {(1, None), (2, 2025)}
+
+
+def test_import_restores_constraints_and_generated_declarations(spark, tmp_path):
+    from lakeflow.formats import import_delta
+
+    t = VersionedTable(spark, str(tmp_path / "src"))
+    t.commit(spark.createDataFrame([(1, "2024-05-01")], "k long, d string"))
+    t.add_constraint("k_pos", "k >= 0")
+    t.set_generated("y", "int", "CAST(substr(d, 1, 4) AS INT)")
+    t.commit(
+        spark.createDataFrame([(2, "2025-06-01")], "k long, d string"),
+        mode="append",
+    )
+    out = str(tmp_path / "delta")
+    export_delta(t, out)
+    imp = import_delta(spark, out, str(tmp_path / "imported"))
+    assert imp.constraints() == {"k_pos": "k >= 0"}
+    assert imp.generated_columns() == {
+        "y": {"dtype": "int", "expr": "CAST(substr(d, 1, 4) AS INT)"}
+    }
+    # the imported table ENFORCES the policy: a new batch derives y and a
+    # constraint breach is rejected
+    imp.commit(
+        spark.createDataFrame([(3, "2026-01-01")], "k long, d string"),
+        mode="append",
+    )
+    assert {(r.k, r.y) for r in imp.read().collect()} == {
+        (1, None), (2, 2025), (3, 2026),
+    }
+    import pytest as _pt
+    from lakeflow.tables import ConstraintViolationError
+
+    with _pt.raises(ConstraintViolationError):
+        imp.commit(
+            spark.createDataFrame([(-1, "2026-01-01")], "k long, d string"),
+            mode="append",
+        )
