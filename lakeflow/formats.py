@@ -170,6 +170,11 @@ def export_delta(table, path: str) -> int:
         )
 
     manifests = {v: table._manifest(v) for v in versions}
+    if any(m.get("schema") is None for m in manifests.values()):
+        raise ValueError(
+            "table predates schema tracking: recommit once to record a "
+            "schema before exporting (Delta metaData requires one)"
+        )
     latest_schema = table.schema(versions[-1])
     if latest_schema is not None and any(
         (f.metadata or {}).get(table.ALIASES_KEY) for f in latest_schema.fields
