@@ -23,6 +23,19 @@ class Task:
     name: str
     fn: Callable[..., Any]
     deps: Sequence[str] = field(default_factory=tuple)
+    retries: int = 0  # extra attempts after the first failure
+
+
+class TaskFailureError(RuntimeError):
+    """A task exhausted its attempts; carries the task name and count."""
+
+    def __init__(self, name: str, attempts: int, cause: Exception) -> None:
+        super().__init__(
+            f"task {name!r} failed after {attempts} attempt(s): {cause!r}"
+        )
+        self.task = name
+        self.attempts = attempts
+        self.cause = cause
 
 
 class Pipeline:
@@ -33,10 +46,10 @@ class Pipeline:
         self._tasks: dict[str, Task] = {}
 
     def task(
-        self, name: str, deps: Sequence[str] = ()
+        self, name: str, deps: Sequence[str] = (), retries: int = 0
     ) -> Callable[[Callable[..., Any]], Callable[..., Any]]:
         def deco(fn: Callable[..., Any]) -> Callable[..., Any]:
-            self.add(Task(name, fn, deps))
+            self.add(Task(name, fn, deps, retries))
             return fn
 
         return deco
@@ -64,11 +77,56 @@ class Pipeline:
                 deps.difference_update(ready)
         return order
 
-    def run(self, context: Mapping[str, Any] | None = None) -> dict[str, Any]:
-        """Execute all tasks; each fn receives (results_so_far, **context)."""
+    def run(
+        self,
+        context: Mapping[str, Any] | None = None,
+        on_error: str = "raise",
+    ) -> dict[str, Any]:
+        """Execute all tasks; each fn receives (results_so_far, **context).
+
+        Airflow-parity execution semantics (the reference DAG's
+        ``retries=`` and upstream_failed propagation,
+        /root/reference/src/dags/batch_elt_company.py): a task declaring
+        ``retries=N`` re-runs up to N extra times on exception; with
+        ``on_error="skip_downstream"`` an exhausted task marks itself
+        ``failed`` and every transitive dependent ``upstream_failed``
+        while independent branches keep running (default ``"raise"``
+        surfaces :class:`TaskFailureError` immediately). ``self.report``
+        records ``{name: {"status", "attempts"}}`` for the run.
+        """
+        if on_error not in ("raise", "skip_downstream"):
+            raise ValueError(
+                f"on_error must be raise|skip_downstream, got {on_error!r}"
+            )
         ctx = dict(context or {})
         results: dict[str, Any] = {}
+        self.report: dict[str, dict[str, Any]] = {}
+        dead: set[str] = set()
         for name in self.topo_order():
             task = self._tasks[name]
-            results[name] = task.fn(results, **ctx)
+            if any(d in dead for d in task.deps):
+                self.report[name] = {"status": "upstream_failed", "attempts": 0}
+                dead.add(name)
+                continue
+            attempts = 0
+            while True:
+                attempts += 1
+                try:
+                    results[name] = task.fn(results, **ctx)
+                    self.report[name] = {
+                        "status": "success",
+                        "attempts": attempts,
+                    }
+                    break
+                except Exception as exc:
+                    if attempts <= task.retries:
+                        continue
+                    self.report[name] = {
+                        "status": "failed",
+                        "attempts": attempts,
+                    }
+                    if on_error == "raise":
+                        raise TaskFailureError(name, attempts, exc) from exc
+                    dead.add(name)
+                    break
         return results

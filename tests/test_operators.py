@@ -1704,3 +1704,61 @@ def test_mmr_rerank_diversifies_and_respects_lambda(spark):
 
 def by_ranked(plain_sets, qid, rank):
     return plain_sets[qid][rank - 1]
+
+
+def test_pipeline_retries_and_failure_propagation():
+    """Airflow-parity runner semantics: retries re-run a flaky task;
+    skip_downstream marks the failed task and its transitive dependents
+    while independent branches complete; raise mode surfaces
+    TaskFailureError with the attempt count."""
+    import pytest as _pt
+
+    from lakeflow.plans.runner import Pipeline, TaskFailureError
+
+    calls = {"flaky": 0}
+    p = Pipeline("t")
+
+    @p.task("flaky", retries=2)
+    def flaky(results):
+        calls["flaky"] += 1
+        if calls["flaky"] < 3:
+            raise RuntimeError("transient")
+        return "ok"
+
+    @p.task("down", deps=("flaky",))
+    def down(results):
+        return results["flaky"] + "!"
+
+    out = p.run()
+    assert out == {"flaky": "ok", "down": "ok!"}
+    assert p.report["flaky"] == {"status": "success", "attempts": 3}
+
+    p2 = Pipeline("t2")
+
+    @p2.task("boom")
+    def boom(results):
+        raise ValueError("dead")
+
+    @p2.task("after_boom", deps=("boom",))
+    def after_boom(results):
+        return "never"
+
+    @p2.task("independent")
+    def independent(results):
+        return 42
+
+    out2 = p2.run(on_error="skip_downstream")
+    assert out2 == {"independent": 42}
+    assert p2.report["boom"]["status"] == "failed"
+    assert p2.report["after_boom"]["status"] == "upstream_failed"
+    assert p2.report["independent"]["status"] == "success"
+
+    p3 = Pipeline("t3")
+
+    @p3.task("always_fails", retries=1)
+    def always_fails(results):
+        raise RuntimeError("nope")
+
+    with _pt.raises(TaskFailureError) as ei:
+        p3.run()
+    assert ei.value.task == "always_fails" and ei.value.attempts == 2
