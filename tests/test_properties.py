@@ -704,3 +704,62 @@ def test_rename_amid_dml_matches_model(spark, tmp_path_factory, ops):
     got = sorted((r["k"], r[name]) for r in t.read().collect())
     assert got == sorted(model)
     assert t.read().columns == ["k", name]
+
+
+@given(
+    ops=st.lists(
+        st.one_of(
+            st.tuples(
+                st.just("append"),
+                st.lists(
+                    st.tuples(keys, st.integers(0, 99)), min_size=1, max_size=4
+                ),
+            ),
+            st.tuples(
+                st.just("overwrite"),
+                st.lists(
+                    st.tuples(keys, st.integers(0, 99)), min_size=1, max_size=4
+                ),
+            ),
+            st.tuples(st.just("delete"), keys),
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_delta_export_round_trips_arbitrary_histories(
+    spark, tmp_path_factory, ops
+):
+    """ANY interleaving of appends, overwrites, and copy-on-write deletes
+    must export to a Delta log whose independent replay reader reproduces
+    EVERY historical version exactly — the add/remove diffing can't drop,
+    duplicate, or misattribute a file anywhere in the history."""
+    from lakeflow.formats import export_delta, read_delta_log
+    from lakeflow.tables import VersionedTable
+
+    tmp = tmp_path_factory.mktemp("dexp")
+    t = VersionedTable(spark, str(tmp / "t"))
+    committed = False
+    for op in ops:
+        if op[0] in ("append", "overwrite"):
+            t.commit(
+                spark.createDataFrame(op[1], "k int, v int"),
+                mode=op[0] if committed else "append",
+            )
+            committed = True
+        elif committed:
+            t.delete_where(f"k = {op[1]}")
+    if not committed:
+        return
+    out = str(tmp / "delta")
+    n = export_delta(t, out)
+    versions = t.versions()
+    assert n == len(versions)
+    for i, v in enumerate(versions):
+        got = sorted(
+            (r.k, r.v) for r in read_delta_log(spark, out, version=i).collect()
+        )
+        want = sorted((r.k, r.v) for r in t.read(version=v).collect())
+        assert got == want, f"delta commit {i} != table version {v}"
