@@ -452,3 +452,56 @@ def stream_dedup_ingest(
     elif processing_time:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def stream_fuzzy_dedup_ingest(
+    df: DataFrame,
+    survivors,
+    index,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoint: str | None = None,
+    available_now: bool = True,
+    processing_time: str | None = None,
+    txn_app: str = "stream_fuzzy_dedup",
+    **lsh_kwargs,
+):
+    """NEAR-dup streaming ingest: the fuzzy companion of
+    :func:`stream_dedup_ingest` — each micro-batch runs
+    :func:`lakeflow.operators.dedup.incremental_fuzzy_dedup` against the
+    LSH bucket-key ``index`` table, appends surviving DOCS to ``survivors``
+    and their buckets to the index, both under per-app txn watermarks
+    (exactly-once on each table independently). The index holds two slim
+    columns ∝ corpus docs × bands — so a continuously-ingesting 100 TB
+    corpus stays near-dup-free at O(batch signatures + one bucket
+    semi-join) per trigger, with no full-corpus MinHash sweep ever."""
+    import tempfile as _tf
+
+    from lakeflow.operators.dedup import incremental_fuzzy_dedup
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        idx = index if index.current_version() is not None else None
+        keep_ids, keep_buckets = incremental_fuzzy_dedup(
+            batch_df, idx.read() if idx else None,
+            text_col=text_col, id_col=id_col, **lsh_kwargs,
+        )
+        fresh = batch_df.join(keep_ids, id_col, "left_semi").select(
+            *batch_df.columns
+        )
+        survivors.commit(
+            fresh, mode="append", txn=(f"{txn_app}_survivors", int(batch_id))
+        )
+        index.commit(
+            keep_buckets, mode="append", txn=(f"{txn_app}_index", int(batch_id))
+        )
+
+    writer = df.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint or _tf.mkdtemp(prefix="lakeflow-ckpt-")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

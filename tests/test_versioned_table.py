@@ -2410,3 +2410,53 @@ def test_generated_column_drop_and_rename_interactions(spark, tmp_path):
     assert t.read().columns == ["k", "y"]  # derivation retired, no y2
     t.rename_column("y", "yy")  # legal now
     assert set(t.read().columns) == {"k", "yy"}
+
+
+def test_stream_fuzzy_dedup_ingest_drops_near_dups_across_batches(spark, tmp_path):
+    """Streaming fuzzy ingest: a batch-2 near-copy of a batch-1 doc (one
+    appended word) drops via the LSH index; a within-batch near-copy drops
+    via bucket-leader-wins; genuinely novel docs survive; replaying batch 0
+    is swallowed by the txn watermark."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lakeflow.sources.streams import file_stream
+    from lakeflow.streaming.sinks import stream_fuzzy_dedup_ingest
+
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    b = "entirely different content about streaming lakehouse tables here now"
+    c = "a third novel document with its own unique words and phrasing style"
+    batches = [
+        [(1, a), (2, b)],
+        [(10, a + " tail"), (11, c), (12, c + " tail")],
+    ]
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    import os as _os
+
+    for i, rows in enumerate(batches):
+        ids, texts = zip(*rows)
+        pq.write_table(
+            pa.table({"doc_id": list(ids), "text": list(texts)}),
+            feed / f"b{i}.parquet",
+        )
+        _os.utime(feed / f"b{i}.parquet", (1_700_000_000 + i * 10,) * 2)
+
+    survivors = VersionedTable(spark, str(tmp_path / "surv"))
+    index = VersionedTable(spark, str(tmp_path / "idx"))
+    stream = file_stream(
+        spark, str(feed), "doc_id long, text string", max_files_per_trigger=1
+    )
+    stream_fuzzy_dedup_ingest(stream, survivors, index).awaitTermination()
+    kept = {r.doc_id for r in survivors.read().collect()}
+    assert kept == {1, 2, 11}, kept  # 10: index hit; 12: batch leader 11
+
+    v = survivors.current_version()
+    replay = spark.createDataFrame([(1, a)], "doc_id long, text string")
+    assert (
+        survivors.commit(
+            replay, mode="append", txn=("stream_fuzzy_dedup_survivors", 0)
+        )
+        == v
+    )
+    assert survivors.read().count() == 3
