@@ -20,6 +20,7 @@ EXAMPLES = [
     "retrieval.py",
     "llm_curation.py",
     "mutable_lakehouse.py",
+    "delta_interop.py",
 ]
 
 
