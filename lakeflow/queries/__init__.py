@@ -205,6 +205,14 @@ _REWRITTEN_SINCE_GREEN = frozenset(
         # rewrite) — the r5 verdict for this query belongs to the old
         # word-boundary binder.
         "sql_lakehouse_time_travel",
+        # r6 (late): _read_dirs grew alias-aware group reads (RENAME
+        # COLUMN), commit() grew the generated-column hook, and UPDATE
+        # rewrote to single-select ANSI semantics — re-green the two
+        # queries that exercise the changed read + DML paths most directly
+        # (the remaining S10 greens are covered by today's local parity
+        # sweep; slots go to the 30+ never-verified first).
+        "time_travel_customer_v1",
+        "delete_where_roundtrip",
         # (stream_quarantine_events was retuned for the same reason but has
         # never been driver-verified, so it already sits in the never block.)
     }
