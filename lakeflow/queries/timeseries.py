@@ -614,3 +614,75 @@ def sft_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "\n",
         ).alias("transcript"),
     )
+
+
+@register(
+    "preference_pairs",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, event_id,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        FROM events WHERE event_type = 'purchase'
+    ),
+    r AS (
+        SELECT user_id, event_id, c,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY c DESC, event_id ASC
+               ) AS rc,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY c ASC, event_id ASC
+               ) AS rr
+        FROM p
+    )
+    SELECT ch.user_id,
+           ch.event_id AS chosen_event_id,
+           rj.event_id AS rejected_event_id,
+           ch.c AS chosen_cents,
+           rj.c AS rejected_cents,
+           ch.c - rj.c AS margin_cents
+    FROM (SELECT * FROM r WHERE rc = 1) ch
+    JOIN (SELECT * FROM r WHERE rr = 1) rj USING (user_id)
+    WHERE ch.c > rj.c
+    """,
+)
+def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction for DPO/RLHF reward data: per prompt
+    group (user), the best-valued response becomes `chosen` and the
+    worst-valued `rejected`, with a strict-margin gate so ties never emit a
+    pair. Values are fixed to integer cents BEFORE the argmax/argmin so
+    float formatting can't flip a tie, and ties break on event_id via
+    lexicographic struct ordering — fully deterministic on both engines.
+
+    Plan shape: ONE shuffle on the prompt key with map-side partial min/max
+    over (cents, event_id) structs — O(1) state per group. Deliberately NOT
+    the window-rank formulation (which sorts every partition in full): at a
+    100 TB event log, partial-aggregating two extrema per group is the plan
+    that survives; sorting all events per prompt is not. The oracle takes
+    the window-rank road (explicit ORDER BY makes its tie-break auditable),
+    so the two independent formulations must agree pair-for-pair."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    p = ev.select(
+        "user_id",
+        F.col("event_id").cast("bigint").alias("event_id"),
+        cents.alias("c"),
+    )
+    agg = p.groupBy("user_id").agg(
+        F.max(F.struct(F.col("c"), (-F.col("event_id")).alias("neg"))).alias(
+            "ch"
+        ),
+        F.min(F.struct(F.col("c"), F.col("event_id"))).alias("rj"),
+    )
+    return (
+        agg.filter(F.col("ch.c") > F.col("rj.c"))
+        .select(
+            "user_id",
+            (-F.col("ch.neg")).cast("bigint").alias("chosen_event_id"),
+            F.col("rj.event_id").alias("rejected_event_id"),
+            F.col("ch.c").alias("chosen_cents"),
+            F.col("rj.c").alias("rejected_cents"),
+            (F.col("ch.c") - F.col("rj.c")).alias("margin_cents"),
+        )
+    )

@@ -686,3 +686,14 @@ def test_gopher_rules_are_scan_side(spark):
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.strip().startswith(("Project", "*(1) Project", "AdaptiveSparkPlan"))
+
+
+def test_preference_pairs_single_shuffle_no_window(spark):
+    """DPO pair construction must be the one-shuffle partial-extrema plan:
+    no Window sort-the-world, exactly one Exchange, purchase filter pushed
+    to the parquet scan, partial min/max before the shuffle."""
+    plan = _plan(spark, "preference_pairs")
+    assert "Window" not in plan
+    assert plan.count("Exchange") - plan.count("AQEShuffleRead") <= 1
+    assert "EqualTo(event_type,purchase)" in plan
+    assert "partial_max" in plan and "partial_min" in plan
