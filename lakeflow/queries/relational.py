@@ -2301,3 +2301,74 @@ def column_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("o_orderpriority", "str"),
         ],
     )
+
+
+@register(
+    "charclass_profile",
+    oracle="""
+    WITH s AS (
+        SELECT c_custkey, c_name || ' ' || c_mktsegment AS t
+        FROM customer
+    ),
+    k AS (
+        SELECT c_custkey,
+               CAST(length(t) AS BIGINT) AS n_chars,
+               CAST(length(t) - length(regexp_replace(t, '[a-z]', '', 'g'))
+                    AS BIGINT) AS n_lower,
+               CAST(length(t) - length(regexp_replace(t, '[A-Z]', '', 'g'))
+                    AS BIGINT) AS n_upper,
+               CAST(length(t) - length(regexp_replace(t, '[0-9]', '', 'g'))
+                    AS BIGINT) AS n_digit,
+               CAST(length(t) - length(regexp_replace(t, '[ ]', '', 'g'))
+                    AS BIGINT) AS n_space,
+               CAST(length(t) - length(regexp_replace(t, '[^ -~]', '', 'g'))
+                    AS BIGINT) AS n_non_ascii
+        FROM s
+    )
+    SELECT c_custkey, n_chars, n_lower, n_upper, n_digit, n_space,
+           n_non_ascii,
+           n_chars - n_lower - n_upper - n_digit - n_space AS n_other,
+           (floor(((n_lower + n_upper) * 1.0 / n_chars) * 1000000.0 + 0.5)
+                / 1000000.0) AS letter_ratio
+    FROM k
+    """,
+)
+def charclass_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class profiling of a string column — the curation signal
+    behind script/charset filters (mojibake detection, non-printable
+    screens, letter-density thresholds a la CCNet). Counts per row of
+    lowercase / uppercase / digit / space / other / non-printable-ASCII
+    characters plus a micro-rounded letter ratio, all computed as
+    length-minus-stripped regexp folds: pure scan-side Catalyst
+    projections, zero shuffles, and the identical RE2-safe character
+    classes run on both engines (Spark's regexp_replace is global by
+    default; DuckDB takes the explicit 'g' flag). At 100 TB this is a
+    mapper over the corpus — the profile usually feeds a WHERE that
+    prunes before any expensive stage."""
+    cust = load_table(spark, sf_dir, "customer")
+    t = F.concat(F.col("c_name"), F.lit(" "), F.col("c_mktsegment"))
+
+    def n_stripped(pat: str):
+        return (F.length(t) - F.length(F.regexp_replace(t, pat, ""))).cast(
+            "bigint"
+        )
+
+    n_chars = F.length(t).cast("bigint")
+    n_lower = n_stripped("[a-z]")
+    n_upper = n_stripped("[A-Z]")
+    n_digit = n_stripped("[0-9]")
+    n_space = n_stripped("[ ]")
+    letters = (n_lower + n_upper).cast("double")
+    return cust.select(
+        "c_custkey",
+        n_chars.alias("n_chars"),
+        n_lower.alias("n_lower"),
+        n_upper.alias("n_upper"),
+        n_digit.alias("n_digit"),
+        n_space.alias("n_space"),
+        n_stripped("[^ -~]").alias("n_non_ascii"),
+        (n_chars - n_lower - n_upper - n_digit - n_space).alias("n_other"),
+        (
+            F.floor(letters / n_chars * 1000000.0 + F.lit(0.5)) / 1000000.0
+        ).alias("letter_ratio"),
+    )
