@@ -1392,3 +1392,61 @@ def table_schema_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.drop_column("w")
     t.set_generated("g", "int", "CAST(k % 7 AS INT)")
     return t.schema_changes()
+
+
+@register(
+    "snapshot_expiry_state",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM orders
+    WHERE o_orderkey <= 5000 AND o_orderkey % 5 <> 0
+    GROUP BY o_orderstatus
+    """,
+)
+def snapshot_expiry_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot expiry (Iceberg expire_snapshots / Delta VACUUM) end to
+    end: three snapshots accumulate (initial load, append, copy-on-write
+    DELETE), then all but the head are expired — the superseded manifests
+    are dropped and every data dir only they referenced is physically
+    deleted. The query asserts the retention contract (exactly one
+    surviving version, both old versions expired, at least one
+    now-unreferenced dir actually gone from disk) and then aggregates the
+    surviving state, so the oracle breaks if expiry removes a dir the
+    head still references — integer-cents sums would lose rows — or the
+    DELETE's rewrite leaked deleted keys. At 100 TB expiry is the GC that
+    bounds storage: manifest-driven, proportional to the number of dirs,
+    never a table scan."""
+    import os
+    import tempfile
+
+    from lakeflow.catalog import table_path
+    from lakeflow.tables import VersionedTable
+
+    orders = spark.read.parquet(table_path(sf_dir, "orders")).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="lakeflow_expire_"))
+    t.commit(orders.filter(F.col("o_orderkey") <= 3000).repartition(2))
+    t.commit(
+        orders.filter(
+            (F.col("o_orderkey") > 3000) & (F.col("o_orderkey") <= 5000)
+        ).repartition(2)
+    )
+    old_dirs = set(t._manifest(t.current_version())["dirs"])
+    t.delete_where("o_orderkey % 5 = 0")
+    expired = t.expire_snapshots(keep_last=1)
+    assert expired == [1, 2], expired
+    assert len(t.versions()) == 1
+    dead = old_dirs - set(t._manifest(t.current_version())["dirs"])
+    assert dead and all(not os.path.isdir(d) for d in dead)
+    return t.read().groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("total_cents"),
+    )
