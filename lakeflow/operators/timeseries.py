@@ -230,3 +230,35 @@ def rolling_zscore(
             (F.col("vm").cast("double") - mean) / F.sqrt(var), round_to
         ).alias("z"),
     )
+
+
+def dpo_pairs(
+    df: DataFrame,
+    group_col: str = "user_id",
+    id_col: str = "event_id",
+    cents_col: str = "c",
+) -> DataFrame:
+    """Preference-pair (DPO/RLHF) extraction: per ``group_col`` the
+    highest-``cents_col`` row becomes `chosen` and the lowest `rejected`,
+    with a strict-margin gate (equal extrema emit nothing) and
+    deterministic id tie-breaks — chosen prefers the SMALLEST id among
+    equal maxima (max over (c, -id)), rejected the smallest id among
+    equal minima (min over (c, id)).
+
+    Values must already be exact integers (cents): float ranking would
+    make the argmax engine-dependent at ties. One shuffle on the group
+    key, map-side partial min/max, O(1) state per group — never a window
+    sort (see SCALE.md)."""
+    c, i = F.col(cents_col), F.col(id_col)
+    agg = df.groupBy(group_col).agg(
+        F.max(F.struct(c.alias("c"), (-i).alias("neg"))).alias("ch"),
+        F.min(F.struct(c.alias("c"), i.alias("id"))).alias("rj"),
+    )
+    return agg.filter(F.col("ch.c") > F.col("rj.c")).select(
+        group_col,
+        (-F.col("ch.neg")).cast("bigint").alias("chosen_" + id_col),
+        F.col("rj.id").cast("bigint").alias("rejected_" + id_col),
+        F.col("ch.c").alias("chosen_cents"),
+        F.col("rj.c").alias("rejected_cents"),
+        (F.col("ch.c") - F.col("rj.c")).alias("margin_cents"),
+    )

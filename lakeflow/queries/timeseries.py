@@ -660,6 +660,8 @@ def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     that survives; sorting all events per prompt is not. The oracle takes
     the window-rank road (explicit ORDER BY makes its tie-break auditable),
     so the two independent formulations must agree pair-for-pair."""
+    from lakeflow.operators.timeseries import dpo_pairs
+
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
     )
@@ -669,20 +671,4 @@ def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").cast("bigint").alias("event_id"),
         cents.alias("c"),
     )
-    agg = p.groupBy("user_id").agg(
-        F.max(F.struct(F.col("c"), (-F.col("event_id")).alias("neg"))).alias(
-            "ch"
-        ),
-        F.min(F.struct(F.col("c"), F.col("event_id"))).alias("rj"),
-    )
-    return (
-        agg.filter(F.col("ch.c") > F.col("rj.c"))
-        .select(
-            "user_id",
-            (-F.col("ch.neg")).cast("bigint").alias("chosen_event_id"),
-            F.col("rj.event_id").alias("rejected_event_id"),
-            F.col("ch.c").alias("chosen_cents"),
-            F.col("rj.c").alias("rejected_cents"),
-            (F.col("ch.c") - F.col("rj.c")).alias("margin_cents"),
-        )
-    )
+    return dpo_pairs(p, "user_id", "event_id", "c")

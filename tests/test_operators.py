@@ -1762,3 +1762,32 @@ def test_pipeline_retries_and_failure_propagation():
     with _pt.raises(TaskFailureError) as ei:
         p3.run()
     assert ei.value.task == "always_fails" and ei.value.attempts == 2
+
+
+def test_dpo_pairs_ties_and_margin_gate(spark):
+    """Tie-breaks and the strict-margin gate of preference-pair extraction:
+    equal maxima pick the smallest id, equal minima pick the smallest id,
+    a constant-value group emits nothing, a singleton group emits nothing."""
+    from lakeflow.operators.timeseries import dpo_pairs
+
+    rows = [
+        # g1: max tie at 500 (ids 2,5 -> chosen 2); min tie at 100 (ids 7,9 -> rejected 7)
+        (1, 2, 500), (1, 5, 500), (1, 7, 100), (1, 9, 100), (1, 3, 250),
+        # g2: constant value -> no pair
+        (2, 1, 300), (2, 2, 300),
+        # g3: singleton -> chosen == rejected -> gated out
+        (3, 4, 42),
+        # g4: plain case
+        (4, 10, 50), (4, 11, 900),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, event_id long, c long")
+    got = {
+        r["user_id"]: r.asDict() for r in dpo_pairs(df).collect()
+    }
+    assert set(got) == {1, 4}
+    assert got[1]["chosen_event_id"] == 2
+    assert got[1]["rejected_event_id"] == 7
+    assert got[1]["margin_cents"] == 400
+    assert got[4]["chosen_event_id"] == 11
+    assert got[4]["rejected_event_id"] == 10
+    assert got[4]["chosen_cents"] == 900 and got[4]["rejected_cents"] == 50
