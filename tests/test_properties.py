@@ -763,3 +763,46 @@ def test_delta_export_round_trips_arbitrary_histories(
         )
         want = sorted((r.k, r.v) for r in t.read(version=v).collect())
         assert got == want, f"delta commit {i} != table version {v}"
+
+
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(0, 3),          # group
+            st.integers(0, 20),         # id
+            st.integers(-5, 5),         # cents
+        ),
+        min_size=0,
+        max_size=16,
+    )
+)
+@settings(**_SETTINGS)
+def test_dpo_pairs_match_brute_force(spark, data):
+    """dpo_pairs ≡ the obvious per-group brute force: chosen = (max c,
+    then min id), rejected = (min c, then min id), pair emitted iff the
+    extrema differ strictly. Duplicate (group, id) rows are legal input."""
+    from lakeflow.operators.timeseries import dpo_pairs
+
+    df = spark.createDataFrame(
+        data, "user_id int, event_id long, c long"
+    )
+    got = {
+        r["user_id"]: (
+            r["chosen_event_id"],
+            r["rejected_event_id"],
+            r["chosen_cents"],
+            r["rejected_cents"],
+            r["margin_cents"],
+        )
+        for r in dpo_pairs(df).collect()
+    }
+    groups: dict[int, list[tuple[int, int]]] = {}
+    for g, i, c in data:
+        groups.setdefault(g, []).append((i, c))
+    want = {}
+    for g, rows_ in groups.items():
+        ch = max(rows_, key=lambda r: (r[1], -r[0]))
+        rj = min(rows_, key=lambda r: (r[1], r[0]))
+        if ch[1] > rj[1]:
+            want[g] = (ch[0], rj[0], ch[1], rj[1], ch[1] - rj[1])
+    assert got == want
