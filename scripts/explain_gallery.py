@@ -72,6 +72,8 @@ GALLERY = [
     ("gopher_quality_flags", "all 7 published rules in ONE scan-side JVM projection — zero exchange, zero Python"),
     ("source_drift_report", "fixed grid (groups x buckets) — integer micro-unit TV distance, state independent of corpus size"),
     ("mmr_diverse_topk", "JVM shortlist + pair cosines (integer micro-units) → ONE cogrouped-pandas greedy per query"),
+    ("preference_pairs", "per-prompt extrema via ONE shuffle of partial min/max structs — no window sort"),
+    ("charclass_profile", "length-minus-stripped regexp folds — pure scan-side projection, zero exchange"),
 ]
 
 
