@@ -1367,3 +1367,95 @@ def gopher_quality_flags(
         *[v.alias(k) for k, v in checks.items()],
         passes.alias("passes_gopher"),
     )
+
+
+def build_text_index(
+    df: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Materialize the inverted index ``bm25_topk`` otherwise rebuilds per
+    query: postings (tok, id, tf, dl — doc length denormalized onto every
+    posting, Lucene's norms trick, so query time never joins a doc-stats
+    table), per-term document frequencies, and the 1-row corpus stats.
+
+    Postings are range-partitioned and sorted by token, so every file
+    carries a tight min/max envelope on ``tok`` and a query's IN-filter
+    prunes to the files that can contain its terms — the parquet-native
+    posting-list seek. At 100 TB the build is the one-off O(corpus)
+    tokenization job (incremental maintenance = rebuild of appended dirs'
+    postings, a manifest-diff away); every query after it pays only
+    |postings(query terms)|.
+    """
+    from lakeflow.operators.transforms import fan_out
+
+    toks = fan_out(
+        df.select(F.col(id_col).alias("id"), F.col(text_col))
+    ).select(
+        "id", F.explode(F.split(normalize_text(text_col), " ")).alias("tok")
+    )
+    dl = toks.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    tf = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    postings = tf.join(dl, "id").select("tok", "id", "tf", "dl")
+    (
+        postings.repartitionByRange(8, "tok")
+        .sortWithinPartitions("tok")
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/postings")
+    )
+    tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df")).write.mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/term_stats")
+    dl.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sum_dl")
+    ).write.mode("overwrite").parquet(f"{index_dir}/corpus_stats")
+
+
+def bm25_indexed_topk(
+    spark,
+    index_dir: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 top-``k`` answered FROM the materialized index — no corpus
+    scan, no tokenization: probe the postings files whose tok envelope
+    admits the query terms (IN-filter pushed to parquet), broadcast the
+    term and corpus stats, score in integer micro-units, global top-k as
+    TakeOrderedAndProject. Bit-identical to ``bm25_topk`` (same arithmetic,
+    same tie-break) — the only thing that changed is WHEN the index work
+    happens."""
+    postings = spark.read.parquet(f"{index_dir}/postings").filter(
+        F.col("tok").isin(query_terms)
+    )
+    dfreq = spark.read.parquet(f"{index_dir}/term_stats").filter(
+        F.col("tok").isin(query_terms)
+    )
+    stats = spark.read.parquet(f"{index_dir}/corpus_stats")
+    avgdl = F.col("sum_dl") / F.col("n")
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    term_score = idf * (
+        F.col("tf")
+        * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl))
+    )
+    scored = (
+        postings.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "id",
+            F.floor(term_score * 1_000_000.0 + 0.5)
+            .cast("bigint")
+            .alias("micro"),
+        )
+        .groupBy("id")
+        .agg((F.sum("micro") / 1_000_000.0).alias("bm25"))
+    )
+    return (
+        scored.select(F.col("id").alias(id_col), "bm25")
+        .orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(k)
+    )

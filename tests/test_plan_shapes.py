@@ -697,3 +697,25 @@ def test_preference_pairs_single_shuffle_no_window(spark):
     assert plan.count("Exchange") - plan.count("AQEShuffleRead") <= 1
     assert "EqualTo(event_type,purchase)" in plan
     assert "partial_max" in plan and "partial_min" in plan
+
+
+def test_bm25_index_probe_is_pruned_and_corpus_free(spark, tmp_path):
+    """The indexed BM25 probe must never touch the corpus: its plan reads
+    only the index parquet (no documents scan, no tokenization explode),
+    the query terms' IN-filter is pushed to the postings scan, and the
+    top-k is a TakeOrderedAndProject, not a global sort."""
+    from lakeflow.catalog import load_table
+    from lakeflow.operators import text as tx
+
+    idx = str(tmp_path / "idx")
+    tx.build_text_index(load_table(spark, SF_DIR, "documents"), idx)
+    probe = tx.bm25_indexed_topk(spark, idx, ["spark", "window", "join"], k=10)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "documents" not in plan and "Generate" not in plan  # no corpus, no explode
+    assert "In(tok" in plan or "tok IN" in plan  # pushed probe filter
+    assert "TakeOrderedAndProject" in plan
+    # and the probe answer matches the on-the-fly path bit for bit
+    direct = tx.bm25_topk(
+        load_table(spark, SF_DIR, "documents"), ["spark", "window", "join"], k=10
+    )
+    assert sorted(map(tuple, probe.collect())) == sorted(map(tuple, direct.collect()))
