@@ -1412,6 +1412,47 @@ def build_text_index(
     ).write.mode("overwrite").parquet(f"{index_dir}/corpus_stats")
 
 
+def append_to_text_index(
+    df: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Incremental index maintenance for appended documents: tokenize ONLY
+    the new batch and append its postings plus PARTIAL term/corpus stats —
+    df, n and sum_dl are associative sums, so maintenance is append-only
+    (the mergeable-sketch pattern; no read-modify-write race on the stats
+    files) and the probe aggregates partials at query time over the handful
+    of rows its terms touch. At 100 TB each ingested dir costs O(batch)
+    tokenization, exactly the manifest-diff increment every other
+    incremental op here pays; compaction of stat partials happens at
+    OPTIMIZE cadence. Contract: append-only — updates/deletes rebuild the
+    affected dirs' postings (the CoW/MOR story, not this fast path)."""
+    from lakeflow.operators.transforms import fan_out
+
+    toks = fan_out(
+        df.select(F.col(id_col).alias("id"), F.col(text_col))
+    ).select(
+        "id", F.explode(F.split(normalize_text(text_col), " ")).alias("tok")
+    )
+    dl = toks.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    tf = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    (
+        tf.join(dl, "id")
+        .select("tok", "id", "tf", "dl")
+        .repartitionByRange(4, "tok")
+        .sortWithinPartitions("tok")
+        .write.mode("append")
+        .parquet(f"{index_dir}/postings")
+    )
+    tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df")).write.mode(
+        "append"
+    ).parquet(f"{index_dir}/term_stats")
+    dl.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sum_dl")
+    ).write.mode("append").parquet(f"{index_dir}/corpus_stats")
+
+
 def bm25_indexed_topk(
     spark,
     index_dir: str,
@@ -1431,10 +1472,18 @@ def bm25_indexed_topk(
     postings = spark.read.parquet(f"{index_dir}/postings").filter(
         F.col("tok").isin(query_terms)
     )
-    dfreq = spark.read.parquet(f"{index_dir}/term_stats").filter(
-        F.col("tok").isin(query_terms)
+    # Stats files hold associative PARTIALS (one row set per ingest batch,
+    # see append_to_text_index) — fold them here; the filtered fold is a
+    # few rows per query term / batch, never a corpus-shaped aggregate.
+    dfreq = (
+        spark.read.parquet(f"{index_dir}/term_stats")
+        .filter(F.col("tok").isin(query_terms))
+        .groupBy("tok")
+        .agg(F.sum("df").alias("df"))
     )
-    stats = spark.read.parquet(f"{index_dir}/corpus_stats")
+    stats = spark.read.parquet(f"{index_dir}/corpus_stats").agg(
+        F.sum("n").alias("n"), F.sum("sum_dl").alias("sum_dl")
+    )
     avgdl = F.col("sum_dl") / F.col("n")
     idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
     term_score = idf * (

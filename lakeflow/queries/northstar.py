@@ -3406,3 +3406,25 @@ def incremental_fuzzy_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     survivors, _buckets = dd.incremental_fuzzy_dedup(batch, index)
     return survivors.select(F.col("doc_id").cast("bigint").alias("keep_id"))
+
+
+@register("bm25_incremental_index", oracle=_BM25_ORACLE)
+def bm25_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance under the hash gate: the index is
+    built on HALF the corpus, the remaining docs arrive as two appended
+    batches folded in by `append_to_text_index` (append-only postings +
+    associative stat partials — no read-modify-write), and the probe must
+    score EXACTLY like the one-shot index over the full corpus — the same
+    `bm25_keyword_topk` oracle. A df partial double-counted, a batch's
+    postings missed, or stale corpus stats all shift idf/avgdl and break
+    the hash."""
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    mid = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
+    idx = tempfile.mkdtemp(prefix="lakeflow_bm25inc_")
+    tx.build_text_index(docs.filter(F.col("doc_id") <= mid), idx)
+    rest = docs.filter(F.col("doc_id") > mid)
+    tx.append_to_text_index(rest.filter(F.col("doc_id") % 2 == 0), idx)
+    tx.append_to_text_index(rest.filter(F.col("doc_id") % 2 == 1), idx)
+    return tx.bm25_indexed_topk(spark, idx, ["spark", "window", "join"], k=10)
