@@ -14,6 +14,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from lakeflow.catalog import table_path
 from lakeflow.queries import register
+from lakeflow.queries.northstar import _BM25_ORACLE as _BM25_STREAM_ORACLE
+
 from lakeflow.sources.streams import events_stream
 from lakeflow.streaming.candles import streaming_candles
 from lakeflow.streaming.sinks import run_to_memory
@@ -791,3 +793,52 @@ def stream_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.read().select(
         "fp", F.col("doc_id").cast("bigint").alias("keep_id")
     )
+
+
+@register("stream_bm25_index", oracle=_BM25_STREAM_ORACLE)
+def stream_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming index maintenance end to end: the documents table arrives
+    as three micro-batches (maxFilesPerTrigger=1) through
+    `stream_index_ingest`, each landing postings + stat partials under its
+    own batch=<id> subdir (overwrite = replay-idempotent), and the probe
+    over the assembled index must score EXACTLY like a one-shot index over
+    the full corpus — the same oracle as `bm25_keyword_topk`. A batch
+    double-counted, dropped, or scored with stale corpus stats breaks the
+    hash."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lakeflow.operators.text import bm25_indexed_topk
+    from lakeflow.sources.streams import file_stream
+    from lakeflow.streaming.sinks import stream_index_ingest
+
+    raw = spark.read.parquet(table_path(sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    n = raw.agg(F.max("doc_id")).first()[0]
+    feed = tempfile.mkdtemp(prefix="lakeflow_idxfeed_")
+    for i, b in enumerate(
+        (
+            raw.filter(F.col("doc_id") <= n // 3),
+            raw.filter(
+                (F.col("doc_id") > n // 3) & (F.col("doc_id") <= 2 * n // 3)
+            ),
+            raw.filter(F.col("doc_id") > 2 * n // 3),
+        )
+    ):
+        part = tempfile.mkdtemp(prefix="lakeflow_idxpart_")
+        b.coalesce(1).write.mode("overwrite").parquet(part)
+        dst = f"{feed}/{i:03d}.parquet"
+        shutil.copy(glob.glob(f"{part}/*.parquet")[0], dst)
+        os.utime(dst, (1_700_000_000 + i * 10,) * 2)
+
+    idx = tempfile.mkdtemp(prefix="lakeflow_stridx_")
+    stream = file_stream(
+        spark, feed, "doc_id bigint, text string", max_files_per_trigger=1
+    )
+    stream_index_ingest(stream, idx).awaitTermination()
+    return bm25_indexed_topk(spark, idx, ["spark", "window", "join"], k=10)

@@ -505,3 +505,71 @@ def stream_fuzzy_dedup_ingest(
     elif processing_time:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def stream_index_ingest(
+    df: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoint: str | None = None,
+    available_now: bool = True,
+    processing_time: str | None = None,
+):
+    """Streaming maintenance of the materialized inverted index
+    (operators/text.py::build_text_index): each micro-batch tokenizes ONLY
+    its own documents and lands postings + associative stat partials under
+    ``batch=<id>`` subdirectories with OVERWRITE semantics — a replayed
+    micro-batch rewrites its own subdir with identical deterministic
+    content instead of double-appending, so the index is exactly-once by
+    construction without a txn log (the subdir IS the idempotency key).
+    The probe (`bm25_indexed_topk`) reads the parent dirs through
+    partition discovery and folds the partials, so retrieval sees every
+    batch the moment its files land — the shape streaming corpus ingest
+    wants at 100 TB: per-batch tokenization cost, no stats
+    read-modify-write, compaction of batch shards at OPTIMIZE cadence."""
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    from lakeflow.operators.text import normalize_text
+    from lakeflow.operators.transforms import fan_out
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        toks = fan_out(
+            batch_df.select(F.col(id_col).alias("id"), F.col(text_col))
+        ).select(
+            "id",
+            F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
+        )
+        dl = toks.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+        tf = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+        (
+            tf.join(dl, "id")
+            .select("tok", "id", "tf", "dl")
+            .repartitionByRange(4, "tok")
+            .sortWithinPartitions("tok")
+            .write.mode("overwrite")
+            .parquet(f"{index_dir}/postings/batch={int(batch_id)}")
+        )
+        tf.groupBy("tok").agg(
+            F.count(F.lit(1)).alias("df")
+        ).write.mode("overwrite").parquet(
+            f"{index_dir}/term_stats/batch={int(batch_id)}"
+        )
+        dl.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sum_dl")
+        ).write.mode("overwrite").parquet(
+            f"{index_dir}/corpus_stats/batch={int(batch_id)}"
+        )
+
+    writer = df.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint or _tf.mkdtemp(prefix="lakeflow-ckpt-")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

@@ -1791,3 +1791,48 @@ def test_dpo_pairs_ties_and_margin_gate(spark):
     assert got[4]["chosen_event_id"] == 11
     assert got[4]["rejected_event_id"] == 10
     assert got[4]["chosen_cents"] == 900 and got[4]["rejected_cents"] == 50
+
+
+def test_stream_index_ingest_replay_is_idempotent(spark, tmp_path):
+    """A replayed micro-batch (fresh checkpoint, same feed, same batch ids)
+    overwrites its own batch=<id> subdirs with identical content — the
+    probe answer and the folded corpus stats must not change."""
+    from lakeflow.catalog import load_table
+    from lakeflow.operators.text import bm25_indexed_topk
+    from lakeflow.sources.streams import file_stream
+    from lakeflow.streaming.sinks import stream_index_ingest
+
+    import glob
+    import os
+    import shutil
+
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    part = str(tmp_path / "part")
+    docs.coalesce(1).write.mode("overwrite").parquet(part)
+    dst = f"{feed}/000.parquet"
+    shutil.copy(glob.glob(f"{part}/*.parquet")[0], dst)
+    os.utime(dst, (1_700_000_000,) * 2)
+
+    idx = str(tmp_path / "idx")
+    schema = "doc_id bigint, text string"
+    stream_index_ingest(
+        file_stream(spark, feed, schema, max_files_per_trigger=1), idx
+    ).awaitTermination()
+    first = sorted(
+        map(tuple, bm25_indexed_topk(spark, idx, ["spark", "join"]).collect())
+    )
+    n_stat_rows = spark.read.parquet(f"{idx}/corpus_stats").count()
+
+    # replay: fresh checkpoint reprocesses the same file as batch 0 again
+    stream_index_ingest(
+        file_stream(spark, feed, schema, max_files_per_trigger=1), idx
+    ).awaitTermination()
+    again = sorted(
+        map(tuple, bm25_indexed_topk(spark, idx, ["spark", "join"]).collect())
+    )
+    assert again == first
+    assert spark.read.parquet(f"{idx}/corpus_stats").count() == n_stat_rows
