@@ -1602,3 +1602,62 @@ def compact_text_index(spark, index_dir: str) -> None:
         shutil.rmtree(f"{index_dir}/{part}")
         os.rename(f"{tmp}/{part}", f"{index_dir}/{part}")
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+def phrase_snippets(
+    spark,
+    index_dir: str,
+    docs: DataFrame,
+    phrase: list[str],
+    window: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Snippet/highlight generation for phrase hits: the positional index
+    yields each match's start position, and ONLY matching docs join back
+    to the corpus (broadcast of the match list — |hits|, not |corpus|) to
+    slice ``window`` tokens of context around the phrase. The corpus is
+    re-tokenized solely for the matched rows; everything else is pruned
+    before the text column is ever read — the retrieval-display shape at
+    100 TB, where hits are thousands and the corpus is not. Returns
+    (id, pos, snippet), one row per occurrence, 0-based positions."""
+    if not phrase:
+        raise ValueError("phrase must have at least one term")
+    postings = spark.read.parquet(f"{index_dir}/postings")
+
+    def shift_by(off: int):
+        return lambda p: p - F.lit(off)
+
+    probes = []
+    for i, term in enumerate(phrase):
+        probes.append(
+            postings.filter(F.col("tok") == term).select(
+                "id",
+                F.transform(F.col("positions"), shift_by(i)).alias(f"p{i}"),
+            )
+        )
+    joined = probes[0]
+    for i in range(1, len(phrase)):
+        joined = joined.join(probes[i], "id")
+    chain = F.col("p0")
+    for i in range(1, len(phrase)):
+        chain = F.array_intersect(chain, F.col(f"p{i}"))
+    matches = joined.select(
+        "id", F.explode(chain).alias("pos")
+    )
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.split(normalize_text(text_col), " ").alias("w"),
+    )
+    start0 = F.greatest(F.lit(0), F.col("pos") - window)
+    length = (F.col("pos") - start0) + len(phrase) + window
+    return (
+        toks.join(F.broadcast(matches), "id")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("pos").cast("bigint").alias("pos"),
+            F.array_join(
+                F.slice(F.col("w"), start0 + 1, length), " "
+            ).alias("snippet"),
+        )
+    )

@@ -3460,3 +3460,35 @@ def phrase_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), idx, include_positions=True
     )
     return tx.phrase_match(spark, idx, ["table", "scan"])
+
+
+@register(
+    "phrase_snippets_docs",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+    toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+    hits AS (
+        SELECT doc_id, w, i
+        FROM toks, UNNEST(range(1, len(w))) AS r(i)
+        WHERE w[i] = 'table' AND w[i+1] = 'scan'
+    )
+    SELECT doc_id,
+           CAST(i - 1 AS BIGINT) AS pos,
+           array_to_string(w[greatest(1, i - 2) : i + 3], ' ') AS snippet
+    FROM hits
+    """,
+)
+def phrase_snippets_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snippets (±2 tokens of context) for every "table scan" occurrence:
+    the positional index finds the hits, and only HIT docs join back to
+    the corpus for the context slice — the corpus-side read is pruned to
+    |matches| by a broadcast semi-shape before the text column is
+    touched. The oracle re-derives every occurrence and its exact rendered
+    window from the raw text, so an off-by-one in position, slice bounds,
+    or edge clamping (matches at the doc head) breaks the hash."""
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = tempfile.mkdtemp(prefix="lakeflow_snipidx_")
+    tx.build_text_index(docs, idx, include_positions=True)
+    return tx.phrase_snippets(spark, idx, docs, ["table", "scan"], window=2)
