@@ -1661,3 +1661,40 @@ def phrase_snippets(
             ).alias("snippet"),
         )
     )
+
+
+def boolean_search(
+    spark,
+    index_dir: str,
+    must: list[str] | None = None,
+    should: list[str] | None = None,
+    must_not: list[str] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Boolean retrieval over the inverted index: AND = successive semi
+    joins of posting id-sets, OR = union-distinct, NOT = one anti join —
+    set algebra on postings only, the corpus is never read. Each probe is
+    an envelope-pruned postings scan of exactly its term; at 100 TB the
+    query costs the sum of its terms' posting lists, with AQE free to
+    start the AND chain from the rarest term. Requires ``must`` or
+    ``should``; returns distinct matching ids."""
+    if not must and not should:
+        raise ValueError("boolean_search needs at least must or should terms")
+    postings = spark.read.parquet(f"{index_dir}/postings")
+
+    def ids(term: str) -> DataFrame:
+        return postings.filter(F.col("tok") == term).select("id")
+
+    if should:
+        base = ids(should[0])
+        for t in should[1:]:
+            base = base.unionByName(ids(t))
+        base = base.distinct()
+    else:
+        base = ids(must[0]).distinct()
+        must = must[1:]
+    for t in must or []:
+        base = base.join(ids(t), "id", "left_semi")
+    for t in must_not or []:
+        base = base.join(ids(t), "id", "left_anti")
+    return base.select(F.col("id").alias(id_col))

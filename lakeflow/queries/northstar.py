@@ -3492,3 +3492,29 @@ def phrase_snippets_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = tempfile.mkdtemp(prefix="lakeflow_snipidx_")
     tx.build_text_index(docs, idx, include_positions=True)
     return tx.phrase_snippets(spark, idx, docs, ["table", "scan"], window=2)
+
+
+@register(
+    "boolean_search_docs",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+    m AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm)
+    SELECT doc_id FROM m
+    WHERE list_contains(w, 'spark') AND list_contains(w, 'join')
+      AND NOT list_contains(w, 'window')
+    """,
+)
+def boolean_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean retrieval (spark AND join AND NOT window) as posting-set
+    algebra: two semi joins and one anti join over envelope-pruned
+    postings scans — the corpus text is never read at query time. The
+    oracle recomputes membership from raw text, so a stale posting, a
+    dropped NOT, or dedup drift (a doc with both terms twice must emit
+    once) breaks the hash."""
+    import tempfile
+
+    idx = tempfile.mkdtemp(prefix="lakeflow_boolidx_")
+    tx.build_text_index(load_table(spark, sf_dir, "documents"), idx)
+    return tx.boolean_search(
+        spark, idx, must=["spark", "join"], must_not=["window"]
+    )

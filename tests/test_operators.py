@@ -1906,3 +1906,32 @@ def test_phrase_match_repeated_and_long_phrases(spark, tmp_path):
         r for r in phrase_match(spark, idx, ["scan", "table"]).collect()
     ]  # deterministic
     assert {r.doc_id for r in phrase_match(spark, idx, ["stream", "batch"]).collect()} == {2}
+
+
+def test_boolean_search_or_and_not(spark, tmp_path):
+    """OR unions dedup, AND chains semi joins, NOT anti-joins — crafted
+    docs pin every branch."""
+    from lakeflow.operators.text import boolean_search, build_text_index
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join window"),
+            (2, "spark join batch"),
+            (3, "spark batch"),
+            (4, "join join spark spark"),
+            (5, "window batch"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    build_text_index(docs, idx)
+
+    got = {r.doc_id for r in boolean_search(spark, idx, must=["spark", "join"], must_not=["window"]).collect()}
+    assert got == {2, 4}
+    got = {r.doc_id for r in boolean_search(spark, idx, should=["window", "batch"]).collect()}
+    assert got == {1, 2, 3, 5}
+    got = {r.doc_id for r in boolean_search(spark, idx, should=["window", "batch"], must=["spark"]).collect()}
+    assert got == {1, 2, 3}
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        boolean_search(spark, idx, must_not=["spark"])
