@@ -38,6 +38,23 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(normalize_text(col))
 
 
+def template_fingerprint(col: Column | str) -> Column:
+    """TEMPLATE fingerprint: like `fingerprint`, but digit runs collapse to a
+    single '0' first — so machine-generated boilerplate that differs only in
+    numbers (ids, dates, prices, counters) lands on one fingerprint. This is
+    the cheap scan-side pass that catches the single biggest near-dup family
+    in web corpora BEFORE the (much costlier) MinHash/SimHash machinery runs;
+    everything stays a Catalyst projection, zero Python, and the regexes are
+    RE2-safe so any engine replays them. Whitespace is collapsed with an
+    explicit ASCII class (not \\s) to keep Java-regex and RE2 semantics
+    identical on unicode inputs."""
+    c = F.col(col) if isinstance(col, str) else col
+    digits_folded = F.regexp_replace(c, "[0-9]+", "0")
+    return F.md5(
+        F.lower(F.trim(F.regexp_replace(digits_folded, "[ \\t\\r\\n]+", " ")))
+    )
+
+
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

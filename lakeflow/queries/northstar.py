@@ -52,6 +52,37 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.exact_dedup(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "template_dedup_docs",
+    oracle=r"""
+    SELECT md5(lower(trim(regexp_replace(
+               regexp_replace(text, '[0-9]+', '0', 'g'),
+               '[ \t\r\n]+', ' ', 'g')))) AS template_fp,
+           min(doc_id) AS keep_id,
+           count(*) AS n_variants
+    FROM documents GROUP BY 1
+    """,
+)
+def template_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template dedup: collapse digit runs before fingerprinting, so docs
+    that differ only in numbers (invoice ids, dates, prices — the classic
+    machine-generated boilerplate family) dedup together. Same one-shuffle
+    hash-groupBy plan as `exact_dedup_docs`, still zero Python; it simply
+    widens the equivalence classes, which is why real curation pipelines run
+    this scan-side pass before paying for MinHash. Strictly coarsens the
+    exact fingerprint: every exact-dup group is contained in one template
+    group (n_variants ≥ its n_dups)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", dd.template_fingerprint("text").alias("template_fp"))
+        .groupBy("template_fp")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_variants"),
+        )
+    )
+
+
 _MINHASH_BANDS_CTE = """
     hashed AS (SELECT doc_id, md5(shingle) AS h FROM sh),
     seeded AS (

@@ -22,7 +22,13 @@ from pyspark.sql.types import (
 )
 
 from lakeflow.catalog import load_table
-from lakeflow.operators.aggregates import grouped_agg, scalar_max, tumbling_candles
+from lakeflow.operators.aggregates import (
+    cms_cells,
+    cms_point_estimate,
+    grouped_agg,
+    scalar_max,
+    tumbling_candles,
+)
 from lakeflow.operators import linkage as lk
 from lakeflow.operators.joins import anti_join, lookup_chain, semi_join, star_flatten
 from lakeflow.operators.transforms import (
@@ -827,6 +833,69 @@ def hll_partial_merge_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
                 <= F.col("exact") * 5
             )
         ).alias("within_tolerance"),
+    )
+
+
+@register(
+    "cms_heavy_hitters",
+    oracle="""
+    WITH keyed AS (
+        SELECT CAST(user_id AS VARCHAR) AS user_key FROM events
+    ),
+    seeds(seed) AS (VALUES ('0'), ('1'), ('2'), ('3')),
+    cells AS (
+        SELECT seed,
+               CAST(('0x' || substr(md5(seed || ':' || user_key), 1, 8))
+                    AS BIGINT) % 256 AS bucket,
+               count(*) AS cnt
+        FROM keyed CROSS JOIN seeds
+        GROUP BY 1, 2
+    ),
+    est AS (
+        SELECT k.user_key, min(c.cnt) AS est_cnt
+        FROM (SELECT DISTINCT user_key FROM keyed) k
+        CROSS JOIN seeds s
+        JOIN cells c
+          ON c.seed = s.seed
+         AND c.bucket = CAST(('0x' || substr(md5(s.seed || ':' || k.user_key),
+                                             1, 8)) AS BIGINT) % 256
+        GROUP BY 1
+    ),
+    exact AS (
+        SELECT user_key, count(*) AS exact_cnt FROM keyed GROUP BY 1
+    )
+    SELECT e.user_key, e.est_cnt, x.exact_cnt
+    FROM est e JOIN exact x USING (user_key)
+    WHERE e.est_cnt >= 75
+    """,
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters — mergeable FREQUENCY sketch state,
+    the companion to `hll_partial_merge_verdict`'s cardinality partials.
+
+    At 100 TB you cannot keep a counter per key; the CMS keeps depth×width
+    counters total (here 4×256), each map task combines into at most that
+    many cells, and per-day partial cell frames merge by summing — so the
+    heavy-hitter report is incrementally maintainable without rescanning
+    history. md5 bucket hashing (not JVM count_min_sketch bytes) makes the
+    whole sketch engine-portable: the DuckDB oracle replays every cell and
+    every point estimate bit-for-bit — a FULL hash oracle, not a verdict
+    row. The exact count rides along per key to exhibit the CMS guarantee
+    (est_cnt ≥ exact_cnt, overshoot bounded by collisions). Candidates here
+    are the distinct keys (bounded by user cardinality, not event volume);
+    at corpus scale you'd feed per-shard local top-k candidates instead —
+    the sketch answers point queries for WHATEVER candidate set via a
+    broadcast of its ≤1024 cells.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.select(F.col("user_id").cast("string").alias("user_key"))
+    cells = cms_cells(keyed, "user_key")
+    est = cms_point_estimate(cells, keyed.distinct(), "user_key")
+    exact = keyed.groupBy("user_key").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    return (
+        est.join(exact, "user_key")
+        .where(F.col("est_cnt") >= 75)
+        .select("user_key", "est_cnt", "exact_cnt")
     )
 
 

@@ -1935,3 +1935,66 @@ def test_boolean_search_or_and_not(spark, tmp_path):
     import pytest as _pt
     with _pt.raises(ValueError):
         boolean_search(spark, idx, must_not=["spark"])
+
+
+def test_cms_estimate_upper_bounds_and_merges(spark):
+    """CMS invariants: est ≥ exact for every key, and per-shard cell
+    partials summed equal the whole-input sketch (mergeability — the
+    property incremental maintenance relies on)."""
+    from pyspark.sql import functions as F
+
+    from lakeflow.operators.aggregates import cms_cells, cms_point_estimate
+
+    rows = [(k,) for k in ["a"] * 50 + ["b"] * 20 + ["c"] * 5 + ["d"] * 1]
+    df = spark.createDataFrame(rows, "k string")
+    cells = cms_cells(df, "k", depth=3, width=8)
+    est = {
+        r.k: r.est_cnt
+        for r in cms_point_estimate(
+            cells, df.distinct(), "k", depth=3, width=8
+        ).collect()
+    }
+    exact = {r.k: r.n for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(est) == set(exact)
+    for k, n in exact.items():
+        assert est[k] >= n, (k, est[k], n)
+
+    # Mergeability: sketch(shard1) + sketch(shard2) == sketch(union).
+    half1 = spark.createDataFrame([(k,) for k in ["a"] * 30 + ["b"] * 10], "k string")
+    half2 = spark.createDataFrame(
+        [(k,) for k in ["a"] * 20 + ["b"] * 10 + ["c"] * 5 + ["d"] * 1], "k string"
+    )
+    merged = (
+        cms_cells(half1, "k", depth=3, width=8)
+        .unionByName(cms_cells(half2, "k", depth=3, width=8))
+        .groupBy("seed", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = cms_cells(df, "k", depth=3, width=8)
+    assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in whole.collect()}
+
+
+def test_template_fingerprint_collapses_digit_variants(spark):
+    """Digit runs, case, and whitespace shape fold into one template;
+    genuinely different words do not."""
+    from lakeflow.operators.dedup import fingerprint, template_fingerprint
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Invoice 12345 total $99.10"),
+            (2, "invoice 777 total   $3.5"),
+            (3, "Invoice 12345\ttotal $99.10\n"),
+            (4, "Receipt 12345 total $99.10"),
+        ],
+        "doc_id long, text string",
+    )
+    out = docs.select(
+        "doc_id",
+        template_fingerprint("text").alias("tfp"),
+        fingerprint("text").alias("fp"),
+    ).collect()
+    tfp = {r.doc_id: r.tfp for r in out}
+    fp = {r.doc_id: r.fp for r in out}
+    assert tfp[1] == tfp[2] == tfp[3]      # numbers + whitespace fold
+    assert tfp[4] != tfp[1]                # different word: different template
+    assert fp[1] != fp[2]                  # exact fingerprint keeps them apart
