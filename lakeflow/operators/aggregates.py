@@ -206,3 +206,14 @@ def cms_point_estimate(
         .groupBy(key_col)
         .agg(F.min("cnt").alias("est_cnt"))
     )
+
+
+def read_cms_cells(spark, sketch_dir: str) -> DataFrame:
+    """Fold per-batch CMS cell partials (``stream_cms_ingest`` layout) into
+    the current sketch: partials merge by summing, so the whole read is one
+    ≤depth·width-row aggregate however many batches have landed."""
+    return (
+        spark.read.parquet(f"{sketch_dir}/cells")
+        .groupBy("seed", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )

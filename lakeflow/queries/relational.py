@@ -836,9 +836,9 @@ def hll_partial_merge_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "cms_heavy_hitters",
-    oracle="""
+# Shared with the streaming twin (queries/streaming.py): the sketch folds to
+# the same cells however the input was micro-batched, so one oracle serves both.
+_CMS_HH_ORACLE = """
     WITH keyed AS (
         SELECT CAST(user_id AS VARCHAR) AS user_key FROM events
     ),
@@ -867,8 +867,10 @@ def hll_partial_merge_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT e.user_key, e.est_cnt, x.exact_cnt
     FROM est e JOIN exact x USING (user_key)
     WHERE e.est_cnt >= 75
-    """,
-)
+    """
+
+
+@register("cms_heavy_hitters", oracle=_CMS_HH_ORACLE)
 def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch heavy hitters — mergeable FREQUENCY sketch state,
     the companion to `hll_partial_merge_verdict`'s cardinality partials.

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from lakeflow.catalog import table_path
 from lakeflow.queries import register
 from lakeflow.queries.northstar import _BM25_ORACLE as _BM25_STREAM_ORACLE
+from lakeflow.queries.relational import _CMS_HH_ORACLE as _CMS_HH_STREAM_ORACLE
 
 from lakeflow.sources.streams import events_stream
 from lakeflow.streaming.candles import streaming_candles
@@ -842,3 +843,42 @@ def stream_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stream_index_ingest(stream, idx).awaitTermination()
     return bm25_indexed_topk(spark, idx, ["spark", "window", "join"], k=10)
+
+
+@register("stream_cms_heavy_hitters", oracle=_CMS_HH_STREAM_ORACLE)
+def stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `cms_heavy_hitters`: the events feed streams through
+    `stream_cms_ingest` (per-micro-batch cell partials landed under
+    replay-idempotent batch=<id> subdirs), then the probe folds the landed
+    partials with `read_cms_cells` and point-queries them. Because CMS
+    partials merge by summing, the folded sketch — and therefore every
+    estimate — is IDENTICAL to the batch sketch however the engine
+    micro-batched the input, which is exactly what the shared oracle checks.
+    The candidate/exact frames come from the batch table (they are the
+    report's display side); only the sketch state was maintained
+    incrementally."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lakeflow.catalog import load_table
+    from lakeflow.operators.aggregates import cms_point_estimate, read_cms_cells
+    from lakeflow.streaming.sinks import stream_cms_ingest
+
+    keyed_stream = events_stream(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("user_key")
+    )
+    sketch_dir = tempfile.mkdtemp(prefix="lakeflow-cms-")
+    stream_cms_ingest(keyed_stream, sketch_dir, "user_key").awaitTermination()
+
+    cells = read_cms_cells(spark, sketch_dir)
+    keyed = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("user_key")
+    )
+    est = cms_point_estimate(cells, keyed.distinct(), "user_key")
+    exact = keyed.groupBy("user_key").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    return (
+        est.join(exact, "user_key")
+        .where(F.col("est_cnt") >= 75)
+        .select("user_key", "est_cnt", "exact_cnt")
+    )

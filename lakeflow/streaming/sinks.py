@@ -573,3 +573,51 @@ def stream_index_ingest(
     elif processing_time:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def stream_cms_ingest(
+    df: DataFrame,
+    sketch_dir: str,
+    key_col: str,
+    *,
+    depth: int = 4,
+    width: int = 256,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+    processing_time: str | None = None,
+):
+    """Streaming maintenance of the mergeable count-min sketch
+    (operators/aggregates.py::cms_cells): each micro-batch sketches ONLY its
+    own rows and lands the ≤depth·width cell partials under a
+    ``cells/batch=<id>`` subdirectory with OVERWRITE semantics — the same
+    replay-idempotency-by-construction as ``stream_index_ingest`` (the
+    subdir is the idempotency key; a replayed batch rewrites identical
+    deterministic content instead of double-counting). Because CMS partials
+    merge by summing, the probe just folds all landed subdirs
+    (``read_cms_cells``) — frequency estimates stay current per micro-batch
+    with NO read-modify-write of sketch state, which is what heavy-hitter
+    tracking over a 100 TB event firehose wants: per-batch sketch cost,
+    constant-size state, compaction optional (fold batches at OPTIMIZE
+    cadence exactly like the inverted index)."""
+    import tempfile as _tf
+
+    from lakeflow.operators.aggregates import cms_cells
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            cms_cells(batch_df, key_col, depth=depth, width=width)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{sketch_dir}/cells/batch={int(batch_id)}")
+        )
+
+    writer = df.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint or _tf.mkdtemp(prefix="lakeflow-ckpt-")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

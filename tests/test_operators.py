@@ -1998,3 +1998,59 @@ def test_template_fingerprint_collapses_digit_variants(spark):
     assert tfp[1] == tfp[2] == tfp[3]      # numbers + whitespace fold
     assert tfp[4] != tfp[1]                # different word: different template
     assert fp[1] != fp[2]                  # exact fingerprint keeps them apart
+
+
+def test_stream_cms_ingest_folds_and_replays_idempotently(spark, tmp_path):
+    """Cell partials landed per micro-batch fold to the whole-input sketch
+    (mergeability through the streaming path, multiple real batches), and a
+    replayed run (fresh checkpoint, same feed, same batch ids) overwrites
+    its own batch=<id> subdirs without double-counting."""
+    import glob
+    import os
+    import shutil
+
+    from lakeflow.operators.aggregates import cms_cells, read_cms_cells
+    from lakeflow.sources.streams import file_stream
+    from lakeflow.streaming.sinks import stream_cms_ingest
+
+    rows = [(k,) for k in ["a"] * 40 + ["b"] * 15 + ["c"] * 3]
+    df = spark.createDataFrame(rows, "k string")
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    # two source files -> two micro-batches under maxFilesPerTrigger=1
+    part1 = str(tmp_path / "p1")
+    part2 = str(tmp_path / "p2")
+    spark.createDataFrame(rows[:30], "k string").coalesce(1).write.parquet(part1)
+    spark.createDataFrame(rows[30:], "k string").coalesce(1).write.parquet(part2)
+    for i, part in enumerate([part1, part2]):
+        dst = f"{feed}/{i:03d}.parquet"
+        shutil.copy(glob.glob(f"{part}/*.parquet")[0], dst)
+        os.utime(dst, (1_700_000_000 + i,) * 2)
+
+    sketch = str(tmp_path / "sketch")
+    stream_cms_ingest(
+        file_stream(spark, feed, "k string", max_files_per_trigger=1),
+        sketch,
+        "k",
+        depth=3,
+        width=8,
+    ).awaitTermination()
+    batch_dirs = glob.glob(f"{sketch}/cells/batch=*")
+    assert len(batch_dirs) == 2, batch_dirs
+
+    folded = {tuple(r) for r in read_cms_cells(spark, sketch).collect()}
+    whole = {
+        tuple(r) for r in cms_cells(df, "k", depth=3, width=8).collect()
+    }
+    assert folded == whole
+
+    # replay with a fresh checkpoint: same files, same batch ids, no change
+    stream_cms_ingest(
+        file_stream(spark, feed, "k string", max_files_per_trigger=1),
+        sketch,
+        "k",
+        depth=3,
+        width=8,
+    ).awaitTermination()
+    again = {tuple(r) for r in read_cms_cells(spark, sketch).collect()}
+    assert again == whole
