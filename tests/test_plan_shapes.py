@@ -719,3 +719,20 @@ def test_bm25_index_probe_is_pruned_and_corpus_free(spark, tmp_path):
         load_table(spark, SF_DIR, "documents"), ["spark", "window", "join"], k=10
     )
     assert sorted(map(tuple, probe.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_cms_probe_broadcasts_cells(spark):
+    """The CMS point-query joins candidates against the ≤depth·width cell
+    frame — that side must broadcast (the candidate set is never shuffled
+    against sketch state), and nothing degenerates to a cartesian product."""
+    plan = _plan(spark, "cms_heavy_hitters")
+    assert "BroadcastHashJoin" in plan, "CMS probe lost its broadcast"
+    assert "CartesianProduct" not in plan
+
+
+def test_template_dedup_single_aggregate(spark):
+    """Template dedup is one hash-groupBy over the scan-side fingerprint —
+    exactly one shuffle, no window, no join."""
+    plan = _plan(spark, "template_dedup_docs")
+    assert plan.count("Exchange") <= 2  # partial->final agg exchange (+AQE read)
+    assert "Window" not in plan and "Join" not in plan
