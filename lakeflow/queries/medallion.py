@@ -152,6 +152,52 @@ def time_travel_customer_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "governed_customer_scan",
+    oracle="""
+    SELECT c_custkey,
+           concat(substr(c_name, 1, 9),
+                  repeat('*', length(c_name) - 9)) AS c_name,
+           c_nationkey,
+           CAST(floor(c_acctbal / 100) * 100 AS DOUBLE) AS c_acctbal,
+           c_mktsegment
+    FROM customer
+    WHERE c_mktsegment <> 'BUILDING'
+    """,
+)
+def governed_customer_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fine-grained access control as TABLE POLICY (Delta/Unity column
+    masks + row filters): the analyst path reads customer through
+    `VersionedTable.read_governed` — the BUILDING segment is hidden by a
+    row filter (evaluated on true values, before masks), the customer
+    number inside c_name is starred out, and acctbal is coarsened to a
+    100-unit band
+    (type-preserving, enforced at declaration). Policy rides the manifest
+    like CHECK constraints — it survives DML, clones, and compaction, and
+    time travel does NOT rewind it (history is not a governance loophole).
+    The owner path (`read()`) is untouched. Masks/filters are Catalyst
+    projections and pushable predicates — governance costs nothing extra at
+    100 TB (the filter prunes like any WHERE; no row ever leaves the scan
+    unmasked on the governed plan)."""
+    import tempfile
+
+    from lakeflow.tables import VersionedTable
+
+    cust = load_table(spark, sf_dir, "customer")
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="lakeflow_gov_"))
+    t.commit(cust)
+    t.set_column_mask(
+        "c_name",
+        "concat(substr(c_name, 1, 9), "
+        "repeat('*', length(c_name) - 9))",
+    )
+    t.set_column_mask(
+        "c_acctbal", "cast(floor(c_acctbal / 100) * 100 as double)"
+    )
+    t.set_row_filter("hide_building", "c_mktsegment <> 'BUILDING'")
+    return t.read_governed()
+
+
+@register(
     "sql_api_top_nations",
     oracle="""
     SELECT n_name,

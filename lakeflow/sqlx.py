@@ -19,6 +19,9 @@ minimal grammar that does:
     ANALYZE TABLE t COMPUTE STATISTICS FOR COLUMNS (c1, c2)
     ALTER TABLE t ADD COLUMN c <type> | DROP COLUMN c
     ALTER TABLE t ADD CONSTRAINT name CHECK (<expr>) | DROP CONSTRAINT name
+    ALTER TABLE t SET MASK ON c AS (<expr>) | DROP MASK ON c
+    ALTER TABLE t SET ROW FILTER name AS (<expr>) | DROP ROW FILTER name
+    DESCRIBE POLICY t
     OPTIMIZE t [ZORDER BY (c1, c2)]
     VACUUM t [RETAIN <n> SNAPSHOTS]
     ROLLBACK TABLE t TO VERSION <n>
@@ -110,6 +113,27 @@ _ADD_CONSTRAINT = re.compile(
 _DROP_CONSTRAINT = re.compile(
     r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*$",
     re.IGNORECASE,
+)
+_SET_MASK = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+SET\s+MASK\s+ON\s+(\w+)"
+    r"\s+AS\s*\((.+)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_MASK = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+MASK\s+ON\s+(\w+)\s*$",
+    re.IGNORECASE,
+)
+_SET_ROW_FILTER = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+SET\s+ROW\s+FILTER\s+(\w+)"
+    r"\s+AS\s*\((.+)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_ROW_FILTER = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+ROW\s+FILTER\s+(\w+)\s*$",
+    re.IGNORECASE,
+)
+_DESCRIBE_POLICY = re.compile(
+    r"^\s*DESCRIBE\s+POLICY\s+([\w.]+)\s*$", re.IGNORECASE
 )
 _OPTIMIZE = re.compile(
     r"^\s*OPTIMIZE\s+([\w.]+)"
@@ -284,6 +308,47 @@ class LakehouseSQL:
             t = self.catalog.load(m.group(1))
             v = t.drop_constraint(m.group(2))
             return {"altered": m.group(1), "dropped_constraint": m.group(2), "version": v}
+        m = _SET_MASK.match(stmt)
+        if m:
+            t = self.catalog.load(m.group(1))
+            v = t.set_column_mask(m.group(2), m.group(3).strip())
+            return {"altered": m.group(1), "set_mask": m.group(2), "version": v}
+        m = _DROP_MASK.match(stmt)
+        if m:
+            t = self.catalog.load(m.group(1))
+            v = t.drop_column_mask(m.group(2))
+            return {"altered": m.group(1), "dropped_mask": m.group(2), "version": v}
+        m = _SET_ROW_FILTER.match(stmt)
+        if m:
+            t = self.catalog.load(m.group(1))
+            v = t.set_row_filter(m.group(2), m.group(3).strip())
+            return {"altered": m.group(1), "set_row_filter": m.group(2), "version": v}
+        m = _DROP_ROW_FILTER.match(stmt)
+        if m:
+            t = self.catalog.load(m.group(1))
+            v = t.drop_row_filter(m.group(2))
+            return {
+                "altered": m.group(1),
+                "dropped_row_filter": m.group(2),
+                "version": v,
+            }
+        m = _DESCRIBE_POLICY.match(stmt)
+        if m:
+            t = self.catalog.load(m.group(1))
+            rows = (
+                [("mask", c, e) for c, e in sorted(t.masks().items())]
+                + [
+                    ("row_filter", n, e)
+                    for n, e in sorted(t.row_filters().items())
+                ]
+                + [
+                    ("constraint", n, e)
+                    for n, e in sorted(t.constraints().items())
+                ]
+            )
+            return self.spark.createDataFrame(
+                rows, "kind string, name string, expr string"
+            )
         m = _OPTIMIZE.match(stmt)
         if m:
             t = self.catalog.load(m.group(1))

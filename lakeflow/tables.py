@@ -615,6 +615,8 @@ class VersionedTable:
             "partitioning",
             "constraints",
             "generated",
+            "masks",
+            "row_filters",
             "txns",
         ):
             if k in m:
@@ -701,6 +703,11 @@ class VersionedTable:
             # constraints: carry them across every manifest-producing path.
             if "generated" not in manifest and prev_m.get("generated"):
                 manifest["generated"] = prev_m["generated"]
+            # Governance policy (column masks, row filters) likewise.
+            if "masks" not in manifest and prev_m.get("masks"):
+                manifest["masks"] = prev_m["masks"]
+            if "row_filters" not in manifest and prev_m.get("row_filters"):
+                manifest["row_filters"] = prev_m["row_filters"]
             # Deletion vectors ride along while any referenced dir survives;
             # a full-rewrite manifest (no shared dirs) purges them — its
             # data was read THROUGH the vectors, so the deletes are
@@ -1590,6 +1597,18 @@ class VersionedTable:
                     f"column {name!r} is referenced by generated column "
                     f"{gname!r}: drop that column first"
                 )
+        for mcol, mexpr in (m.get("masks") or {}).items():
+            if mcol != name and re.search(rf"\b{re.escape(name)}\b", mexpr):
+                raise ValueError(
+                    f"column {name!r} is referenced by the mask on "
+                    f"{mcol!r}: drop that mask first"
+                )
+        for fname, fexpr in (m.get("row_filters") or {}).items():
+            if re.search(rf"\b{re.escape(name)}\b", fexpr):
+                raise ValueError(
+                    f"column {name!r} is referenced by row filter "
+                    f"{fname!r}: drop the filter first"
+                )
         manifest = {
             "version": version + 1,
             "operation": f"drop-column:{name}",
@@ -1606,6 +1625,12 @@ class VersionedTable:
             # _publish_manifest cannot resurrect it on the next commit.
             manifest["generated"] = {
                 g: s for g, s in m["generated"].items() if g != name
+            }
+        if m.get("masks"):
+            # A dropped column's own mask retires with it (references by
+            # OTHER policies were rejected above).
+            manifest["masks"] = {
+                c: e for c, e in m["masks"].items() if c != name
             }
         self._publish_manifest(manifest)
         return manifest["version"]
@@ -1754,6 +1779,18 @@ class VersionedTable:
                     f"generated column {gname!r}: drop that declaration "
                     "before renaming"
                 )
+        for mcol, mexpr in self.masks().items():
+            if mcol == old or re.search(rf"\b{re.escape(old)}\b", mexpr):
+                raise ValueError(
+                    f"column {old!r} is masked or referenced by the mask on "
+                    f"{mcol!r}: drop the mask before renaming"
+                )
+        for fname, fexpr in self.row_filters().items():
+            if re.search(rf"\b{re.escape(old)}\b", fexpr):
+                raise ValueError(
+                    f"column {old!r} is referenced by row filter {fname!r}: "
+                    "drop the filter before renaming"
+                )
         fields = []
         for f in st.fields:
             if f.name == old:
@@ -1833,6 +1870,137 @@ class VersionedTable:
     def constraints(self) -> dict:
         v = self.current_version()
         return {} if v is None else self._manifest(v).get("constraints", {})
+
+    # -- governance policy: column masks + row filters ---------------------
+    #
+    # Delta/Unity-style fine-grained access control expressed as table
+    # policy: a MASK rewrites a column's values on governed reads (the
+    # analyst path); a ROW FILTER hides rows entirely. Both are SQL
+    # expressions recorded in the manifest — they ride every
+    # manifest-producing path and clones exactly like CHECK constraints,
+    # and plain `read()` (the privileged/owner path) is untouched.
+
+    def set_column_mask(self, col: str, mask_expr: str) -> int:
+        """``ALTER TABLE t SET MASK ON col AS (expr)``: governed reads see
+        ``expr`` (evaluated against the UNMASKED row) in place of ``col``.
+        The mask must preserve the column's type — Delta's rule, enforced at
+        declaration time by resolving the expression against the current
+        snapshot's plan (no data read)."""
+        version = self.current_version()
+        if version is None:
+            raise ValueError(f"table {self.root} has no snapshots")
+        st = self.schema(version)
+        if st is not None and col not in st.fieldNames():
+            raise ValueError(f"no such column {col!r}")
+        from pyspark.sql import functions as F
+
+        base = self.read(version)
+        masked_type = dict(
+            base.select(F.expr(mask_expr).alias(col)).dtypes
+        )[col]
+        if dict(base.dtypes)[col] != masked_type:
+            raise ValueError(
+                f"mask for {col!r} changes its type "
+                f"({dict(base.dtypes)[col]} -> {masked_type}); "
+                "masks must be type-preserving"
+            )
+        masks = dict(self.masks())
+        masks[col] = mask_expr
+        return self._publish_policy(version, f"set-mask:{col}", masks=masks)
+
+    def drop_column_mask(self, col: str) -> int:
+        version = self.current_version()
+        if version is None:
+            raise ValueError(f"table {self.root} has no snapshots")
+        masks = dict(self.masks())
+        masks.pop(col, None)
+        return self._publish_policy(version, f"drop-mask:{col}", masks=masks)
+
+    def set_row_filter(self, name: str, filter_expr: str) -> int:
+        """``ALTER TABLE t SET ROW FILTER name AS (expr)``: governed reads
+        keep only rows where ``expr`` is TRUE (standard WHERE semantics —
+        NULL excludes). Filters evaluate against UNMASKED values and all
+        declared filters AND together, matching Delta's
+        filters-before-masks evaluation order."""
+        version = self.current_version()
+        if version is None:
+            raise ValueError(f"table {self.root} has no snapshots")
+        from pyspark.sql import functions as F
+
+        # Resolve plan-side so a typo fails at declaration, not read time.
+        self.read(version).filter(F.expr(filter_expr))
+        filters = dict(self.row_filters())
+        filters[name] = filter_expr
+        return self._publish_policy(
+            version, f"set-row-filter:{name}", row_filters=filters
+        )
+
+    def drop_row_filter(self, name: str) -> int:
+        version = self.current_version()
+        if version is None:
+            raise ValueError(f"table {self.root} has no snapshots")
+        filters = dict(self.row_filters())
+        filters.pop(name, None)
+        return self._publish_policy(
+            version, f"drop-row-filter:{name}", row_filters=filters
+        )
+
+    def masks(self) -> dict:
+        v = self.current_version()
+        return {} if v is None else self._manifest(v).get("masks", {})
+
+    def row_filters(self) -> dict:
+        v = self.current_version()
+        return {} if v is None else self._manifest(v).get("row_filters", {})
+
+    def _publish_policy(
+        self,
+        version: int,
+        operation: str,
+        masks: dict | None = None,
+        row_filters: dict | None = None,
+    ) -> int:
+        """Metadata-only policy snapshot: same dirs/stats/schema, new policy.
+        Keys are written explicitly (possibly empty) so the carry-forward in
+        :meth:`_publish_manifest` cannot resurrect a dropped rule."""
+        m = self._manifest(version)
+        manifest = {
+            "version": version + 1,
+            "operation": operation,
+            "dirs": m["dirs"],
+            "stats": m.get("stats", {}),
+            "schema": m.get("schema"),
+            "masks": self.masks() if masks is None else masks,
+            "row_filters": (
+                self.row_filters() if row_filters is None else row_filters
+            ),
+        }
+        self._publish_manifest(manifest)
+        return manifest["version"]
+
+    def read_governed(
+        self, version: int | None = None, timestamp: str | None = None
+    ) -> DataFrame:
+        """The analyst read path: row filters first (on true values), then
+        every mask applied in ONE projection — so a mask referencing another
+        masked column still sees the original, never a masked-of-masked
+        value. Policy is always the CURRENT snapshot's, even when time
+        traveling: governance is not rewound by reading history (you cannot
+        see pre-policy data by asking for an old version)."""
+        from pyspark.sql import functions as F
+
+        df = self.read(version=version, timestamp=timestamp)
+        for expr in self.row_filters().values():
+            df = df.filter(F.expr(expr))
+        masks = self.masks()
+        if masks:
+            df = df.select(
+                *[
+                    F.expr(masks[c]).alias(c) if c in masks else F.col(c)
+                    for c in df.columns
+                ]
+            )
+        return df
 
     def _check_constraints(self, df: DataFrame, cons: dict) -> None:
         """One aggregate pass: per-rule violation counts over ``df``."""

@@ -311,3 +311,35 @@ def test_describe_schema_history(lh, spark):
         (2, "add", "w"),
         (3, "rename", "v->amount"),
     ]
+
+
+def test_governance_policy_sql_routes(lh):
+    lh.execute(
+        "CREATE VERSIONED TABLE c AS "
+        "SELECT id, concat('1-555-000-', lpad(CAST(id AS STRING), 4, '0')) "
+        "AS phone, CAST(id * 10 - 15 AS DOUBLE) AS bal FROM range(4)"
+    )
+    r = lh.execute(
+        "ALTER TABLE c SET MASK ON phone AS "
+        "(concat(repeat('*', length(phone) - 4), "
+        "substr(phone, length(phone) - 3, 4)))"
+    )
+    assert r["set_mask"] == "phone"
+    r = lh.execute("ALTER TABLE c SET ROW FILTER solvent AS (bal >= 0)")
+    assert r["set_row_filter"] == "solvent"
+
+    pol = lh.execute("DESCRIBE POLICY c")
+    kinds = {(p["kind"], p["name"]) for p in pol.collect()}
+    assert kinds == {("mask", "phone"), ("row_filter", "solvent")}
+
+    t = lh.catalog.load("c")
+    gov = {r["id"]: r for r in t.read_governed().collect()}
+    assert set(gov) == {2, 3}                      # bal -15, -5 filtered
+    assert gov[2]["phone"] == "**********0002"
+    # SELECT (the SQL read path) binds the OWNER snapshot — unmasked.
+    assert lh.execute("SELECT count(*) AS n FROM c").first()["n"] == 4
+
+    lh.execute("ALTER TABLE c DROP ROW FILTER solvent")
+    lh.execute("ALTER TABLE c DROP MASK ON phone")
+    assert lh.execute("DESCRIBE POLICY c").count() == 0
+    assert t.read_governed().count() == 4

@@ -2460,3 +2460,81 @@ def test_stream_fuzzy_dedup_ingest_drops_near_dups_across_batches(spark, tmp_pat
         == v
     )
     assert survivors.read().count() == 3
+
+
+def test_governance_masks_and_row_filters(spark, tmp_path):
+    """Governed reads apply row filters (on TRUE values) then all masks in
+    one projection; plain read() — the owner path — is untouched; policy
+    rides DML commits and survives clones; masks must be type-preserving;
+    current policy governs time-travel reads (history is not a loophole)."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, "alice", "25-989-741-2988", 100.0, "A"),
+         (2, "bob", "13-702-331-4001", -50.0, "B"),
+         (3, "carol", "31-155-222-9333", 900.0, "A")],
+        "id long, name string, phone string, bal double, seg string",
+    )
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit(df)
+    t.set_column_mask(
+        "phone",
+        "concat(repeat('*', length(phone) - 4), "
+        "substr(phone, length(phone) - 3, 4))",
+    )
+    t.set_row_filter("no_negative", "bal >= 0")
+
+    gov = {r.id: r for r in t.read_governed().collect()}
+    assert set(gov) == {1, 3}                      # bob filtered out
+    assert gov[1].phone == "***********2988"
+    assert gov[1].name == "alice"                  # unmasked column intact
+    assert t.read().count() == 3                   # owner path unaffected
+    assert {r.phone for r in t.read().collect()} >= {"25-989-741-2988"}
+
+    # Policy survives ordinary DML and clones.
+    t.commit(spark.createDataFrame(
+        [(4, "dave", "11-222-333-4444", 5.0, "B")], df.schema))
+    assert t.masks() and t.row_filters()
+    gov2 = {r.id: r.phone for r in t.read_governed().collect()}
+    assert gov2[4] == "***********4444"
+    c = t.clone_to(str(tmp_path / "clone"))
+    assert c.masks() == t.masks() and c.row_filters() == t.row_filters()
+
+    # Time travel through the governed path still applies CURRENT policy.
+    early = t.read_governed(version=1)
+    assert {r.id for r in early.collect()} == {1, 3}
+
+    # Masks must preserve the column type.
+    with pytest.raises(ValueError, match="type-preserving"):
+        t.set_column_mask("bal", "'redacted'")
+
+    # Drop restores visibility and cannot be resurrected by later commits.
+    t.drop_row_filter("no_negative")
+    t.commit(spark.createDataFrame(
+        [(5, "erin", "99-888-777-6666", 1.0, "A")], df.schema))
+    assert {r.id for r in t.read_governed().collect()} == {1, 2, 3, 4, 5}
+
+
+def test_governance_guards_column_drop_and_rename(spark, tmp_path):
+    """DROP/RENAME COLUMN reject when policy references the column; a
+    masked column's own mask retires with the column."""
+    import pytest
+
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit(spark.createDataFrame(
+        [(1, "x", 2.0)], "id long, name string, bal double"))
+    t.set_column_mask("name", "concat(substr(name, 1, 1), '***')")
+    t.set_row_filter("pos", "bal >= 0")
+
+    with pytest.raises(ValueError, match="drop the filter first"):
+        t.drop_column("bal")
+    with pytest.raises(ValueError, match="drop the mask before renaming"):
+        t.rename_column("name", "nm")
+    with pytest.raises(ValueError, match="drop the filter before renaming"):
+        t.rename_column("bal", "balance")
+
+    t.drop_column("name")          # own mask retires silently
+    assert t.masks() == {}
+    t.drop_row_filter("pos")
+    t.rename_column("bal", "balance")
+    assert "balance" in t.read().columns
