@@ -152,6 +152,37 @@ def time_travel_customer_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tagged_release_scan",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer WHERE c_acctbal > 0
+    """,
+)
+def tagged_release_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named refs (Iceberg tags) as release pins: commit customer, overwrite
+    with the positive-balance release cut and TAG it, overwrite again with a
+    newer slice, then run retention GC with keep_last=1 — which drops the
+    untagged history but must NOT touch the tagged snapshot or its data
+    (expire-respects-refs). The final read resolves the tag by name. This is
+    how a 100 TB training corpus pins 'the exact snapshot run X trained on'
+    without exempting the whole table from retention."""
+    import tempfile
+
+    from lakeflow.tables import VersionedTable
+
+    cust = load_table(spark, sf_dir, "customer")
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="lakeflow_tag_"))
+    t.commit(cust)                                                    # v1
+    t.commit(cust.filter(F.col("c_acctbal") > 0), mode="overwrite")   # v2
+    t.create_tag("release-1", version=2)                              # v3
+    t.commit(cust.filter(F.col("c_acctbal") > 1000), mode="overwrite")
+    t.expire_snapshots(keep_last=1)
+    return t.read(version="release-1").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+
+
+@register(
     "governed_customer_scan",
     oracle="""
     SELECT c_custkey,

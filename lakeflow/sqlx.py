@@ -22,6 +22,8 @@ minimal grammar that does:
     ALTER TABLE t SET MASK ON c AS (<expr>) | DROP MASK ON c
     ALTER TABLE t SET ROW FILTER name AS (<expr>) | DROP ROW FILTER name
     DESCRIBE POLICY t
+    ALTER TABLE t CREATE TAG name [AS OF VERSION <n>] | DROP TAG name
+    SELECT ... FROM t FOR VERSION AS OF 'name' ...   -- tag time travel
     OPTIMIZE t [ZORDER BY (c1, c2)]
     VACUUM t [RETAIN <n> SNAPSHOTS]
     ROLLBACK TABLE t TO VERSION <n>
@@ -135,6 +137,15 @@ _DROP_ROW_FILTER = re.compile(
 _DESCRIBE_POLICY = re.compile(
     r"^\s*DESCRIBE\s+POLICY\s+([\w.]+)\s*$", re.IGNORECASE
 )
+_CREATE_TAG = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+CREATE\s+TAG\s+([\w.\-]+)"
+    r"(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*$",
+    re.IGNORECASE,
+)
+_DROP_TAG = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+TAG\s+([\w.\-]+)\s*$",
+    re.IGNORECASE,
+)
 _OPTIMIZE = re.compile(
     r"^\s*OPTIMIZE\s+([\w.]+)"
     r"(?:\s+ZORDER\s+BY\s*\(\s*([\w\s,]+?)\s*\))?\s*$",
@@ -194,6 +205,10 @@ _TIME_TRAVEL = re.compile(
 )
 _TS_TRAVEL = re.compile(
     r"(?<![\w.])([\w.]+)\s+FOR\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'", re.IGNORECASE
+)
+_TAG_TRAVEL = re.compile(
+    r"(?<![\w.])([\w.]+)\s+FOR\s+VERSION\s+AS\s+OF\s+'([\w.\-]+)'",
+    re.IGNORECASE,
 )
 
 
@@ -332,6 +347,18 @@ class LakehouseSQL:
                 "dropped_row_filter": m.group(2),
                 "version": v,
             }
+        m = _CREATE_TAG.match(stmt)
+        if m:
+            t = self.catalog.load(m.group(1))
+            v = t.create_tag(
+                m.group(2), int(m.group(3)) if m.group(3) else None
+            )
+            return {"altered": m.group(1), "created_tag": m.group(2), "version": v}
+        m = _DROP_TAG.match(stmt)
+        if m:
+            t = self.catalog.load(m.group(1))
+            v = t.drop_tag(m.group(2))
+            return {"altered": m.group(1), "dropped_tag": m.group(2), "version": v}
         m = _DESCRIBE_POLICY.match(stmt)
         if m:
             t = self.catalog.load(m.group(1))
@@ -599,7 +626,21 @@ class LakehouseSQL:
             t.read(version=version).createOrReplaceTempView(view)
             return view
 
-        rewritten = _TS_TRAVEL.sub(pin_ts, _TIME_TRAVEL.sub(pin, sql))
+        def pin_tag(m: re.Match) -> str:
+            name, tag = m.group(1), m.group(2)
+            if name not in tables:
+                return m.group(0)
+            t = self.catalog.load(name)
+            version = t.tags().get(tag)
+            if version is None:
+                raise ValueError(f"no such tag {tag!r} on {name}")
+            view = f"__{self.catalog.view_name(name)}_v{version}"
+            t.read(version=version).createOrReplaceTempView(view)
+            return view
+
+        rewritten = _TS_TRAVEL.sub(
+            pin_ts, _TIME_TRAVEL.sub(pin, _TAG_TRAVEL.sub(pin_tag, sql))
+        )
         # Latest-snapshot binding for bare references. Dotted (schema.table)
         # names rewrite to their mangled view alias and must bind BEFORE
         # flat names (longest first, dot-aware boundaries) so a flat `t`

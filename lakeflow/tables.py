@@ -708,6 +708,9 @@ class VersionedTable:
                 manifest["masks"] = prev_m["masks"]
             if "row_filters" not in manifest and prev_m.get("row_filters"):
                 manifest["row_filters"] = prev_m["row_filters"]
+            # Named refs (tags) likewise.
+            if "refs" not in manifest and prev_m.get("refs"):
+                manifest["refs"] = prev_m["refs"]
             # Deletion vectors ride along while any referenced dir survives;
             # a full-rewrite manifest (no shared dirs) purges them — its
             # data was read THROUGH the vectors, so the deletes are
@@ -1039,15 +1042,22 @@ class VersionedTable:
         return best
 
     def read(
-        self, version: int | None = None, timestamp: str | None = None
+        self, version: int | str | None = None, timestamp: str | None = None
     ) -> DataFrame:
         """Scan the table at ``version`` (default: latest) — ``FOR VERSION
         AS OF`` — or at the snapshot current as of ``timestamp``
-        (``FOR TIMESTAMP AS OF``) over the manifest's directory list."""
+        (``FOR TIMESTAMP AS OF``) over the manifest's directory list.
+        A string ``version`` resolves through the table's named refs
+        (Iceberg tags): ``read(version="v1.0")``."""
         if timestamp is not None:
             if version is not None:
                 raise ValueError("pass version OR timestamp, not both")
             version = self.version_at(timestamp)
+        if isinstance(version, str):
+            tags = self.tags()
+            if version not in tags:
+                raise ValueError(f"no such tag {version!r}")
+            version = tags[version]
         if version is None:
             version = self.current_version()
         if version is None:
@@ -1945,6 +1955,62 @@ class VersionedTable:
             version, f"drop-row-filter:{name}", row_filters=filters
         )
 
+    # -- named refs (Iceberg tags) ------------------------------------------
+
+    def create_tag(self, name: str, version: int | None = None) -> int:
+        """``ALTER TABLE t CREATE TAG name [AS OF VERSION n]`` — a named,
+        immutable ref to a snapshot (Iceberg tags): release pinning, audit
+        freezes, reproducible-training-set labels. Tags resolve in
+        ``read(version="name")`` and SQL time travel, and — the part that
+        matters operationally — ``expire_snapshots`` NEVER drops a tagged
+        snapshot or its data, however old, until the tag is dropped. The tag
+        map rides the manifest like constraints (metadata-only commit)."""
+        current = self.current_version()
+        if current is None:
+            raise ValueError(f"table {self.root} has no snapshots")
+        target = current if version is None else version
+        if target not in self.versions():
+            raise ValueError(f"no such snapshot version {target}")
+        refs = dict(self.tags())
+        if name in refs:
+            raise ValueError(f"tag {name!r} already exists (tags are immutable)")
+        refs[name] = target
+        m = self._manifest(current)
+        manifest = {
+            "version": current + 1,
+            "operation": f"create-tag:{name}@{target}",
+            "dirs": m["dirs"],
+            "stats": m.get("stats", {}),
+            "schema": m.get("schema"),
+            "refs": refs,
+        }
+        self._publish_manifest(manifest)
+        return manifest["version"]
+
+    def drop_tag(self, name: str) -> int:
+        current = self.current_version()
+        if current is None:
+            raise ValueError(f"table {self.root} has no snapshots")
+        refs = dict(self.tags())
+        refs.pop(name, None)
+        m = self._manifest(current)
+        manifest = {
+            "version": current + 1,
+            "operation": f"drop-tag:{name}",
+            "dirs": m["dirs"],
+            "stats": m.get("stats", {}),
+            "schema": m.get("schema"),
+            # Explicitly present (possibly empty) so carry-forward cannot
+            # resurrect the dropped tag.
+            "refs": refs,
+        }
+        self._publish_manifest(manifest)
+        return manifest["version"]
+
+    def tags(self) -> dict:
+        v = self.current_version()
+        return {} if v is None else self._manifest(v).get("refs", {})
+
     def masks(self) -> dict:
         v = self.current_version()
         return {} if v is None else self._manifest(v).get("masks", {})
@@ -2111,9 +2177,15 @@ class VersionedTable:
     # -- maintenance -------------------------------------------------------
     def expire_snapshots(self, keep_last: int = 1) -> list[int]:
         """Drop all but the last ``keep_last`` snapshots and delete data dirs
-        no surviving manifest references. Returns expired version numbers."""
+        no surviving manifest references. Returns expired version numbers.
+        Tagged snapshots (named refs) are retention-exempt: they and their
+        data survive however old, until the tag is dropped — Iceberg's
+        expire-respects-refs contract, which is what makes a tag a usable
+        release pin."""
         vs = self.versions()
-        expired, kept = vs[:-keep_last], vs[-keep_last:]
+        tagged = set(self.tags().values())
+        expired = [v for v in vs[:-keep_last] if v not in tagged]
+        kept = [v for v in vs if v in tagged or v in vs[-keep_last:]]
         live_dirs = {d for v in kept for d in self._manifest(v)["dirs"]}
         live_dvs = {
             d for v in kept for d in self._manifest(v).get("delete_vectors", [])

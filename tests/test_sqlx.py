@@ -343,3 +343,21 @@ def test_governance_policy_sql_routes(lh):
     lh.execute("ALTER TABLE c DROP MASK ON phone")
     assert lh.execute("DESCRIBE POLICY c").count() == 0
     assert t.read_governed().count() == 4
+
+
+def test_tag_sql_routes_and_time_travel(lh):
+    lh.execute("CREATE VERSIONED TABLE t AS SELECT id FROM range(3)")
+    lh.execute("INSERT INTO VERSIONED t SELECT id FROM range(10, 12)")
+    r = lh.execute("ALTER TABLE t CREATE TAG baseline AS OF VERSION 1")
+    assert r["created_tag"] == "baseline"
+    n = lh.execute(
+        "SELECT count(*) AS n FROM t FOR VERSION AS OF 'baseline'"
+    ).first()["n"]
+    assert n == 3
+    assert lh.execute("SELECT count(*) AS n FROM t").first()["n"] == 5
+    r = lh.execute("ALTER TABLE t DROP TAG baseline")
+    assert r["dropped_tag"] == "baseline"
+    import pytest
+
+    with pytest.raises(ValueError, match="no such tag"):
+        lh.execute("SELECT count(*) AS n FROM t FOR VERSION AS OF 'baseline'")

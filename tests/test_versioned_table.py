@@ -2538,3 +2538,31 @@ def test_governance_guards_column_drop_and_rename(spark, tmp_path):
     t.drop_row_filter("pos")
     t.rename_column("bal", "balance")
     assert "balance" in t.read().columns
+
+
+def test_tags_resolve_and_survive_expiry(spark, tmp_path):
+    """Named refs: read(version='tag') resolves, tags are immutable,
+    expire_snapshots never drops a tagged snapshot or its data, and
+    dropping the tag releases it to the next expiry."""
+    import pytest
+
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit(spark.range(0, 3).toDF("id"))                      # v1
+    t.commit(spark.range(10, 12).toDF("id"), mode="overwrite")  # v2
+    t.create_tag("v1.0", version=1)                             # v3 (metadata)
+    t.commit(spark.range(20, 25).toDF("id"), mode="overwrite")  # v4
+
+    assert sorted(r.id for r in t.read(version="v1.0").collect()) == [0, 1, 2]
+    with pytest.raises(ValueError, match="immutable"):
+        t.create_tag("v1.0", version=2)
+    with pytest.raises(ValueError, match="no such tag"):
+        t.read(version="nope")
+
+    expired = t.expire_snapshots(keep_last=1)
+    assert 1 not in expired                       # tagged snapshot survives
+    assert sorted(r.id for r in t.read(version="v1.0").collect()) == [0, 1, 2]
+    assert t.read().count() == 5                  # current unaffected
+
+    t.drop_tag("v1.0")
+    expired = t.expire_snapshots(keep_last=1)
+    assert 1 in expired                           # released by the drop
