@@ -183,6 +183,47 @@ def tagged_release_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "branch_backfill_scan",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+    FROM customer WHERE c_mktsegment <> 'MACHINERY'
+    UNION ALL
+    SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+    FROM customer WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 5000
+    """,
+)
+def branch_backfill_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg branch workflow end-to-end: fork a WRITABLE branch from the
+    customer table (zero data bytes copied — manifests reference the same
+    dirs), run isolated DML on it (a merge-on-read DELETE that publishes a
+    deletion vector, then an append), verify main never saw the edits, and
+    FAST FORWARD main onto the branch head in one atomic metadata commit.
+    This is the staging/audit-branch pattern a 100 TB corpus rebuild needs:
+    the backfill runs for hours on the branch while production reads main,
+    then production swings atomically."""
+    import tempfile
+
+    from lakeflow.tables import VersionedTable
+
+    cols = ["c_custkey", "c_name", "c_mktsegment", "c_acctbal"]
+    cust = load_table(spark, sf_dir, "customer").select(*cols)
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="lakeflow_branch_"))
+    t.commit(cust)                                                    # main v1
+    b = t.create_branch("backfill")
+    b.delete_where_mor("c_mktsegment = 'MACHINERY'")
+    b.commit(
+        cust.filter(
+            (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 5000)
+        )
+    )
+    # Isolation check baked into the result: main must still be the full
+    # table pre-fast-forward, or the final row set diverges from the oracle.
+    assert t.read().count() == cust.count()
+    t.fast_forward("backfill")
+    return t.read().select(*cols)
+
+
+@register(
     "governed_customer_scan",
     oracle="""
     SELECT c_custkey,

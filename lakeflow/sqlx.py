@@ -23,7 +23,9 @@ minimal grammar that does:
     ALTER TABLE t SET ROW FILTER name AS (<expr>) | DROP ROW FILTER name
     DESCRIBE POLICY t
     ALTER TABLE t CREATE TAG name [AS OF VERSION <n>] | DROP TAG name
-    SELECT ... FROM t FOR VERSION AS OF 'name' ...   -- tag time travel
+    ALTER TABLE t CREATE BRANCH name [AS OF VERSION <n>] | DROP BRANCH name
+    ALTER TABLE t FAST FORWARD BRANCH name
+    SELECT ... FROM t FOR VERSION AS OF 'name' ...   -- tag OR branch ref
     OPTIMIZE t [ZORDER BY (c1, c2)]
     VACUUM t [RETAIN <n> SNAPSHOTS]
     ROLLBACK TABLE t TO VERSION <n>
@@ -144,6 +146,19 @@ _CREATE_TAG = re.compile(
 )
 _DROP_TAG = re.compile(
     r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+TAG\s+([\w.\-]+)\s*$",
+    re.IGNORECASE,
+)
+_CREATE_BRANCH = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+CREATE\s+BRANCH\s+([\w.\-]+)"
+    r"(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*$",
+    re.IGNORECASE,
+)
+_DROP_BRANCH = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+BRANCH\s+([\w.\-]+)\s*$",
+    re.IGNORECASE,
+)
+_FAST_FORWARD = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+FAST\s+FORWARD\s+BRANCH\s+([\w.\-]+)\s*$",
     re.IGNORECASE,
 )
 _OPTIMIZE = re.compile(
@@ -359,6 +374,25 @@ class LakehouseSQL:
             t = self.catalog.load(m.group(1))
             v = t.drop_tag(m.group(2))
             return {"altered": m.group(1), "dropped_tag": m.group(2), "version": v}
+        m = _CREATE_BRANCH.match(stmt)
+        if m:
+            t = self.catalog.load(m.group(1))
+            t.create_branch(m.group(2), int(m.group(3)) if m.group(3) else None)
+            return {"altered": m.group(1), "created_branch": m.group(2)}
+        m = _DROP_BRANCH.match(stmt)
+        if m:
+            t = self.catalog.load(m.group(1))
+            t.drop_branch(m.group(2))
+            return {"altered": m.group(1), "dropped_branch": m.group(2)}
+        m = _FAST_FORWARD.match(stmt)
+        if m:
+            t = self.catalog.load(m.group(1))
+            v = t.fast_forward(m.group(2))
+            return {
+                "altered": m.group(1),
+                "fast_forwarded": m.group(2),
+                "version": v,
+            }
         m = _DESCRIBE_POLICY.match(stmt)
         if m:
             t = self.catalog.load(m.group(1))
@@ -627,13 +661,22 @@ class LakehouseSQL:
             return view
 
         def pin_tag(m: re.Match) -> str:
-            name, tag = m.group(1), m.group(2)
+            # Resolves tags first, then branch heads (Iceberg lets VERSION
+            # AS OF name either kind of ref).
+            name, ref = m.group(1), m.group(2)
             if name not in tables:
                 return m.group(0)
             t = self.catalog.load(name)
-            version = t.tags().get(tag)
+            version = t.tags().get(ref)
             if version is None:
-                raise ValueError(f"no such tag {tag!r} on {name}")
+                if ref in t.branches():
+                    b = t.branch(ref)
+                    view = f"__{self.catalog.view_name(name)}_b_{ref}".replace(
+                        ".", "_"
+                    ).replace("-", "_")
+                    b.read().createOrReplaceTempView(view)
+                    return view
+                raise ValueError(f"no such tag {ref!r} on {name}")
             view = f"__{self.catalog.view_name(name)}_v{version}"
             t.read(version=version).createOrReplaceTempView(view)
             return view

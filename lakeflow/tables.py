@@ -103,6 +103,9 @@ class VersionedTable:
         self.spark = spark
         self.root = root
         self._snap_dir = os.path.join(root, "_snapshots")
+        # Set on handles returned by branch(): snapshots publish to the
+        # branch's own chain while data shares the table root (zero-copy).
+        self._branch_name: str | None = None
         os.makedirs(self._snap_dir, exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
 
@@ -2011,6 +2014,158 @@ class VersionedTable:
         v = self.current_version()
         return {} if v is None else self._manifest(v).get("refs", {})
 
+    # -- branches (Iceberg branch refs) -------------------------------------
+
+    def _branch_dir(self, name: str) -> str:
+        if not re.fullmatch(r"[\w.\-]+", name):
+            raise ValueError(f"invalid branch name {name!r}")
+        return os.path.join(self.root, "_branches", name)
+
+    def create_branch(
+        self, name: str, version: int | None = None
+    ) -> "VersionedTable":
+        """``ALTER TABLE t CREATE BRANCH name [AS OF VERSION n]`` — a named
+        WRITABLE fork (Iceberg branches): the branch gets its own snapshot
+        chain seeded from the fork snapshot's manifest, while data dirs are
+        shared by reference — creating a branch on a 100 TB table copies
+        ZERO data bytes. The full write surface (commit, DML, MOR, schema
+        evolution, compaction) works on the returned handle, isolated from
+        main; :meth:`fast_forward` later publishes the branch state onto
+        main in one atomic metadata commit. This is Iceberg's
+        audit-branch / staging workflow: rebuild or backfill a corpus on a
+        branch, validate it, then swing production atomically."""
+        if self._branch_name is not None:
+            raise ValueError("create branches from the main table handle")
+        current = self.current_version()
+        if current is None:
+            raise ValueError(f"table {self.root} has no snapshots")
+        target = current if version is None else version
+        if target not in self.versions():
+            raise ValueError(f"no such snapshot version {target}")
+        bdir = self._branch_dir(name)
+        if os.path.isdir(bdir):
+            raise ValueError(f"branch {name!r} already exists")
+        os.makedirs(bdir)
+        m = self._manifest(target)
+        seed = {
+            k: m[k]
+            for k in (
+                "dirs", "stats", "schema", "partitioning", "constraints",
+                "generated", "masks", "row_filters", "delete_vectors",
+                "bloom", "bloom_bits", "txns", "refs",
+            )
+            if k in m
+        }
+        seed["version"] = 1
+        seed["operation"] = f"branch:{name}@{target}"
+        # The fast-forward ancestry gate: main may not move past this
+        # version (except via this branch's own fast-forwards) or the
+        # branch can no longer fast-forward onto it.
+        seed["fork_main_version"] = current
+        b = self.branch(name, _create=True)
+        b._publish_manifest(seed)
+        return b
+
+    def branch(self, name: str, _create: bool = False) -> "VersionedTable":
+        """A handle on branch ``name``: a :class:`VersionedTable` whose
+        snapshot chain lives under ``_branches/<name>`` but whose data root
+        is the shared table root. Retention (``expire_snapshots`` /
+        ``remove_orphans``) is blocked on branch handles — data ownership
+        belongs to the main table, which treats every live branch's
+        referenced dirs as live."""
+        bdir = self._branch_dir(name)
+        if not _create and not os.path.isdir(bdir):
+            raise ValueError(f"no such branch {name!r}")
+        b = VersionedTable(self.spark, self.root)
+        b._snap_dir = bdir
+        b._branch_name = name
+        return b
+
+    def branches(self) -> dict:
+        """Live branches: ``{name: {"head": v, "forked_at": main_version}}``."""
+        broot = os.path.join(self.root, "_branches")
+        if not os.path.isdir(broot):
+            return {}
+        out = {}
+        for name in sorted(os.listdir(broot)):
+            b = self.branch(name)
+            head = b.current_version()
+            if head is not None:
+                out[name] = {
+                    "head": head,
+                    "forked_at": b._manifest(1).get("fork_main_version"),
+                }
+        return out
+
+    def fast_forward(self, name: str) -> int:
+        """``ALTER TABLE t FAST FORWARD BRANCH name`` — atomically publish
+        the branch head's state as main's next snapshot (Iceberg's
+        ``fast_forward``). Requires ancestry: main must still sit where the
+        branch forked, or at a snapshot produced by a previous fast-forward
+        of this same branch — anything else means main diverged, and a
+        fast-forward would silently discard its commits (raise instead;
+        resolve by re-branching). Tags created on either side survive
+        (union, branch winning on collisions); everything else — dirs,
+        stats, schema, DVs, policies — is the branch head's, verbatim."""
+        if self._branch_name is not None:
+            raise ValueError("fast-forward from the main table handle")
+        b = self.branch(name)
+        head = b.current_version()
+        hm = b._manifest(head)
+        fork = b._manifest(1).get("fork_main_version")
+        current = self.current_version()
+        cur_m = self._manifest(current)
+        if current != fork and cur_m.get("ff_branch") != name:
+            raise ValueError(
+                f"main diverged since branch {name!r} forked at v{fork} "
+                f"(now v{current}); fast-forward must preserve ancestry"
+            )
+        manifest = {
+            "version": current + 1,
+            "operation": f"fast-forward:{name}@{head}",
+            "dirs": hm["dirs"],
+            "stats": hm.get("stats", {}),
+            "schema": hm.get("schema"),
+            # Every policy/metadata key is set EXPLICITLY from the branch
+            # head (empty when absent) so _publish_manifest's carry-forward
+            # cannot re-inject main's stale state over the branch's.
+            "partitioning": hm.get("partitioning", {}),
+            "constraints": hm.get("constraints", {}),
+            "generated": hm.get("generated", {}),
+            "masks": hm.get("masks", {}),
+            "row_filters": hm.get("row_filters", {}),
+            "delete_vectors": hm.get("delete_vectors", []),
+            "refs": {**cur_m.get("refs", {}), **hm.get("refs", {})},
+            "txns": hm.get("txns", {}),
+            "ff_branch": name,
+        }
+        if hm.get("bloom"):
+            manifest["bloom"] = hm["bloom"]
+            manifest["bloom_bits"] = hm.get("bloom_bits")
+        self._publish_manifest(manifest)
+        return manifest["version"]
+
+    def drop_branch(self, name: str) -> None:
+        """Delete branch ``name``'s snapshot chain. Data dirs written only
+        on the branch become orphans, reclaimed by :meth:`remove_orphans`."""
+        bdir = self._branch_dir(name)
+        if not os.path.isdir(bdir):
+            raise ValueError(f"no such branch {name!r}")
+        shutil.rmtree(bdir)
+
+    def _branch_live_refs(self) -> tuple[set, set]:
+        """(data dirs, dv dirs) referenced by any live branch's manifests —
+        live for retention however old the referencing snapshot."""
+        dirs: set = set()
+        dvs: set = set()
+        for name in self.branches():
+            b = self.branch(name)
+            for v in b.versions():
+                m = b._manifest(v)
+                dirs.update(m["dirs"])
+                dvs.update(m.get("delete_vectors", []))
+        return dirs, dvs
+
     def masks(self) -> dict:
         v = self.current_version()
         return {} if v is None else self._manifest(v).get("masks", {})
@@ -2181,7 +2336,14 @@ class VersionedTable:
         Tagged snapshots (named refs) are retention-exempt: they and their
         data survive however old, until the tag is dropped — Iceberg's
         expire-respects-refs contract, which is what makes a tag a usable
-        release pin."""
+        release pin. Dirs referenced by any live BRANCH are likewise live
+        (branches share data by reference); retention runs only on the main
+        handle, which owns the data root."""
+        if self._branch_name is not None:
+            raise ValueError(
+                "retention runs on the main table handle, not a branch "
+                "(branches share the main table's data dirs)"
+            )
         vs = self.versions()
         tagged = set(self.tags().values())
         expired = [v for v in vs[:-keep_last] if v not in tagged]
@@ -2190,6 +2352,9 @@ class VersionedTable:
         live_dvs = {
             d for v in kept for d in self._manifest(v).get("delete_vectors", [])
         }
+        branch_dirs, branch_dvs = self._branch_live_refs()
+        live_dirs |= branch_dirs
+        live_dvs |= branch_dvs
         own_data = os.path.abspath(os.path.join(self.root, "data")) + os.sep
         own_dv = os.path.abspath(os.path.join(self.root, "dv")) + os.sep
         for v in expired:
@@ -2227,28 +2392,31 @@ class VersionedTable:
         with a min-age filter; this single-writer form takes the simple
         path.
         """
+        if self._branch_name is not None:
+            raise ValueError(
+                "retention runs on the main table handle, not a branch "
+                "(branches share the main table's data dirs)"
+            )
         data_root = os.path.join(self.root, "data")
         dv_root = os.path.join(self.root, "dv")
+        branch_dirs, branch_dvs = self._branch_live_refs()
         live_dv = {
             os.path.basename(d.rstrip("/"))
             for v in self.versions()
             for d in self._manifest(v).get("delete_vectors", [])
-        }
+        } | {os.path.basename(d.rstrip("/")) for d in branch_dvs}
         if os.path.isdir(dv_root):
             for name in os.listdir(dv_root):
                 if name not in live_dv:
                     shutil.rmtree(os.path.join(dv_root, name))
-        live = {
-            os.path.basename(d.rstrip("/"))
-            for v in self.versions()
-            for d in self._manifest(v)["dirs"]
-        }
+        all_dirs = [
+            d for v in self.versions() for d in self._manifest(v)["dirs"]
+        ] + sorted(branch_dirs)
+        live = {os.path.basename(d.rstrip("/")) for d in all_dirs}
         # Partition-split dirs register subpaths (base/shadow=X); keep their
         # base dirs live too.
         live |= {
-            os.path.basename(os.path.dirname(d.rstrip("/")))
-            for v in self.versions()
-            for d in self._manifest(v)["dirs"]
+            os.path.basename(os.path.dirname(d.rstrip("/"))) for d in all_dirs
         }
         removed = []
         for name in os.listdir(data_root):

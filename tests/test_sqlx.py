@@ -361,3 +361,31 @@ def test_tag_sql_routes_and_time_travel(lh):
 
     with pytest.raises(ValueError, match="no such tag"):
         lh.execute("SELECT count(*) AS n FROM t FOR VERSION AS OF 'baseline'")
+
+
+def test_branch_sql_routes(lh):
+    lh.execute("CREATE VERSIONED TABLE t AS SELECT id FROM range(3)")
+    r = lh.execute("ALTER TABLE t CREATE BRANCH stage")
+    assert r["created_branch"] == "stage"
+
+    # Branch writes go through the Python handle; SQL reads its head.
+    from lakeflow import catalog as _c  # noqa: F401
+
+    b = lh.catalog.load("t").branch("stage")
+    b.commit(b.spark.range(10, 14).toDF("id"))
+    n = lh.execute(
+        "SELECT count(*) AS n FROM t FOR VERSION AS OF 'stage'"
+    ).first()["n"]
+    assert n == 7
+    assert lh.execute("SELECT count(*) AS n FROM t").first()["n"] == 3
+
+    r = lh.execute("ALTER TABLE t FAST FORWARD BRANCH stage")
+    assert r["fast_forwarded"] == "stage"
+    assert lh.execute("SELECT count(*) AS n FROM t").first()["n"] == 7
+
+    r = lh.execute("ALTER TABLE t DROP BRANCH stage")
+    assert r["dropped_branch"] == "stage"
+    import pytest
+
+    with pytest.raises(ValueError, match="no such tag"):
+        lh.execute("SELECT count(*) AS n FROM t FOR VERSION AS OF 'stage'")

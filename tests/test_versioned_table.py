@@ -2566,3 +2566,110 @@ def test_tags_resolve_and_survive_expiry(spark, tmp_path):
     t.drop_tag("v1.0")
     expired = t.expire_snapshots(keep_last=1)
     assert 1 in expired                           # released by the drop
+
+
+def test_branch_isolated_writes_and_zero_copy_fork(spark, tmp_path):
+    """A branch forks by manifest reference (no data copied), takes the full
+    write surface (append + copy-on-write DELETE) isolated from main, and
+    main keeps writing independently of the branch."""
+    import os
+
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit(spark.range(0, 5).toDF("id"))                       # main v1
+    n_data_dirs = len(os.listdir(tmp_path / "tbl" / "data"))
+
+    b = t.create_branch("audit")
+    # Fork wrote metadata only — no new data dirs.
+    assert len(os.listdir(tmp_path / "tbl" / "data")) == n_data_dirs
+    assert sorted(r.id for r in b.read().collect()) == [0, 1, 2, 3, 4]
+
+    b.commit(spark.range(10, 12).toDF("id"))                     # branch v2
+    b.delete_where("id = 3")                                     # branch v3
+    assert sorted(r.id for r in b.read().collect()) == [0, 1, 2, 4, 10, 11]
+    # Main never saw any of it.
+    assert sorted(r.id for r in t.read().collect()) == [0, 1, 2, 3, 4]
+
+    t.commit(spark.range(100, 101).toDF("id"))                   # main v2
+    assert sorted(r.id for r in b.read().collect()) == [0, 1, 2, 4, 10, 11]
+    assert t.branches()["audit"]["head"] == 3
+    assert t.branches()["audit"]["forked_at"] == 1
+
+
+def test_branch_fast_forward_and_ancestry_gate(spark, tmp_path):
+    """fast_forward publishes the branch head as main's next snapshot;
+    repeat fast-forwards of the same branch chain on; a diverged main
+    refuses (its commits would be silently discarded)."""
+    import pytest
+
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit(spark.range(0, 3).toDF("id"))                       # main v1
+    b = t.create_branch("stage")
+    b.commit(spark.range(10, 12).toDF("id"))                     # stage head 2
+
+    v = t.fast_forward("stage")                                  # main v2
+    assert v == 2
+    assert sorted(r.id for r in t.read().collect()) == [0, 1, 2, 10, 11]
+
+    # Continue on the SAME branch, fast-forward again: allowed, because
+    # main's head came from this branch.
+    b.commit(spark.range(20, 21).toDF("id"))                     # stage head 3
+    assert t.fast_forward("stage") == 3
+    assert sorted(r.id for r in t.read().collect()) == [0, 1, 2, 10, 11, 20]
+
+    # Diverge main; now the branch can no longer fast-forward.
+    t.commit(spark.range(99, 100).toDF("id"))
+    b.commit(spark.range(30, 31).toDF("id"))
+    with pytest.raises(ValueError, match="diverged"):
+        t.fast_forward("stage")
+
+
+def test_branch_retention_guards(spark, tmp_path):
+    """Main retention treats branch-referenced dirs as live; dropping the
+    branch releases its private dirs to remove_orphans; retention on a
+    branch handle is refused."""
+    import pytest
+
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit(spark.range(0, 3).toDF("id"))                       # main v1
+    b = t.create_branch("wip")
+    b.commit(spark.range(10, 13).toDF("id"), mode="overwrite")   # branch-only dir
+
+    # Main overwrites then expires old snapshots: v1's dir is still
+    # referenced by the branch fork manifest, so the branch keeps reading.
+    t.commit(spark.range(50, 52).toDF("id"), mode="overwrite")   # main v2
+    t.expire_snapshots(keep_last=1)
+    assert sorted(r.id for r in b.read(version=1).collect()) == [0, 1, 2]
+
+    # Orphan sweep keeps the branch-only dir while the branch lives.
+    assert t.remove_orphans() == []
+    assert sorted(r.id for r in b.read().collect()) == [10, 11, 12]
+
+    with pytest.raises(ValueError, match="main table handle"):
+        b.expire_snapshots()
+    with pytest.raises(ValueError, match="main table handle"):
+        b.remove_orphans()
+
+    t.drop_branch("wip")
+    assert t.branches() == {}
+    removed = t.remove_orphans()
+    assert len(removed) >= 1                      # branch-only dir reclaimed
+    assert sorted(r.id for r in t.read().collect()) == [50, 51]
+
+
+def test_branch_fast_forward_carries_branch_state_not_mains(spark, tmp_path):
+    """Fast-forward adopts the branch head's policies/DVs verbatim (no
+    carry-forward re-injecting main's), and tags created on the branch
+    merge with main's."""
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit(
+        spark.range(0, 6).selectExpr("id", "id * 10 AS val")
+    )                                                            # main v1
+    t.create_tag("main-tag")                                     # main v2
+    b = t.create_branch("mor")
+    b.delete_where_mor("val >= 40")                              # DV on branch
+    b.create_tag("branch-tag")
+    assert sorted(r.id for r in b.read().collect()) == [0, 1, 2, 3]
+
+    t.fast_forward("mor")
+    assert sorted(r.id for r in t.read().collect()) == [0, 1, 2, 3]
+    assert set(t.tags()) == {"main-tag", "branch-tag"}
