@@ -89,6 +89,70 @@ def _partition_value_token(value) -> str:
     return str(value)
 
 
+_TRANSFORM_RE = re.compile(
+    r"^\s*(bucket|truncate|year|month|day|hour)\s*\("
+    r"(?:\s*(\d+)\s*,)?\s*(\w+)\s*\)\s*$",
+    re.IGNORECASE,
+)
+
+# Transforms whose output preserves the source ordering, so a range
+# predicate on the source column translates to a range on the hidden
+# column. bucket() is hash-based: point lookups only.
+_MONOTONIC_TRANSFORMS = frozenset({"truncate", "year", "month", "day", "hour"})
+
+
+def _parse_partition_spec(spec: str) -> dict | None:
+    """``"bucket(16, user_id)"`` → ``{"fn": "bucket", "col": "user_id",
+    "n": 16, "hidden": "_p_bucket16_user_id"}``; a plain column name
+    (identity partitioning) → None."""
+    m = _TRANSFORM_RE.match(spec)
+    if m is None:
+        if not re.fullmatch(r"\w+", spec.strip()):
+            raise ValueError(f"bad partition spec {spec!r}")
+        return None
+    fn, n, col = m.group(1).lower(), m.group(2), m.group(3)
+    if fn in ("bucket", "truncate"):
+        if n is None:
+            raise ValueError(f"{fn}() needs a width: {spec!r}")
+        n = int(n)
+        if n <= 0:
+            raise ValueError(f"{fn}() width must be positive: {spec!r}")
+        hidden = f"_p_{fn}{n}_{col}"
+    else:
+        if n is not None:
+            raise ValueError(f"{fn}() takes one column only: {spec!r}")
+        hidden = f"_p_{fn}_{col}"
+    return {"fn": fn, "col": col, "n": n, "hidden": hidden, "spec": spec.strip()}
+
+
+def _transform_expr(fn: str, source, n: int | None):
+    """The hidden-partition value of ``source`` (a Column OR a literal
+    wrapped by the caller) under transform ``fn`` — Catalyst-only, so the
+    same expression derives write-side values and folds to a constant in
+    read-side partition filters (Iceberg's transform contract: one
+    definition, both sides). month/hour are epoch-relative (Iceberg
+    semantics), keeping values totally ordered ACROSS years/days so range
+    predicates translate."""
+    from pyspark.sql import functions as F
+
+    if fn == "bucket":
+        # Murmur3 via F.hash: deterministic across sessions/partitions.
+        return F.pmod(F.hash(source), F.lit(n))
+    if fn == "truncate":
+        return F.substring(source.cast("string"), 1, n)
+    if fn == "year":
+        return F.year(source)
+    if fn == "month":
+        return (F.year(source) - F.lit(1970)) * F.lit(12) + F.month(source) - F.lit(1)
+    if fn == "day":
+        return F.to_date(source)
+    if fn == "hour":
+        return F.floor(source.cast("timestamp").cast("double") / F.lit(3600.0)).cast(
+            "bigint"
+        )
+    raise ValueError(f"unknown transform {fn!r}")
+
+
 class VersionedTable:
     """A directory-backed table with Iceberg-style snapshot manifests.
 
@@ -338,15 +402,40 @@ class VersionedTable:
                 else self.spark.read.parquet(_existing_dir)
             )
             self._check_constraints(target, cons)
+        # Hidden partitioning (Iceberg partition transforms): a spec like
+        # "day(ts)" or "bucket(16, user_id)" derives a hidden physical
+        # partition column at write; readers never see it, and
+        # scan_transformed rewrites source-column predicates onto it so
+        # Spark's partition pruning engages. The recorded table schema stays
+        # the USER schema — the transform is metadata, not a column.
+        parsed_specs = [
+            (_parse_partition_spec(p), p) for p in (partition_by or [])
+        ]
+        hidden = {s["hidden"]: s for s, _ in parsed_specs if s is not None}
+        phys_partition_by = [
+            s["hidden"] if s is not None else raw for s, raw in parsed_specs
+        ]
+        if hidden and _existing_dir is not None:
+            raise ValueError(
+                "partition transforms are unsupported on the staged-adoption "
+                "(WAP) path; stage with identity partitioning"
+            )
         if _existing_dir is not None:
             # WAP publish path: the data is already staged on disk; adopting
             # it avoids a second write of the full batch.
             data_dir = _existing_dir
         else:
+            from pyspark.sql import functions as F
+
+            write_df = df
+            for h, s in hidden.items():
+                write_df = write_df.withColumn(
+                    h, _transform_expr(s["fn"], F.col(s["col"]), s["n"])
+                )
             data_dir = os.path.join(self.root, "data", uuid.uuid4().hex)
-            writer = df.write.mode("overwrite").format("parquet")
-            if partition_by:
-                writer = writer.partitionBy(*list(partition_by))
+            writer = write_df.write.mode("overwrite").format("parquet")
+            if phys_partition_by:
+                writer = writer.partitionBy(*phys_partition_by)
             writer.save(data_dir)
 
         prev = self.current_version()
@@ -412,7 +501,11 @@ class VersionedTable:
             # commit may choose different partition columns), and the read
             # path groups dirs by layout — a metadata-only change, as in
             # Iceberg, with no rewrite of existing dirs.
-            manifest["partitioning"] = {data_dir: list(partition_by)}
+            manifest["partitioning"] = {data_dir: phys_partition_by}
+        if hidden:
+            manifest["hidden_specs"] = {
+                data_dir: {h: s["spec"] for h, s in hidden.items()}
+            }
         if bloom:
             manifest["bloom"] = bloom
             manifest["bloom_bits"] = bloom_bits
@@ -732,6 +825,18 @@ class VersionedTable:
                     **carried,
                     **manifest.get("partitioning", {}),
                 }
+            # Hidden-transform specs travel with their dirs, same as layout.
+            prev_hidden = prev_m.get("hidden_specs", {})
+            carried_hidden = {
+                d: prev_hidden[d]
+                for d in manifest.get("dirs", [])
+                if d in prev_hidden
+            }
+            if carried_hidden or manifest.get("hidden_specs"):
+                manifest["hidden_specs"] = {
+                    **carried_hidden,
+                    **manifest.get("hidden_specs", {}),
+                }
         final = os.path.join(self._snap_dir, f"{version:08d}.json")
         tmp = os.path.join(
             self._snap_dir, f".{version:08d}-{uuid.uuid4().hex}.json.tmp"
@@ -928,6 +1033,7 @@ class VersionedTable:
         version: int,
         with_positions: bool = False,
         dvs: Sequence[str] | None = None,
+        keep_hidden: bool = False,
     ) -> DataFrame:
         """Multi-dir parquet scan under the manifest-recorded schema: columns
         a file predates read back NULL (Iceberg-style metadata-only schema
@@ -944,7 +1050,12 @@ class VersionedTable:
         ``dvs`` overrides which deletion vectors mask the scan: ``None``
         (default) applies the manifest's vectors at ``version``; an explicit
         list (possibly empty) applies exactly those — the raw-read handle
-        the materialized-view refresh needs to recover DV pre-images."""
+        the materialized-view refresh needs to recover DV pre-images.
+
+        Hidden partition columns (``_p_*``, from partition transforms) are
+        dropped from every result unless ``keep_hidden`` — they are layout,
+        not data; ``scan_transformed`` keeps them just long enough to apply
+        rewritten partition predicates."""
         from pyspark.sql import functions as F
 
         st = self.schema(version)
@@ -961,7 +1072,21 @@ class VersionedTable:
             (f.metadata or {}).get(self.ALIASES_KEY) for f in st.fields
         )
 
-        def read_group(group_dirs: Sequence[str]) -> DataFrame:
+        def read_group(
+            group_dirs: Sequence[str], layout: tuple = ()
+        ) -> DataFrame:
+            if layout and len(group_dirs) > 1:
+                # Spark's partition discovery takes the common ancestor of
+                # multiple roots as the base path, so two partitioned commit
+                # dirs read together would parse the commit-uuid path level
+                # as a partition (CONFLICTING_DIRECTORY_STRUCTURES). Read
+                # each partitioned root alone and union — same pruned scan,
+                # one relation per commit dir.
+                parts = [read_group([d], layout) for d in group_dirs]
+                out = parts[0]
+                for p in parts[1:]:
+                    out = out.unionByName(p)
+                return out
             reader = self.spark.read
             if st is not None and not aliased:
                 reader = reader.schema(st)
@@ -971,6 +1096,11 @@ class VersionedTable:
                 # every historical name is in scope.
                 reader = reader.option("mergeSchema", "true")
             df = reader.parquet(*group_dirs)
+            hidden_cols = [
+                c
+                for c in df.columns
+                if c.startswith("_p_") and not keep_hidden
+            ]
             if aliased:
                 # Rename history: each logical column COALESCEs over every
                 # present historical name (a file physically stores exactly
@@ -989,11 +1119,21 @@ class VersionedTable:
                         else (srcs[0] if srcs else F.lit(None))
                     )
                     sel.append(expr.cast(f.dataType).alias(f.name))
+                if keep_hidden:
+                    sel += [
+                        F.col(c) for c in df.columns if c.startswith("_p_")
+                    ]
             else:
-                sel = [F.col(c) for c in df.columns]
-            base = [f.name for f in st.fields] if aliased else df.columns
+                sel = [F.col(c) for c in df.columns if c not in hidden_cols]
+            base = (
+                [f.name for f in st.fields]
+                if aliased
+                else [c for c in df.columns if c not in hidden_cols]
+            )
+            if aliased and keep_hidden:
+                base += [c for c in df.columns if c.startswith("_p_")]
             if not (dvs or with_positions):
-                return df.select(*sel) if aliased else df
+                return df.select(*sel)
             tagged = df.select(
                 *sel,
                 F.col("_metadata.file_path").alias(self.POS_FILE),
@@ -1012,7 +1152,7 @@ class VersionedTable:
                 )
             return tagged if with_positions else tagged.select(*base)
 
-        frames = [read_group(g) for g in groups.values()]
+        frames = [read_group(g, key) for key, g in groups.items()]
         out = frames[0]
         for f in frames[1:]:
             # Partition evolution: layouts differ but the manifest schema is
@@ -1094,6 +1234,83 @@ class VersionedTable:
         for c, (lo, hi) in (between or {}).items():
             df = df.filter(F.col(c).between(lo, hi))
         return df
+
+    def hidden_partition_specs(self, version: int | None = None) -> dict:
+        """Transform specs shared by EVERY data dir at ``version``:
+        ``{source_col: parsed_spec}``. A col whose spec any dir lacks (or
+        records differently — partition evolution) is omitted; predicates on
+        it simply don't prune, they stay exact via the residual filter."""
+        if version is None:
+            version = self.current_version()
+        m = self._manifest(version)
+        per_dir = m.get("hidden_specs", {})
+        dirs = m["dirs"]
+        if not dirs or any(d not in per_dir for d in dirs):
+            return {}
+        common: dict[str, dict] = {}
+        for spec_str in set(per_dir[dirs[0]].values()):
+            if all(spec_str in per_dir[d].values() for d in dirs):
+                parsed = _parse_partition_spec(spec_str)
+                common[parsed["col"]] = parsed
+        return common
+
+    def scan_transformed(
+        self,
+        point: dict | None = None,
+        between: dict[str, tuple] | None = None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Hidden-partitioning scan (Iceberg's headline contract): callers
+        filter on SOURCE columns — ``point={"user_id": 7}``,
+        ``between={"ts": (lo, hi)}`` — and the engine rewrites each
+        predicate onto the hidden partition column with the SAME Catalyst
+        transform expression used at write, so the literal folds and
+        Spark's partition pruning skips whole directories before a byte is
+        read. bucket() rewrites equality only; the ordered transforms
+        (day/month/year/hour/truncate) rewrite ranges too. The residual
+        source-column predicate always applies, so results are exact even
+        where no transform matches; hidden columns never leak into the
+        result. Dir-level zone-map stats prune on top, as in ``scan``."""
+        from pyspark.sql import functions as F
+
+        if version is None:
+            version = self.current_version()
+        if version is None:
+            raise ValueError(f"table {self.root} has no snapshots")
+        m = self._manifest(version)
+        specs = self.hidden_partition_specs(version)
+        dirs = self._kept_dirs(m, between or {})
+        if not dirs:
+            return self._read_dirs(m["dirs"], version).limit(0)
+        df = self._read_dirs(dirs, version, keep_hidden=bool(specs))
+
+        def typed_lit(col: str, v):
+            # The transform of a literal must be computed on the SOURCE
+            # column's exact type: F.hash (murmur3) hashes int32 and int64
+            # differently, so an uncast Python literal would bucket to the
+            # wrong partition and prune the RIGHT one away.
+            return F.lit(v).cast(df.schema[col].dataType)
+
+        for c, v in (point or {}).items():
+            s = specs.get(c)
+            if s is not None:
+                df = df.filter(
+                    F.col(s["hidden"])
+                    == _transform_expr(s["fn"], typed_lit(c, v), s["n"])
+                )
+            df = df.filter(F.col(c) == F.lit(v))
+        for c, (lo, hi) in (between or {}).items():
+            s = specs.get(c)
+            if s is not None and s["fn"] in _MONOTONIC_TRANSFORMS:
+                df = df.filter(
+                    F.col(s["hidden"]).between(
+                        _transform_expr(s["fn"], typed_lit(c, lo), s["n"]),
+                        _transform_expr(s["fn"], typed_lit(c, hi), s["n"]),
+                    )
+                )
+            df = df.filter(F.col(c).between(lo, hi))
+        keep = [c for c in df.columns if not c.startswith("_p_")]
+        return df.select(*keep)
 
     @staticmethod
     def _kept_dirs(manifest: dict, between: dict[str, tuple]) -> list[str]:
@@ -2050,9 +2267,9 @@ class VersionedTable:
         seed = {
             k: m[k]
             for k in (
-                "dirs", "stats", "schema", "partitioning", "constraints",
-                "generated", "masks", "row_filters", "delete_vectors",
-                "bloom", "bloom_bits", "txns", "refs",
+                "dirs", "stats", "schema", "partitioning", "hidden_specs",
+                "constraints", "generated", "masks", "row_filters",
+                "delete_vectors", "bloom", "bloom_bits", "txns", "refs",
             )
             if k in m
         }
@@ -2130,6 +2347,7 @@ class VersionedTable:
             # head (empty when absent) so _publish_manifest's carry-forward
             # cannot re-inject main's stale state over the branch's.
             "partitioning": hm.get("partitioning", {}),
+            "hidden_specs": hm.get("hidden_specs", {}),
             "constraints": hm.get("constraints", {}),
             "generated": hm.get("generated", {}),
             "masks": hm.get("masks", {}),

@@ -2673,3 +2673,72 @@ def test_branch_fast_forward_carries_branch_state_not_mains(spark, tmp_path):
     t.fast_forward("mor")
     assert sorted(r.id for r in t.read().collect()) == [0, 1, 2, 3]
     assert set(t.tags()) == {"main-tag", "branch-tag"}
+
+
+def test_hidden_partitioning_roundtrip_and_pruning(spark, tmp_path):
+    """Partition transforms: day(ts) + bucket(8, user_id) derive hidden
+    physical partitions; readers never see them; scan_transformed rewrites
+    source-column predicates onto them so the physical plan carries
+    PartitionFilters; bucket literals hash on the source column's type."""
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(0, 1000)
+        .withColumn("user_id", (F.col("id") % 50).cast("bigint"))
+        .withColumn(
+            "ts",
+            F.expr("timestamp'2024-03-01 00:00:00' + make_interval(0,0,0,0,0,0,id*600)"),
+        )
+        .withColumn("value", (F.col("id") * 2).cast("double"))
+    )
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit(df, partition_by=["day(ts)", "bucket(8, user_id)"])
+
+    # Hidden columns never leak.
+    assert all(not c.startswith("_p_") for c in t.read().columns)
+    assert t.read().count() == 1000
+    assert set(t.read().columns) == {"id", "user_id", "ts", "value"}
+
+    got = t.scan_transformed(
+        point={"user_id": 7},
+        between={"ts": ("2024-03-01 12:00:00", "2024-03-03 00:00:00")},
+    )
+    assert all(not c.startswith("_p_") for c in got.columns)
+    exp = df.filter(
+        (F.col("user_id") == 7)
+        & F.col("ts").between("2024-03-01 12:00:00", "2024-03-03 00:00:00")
+    )
+    assert sorted(r.id for r in got.collect()) == sorted(
+        r.id for r in exp.collect()
+    )
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "_p_day_ts" in plan.split("PartitionFilters")[1][:400]
+    assert "_p_bucket8_user_id" in plan.split("PartitionFilters")[1][:400]
+
+
+def test_hidden_partitioning_survives_dml_and_evolution_fallback(spark, tmp_path):
+    """Specs ride the manifest through appends; a dir committed WITHOUT the
+    transform disables hidden rewriting (no wrong pruning) while the
+    residual filter keeps results exact."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(0, 100).withColumn(
+        "k", (F.col("id") % 10).cast("bigint")
+    )
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit(base, partition_by=["bucket(4, k)"])
+    t.commit(
+        spark.range(100, 200).withColumn("k", (F.col("id") % 10).cast("bigint")),
+        partition_by=["bucket(4, k)"],
+    )
+    assert set(t.hidden_partition_specs()) == {"k"}
+    got = t.scan_transformed(point={"k": 3})
+    assert got.count() == 20
+
+    # Partition-evolved append without the transform: specs no longer
+    # common → no hidden rewrite, result still exact.
+    t.commit(spark.range(200, 250).withColumn("k", F.lit(3).cast("bigint")))
+    assert t.hidden_partition_specs() == {}
+    assert t.scan_transformed(point={"k": 3}).count() == 70
+    assert t.read().count() == 250
