@@ -2207,6 +2207,56 @@ def bloom_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hidden_partition_scan",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0
+               AS sum_price
+    FROM orders
+    WHERE o_custkey = 37
+      AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                          AND TIMESTAMP '1999-12-31 00:00:00'
+    """,
+)
+def hidden_partition_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden partitioning round-trip (tables.py::scan_transformed —
+    Iceberg's partition-transform contract, reference
+    docker/spark/conf/spark-defaults.conf:8-12 Iceberg catalog): orders
+    committed under ``month(o_orderdate)`` + ``bucket(8, o_custkey)``
+    transforms derive hidden physical partition dirs; the query then filters
+    on the SOURCE columns only and the engine rewrites both predicates onto
+    the hidden columns (same Catalyst transform expression as the write
+    side), so partition pruning drops whole months/buckets before a byte is
+    read. The oracle runs the identical predicate on the raw table, so any
+    row lost to over-pruning (or leaked hidden column) breaks the hash; the
+    pruning itself — PartitionFilters on ``_p_*`` in the physical plan — is
+    pinned by test_hidden_partitioning_roundtrip_and_pruning."""
+    import tempfile
+
+    from lakeflow.tables import VersionedTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="lakeflow_hidpart_"))
+    t.commit(
+        orders, partition_by=["month(o_orderdate)", "bucket(8, o_custkey)"]
+    )
+    assert set(t.hidden_partition_specs()) == {"o_orderdate", "o_custkey"}
+    got = t.scan_transformed(
+        point={"o_custkey": 37},
+        between={"o_orderdate": ("1995-01-01 00:00:00", "1999-12-31 00:00:00")},
+    )
+    return got.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        (
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
+            / 100.0
+        ).alias("sum_price"),
+    )
+
+
+@register(
     "event_funnel_steps",
     oracle="""
     WITH v AS (
