@@ -923,6 +923,60 @@ def mv_orders_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_view_customer_orders",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal, o_orderkey, o_totalprice,
+           CAST(1 AS BIGINT) AS n
+    FROM customer JOIN orders ON o_custkey = c_custkey
+    WHERE c_acctbal >= 0.0 AND o_totalprice >= 1100.0
+    """,
+)
+def join_view_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained JOIN materialized view (lakeflow/views.py
+    IncrementalJoinView — the delta-join of DBSP/Materialize, vs the
+    reference's per-run gold recompute): customer ⋈ orders materialized as
+    a Z-set, then churned by DML on BOTH bases — an appended orders band, a
+    copy-on-write DELETE of negative-balance customers, and a merge-on-read
+    DELETE of cheap orders (deletion vectors, no dir churn) — and refreshed
+    via Δ(L⋈R) = ΔL⋈R_new ∪ L_old⋈ΔR with signs multiplying through the
+    join. The assert pins that the refresh was the incremental path, not a
+    rebuild; the oracle joins the raw tables under the equivalent final
+    predicates, so a double-counted cross term, an unfolded DV pre-image,
+    or a stale watermark each break the hash."""
+    import tempfile
+
+    from lakeflow.tables import VersionedTable
+    from lakeflow.views import IncrementalJoinView
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    ords = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_totalprice"
+    )
+    lt = VersionedTable(spark, tempfile.mkdtemp(prefix="lakeflow_mvj_l_"))
+    rt = VersionedTable(spark, tempfile.mkdtemp(prefix="lakeflow_mvj_r_"))
+    lt.commit(cust)
+    rt.commit(ords.filter(F.col("o_orderkey") % 2 == 0), stats_cols=["c_custkey"])
+    view = IncrementalJoinView(
+        spark,
+        lt,
+        rt,
+        on=["c_custkey"],
+        path=tempfile.mkdtemp(prefix="lakeflow_mvj_") + "/state",
+    )
+    view.refresh()  # full build
+
+    rt.commit(ords.filter(F.col("o_orderkey") % 2 == 1), stats_cols=["c_custkey"])
+    lt.delete_where("c_acctbal < 0.0")
+    rt.delete_where_mor("o_totalprice < 1100.0")
+    view.refresh()
+    op = view.result._manifest(view.result.current_version())["operation"]
+    assert op == "mvj_refresh", f"expected incremental refresh, got {op}"
+    return view.read()
+
+
+@register(
     "clone_divergence_nations",
     oracle="""
     SELECT 'src' AS side, n_nationkey, n_name FROM nation

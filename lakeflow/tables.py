@@ -325,7 +325,7 @@ class VersionedTable:
         merge_schema: bool = False,
         bloom_cols: Sequence[str] | None = None,
         bloom_bits: int = 4096,
-        txn: tuple[str, int] | None = None,
+        txn: tuple[str, int] | Sequence[tuple[str, int]] | None = None,
         _operation: str | None = None,
         _existing_dir: str | None = None,
     ) -> int:
@@ -338,7 +338,11 @@ class VersionedTable:
         version returned). This is what makes foreachBatch APPEND sinks
         exactly-once — merge sinks replay idempotently by construction, but
         a replayed append (crash between commit and checkpoint) would
-        duplicate rows without the marker.
+        duplicate rows without the marker. A LIST of ``(app_id, version)``
+        pairs records several watermarks in the one atomic manifest (a view
+        maintained over TWO base tables needs both reflected versions to
+        land with the state or a crash re-folds one side); the replay skip
+        then fires only when EVERY pair is at-or-behind its recorded mark.
 
         ``mode="append"`` keeps prior data dirs in the manifest;
         ``mode="overwrite"`` starts the manifest fresh (data files of older
@@ -367,11 +371,18 @@ class VersionedTable:
         """
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+        txn_list: list[tuple[str, int]] | None = None
         if txn is not None:
+            txn_list = [txn] if isinstance(txn[0], str) else [
+                (a, v) for a, v in txn
+            ]
             cur = self.current_version()
             if cur is not None:
-                recorded = self._manifest(cur).get("txns", {}).get(txn[0])
-                if recorded is not None and txn[1] <= recorded:
+                recorded = self._manifest(cur).get("txns", {})
+                if all(
+                    recorded.get(a) is not None and v <= recorded[a]
+                    for a, v in txn_list
+                ):
                     return cur  # replayed batch: already folded, skip
         # Generated columns derive (batch omits them) or validate (batch
         # supplies them) BEFORE constraints, so a constraint may reference
@@ -509,8 +520,8 @@ class VersionedTable:
         if bloom:
             manifest["bloom"] = bloom
             manifest["bloom_bits"] = bloom_bits
-        if txn is not None:
-            manifest["txns"] = {txn[0]: txn[1]}
+        if txn_list is not None:
+            manifest["txns"] = {a: v for a, v in txn_list}
         self._publish_manifest(manifest)
         return version
 

@@ -56,13 +56,102 @@ from lakeflow.tables import VersionedTable
 # as a transactional watermark (see ``IncrementalAggView.refreshed_version``).
 _MV_TXN_APP = "mv"
 
+# Per-side watermark apps for the two-base join view: both reflected
+# versions ride in ONE state commit (tables.py commit(txn=[...])) so a
+# crash can never leave one side's watermark behind the state.
+_MVJ_TXN_LEFT = "mvj_left"
+_MVJ_TXN_RIGHT = "mvj_right"
+
+
+def _signed_side_delta(
+    base: VersionedTable,
+    v_from: int | None,
+    v_to: int,
+    key_cols: Sequence[str],
+) -> dict:
+    """One base table's signed row delta between two snapshots, plus the
+    metadata a delta-join prunes with.
+
+    Returns ``{"rebuild", "delta", "dirs_read", "bounds"}``:
+
+    - ``rebuild`` — no incremental rendering exists (first build, expired
+      ``v_from`` snapshot, or deletion vectors DISAPPEARED via RESTORE /
+      compaction); the other fields are then meaningless.
+    - ``delta`` — DataFrame of base rows tagged ``__sign`` (+1 added /
+      −1 removed, incl. merge-on-read DV pre-images), or None when empty.
+    - ``dirs_read`` — dirs the delta scan actually opened.
+    - ``bounds`` — ``{key: (lo, hi)}`` manifest-stat envelope of the
+      touched dirs on ``key_cols``; a key any touched dir lacks stats for
+      is omitted (the static side then reads unpruned on it — correct,
+      just not cheap). Conservative by construction: dir stats bound every
+      row in the dir, hence every delta row.
+    """
+    if v_from is None:
+        return {"rebuild": True, "delta": None, "dirs_read": 0, "bounds": {}}
+    try:
+        old_m = base._manifest(v_from)
+    except FileNotFoundError:
+        return {"rebuild": True, "delta": None, "dirs_read": 0, "bounds": {}}
+    m_to = base._manifest(v_to)
+    if any(
+        p not in set(m_to.get("delete_vectors", []))
+        for p in old_m.get("delete_vectors", [])
+    ):
+        return {"rebuild": True, "delta": None, "dirs_read": 0, "bounds": {}}
+
+    old_set, new_set = set(old_m["dirs"]), set(m_to["dirs"])
+    added = [d for d in m_to["dirs"] if d not in old_set]
+    removed = [d for d in old_m["dirs"] if d not in new_set]
+    dv_delta, dv_ref = _dv_preimages(base, old_m, m_to, v_to)
+
+    parts = []
+    if added:
+        parts.append(
+            base._read_dirs(added, v_to).withColumn(
+                "__sign", F.lit(1).cast("bigint")
+            )
+        )
+    if removed:
+        parts.append(
+            base._read_dirs(removed, v_from).withColumn(
+                "__sign", F.lit(-1).cast("bigint")
+            )
+        )
+    if dv_delta is not None:
+        parts.append(dv_delta.withColumn("__sign", F.lit(-1).cast("bigint")))
+    if not parts:
+        return {"rebuild": False, "delta": None, "dirs_read": 0, "bounds": {}}
+    delta = parts[0]
+    for p in parts[1:]:
+        delta = delta.unionByName(p)
+
+    touched = [
+        *((d, m_to) for d in added),
+        *((d, old_m) for d in removed),
+        *((d, m_to) for d in dv_ref),
+    ]
+    bounds: dict[str, tuple] = {}
+    for k in key_cols:
+        mms = [m.get("stats", {}).get(d, {}).get(k) for d, m in touched]
+        if all(
+            mm is not None and mm[0] is not None and mm[1] is not None
+            for mm in mms
+        ):
+            bounds[k] = (min(mm[0] for mm in mms), max(mm[1] for mm in mms))
+    return {
+        "rebuild": False,
+        "delta": delta,
+        "dirs_read": len(added) + len(removed) + len(dv_ref),
+        "bounds": bounds,
+    }
+
 
 def _dv_preimages(
     base: VersionedTable,
     old_m: dict,
     new_m: dict,
     v_to: int,
-) -> tuple[DataFrame | None, int]:
+) -> tuple[DataFrame | None, list[str]]:
     """Pre-image rows hidden by deletion vectors added between two snapshots.
 
     Merge-on-read DML changes row visibility WITHOUT touching the dir list,
@@ -79,13 +168,16 @@ def _dv_preimages(
     anti-joins the target version's vectors), and positions in removed dirs
     are subtracted wholesale by the removed-dir read.
 
-    Returns ``(pre_image_rows_or_None, n_dirs_read)``.
+    Returns ``(pre_image_rows_or_None, dirs_read)`` — the dirs raw-read to
+    recover the pre-images, so callers can both count refresh IO and look
+    up those dirs' manifest key stats (the join view prunes its static-side
+    read by the delta's key envelope).
     """
     dvs_from = old_m.get("delete_vectors", [])
     dvs_to = new_m.get("delete_vectors", [])
     new_dvs = [p for p in dvs_to if p not in set(dvs_from)]
     if not new_dvs:
-        return None, 0
+        return None, []
     dv = base.spark.read.parquet(*new_dvs).select("file_path", "row_index")
     common = set(old_m["dirs"]) & set(new_m["dirs"])
     # Distinct referenced FILES are bounded by the table's file count (the
@@ -101,7 +193,7 @@ def _dv_preimages(
         if any(d.rstrip("/") + "/" in f for f in files)
     )
     if not ref:
-        return None, 0
+        return None, []
     pre = base._read_dirs(ref, v_to, with_positions=True, dvs=[])
     hidden = pre.join(
         F.broadcast(dv),
@@ -112,7 +204,7 @@ def _dv_preimages(
     payload = [
         c for c in pre.columns if c not in (base.POS_FILE, base.POS_INDEX)
     ]
-    return hidden.select(*payload), len(ref)
+    return hidden.select(*payload), ref
 
 
 class IncrementalAggView:
@@ -237,7 +329,8 @@ class IncrementalAggView:
             old_set, new_set = set(old_m["dirs"]), set(new_dirs)
             added = [d for d in new_dirs if d not in old_set]
             removed = [d for d in old_m["dirs"] if d not in new_set]
-            dv_delta, dv_dirs_read = _dv_preimages(self.base, old_m, m_to, v_to)
+            dv_delta, dv_ref = _dv_preimages(self.base, old_m, m_to, v_to)
+            dv_dirs_read = len(dv_ref)
 
         parts = []
         if added:
@@ -441,7 +534,8 @@ class DirtyGroupAggView:
         # Merge-on-read DML adds deletion vectors without touching dirs —
         # the rows they hid are dirty too (their group's extremum may have
         # been the deleted row).
-        dv_delta, dv_dirs_read = _dv_preimages(self.base, old_m, m_to, v_to)
+        dv_delta, dv_ref = _dv_preimages(self.base, old_m, m_to, v_to)
+        dv_dirs_read = len(dv_ref)
         if not added and not removed and dv_delta is None:
             self._write_marker(v_to)
             return {"from_version": v_from, "to_version": v_to,
@@ -505,3 +599,223 @@ class DirtyGroupAggView:
             "dirs_total": dirs_total,
             "dirty_groups": len(dirty),
         }
+
+
+class IncrementalJoinView:
+    """Incrementally-maintained INNER equi-join view over two
+    :class:`VersionedTable` bases — the delta-join of DBSP / Materialize
+    (and Delta Live Tables' join-backed materialized views, which the
+    reference's gold layer recomputes from scratch per run,
+    /root/reference/src/gold/load_to_gold.py).
+
+    State is the join result as a Z-set: one row per DISTINCT joined tuple
+    plus a BIGINT multiplicity ``n`` (bag semantics without storing
+    duplicates). A refresh renders the bilinear delta identity
+
+        Δ(L ⋈ R)  =  ΔL ⋈ R_new  ∪  L_old ⋈ ΔR
+
+    — the ΔL⋈ΔR cross term lands exactly once because the first term joins
+    against the NEW right and the second against the OLD left (which time
+    travel provides for free). Each side's signed delta comes from the same
+    manifest machinery as :class:`IncrementalAggView` (added dirs +1,
+    removed dirs −1, merge-on-read DV pre-images −1), and signs multiply
+    through the join, so copy-on-write and merge-on-read DML on EITHER base
+    fold exactly; rows whose multiplicity reaches 0 leave the view.
+
+    The static side of each term is NOT a full scan: its read is pruned by
+    the manifest's per-dir min/max stats on the join keys, bounded by the
+    delta dirs' own key envelope (driver-side metadata, no data read). For
+    key-banded bases an appended band therefore joins against the matching
+    band of the other table — refresh IO ∝ delta × join selectivity, never
+    |L ⋈ R|. At 100 TB that is the difference between a view you refresh
+    per commit and one you rebuild nightly.
+
+    Both reflected base versions ride INSIDE each state commit as
+    transactional watermarks (``txn=[("mvj_left", vl), ("mvj_right",
+    vr)]``) — state and watermarks publish atomically, so a crash cannot
+    re-fold one side's delta. Rebuild (expired snapshot, RESTORE past a
+    MOR delete, first build) replaces state in ONE atomic commit.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        left: VersionedTable,
+        right: VersionedTable,
+        on: Sequence[str],
+        path: str,
+        count_col: str = "n",
+    ) -> None:
+        self.spark = spark
+        self.left = left
+        self.right = right
+        self.on = list(on)
+        self.count_col = count_col
+        self.result = VersionedTable(spark, path)
+        self._marker_path = os.path.join(path, "_mvj_state.json")
+
+    # -- watermarks ----------------------------------------------------------
+    def refreshed_versions(self) -> tuple[int | None, int | None]:
+        """(left, right) base versions the state reflects — from the txn
+        watermarks inside the state commit, with the sidecar marker (written
+        only for empty-delta refreshes, where there is no commit to carry
+        the txns) folded in by max."""
+        lv: list[int] = []
+        rv: list[int] = []
+        cur = self.result.current_version()
+        if cur is not None:
+            txns = self.result._manifest(cur).get("txns", {})
+            if _MVJ_TXN_LEFT in txns:
+                lv.append(int(txns[_MVJ_TXN_LEFT]))
+            if _MVJ_TXN_RIGHT in txns:
+                rv.append(int(txns[_MVJ_TXN_RIGHT]))
+        if os.path.exists(self._marker_path):
+            with open(self._marker_path) as fh:
+                mk = json.load(fh)
+            lv.append(int(mk["left_version"]))
+            rv.append(int(mk["right_version"]))
+        return (max(lv) if lv else None, max(rv) if rv else None)
+
+    def _write_marker(self, v_l: int, v_r: int) -> None:
+        tmp = self._marker_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"left_version": v_l, "right_version": v_r}, fh)
+        os.replace(tmp, self._marker_path)
+
+    # -- internals -----------------------------------------------------------
+    def _out_cols(self) -> list[str]:
+        lcols = [f.name for f in self.left.schema().fields]
+        rcols = [f.name for f in self.right.schema().fields]
+        overlap = (set(lcols) & set(rcols)) - set(self.on)
+        if overlap:
+            raise ValueError(
+                f"non-key columns shared by both sides: {sorted(overlap)}; "
+                "project them apart before the view"
+            )
+        missing = [k for k in self.on if k not in lcols or k not in rcols]
+        if missing:
+            raise ValueError(f"join keys absent from a side: {missing}")
+        return (
+            self.on
+            + [c for c in lcols if c not in self.on]
+            + [c for c in rcols if c not in self.on]
+        )
+
+    @staticmethod
+    def _pruned_read(
+        base: VersionedTable, version: int, bounds: Mapping[str, tuple]
+    ) -> tuple[DataFrame, int]:
+        """Static-side read at ``version``, opening only dirs whose key
+        stats overlap ``bounds`` (dirs without stats always open — no false
+        skips). Returns (frame, dirs_opened)."""
+        m = base._manifest(version)
+        if not m["dirs"]:
+            return base.read(version=version), 0
+        dirs = (
+            VersionedTable._kept_dirs(m, dict(bounds)) if bounds else m["dirs"]
+        )
+        if not dirs:
+            return base._read_dirs(m["dirs"], version).limit(0), 0
+        return base._read_dirs(dirs, version), len(dirs)
+
+    def _grouped(self, joined: DataFrame, out_cols: list[str]) -> DataFrame:
+        return joined.groupBy(*out_cols).agg(
+            F.sum("__sign").cast("bigint").alias(self.count_col)
+        )
+
+    # -- refresh ---------------------------------------------------------
+    def refresh(self) -> dict:
+        """Fold both bases' changes since the last refresh into the view.
+
+        Returns {"from_versions", "to_versions", "dirs_read",
+        "dirs_total"}; ``dirs_read`` counts delta dirs PLUS the pruned
+        static-side dirs each term actually opened — the number tests pin
+        the incremental contract on."""
+        v_lt = self.left.current_version()
+        v_rt = self.right.current_version()
+        if v_lt is None or v_rt is None:
+            raise ValueError("a base table has no snapshots")
+        v_lf, v_rf = self.refreshed_versions()
+        dirs_total = len(self.left._manifest(v_lt)["dirs"]) + len(
+            self.right._manifest(v_rt)["dirs"]
+        )
+        out = {
+            "from_versions": (v_lf, v_rf),
+            "to_versions": (v_lt, v_rt),
+            "dirs_total": dirs_total,
+        }
+        if v_lf == v_lt and v_rf == v_rt:
+            return {**out, "dirs_read": 0}
+        out_cols = self._out_cols()
+
+        dl = _signed_side_delta(self.left, v_lf, v_lt, self.on)
+        dr = _signed_side_delta(self.right, v_rf, v_rt, self.on)
+        if (
+            dl["rebuild"]
+            or dr["rebuild"]
+            or self.result.current_version() is None
+        ):
+            # One atomic replace — never a reset-then-fold pair.
+            full = (
+                self.left.read(version=v_lt)
+                .join(self.right.read(version=v_rt), on=self.on)
+                .withColumn("__sign", F.lit(1).cast("bigint"))
+            )
+            self.result.commit(
+                self._grouped(full, out_cols),
+                mode="overwrite",
+                _operation="mvj_build",
+                txn=[(_MVJ_TXN_LEFT, v_lt), (_MVJ_TXN_RIGHT, v_rt)],
+            )
+            self._write_marker(v_lt, v_rt)
+            return {**out, "dirs_read": dirs_total}
+
+        parts = []
+        dirs_read = dl["dirs_read"] + dr["dirs_read"]
+        if dl["delta"] is not None:
+            r_new, opened = self._pruned_read(self.right, v_rt, dl["bounds"])
+            dirs_read += opened
+            parts.append(dl["delta"].join(r_new, on=self.on))
+        if dr["delta"] is not None:
+            l_old, opened = self._pruned_read(self.left, v_lf, dr["bounds"])
+            dirs_read += opened
+            parts.append(l_old.join(dr["delta"], on=self.on))
+        if not parts:
+            self._write_marker(v_lt, v_rt)
+            return {**out, "dirs_read": 0}
+        delta = parts[0]
+        for p in parts[1:]:
+            delta = delta.unionByName(p)
+        partial = self._grouped(delta, out_cols)
+        # Merge by union + re-group (not full_outer join): groupBy equates
+        # NULL payload values, so a NULL-bearing tuple cannot split into
+        # two state rows the way a non-null-safe join merge would.
+        merged = (
+            self.result.read()
+            .select(*out_cols, self.count_col)
+            .unionByName(partial)
+            .groupBy(*out_cols)
+            .agg(F.sum(self.count_col).cast("bigint").alias(self.count_col))
+            .filter(F.col(self.count_col) > 0)
+        )
+        self.result.commit(
+            merged,
+            mode="overwrite",
+            _operation="mvj_refresh",
+            txn=[(_MVJ_TXN_LEFT, v_lt), (_MVJ_TXN_RIGHT, v_rt)],
+        )
+        self._write_marker(v_lt, v_rt)
+        return {**out, "dirs_read": dirs_read}
+
+    def read(self) -> DataFrame:
+        """Current state: joined tuples + multiplicity ``n``."""
+        return self.result.read()
+
+    def read_rows(self) -> DataFrame:
+        """State re-expanded to bag semantics (each tuple repeated ``n``
+        times) for consumers that want plain join-result rows."""
+        state = self.result.read()
+        cols = [c for c in state.columns if c != self.count_col]
+        return state.withColumn(
+            "__i", F.explode(F.sequence(F.lit(1), F.col(self.count_col)))
+        ).select(*cols)

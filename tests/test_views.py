@@ -352,3 +352,192 @@ def test_watermark_rides_inside_state_commit(spark, tmp_path):
     r = mv.refresh()  # must be a no-op, not a double fold
     assert r["dirs_read"] == 0
     assert _state(mv) == {"a": (2, 300)}
+
+
+# ---------------------------------------------------------------------------
+# IncrementalJoinView: delta-join maintenance over TWO versioned bases
+# ---------------------------------------------------------------------------
+
+from lakeflow.views import IncrementalJoinView  # noqa: E402
+
+
+def _mk_join_bases(spark, tmp_path):
+    l = VersionedTable(spark, str(tmp_path / "jl"))
+    r = VersionedTable(spark, str(tmp_path / "jr"))
+    l.commit(
+        spark.createDataFrame(
+            [(1, "x"), (2, "y"), (3, "z")], "k bigint, lv string"
+        )
+    )
+    r.commit(
+        spark.createDataFrame(
+            [(1, 10.0), (1, 11.0), (2, 20.0)], "k bigint, rv double"
+        )
+    )
+    return l, r
+
+
+def _jview(spark, l, r, tmp_path, name="mvj"):
+    return IncrementalJoinView(
+        spark, l, r, on=["k"], path=str(tmp_path / name)
+    )
+
+
+def _jstate(view):
+    return {(r.k, r.lv, r.rv): r.n for r in view.read().collect()}
+
+
+def _full_join_state(l, r):
+    out = {}
+    joined = l.read().join(r.read(), on="k").collect()
+    for row in joined:
+        key = (row.k, row.lv, row.rv)
+        out[key] = out.get(key, 0) + 1
+    return out
+
+
+def test_join_view_build_and_append_both_sides(spark, tmp_path):
+    l, r = _mk_join_bases(spark, tmp_path)
+    v = _jview(spark, l, r, tmp_path)
+    v.refresh()  # full build
+    assert _jstate(v) == {(1, "x", 10.0): 1, (1, "x", 11.0): 1, (2, "y", 20.0): 1}
+
+    # Append on BOTH sides in one refresh window: the ΔL⋈ΔR cross term
+    # (new left key 4 joining new right rows for 4) must land exactly once.
+    l.commit(spark.createDataFrame([(4, "w")], "k bigint, lv string"))
+    r.commit(
+        spark.createDataFrame([(4, 40.0), (3, 30.0)], "k bigint, rv double")
+    )
+    info = v.refresh()
+    assert _jstate(v) == _full_join_state(l, r)
+    assert (4, "w", 40.0) in _jstate(v) and (3, "z", 30.0) in _jstate(v)
+    assert info["dirs_read"] < info["dirs_total"] * 2  # not a rebuild
+
+
+def test_join_view_multiplicities_fold_as_zset(spark, tmp_path):
+    l = VersionedTable(spark, str(tmp_path / "jl"))
+    r = VersionedTable(spark, str(tmp_path / "jr"))
+    # Duplicate rows on both sides: multiplicity = product (2 left × 2
+    # right copies = 4), stored as ONE state row with n=4.
+    l.commit(
+        spark.createDataFrame([(1, "x"), (1, "x")], "k bigint, lv string")
+    )
+    r.commit(
+        spark.createDataFrame([(1, 9.0), (1, 9.0)], "k bigint, rv double")
+    )
+    v = _jview(spark, l, r, tmp_path)
+    v.refresh()
+    assert _jstate(v) == {(1, "x", 9.0): 4}
+    assert v.read_rows().count() == 4
+
+    # Removing one left copy (CoW rewrite) drops multiplicity to 2.
+    l.commit(
+        spark.createDataFrame([(1, "x")], "k bigint, lv string"),
+        mode="overwrite",
+    )
+    v.refresh()
+    assert _jstate(v) == {(1, "x", 9.0): 2}
+
+
+def test_join_view_cow_and_mor_deletes_fold(spark, tmp_path):
+    l, r = _mk_join_bases(spark, tmp_path)
+    v = _jview(spark, l, r, tmp_path)
+    v.refresh()
+    l.delete_where("k = 2")          # copy-on-write: dir diff
+    r.delete_where_mor("rv > 10.5")  # merge-on-read: DV pre-image path
+    info = v.refresh()
+    assert info["from_versions"] != info["to_versions"]
+    assert _jstate(v) == {(1, "x", 10.0): 1}
+    assert _jstate(v) == _full_join_state(l, r)
+
+
+def test_join_view_incremental_equals_rebuild(spark, tmp_path):
+    l, r = _mk_join_bases(spark, tmp_path)
+    v = _jview(spark, l, r, tmp_path, "mvj_inc")
+    v.refresh()
+    l.commit(spark.createDataFrame([(2, "y2")], "k bigint, lv string"))
+    r.delete_where("k = 1 AND rv = 11.0")
+    r.commit(spark.createDataFrame([(2, 21.0)], "k bigint, rv double"))
+    v.refresh()
+
+    fresh = _jview(spark, l, r, tmp_path, "mvj_full")
+    fresh.refresh()
+    assert _jstate(v) == _jstate(fresh) == _full_join_state(l, r)
+
+
+def test_join_view_static_side_read_is_stat_pruned(spark, tmp_path):
+    """An appended key band on the left must open only the overlapping
+    right-side band, not the whole right table."""
+    import pyspark.sql.functions as F
+
+    l = VersionedTable(spark, str(tmp_path / "jl"))
+    r = VersionedTable(spark, str(tmp_path / "jr"))
+    rows = spark.range(0, 400).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("rv")
+    )
+    # Right committed in 4 disjoint key bands with stats.
+    for i in range(4):
+        r.commit(
+            rows.filter((F.col("k") >= i * 100) & (F.col("k") < (i + 1) * 100)),
+            stats_cols=["k"],
+        )
+    l.commit(
+        spark.range(0, 10).select(
+            F.col("id").alias("k"), F.lit("a").alias("lv")
+        ),
+        stats_cols=["k"],
+    )
+    v = _jview(spark, l, r, tmp_path)
+    v.refresh()
+    # Append left keys 250-259: only right band [200,300) may open.
+    l.commit(
+        spark.range(250, 260).select(
+            F.col("id").alias("k"), F.lit("b").alias("lv")
+        ),
+        stats_cols=["k"],
+    )
+    info = v.refresh()
+    # 1 delta dir + 1 pruned right band — not 4 right dirs.
+    assert info["dirs_read"] == 2, info
+    assert _jstate(v) == _full_join_state(l, r)
+
+
+def test_join_view_watermarks_ride_one_commit(spark, tmp_path):
+    """Both reflected base versions land inside the state commit (atomic
+    with the state); the sidecar marker is only the empty-delta fast path."""
+    l, r = _mk_join_bases(spark, tmp_path)
+    v = _jview(spark, l, r, tmp_path)
+    v.refresh()
+    import os
+
+    os.remove(v._marker_path)  # simulate crash before sidecar write
+    assert v.refreshed_versions() == (
+        l.current_version(),
+        r.current_version(),
+    )
+    # A no-op refresh after marker loss must not re-fold anything.
+    info = v.refresh()
+    assert info["dirs_read"] == 0
+
+
+def test_join_view_restore_past_mor_delete_rebuilds(spark, tmp_path):
+    l, r = _mk_join_bases(spark, tmp_path)
+    v = _jview(spark, l, r, tmp_path)
+    v.refresh()
+    kept = r.current_version()
+    r.delete_where_mor("rv = 10.0")
+    v.refresh()
+    assert (1, "x", 10.0) not in _jstate(v)
+    r.rollback(kept)  # DVs disappear: resurfaced rows force a rebuild
+    v.refresh()
+    assert _jstate(v) == _full_join_state(l, r)
+
+
+def test_join_view_rejects_colliding_payload_columns(spark, tmp_path):
+    l = VersionedTable(spark, str(tmp_path / "jl"))
+    r = VersionedTable(spark, str(tmp_path / "jr"))
+    l.commit(spark.createDataFrame([(1, "x")], "k bigint, v string"))
+    r.commit(spark.createDataFrame([(1, "y")], "k bigint, v string"))
+    view = _jview(spark, l, r, tmp_path)
+    with pytest.raises(ValueError, match="non-key columns shared"):
+        view.refresh()
