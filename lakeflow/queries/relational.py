@@ -2222,15 +2222,18 @@ def hidden_partition_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hidden partitioning round-trip (tables.py::scan_transformed —
     Iceberg's partition-transform contract, reference
     docker/spark/conf/spark-defaults.conf:8-12 Iceberg catalog): orders
-    committed under ``month(o_orderdate)`` + ``bucket(8, o_custkey)``
+    committed under ``year(o_orderdate)`` + ``bucket(8, o_custkey)``
     transforms derive hidden physical partition dirs; the query then filters
     on the SOURCE columns only and the engine rewrites both predicates onto
     the hidden columns (same Catalyst transform expression as the write
-    side), so partition pruning drops whole months/buckets before a byte is
+    side), so partition pruning drops whole years/buckets before a byte is
     read. The oracle runs the identical predicate on the raw table, so any
     row lost to over-pruning (or leaked hidden column) breaks the hash; the
     pruning itself — PartitionFilters on ``_p_*`` in the physical plan — is
-    pinned by test_hidden_partitioning_roundtrip_and_pruning."""
+    pinned by test_hidden_partitioning_roundtrip_and_pruning (which also
+    covers day+bucket granularity). Year granularity here keeps the
+    fixture write to ~56 dirs; at 100 TB the same code runs day() — dir
+    count is the layout knob, the engine is granularity-agnostic."""
     import tempfile
 
     from lakeflow.tables import VersionedTable
@@ -2240,7 +2243,7 @@ def hidden_partition_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = VersionedTable(spark, tempfile.mkdtemp(prefix="lakeflow_hidpart_"))
     t.commit(
-        orders, partition_by=["month(o_orderdate)", "bucket(8, o_custkey)"]
+        orders, partition_by=["year(o_orderdate)", "bucket(8, o_custkey)"]
     )
     assert set(t.hidden_partition_specs()) == {"o_orderdate", "o_custkey"}
     got = t.scan_transformed(

@@ -38,6 +38,7 @@ minimal grammar that does:
         SEQUENCE BY <col> [OPS <op_col> DELETE WHEN '<val>']
     CREATE INCREMENTAL VIEW mv AS SELECT k1[, k2...], COUNT(*) AS c,
         SUM(col) AS s[, ...] FROM t GROUP BY k1[, k2...] [WITH SCALE <n>]
+    CREATE INCREMENTAL JOIN VIEW mv AS SELECT * FROM l JOIN r USING (k1[, k2])
     REFRESH INCREMENTAL VIEW mv
     CREATE SCHEMA [IF NOT EXISTS] s | SHOW SCHEMAS | SHOW TABLES [IN s]
 
@@ -204,6 +205,12 @@ _CREATE_MV = re.compile(
 )
 _MV_COUNT = re.compile(r"^COUNT\(\*\)\s+AS\s+(\w+)$", re.IGNORECASE)
 _MV_SUM = re.compile(r"^SUM\((\w+)\)\s+AS\s+(\w+)$", re.IGNORECASE)
+_CREATE_MVJ = re.compile(
+    r"^\s*CREATE\s+INCREMENTAL\s+JOIN\s+VIEW\s+(\w+)\s+AS\s+"
+    r"SELECT\s+\*\s+FROM\s+([\w.]+)\s+JOIN\s+([\w.]+)\s+"
+    r"USING\s*\(([\w\s,]+)\)\s*$",
+    re.IGNORECASE,
+)
 _REFRESH_MV = re.compile(
     r"^\s*REFRESH\s+INCREMENTAL\s+VIEW\s+(\w+)\s*$", re.IGNORECASE
 )
@@ -468,6 +475,9 @@ class LakehouseSQL:
         m = _APPLY.match(stmt)
         if m:
             return self._apply_changes(*m.groups())
+        m = _CREATE_MVJ.match(stmt)
+        if m:
+            return self._create_mvj(*m.groups())
         m = _CREATE_MV.match(stmt)
         if m:
             return self._create_mv(*m.groups())
@@ -486,13 +496,21 @@ class LakehouseSQL:
         import json
         import os
 
-        from lakeflow.views import IncrementalAggView
+        from lakeflow.views import IncrementalAggView, IncrementalJoinView
 
         path = self._mv_spec_path(name)
         if not os.path.exists(path):
             raise ValueError(f"unknown incremental view {name!r}")
         with open(path) as fh:
             spec = json.load(fh)
+        if spec.get("kind") == "join":
+            return IncrementalJoinView(
+                self.spark,
+                self.catalog.load(spec["left"]),
+                self.catalog.load(spec["right"]),
+                on=spec["on"],
+                path=os.path.join(self.catalog.root, f"_mvdata_{name}"),
+            )
         return IncrementalAggView(
             self.spark,
             self.catalog.load(spec["base"]),
@@ -501,6 +519,29 @@ class LakehouseSQL:
             path=os.path.join(self.catalog.root, f"_mvdata_{name}"),
             count_col=spec["count_col"],
         )
+
+    def _create_mvj(self, name: str, left: str, right: str, using: str) -> dict:
+        """Incremental JOIN view as a statement (views.py
+        IncrementalJoinView — the delta-join tier): ``CREATE INCREMENTAL
+        JOIN VIEW v AS SELECT * FROM l JOIN r USING (k1[, k2])``. The state
+        carries every column of both sides plus the Z-set multiplicity
+        ``n``; REFRESH INCREMENTAL VIEW folds both bases' manifest diffs.
+        Project/aggregate over the registered temp view for narrower
+        shapes — the join itself is the part worth incrementalizing."""
+        import json
+
+        keys = [k.strip() for k in using.split(",") if k.strip()]
+        if not keys:
+            raise ValueError("USING (...) needs at least one join key")
+        with open(self._mv_spec_path(name), "w") as fh:
+            json.dump(
+                {"kind": "join", "left": left, "right": right, "on": keys},
+                fh,
+            )
+        mv = self._load_mv(name)
+        r = mv.refresh()
+        mv.read().createOrReplaceTempView(name)
+        return {"created_view": name, **r}
 
     def _create_mv(
         self, name: str, select_list: str, base: str, group_by: str, scale: str | None

@@ -24,6 +24,10 @@ contract on :class:`lakeflow.tables.VersionedTable` metadata alone:
   re-aggregates exactly those groups from the current base, pruned by the
   per-dir key stats (the same incremental/recompute line DLT draws, with
   the recompute scoped to touched groups instead of the whole view).
+- JOINs are bilinear, not invertible-per-row; :class:`IncrementalJoinView`
+  is their tier — Z-set state (distinct joined tuple + multiplicity) folded
+  by the delta-join identity Δ(L⋈R) = ΔL⋈R_new ∪ L_old⋈ΔR, with each
+  term's static side stat-pruned to the delta's key envelope.
 
 Copy-on-write DML composes for free: ``delete_where``/``update_where``
 carry untouched dirs over (absent from the diff) and rewrite only candidate

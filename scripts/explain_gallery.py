@@ -74,6 +74,8 @@ GALLERY = [
     ("mmr_diverse_topk", "JVM shortlist + pair cosines (integer micro-units) → ONE cogrouped-pandas greedy per query"),
     ("preference_pairs", "per-prompt extrema via ONE shuffle of partial min/max structs — no window sort"),
     ("charclass_profile", "length-minus-stripped regexp folds — pure scan-side projection, zero exchange"),
+    ("hidden_partition_scan", "partition-transform rewrite: source predicates fold onto hidden _p_* columns → PartitionFilters prune dirs before any byte"),
+    ("join_view_customer_orders", "delta-join MV state read-back (refresh IO pinned by dirs_read tests, not this plan)"),
 ]
 
 

@@ -806,3 +806,135 @@ def test_dpo_pairs_match_brute_force(spark, data):
         if ch[1] > rj[1]:
             want[g] = (ch[0], rj[0], ch[1], rj[1], ch[1] - rj[1])
     assert got == want
+
+
+# --- hidden partitioning (partition transforms) -----------------------------
+
+_hp_rows = st.lists(
+    st.tuples(st.integers(0, 40), st.integers(0, 120)),  # (key, day offset)
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(
+    rows=_hp_rows,
+    point=st.integers(0, 40),
+    lo=st.integers(0, 120),
+    span=st.integers(0, 60),
+    del_key=st.integers(0, 40),
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_scan_transformed_matches_plain_filter(
+    spark, tmp_path_factory, rows, point, lo, span, del_key
+):
+    """scan_transformed is EXACT under any data/predicate combination: the
+    hidden-column rewrite may only prune, never change results — including
+    after a copy-on-write DELETE whose rewritten dir drops the transform
+    (specs no longer common → rewrite disables, residual filter carries)."""
+    from datetime import date, timedelta
+
+    from pyspark.sql import functions as F
+
+    from lakeflow.tables import VersionedTable
+
+    root = tmp_path_factory.mktemp("hp")
+    df = spark.createDataFrame(rows, "k long, off long").select(
+        "k",
+        F.expr(
+            "CAST(date_add(DATE'2024-01-01', CAST(off AS INT)) AS timestamp)"
+        ).alias("ts"),
+    )
+    t = VersionedTable(spark, str(root / "t"))
+    t.commit(df, partition_by=["day(ts)", "bucket(4, k)"])
+
+    def ts_str(days: int) -> str:
+        return (date(2024, 1, 1) + timedelta(days=days)).strftime(
+            "%Y-%m-%d 00:00:00"
+        )
+
+    lo_s, hi_s = ts_str(lo), ts_str(lo + span)
+
+    def check():
+        got = sorted(
+            (r.k, str(r.ts))
+            for r in t.scan_transformed(
+                point={"k": point}, between={"ts": (lo_s, hi_s)}
+            ).collect()
+        )
+        want = sorted(
+            (r.k, str(r.ts))
+            for r in t.read()
+            .filter((F.col("k") == point) & F.col("ts").between(lo_s, hi_s))
+            .collect()
+        )
+        assert got == want
+
+    check()
+    t.delete_where(f"k = {del_key}")
+    check()
+
+
+# --- incremental join view under arbitrary two-sided DML --------------------
+
+_jv_rows_l = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 9)), min_size=1, max_size=4
+)
+_jv_rows_r = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(10, 19)), min_size=1, max_size=4
+)
+_jv_ops = st.one_of(
+    st.tuples(st.just("append_l"), _jv_rows_l),
+    st.tuples(st.just("append_r"), _jv_rows_r),
+    st.tuples(st.just("delete_l"), st.integers(0, 3)),
+    st.tuples(st.just("delete_mor_r"), st.integers(10, 19)),
+)
+
+
+@given(sequence=st.lists(_jv_ops, min_size=2, max_size=5))
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_join_view_tracks_arbitrary_two_sided_dml(
+    spark, tmp_path_factory, sequence
+):
+    """After ANY interleaving of appends, copy-on-write deletes (left) and
+    merge-on-read deletes (right) with a refresh at every step, the join
+    view's Z-set state equals the grouped full join of the current bases —
+    the delta identity never double-counts the cross term and DV pre-images
+    fold with the right sign through the join."""
+    from pyspark.sql import functions as F
+
+    from lakeflow.tables import VersionedTable
+    from lakeflow.views import IncrementalJoinView
+
+    root = tmp_path_factory.mktemp("jvprop")
+    lt = VersionedTable(spark, str(root / "l"))
+    rt = VersionedTable(spark, str(root / "r"))
+    view = IncrementalJoinView(
+        spark, lt, rt, on=["k"], path=str(root / "state")
+    )
+    for step, op in enumerate(sequence):
+        if op[0] == "append_l":
+            lt.commit(spark.createDataFrame(op[1], "k long, a long"))
+        elif op[0] == "append_r":
+            rt.commit(spark.createDataFrame(op[1], "k long, b long"))
+        elif lt.current_version() is None or rt.current_version() is None:
+            continue
+        elif op[0] == "delete_l":
+            lt.delete_where(f"k = {op[1]}")
+        else:
+            rt.delete_where_mor(f"b = {op[1]}")
+        if lt.current_version() is None or rt.current_version() is None:
+            continue
+        view.refresh()
+        got = {(r.k, r.a, r.b, r.n) for r in view.read().collect()}
+        want = {
+            (r.k, r.a, r.b, r.n)
+            for r in lt.read()
+            .join(rt.read(), on="k")
+            .groupBy("k", "a", "b")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .collect()
+        }
+        assert got == want, f"diverged at step {step} after {op[0]}"

@@ -389,3 +389,40 @@ def test_branch_sql_routes(lh):
 
     with pytest.raises(ValueError, match="no such tag"):
         lh.execute("SELECT count(*) AS n FROM t FOR VERSION AS OF 'stage'")
+
+
+def test_incremental_join_view_statements(lh):
+    """CREATE INCREMENTAL JOIN VIEW materializes l JOIN r as a Z-set and
+    REFRESH INCREMENTAL VIEW folds DML on either base through the
+    delta-join — same statement surface as the agg tier."""
+    lh.execute(
+        "CREATE VERSIONED TABLE jl AS "
+        "SELECT id AS k, CAST(id * 10 AS BIGINT) AS a FROM range(3)"
+    )
+    lh.execute(
+        "CREATE VERSIONED TABLE jr AS "
+        "SELECT id % 3 AS k, CAST(id AS BIGINT) AS b FROM range(6)"
+    )
+    r = lh.execute(
+        "CREATE INCREMENTAL JOIN VIEW jlr AS "
+        "SELECT * FROM jl JOIN jr USING (k)"
+    )
+    assert r["created_view"] == "jlr"
+    # Queryable immediately; every jl key joins 2 jr rows.
+    assert lh.execute("SELECT count(*) AS n FROM jlr").first()["n"] == 6
+
+    lh.execute("DELETE FROM VERSIONED jl WHERE k = 1")
+    lh.execute(
+        "INSERT INTO VERSIONED jr "
+        "SELECT CAST(0 AS BIGINT) AS k, CAST(99 AS BIGINT) AS b"
+    )
+    r2 = lh.execute("REFRESH INCREMENTAL VIEW jlr")
+    assert r2["refreshed_view"] == "jlr"
+    got = {
+        (row.k, row.a, row.b, row.n)
+        for row in lh.execute("SELECT * FROM jlr").collect()
+    }
+    assert got == {
+        (0, 0, 0, 1), (0, 0, 3, 1), (0, 0, 99, 1),
+        (2, 20, 2, 1), (2, 20, 5, 1),
+    }
