@@ -181,6 +181,9 @@ def main() -> None:
         tail_timings = run_set(tail)
         print("FULL_SURFACE " + json.dumps(tail_timings), file=sys.stderr)
         record["full_total"] = round(total + sum(tail_timings.values()), 3)
+        # The denominator, so a registry that GREW between rounds is not
+        # misread as a per-query regression (r5→r6: 169→206 queries).
+        record["full_n"] = len(timings) + len(tail_timings)
 
     print(json.dumps(record))
     spark.stop()
