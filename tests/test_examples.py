@@ -21,6 +21,7 @@ EXAMPLES = [
     "llm_curation.py",
     "mutable_lakehouse.py",
     "delta_interop.py",
+    "layout_and_views.py",
 ]
 
 
