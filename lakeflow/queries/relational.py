@@ -2260,6 +2260,87 @@ def hidden_partition_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pushdown_source_scan",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0
+               AS sum_price
+    FROM orders
+    WHERE o_custkey = 37
+      AND o_orderdate BETWEEN TIMESTAMP '1996-06-01 00:00:00'
+                          AND TIMESTAMP '1999-12-31 00:00:00'
+    """,
+)
+def pushdown_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalyst-integrated table reads (sources/table_source.py — the role
+    Iceberg's Spark runtime plays for the reference): orders land in four
+    custkey-banded commits carrying zone maps + Bloom bitmaps under a
+    ``year(o_orderdate)`` transform, then a PLAIN DataFrame filter — no
+    engine-specific scan API — reaches the source through the PySpark 4
+    ``pushFilters`` hook and prunes manifest metadata three ways (stats
+    band, bloom point, year segments) before pyarrow decodes a byte. The
+    assert pins that pruning actually engaged; the oracle replays the
+    predicate on the raw table, so over-pruning (a wrong hash twin, a bad
+    segment compare) breaks the hash."""
+    import tempfile
+
+    from lakeflow.sources.table_source import plan_files, register_table_source
+    from lakeflow.tables import VersionedTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    hi = orders.agg(F.max("o_custkey")).collect()[0][0]
+    band = hi // 4 + 1
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="lakeflow_pushdown_"))
+    for i in range(4):
+        t.commit(
+            orders.filter(
+                (F.col("o_custkey") >= i * band)
+                & (F.col("o_custkey") < (i + 1) * band)
+            ),
+            stats_cols=["o_custkey"],
+            bloom_cols=["o_custkey"],
+            partition_by=["year(o_orderdate)"],
+        )
+    types = {"o_custkey": "bigint", "o_orderdate": "timestamp"}
+    total, _ = plan_files(t.root, None, {}, {}, types)
+    import datetime
+
+    pruned, _ = plan_files(
+        t.root,
+        None,
+        {"o_custkey": 37},
+        {"o_orderdate": [datetime.datetime(1996, 6, 1),
+                         datetime.datetime(1999, 12, 31)]},
+        types,
+    )
+    assert len(pruned) < len(total) // 2, (
+        f"pushdown pruning disengaged: {len(pruned)}/{len(total)} files"
+    )
+    register_table_source(spark)
+    df = (
+        spark.read.format("lakeflow_table")
+        .option("path", t.root)
+        .load()
+        .filter(
+            (F.col("o_custkey") == 37)
+            & F.col("o_orderdate").between(
+                F.lit("1996-06-01 00:00:00").cast("timestamp"),
+                F.lit("1999-12-31 00:00:00").cast("timestamp"),
+            )
+        )
+    )
+    return df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
+            / 100.0
+        ).alias("sum_price"),
+    )
+
+
+@register(
     "event_funnel_steps",
     oracle="""
     WITH v AS (

@@ -1,0 +1,188 @@
+"""Pushdown table DataSource (lakeflow/sources/table_source.py): the
+Murmur3 twin must be bit-exact with F.hash (a divergence would over-prune
+bucket lookups), planning must prune only provably-empty files, and the
+Arrow read path must reproduce VersionedTable.read() exactly — deletion
+vectors, schema evolution and identity partitions included."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakeflow.sources.table_source import (
+    _ordered_transform_bounds,
+    murmur3_hash_int,
+    murmur3_hash_long,
+    plan_files,
+    register_table_source,
+)
+from lakeflow.tables import VersionedTable
+
+
+def _rows(df):
+    df = df.select(*sorted(df.columns))  # driver-style name-ordered compare
+    return sorted(tuple(str(x) for x in r) for r in df.collect())
+
+
+def test_murmur3_twin_matches_spark_hash(spark):
+    """The Python hash twin vs F.hash over negatives, zero, both widths —
+    the ONLY safe bucket pruning is a bit-exact one."""
+    vals = [0, 1, -1, 7, -37, 2**31 - 1, -(2**31), 2**62, -(2**62), 123456789]
+    df = spark.createDataFrame([(v,) for v in vals], "v long").select(
+        "v", F.hash("v").alias("h")
+    )
+    got = {r.v: r.h for r in df.collect()}
+    for v in vals:
+        assert murmur3_hash_long(v) == got[v], f"long twin diverged at {v}"
+    ints = [0, 1, -1, 42, -999, 2**31 - 1, -(2**31)]
+    df = spark.createDataFrame([(v,) for v in ints], "v int").select(
+        "v", F.hash("v").alias("h")
+    )
+    got = {r.v: r.h for r in df.collect()}
+    for v in ints:
+        assert murmur3_hash_int(v) == got[v], f"int twin diverged at {v}"
+
+
+def test_roundtrip_plain_and_dv_masked(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(
+        spark.range(0, 100).select(
+            F.col("id").alias("k"), (F.col("id") * 1.5).alias("v")
+        )
+    )
+    register_table_source(spark)
+    src = spark.read.format("lakeflow_table").option("path", t.root).load()
+    assert _rows(src) == _rows(t.read())
+
+    # Merge-on-read delete: the source must apply the deletion vector.
+    t.delete_where_mor("k % 7 = 0")
+    src = spark.read.format("lakeflow_table").option("path", t.root).load()
+    assert _rows(src) == _rows(t.read())
+    assert src.count() == t.read().count() != 100
+
+
+def test_schema_evolution_and_identity_partitions(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string"),
+        partition_by=["s"],
+    )
+    t.commit(
+        spark.createDataFrame(
+            [(3, "c", 9.5)], "k long, s string, extra double"
+        ),
+        partition_by=["s"],
+        merge_schema=True,
+    )
+    register_table_source(spark)
+    src = spark.read.format("lakeflow_table").option("path", t.root).load()
+    assert _rows(src) == _rows(t.read())
+    assert set(src.columns) == {"k", "s", "extra"}
+
+
+def test_time_travel_option(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(spark.range(0, 5).select(F.col("id").alias("k")))
+    t.commit(spark.range(5, 9).select(F.col("id").alias("k")))
+    register_table_source(spark)
+    v1 = (
+        spark.read.format("lakeflow_table")
+        .option("path", t.root)
+        .option("version", "1")
+        .load()
+    )
+    assert v1.count() == 5
+
+
+def test_plan_prunes_stats_bloom_and_transforms(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    rows = spark.range(0, 400).select(
+        F.col("id").alias("k"),
+        F.expr(
+            "CAST(date_add(DATE'2024-01-01', CAST(id % 365 AS INT)) AS timestamp)"
+        ).alias("ts"),
+    )
+    # Four key-banded commits with stats + bloom + transform partitioning.
+    for i in range(4):
+        t.commit(
+            rows.filter((F.col("k") >= i * 100) & (F.col("k") < (i + 1) * 100)),
+            stats_cols=["k"],
+            bloom_cols=["k"],
+            partition_by=["month(ts)", "bucket(4, k)"],
+        )
+    types = {"k": "bigint", "ts": "timestamp"}
+    all_files, _m = plan_files(t.root, None, {}, {}, types)
+    assert len(all_files) > 4
+
+    # Range on k: zone maps keep one band's dirs only.
+    band, _m = plan_files(t.root, None, {}, {"k": [150, 160]}, types)
+    assert {f["dir"] for f in band} < {f["dir"] for f in all_files}
+    assert len({f["dir"] for f in band}) == 1
+
+    # Equality on k: bloom + bucket twin prune within the band too.
+    point, _m = plan_files(t.root, None, {"k": 155}, {}, types)
+    assert len(point) < len(band)
+    import datetime
+
+    # Month transform prunes by the ts range (±1 day widening tolerated).
+    lo = datetime.datetime(2024, 6, 1)
+    hi = datetime.datetime(2024, 6, 30)
+    months, _m = plan_files(t.root, None, {}, {"ts": [lo, hi]}, types)
+    assert 0 < len(months) < len(all_files)
+
+    # End-to-end: the pruned read still returns exactly the right rows.
+    register_table_source(spark)
+    src = (
+        spark.read.format("lakeflow_table")
+        .option("path", t.root)
+        .load()
+        .filter((F.col("k") == 155) & F.col("ts").between(lo, hi))
+    )
+    exp = t.read().filter((F.col("k") == 155) & F.col("ts").between(lo, hi))
+    assert _rows(src) == _rows(exp)
+
+
+def test_pushdown_equality_correctness_sweep(spark, tmp_path):
+    """Bucket pruning is only as safe as the hash twin: sweep many point
+    lookups through the full source path and compare against the plain
+    read — a single missing row means the twin (or segment parsing) lies."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(
+        spark.range(0, 60).select(
+            F.col("id").alias("k"), (F.col("id") % 5).alias("g")
+        ),
+        partition_by=["bucket(8, k)"],
+    )
+    register_table_source(spark)
+    base = spark.read.format("lakeflow_table").option("path", t.root).load()
+    for k in [0, 1, 7, 13, 29, 42, 59]:
+        assert base.filter(F.col("k") == k).count() == 1, f"k={k} lost"
+
+
+def test_governed_and_renamed_tables_refused(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(spark.createDataFrame([(1, "x")], "k long, s string"))
+    t.set_column_mask("s", "'***'")
+    register_table_source(spark)
+    with pytest.raises(Exception, match="governed"):
+        spark.read.format("lakeflow_table").option("path", t.root).load().collect()
+
+    t2 = VersionedTable(spark, str(tmp_path / "t2"))
+    t2.commit(spark.createDataFrame([(1, "x")], "k long, s string"))
+    t2.rename_column("s", "s2")
+    with pytest.raises(Exception, match="renamed"):
+        spark.read.format("lakeflow_table").option("path", t2.root).load().collect()
+
+
+def test_ordered_transform_bounds_widening():
+    import datetime
+
+    lo = datetime.datetime(2024, 1, 1)
+    hi = datetime.datetime(2024, 1, 2)
+    # Year widening spans the boundary: Dec 31 is admitted.
+    t_lo, t_hi = _ordered_transform_bounds("year", None, lo, hi)
+    assert t_lo == 2023 and t_hi == 2024
+    t_lo, t_hi = _ordered_transform_bounds("month", None, lo, hi)
+    assert t_lo == (2023 - 1970) * 12 + 11 and t_hi == (2024 - 1970) * 12 + 0
+    assert _ordered_transform_bounds("truncate", 2, "ab", "ax") == ("ab", "ax")
+    assert _ordered_transform_bounds("year", None, None, hi) is None
