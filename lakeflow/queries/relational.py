@@ -2341,6 +2341,65 @@ def pushdown_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pywrite_table_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0
+               AS sum_price
+    FROM orders WHERE o_orderkey % 3 <> 0
+    GROUP BY o_orderstatus
+    """,
+)
+def pywrite_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writer-side DataSource integration (table_source.py
+    LakeflowTableWriter): orders stream through
+    ``df.write.format("lakeflow_table")`` — task-parallel pyarrow shards,
+    zone maps merged from per-shard partials, manifest published through
+    the same atomic-link path as the JVM commit — as an append then a
+    copy-on-write DELETE through the JVM API, and the aggregate reads back
+    through the JVM scan: all three surfaces must agree or the hash
+    breaks. The writer-recorded zone maps are asserted to prune."""
+    import tempfile
+
+    from lakeflow.sources.table_source import register_table_source
+    from lakeflow.tables import VersionedTable
+
+    register_table_source(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="lakeflow_pywrite_") + "/t"
+    half = orders.agg(F.max("o_orderkey")).collect()[0][0] // 2
+    for part in (
+        orders.filter(F.col("o_orderkey") <= half),
+        orders.filter(F.col("o_orderkey") > half),
+    ):
+        part.write.format("lakeflow_table").option("path", root).mode(
+            "append"
+        ).save()
+    t = VersionedTable(spark, root)
+    assert t.current_version() == 2
+    assert t.pruned_dirs({"o_orderkey": (0, half)}) >= 1, (
+        "writer-recorded zone maps must prune"
+    )
+    t.delete_where("o_orderkey % 3 = 0")
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            (
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+                )
+                / 100.0
+            ).alias("sum_price"),
+        )
+    )
+
+
+@register(
     "event_funnel_steps",
     oracle="""
     WITH v AS (

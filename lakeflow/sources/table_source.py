@@ -39,8 +39,11 @@ import json
 import os
 from collections.abc import Iterator
 
+from dataclasses import dataclass, field
+
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     EqualTo,
     GreaterThan,
@@ -48,6 +51,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 
 # ---------------------------------------------------------------------------
@@ -365,6 +369,12 @@ class LakeflowTableDataSource(DataSource):
             self.options["path"], int(v) if v is not None else None, schema
         )
 
+    def writer(self, schema, overwrite: bool) -> "LakeflowTableWriter":
+        root = self.options.get("path")
+        if not root:
+            raise ValueError("option 'path' (table root) is required")
+        return LakeflowTableWriter(root, schema, overwrite)
+
 
 class LakeflowTableReader(DataSourceReader):
     def __init__(self, root: str, version: int | None, schema) -> None:
@@ -460,6 +470,133 @@ class LakeflowTableReader(DataSourceReader):
         out = pa.table(cols, schema=target)
         for batch in out.to_batches(max_chunksize=1 << 16):
             yield batch
+
+
+# ---------------------------------------------------------------------------
+# The writer: df.write.format("lakeflow_table") — shard-parallel parquet into
+# a staging dir, manifest publish at commit (the WAP contract at task level)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _ShardCommit(WriterCommitMessage):
+    path: str = ""
+    rows: int = 0
+    stats: dict = field(default_factory=dict)
+
+
+class LakeflowTableWriter(DataSourceArrowWriter):
+    """Two-phase-commit writer into a :class:`VersionedTable` snapshot.
+
+    Tasks stream their Arrow batches into one parquet shard each inside a
+    fresh staging dir under ``<root>/data/`` and report per-shard min/max
+    for every int/float/string column; ``commit`` (all tasks succeeded)
+    merges those partials into dir-level zone maps and publishes the next
+    manifest through the SAME ``_publish_manifest`` the JVM path uses — so
+    txn watermarks, tags, governance policy, partition layouts and live
+    deletion vectors all carry forward identically, and optimistic
+    concurrency (atomic link, loser retries) applies unchanged. ``abort``
+    removes the staging dir; an uncommitted staging dir is invisible (the
+    manifest never referenced it) and falls to ``remove_orphans``.
+
+    Tables with CHECK constraints or generated columns are refused: both
+    validate with Spark aggregates at commit time, which this sparkless
+    commit worker cannot run — write those through ``VersionedTable.commit``.
+    Schema must match the table exactly (no merge_schema on this path)."""
+
+    def __init__(self, root: str, schema, overwrite: bool) -> None:
+        import uuid as _uuid
+
+        self.root = root
+        self.schema = schema
+        self.overwrite = overwrite
+        self.staging = os.path.join(root, "data", "w-" + _uuid.uuid4().hex)
+
+    def write(self, iterator) -> _ShardCommit:
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        os.makedirs(self.staging, exist_ok=True)
+        path = os.path.join(self.staging, f"part-{_uuid.uuid4().hex}.parquet")
+        batches = list(iterator)
+        if not batches:
+            return _ShardCommit(path="", rows=0, stats={})
+        table = pa.Table.from_batches(batches)
+        pq.write_table(table, path)
+        stats: dict = {}
+        for f in table.schema:
+            if pa.types.is_integer(f.type) or pa.types.is_floating(f.type) or pa.types.is_string(f.type):
+                col = table.column(f.name)
+                if col.null_count == len(col):
+                    continue
+                mm = pc.min_max(col)
+                stats[f.name] = [mm["min"].as_py(), mm["max"].as_py()]
+        return _ShardCommit(path=path, rows=table.num_rows, stats=stats)
+
+    def commit(self, messages) -> None:
+        from lakeflow.tables import VersionedTable
+
+        shards = [m for m in messages if m and m.rows > 0]
+        t = VersionedTable(None, self.root)
+        prev = t.current_version()
+        prev_m = t._manifest(prev) if prev is not None else {}
+        if prev_m.get("constraints") or prev_m.get("generated"):
+            self.abort(messages)
+            raise ValueError(
+                "tables with CHECK constraints or generated columns write "
+                "through VersionedTable.commit (Spark-side validation)"
+            )
+        if prev_m.get("schema"):
+            want = [
+                (f["name"], f["type"])
+                for f in json.loads(prev_m["schema"])["fields"]
+            ]
+            got = [
+                (f["name"], f["type"]) for f in self.schema.jsonValue()["fields"]
+            ]
+            if want != got:
+                self.abort(messages)
+                raise ValueError(
+                    f"write schema {got} != table schema {want}; evolve via "
+                    "VersionedTable.commit(merge_schema=True)"
+                )
+        if not shards:
+            # Nothing written: an empty append is a no-op; an empty
+            # overwrite has no dir to reference, which read() rejects.
+            self.abort(messages)
+            if self.overwrite:
+                raise ValueError("refusing to overwrite a table with zero rows")
+            return
+        merged: dict = {}
+        for m in shards:
+            for c, (lo, hi) in m.stats.items():
+                if c in merged:
+                    merged[c] = [min(merged[c][0], lo), max(merged[c][1], hi)]
+                else:
+                    merged[c] = [lo, hi]
+        dirs = [] if self.overwrite else list(prev_m.get("dirs", []))
+        stats = (
+            {} if self.overwrite else dict(prev_m.get("stats", {}))
+        )
+        stats[self.staging] = merged
+        t._publish_manifest(
+            {
+                "version": (prev or 0) + 1,
+                "operation": "pywrite_overwrite" if self.overwrite else "pywrite_append",
+                "dirs": dirs + [self.staging],
+                "stats": stats,
+                "schema": prev_m.get("schema")
+                or json.dumps(self.schema.jsonValue()),
+            }
+        )
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(self.staging, ignore_errors=True)
 
 
 def register_table_source(spark) -> None:

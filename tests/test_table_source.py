@@ -186,3 +186,74 @@ def test_ordered_transform_bounds_widening():
     assert t_lo == (2023 - 1970) * 12 + 11 and t_hi == (2024 - 1970) * 12 + 0
     assert _ordered_transform_bounds("truncate", 2, "ab", "ax") == ("ab", "ax")
     assert _ordered_transform_bounds("year", None, None, hi) is None
+
+
+def test_writer_append_and_overwrite_roundtrip(spark, tmp_path):
+    """df.write.format('lakeflow_table'): task-parallel shard writes +
+    manifest publish with merged zone maps; append preserves history and
+    overwrite starts the dir list fresh (older versions stay readable)."""
+    register_table_source(spark)
+    root = str(tmp_path / "t")
+    df1 = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+    )
+    df1.write.format("lakeflow_table").option("path", root).mode(
+        "append"
+    ).save()
+    t = VersionedTable(spark, root)
+    assert t.current_version() == 1
+    assert _rows(t.read()) == _rows(df1)
+
+    df2 = spark.range(50, 80).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+    )
+    df2.write.format("lakeflow_table").option("path", root).mode(
+        "append"
+    ).save()
+    assert t.read().count() == 80
+    # Writer-recorded zone maps engage the same pruning as stats_cols.
+    assert t.pruned_dirs({"k": (60, 70)}) >= 1
+
+    df2.write.format("lakeflow_table").option("path", root).mode(
+        "overwrite"
+    ).save()
+    assert t.read().count() == 30
+    assert t.read(version=2).count() == 80  # time travel intact
+
+
+def test_writer_refuses_schema_drift_and_constraints(spark, tmp_path):
+    register_table_source(spark)
+    root = str(tmp_path / "t")
+    spark.range(0, 5).select(F.col("id").alias("k")).write.format(
+        "lakeflow_table"
+    ).option("path", root).mode("append").save()
+    with pytest.raises(Exception, match="write schema"):
+        spark.range(0, 5).select(F.col("id").alias("OTHER")).write.format(
+            "lakeflow_table"
+        ).option("path", root).mode("append").save()
+
+    t = VersionedTable(spark, str(tmp_path / "tc"))
+    t.commit(spark.createDataFrame([(1.0,)], "v double"))
+    t.add_constraint("pos", "v > 0")
+    with pytest.raises(Exception, match="constraints"):
+        spark.createDataFrame([(2.0,)], "v double").write.format(
+            "lakeflow_table"
+        ).option("path", t.root).mode("append").save()
+    # The refused write must not have leaked a manifest (add_constraint
+    # itself published v2; the write attempt must not add a v3).
+    assert t.current_version() == 2
+
+
+def test_writer_roundtrips_through_reader_with_dvs(spark, tmp_path):
+    """Full circle: python-written table, JVM MOR delete, python read —
+    all three surfaces agree."""
+    register_table_source(spark)
+    root = str(tmp_path / "t")
+    spark.range(0, 40).select(F.col("id").alias("k")).write.format(
+        "lakeflow_table"
+    ).option("path", root).mode("append").save()
+    t = VersionedTable(spark, root)
+    t.delete_where_mor("k % 4 = 0")
+    src = spark.read.format("lakeflow_table").option("path", root).load()
+    assert _rows(src) == _rows(t.read())
+    assert src.count() == 30
