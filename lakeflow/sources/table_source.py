@@ -45,6 +45,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -375,6 +376,18 @@ class LakeflowTableDataSource(DataSource):
             raise ValueError("option 'path' (table root) is required")
         return LakeflowTableWriter(root, schema, overwrite)
 
+    def streamWriter(self, schema, overwrite: bool):  # noqa: N802 (API name)
+        root = self.options.get("path")
+        if not root:
+            raise ValueError("option 'path' (table root) is required")
+        if overwrite:
+            raise ValueError(
+                "streaming writes append only (use outputMode('append'))"
+            )
+        return LakeflowTableStreamWriter(
+            root, schema, self.options.get("txn_app", "lakeflow_pystream")
+        )
+
 
 class LakeflowTableReader(DataSourceReader):
     def __init__(self, root: str, version: int | None, schema) -> None:
@@ -537,66 +550,178 @@ class LakeflowTableWriter(DataSourceArrowWriter):
         return _ShardCommit(path=path, rows=table.num_rows, stats=stats)
 
     def commit(self, messages) -> None:
-        from lakeflow.tables import VersionedTable
-
         shards = [m for m in messages if m and m.rows > 0]
-        t = VersionedTable(None, self.root)
-        prev = t.current_version()
-        prev_m = t._manifest(prev) if prev is not None else {}
-        if prev_m.get("constraints") or prev_m.get("generated"):
-            self.abort(messages)
-            raise ValueError(
-                "tables with CHECK constraints or generated columns write "
-                "through VersionedTable.commit (Spark-side validation)"
+        try:
+            _publish_shards(
+                self.root,
+                self.staging,
+                shards,
+                self.schema,
+                self.overwrite,
+                "pywrite_overwrite" if self.overwrite else "pywrite_append",
             )
-        if prev_m.get("schema"):
-            want = [
-                (f["name"], f["type"])
-                for f in json.loads(prev_m["schema"])["fields"]
-            ]
-            got = [
-                (f["name"], f["type"]) for f in self.schema.jsonValue()["fields"]
-            ]
-            if want != got:
-                self.abort(messages)
-                raise ValueError(
-                    f"write schema {got} != table schema {want}; evolve via "
-                    "VersionedTable.commit(merge_schema=True)"
-                )
-        if not shards:
-            # Nothing written: an empty append is a no-op; an empty
-            # overwrite has no dir to reference, which read() rejects.
+        except Exception:
             self.abort(messages)
-            if self.overwrite:
-                raise ValueError("refusing to overwrite a table with zero rows")
-            return
-        merged: dict = {}
-        for m in shards:
-            for c, (lo, hi) in m.stats.items():
-                if c in merged:
-                    merged[c] = [min(merged[c][0], lo), max(merged[c][1], hi)]
-                else:
-                    merged[c] = [lo, hi]
-        dirs = [] if self.overwrite else list(prev_m.get("dirs", []))
-        stats = (
-            {} if self.overwrite else dict(prev_m.get("stats", {}))
-        )
-        stats[self.staging] = merged
-        t._publish_manifest(
-            {
-                "version": (prev or 0) + 1,
-                "operation": "pywrite_overwrite" if self.overwrite else "pywrite_append",
-                "dirs": dirs + [self.staging],
-                "stats": stats,
-                "schema": prev_m.get("schema")
-                or json.dumps(self.schema.jsonValue()),
-            }
-        )
+            raise
+        if not shards:
+            self.abort(messages)
 
     def abort(self, messages) -> None:
         import shutil
 
         shutil.rmtree(self.staging, ignore_errors=True)
+
+
+def _publish_shards(
+    root: str,
+    staging: str,
+    shards,
+    schema,
+    overwrite: bool,
+    operation: str,
+    txn: tuple[str, int] | None = None,
+) -> bool:
+    """Sparkless manifest publish of a shard-written staging dir (shared by
+    the batch and streaming writers). Returns True when a snapshot landed,
+    False for the no-op cases (empty append, replayed stream batch)."""
+    from lakeflow.tables import VersionedTable
+
+    t = VersionedTable(None, root)
+    prev = t.current_version()
+    prev_m = t._manifest(prev) if prev is not None else {}
+    if txn is not None:
+        recorded = prev_m.get("txns", {}).get(txn[0])
+        if recorded is not None and txn[1] <= recorded:
+            return False  # replayed micro-batch: already folded
+    if prev_m.get("constraints") or prev_m.get("generated"):
+        raise ValueError(
+            "tables with CHECK constraints or generated columns write "
+            "through VersionedTable.commit (Spark-side validation)"
+        )
+    if prev_m.get("schema"):
+        want = [
+            (f["name"], f["type"])
+            for f in json.loads(prev_m["schema"])["fields"]
+        ]
+        got = [(f["name"], f["type"]) for f in schema.jsonValue()["fields"]]
+        if want != got:
+            raise ValueError(
+                f"write schema {got} != table schema {want}; evolve via "
+                "VersionedTable.commit(merge_schema=True)"
+            )
+    if not shards:
+        # Nothing written: an empty append is a no-op; an empty overwrite
+        # has no dir to reference, which read() rejects.
+        if overwrite:
+            raise ValueError("refusing to overwrite a table with zero rows")
+        return False
+    merged: dict = {}
+    for m in shards:
+        for c, (lo, hi) in m.stats.items():
+            if c in merged:
+                merged[c] = [min(merged[c][0], lo), max(merged[c][1], hi)]
+            else:
+                merged[c] = [lo, hi]
+    dirs = [] if overwrite else list(prev_m.get("dirs", []))
+    stats = {} if overwrite else dict(prev_m.get("stats", {}))
+    stats[staging] = merged
+    manifest = {
+        "version": (prev or 0) + 1,
+        "operation": operation,
+        "dirs": dirs + [staging],
+        "stats": stats,
+        "schema": prev_m.get("schema") or json.dumps(schema.jsonValue()),
+    }
+    if txn is not None:
+        manifest["txns"] = {txn[0]: txn[1]}
+    t._publish_manifest(manifest)
+    return True
+
+
+class LakeflowTableStreamWriter(DataSourceStreamArrowWriter):
+    """``df.writeStream.format("lakeflow_table")`` — exactly-once streaming
+    appends into a :class:`VersionedTable`.
+
+    Per micro-batch, tasks stream Arrow batches into shard files under a
+    hidden tmp area; ``commit(messages, batchId)`` moves the batch's shards
+    into a fresh staging dir and publishes it with a ``(txn_app, batchId)``
+    transactional watermark — a crash between commit and checkpoint replays
+    the batch, the watermark check skips the duplicate publish, and the
+    re-written shards are swept. The same exactly-once contract as the
+    foreachBatch sinks (streaming/sinks.py), expressed as a first-class
+    sink format; option ``txn_app`` namespaces concurrent queries."""
+
+    def __init__(self, root: str, schema, txn_app: str) -> None:
+        self.root = root
+        self.schema = schema
+        self.txn_app = txn_app
+        self.tmp = os.path.join(root, "data", ".pystream_tmp")
+
+    def write(self, iterator) -> _ShardCommit:
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        os.makedirs(self.tmp, exist_ok=True)
+        path = os.path.join(self.tmp, f"part-{_uuid.uuid4().hex}.parquet")
+        batches = list(iterator)
+        if not batches:
+            return _ShardCommit(path="", rows=0, stats={})
+        table = pa.Table.from_batches(batches)
+        pq.write_table(table, path)
+        stats: dict = {}
+        for f in table.schema:
+            if (
+                pa.types.is_integer(f.type)
+                or pa.types.is_floating(f.type)
+                or pa.types.is_string(f.type)
+            ):
+                col = table.column(f.name)
+                if col.null_count == len(col):
+                    continue
+                mm = pc.min_max(col)
+                stats[f.name] = [mm["min"].as_py(), mm["max"].as_py()]
+        return _ShardCommit(path=path, rows=table.num_rows, stats=stats)
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803 (API name)
+        import shutil
+        import uuid as _uuid
+
+        shards = [m for m in messages if m and m.rows > 0]
+        if not shards:
+            return
+        staging = os.path.join(self.root, "data", "s-" + _uuid.uuid4().hex)
+        os.makedirs(staging, exist_ok=True)
+        moved = []
+        for m in shards:
+            dst = os.path.join(staging, os.path.basename(m.path))
+            os.rename(m.path, dst)
+            moved.append(_ShardCommit(path=dst, rows=m.rows, stats=m.stats))
+        try:
+            published = _publish_shards(
+                self.root,
+                staging,
+                moved,
+                self.schema,
+                False,
+                "pystream_append",
+                txn=(self.txn_app, batchId),
+            )
+        except Exception:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
+        if not published:  # replayed batch: watermark already covers it
+            shutil.rmtree(staging, ignore_errors=True)
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803 (API name)
+        for m in messages or []:
+            if m and m.path:
+                try:
+                    os.unlink(m.path)
+                except OSError:
+                    pass
 
 
 def register_table_source(spark) -> None:

@@ -6,6 +6,8 @@ vectors, schema evolution and identity partitions included."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -257,3 +259,80 @@ def test_writer_roundtrips_through_reader_with_dvs(spark, tmp_path):
     src = spark.read.format("lakeflow_table").option("path", root).load()
     assert _rows(src) == _rows(t.read())
     assert src.count() == 30
+
+
+def test_stream_writer_exactly_once(spark, tmp_path):
+    """writeStream.format('lakeflow_table'): one snapshot per micro-batch,
+    txn-watermarked so a replayed batch publishes nothing twice."""
+    src = str(tmp_path / "src")
+    spark.range(0, 10).select(F.col("id").alias("k")).coalesce(1).write.parquet(
+        src, mode="overwrite"
+    )
+    spark.range(10, 25).select(F.col("id").alias("k")).coalesce(1).write.parquet(
+        src, mode="append"
+    )
+    register_table_source(spark)
+    root = str(tmp_path / "t")
+    q = (
+        spark.readStream.schema("k bigint")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.format("lakeflow_table")
+        .option("path", root)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    t = VersionedTable(spark, root)
+    assert t.read().count() == 25
+    assert t.current_version() >= 2  # one snapshot per micro-batch
+    m = t._manifest(t.current_version())
+    assert "lakeflow_pystream" in m.get("txns", {})
+
+    # Re-running from the SAME checkpoint finds no new files: no snapshot.
+    v = t.current_version()
+    q2 = (
+        spark.readStream.schema("k bigint")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.format("lakeflow_table")
+        .option("path", root)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert t.current_version() == v
+
+
+def test_stream_writer_replayed_batch_is_skipped(spark, tmp_path):
+    """Direct replay of commit(messages, batchId): the txn watermark must
+    swallow the duplicate publish and sweep the re-written shards."""
+    import pyarrow as pa
+
+    from lakeflow.sources.table_source import (
+        LakeflowTableStreamWriter,
+        _ShardCommit,
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    root = str(tmp_path / "t")
+    os.makedirs(os.path.join(root, "data"), exist_ok=True)
+    schema = StructType([StructField("k", LongType())])
+    w = LakeflowTableStreamWriter(root, schema, "app1")
+
+    def shard(vals):
+        batch = pa.RecordBatch.from_pydict({"k": vals})
+        return w.write(iter([batch]))
+
+    w.commit([shard([1, 2, 3])], batchId=0)
+    t = VersionedTable(spark, root)
+    assert t.read().count() == 3 and t.current_version() == 1
+    # Replay batch 0 (crash between commit and checkpoint): no-op.
+    w.commit([shard([1, 2, 3])], batchId=0)
+    assert t.read().count() == 3 and t.current_version() == 1
+    # Batch 1 proceeds normally.
+    w.commit([shard([4, 5])], batchId=1)
+    assert t.read().count() == 5 and t.current_version() == 2
+
