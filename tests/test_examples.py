@@ -22,6 +22,7 @@ EXAMPLES = [
     "mutable_lakehouse.py",
     "delta_interop.py",
     "layout_and_views.py",
+    "pushdown_io.py",
 ]
 
 
