@@ -116,7 +116,17 @@ def murmur3_hash_long(value: int, seed: int = 42) -> int:
 _NULL_SEG = "__HIVE_DEFAULT_PARTITION__"
 
 
+def _strip_scheme(path: str) -> str:
+    """``file:/x`` / ``file:///x`` → ``/x`` (Spark SQL's CREATE TABLE ...
+    OPTIONS path arrives scheme-qualified; local reads want a plain path)."""
+    if path.startswith("file:"):
+        rest = path[len("file:"):]
+        return "/" + rest.lstrip("/")
+    return path
+
+
 def _load_manifest(root: str, version: int | None) -> tuple[dict, int]:
+    root = _strip_scheme(root)
     snap = os.path.join(root, "_snapshots")
     if version is None:
         versions = sorted(
@@ -391,7 +401,7 @@ class LakeflowTableDataSource(DataSource):
 
 class LakeflowTableReader(DataSourceReader):
     def __init__(self, root: str, version: int | None, schema) -> None:
-        self.root = root
+        self.root = _strip_scheme(root)
         self.version = version
         self.schema = schema
         self.eq: dict = {}
@@ -520,10 +530,12 @@ class LakeflowTableWriter(DataSourceArrowWriter):
     def __init__(self, root: str, schema, overwrite: bool) -> None:
         import uuid as _uuid
 
-        self.root = root
+        self.root = _strip_scheme(root)
         self.schema = schema
         self.overwrite = overwrite
-        self.staging = os.path.join(root, "data", "w-" + _uuid.uuid4().hex)
+        self.staging = os.path.join(
+            self.root, "data", "w-" + _uuid.uuid4().hex
+        )
 
     def write(self, iterator) -> _ShardCommit:
         import uuid as _uuid
@@ -652,10 +664,10 @@ class LakeflowTableStreamWriter(DataSourceStreamArrowWriter):
     sink format; option ``txn_app`` namespaces concurrent queries."""
 
     def __init__(self, root: str, schema, txn_app: str) -> None:
-        self.root = root
+        self.root = _strip_scheme(root)
         self.schema = schema
         self.txn_app = txn_app
-        self.tmp = os.path.join(root, "data", ".pystream_tmp")
+        self.tmp = os.path.join(self.root, "data", ".pystream_tmp")
 
     def write(self, iterator) -> _ShardCommit:
         import uuid as _uuid

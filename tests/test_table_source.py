@@ -336,3 +336,24 @@ def test_stream_writer_replayed_batch_is_skipped(spark, tmp_path):
     w.commit([shard([4, 5])], batchId=1)
     assert t.read().count() == 5 and t.current_version() == 2
 
+
+
+def test_sql_route_via_temp_view_pushes_down(spark, tmp_path):
+    """SQL route: a temp view over the loaded source keeps the relation in
+    every query's plan, so pushFilters runs per query and a plain SQL WHERE
+    prunes — no DataFrame API at query time. (CREATE TABLE ... USING a
+    Python data source does not forward OPTIONS to the reader in Spark
+    4.1, so the catalog-table route is out of reach for now.)"""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(
+        spark.range(0, 30).select(
+            F.col("id").alias("k"), (F.col("id") * 3.0).alias("v")
+        )
+    )
+    register_table_source(spark)
+    spark.read.format("lakeflow_table").option("path", t.root).load(
+    ).createOrReplaceTempView("sql_lft")
+    got = spark.sql(
+        "SELECT k, v FROM sql_lft WHERE k BETWEEN 5 AND 7 ORDER BY k"
+    ).collect()
+    assert [(r.k, r.v) for r in got] == [(5, 15.0), (6, 18.0), (7, 21.0)]
