@@ -977,6 +977,56 @@ def join_view_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "table_integrity_report",
+    oracle="""
+    SELECT CAST(2 AS BIGINT) AS n_dirs,
+           CAST(2 AS BIGINT) AS n_ok,
+           CAST(SUM(CAST(('0x' || substr(md5(concat_ws(chr(31),
+                coalesce(CAST(c_custkey AS VARCHAR), chr(0)),
+                coalesce(c_mktsegment, chr(0)),
+                coalesce(c_name, chr(0)))), 1, 14)) AS BIGINT)
+                % 2147483647) % 2147483647 AS BIGINT) AS fp0,
+           CAST(SUM(CAST(('0x' || substr(md5(concat_ws(chr(31),
+                coalesce(CAST(c_custkey AS VARCHAR), chr(0)),
+                coalesce(c_mktsegment, chr(0)),
+                coalesce(c_name, chr(0)))), 1, 14)) AS BIGINT)
+                % 2147483629) % 2147483629 AS BIGINT) AS fp1
+    FROM customer
+    """,
+)
+def table_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-integrity audit under the full hash gate (tables.py::seal /
+    verify_integrity — manifest-level checksums lifted to row content):
+    customer lands in two commits, seal records per-dir order-free digests
+    (sum of per-row md5 residues mod two primes — commutative, so a
+    1000-executor recompute matches any seal), verify recomputes and must
+    pass on pristine data. The emitted fingerprints are the SAME formula
+    the DuckDB oracle computes directly over the raw table, so the digest
+    definition itself is cross-engine-pinned — a rendering drift (null
+    sentinel, column order, hex width) breaks the hash, not just a test."""
+    import tempfile
+
+    from lakeflow.tables import VersionedTable
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="lakeflow_seal_"))
+    t.commit(cust.filter(F.col("c_custkey") % 2 == 0))
+    t.commit(cust.filter(F.col("c_custkey") % 2 == 1))
+    t.seal()
+    rep = t.verify_integrity()
+    summary = rep.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dirs"),
+        F.sum(F.col("ok").cast("bigint")).cast("bigint").alias("n_ok"),
+    )
+    fps = t.read().agg(
+        *t._row_digest_aggs(sorted(["c_custkey", "c_name", "c_mktsegment"]))
+    )
+    return summary.crossJoin(fps)
+
+
+@register(
     "clone_divergence_nations",
     oracle="""
     SELECT 'src' AS side, n_nationkey, n_name FROM nation

@@ -1480,6 +1480,150 @@ class VersionedTable:
         self._publish_manifest(manifest)
         return manifest["version"]
 
+    # Content-fingerprint moduli: two distinct Mersenne-adjacent primes
+    # below 2^31, so per-row digests sum without bigint overflow at any
+    # realistic dir row count (2^31 × 2^32 rows < 2^63) and the combined
+    # residue pair carries ~62 bits of corruption signal.
+    _FP_PRIMES = (2147483647, 2147483629)
+
+    def _row_digest_aggs(self, cols: Sequence[str]):
+        """Order-free content digest of the visible rows: per row,
+        md5(unit-separated string rendering) → first 14 hex chars as a
+        56-bit int; per modulus, SUM of residues mod p. Sums commute, so
+        any partitioning/merge order yields the same pair — the property
+        that lets a 1000-executor recompute match a single-node seal."""
+        from pyspark.sql import functions as F
+
+        rendered = F.concat_ws(
+            "\x1f",
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                for c in cols
+            ],
+        )
+        h = F.conv(F.substring(F.md5(rendered), 1, 14), 16, 10).cast("bigint")
+        return [
+            (F.sum(h % F.lit(p)) % F.lit(p)).cast("bigint").alias(f"fp{i}")
+            for i, p in enumerate(self._FP_PRIMES)
+        ]
+
+    def seal(self) -> int:
+        """Record per-dir content fingerprints in a metadata-only snapshot —
+        the integrity baseline ``verify_integrity`` audits against (the
+        role of Iceberg's manifest-level checksums, lifted to row content:
+        bitrot, a lost shard, or out-of-band file tampering all shift the
+        digest). ONE deletion-vector-aware scan computes every dir's pair;
+        rows attribute to their owning dir by path boundary, exactly like
+        :meth:`analyze`. Re-seal after DML — fingerprints describe the
+        VISIBLE rows of the sealed snapshot's dirs."""
+        from pyspark.sql import functions as F
+
+        version = self.current_version()
+        if version is None:
+            raise ValueError(f"table {self.root} has no snapshots")
+        m = self._manifest(version)
+        frame = self._read_dirs(m["dirs"], version, with_positions=True)
+        cols = sorted(c for c in frame.columns
+                      if c not in (self.POS_FILE, self.POS_INDEX))
+        owner = F.lit(None).cast("string")
+        for d in m["dirs"]:
+            owner = F.when(
+                F.col(self.POS_FILE).contains(d.rstrip("/") + "/"), F.lit(d)
+            ).otherwise(owner)
+        rows = (
+            frame.groupBy(owner.alias("__dir"))
+            .agg(*self._row_digest_aggs(cols))
+            .collect()
+        )
+        fps = {
+            r["__dir"]: [int(r["fp0"]), int(r["fp1"])]
+            for r in rows
+            if r["__dir"] is not None
+        }
+        manifest = {
+            "version": version + 1,
+            "operation": "seal",
+            "dirs": m["dirs"],
+            "stats": m.get("stats", {}),
+            "schema": m.get("schema"),
+            "content_fp": fps,
+            # DV state the fingerprints were taken under: verify compares
+            # apples to apples even if later DML adds vectors.
+            "content_fp_dvs": m.get("delete_vectors", []),
+        }
+        self._publish_manifest(manifest)
+        return manifest["version"]
+
+    def verify_integrity(self, version: int | None = None) -> DataFrame:
+        """Audit the data against the last seal at-or-before ``version``:
+        recompute each sealed dir's content digest (masking with the DVs
+        the seal recorded) and report ``(dir, ok)`` plus dirs that have
+        since disappeared. A flipped byte, swapped file, or silently
+        truncated shard flips ``ok`` for exactly its dir."""
+        from pyspark.sql import functions as F
+        from pyspark.sql import Row
+
+        if version is None:
+            version = self.current_version()
+        sealed = None
+        for v in range(version, 0, -1):
+            try:
+                m = self._manifest(v)
+            except FileNotFoundError:
+                continue
+            if "content_fp" in m:
+                sealed = m
+                break
+        if sealed is None:
+            raise ValueError("table has no seal; run seal() first")
+        fps = sealed["content_fp"]
+        live = [d for d in fps if os.path.isdir(d)]
+        missing = [d for d in fps if d not in live]
+        out_rows = [Row(dir=d, ok=False) for d in missing]
+
+        def digest(dirs: list[str]) -> dict:
+            frame = self._read_dirs(
+                dirs, sealed["version"], with_positions=True,
+                dvs=sealed.get("content_fp_dvs", []),
+            )
+            cols = sorted(c for c in frame.columns
+                          if c not in (self.POS_FILE, self.POS_INDEX))
+            owner = F.lit(None).cast("string")
+            for d in dirs:
+                owner = F.when(
+                    F.col(self.POS_FILE).contains(d.rstrip("/") + "/"),
+                    F.lit(d),
+                ).otherwise(owner)
+            got = (
+                frame.groupBy(owner.alias("__dir"))
+                .agg(*self._row_digest_aggs(cols))
+                .collect()
+            )
+            return {
+                r["__dir"]: [int(r["fp0"]), int(r["fp1"])]
+                for r in got
+                if r["__dir"] is not None
+            }
+
+        if live:
+            try:
+                seen = digest(live)
+            except Exception:
+                # Corruption severe enough to abort the combined scan
+                # (CRC mismatch, mangled footer): isolate it per dir so
+                # the report still names exactly the bad dirs.
+                seen = {}
+                for d in live:
+                    try:
+                        seen.update(digest([d]))
+                    except Exception:
+                        pass  # unreadable dir: absent from seen → not ok
+            for d in live:
+                out_rows.append(Row(dir=d, ok=seen.get(d) == fps[d]))
+        return self.spark.createDataFrame(
+            out_rows, "dir string, ok boolean"
+        )
+
     def optimize_zorder(
         self,
         cols: Sequence[str],

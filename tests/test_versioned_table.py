@@ -2742,3 +2742,64 @@ def test_hidden_partitioning_survives_dml_and_evolution_fallback(spark, tmp_path
     assert t.hidden_partition_specs() == {}
     assert t.scan_transformed(point={"k": 3}).count() == 70
     assert t.read().count() == 250
+
+
+def test_seal_and_verify_integrity_detects_tampering(spark, tmp_path):
+    """Content fingerprints: verify passes on pristine data, flags exactly
+    the dir whose file was swapped out-of-band, and flags a vanished dir."""
+    import glob as _glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit(spark.range(0, 50).select(F.col("id").alias("k")))
+    t.commit(spark.range(50, 90).select(F.col("id").alias("k")))
+    t.seal()
+    rep = {r.dir: r.ok for r in t.verify_integrity().collect()}
+    assert len(rep) == 2 and all(rep.values())
+
+    # Out-of-band tamper: replace dir 2's parquet with different rows.
+    # Removing the Hadoop .crc sidecar mimics a tamperer who rewrites the
+    # data cleanly — detection must come from the content digest itself.
+    d2 = t._manifest(t.current_version())["dirs"][1]
+    victim = _glob.glob(os.path.join(d2, "*.parquet"))[0]
+    spark.range(1000, 1040).select(F.col("id").alias("k")).coalesce(
+        1
+    ).write.parquet(str(tmp_path / "evil"), mode="overwrite")
+    evil = _glob.glob(str(tmp_path / "evil" / "*.parquet"))[0]
+    shutil.copyfile(evil, victim)
+    for crc in _glob.glob(os.path.join(d2, ".*.crc")):
+        os.unlink(crc)
+    rep = {r.dir: r.ok for r in t.verify_integrity().collect()}
+    assert sum(rep.values()) == 1 and rep[d2] is False
+
+    # Bitrot variant: flip bytes in dir 1 WITHOUT touching its .crc — the
+    # combined scan aborts on the checksum error and the per-dir fallback
+    # still names exactly the bad dirs.
+    d1 = t._manifest(t.current_version())["dirs"][0]
+    v1 = _glob.glob(os.path.join(d1, "*.parquet"))[0]
+    with open(v1, "r+b") as fh:
+        fh.seek(200)
+        fh.write(b"\xde\xad\xbe\xef")
+    rep = {r.dir: r.ok for r in t.verify_integrity().collect()}
+    assert rep[d1] is False and rep[d2] is False
+
+    # A vanished dir reports not-ok rather than silently passing.
+    shutil.rmtree(d2)
+    rep = {r.dir: r.ok for r in t.verify_integrity().collect()}
+    assert rep[d2] is False
+
+
+def test_seal_survives_mor_dml_with_recorded_dvs(spark, tmp_path):
+    """verify audits against the DV state AT SEAL TIME, so later MOR DML
+    does not false-alarm; a re-seal adopts the new visibility."""
+    from pyspark.sql import functions as F
+
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit(spark.range(0, 30).select(F.col("id").alias("k")))
+    t.seal()
+    t.delete_where_mor("k % 3 = 0")
+    assert all(r.ok for r in t.verify_integrity().collect())
+    t.seal()
+    assert all(r.ok for r in t.verify_integrity().collect())
