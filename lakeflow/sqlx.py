@@ -29,6 +29,7 @@ minimal grammar that does:
     OPTIMIZE t [ZORDER BY (c1, c2)]
     VACUUM t [RETAIN <n> SNAPSHOTS]
     ROLLBACK TABLE t TO VERSION <n>
+    SEAL TABLE t | VERIFY TABLE t
     DELETE FROM VERSIONED t WHERE <cond> [USING MERGE ON READ]
     MERGE INTO VERSIONED t USING <src> ON t.k = s.k
         WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
@@ -173,6 +174,8 @@ _VACUUM = re.compile(
 _ROLLBACK = re.compile(
     r"^\s*ROLLBACK\s+TABLE\s+([\w.]+)\s+TO\s+VERSION\s+(\d+)\s*$", re.IGNORECASE
 )
+_SEAL = re.compile(r"^\s*SEAL\s+TABLE\s+([\w.]+)\s*$", re.IGNORECASE)
+_VERIFY = re.compile(r"^\s*VERIFY\s+TABLE\s+([\w.]+)\s*$", re.IGNORECASE)
 _UPDATE = re.compile(
     r"^\s*UPDATE\s+VERSIONED\s+([\w.]+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)"
     r"(\s+USING\s+MERGE\s+ON\s+READ)?\s*$",
@@ -446,6 +449,13 @@ class LakehouseSQL:
         if m:
             v = self.catalog.load(m.group(1)).rollback(int(m.group(2)))
             return {"rolled_back": m.group(1), "new_version": v}
+        m = _SEAL.match(stmt)
+        if m:
+            v = self.catalog.load(m.group(1)).seal()
+            return {"sealed": m.group(1), "version": v}
+        m = _VERIFY.match(stmt)
+        if m:
+            return self.catalog.load(m.group(1)).verify_integrity()
         m = _UPDATE.match(stmt)
         if m:
             name, sets, cond, mor = m.groups()

@@ -426,3 +426,11 @@ def test_incremental_join_view_statements(lh):
         (0, 0, 0, 1), (0, 0, 3, 1), (0, 0, 99, 1),
         (2, 20, 2, 1), (2, 20, 5, 1),
     }
+
+
+def test_seal_and_verify_statements(lh):
+    lh.execute("CREATE VERSIONED TABLE sv AS SELECT id AS k FROM range(9)")
+    r = lh.execute("SEAL TABLE sv")
+    assert r["sealed"] == "sv" and r["version"] == 2
+    rep = lh.execute("VERIFY TABLE sv").collect()
+    assert len(rep) == 1 and all(row.ok for row in rep)
