@@ -977,6 +977,49 @@ def join_view_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mv_distinct_customers_by_status",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM orders WHERE o_custkey % 10 <> 3
+    GROUP BY o_orderstatus
+    """,
+)
+def mv_distinct_customers_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) materialized view (views.py DirtyGroupAggView
+    distincts tier): per-status distinct-customer counts maintained under
+    churn — an appended half and a merge-on-read DELETE whose hidden rows
+    may or may not carry a group's last copy of a customer, the case that
+    makes distinct counting non-invertible and forces the dirty-group
+    recompute. The refresh must land identical to aggregating the final
+    base, which the oracle computes directly."""
+    import tempfile
+
+    from lakeflow.tables import VersionedTable
+    from lakeflow.views import DirtyGroupAggView
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_custkey"
+    )
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="lakeflow_mvd_"))
+    t.commit(orders.filter(F.col("o_orderkey") % 2 == 0))
+    mv = DirtyGroupAggView(
+        spark,
+        t,
+        key="o_orderstatus",
+        path=tempfile.mkdtemp(prefix="lakeflow_mvd_state_"),
+        count_col="n_orders",
+        distincts={"n_customers": "o_custkey"},
+    )
+    mv.refresh()
+    t.commit(orders.filter(F.col("o_orderkey") % 2 == 1))
+    t.delete_where_mor("o_custkey % 10 = 3")
+    mv.refresh()
+    return mv.read()
+
+
+@register(
     "table_integrity_report",
     oracle="""
     SELECT CAST(2 AS BIGINT) AS n_dirs,

@@ -432,7 +432,9 @@ class IncrementalAggView:
 class DirtyGroupAggView:
     """The recompute-on-change materialized-view tier for NON-invertible
     aggregates (MIN/MAX — a delete of the group's extremum cannot be
-    "subtracted" the way :class:`IncrementalAggView` folds COUNT/SUM).
+    "subtracted" the way :class:`IncrementalAggView` folds COUNT/SUM —
+    and exact COUNT(DISTINCT), where a delete may or may not remove the
+    last copy of a value).
 
     A refresh diffs the base manifests exactly like the invertible tier,
     but uses the delta only to find the DIRTY group keys; those groups are
@@ -462,6 +464,7 @@ class DirtyGroupAggView:
         sums: Mapping[str, tuple[str, int]] | None = None,
         mins: Mapping[str, tuple[str, int]] | None = None,
         maxs: Mapping[str, tuple[str, int]] | None = None,
+        distincts: Mapping[str, str] | None = None,
         max_dirty_collect: int = 100_000,
     ) -> None:
         self.spark = spark
@@ -470,6 +473,7 @@ class DirtyGroupAggView:
         self.sums = dict(sums or {})
         self.mins = dict(mins or {})
         self.maxs = dict(maxs or {})
+        self.distincts = dict(distincts or {})
         self.count_col = count_col
         self.max_dirty_collect = max_dirty_collect
         self.result = VersionedTable(spark, path)
@@ -490,6 +494,11 @@ class DirtyGroupAggView:
             aggs.append(F.min(unit(src, scale)).cast("bigint").alias(out))
         for out, (src, scale) in self.maxs.items():
             aggs.append(F.max(unit(src, scale)).cast("bigint").alias(out))
+        # Exact COUNT(DISTINCT): not group-invertible (a delete may or may
+        # not remove the last copy of a value), which is exactly why it
+        # lives in this recompute tier and not IncrementalAggView.
+        for out, src in self.distincts.items():
+            aggs.append(F.countDistinct(src).cast("bigint").alias(out))
         return aggs
 
     def refresh(self) -> dict:

@@ -541,3 +541,52 @@ def test_join_view_rejects_colliding_payload_columns(spark, tmp_path):
     view = _jview(spark, l, r, tmp_path)
     with pytest.raises(ValueError, match="non-key columns shared"):
         view.refresh()
+
+
+def test_dirty_group_count_distinct_tracks_dml(spark, tmp_path):
+    """Exact COUNT(DISTINCT) in the recompute tier: appends that add a new
+    value vs a duplicate value, and a delete that removes the LAST copy of
+    a value, all land identical to a from-scratch aggregate."""
+    import pyspark.sql.functions as F
+
+    from lakeflow.views import DirtyGroupAggView
+
+    t = VersionedTable(spark, str(tmp_path / "base"))
+    t.commit(
+        spark.createDataFrame(
+            [("a", 1), ("a", 1), ("a", 2), ("b", 7)], "k string, v long"
+        )
+    )
+    mv = DirtyGroupAggView(
+        spark, t, key="k", path=str(tmp_path / "mv"),
+        count_col="n", distincts={"nv": "v"},
+    )
+
+    def check():
+        got = {(r.k, r.n, r.nv) for r in mv.read().collect()}
+        want = {
+            (r.k, r.n, r.nv)
+            for r in t.read()
+            .groupBy("k")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.countDistinct("v").cast("bigint").alias("nv"),
+            )
+            .collect()
+        }
+        assert got == want
+
+    mv.refresh()
+    check()
+    # duplicate value appended: count rises, distinct stays
+    t.commit(spark.createDataFrame([("a", 2)], "k string, v long"))
+    mv.refresh()
+    check()
+    # new value appended
+    t.commit(spark.createDataFrame([("b", 8)], "k string, v long"))
+    mv.refresh()
+    check()
+    # delete removes the last copy of v=7: distinct must drop
+    t.delete_where("v = 7")
+    mv.refresh()
+    check()
