@@ -969,11 +969,77 @@ def join_view_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rt.commit(ords.filter(F.col("o_orderkey") % 2 == 1), stats_cols=["c_custkey"])
     lt.delete_where("c_acctbal < 0.0")
-    rt.delete_where_mor("o_totalprice < 1100.0")
+    rt.delete_where_mor("o_totalprice < 300000.0")
     view.refresh()
     op = view.result._manifest(view.result.current_version())["operation"]
     assert op == "mvj_refresh", f"expected incremental refresh, got {op}"
-    return view.read()
+    out = view.read()
+    # The outer path must actually exercise: some customers flip to
+    # unmatched under the MOR delete (29 at sf0.01) — an empty
+    # null-extension set would be the verified-empty trap.
+    assert out.filter(F.col("o_orderkey").isNull()).limit(1).count() == 1
+    return out
+
+
+@register(
+    "left_join_view_customer_orders",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal,
+           o.o_orderkey, o.o_totalprice, CAST(1 AS BIGINT) AS n
+    FROM (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+          WHERE c_acctbal >= 0.0) c
+    LEFT JOIN (SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+               WHERE o_totalprice >= 300000.0) o
+      ON o.o_custkey = c.c_custkey
+    """,
+)
+def left_join_view_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained LEFT OUTER join view (views.py
+    IncrementalLeftJoinView — the outer-join maintenance case naive Z-set
+    deltas get wrong): customer ⟕ orders under churn on BOTH bases. The
+    merge-on-read DELETE of cheap orders flips some customers from matched
+    to unmatched — their null-extended rows must APPEAR — and the appended
+    odd-orderkey half flips others back — theirs must RETRACT; both fall
+    out of the three-part signed state (inner / left / right-key counts)
+    with no retraction generation. The oracle computes the outer join of
+    the equivalent final relations directly, so a stale null-extension or
+    a lost multiplicity breaks the hash."""
+    import tempfile
+
+    from lakeflow.tables import VersionedTable
+    from lakeflow.views import IncrementalLeftJoinView
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    ords = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_totalprice"
+    )
+    lt = VersionedTable(spark, tempfile.mkdtemp(prefix="lakeflow_mvlj_l_"))
+    rt = VersionedTable(spark, tempfile.mkdtemp(prefix="lakeflow_mvlj_r_"))
+    lt.commit(cust)
+    rt.commit(ords.filter(F.col("o_orderkey") % 2 == 0), stats_cols=["c_custkey"])
+    view = IncrementalLeftJoinView(
+        spark,
+        lt,
+        rt,
+        on=["c_custkey"],
+        path=tempfile.mkdtemp(prefix="lakeflow_mvlj_") + "/state",
+    )
+    view.refresh()
+
+    rt.commit(ords.filter(F.col("o_orderkey") % 2 == 1), stats_cols=["c_custkey"])
+    lt.delete_where("c_acctbal < 0.0")
+    rt.delete_where_mor("o_totalprice < 300000.0")
+    view.refresh()
+    op = view.result._manifest(view.result.current_version())["operation"]
+    assert op == "mvj_refresh", f"expected incremental refresh, got {op}"
+    out = view.read()
+    # The outer path must actually exercise: some customers flip to
+    # unmatched under the MOR delete (29 at sf0.01) — an empty
+    # null-extension set would be the verified-empty trap.
+    assert out.filter(F.col("o_orderkey").isNull()).limit(1).count() == 1
+    return out
 
 
 @register(

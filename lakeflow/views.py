@@ -832,3 +832,179 @@ class IncrementalJoinView:
         return state.withColumn(
             "__i", F.explode(F.sequence(F.lit(1), F.col(self.count_col)))
         ).select(*cols)
+
+
+class IncrementalLeftJoinView(IncrementalJoinView):
+    """LEFT OUTER delta-join view — the case naive Z-set joins get wrong,
+    because a right-side insert must RETRACT a previously-emitted
+    null-extended row (and a delete of a key's last right row must emit
+    one). Rather than generating retractions, the state splits into three
+    signed parts folded in ONE atomic commit (a ``__part`` discriminator
+    column keeps them in a single table so a crash can't split them):
+
+    - ``inner``  — the inner join as a Z-set, maintained by the parent's
+      bilinear delta identity;
+    - ``left``   — the left relation as a Z-set (cheap per-side fold, no
+      join);
+    - ``rcount`` — per-join-key right-row multiplicities (a keyed signed
+      sum, no join).
+
+    ``read()`` derives the outer result ON READ: inner rows, plus left
+    rows whose key is absent from the live ``rcount`` keys, null-extended.
+    Matched-status flips are therefore never materialized as retractions —
+    they fall out of the anti-join — which is what keeps every refresh a
+    pure signed fold. Refresh IO is the parent's delta-join cost plus two
+    delta-sized folds."""
+
+    _PART = "__part"
+
+    def _full_schema_cols(self, out_cols: list[str]) -> list[str]:
+        return [*out_cols, self.count_col, self._PART]
+
+    def _left_cols(self) -> list[str]:
+        return [f.name for f in self.left.schema().fields]
+
+    def _as_part(
+        self, df: DataFrame, out_cols: list[str], part: str
+    ) -> DataFrame:
+        """Project a partial (missing columns NULL-filled) into the unified
+        state schema, typed off the joined frame's column set."""
+        sel = []
+        for c in out_cols:
+            sel.append(F.col(c) if c in df.columns else F.lit(None).alias(c))
+        return df.select(
+            *sel, F.col(self.count_col), F.lit(part).alias(self._PART)
+        )
+
+    def refresh(self) -> dict:
+        v_lt = self.left.current_version()
+        v_rt = self.right.current_version()
+        if v_lt is None or v_rt is None:
+            raise ValueError("a base table has no snapshots")
+        v_lf, v_rf = self.refreshed_versions()
+        dirs_total = len(self.left._manifest(v_lt)["dirs"]) + len(
+            self.right._manifest(v_rt)["dirs"]
+        )
+        out = {
+            "from_versions": (v_lf, v_rf),
+            "to_versions": (v_lt, v_rt),
+            "dirs_total": dirs_total,
+        }
+        if v_lf == v_lt and v_rf == v_rt:
+            return {**out, "dirs_read": 0}
+        out_cols = self._out_cols()
+
+        dl = _signed_side_delta(self.left, v_lf, v_lt, self.on)
+        dr = _signed_side_delta(self.right, v_rf, v_rt, self.on)
+        if (
+            dl["rebuild"]
+            or dr["rebuild"]
+            or self.result.current_version() is None
+        ):
+            lt = self.left.read(version=v_lt).withColumn(
+                "__sign", F.lit(1).cast("bigint")
+            )
+            rt = self.right.read(version=v_rt).withColumn(
+                "__sign", F.lit(1).cast("bigint")
+            )
+            inner = self._grouped(lt.drop("__sign").join(rt, on=self.on), out_cols)
+            left = lt.groupBy(*self._left_cols()).agg(
+                F.sum("__sign").cast("bigint").alias(self.count_col)
+            )
+            rcount = rt.groupBy(*self.on).agg(
+                F.sum("__sign").cast("bigint").alias(self.count_col)
+            )
+            state = (
+                self._as_part(inner, out_cols, "inner")
+                .unionByName(self._as_part(left, out_cols, "left"))
+                .unionByName(self._as_part(rcount, out_cols, "rcount"))
+            )
+            self.result.commit(
+                state,
+                mode="overwrite",
+                _operation="mvj_build",
+                txn=[(_MVJ_TXN_LEFT, v_lt), (_MVJ_TXN_RIGHT, v_rt)],
+            )
+            self._write_marker(v_lt, v_rt)
+            return {**out, "dirs_read": dirs_total}
+
+        parts = []
+        dirs_read = dl["dirs_read"] + dr["dirs_read"]
+        if dl["delta"] is not None:
+            r_new, opened = self._pruned_read(self.right, v_rt, dl["bounds"])
+            dirs_read += opened
+            parts.append(
+                self._as_part(
+                    self._grouped(dl["delta"].join(r_new, on=self.on), out_cols),
+                    out_cols,
+                    "inner",
+                )
+            )
+            parts.append(
+                self._as_part(
+                    dl["delta"]
+                    .groupBy(*self._left_cols())
+                    .agg(F.sum("__sign").cast("bigint").alias(self.count_col)),
+                    out_cols,
+                    "left",
+                )
+            )
+        if dr["delta"] is not None:
+            l_old, opened = self._pruned_read(self.left, v_lf, dr["bounds"])
+            dirs_read += opened
+            parts.append(
+                self._as_part(
+                    self._grouped(l_old.join(dr["delta"], on=self.on), out_cols),
+                    out_cols,
+                    "inner",
+                )
+            )
+            parts.append(
+                self._as_part(
+                    dr["delta"]
+                    .groupBy(*self.on)
+                    .agg(F.sum("__sign").cast("bigint").alias(self.count_col)),
+                    out_cols,
+                    "rcount",
+                )
+            )
+        if not parts:
+            self._write_marker(v_lt, v_rt)
+            return {**out, "dirs_read": 0}
+        delta = parts[0]
+        for p in parts[1:]:
+            delta = delta.unionByName(p)
+        merged = (
+            self.result.read()
+            .select(*self._full_schema_cols(out_cols))
+            .unionByName(delta)
+            .groupBy(*out_cols, self._PART)
+            .agg(F.sum(self.count_col).cast("bigint").alias(self.count_col))
+            .filter(F.col(self.count_col) != 0)
+            .select(*self._full_schema_cols(out_cols))
+        )
+        self.result.commit(
+            merged,
+            mode="overwrite",
+            _operation="mvj_refresh",
+            txn=[(_MVJ_TXN_LEFT, v_lt), (_MVJ_TXN_RIGHT, v_rt)],
+        )
+        self._write_marker(v_lt, v_rt)
+        return {**out, "dirs_read": dirs_read}
+
+    def read(self) -> DataFrame:
+        """The LEFT OUTER join result as (tuple, multiplicity): inner part
+        rows plus null-extended left rows whose key has no live right row."""
+        out_cols = self._out_cols()
+        s = self.result.read()
+        inner = s.filter(F.col(self._PART) == "inner").select(
+            *out_cols, self.count_col
+        )
+        left = s.filter(F.col(self._PART) == "left")
+        rkeys = s.filter(
+            (F.col(self._PART) == "rcount") & (F.col(self.count_col) > 0)
+        ).select(*self.on)
+        unmatched = left.join(rkeys, on=self.on, how="left_anti").select(
+            *out_cols, self.count_col
+        )
+        return inner.unionByName(unmatched)

@@ -590,3 +590,89 @@ def test_dirty_group_count_distinct_tracks_dml(spark, tmp_path):
     t.delete_where("v = 7")
     mv.refresh()
     check()
+
+
+# ---------------------------------------------------------------------------
+# IncrementalLeftJoinView: LEFT OUTER delta-join
+# ---------------------------------------------------------------------------
+
+from lakeflow.views import IncrementalLeftJoinView  # noqa: E402
+
+
+def _ljview(spark, l, r, tmp_path, name="mvlj"):
+    return IncrementalLeftJoinView(
+        spark, l, r, on=["k"], path=str(tmp_path / name)
+    )
+
+
+def _ljstate(view):
+    return {(r.k, r.lv, r.rv): r.n for r in view.read().collect()}
+
+
+def _full_left_join_state(l, r):
+    out = {}
+    for row in l.read().join(r.read(), on="k", how="left").collect():
+        key = (row.k, row.lv, row.rv)
+        out[key] = out.get(key, 0) + 1
+    return out
+
+
+def test_left_join_view_matched_status_flips(spark, tmp_path):
+    """The hard outer-join cases: a right insert must retract a previously
+    null-extended row; deleting a key's LAST right row must re-emit one."""
+    l, r = _mk_join_bases(spark, tmp_path)  # l: k=1,2,3; r: k=1,1,2
+    v = _ljview(spark, l, r, tmp_path)
+    v.refresh()
+    st = _ljstate(v)
+    assert st == _full_left_join_state(l, r)
+    assert (3, "z", None) in st  # k=3 unmatched → null-extended
+
+    # Right insert for k=3: the null-extended row must disappear.
+    r.commit(spark.createDataFrame([(3, 30.0)], "k bigint, rv double"))
+    v.refresh()
+    st = _ljstate(v)
+    assert st == _full_left_join_state(l, r)
+    assert (3, "z", None) not in st and (3, "z", 30.0) in st
+
+    # Delete k=2's only right row: its left row re-emits null-extended.
+    r.delete_where("k = 2")
+    v.refresh()
+    st = _ljstate(v)
+    assert st == _full_left_join_state(l, r)
+    assert (2, "y", None) in st
+
+    # MOR delete of k=1's rows one at a time: multiplicity then flip.
+    r.delete_where_mor("rv = 11.0")
+    v.refresh()
+    assert _ljstate(v) == _full_left_join_state(l, r)
+    r.delete_where_mor("rv = 10.0")
+    v.refresh()
+    st = _ljstate(v)
+    assert st == _full_left_join_state(l, r)
+    assert (1, "x", None) in st
+
+
+def test_left_join_view_left_side_dml(spark, tmp_path):
+    l, r = _mk_join_bases(spark, tmp_path)
+    v = _ljview(spark, l, r, tmp_path)
+    v.refresh()
+    l.delete_where("k = 3")          # remove an unmatched left row
+    l.commit(spark.createDataFrame([(4, "w")], "k bigint, lv string"))
+    v.refresh()
+    st = _ljstate(v)
+    assert st == _full_left_join_state(l, r)
+    assert (3, "z", None) not in st and (4, "w", None) in st
+
+
+def test_left_join_view_incremental_equals_rebuild(spark, tmp_path):
+    l, r = _mk_join_bases(spark, tmp_path)
+    v = _ljview(spark, l, r, tmp_path, "lj_inc")
+    v.refresh()
+    r.commit(spark.createDataFrame([(3, 30.0), (9, 90.0)], "k bigint, rv double"))
+    l.delete_where("k = 1")
+    l.commit(spark.createDataFrame([(5, "q")], "k bigint, lv string"))
+    r.delete_where_mor("rv = 20.0")
+    v.refresh()
+    fresh = _ljview(spark, l, r, tmp_path, "lj_full")
+    fresh.refresh()
+    assert _ljstate(v) == _ljstate(fresh) == _full_left_join_state(l, r)
