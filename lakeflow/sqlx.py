@@ -39,7 +39,8 @@ minimal grammar that does:
         SEQUENCE BY <col> [OPS <op_col> DELETE WHEN '<val>']
     CREATE INCREMENTAL VIEW mv AS SELECT k1[, k2...], COUNT(*) AS c,
         SUM(col) AS s[, ...] FROM t GROUP BY k1[, k2...] [WITH SCALE <n>]
-    CREATE INCREMENTAL JOIN VIEW mv AS SELECT * FROM l JOIN r USING (k1[, k2])
+    CREATE INCREMENTAL [LEFT] JOIN VIEW mv AS
+        SELECT * FROM l [LEFT] JOIN r USING (k1[, k2])
     REFRESH INCREMENTAL VIEW mv
     CREATE SCHEMA [IF NOT EXISTS] s | SHOW SCHEMAS | SHOW TABLES [IN s]
 
@@ -209,8 +210,8 @@ _CREATE_MV = re.compile(
 _MV_COUNT = re.compile(r"^COUNT\(\*\)\s+AS\s+(\w+)$", re.IGNORECASE)
 _MV_SUM = re.compile(r"^SUM\((\w+)\)\s+AS\s+(\w+)$", re.IGNORECASE)
 _CREATE_MVJ = re.compile(
-    r"^\s*CREATE\s+INCREMENTAL\s+JOIN\s+VIEW\s+(\w+)\s+AS\s+"
-    r"SELECT\s+\*\s+FROM\s+([\w.]+)\s+JOIN\s+([\w.]+)\s+"
+    r"^\s*CREATE\s+INCREMENTAL\s+(LEFT\s+)?JOIN\s+VIEW\s+(\w+)\s+AS\s+"
+    r"SELECT\s+\*\s+FROM\s+([\w.]+)\s+(?:LEFT\s+)?JOIN\s+([\w.]+)\s+"
     r"USING\s*\(([\w\s,]+)\)\s*$",
     re.IGNORECASE,
 )
@@ -506,15 +507,24 @@ class LakehouseSQL:
         import json
         import os
 
-        from lakeflow.views import IncrementalAggView, IncrementalJoinView
+        from lakeflow.views import (
+            IncrementalAggView,
+            IncrementalJoinView,
+            IncrementalLeftJoinView,
+        )
 
         path = self._mv_spec_path(name)
         if not os.path.exists(path):
             raise ValueError(f"unknown incremental view {name!r}")
         with open(path) as fh:
             spec = json.load(fh)
-        if spec.get("kind") == "join":
-            return IncrementalJoinView(
+        if spec.get("kind") in ("join", "left_join"):
+            cls = (
+                IncrementalLeftJoinView
+                if spec["kind"] == "left_join"
+                else IncrementalJoinView
+            )
+            return cls(
                 self.spark,
                 self.catalog.load(spec["left"]),
                 self.catalog.load(spec["right"]),
@@ -530,14 +540,18 @@ class LakehouseSQL:
             count_col=spec["count_col"],
         )
 
-    def _create_mvj(self, name: str, left: str, right: str, using: str) -> dict:
+    def _create_mvj(
+        self, outer: str | None, name: str, left: str, right: str, using: str
+    ) -> dict:
         """Incremental JOIN view as a statement (views.py
-        IncrementalJoinView — the delta-join tier): ``CREATE INCREMENTAL
-        JOIN VIEW v AS SELECT * FROM l JOIN r USING (k1[, k2])``. The state
-        carries every column of both sides plus the Z-set multiplicity
-        ``n``; REFRESH INCREMENTAL VIEW folds both bases' manifest diffs.
-        Project/aggregate over the registered temp view for narrower
-        shapes — the join itself is the part worth incrementalizing."""
+        IncrementalJoinView / IncrementalLeftJoinView): ``CREATE
+        INCREMENTAL [LEFT] JOIN VIEW v AS SELECT * FROM l [LEFT] JOIN r
+        USING (k1[, k2])``. The state carries every column of both sides
+        plus the Z-set multiplicity ``n``; REFRESH INCREMENTAL VIEW folds
+        both bases' manifest diffs (the LEFT form derives null-extended
+        rows at read). Project/aggregate over the registered temp view for
+        narrower shapes — the join itself is the part worth
+        incrementalizing."""
         import json
 
         keys = [k.strip() for k in using.split(",") if k.strip()]
@@ -545,7 +559,12 @@ class LakehouseSQL:
             raise ValueError("USING (...) needs at least one join key")
         with open(self._mv_spec_path(name), "w") as fh:
             json.dump(
-                {"kind": "join", "left": left, "right": right, "on": keys},
+                {
+                    "kind": "left_join" if outer else "join",
+                    "left": left,
+                    "right": right,
+                    "on": keys,
+                },
                 fh,
             )
         mv = self._load_mv(name)

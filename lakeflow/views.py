@@ -28,6 +28,9 @@ contract on :class:`lakeflow.tables.VersionedTable` metadata alone:
   is their tier — Z-set state (distinct joined tuple + multiplicity) folded
   by the delta-join identity Δ(L⋈R) = ΔL⋈R_new ∪ L_old⋈ΔR, with each
   term's static side stat-pruned to the delta's key envelope.
+  :class:`IncrementalLeftJoinView` extends it to LEFT OUTER with a
+  three-part signed state (inner / left / right-key counts) and read-time
+  null extension, so matched-status flips never generate retractions.
 
 Copy-on-write DML composes for free: ``delete_where``/``update_where``
 carry untouched dirs over (absent from the diff) and rewrite only candidate

@@ -434,3 +434,34 @@ def test_seal_and_verify_statements(lh):
     assert r["sealed"] == "sv" and r["version"] == 2
     rep = lh.execute("VERIFY TABLE sv").collect()
     assert len(rep) == 1 and all(row.ok for row in rep)
+
+
+def test_incremental_left_join_view_statement(lh):
+    """CREATE INCREMENTAL LEFT JOIN VIEW: unmatched left keys appear
+    null-extended and a right-side DELETE re-emits a null extension on
+    REFRESH."""
+    lh.execute(
+        "CREATE VERSIONED TABLE ljl AS "
+        "SELECT id AS k, CAST(id * 10 AS BIGINT) AS a FROM range(3)"
+    )
+    lh.execute(
+        "CREATE VERSIONED TABLE ljr AS "
+        "SELECT CAST(0 AS BIGINT) AS k, CAST(100 AS BIGINT) AS b"
+    )
+    lh.execute(
+        "CREATE INCREMENTAL LEFT JOIN VIEW ljv AS "
+        "SELECT * FROM ljl LEFT JOIN ljr USING (k)"
+    )
+    got = {
+        (row.k, row.a, row.b)
+        for row in lh.execute("SELECT k, a, b FROM ljv").collect()
+    }
+    assert got == {(0, 0, 100), (1, 10, None), (2, 20, None)}
+
+    lh.execute("DELETE FROM VERSIONED ljr WHERE k = 0")
+    lh.execute("REFRESH INCREMENTAL VIEW ljv")
+    got = {
+        (row.k, row.a, row.b)
+        for row in lh.execute("SELECT k, a, b FROM ljv").collect()
+    }
+    assert got == {(0, 0, None), (1, 10, None), (2, 20, None)}
