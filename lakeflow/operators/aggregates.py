@@ -217,3 +217,75 @@ def read_cms_cells(spark, sketch_dir: str) -> DataFrame:
         .groupBy("seed", "bucket")
         .agg(F.sum("cnt").alias("cnt"))
     )
+
+
+def histogram_partials(
+    df: DataFrame,
+    value_col: str,
+    *,
+    width: float,
+    part_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Fixed-width histogram as a MERGEABLE quantile-sketch partial:
+    (part_cols..., bin, cnt).
+
+    The third leg of the sketch family (HLL = cardinality, CMS = frequency,
+    this = DISTRIBUTION): ``bin = floor(value / width)`` is a deterministic
+    integer, so a histogram is just a keyed count — Spark's map-side partial
+    combine IS the sketch update, each map task emits at most one row per
+    occupied bin, and partials from different partitions / days / tables
+    merge by summing ``cnt``. Quantile estimates from the merged bins are
+    correct to ±``width`` — the incremental-maintenance answer to "p99 over
+    100 TB without rescanning history" (store per-day partials in a silver
+    table; only the new day is ever scanned again). Unlike Spark's
+    ``percentile_approx`` (opaque JVM digest, no SQL merge), the cell layout
+    is engine-portable and oracle-replayable bit-for-bit.
+    """
+    b = F.floor(F.col(value_col) / F.lit(width)).cast("bigint").alias("bin")
+    return (
+        df.groupBy(*part_cols, b)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def merge_histograms(partials: DataFrame) -> DataFrame:
+    """Fold histogram partials (any partitioning of the input) into the
+    global sketch: sum per bin — ≤ (range/width) rows however large the
+    sketched input was."""
+    return partials.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def histogram_quantiles(
+    bins: DataFrame, qs: Sequence[float], *, width: float
+) -> DataFrame:
+    """Quantile estimates from a merged histogram frame: for each q the
+    upper edge of the first bin whose cumulative count reaches
+    ``ceil(q * total)``. Output (q, approx_value); error ≤ ``width``.
+
+    The bin frame is tiny (≤ range/width rows), so the running sum's
+    single-partition window is fine — the heavy lifting already happened in
+    the mergeable partial aggregation.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins.select(
+        "bin",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total"),
+    )
+    q_df = bins.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    )
+    return (
+        cum.crossJoin(q_df)
+        .where(F.col("cum") >= F.ceil(F.col("q") * F.col("total")))
+        .groupBy("q")
+        .agg(
+            ((F.min("bin") + 1) * F.lit(width)).alias("approx_value")
+        )
+    )

@@ -172,6 +172,28 @@ def stratified_hash_sample(
     return df.filter(bucket < threshold)
 
 
+def weighted_hash_sample(
+    df: DataFrame, id_col: str, weight_col: str, k: int
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES),
+    deterministic: each row gets key ``-ln(u)/w`` with ``u`` derived from
+    ``md5(id)`` (not ``rand()``), and the k smallest keys win — equivalent
+    to drawing k rows one at a time with probability proportional to
+    ``weight_col``, but in ONE distributed pass. ``orderBy().limit(k)``
+    compiles to TakeOrdered: per-partition top-k then a k-row merge on the
+    driver — no global sort, no shuffle of the corpus, the exact plan you
+    want at 100 TB. The md5-derived uniform makes a row's fate reproducible
+    across engines/runs/retries, same portability call as
+    ``stratified_hash_sample``.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    u = (h + F.lit(0.5)) / F.lit(4294967296.0)
+    key = -F.log(u) / F.col(weight_col)
+    return df.filter(F.col(weight_col) > 0).orderBy(key.asc()).limit(k)
+
+
 def observed_quality_metrics(
     df: DataFrame,
     required_col: str,

@@ -895,6 +895,30 @@ def hash_sampled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "weighted_sample_aes",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE n_chars > 0
+    ORDER BY -ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) + 0.5) / 4294967296.0) / n_chars
+    LIMIT 200
+    """,
+)
+def weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-ES) —
+    the training-mix primitive hash_sampled_docs can't express: draw 200
+    docs with probability proportional to length in ONE pass, no
+    sequential draws, no rejection loop. Key ``-ln(u)/w`` with the uniform
+    u derived from md5(doc_id) keeps every row's fate engine-reproducible,
+    so the DuckDB oracle selects the identical 200 docs. TakeOrdered plan:
+    per-partition top-k + k-row driver merge, never a global sort."""
+    return transforms.weighted_hash_sample(
+        load_table(spark, sf_dir, "documents"), "doc_id", "n_chars", 200
+    ).select("doc_id", "lang", "n_chars")
+
+
+@register(
     "chunk_documents",
     oracle=f"""
     WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),

@@ -26,6 +26,9 @@ from lakeflow.operators.aggregates import (
     cms_cells,
     cms_point_estimate,
     grouped_agg,
+    histogram_partials,
+    histogram_quantiles,
+    merge_histograms,
     scalar_max,
     tumbling_candles,
 )
@@ -898,6 +901,103 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         est.join(exact, "user_key")
         .where(F.col("est_cnt") >= 75)
         .select("user_key", "est_cnt", "exact_cnt")
+    )
+
+
+@register(
+    "histogram_quantile_sketch",
+    oracle="""
+    WITH bins AS (
+        SELECT CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS bin,
+               count(*) AS cnt
+        FROM lineitem GROUP BY 1
+    ),
+    cum AS (
+        SELECT bin,
+               sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(cnt) OVER () AS total
+        FROM bins
+    ),
+    qs AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q),
+    est AS (
+        SELECT q, CAST((min(bin) + 1) * 1000.0 AS DOUBLE) AS approx_value
+        FROM cum CROSS JOIN qs
+        WHERE cum >= CAST(ceil(q * total) AS BIGINT)
+        GROUP BY q
+    ),
+    checked AS (
+        SELECT e.q, e.approx_value,
+               CAST(sum(CASE WHEN l.l_extendedprice < e.approx_value
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+               CAST(sum(CASE WHEN l.l_extendedprice < e.approx_value - 1000.0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_below_prev,
+               CAST(count(*) AS BIGINT) AS total
+        FROM est e CROSS JOIN lineitem l
+        GROUP BY 1, 2
+    )
+    SELECT q, approx_value,
+           true AS merge_lossless,
+           (n_below >= CAST(ceil(q * total) AS BIGINT)) AS covers_q,
+           (n_below_prev < CAST(ceil(q * total) AS BIGINT)) AS tight_bound
+    FROM checked
+    """,
+)
+def histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distribution sketch — the third sketch leg next to
+    `hll_partial_merge_verdict` (cardinality) and `cms_heavy_hitters`
+    (frequency): per-ship-year fixed-width histogram partials merge by
+    summing bins, and p50/p90/p99 read off the merged frame with error
+    ≤ one bin width. At 100 TB this is how you keep a live p99 without
+    rescanning history: store per-day bin partials (≤ range/width rows
+    each) in a silver table and fold only the new day in. Unlike
+    `percentile_approx`'s opaque JVM digest the bin layout is
+    engine-portable, so the DuckDB oracle replays every estimate
+    bit-for-bit — plus three integer-exact invariants per quantile:
+    partial-merge losslessness (year partials fold to exactly the
+    whole-table histogram), coverage (≥ ⌈q·n⌉ rows sit below the
+    estimate) and tightness (one bin lower would undershoot)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    width = 1000.0
+    partials = histogram_partials(
+        li, "l_extendedprice", width=width,
+        part_cols=[F.year("l_shipdate").alias("ship_year")],
+    )
+    merged = merge_histograms(partials)
+    direct = histogram_partials(li, "l_extendedprice", width=width)
+    mismatches = (
+        merged.withColumnRenamed("cnt", "m_cnt")
+        .join(direct, "bin", "full_outer")
+        .where(
+            ~F.col("m_cnt").eqNullSafe(F.col("cnt"))
+        )
+        .count()
+    )
+    est = histogram_quantiles(merged, [0.5, 0.9, 0.99], width=width)
+    checked = (
+        est.crossJoin(li.select("l_extendedprice"))
+        .groupBy("q", "approx_value")
+        .agg(
+            F.sum(
+                F.when(F.col("l_extendedprice") < F.col("approx_value"), 1)
+                .otherwise(0)
+            ).cast("bigint").alias("n_below"),
+            F.sum(
+                F.when(
+                    F.col("l_extendedprice")
+                    < F.col("approx_value") - F.lit(width),
+                    1,
+                ).otherwise(0)
+            ).cast("bigint").alias("n_below_prev"),
+            F.count(F.lit(1)).cast("bigint").alias("total"),
+        )
+    )
+    need = F.ceil(F.col("q") * F.col("total")).cast("bigint")
+    return checked.select(
+        "q",
+        "approx_value",
+        F.lit(mismatches == 0).alias("merge_lossless"),
+        (F.col("n_below") >= need).alias("covers_q"),
+        (F.col("n_below_prev") < need).alias("tight_bound"),
     )
 
 
