@@ -9,6 +9,8 @@ per-key sort — one shuffle, no joins beyond the spine attach, no Python.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -261,4 +263,62 @@ def dpo_pairs(
         F.col("ch.c").alias("chosen_cents"),
         F.col("rj.c").alias("rejected_cents"),
         (F.col("ch.c") - F.col("rj.c")).alias("margin_cents"),
+    )
+
+
+def m4_downsample(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str,
+    key_cols: Sequence[str] = ("event_type",),
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """M4 time-series downsampling (Jugel et al., VLDB 2014): per
+    (key, time bucket) keep exactly the four points a pixel column can
+    show — first, last, min, max — which renders IDENTICAL to the full
+    series at that resolution. The 100 TB → screen reduction: one hash
+    aggregation with map-side partial combine, no window function, no
+    sort; each of the four points is a ``min``/``max`` over a struct
+    whose field order encodes the selection rule, with ``id_col`` as the
+    final tie-break so the choice is deterministic (and therefore
+    oracle-replayable) even when two points share a timestamp or value.
+
+    Output: key cols, ``bucket_start`` + per-point (ts, value) pairs as
+    ``ts_first/v_first, v_min/ts_min, v_max/ts_max, ts_last/v_last`` and
+    the bucket's row count ``n``.
+    """
+    w = F.window(F.col(ts_col), bucket)
+    by_time = F.struct(
+        F.col(ts_col).alias("t"), F.col(id_col).alias("i"),
+        F.col(value_col).alias("v"),
+    )
+    by_value = F.struct(
+        F.col(value_col).alias("v"), F.col(ts_col).alias("t"),
+        F.col(id_col).alias("i"),
+    )
+    ts_s = lambda c: F.date_format(c, "yyyy-MM-dd HH:mm:ss")  # noqa: E731
+    return (
+        df.groupBy(*key_cols, w.alias("__w"))
+        .agg(
+            F.min(by_time).alias("p_first"),
+            F.max(by_time).alias("p_last"),
+            F.min(by_value).alias("p_min"),
+            F.max(by_value).alias("p_max"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .select(
+            *key_cols,
+            ts_s(F.col("__w.start")).alias("bucket_start"),
+            ts_s(F.col("p_first.t")).alias("ts_first"),
+            F.col("p_first.v").alias("v_first"),
+            F.col("p_min.v").alias("v_min"),
+            ts_s(F.col("p_min.t")).alias("ts_min"),
+            F.col("p_max.v").alias("v_max"),
+            ts_s(F.col("p_max.t")).alias("ts_max"),
+            ts_s(F.col("p_last.t")).alias("ts_last"),
+            F.col("p_last.v").alias("v_last"),
+            "n",
+        )
     )

@@ -672,3 +672,42 @@ def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents.alias("c"),
     )
     return dpo_pairs(p, "user_id", "event_id", "c")
+
+
+@register(
+    "m4_downsampled_events",
+    oracle=f"""
+    SELECT event_type,
+           strftime(time_bucket(INTERVAL 1 HOUR, ts), '{_STRF}') AS bucket_start,
+           strftime((min({{'t': ts, 'i': event_id, 'v': value}})).t, '{_STRF}')
+               AS ts_first,
+           (min({{'t': ts, 'i': event_id, 'v': value}})).v AS v_first,
+           (min({{'v': value, 't': ts, 'i': event_id}})).v AS v_min,
+           strftime((min({{'v': value, 't': ts, 'i': event_id}})).t, '{_STRF}')
+               AS ts_min,
+           (max({{'v': value, 't': ts, 'i': event_id}})).v AS v_max,
+           strftime((max({{'v': value, 't': ts, 'i': event_id}})).t, '{_STRF}')
+               AS ts_max,
+           strftime((max({{'t': ts, 'i': event_id, 'v': value}})).t, '{_STRF}')
+               AS ts_last,
+           (max({{'t': ts, 'i': event_id, 'v': value}})).v AS v_last,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type, time_bucket(INTERVAL 1 HOUR, ts)
+    """,
+)
+def m4_downsampled_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 downsampling (first/last/min/max per pixel bucket — Jugel et al.,
+    VLDB 2014) of the events feed at 1-hour resolution, keyed by
+    event_type: the error-free way to render a 100 TB series on a screen,
+    as ONE hash aggregation with map-side combine (vs the naive
+    row_number-over-window plan, which sorts every row twice). Struct-
+    ordered min/max with event_id tie-breaks make every selected point
+    deterministic; the oracle replays the identical struct comparisons."""
+    from lakeflow.operators.timeseries import m4_downsample
+
+    return m4_downsample(
+        load_table(spark, sf_dir, "events"),
+        id_col="event_id",
+        bucket="1 hour",
+    )
