@@ -977,6 +977,87 @@ def join_view_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "catalog_txn_consistent_read",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_cents,
+           true AS consistent
+    FROM orders
+    WHERE o_orderkey <= 4000
+    GROUP BY o_orderstatus
+    """,
+)
+def catalog_txn_consistent_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table ATOMIC transaction (lakeflow/txn.py — the Nessie catalog-
+    commit model; the reference's bronze→silver→gold layers commit
+    independently with no cross-table atomicity): a base table and its
+    rollup publish together through single-file catalog commits, two epochs
+    land cleanly, then a third transaction TEARS — base's snapshot is
+    staged but the crash hits before the catalog commit point. Catalog
+    readers must see epoch 2 for BOTH tables: the rollup re-derived from
+    the catalog-pinned base must equal the catalog-pinned rollup
+    (consistent=true per status), and the oracle's fixture aggregate pins
+    both to exactly the two committed epochs — a torn base leaking through,
+    or a stale rollup, breaks count, cents, or the boolean."""
+    import tempfile
+
+    from lakeflow.tables import TableCatalog
+    from lakeflow.txn import CatalogRef
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    cents = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("bigint")
+
+    def rollup_of(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(cents).cast("bigint").alias("total_cents"),
+        )
+
+    ref = CatalogRef(
+        spark, TableCatalog(spark, tempfile.mkdtemp(prefix="lakeflow_txn_"))
+    )
+    with ref.transaction("epoch 1") as txn:
+        txn.write("base", orders.filter(F.col("o_orderkey") <= 2000))
+        txn.write("rollup", rollup_of(txn.read("base")))
+    with ref.transaction("epoch 2") as txn:
+        txn.write(
+            "base",
+            orders.filter(
+                (F.col("o_orderkey") > 2000) & (F.col("o_orderkey") <= 4000)
+            ),
+            mode="append",
+        )
+        txn.write("rollup", rollup_of(txn.read("base")), mode="overwrite")
+    # Epoch 3 tears: base's snapshot lands, the crash hits before the
+    # rollup write and the catalog commit point.
+    torn = ref.transaction("epoch 3 (torn)")
+    torn.write(
+        "base", orders.filter(F.col("o_orderkey") > 4000), mode="append"
+    )
+    # no torn.commit() — the catalog never learns about epoch 3
+    assert ref.current_commit() == 2
+
+    base = ref.read("base")  # catalog-pinned: epoch 2, not the torn HEAD
+    pinned = ref.read("rollup")
+    rederived = rollup_of(base).withColumnsRenamed(
+        {"n_orders": "rn", "total_cents": "rc"}
+    )
+    return pinned.join(rederived, "o_orderstatus", "full_outer").select(
+        "o_orderstatus",
+        "n_orders",
+        "total_cents",
+        (
+            F.col("n_orders").eqNullSafe(F.col("rn"))
+            & F.col("total_cents").eqNullSafe(F.col("rc"))
+        ).alias("consistent"),
+    )
+
+
+@register(
     "left_join_view_customer_orders",
     oracle="""
     SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal,
