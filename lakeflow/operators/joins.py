@@ -196,3 +196,78 @@ def salted_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
     return f.join(o, [*on, "__salt"], how).drop("__salt")
+
+
+def _pruned_bytes(table, between: Mapping[str, tuple] | None) -> int:
+    """Data bytes of the dirs that survive zone-map pruning for ``between``
+    — a driver-side manifest walk + file-size glob, no data IO. This is the
+    size that actually reaches the join, which is what a broadcast decision
+    must be made on (a 10 TB table pruned to one partition broadcasts
+    fine; Spark's static planner only sees the unpruned relation size)."""
+    import glob as _glob
+    import os as _os
+
+    m = table._manifest(table.current_version())
+    dirs = table._kept_dirs(m, dict(between or {}))
+    return sum(
+        _os.path.getsize(f)
+        for d in dirs
+        for f in _glob.glob(_os.path.join(d, "**", "*.parquet"), recursive=True)
+    )
+
+
+def stats_planned_join(
+    left,
+    right,
+    on: Sequence[str],
+    *,
+    how: str = "inner",
+    left_between: Mapping[str, tuple] | None = None,
+    right_between: Mapping[str, tuple] | None = None,
+    broadcast_bytes: int = 32 * 1024 * 1024,
+) -> tuple[DataFrame, dict]:
+    """Cost-based join strategy from TABLE STATS, not plan defaults: size
+    each :class:`~lakeflow.tables.VersionedTable` side as its
+    post-zone-map-pruning bytes and broadcast the smaller side iff it fits
+    ``broadcast_bytes`` — the decision Spark's static planner cannot make
+    (``autoBroadcastJoinThreshold`` compares the UNPRUNED relation estimate,
+    so a huge-but-pruned dim falls back to a sort-merge join, and AQE only
+    rescues it after the first shuffle has already been planned).
+
+    Returns ``(joined DataFrame, decision)`` where ``decision`` records the
+    sizes and the chosen strategy — surfaced so plan tests and operators
+    can pin the choice. Inner/left/right joins only broadcast the side
+    semantics allow (never the outer-preserved side).
+    """
+    lb = _pruned_bytes(left, left_between)
+    rb = _pruned_bytes(right, right_between)
+    ldf = left.scan(dict(left_between or {}))
+    rdf = right.scan(dict(right_between or {}))
+    can_bcast = {
+        "inner": ("left", "right"),
+        "cross": ("left", "right"),
+        "left": ("right",),
+        "left_outer": ("right",),
+        "left_semi": ("right",),
+        "left_anti": ("right",),
+        "right": ("left",),
+        "right_outer": ("left",),
+    }.get(how, ())
+    side = None
+    if "left" in can_bcast and lb <= broadcast_bytes and (
+        "right" not in can_bcast or lb <= rb
+    ):
+        side = "left"
+    elif "right" in can_bcast and rb <= broadcast_bytes:
+        side = "right"
+    if side == "left":
+        ldf = F.broadcast(ldf)
+    elif side == "right":
+        rdf = F.broadcast(rdf)
+    decision = {
+        "left_bytes": lb,
+        "right_bytes": rb,
+        "strategy": "broadcast" if side else "shuffle",
+        "broadcast_side": side,
+    }
+    return ldf.join(rdf, list(on), how), decision

@@ -977,6 +977,69 @@ def join_view_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stats_planned_broadcast_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey BETWEEN 1 AND 300
+    GROUP BY c.c_mktsegment
+    """,
+)
+def stats_planned_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based join planning from MANIFEST stats
+    (joins.stats_planned_join): the dimension table is committed in three
+    key bands with zone maps, the query prunes it to one band, and the
+    planner sizes each side as its POST-PRUNING bytes — so the pruned dim
+    broadcasts even though Spark's static autoBroadcastJoinThreshold,
+    which sees the unpruned relation, would plan a sort-merge join. The
+    asserts pin both the decision record and the physical plan
+    (BroadcastHashJoin, no exchange of the fact side); the oracle is the
+    equivalent fixture join, so a dropped band or a double-read dir breaks
+    the hash."""
+    import tempfile
+
+    from lakeflow.operators.joins import stats_planned_join
+    from lakeflow.tables import VersionedTable
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    ords = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_totalprice"
+    )
+    dim = VersionedTable(spark, tempfile.mkdtemp(prefix="lakeflow_cbo_d_"))
+    for lo, hi in ((0, 500), (500, 1000), (1000, 10**9)):
+        dim.commit(
+            cust.filter(
+                (F.col("c_custkey") > lo) & (F.col("c_custkey") <= hi)
+            ),
+            stats_cols=["c_custkey"],
+        )
+    fact = VersionedTable(spark, tempfile.mkdtemp(prefix="lakeflow_cbo_f_"))
+    fact.commit(ords)
+    joined, decision = stats_planned_join(
+        fact,
+        dim,
+        on=["c_custkey"],
+        right_between={"c_custkey": (1, 300)},
+    )
+    assert decision["strategy"] == "broadcast", decision
+    assert decision["broadcast_side"] == "right", decision
+    assert decision["right_bytes"] < decision["left_bytes"], decision
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("bigint")
+        ).cast("bigint").alias("revenue_cents"),
+    )
+
+
+@register(
     "catalog_txn_consistent_read",
     oracle="""
     SELECT o_orderstatus,
