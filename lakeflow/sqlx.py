@@ -175,6 +175,14 @@ _VACUUM = re.compile(
 _ROLLBACK = re.compile(
     r"^\s*ROLLBACK\s+TABLE\s+([\w.]+)\s+TO\s+VERSION\s+(\d+)\s*$", re.IGNORECASE
 )
+_BEGIN_TXN = re.compile(
+    r"^\s*BEGIN\s+TRANSACTION(?:\s+'([^']*)')?\s*$", re.IGNORECASE
+)
+_COMMIT_TXN = re.compile(r"^\s*COMMIT(?:\s+TRANSACTION)?\s*$", re.IGNORECASE)
+_ROLLBACK_TXN = re.compile(
+    r"^\s*ROLLBACK(?:\s+TRANSACTION)?\s*$", re.IGNORECASE
+)
+_CATALOG_LOG = re.compile(r"^\s*DESCRIBE\s+CATALOG\s+LOG\s*$", re.IGNORECASE)
 _SEAL = re.compile(r"^\s*SEAL\s+TABLE\s+([\w.]+)\s*$", re.IGNORECASE)
 _VERIFY = re.compile(r"^\s*VERIFY\s+TABLE\s+([\w.]+)\s*$", re.IGNORECASE)
 _UPDATE = re.compile(
@@ -248,8 +256,42 @@ class LakehouseSQL:
     def __init__(self, spark: SparkSession, catalog: TableCatalog) -> None:
         self.spark = spark
         self.catalog = catalog
+        # Multi-table transaction state (BEGIN TRANSACTION ... COMMIT):
+        # statements between the two stage through one CatalogTransaction
+        # and become visible atomically at COMMIT (lakeflow/txn.py).
+        self._txn = None
+        self._catalog_ref = None
+
+    @property
+    def ref(self):
+        """The catalog commit log (ref ``main``) transactions publish to;
+        created lazily so non-transactional use pays nothing."""
+        if self._catalog_ref is None:
+            from lakeflow.txn import CatalogRef
+
+            self._catalog_ref = CatalogRef(self.spark, self.catalog)
+        return self._catalog_ref
 
     def execute(self, stmt: str):
+        m = _BEGIN_TXN.match(stmt)
+        if m:
+            if self._txn is not None:
+                raise ValueError("a transaction is already active")
+            self._txn = self.ref.transaction(m.group(1))
+            return {"transaction": "begun", "base_commit": self._txn.base_commit}
+        if _COMMIT_TXN.match(stmt):
+            if self._txn is None:
+                raise ValueError("COMMIT without an active transaction")
+            txn, self._txn = self._txn, None
+            commit = txn.commit()
+            return {"catalog_commit": commit, "tables": dict(txn.touched)}
+        if _ROLLBACK_TXN.match(stmt):
+            if self._txn is None:
+                raise ValueError("ROLLBACK without an active transaction")
+            txn, self._txn = self._txn, None
+            return {"rolled_back": sorted(txn.touched)}
+        if _CATALOG_LOG.match(stmt):
+            return self.ref.log()
         m = _CREATE_SCHEMA.match(stmt)
         if m:
             self.catalog.create_schema(m.group(1))
@@ -282,6 +324,13 @@ class LakehouseSQL:
             partition_by = (
                 [c.strip() for c in parts.split(",")] if parts else None
             )
+            if self._txn is not None:
+                if name in self.catalog.tables():
+                    raise ValueError(f"table {name!r} already exists")
+                self._txn.write(
+                    name, self._query(select), partition_by=partition_by
+                )
+                return {"created": name, "staged": True}
             self.catalog.create(
                 name, self._query(select), partition_by=partition_by
             )
@@ -290,9 +339,17 @@ class LakehouseSQL:
         if m:
             mode = "overwrite" if m.group(1).upper() == "OVERWRITE" else "append"
             name, select = m.group(2), m.group(3)
-            version = self.catalog.load(name).commit(
-                self._query(select), mode=mode
-            )
+            df = self._query(select)
+            if self._txn is not None:
+                self.catalog.load(name)  # fail on a missing table
+                version = self._txn.write(name, df, mode=mode)
+                return {
+                    "inserted_into": name,
+                    "version": version,
+                    "mode": mode,
+                    "staged": True,
+                }
+            version = self.catalog.load(name).commit(df, mode=mode)
             return {"inserted_into": name, "version": version, "mode": mode}
         m = _SCHEMA_HISTORY.match(stmt)
         if m:
@@ -464,22 +521,30 @@ class LakehouseSQL:
             for part in sets.split(","):
                 col, expr = part.split("=", 1)
                 set_exprs[col.strip()] = expr.strip()
-            t = self.catalog.load(name)
-            v = (
-                t.update_where_mor(cond, set_exprs)
-                if mor
-                else t.update_where(cond, set_exprs)
-            )
+            def do_update(t):
+                return (
+                    t.update_where_mor(cond, set_exprs)
+                    if mor
+                    else t.update_where(cond, set_exprs)
+                )
+
+            if self._txn is not None:
+                v = self._txn.run(name, do_update)
+                return {"updated": name, "version": v, "mor": bool(mor), "staged": True}
+            v = do_update(self.catalog.load(name))
             return {"updated": name, "version": v, "mor": bool(mor)}
         m = _DELETE.match(stmt)
         if m:
-            t = self.catalog.load(m.group(1))
-            v = (
-                t.delete_where_mor(m.group(2))
-                if m.group(3)
-                else t.delete_where(m.group(2))
-            )
-            return {"deleted_from": m.group(1), "version": v, "mor": bool(m.group(3))}
+            name, cond, mor = m.group(1), m.group(2), m.group(3)
+
+            def do_delete(t):
+                return t.delete_where_mor(cond) if mor else t.delete_where(cond)
+
+            if self._txn is not None:
+                v = self._txn.run(name, do_delete)
+                return {"deleted_from": name, "version": v, "mor": bool(mor), "staged": True}
+            v = do_delete(self.catalog.load(name))
+            return {"deleted_from": name, "version": v, "mor": bool(mor)}
         m = _MERGE.match(stmt)
         if m:
             return self._merge_upsert(*m.groups())

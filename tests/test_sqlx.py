@@ -465,3 +465,61 @@ def test_incremental_left_join_view_statement(lh):
         for row in lh.execute("SELECT k, a, b FROM ljv").collect()
     }
     assert got == {(0, 0, None), (1, 10, None), (2, 20, None)}
+
+
+def test_sql_transaction_commits_atomically(lh):
+    lh.execute("BEGIN TRANSACTION 'seed'")
+    lh.execute("CREATE VERSIONED TABLE base AS SELECT id FROM range(4)")
+    lh.execute(
+        "CREATE VERSIONED TABLE agg AS "
+        "SELECT count(*) AS n FROM (SELECT id FROM range(4))"
+    )
+    # Before COMMIT the catalog log knows nothing.
+    assert lh.execute("DESCRIBE CATALOG LOG").count() == 0
+    r = lh.execute("COMMIT")
+    assert r["catalog_commit"] == 1
+    assert set(r["tables"]) == {"base", "agg"}
+    assert lh.ref.read("base").count() == 4
+    assert lh.ref.read("agg").first()["n"] == 4
+
+
+def test_sql_transaction_rollback_discards_staging(lh):
+    lh.execute("BEGIN TRANSACTION")
+    lh.execute("CREATE VERSIONED TABLE t AS SELECT id FROM range(3)")
+    r = lh.execute("ROLLBACK")
+    assert r["rolled_back"] == ["t"]
+    assert lh.execute("DESCRIBE CATALOG LOG").count() == 0
+    with pytest.raises(ValueError, match="not visible"):
+        lh.ref.read("t")
+
+
+def test_sql_transaction_stages_dml_and_inserts(lh):
+    lh.execute("BEGIN TRANSACTION")
+    lh.execute("CREATE VERSIONED TABLE t AS SELECT id FROM range(6)")
+    lh.execute("COMMIT")
+    lh.execute("BEGIN TRANSACTION 'churn'")
+    lh.execute("INSERT INTO VERSIONED t SELECT id FROM range(100, 102)")
+    lh.execute("DELETE FROM VERSIONED t WHERE id >= 4 AND id < 6")
+    # Catalog still pins the pre-transaction version.
+    assert lh.ref.read("t").count() == 6
+    lh.execute("COMMIT")
+    assert lh.ref.read("t").count() == 6 - 2 + 2
+    log = lh.execute("DESCRIBE CATALOG LOG")
+    assert [r["message"] for r in log.orderBy("commit").collect()] == [
+        None, "churn",
+    ]
+
+
+def test_sql_transaction_guards(lh):
+    with pytest.raises(ValueError, match="without an active"):
+        lh.execute("COMMIT")
+    with pytest.raises(ValueError, match="without an active"):
+        lh.execute("ROLLBACK")
+    lh.execute("BEGIN TRANSACTION")
+    with pytest.raises(ValueError, match="already active"):
+        lh.execute("BEGIN TRANSACTION")
+    lh.execute("ROLLBACK")
+    # Bare ROLLBACK must not shadow table-level restore.
+    lh.execute("CREATE VERSIONED TABLE t AS SELECT id FROM range(3)")
+    lh.execute("INSERT INTO VERSIONED t SELECT id FROM range(10, 12)")
+    assert lh.execute("ROLLBACK TABLE t TO VERSION 1")["new_version"] == 3
