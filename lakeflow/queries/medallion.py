@@ -752,6 +752,86 @@ def sql_lakehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_txn_atomic_layers",
+    oracle="""
+    SELECT n_base, n_rollup, consistent FROM (
+        SELECT CAST(count(*) AS BIGINT) AS n_base,
+               CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_rollup,
+               true AS consistent
+        FROM orders WHERE o_orderkey <= 3000
+    )
+    """,
+)
+def sql_txn_atomic_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table transactions driven ENTIRELY through SQL
+    (sqlx BEGIN TRANSACTION ... COMMIT over lakeflow/txn.py): a base layer
+    and its rollup are created inside one transaction, a second
+    transaction appends to base and refreshes the rollup, and a third
+    BEGINs, stages an INSERT, and ROLLBACKs — catalog reads must still
+    see the second transaction's consistent pair (the staged snapshot is
+    an orphan). Emits the catalog-pinned base count, rollup group count,
+    and a base≡rollup consistency bit the oracle pins to the first 3000
+    orderkeys — a torn third epoch or a half-applied second breaks any of
+    the three."""
+    import tempfile
+
+    from lakeflow.sqlx import LakehouseSQL
+    from lakeflow.tables import TableCatalog
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("src_orders")
+    lh = LakehouseSQL(
+        spark, TableCatalog(spark, tempfile.mkdtemp(prefix="lakeflow_sqtx_"))
+    )
+    lh.execute("BEGIN TRANSACTION 'epoch 1'")
+    lh.execute(
+        "CREATE VERSIONED TABLE base AS "
+        "SELECT o_orderkey, o_orderstatus FROM src_orders "
+        "WHERE o_orderkey <= 2000"
+    )
+    lh.execute(
+        "CREATE VERSIONED TABLE rollup AS "
+        "SELECT o_orderstatus, count(*) AS n FROM src_orders "
+        "WHERE o_orderkey <= 2000 GROUP BY o_orderstatus"
+    )
+    lh.execute("COMMIT")
+    lh.execute("BEGIN TRANSACTION 'epoch 2'")
+    lh.execute(
+        "INSERT INTO VERSIONED base "
+        "SELECT o_orderkey, o_orderstatus FROM src_orders "
+        "WHERE o_orderkey > 2000 AND o_orderkey <= 3000"
+    )
+    lh.execute(
+        "INSERT OVERWRITE VERSIONED rollup "
+        "SELECT o_orderstatus, count(*) AS n FROM src_orders "
+        "WHERE o_orderkey <= 3000 GROUP BY o_orderstatus"
+    )
+    lh.execute("COMMIT")
+    lh.execute("BEGIN TRANSACTION 'epoch 3 (abandoned)'")
+    lh.execute(
+        "INSERT INTO VERSIONED base "
+        "SELECT o_orderkey, o_orderstatus FROM src_orders "
+        "WHERE o_orderkey > 3000"
+    )
+    lh.execute("ROLLBACK")
+
+    base = lh.ref.read("base")
+    rollup = lh.ref.read("rollup")
+    from_base = base.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n2")
+    )
+    ok = (
+        rollup.join(from_base, "o_orderstatus", "full_outer")
+        .agg(
+            F.min(F.col("n").eqNullSafe(F.col("n2"))).alias("consistent"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rollup"),
+        )
+    )
+    return base.agg(F.count(F.lit(1)).cast("bigint").alias("n_base")).crossJoin(
+        ok
+    ).select("n_base", "n_rollup", "consistent")
+
+
+@register(
     "sql_incremental_view_state",
     oracle="""
     SELECT o_orderstatus,
