@@ -289,3 +289,15 @@ def histogram_quantiles(
             ((F.min("bin") + 1) * F.lit(width)).alias("approx_value")
         )
     )
+
+
+def read_histogram_bins(spark, sketch_dir: str) -> DataFrame:
+    """Fold per-batch histogram partials (``stream_histogram_ingest``
+    layout) into the current sketch: bins merge by summing, so the read is
+    one ≤(range/width)-row aggregate however many batches have landed —
+    the distribution-sketch sibling of ``read_cms_cells``."""
+    return (
+        spark.read.parquet(f"{sketch_dir}/bins")
+        .groupBy("bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )

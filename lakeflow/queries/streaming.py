@@ -882,3 +882,106 @@ def stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("est_cnt") >= 75)
         .select("user_key", "est_cnt", "exact_cnt")
     )
+
+
+@register(
+    "stream_histogram_quantiles",
+    oracle="""
+    WITH bins AS (
+        SELECT CAST(floor(value / 5.0) AS BIGINT) AS bin, count(*) AS cnt
+        FROM events GROUP BY 1
+    ),
+    cum AS (
+        SELECT bin,
+               sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(cnt) OVER () AS total
+        FROM bins
+    ),
+    qs AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q),
+    est AS (
+        SELECT q, CAST((min(bin) + 1) * 5.0 AS DOUBLE) AS approx_value
+        FROM cum CROSS JOIN qs
+        WHERE cum >= CAST(ceil(q * total) AS BIGINT)
+        GROUP BY q
+    ),
+    checked AS (
+        SELECT e.q, e.approx_value,
+               CAST(sum(CASE WHEN ev.value < e.approx_value
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+               CAST(sum(CASE WHEN ev.value < e.approx_value - 5.0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_below_prev,
+               CAST(count(*) AS BIGINT) AS total
+        FROM est e CROSS JOIN events ev
+        GROUP BY 1, 2
+    )
+    SELECT q, approx_value,
+           true AS batch_equivalent,
+           (n_below >= CAST(ceil(q * total) AS BIGINT)) AS covers_q,
+           (n_below_prev < CAST(ceil(q * total) AS BIGINT)) AS tight_bound
+    FROM checked
+    """,
+)
+def stream_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `histogram_quantile_sketch`: the events feed
+    streams through `stream_histogram_ingest` (per-micro-batch bin
+    partials under replay-idempotent batch=<id> subdirs), the probe folds
+    the landed partials with `read_histogram_bins` and reads p50/p90/p99
+    off the merged frame. Bin partials merge by summing, so the folded
+    sketch — and every estimate — is IDENTICAL to the batch-computed
+    histogram however the engine micro-batched the input
+    (batch_equivalent, computed by diffing the two bin frames), plus the
+    same integer-exact coverage/tightness invariants as the batch query.
+    This is the live-p99-over-a-firehose pattern: per-batch bin counts to
+    update, one tiny aggregate to probe, no history rescan."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lakeflow.catalog import load_table
+    from lakeflow.operators.aggregates import (
+        histogram_partials,
+        histogram_quantiles,
+        read_histogram_bins,
+    )
+    from lakeflow.streaming.sinks import stream_histogram_ingest
+
+    width = 5.0
+    stream = events_stream(spark, sf_dir).select("value")
+    sketch_dir = tempfile.mkdtemp(prefix="lakeflow-hist-")
+    stream_histogram_ingest(
+        stream, sketch_dir, "value", width=width
+    ).awaitTermination()
+
+    merged = read_histogram_bins(spark, sketch_dir)
+    ev = load_table(spark, sf_dir, "events")
+    direct = histogram_partials(ev, "value", width=width)
+    mismatches = (
+        merged.withColumnRenamed("cnt", "m_cnt")
+        .join(direct, "bin", "full_outer")
+        .where(~F.col("m_cnt").eqNullSafe(F.col("cnt")))
+        .count()
+    )
+    est = histogram_quantiles(merged, [0.5, 0.9, 0.99], width=width)
+    checked = (
+        est.crossJoin(ev.select("value"))
+        .groupBy("q", "approx_value")
+        .agg(
+            F.sum(
+                F.when(F.col("value") < F.col("approx_value"), 1).otherwise(0)
+            ).cast("bigint").alias("n_below"),
+            F.sum(
+                F.when(
+                    F.col("value") < F.col("approx_value") - F.lit(width), 1
+                ).otherwise(0)
+            ).cast("bigint").alias("n_below_prev"),
+            F.count(F.lit(1)).cast("bigint").alias("total"),
+        )
+    )
+    need = F.ceil(F.col("q") * F.col("total")).cast("bigint")
+    return checked.select(
+        "q",
+        "approx_value",
+        F.lit(mismatches == 0).alias("batch_equivalent"),
+        (F.col("n_below") >= need).alias("covers_q"),
+        (F.col("n_below_prev") < need).alias("tight_bound"),
+    )

@@ -621,3 +621,46 @@ def stream_cms_ingest(
     elif processing_time:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def stream_histogram_ingest(
+    df: DataFrame,
+    sketch_dir: str,
+    value_col: str,
+    *,
+    width: float,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+    processing_time: str | None = None,
+):
+    """Streaming maintenance of the mergeable histogram quantile sketch
+    (operators/aggregates.py::histogram_partials): each micro-batch bins
+    ONLY its own rows and lands the ≤(range/width)-row partial under a
+    ``bins/batch=<id>`` subdir with OVERWRITE semantics — the same
+    replay-idempotency-by-construction as ``stream_cms_ingest`` (the
+    subdir is the idempotency key). Histogram partials merge by summing,
+    so a live p99 over an event firehose costs one tiny aggregate per
+    probe (``read_histogram_bins``) and per-batch bin counts per update —
+    no read-modify-write of sketch state, no history rescan."""
+    import tempfile as _tf
+
+    from lakeflow.operators.aggregates import histogram_partials
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            histogram_partials(batch_df, value_col, width=width)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{sketch_dir}/bins/batch={int(batch_id)}")
+        )
+
+    writer = df.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint or _tf.mkdtemp(prefix="lakeflow-ckpt-")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
