@@ -919,6 +919,44 @@ def weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "weighted_sample_per_lang",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, lang, n_chars,
+               -ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) + 0.5) / 4294967296.0) / n_chars AS k
+        FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, lang, n_chars FROM (
+        SELECT doc_id, lang, n_chars,
+               row_number() OVER (PARTITION BY lang ORDER BY k, doc_id) AS rn
+        FROM keyed
+    ) WHERE rn <= 20
+    """,
+)
+def weighted_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum A-ES: exactly min(20, |lang|) docs per language drawn
+    with probability proportional to length — `fixed_k_per_lang_sample`'s
+    weighted sibling, the shape for building balanced eval pools that
+    still favor substantive documents. Same md5-uniform exponential keys
+    as `weighted_sample_aes`, ranked per group; WindowGroupLimit prunes to
+    the top-k map-side before the one shuffle on lang."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    key = -F.log((h + F.lit(0.5)) / F.lit(4294967296.0)) / F.col("n_chars")
+    w = Window.partitionBy("lang").orderBy(key.asc(), F.col("doc_id"))
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+@register(
     "chunk_documents",
     oracle=f"""
     WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
