@@ -732,3 +732,54 @@ def incremental_fuzzy_dedup(
         .distinct()
     )
     return survivors, survivor_buckets
+
+
+def prefix_filtered_pairs(shingles: DataFrame, threshold: float) -> DataFrame:
+    """EXACT all-pairs candidate generation via prefix filtering (Bayardo et
+    al., "Scaling Up All Pairs Similarity Search", WWW'07 — the All-Pairs /
+    PPJoin family): the pruning-based alternative to MinHash-LSH candidates
+    with NO false negatives.
+
+    J(x,y) ≥ t implies |x∩y| ≥ t·max(|x|,|y|), so after ordering each doc's
+    shingles by ascending global document frequency (rarest first,
+    shingle as tie-break), two qualifying docs MUST share a token inside
+    their first ``sz − ⌈t·sz⌉ + 1`` tokens — everything past the prefix can
+    be skipped, and rare-first ordering makes the surviving prefix tokens
+    the least likely to collide. Length filtering (t·sz_b ≤ sz_a ≤ sz_b/t)
+    prunes cross-size pairs before the distinct.
+
+    Cost shape at 100 TB: one shuffle on shingle for the frequency join,
+    one per-doc window sort, and a candidate join that touches only prefix
+    tokens — versus the full shingle self-join's quadratic blowup on every
+    stop-word. Returns (id_a, id_b) candidates; verify with
+    :func:`jaccard_verify` at the same threshold.
+    """
+    from pyspark.sql import Window
+
+    freq = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    keyed = shingles.join(freq, "shingle")
+    by_doc = Window.partitionBy("id")
+    sized = keyed.select(
+        "id",
+        "shingle",
+        F.row_number().over(by_doc.orderBy("df", "shingle")).alias("rn"),
+        F.count(F.lit(1)).over(by_doc).alias("sz"),
+    )
+    prefix = sized.filter(
+        F.col("rn")
+        <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    )
+    a = prefix.select(
+        F.col("id").alias("id_a"), "shingle", F.col("sz").alias("sz_a")
+    )
+    b = prefix.select(
+        F.col("id").alias("id_b"), "shingle", F.col("sz").alias("sz_b")
+    )
+    return (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.col("sz_a") >= F.lit(threshold) * F.col("sz_b"))
+        .filter(F.col("sz_b") >= F.lit(threshold) * F.col("sz_a"))
+        .select("id_a", "id_b")
+        .distinct()
+    )

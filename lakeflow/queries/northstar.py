@@ -206,6 +206,41 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.jaccard_verify(shingles, cands, min_sim=0.1)
 
 
+@register(
+    "prefix_filtered_jaccard_pairs",
+    oracle=f"""
+    WITH {_SHINGLES},
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        FROM sh a JOIN sh b ON b.shingle = a.shingle AND b.doc_id > a.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           (floor((i / (sa.sz + sb.sz - i)) * 1000000.0 + 0.5) / 1000000.0)
+               AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE (floor((i / (sa.sz + sb.sz - i)) * 1000000.0 + 0.5) / 1000000.0)
+          >= 0.3
+    """,
+)
+def prefix_filtered_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT near-dup pairs (3-gram Jaccard ≥ 0.3) via All-Pairs prefix
+    filtering (dedup.prefix_filtered_pairs) — the deterministic sibling of
+    `ngram_jaccard_pairs`' MinHash-LSH shortlist: no banding, no false
+    negatives, candidates pruned by rare-first token prefixes and length
+    ratio instead of hashing. The oracle is the EXHAUSTIVE all-pairs
+    Jaccard with no prefix logic at all, so one pair lost to an over-short
+    prefix — the correctness trap in every PPJoin implementation — breaks
+    the row count."""
+    docs = load_table(spark, sf_dir, "documents")
+    shingles = dd.word_shingles(docs, n=3)
+    cands = dd.prefix_filtered_pairs(shingles, threshold=0.3)
+    return dd.jaccard_verify(shingles, cands, min_sim=0.3)
+
+
 _SIMHASH_SUMS = ",\n".join(
     "sum(CASE WHEN (hb & {m}) != 0 THEN 1 ELSE -1 END) AS s{j}".format(m=1 << j, j=j)
     for j in range(16)
