@@ -938,3 +938,49 @@ def test_join_view_tracks_arbitrary_two_sided_dml(
             .collect()
         }
         assert got == want, f"diverged at step {step} after {op[0]}"
+
+
+@given(sequence=st.lists(_jv_ops, min_size=2, max_size=5))
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_left_join_view_tracks_arbitrary_two_sided_dml(
+    spark, tmp_path_factory, sequence
+):
+    """The LEFT OUTER tier under the same arbitrary churn: state must equal
+    the grouped LEFT JOIN of the current bases at every step — null
+    extensions appearing and retracting exactly as matched status flips."""
+    from pyspark.sql import functions as F
+
+    from lakeflow.tables import VersionedTable
+    from lakeflow.views import IncrementalLeftJoinView
+
+    root = tmp_path_factory.mktemp("ljvprop")
+    lt = VersionedTable(spark, str(root / "l"))
+    rt = VersionedTable(spark, str(root / "r"))
+    view = IncrementalLeftJoinView(
+        spark, lt, rt, on=["k"], path=str(root / "state")
+    )
+    for step, op in enumerate(sequence):
+        if op[0] == "append_l":
+            lt.commit(spark.createDataFrame(op[1], "k long, a long"))
+        elif op[0] == "append_r":
+            rt.commit(spark.createDataFrame(op[1], "k long, b long"))
+        elif lt.current_version() is None or rt.current_version() is None:
+            continue
+        elif op[0] == "delete_l":
+            lt.delete_where(f"k = {op[1]}")
+        else:
+            rt.delete_where_mor(f"b = {op[1]}")
+        if lt.current_version() is None or rt.current_version() is None:
+            continue
+        view.refresh()
+        got = {(r.k, r.a, r.b, r.n) for r in view.read().collect()}
+        want = {
+            (r.k, r.a, r.b, r.n)
+            for r in lt.read()
+            .join(rt.read(), on="k", how="left")
+            .groupBy("k", "a", "b")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .collect()
+        }
+        assert got == want, f"diverged at step {step} after {op[0]}"
