@@ -984,3 +984,39 @@ def test_left_join_view_tracks_arbitrary_two_sided_dml(
             .collect()
         }
         assert got == want, f"diverged at step {step} after {op[0]}"
+
+
+_doc_words = st.lists(
+    st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]), min_size=3, max_size=9
+)
+_corpus = st.lists(_doc_words, min_size=2, max_size=7)
+_thresh = st.sampled_from([0.2, 0.3, 0.5, 0.7])
+
+
+@given(corpus=_corpus, t=_thresh)
+@settings(**_SETTINGS)
+def test_prefix_filtering_loses_no_pairs(spark, corpus, t):
+    """All-Pairs prefix filtering is complete: verified pairs from the
+    prefix-filtered candidate set equal the exhaustive-join ground truth at
+    the same threshold — for ANY corpus and threshold (the false-negative
+    trap is an off-by-one in the prefix length or a too-eager length
+    filter)."""
+    from lakeflow.operators import dedup as dd
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(corpus)],
+        "doc_id long, text string",
+    )
+    shingles = dd.word_shingles(docs, n=2)
+    exhaustive = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dd.jaccard_pairs(shingles, min_sim=t).collect()
+        if r.jaccard >= t
+    }
+    filtered = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dd.jaccard_verify(
+            shingles, dd.prefix_filtered_pairs(shingles, t), min_sim=t
+        ).collect()
+    }
+    assert filtered == exhaustive
