@@ -3646,3 +3646,88 @@ def boolean_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.boolean_search(
         spark, idx, must=["spark", "join"], must_not=["window"]
     )
+
+
+@register(
+    "zipf_fit_report",
+    oracle=f"""
+    WITH norm AS (SELECT {_NORM} AS t FROM documents),
+    tok AS (SELECT unnest(string_split(t, ' ')) AS tok FROM norm),
+    cnt AS (SELECT tok, count(*) AS c FROM tok WHERE tok <> '' GROUP BY tok),
+    ranked AS (
+        SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS r FROM cnt
+    ),
+    xy AS (
+        SELECT log10(CAST(r AS DOUBLE)) AS x, log10(CAST(c AS DOUBLE)) AS y
+        FROM ranked WHERE r <= 100
+    ),
+    s AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+        FROM xy
+    )
+    SELECT CAST(n AS BIGINT) AS n_ranks,
+           (floor(((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 10000.0
+                  + 0.5) / 10000.0) AS zipf_slope,
+           (floor(((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                   / n) * 10000.0 + 0.5) / 10000.0) AS intercept,
+           (floor(((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                   / ((n * sxx - sx * sx) * (n * syy - sy * sy)))
+                  * 10000.0 + 0.5) / 10000.0) AS r2
+    FROM s
+    """,
+)
+def zipf_fit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health statistic: least-squares fit of log10(freq) against
+    log10(rank) over the top-100 token ranks — natural text follows Zipf's
+    law with slope ≈ −1, and a corpus whose slope drifts (template spam
+    flattens it, aggressive dedup steepens it) fails the curation gate.
+    The regression is CLOSED-FORM OVER AGGREGATES: token counts shuffle
+    once, ranks come from one top-100 window, and slope/intercept/r² fall
+    out of six sums — the "distributed linear regression as a groupBy"
+    pattern that needs no MLlib and no driver-side math at any corpus
+    size."""
+    from pyspark.sql import Window
+
+    from lakeflow.functions.rounding import rnd
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(dd.normalize_text("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    ranked = cnt.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), F.col("tok")))
+        .alias("r"),
+    ).filter(F.col("r") <= 100)
+    xy = ranked.select(
+        F.log10(F.col("r").cast("double")).alias("x"),
+        F.log10(F.col("c").cast("double")).alias("y"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    r2_num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) * (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    )
+    r2_den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * (
+        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_ranks"),
+        rnd(slope, 4).alias("zipf_slope"),
+        rnd((F.col("sy") - slope * F.col("sx")) / F.col("n"), 4).alias(
+            "intercept"
+        ),
+        rnd(r2_num / r2_den, 4).alias("r2"),
+    )
