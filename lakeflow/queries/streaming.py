@@ -985,3 +985,72 @@ def stream_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_below") >= need).alias("covers_q"),
         (F.col("n_below_prev") < need).alias("tight_bound"),
     )
+
+
+@register(
+    "stream_weighted_sample",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE n_chars > 0
+    ORDER BY -ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) + 0.5) / 4294967296.0) / n_chars
+    LIMIT 200
+    """,
+)
+def stream_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `weighted_sample_aes` — the distributed weighted
+    RESERVOIR: the documents corpus streams in three micro-batches, each
+    landing only its batch-local top-200 by the deterministic A-ES key
+    (`stream_weighted_sample_ingest`), and the probe re-ranks the ≤600
+    candidates. Because the key is a pure row function, top-k is mergeable
+    — the folded sample is IDENTICAL to the batch one-pass sample however
+    the input was micro-batched, which the shared oracle checks row for
+    row. Reservoir semantics with no mutable reservoir: per-batch state is
+    k rows, replays overwrite their own subdir."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lakeflow.operators.transforms import weighted_hash_sample
+    from lakeflow.sources.streams import file_stream
+    from lakeflow.streaming.sinks import stream_weighted_sample_ingest
+
+    raw = spark.read.parquet(table_path(sf_dir, "documents")).select(
+        "doc_id", "lang", "n_chars"
+    )
+    n = raw.agg(F.max("doc_id")).first()[0]
+    feed = tempfile.mkdtemp(prefix="lakeflow_wsfeed_")
+    for i, b in enumerate(
+        (
+            raw.filter(F.col("doc_id") <= n // 3),
+            raw.filter(
+                (F.col("doc_id") > n // 3) & (F.col("doc_id") <= 2 * n // 3)
+            ),
+            raw.filter(F.col("doc_id") > 2 * n // 3),
+        )
+    ):
+        part = tempfile.mkdtemp(prefix="lakeflow_wspart_")
+        b.coalesce(1).write.mode("overwrite").parquet(part)
+        dst = f"{feed}/{i:03d}.parquet"
+        shutil.copy(_glob.glob(f"{part}/*.parquet")[0], dst)
+        os.utime(dst, (1_700_000_000 + i * 10,) * 2)
+
+    sample_dir = tempfile.mkdtemp(prefix="lakeflow_wsamp_")
+    stream = file_stream(
+        spark,
+        feed,
+        "doc_id bigint, lang string, n_chars bigint",
+        max_files_per_trigger=1,
+    )
+    stream_weighted_sample_ingest(
+        stream, sample_dir, "doc_id", "n_chars", 200
+    ).awaitTermination()
+
+    cands = spark.read.parquet(f"{sample_dir}/cand")
+    return weighted_hash_sample(cands, "doc_id", "n_chars", 200).select(
+        "doc_id", "lang", "n_chars"
+    )

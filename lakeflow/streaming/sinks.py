@@ -664,3 +664,49 @@ def stream_histogram_ingest(
     elif processing_time:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def stream_weighted_sample_ingest(
+    df: DataFrame,
+    sample_dir: str,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    *,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+    processing_time: str | None = None,
+):
+    """Streaming maintenance of the A-ES weighted sample
+    (transforms.weighted_hash_sample): each micro-batch keeps only its own
+    top-k by the deterministic md5-exponential key and lands them under a
+    ``cand/batch=<id>`` subdir (overwrite = replay-idempotent, same
+    contract as the CMS/histogram ingests). Because the key depends only
+    on the row — never on what else arrived — top-k is MERGEABLE: the
+    global top-k equals the top-k of the union of per-batch top-k's, so
+    the probe re-ranks ≤ k·batches candidate rows and recovers EXACTLY
+    the batch-computed sample. This is the distributed weighted reservoir:
+    state bounded at k rows per batch, no reservoir mutation, no
+    replay hazard."""
+    import tempfile as _tf
+
+    from lakeflow.operators.transforms import weighted_hash_sample
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            weighted_hash_sample(batch_df, id_col, weight_col, k)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{sample_dir}/cand/batch={int(batch_id)}")
+        )
+
+    writer = df.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint or _tf.mkdtemp(prefix="lakeflow-ckpt-")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
