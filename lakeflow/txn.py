@@ -178,6 +178,88 @@ class CatalogRef:
             os.unlink(tmp)
         return commit
 
+    # -- warehouse-level branching -----------------------------------------
+    # A CatalogRef is already a named commit chain, so branching the WHOLE
+    # warehouse (every table at a consistent cross-table state — the thing
+    # per-table Iceberg branch refs cannot express) is one seed commit, and
+    # merging back is one table-granular three-way check against the fork
+    # point. Data is never copied: refs hold versions, tables hold data.
+
+    def fork(self, name: str, message: str | None = None) -> "CatalogRef":
+        """Create ref ``name`` seeded with this ref's current state: a
+        zero-copy branch of the entire warehouse. The seed commit records
+        the fork point (``forked_from``) so a later merge can three-way
+        diff."""
+        child = CatalogRef(self.spark, self.catalog, ref=name)
+        if child.current_commit() is not None:
+            raise ValueError(f"ref {name!r} already exists")
+        base = self.current_commit()
+        doc = {
+            "commit": 1,
+            "tables": self.state(),
+            "message": message or f"fork of {self.ref}@{base}",
+            "forked_from": {"ref": self.ref, "commit": base},
+            "committed_at": datetime.datetime.now(
+                datetime.timezone.utc
+            ).isoformat(),
+        }
+        path = os.path.join(child._log_dir, "00000001.json")
+        tmp = path + f".{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump(doc, fh)
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            raise CommitConflictError(
+                f"ref {name!r} was created concurrently"
+            ) from None
+        finally:
+            os.unlink(tmp)
+        return child
+
+    def fork_point(self) -> dict | None:
+        cs = self.commits()
+        if not cs:
+            return None
+        return self._commit_doc(cs[0]).get("forked_from")
+
+    def merge_from(self, other: "CatalogRef") -> int:
+        """Merge a forked ref back: tables ``other`` changed since its fork
+        point publish onto this ref as ONE atomic catalog commit,
+        conflicting (table-granular, same rule as concurrent transactions)
+        if this ref also changed any of them since the fork. Versions
+        move, data stays put — the whole-warehouse analogue of
+        ``VersionedTable.fast_forward``."""
+        fp = other.fork_point()
+        if fp is None or fp["ref"] != self.ref:
+            raise ValueError(
+                f"ref {other.ref!r} was not forked from {self.ref!r}"
+            )
+        base_state = (
+            self.state(fp["commit"]) if fp["commit"] is not None else {}
+        )
+        theirs = other.state()
+        changed = {t: v for t, v in theirs.items() if base_state.get(t) != v}
+        if not changed:
+            raise ValueError(f"nothing to merge from {other.ref!r}")
+        return self._publish(
+            fp["commit"],
+            changed,
+            f"merge {other.ref}@{other.current_commit()}",
+        )
+
+    def expire_commits(self, keep_last: int = 1) -> list[int]:
+        """Retention for the catalog log: drop all but the newest
+        ``keep_last`` commits (the cross-table time-travel window). Table
+        data and per-table snapshot history are untouched — expire those
+        through ``VersionedTable.expire_snapshots``, which owns data
+        lifecycle."""
+        cs = self.commits()
+        drop = cs[:-keep_last] if keep_last > 0 else cs
+        for c in drop:
+            os.unlink(os.path.join(self._log_dir, f"{c:08d}.json"))
+        return drop
+
     def _changed_since(self, base_commit: int | None) -> set[str]:
         """Tables whose pinned version differs between ``base_commit`` and
         the current head (or that appeared)."""

@@ -153,3 +153,67 @@ def test_empty_and_double_commit_guards(spark, tmp_path):
         txn.commit()
     with pytest.raises(ValueError, match="not visible"):
         ref.read("nope")
+
+
+def test_fork_merge_roundtrip(spark, tmp_path):
+    """Warehouse-level branching: fork the whole catalog, change a table on
+    the branch, change a DIFFERENT table on main, merge — both survive, one
+    atomic merge commit."""
+    main = _ref(spark, tmp_path)
+    with main.transaction() as txn:
+        txn.write("a", _df(spark, [(1, 1)]))
+        txn.write("b", _df(spark, [(1, 10)]))
+
+    dev = main.fork("dev")
+    assert dev.state() == main.state()
+    with dev.transaction() as txn:
+        txn.write("a", _df(spark, [(2, 2)]), mode="append")
+    with main.transaction() as txn:
+        txn.write("b", _df(spark, [(2, 20)]), mode="append")
+
+    merge_commit = main.merge_from(dev)
+    assert main.current_commit() == merge_commit
+    assert main.read("a").count() == 2  # dev's change
+    assert main.read("b").count() == 2  # main's own change survives
+
+
+def test_fork_merge_conflict_on_overlap(spark, tmp_path):
+    main = _ref(spark, tmp_path)
+    with main.transaction() as txn:
+        txn.write("a", _df(spark, [(1, 1)]))
+    dev = main.fork("dev")
+    with dev.transaction() as txn:
+        txn.write("a", _df(spark, [(2, 2)]), mode="append")
+    with main.transaction() as txn:
+        txn.write("a", _df(spark, [(3, 3)]), mode="append")
+    with pytest.raises(CommitConflictError, match="'a'"):
+        main.merge_from(dev)
+
+
+def test_fork_guards_and_unrelated_merge(spark, tmp_path):
+    main = _ref(spark, tmp_path)
+    with main.transaction() as txn:
+        txn.write("a", _df(spark, [(1, 1)]))
+    main.fork("dev")
+    with pytest.raises(ValueError, match="already exists"):
+        main.fork("dev")
+    from lakeflow.txn import CatalogRef
+
+    stranger = CatalogRef(spark, main.catalog, ref="stranger")
+    with pytest.raises(ValueError, match="not forked from"):
+        main.merge_from(stranger)
+    dev = CatalogRef(spark, main.catalog, ref="dev")
+    with pytest.raises(ValueError, match="nothing to merge"):
+        main.merge_from(dev)
+
+
+def test_expire_commits_keeps_recent_window(spark, tmp_path):
+    ref = _ref(spark, tmp_path)
+    for i in (1, 2, 3, 4):
+        with ref.transaction(f"e{i}") as txn:
+            txn.write("a", _df(spark, [(i, i)]), mode="overwrite")
+    dropped = ref.expire_commits(keep_last=2)
+    assert dropped == [1, 2]
+    assert ref.commits() == [3, 4]
+    assert ref.read("a", commit=3).collect()[0].k == 3
+    assert ref.read("a").collect()[0].k == 4
