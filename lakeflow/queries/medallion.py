@@ -1201,6 +1201,72 @@ def catalog_txn_consistent_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "catalog_fork_merge_state",
+    oracle="""
+    SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM orders
+         WHERE o_orderkey <= 3000) AS n_base,
+        (SELECT CAST(count(*) AS BIGINT) FROM customer
+         WHERE c_custkey <= 500) AS n_dim,
+        CAST(3 AS BIGINT) AS merge_commit
+    """,
+)
+def catalog_fork_merge_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse-level branching (txn.CatalogRef.fork/merge_from): the
+    WHOLE catalog forks to a dev ref — every table at one consistent
+    cross-table state, zero data copied — dev appends an orders band to
+    the base table while main independently lands a customer dim, and the
+    merge three-way-diffs against the recorded fork point and publishes
+    dev's change as ONE atomic commit on main (disjoint tables, so no
+    conflict). The oracle pins the merged base count (epoch 1 + dev's
+    band), main's own dim count, and the merge commit number — a merge
+    that drops main's concurrent table, replays the wrong band, or
+    double-publishes breaks one of the three."""
+    import tempfile
+
+    from lakeflow.tables import TableCatalog
+    from lakeflow.txn import CatalogRef
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    main = CatalogRef(
+        spark, TableCatalog(spark, tempfile.mkdtemp(prefix="lakeflow_fork_"))
+    )
+    with main.transaction("epoch 1") as txn:
+        txn.write("base", orders.filter(F.col("o_orderkey") <= 2000))
+    dev = main.fork("dev")
+    with dev.transaction("dev band") as txn:
+        txn.write(
+            "base",
+            orders.filter(
+                (F.col("o_orderkey") > 2000) & (F.col("o_orderkey") <= 3000)
+            ),
+            mode="append",
+        )
+    with main.transaction("main dim") as txn:
+        txn.write("dim", cust.filter(F.col("c_custkey") <= 500))
+    merge_commit = main.merge_from(dev)
+    return (
+        main.read("base")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_base"))
+        .crossJoin(
+            main.read("dim").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_dim")
+            )
+        )
+        .select(
+            "n_base",
+            "n_dim",
+            F.lit(merge_commit).cast("bigint").alias("merge_commit"),
+        )
+    )
+
+
+@register(
     "left_join_view_customer_orders",
     oracle="""
     SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal,
