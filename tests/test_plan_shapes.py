@@ -736,3 +736,28 @@ def test_template_dedup_single_aggregate(spark):
     plan = _plan(spark, "template_dedup_docs")
     assert plan.count("Exchange") <= 2  # partial->final agg exchange (+AQE read)
     assert "Window" not in plan and "Join" not in plan
+
+
+def test_m4_downsample_is_single_aggregation(spark):
+    """M4 keeps the naive double-window plan out: one partial+final
+    aggregation pair over struct min/max, no window function, no join —
+    the shuffle carries one row per (key, bucket) per map task."""
+    plan = _plan(spark, "m4_downsampled_events")
+    assert "Window" not in plan, "M4 degenerated to window functions"
+    assert "Join" not in plan
+    assert "partial_min" in plan and "partial_max" in plan  # map-side combine
+
+
+def test_weighted_sample_is_take_ordered(spark):
+    """A-ES top-k must compile to TakeOrdered (per-partition top-k + k-row
+    driver merge), never a global sort."""
+    plan = _plan(spark, "weighted_sample_aes")
+    assert "TakeOrderedAndProject" in plan, "A-ES sample lost TakeOrdered"
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_histogram_sketch_partials_combine_mapside(spark):
+    """The histogram sketch's heavy stage is the bin count: partial_count
+    map-side, so the shuffle carries bins, not rows."""
+    plan = _plan(spark, "histogram_quantile_sketch")
+    assert "partial_count" in plan
