@@ -76,6 +76,13 @@ GALLERY = [
     ("charclass_profile", "length-minus-stripped regexp folds — pure scan-side projection, zero exchange"),
     ("hidden_partition_scan", "partition-transform rewrite: source predicates fold onto hidden _p_* columns → PartitionFilters prune dirs before any byte"),
     ("join_view_customer_orders", "delta-join MV state read-back (refresh IO pinned by dirs_read tests, not this plan)"),
+    ("m4_downsampled_events", "M4 downsample: ONE partial+final agg of struct min/max — no window, no second sort"),
+    ("weighted_sample_aes", "A-ES weighted sample: TakeOrdered (per-partition top-k + k-row merge), no global sort"),
+    ("weighted_sample_per_lang", "per-stratum A-ES: WindowGroupLimit prunes to top-k per lang map-side"),
+    ("histogram_quantile_sketch", "mergeable bin partials (map-side combine) → tiny-frame quantile window"),
+    ("prefix_filtered_jaccard_pairs", "rare-first prefix + length pruning → candidate equi-join → exact verify"),
+    ("zipf_fit_report", "token freq agg → top-100 window → closed-form regression in one 6-sum aggregate"),
+    ("stats_planned_broadcast_join", "manifest-bytes CBO: pruned dim broadcast despite unpruned-size estimate"),
 ]
 
 
