@@ -23,6 +23,7 @@ EXAMPLES = [
     "delta_interop.py",
     "layout_and_views.py",
     "pushdown_io.py",
+    "warehouse_txn.py",
 ]
 
 
