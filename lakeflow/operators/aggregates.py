@@ -301,3 +301,142 @@ def read_histogram_bins(spark, sketch_dir: str) -> DataFrame:
         .groupBy("bin")
         .agg(F.sum("cnt").alias("cnt"))
     )
+
+
+def kmv_uniform(col: Column) -> Column:
+    """Deterministic uniform in (0,1) for a distinct item — the KMV hash.
+
+    Same md5 derivation as ``stratified_hash_sample``/``weighted_hash_sample``
+    (first 8 hex chars → 32-bit int → ``(h + 0.5) / 2^32``), so the value is
+    bit-identical in any engine that has md5 and IEEE doubles — the property
+    that lets a DuckDB oracle replay the sketch exactly, which HLL's opaque
+    JVM registers never allow.
+    """
+    h = F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    return (h + F.lit(0.5)) / F.lit(4294967296.0)
+
+
+def kmv_minima(
+    df: DataFrame,
+    item_col: str,
+    k: int,
+    *,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """The k smallest distinct item hashes per group — the KMV (k-minimum-
+    values / bottom-k theta) cardinality sketch, fourth leg of the sketch
+    family (HLL = cardinality-opaque, CMS = frequency, histogram =
+    distribution, KMV = cardinality WITH set algebra): unions, intersections
+    and Jaccard fall out of comparing minima sets, which HLL cannot do
+    without error blowup.
+
+    Output: (group_cols..., u) — ≤ k rows per group. Shape: distinct on
+    (group, u) gets a map-side partial, then the per-group bottom-k window
+    is pruned map-side by Spark's WindowGroupLimit before the one shuffle,
+    so the shuffle carries ≤ k rows per group per map task, never the
+    distinct item set. Deterministic: the sketch of a dataset is a pure
+    function of its item set — mergeable by construction (global bottom-k
+    == bottom-k of unioned per-partition bottom-k's, exactly).
+    """
+    from pyspark.sql import Window
+
+    gcols = list(group_cols)
+    u = kmv_uniform(F.col(item_col)).alias("u")
+    hashed = df.select(*gcols, u).distinct()
+    w = Window.partitionBy(*gcols).orderBy("u") if gcols else Window.orderBy("u")
+    return (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_estimate(
+    minima: DataFrame, k: int, *, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Distinct-count estimate from a KMV minima frame: if a group holds
+    fewer than k minima the count is EXACT (the sketch saw every distinct
+    item); otherwise the classic unbiased estimator ``(k-1) / u_(k)``.
+    Output (group_cols..., sketch_size, est_distinct); relative error
+    ~ 1/sqrt(k-2). Both branches are plain arithmetic over the minima, so
+    the estimate is engine-reproducible to the bit.
+    """
+    gcols = list(group_cols)
+    agg = minima.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("sketch_size"),
+        F.max("u").alias("__kth"),
+    )
+    est = F.when(
+        F.col("sketch_size") < k, F.col("sketch_size").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / F.col("__kth"))
+    return agg.select(
+        *gcols, "sketch_size", rnd(est, 4).alias("est_distinct")
+    )
+
+
+def kmv_set_ops(
+    minima_a: DataFrame, minima_b: DataFrame, k: int
+) -> DataFrame:
+    """Set algebra over two KMV sketches — the operation HLL can't do:
+    estimate |A ∪ B|, Jaccard(A, B) and |A ∩ B| from the two minima sets
+    alone, never re-touching the sketched data.
+
+    Method (Beyer et al. / theta-sketch folklore): take K = the k smallest
+    of ``minima_a ∪ minima_b`` — K is exactly the KMV sketch of A ∪ B, so
+    ``(k-1)/max(K)`` estimates the union; the fraction of K present in BOTH
+    input sketches is an unbiased Jaccard estimate; intersection =
+    jaccard × union. Inputs are ≤ k rows each, so every step here is
+    arithmetic over ≤ 2k rows — the single-partition window is fine.
+    Output: 1 row (union_est, jaccard, intersect_est), all round(4).
+    """
+    from pyspark.sql import Window
+
+    both = (
+        minima_a.select("u", F.lit(1).alias("__a"), F.lit(0).alias("__b"))
+        .unionAll(
+            minima_b.select("u", F.lit(0).alias("__a"), F.lit(1).alias("__b"))
+        )
+        .groupBy("u")
+        .agg(F.max("__a").alias("in_a"), F.max("__b").alias("in_b"))
+    )
+    topk = (
+        both.withColumn("__rn", F.row_number().over(Window.orderBy("u")))
+        .filter(F.col("__rn") <= k)
+    )
+    agg = topk.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.max("u").alias("__kth"),
+        F.sum((F.col("in_a") * F.col("in_b"))).alias("__shared"),
+    )
+    union_est = F.when(
+        F.col("__n") < k, F.col("__n").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / F.col("__kth"))
+    jaccard = F.col("__shared") / F.col("__n")
+    return agg.select(
+        rnd(union_est, 4).alias("union_est"),
+        rnd(jaccard, 4).alias("jaccard"),
+        rnd(jaccard * union_est, 4).alias("intersect_est"),
+    )
+
+
+def merge_kmv_minima(
+    partials: DataFrame, k: int, *, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Fold KMV minima partials (any partitioning: per-batch, per-day,
+    per-table) into the global sketch: distinct + bottom-k again. Because
+    an item's hash never depends on what else was sketched, the fold
+    recovers EXACTLY the sketch a single pass over the union would build —
+    the mergeability contract the streaming ingest relies on."""
+    from pyspark.sql import Window
+
+    gcols = list(group_cols)
+    w = Window.partitionBy(*gcols).orderBy("u") if gcols else Window.orderBy("u")
+    return (
+        partials.select(*gcols, "u")
+        .distinct()
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

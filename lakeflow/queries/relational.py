@@ -28,7 +28,11 @@ from lakeflow.operators.aggregates import (
     grouped_agg,
     histogram_partials,
     histogram_quantiles,
+    kmv_estimate,
+    kmv_minima,
+    kmv_set_ops,
     merge_histograms,
+    merge_kmv_minima,
     scalar_max,
     tumbling_candles,
 )
@@ -998,6 +1002,208 @@ def histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(mismatches == 0).alias("merge_lossless"),
         (F.col("n_below") >= need).alias("covers_q"),
         (F.col("n_below_prev") < need).alias("tight_bound"),
+    )
+
+
+_KMV_U = (
+    "(CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8)) AS BIGINT)"
+    " + 0.5) / 4294967296.0"
+)
+
+
+@register(
+    "kmv_distinct_custkeys",
+    oracle=f"""
+    WITH u AS (
+        SELECT DISTINCT o_orderstatus, {_KMV_U} AS u FROM orders
+    ),
+    r AS (
+        SELECT o_orderstatus, u,
+               row_number() OVER (PARTITION BY o_orderstatus ORDER BY u) AS rn
+        FROM u
+    ),
+    sk AS (
+        SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS sketch_size,
+               floor((CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                           ELSE 63.0 / max(u) END) * 10000.0 + 0.5)
+                   / 10000.0 AS est_distinct
+        FROM r WHERE rn <= 64 GROUP BY 1
+    ),
+    ex AS (
+        SELECT o_orderstatus,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+        FROM orders GROUP BY 1
+    )
+    SELECT s.o_orderstatus, s.sketch_size, s.est_distinct, e.exact_distinct,
+           true AS merge_lossless,
+           (abs(s.est_distinct - e.exact_distinct)
+              <= 0.5 * e.exact_distinct) AS within_bound
+    FROM sk s JOIN ex e USING (o_orderstatus)
+    """,
+)
+def kmv_distinct_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k / theta) distinct sketch — the FOURTH sketch leg, and
+    the one `approx_distinct_users` (HLL) can't be: a cardinality sketch
+    whose state is engine-portable plain doubles, so the DuckDB oracle
+    replays the estimate bit-for-bit (HLL is rows-only by design; this is a
+    FULL hash oracle) and set algebra stays available (`kmv_set_ops`).
+
+    Per order status, the 64 smallest md5-uniforms of the distinct custkeys
+    ARE the sketch; estimate = (k-1)/u_(k), exact below k. The plan at
+    100 TB: distinct gets a map-side partial, WindowGroupLimit prunes the
+    bottom-k map-side, the shuffle carries ≤ k rows per group per task.
+    Mergeability is asserted in-query the same way as
+    `histogram_quantile_sketch`: per-order-year partial sketches fold
+    (merge_kmv_minima) to EXACTLY the one-pass sketch (merge_lossless),
+    because an item's hash never depends on what else was sketched. The
+    exact count rides along; within_bound pins the ~1/sqrt(k-2) error
+    envelope (generous 50% gate, deterministic given the fixed hash)."""
+    orders = load_table(spark, sf_dir, "orders")
+    k = 64
+    direct = kmv_minima(orders, "o_custkey", k, group_cols=["o_orderstatus"])
+    yearly = kmv_minima(
+        orders.withColumn("o_year", F.year("o_orderdate")),
+        "o_custkey",
+        k,
+        group_cols=["o_orderstatus", "o_year"],
+    )
+    folded = merge_kmv_minima(yearly, k, group_cols=["o_orderstatus"])
+    d = direct.select(
+        F.col("o_orderstatus").alias("dst"), F.col("u").alias("du")
+    )
+    f = folded.select(
+        F.col("o_orderstatus").alias("fst"), F.col("u").alias("fu")
+    )
+    mismatches = (
+        d.join(
+            f,
+            (F.col("dst") == F.col("fst")) & (F.col("du") == F.col("fu")),
+            "full_outer",
+        )
+        .where(F.col("du").isNull() | F.col("fu").isNull())
+        .count()
+    )
+    est = kmv_estimate(direct, k, group_cols=["o_orderstatus"])
+    exact = orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("exact_distinct")
+    )
+    return est.join(exact, "o_orderstatus").select(
+        "o_orderstatus",
+        "sketch_size",
+        "est_distinct",
+        "exact_distinct",
+        F.lit(mismatches == 0).alias("merge_lossless"),
+        (
+            F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+            <= 0.5 * F.col("exact_distinct")
+        ).alias("within_bound"),
+    )
+
+
+@register(
+    "kmv_set_ops_custkeys",
+    oracle=f"""
+    WITH sa AS (
+        SELECT u FROM (
+            SELECT u, row_number() OVER (ORDER BY u) AS rn FROM (
+                SELECT DISTINCT {_KMV_U} AS u
+                FROM orders WHERE o_orderstatus = 'F'
+            )
+        ) WHERE rn <= 64
+    ),
+    sb AS (
+        SELECT u FROM (
+            SELECT u, row_number() OVER (ORDER BY u) AS rn FROM (
+                SELECT DISTINCT {_KMV_U} AS u
+                FROM orders WHERE o_orderstatus = 'O'
+            )
+        ) WHERE rn <= 64
+    ),
+    uni AS (
+        SELECT u, max(a) AS in_a, max(b) AS in_b FROM (
+            SELECT u, 1 AS a, 0 AS b FROM sa
+            UNION ALL SELECT u, 0 AS a, 1 AS b FROM sb
+        ) GROUP BY u
+    ),
+    topk AS (
+        SELECT * FROM (
+            SELECT u, in_a, in_b, row_number() OVER (ORDER BY u) AS rn
+            FROM uni
+        ) WHERE rn <= 64
+    ),
+    agg AS (
+        SELECT count(*) AS n, max(u) AS kth,
+               sum(in_a * in_b) AS shared
+        FROM topk
+    ),
+    exact AS (
+        SELECT
+          CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_union,
+          CAST((SELECT count(*) FROM (
+              SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+              INTERSECT
+              SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+          )) AS BIGINT) AS exact_intersect
+        FROM orders WHERE o_orderstatus IN ('F', 'O')
+    )
+    SELECT 'F' AS status_a, 'O' AS status_b,
+           floor((CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
+                       ELSE 63.0 / kth END) * 10000.0 + 0.5)
+               / 10000.0 AS union_est,
+           floor((CAST(shared AS DOUBLE) / n) * 10000.0 + 0.5)
+               / 10000.0 AS jaccard,
+           floor(((CAST(shared AS DOUBLE) / n)
+                  * CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
+                         ELSE 63.0 / kth END) * 10000.0 + 0.5)
+               / 10000.0 AS intersect_est,
+           exact_union, exact_intersect
+    FROM agg CROSS JOIN exact
+    """,
+)
+def kmv_set_ops_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set algebra over two KMV sketches — the operation that justifies KMV
+    next to HLL: estimate |A ∪ B|, Jaccard and |A ∩ B| for the customer
+    sets behind status-'F' and status-'O' orders from the two 64-value
+    sketches ALONE. The k smallest of the two minima sets is exactly the
+    sketch of the union; the fraction of those present in both inputs is
+    the Jaccard estimate; intersection = jaccard × union. At 100 TB the
+    sketches are built scan-side per stream/table/day and the audit runs
+    on ≤ 2k doubles — never a re-scan, never a join of the raw sets. Exact
+    union/intersection ride along for the error exhibit; every number is
+    md5-deterministic, so this is a full hash oracle."""
+    orders = load_table(spark, sf_dir, "orders")
+    k = 64
+    a = kmv_minima(
+        orders.filter(F.col("o_orderstatus") == "F"), "o_custkey", k
+    )
+    b = kmv_minima(
+        orders.filter(F.col("o_orderstatus") == "O"), "o_custkey", k
+    )
+    ops = kmv_set_ops(a, b, k)
+    fo = orders.filter(F.col("o_orderstatus").isin("F", "O"))
+    exact_union = fo.select(
+        F.countDistinct("o_custkey").alias("exact_union")
+    )
+    exact_intersect = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .select("o_custkey")
+        .intersect(
+            orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+        )
+        .agg(F.count(F.lit(1)).alias("exact_intersect"))
+    )
+    return (
+        ops.crossJoin(exact_union)
+        .crossJoin(exact_intersect)
+        .select(
+            F.lit("F").alias("status_a"),
+            F.lit("O").alias("status_b"),
+            "union_est",
+            "jaccard",
+            "intersect_est",
+            "exact_union",
+            "exact_intersect",
+        )
     )
 
 

@@ -988,6 +988,96 @@ def stream_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_kmv_distinct",
+    oracle="""
+    WITH u AS (
+        SELECT DISTINCT event_type,
+               (CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) + 0.5) / 4294967296.0 AS u
+        FROM events
+    ),
+    r AS (
+        SELECT event_type, u,
+               row_number() OVER (PARTITION BY event_type ORDER BY u) AS rn
+        FROM u
+    ),
+    sk AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS sketch_size,
+               floor((CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                           ELSE 63.0 / max(u) END) * 10000.0 + 0.5)
+                   / 10000.0 AS est_distinct
+        FROM r WHERE rn <= 64 GROUP BY 1
+    ),
+    ex AS (
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+        FROM events GROUP BY 1
+    )
+    SELECT s.event_type, s.sketch_size, s.est_distinct, e.exact_distinct,
+           true AS batch_equivalent
+    FROM sk s JOIN ex e USING (event_type)
+    """,
+)
+def stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `kmv_distinct_custkeys`: the events feed streams
+    through `stream_kmv_ingest` (per-micro-batch bottom-64 minima per
+    event_type under replay-idempotent batch=<id> subdirs), the probe folds
+    the landed partials with `merge_kmv_minima` and reads the distinct-user
+    estimate off the folded sketch. Because an item's hash is a pure
+    function of the item, the fold recovers EXACTLY the sketch one batch
+    pass would build however the engine micro-batched the input
+    (batch_equivalent, computed by diffing the two minima frames) — the
+    live distinct-count-over-a-firehose pattern with ≤ k rows of state per
+    batch, and unlike the HLL twin (`approx_distinct_users`, rows-only)
+    the estimate is engine-portable and fully hash-checked."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lakeflow.catalog import load_table
+    from lakeflow.operators.aggregates import (
+        kmv_estimate,
+        kmv_minima,
+        merge_kmv_minima,
+    )
+    from lakeflow.streaming.sinks import stream_kmv_ingest
+
+    k = 64
+    stream = events_stream(spark, sf_dir).select("event_type", "user_id")
+    sketch_dir = tempfile.mkdtemp(prefix="lakeflow-kmv-")
+    stream_kmv_ingest(
+        stream, sketch_dir, "user_id", k, group_cols=["event_type"]
+    ).awaitTermination()
+
+    partials = spark.read.parquet(f"{sketch_dir}/minima")
+    folded = merge_kmv_minima(partials, k, group_cols=["event_type"])
+    ev = load_table(spark, sf_dir, "events")
+    direct = kmv_minima(ev, "user_id", k, group_cols=["event_type"])
+    d = direct.select(F.col("event_type").alias("dt"), F.col("u").alias("du"))
+    f = folded.select(F.col("event_type").alias("ft"), F.col("u").alias("fu"))
+    mismatches = (
+        d.join(
+            f,
+            (F.col("dt") == F.col("ft")) & (F.col("du") == F.col("fu")),
+            "full_outer",
+        )
+        .where(F.col("du").isNull() | F.col("fu").isNull())
+        .count()
+    )
+    est = kmv_estimate(folded, k, group_cols=["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "sketch_size",
+        "est_distinct",
+        "exact_distinct",
+        F.lit(mismatches == 0).alias("batch_equivalent"),
+    )
+
+
+@register(
     "stream_weighted_sample",
     oracle="""
     SELECT doc_id, lang, n_chars

@@ -666,6 +666,55 @@ def stream_histogram_ingest(
     return writer.start()
 
 
+def stream_kmv_ingest(
+    df: DataFrame,
+    sketch_dir: str,
+    item_col: str,
+    k: int,
+    *,
+    group_cols: list[str] | None = None,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+    processing_time: str | None = None,
+):
+    """Streaming maintenance of the KMV distinct sketch
+    (operators/aggregates.py::kmv_minima): each micro-batch sketches ONLY
+    its own rows (≤ k minima per group) and lands them under a
+    ``minima/batch=<id>`` subdir with OVERWRITE semantics — the same
+    replay-idempotency-by-construction as the CMS/histogram/A-ES ingests.
+    Because an item's hash is a pure function of the item, per-batch
+    sketches are mergeable EXACTLY: the probe (merge_kmv_minima over the
+    landed partials) recovers the sketch a single batch pass would build,
+    so a live distinct-users estimate over a firehose costs ≤ k·batches
+    rows per probe and ≤ k rows of state per batch — no read-modify-write,
+    no history rescan, and set algebra (union/intersect across streams)
+    stays available, which an HLL register file never gives you."""
+    import tempfile as _tf
+
+    from lakeflow.operators.aggregates import kmv_minima
+
+    gcols = list(group_cols or [])
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            kmv_minima(batch_df, item_col, k, group_cols=gcols)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{sketch_dir}/minima/batch={int(batch_id)}")
+        )
+
+    writer = df.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint or _tf.mkdtemp(prefix="lakeflow-ckpt-")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
 def stream_weighted_sample_ingest(
     df: DataFrame,
     sample_dir: str,

@@ -1,0 +1,118 @@
+"""KMV (bottom-k / theta) distinct sketch — operator-level contracts the
+registered queries rely on: exactness below k, the (k-1)/u_(k) error
+envelope, EXACT mergeability (the property the streaming ingest is built
+on), set-algebra identities, and the map-side bottom-k plan shape."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from lakeflow.operators.aggregates import (
+    kmv_estimate,
+    kmv_minima,
+    kmv_set_ops,
+    merge_kmv_minima,
+)
+
+
+def _ids(spark, lo: int, hi: int):
+    return spark.range(lo, hi).select(F.col("id"))
+
+
+def test_exact_below_k(spark):
+    df = _ids(spark, 0, 50)
+    est = kmv_estimate(kmv_minima(df, "id", 64), 64).collect()[0]
+    assert est["sketch_size"] == 50
+    assert est["est_distinct"] == 50.0
+
+
+def test_estimate_error_bound(spark):
+    # 5000 distinct ids, k=256: deterministic estimate must sit inside a
+    # 3.5-sigma envelope (sigma ~ 1/sqrt(k-2)).
+    n, k = 5000, 256
+    est = kmv_estimate(kmv_minima(_ids(spark, 0, n), "id", k), k).collect()[0]
+    assert est["sketch_size"] == k
+    rel = abs(est["est_distinct"] - n) / n
+    assert rel < 3.5 / math.sqrt(k - 2), est["est_distinct"]
+
+
+def test_duplicates_do_not_move_the_sketch(spark):
+    base = _ids(spark, 0, 300)
+    dup = base.unionAll(base).unionAll(_ids(spark, 0, 100))
+    a = sorted(r["u"] for r in kmv_minima(base, "id", 32).collect())
+    b = sorted(r["u"] for r in kmv_minima(dup, "id", 32).collect())
+    assert a == b
+
+
+def test_merge_recovers_one_pass_sketch_exactly(spark):
+    # Partition the ids three ways (simulated micro-batches), sketch each
+    # part, fold — the fold must equal the one-pass sketch EXACTLY.
+    k = 64
+    df = _ids(spark, 0, 2000)
+    direct = sorted(r["u"] for r in kmv_minima(df, "id", k).collect())
+    parts = df.withColumn("b", F.col("id") % 3)
+    partials = kmv_minima(parts, "id", k, group_cols=["b"])
+    folded = sorted(
+        r["u"] for r in merge_kmv_minima(partials.select("u"), k).collect()
+    )
+    assert folded == direct
+
+
+def test_grouped_merge_recovers_grouped_sketch(spark):
+    k = 16
+    df = _ids(spark, 0, 1000).select(
+        "id", (F.col("id") % 4).alias("g"), (F.col("id") % 7).alias("b")
+    )
+    direct = {
+        (r["g"], r["u"])
+        for r in kmv_minima(df, "id", k, group_cols=["g"]).collect()
+    }
+    partials = kmv_minima(df, "id", k, group_cols=["g", "b"])
+    folded = {
+        (r["g"], r["u"])
+        for r in merge_kmv_minima(
+            partials.select("g", "u"), k, group_cols=["g"]
+        ).collect()
+    }
+    assert folded == direct
+
+
+def test_set_ops_identity(spark):
+    k = 64
+    a = kmv_minima(_ids(spark, 0, 500), "id", k)
+    row = kmv_set_ops(a, a, k).collect()[0]
+    assert row["jaccard"] == 1.0
+    assert row["union_est"] == row["intersect_est"]
+
+
+def test_set_ops_disjoint(spark):
+    k = 128
+    a = kmv_minima(_ids(spark, 0, 1000), "id", k)
+    b = kmv_minima(_ids(spark, 1000, 2000), "id", k)
+    row = kmv_set_ops(a, b, k).collect()[0]
+    assert row["jaccard"] == 0.0
+    assert row["intersect_est"] == 0.0
+    assert abs(row["union_est"] - 2000) / 2000 < 3.5 / math.sqrt(k - 2)
+
+
+def test_set_ops_subset(spark):
+    # B ⊂ A: intersection estimate must track |B| and union must track |A|.
+    k = 128
+    a = kmv_minima(_ids(spark, 0, 2000), "id", k)
+    b = kmv_minima(_ids(spark, 0, 500), "id", k)
+    row = kmv_set_ops(a, b, k).collect()[0]
+    tol = 4.5 / math.sqrt(k - 2)
+    assert abs(row["union_est"] - 2000) / 2000 < tol
+    assert abs(row["intersect_est"] - 500) / 500 < tol
+
+
+def test_bottom_k_is_pruned_map_side(spark):
+    # The per-group bottom-k must compile to a WindowGroupLimit (rank-limit
+    # pushed below the shuffle) — the property that keeps the shuffle at
+    # <= k rows per group per map task at 100 TB.
+    df = _ids(spark, 0, 1000).select("id", (F.col("id") % 4).alias("g"))
+    plan = kmv_minima(df, "id", 16, group_cols=["g"])._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
