@@ -1267,6 +1267,115 @@ def catalog_fork_merge_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "purge_subjects_state",
+    oracle="""
+    SELECT 'customer' AS table_name,
+           (SELECT CAST(count(*) AS BIGINT) FROM customer) AS rows_before,
+           (SELECT CAST(count(*) AS BIGINT) FROM customer
+            WHERE c_custkey % 53 <> 0) AS rows_after,
+           (SELECT CAST(count(*) AS BIGINT) FROM customer
+            WHERE c_custkey % 53 = 0) AS purged_rows,
+           CAST(0 AS BIGINT) AS remaining_subject_rows,
+           true AS retained_on_disk_after_logical,
+           true AS physically_gone,
+           CAST(3 AS BIGINT) AS catalog_commits
+    UNION ALL
+    SELECT 'orders',
+           (SELECT CAST(count(*) AS BIGINT) FROM orders),
+           (SELECT CAST(count(*) AS BIGINT) FROM orders
+            WHERE o_custkey % 53 <> 0),
+           (SELECT CAST(count(*) AS BIGINT) FROM orders
+            WHERE o_custkey % 53 = 0),
+           CAST(0 AS BIGINT), true, true, CAST(3 AS BIGINT)
+    """,
+)
+def purge_subjects_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten across the warehouse (txn.purge_subjects /
+    materialize_purge) — the governance workflow an LLM training corpus
+    needs for opt-out and erasure requests, and one the reference's
+    independent per-layer writes cannot do atomically: a data subject's
+    rows vanish from EVERY table in one catalog commit (half-applied
+    erasure is a compliance failure), via merge-on-read deletion vectors
+    (O(matching positions) at 100 TB, no file rewrites). The query then
+    proves the part teams usually get wrong: after the logical phase the
+    rows are invisible to readers but STILL IN STORAGE
+    (retained_on_disk_after_logical, via scan_physical — the DV-bypassing
+    audit scan), and only the materialize phase (rewrite through the
+    vectors, one more catalog commit) makes them physically_gone. Counts
+    before/after/purged are pinned per table by the oracle; remaining
+    subject rows must be zero."""
+    import tempfile
+
+    from lakeflow.tables import TableCatalog
+    from lakeflow.txn import CatalogRef
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    ref = CatalogRef(
+        spark, TableCatalog(spark, tempfile.mkdtemp(prefix="lakeflow_purge_"))
+    )
+    with ref.transaction("ingest") as txn:
+        txn.write("customer", cust)
+        txn.write("orders", orders)
+    conds = {
+        "customer": "c_custkey % 53 = 0",
+        "orders": "o_custkey % 53 = 0",
+    }
+    ref.purge_subjects(conds, "erasure request: subject custkeys % 53")
+
+    # Captured BETWEEN phases: logically invisible, physically present.
+    retained = {
+        name: ref.catalog.load(name).scan_physical().filter(cond).count() > 0
+        for name, cond in conds.items()
+    }
+    ref.materialize_purge(list(conds), "materialize erasure")
+    n_commits = len(ref.commits())
+
+    def report(name: str, cond: str) -> DataFrame:
+        t = ref.catalog.load(name)
+        head = ref.read(name)
+        return (
+            ref.read(name, commit=1)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("rows_before"))
+            .crossJoin(
+                head.agg(F.count(F.lit(1)).cast("bigint").alias("rows_after"))
+            )
+            .crossJoin(
+                head.filter(cond).agg(
+                    F.count(F.lit(1))
+                    .cast("bigint")
+                    .alias("remaining_subject_rows")
+                )
+            )
+            .crossJoin(
+                t.scan_physical()
+                .filter(cond)
+                .agg(F.count(F.lit(1)).alias("__phys"))
+            )
+            .select(
+                F.lit(name).alias("table_name"),
+                "rows_before",
+                "rows_after",
+                (F.col("rows_before") - F.col("rows_after")).alias(
+                    "purged_rows"
+                ),
+                "remaining_subject_rows",
+                F.lit(retained[name]).alias("retained_on_disk_after_logical"),
+                (F.col("__phys") == 0).alias("physically_gone"),
+                F.lit(n_commits).cast("bigint").alias("catalog_commits"),
+            )
+        )
+
+    return report("customer", conds["customer"]).unionAll(
+        report("orders", conds["orders"])
+    )
+
+
+@register(
     "left_join_view_customer_orders",
     oracle="""
     SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal,

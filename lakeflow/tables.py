@@ -1742,6 +1742,20 @@ class VersionedTable:
         self._publish_manifest(manifest)
         return manifest["version"]
 
+    def scan_physical(self, version: int | None = None) -> DataFrame:
+        """Scan a snapshot's data files WITHOUT applying deletion vectors —
+        the audit handle for verifying purges: a merge-on-read DELETE only
+        HIDES rows (they stay in storage until a rewrite materializes the
+        vectors), so compliance workflows must distinguish "invisible to
+        readers" from "gone from disk". After :meth:`delete_where_mor` this
+        still returns the deleted rows; after :meth:`compact` (or any full
+        rewrite, which reads through the vectors) it must not."""
+        version = self.current_version() if version is None else version
+        if version is None:
+            raise ValueError(f"table {self.root} has no snapshots")
+        m = self._manifest(version)
+        return self._read_dirs(m["dirs"], version, dvs=[])
+
     def update_where_mor(
         self,
         condition: str,

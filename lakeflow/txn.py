@@ -39,6 +39,7 @@ import datetime
 import json
 import os
 import uuid
+from collections.abc import Mapping, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -247,6 +248,55 @@ class CatalogRef:
             changed,
             f"merge {other.ref}@{other.current_commit()}",
         )
+
+    def purge_subjects(
+        self,
+        predicates: Mapping[str, str],
+        message: str | None = None,
+    ) -> int:
+        """Right-to-be-forgotten, phase 1 (logical): delete every row
+        matching ``predicates[table]`` across ALL the named tables in ONE
+        catalog commit — a data-subject opt-out must not be half-applied,
+        visible in `orders` but not `customer`, which per-table DML can't
+        guarantee. Each table takes a merge-on-read delete (deletion
+        vector — O(matching positions), no file rewrites, the only
+        affordable shape when the subject's rows are scattered across a
+        100 TB warehouse), and the catalog commit flips them all visible
+        together; a crash mid-purge leaves every table un-purged.
+
+        The subject's rows remain in storage (and in pre-purge snapshots)
+        until :meth:`materialize_purge` rewrites them out —
+        ``VersionedTable.scan_physical`` is the audit handle that tells
+        the two states apart. Returns the catalog commit number."""
+        with self.transaction(message or "purge subjects") as txn:
+            for name, cond in predicates.items():
+                txn.run(name, lambda t, c=cond: t.delete_where_mor(c))
+        assert txn.committed is not None
+        return txn.committed
+
+    def materialize_purge(
+        self,
+        tables: Sequence[str],
+        message: str | None = None,
+        expire_history: bool = False,
+    ) -> int:
+        """Right-to-be-forgotten, phase 2 (physical): rewrite each table
+        through its deletion vectors (full compact) so purged rows leave
+        the data files — after this, ``scan_physical`` no longer returns
+        them. One catalog commit publishes all the rewrites together.
+        With ``expire_history`` the pre-purge snapshots (whose files still
+        hold the subject's rows) and pre-purge catalog commits are expired
+        too — the full-compliance form; without it they stay time-travel
+        readable (the audit-window form). Returns the catalog commit."""
+        with self.transaction(message or "materialize purge") as txn:
+            for name in tables:
+                txn.run(name, lambda t: t.compact())
+        assert txn.committed is not None
+        if expire_history:
+            for name in tables:
+                self.catalog.load(name).expire_snapshots(keep_last=1)
+            self.expire_commits(keep_last=1)
+        return txn.committed
 
     def expire_commits(self, keep_last: int = 1) -> list[int]:
         """Retention for the catalog log: drop all but the newest

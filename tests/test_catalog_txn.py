@@ -217,3 +217,59 @@ def test_expire_commits_keeps_recent_window(spark, tmp_path):
     assert ref.commits() == [3, 4]
     assert ref.read("a", commit=3).collect()[0].k == 3
     assert ref.read("a").collect()[0].k == 4
+
+
+def _purge_fixture(spark, tmp_path):
+    ref = _ref(spark, tmp_path)
+    with ref.transaction("ingest") as txn:
+        txn.write("users", _df(spark, [(1, 10), (2, 20), (3, 30)]))
+        txn.write("events", _df(spark, [(1, 1), (1, 2), (2, 3), (3, 4)]))
+    return ref, {"users": "k = 1", "events": "k = 1"}
+
+
+def test_purge_subjects_is_atomic_across_tables(spark, tmp_path):
+    ref, conds = _purge_fixture(spark, tmp_path)
+    # Torn purge: one table's MOR delete lands, the crash hits before the
+    # catalog commit point — catalog readers must see NO erasure at all.
+    txn = ref.transaction("torn purge")
+    txn.run("users", lambda t: t.delete_where_mor(conds["users"]))
+    # no commit — crash
+    assert ref.read("users").filter("k = 1").count() == 1
+    assert ref.read("events").filter("k = 1").count() == 2
+
+    commit = ref.purge_subjects(conds, "erasure: subject k=1")
+    assert commit == ref.current_commit()
+    assert ref.read("users").filter("k = 1").count() == 0
+    assert ref.read("events").filter("k = 1").count() == 0
+    assert ref.read("users").count() == 2
+    assert ref.read("events").count() == 2
+
+
+def test_logical_purge_hides_physical_purge_removes(spark, tmp_path):
+    ref, conds = _purge_fixture(spark, tmp_path)
+    ref.purge_subjects(conds)
+    users = ref.catalog.load("users")
+    # Invisible to readers, still in storage.
+    assert ref.read("users").filter("k = 1").count() == 0
+    assert users.scan_physical().filter("k = 1").count() == 1
+
+    ref.materialize_purge(["users", "events"])
+    assert users.scan_physical().filter("k = 1").count() == 0
+    assert ref.catalog.load("events").scan_physical().filter("k = 1").count() == 0
+    # Logically a no-op: the surviving rows are unchanged.
+    assert ref.read("users").count() == 2
+    assert ref.read("events").count() == 2
+
+
+def test_materialize_purge_expire_history_closes_time_travel(spark, tmp_path):
+    ref, conds = _purge_fixture(spark, tmp_path)
+    ref.purge_subjects(conds)
+    # Audit-window form: pre-purge state stays time-travel readable.
+    assert ref.read("users", commit=1).filter("k = 1").count() == 1
+
+    ref.materialize_purge(["users", "events"], expire_history=True)
+    assert ref.commits() == [3]
+    # Per-table history is gone too: only the rewritten snapshot survives.
+    assert ref.catalog.load("users").versions() == [
+        ref.catalog.load("users").current_version()
+    ]
