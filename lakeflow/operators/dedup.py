@@ -783,3 +783,115 @@ def prefix_filtered_pairs(shingles: DataFrame, threshold: float) -> DataFrame:
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def prefix_filtered_jaccard_join(
+    shingles: DataFrame, threshold: float
+) -> DataFrame:
+    """EXACT similarity self-join (Jaccard ≥ ``threshold``) — the PPJoin
+    upgrade of :func:`prefix_filtered_pairs` + :func:`jaccard_verify`,
+    restructured around ONE per-doc aggregation so the whole join is three
+    shuffles instead of seven:
+
+    1. global document frequencies, then each doc's distinct shingles fold
+       into a single rare-first-ordered ARRAY (``array_sort`` over
+       (df, shingle) structs — same canonical order as the window form,
+       no per-doc window sort);
+    2. only the prefix slice (``sz − ⌈t·sz⌉ + 1`` tokens) explodes back
+       out, carrying its POSITION: candidates equi-join on prefix token
+       with the length filter (t·sz_b ≤ sz_a ≤ sz_b/t) plus PPJoin's
+       positional filter — a match at ranks (ra, rb) bounds the overlap by
+       ``min(ra, rb) + min(sz_a − ra, sz_b − rb)``, which must reach
+       α = ⌈t/(1+t)·(sz_a+sz_b)⌉, the Jaccard-equivalent overlap
+       requirement (an upper bound of the true overlap can't be under α
+       when J ≥ t, so no true pair is lost);
+    3. verification is a projection, not a join tree: survivors pull the
+       two doc arrays and ``array_intersect`` counts the overlap in one
+       vectorized pass — no candidate×shingle row explosion, no pair-level
+       re-aggregation.
+
+    Cost shape at 100 TB: the arrays are O(doc length) — the same bytes as
+    the text column itself — and every pairwise byte moved is a *verified
+    candidate*, not a raw shingle match. Returns (id_a, id_b, jaccard ≥ t),
+    jaccard rounded to 6dp (engine-neutral)."""
+    t = float(threshold)
+    freq = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    docs = (
+        shingles.join(freq, "shingle")
+        .groupBy("id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias(
+                "__ord"
+            )
+        )
+        .select(
+            "id",
+            F.transform("__ord", lambda x: x["shingle"]).alias("arr"),
+        )
+        .select("id", "arr", F.size("arr").alias("sz"))
+    )
+    plen = F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1
+    pre = docs.select(
+        "id",
+        "sz",
+        F.posexplode(F.slice("arr", F.lit(1), plen.cast("int"))).alias(
+            "__pos", "shingle"
+        ),
+    ).select("id", "sz", (F.col("__pos") + 1).alias("rn"), "shingle")
+    a = pre.select(
+        F.col("id").alias("id_a"),
+        F.col("sz").alias("sz_a"),
+        F.col("rn").alias("rn_a"),
+        "shingle",
+    )
+    b = pre.select(
+        F.col("id").alias("id_b"),
+        F.col("sz").alias("sz_b"),
+        F.col("rn").alias("rn_b"),
+        "shingle",
+    )
+    alpha = F.ceil(
+        F.lit(t / (1.0 + t)) * (F.col("sz_a") + F.col("sz_b"))
+    )
+    # Pair-level positional filter: the rare-first order is one GLOBAL
+    # canonical order, so among a pair's shared tokens the canonically
+    # first — the one at (min rn_a, min rn_b); both minima are the same
+    # token — precedes every other shared token in BOTH docs, bounding the
+    # overlap by 1 + min(remaining suffix lengths). The per-pair groupBy
+    # replaces the plain distinct (same shuffle), so the filter is free.
+    first_match_ub = F.lit(1) + F.least(
+        F.col("sz_a") - F.min("rn_a"), F.col("sz_b") - F.min("rn_b")
+    )
+    cands = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.col("sz_a") >= F.lit(t) * F.col("sz_b"))
+        .filter(F.col("sz_b") >= F.lit(t) * F.col("sz_a"))
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(first_match_ub.alias("__ub"))
+        .filter(F.col("__ub") >= alpha)
+        .select("id_a", "id_b")
+    )
+    av = docs.select(
+        F.col("id").alias("id_a"),
+        F.col("arr").alias("__arr_a"),
+        F.col("sz").alias("__sz_a"),
+    )
+    bv = docs.select(
+        F.col("id").alias("id_b"),
+        F.col("arr").alias("__arr_b"),
+        F.col("sz").alias("__sz_b"),
+    )
+    inter = F.size(F.array_intersect("__arr_a", "__arr_b"))
+    return (
+        cands.join(av, "id_a")
+        .join(bv, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            rnd(
+                inter / (F.col("__sz_a") + F.col("__sz_b") - inter), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= t)
+    )

@@ -227,18 +227,21 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def prefix_filtered_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT near-dup pairs (3-gram Jaccard ≥ 0.3) via All-Pairs prefix
-    filtering (dedup.prefix_filtered_pairs) — the deterministic sibling of
-    `ngram_jaccard_pairs`' MinHash-LSH shortlist: no banding, no false
-    negatives, candidates pruned by rare-first token prefixes and length
-    ratio instead of hashing. The oracle is the EXHAUSTIVE all-pairs
+    """EXACT near-dup pairs (3-gram Jaccard ≥ 0.3) via the PPJoin-style
+    similarity self-join (dedup.prefix_filtered_jaccard_join) — the
+    deterministic sibling of `ngram_jaccard_pairs`' MinHash-LSH shortlist:
+    no banding, no false negatives. Candidates are pruned by rare-first
+    token prefixes, length ratio, AND the pair-level first-match positional
+    bound (1 + min remaining suffix must reach the Jaccard-equivalent
+    overlap α); verification is one vectorized array_intersect over the
+    per-doc shingle arrays — three shuffles end-to-end where the naive
+    prefix pipeline takes seven. The oracle is the EXHAUSTIVE all-pairs
     Jaccard with no prefix logic at all, so one pair lost to an over-short
-    prefix — the correctness trap in every PPJoin implementation — breaks
-    the row count."""
+    prefix or an over-tight positional bound — the correctness trap in
+    every PPJoin implementation — breaks the row count."""
     docs = load_table(spark, sf_dir, "documents")
     shingles = dd.word_shingles(docs, n=3)
-    cands = dd.prefix_filtered_pairs(shingles, threshold=0.3)
-    return dd.jaccard_verify(shingles, cands, min_sim=0.3)
+    return dd.prefix_filtered_jaccard_join(shingles, threshold=0.3)
 
 
 _SIMHASH_SUMS = ",\n".join(

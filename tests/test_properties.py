@@ -1020,3 +1020,11 @@ def test_prefix_filtering_loses_no_pairs(spark, corpus, t):
         ).collect()
     }
     assert filtered == exhaustive
+    # The PPJoin form (pair-level positional bound + array_intersect
+    # verify) must be complete too — its extra pruning is the part a
+    # too-eager bound would break.
+    ppjoin = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dd.prefix_filtered_jaccard_join(shingles, t).collect()
+    }
+    assert ppjoin == exhaustive
