@@ -78,7 +78,10 @@ BENCH_QUERIES = [
     "cdc_orders_state",
     "top_bigram_phrases",
     # round-6 signature ops (bitext shortlist replaces the exact cross
-    # product; the rest are new operators)
+    # product; the rest are new operators). These four add ~7.8 s at
+    # sf0.1, which fully accounts for the r5->r6 headline delta
+    # (73.1 s over 52 queries -> ~80.7 s over 56); the shared-52 subset
+    # is flat round-over-round.
     "bitext_margin_pairs",
     "span_corruption_pairs",
     "exact_substring_dedup_docs",

@@ -1376,6 +1376,84 @@ def purge_subjects_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_purge_subjects",
+    oracle="""
+    SELECT 'profiles' AS table_name,
+           (SELECT CAST(count(*) AS BIGINT) FROM customer
+            WHERE c_custkey % 53 <> 0) AS rows_after,
+           CAST(0 AS BIGINT) AS remaining_subject_rows,
+           true AS physically_gone
+    UNION ALL
+    SELECT 'activity',
+           (SELECT CAST(count(*) AS BIGINT) FROM orders
+            WHERE o_custkey % 53 <> 0),
+           CAST(0 AS BIGINT), true
+    """,
+)
+def sql_purge_subjects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The erasure workflow driven ENTIRELY through SQL (sqlx PURGE
+    SUBJECTS over txn.purge_subjects): two tables keyed by a shared
+    subject_id take one statement — logical cross-table erasure in a
+    single catalog commit, MATERIALIZE running the physical rewrite in a
+    second — and the result frame proves rows_after, zero remaining
+    subject rows, and physical absence via the DV-bypassing scan. The SQL
+    twin of `purge_subjects_state`, same contract as the reference's DML
+    surface would need for compliance deletes."""
+    import tempfile
+
+    from lakeflow.sqlx import LakehouseSQL
+    from lakeflow.tables import TableCatalog
+
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "src_customer"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("src_orders")
+    lh = LakehouseSQL(
+        spark, TableCatalog(spark, tempfile.mkdtemp(prefix="lakeflow_sqpg_"))
+    )
+    lh.execute(
+        "CREATE VERSIONED TABLE profiles AS "
+        "SELECT c_custkey AS subject_id, c_acctbal FROM src_customer"
+    )
+    lh.execute(
+        "CREATE VERSIONED TABLE activity AS "
+        "SELECT o_custkey AS subject_id, o_orderkey, o_totalprice "
+        "FROM src_orders"
+    )
+    lh.execute(
+        "PURGE SUBJECTS FROM profiles, activity "
+        "WHERE subject_id % 53 = 0 MATERIALIZE"
+    )
+
+    def report(name: str) -> DataFrame:
+        head = lh.ref.read(name)
+        phys = lh.catalog.load(name).scan_physical()
+        return (
+            head.agg(F.count(F.lit(1)).cast("bigint").alias("rows_after"))
+            .crossJoin(
+                head.filter("subject_id % 53 = 0").agg(
+                    F.count(F.lit(1))
+                    .cast("bigint")
+                    .alias("remaining_subject_rows")
+                )
+            )
+            .crossJoin(
+                phys.filter("subject_id % 53 = 0").agg(
+                    F.count(F.lit(1)).alias("__phys")
+                )
+            )
+            .select(
+                F.lit(name).alias("table_name"),
+                "rows_after",
+                "remaining_subject_rows",
+                (F.col("__phys") == 0).alias("physically_gone"),
+            )
+        )
+
+    return report("profiles").unionAll(report("activity"))
+
+
+@register(
     "left_join_view_customer_orders",
     oracle="""
     SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal,

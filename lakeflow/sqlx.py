@@ -183,6 +183,11 @@ _ROLLBACK_TXN = re.compile(
     r"^\s*ROLLBACK(?:\s+TRANSACTION)?\s*$", re.IGNORECASE
 )
 _CATALOG_LOG = re.compile(r"^\s*DESCRIBE\s+CATALOG\s+LOG\s*$", re.IGNORECASE)
+_PURGE = re.compile(
+    r"^\s*PURGE\s+SUBJECTS\s+FROM\s+([\w.\s,]+?)\s+WHERE\s+(.+?)"
+    r"(\s+MATERIALIZE(?:\s+EXPIRE\s+HISTORY)?)?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _SEAL = re.compile(r"^\s*SEAL\s+TABLE\s+([\w.]+)\s*$", re.IGNORECASE)
 _VERIFY = re.compile(r"^\s*VERIFY\s+TABLE\s+([\w.]+)\s*$", re.IGNORECASE)
 _UPDATE = re.compile(
@@ -292,6 +297,30 @@ class LakehouseSQL:
             return {"rolled_back": sorted(txn.touched)}
         if _CATALOG_LOG.match(stmt):
             return self.ref.log()
+        m = _PURGE.match(stmt)
+        if m:
+            # Right-to-be-forgotten (txn.purge_subjects): one shared
+            # predicate erased from every listed table in ONE catalog
+            # commit; the optional MATERIALIZE clause runs the physical
+            # phase immediately (EXPIRE HISTORY = full-compliance form,
+            # closing the time-travel window over pre-purge files).
+            if self._txn is not None:
+                raise ValueError(
+                    "PURGE SUBJECTS manages its own transaction; COMMIT or "
+                    "ROLLBACK the active one first"
+                )
+            tables = [t.strip() for t in m.group(1).split(",")]
+            cond = m.group(2).strip()
+            commit = self.ref.purge_subjects(
+                {t: cond for t in tables}, f"PURGE SUBJECTS WHERE {cond}"
+            )
+            out = {"purge_commit": commit, "tables": tables}
+            if m.group(3):
+                out["materialize_commit"] = self.ref.materialize_purge(
+                    tables,
+                    expire_history="EXPIRE" in m.group(3).upper(),
+                )
+            return out
         m = _CREATE_SCHEMA.match(stmt)
         if m:
             self.catalog.create_schema(m.group(1))

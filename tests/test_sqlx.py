@@ -523,3 +523,37 @@ def test_sql_transaction_guards(lh):
     lh.execute("CREATE VERSIONED TABLE t AS SELECT id FROM range(3)")
     lh.execute("INSERT INTO VERSIONED t SELECT id FROM range(10, 12)")
     assert lh.execute("ROLLBACK TABLE t TO VERSION 1")["new_version"] == 3
+
+
+def test_purge_subjects_statement(lh):
+    lh.execute("CREATE VERSIONED TABLE users AS SELECT id, id * 10 AS v FROM range(5)")
+    lh.execute(
+        "CREATE VERSIONED TABLE events AS "
+        "SELECT id % 5 AS id, id AS ev FROM range(20)"
+    )
+    r = lh.execute("PURGE SUBJECTS FROM users, events WHERE id = 3")
+    assert r["tables"] == ["users", "events"]
+    assert lh.execute("SELECT count(*) AS n FROM users WHERE id = 3").first()["n"] == 0
+    assert lh.execute("SELECT count(*) AS n FROM events WHERE id = 3").first()["n"] == 0
+    # Logical phase only: still on disk under the deletion vectors.
+    assert lh.catalog.load("users").scan_physical().filter("id = 3").count() == 1
+
+    r2 = lh.execute(
+        "PURGE SUBJECTS FROM users, events WHERE id = 1 MATERIALIZE EXPIRE HISTORY"
+    )
+    assert r2["materialize_commit"] > r2["purge_commit"]
+    for t in ("users", "events"):
+        phys = lh.catalog.load(t).scan_physical()
+        assert phys.filter("id = 1").count() == 0
+        assert phys.filter("id = 3").count() == 0  # earlier purge materialized too
+    assert lh.catalog.load("users").versions() == [
+        lh.catalog.load("users").current_version()
+    ]
+
+
+def test_purge_subjects_rejects_open_transaction(lh):
+    lh.execute("CREATE VERSIONED TABLE t AS SELECT id FROM range(3)")
+    lh.execute("BEGIN TRANSACTION")
+    with pytest.raises(ValueError, match="manages its own transaction"):
+        lh.execute("PURGE SUBJECTS FROM t WHERE id = 1")
+    lh.execute("ROLLBACK")
