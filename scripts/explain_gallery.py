@@ -80,9 +80,11 @@ GALLERY = [
     ("weighted_sample_aes", "A-ES weighted sample: TakeOrdered (per-partition top-k + k-row merge), no global sort"),
     ("weighted_sample_per_lang", "per-stratum A-ES: WindowGroupLimit prunes to top-k per lang map-side"),
     ("histogram_quantile_sketch", "mergeable bin partials (map-side combine) → tiny-frame quantile window"),
-    ("prefix_filtered_jaccard_pairs", "rare-first prefix + length pruning → candidate equi-join → exact verify"),
+    ("prefix_filtered_jaccard_pairs", "PPJoin: rare-first array agg → prefix posexplode equi-join → pair-level positional prune (in the dedup groupBy) → array_intersect verify"),
     ("zipf_fit_report", "token freq agg → top-100 window → closed-form regression in one 6-sum aggregate"),
     ("stats_planned_broadcast_join", "manifest-bytes CBO: pruned dim broadcast despite unpruned-size estimate"),
+    ("kmv_distinct_custkeys", "KMV sketch: distinct partial → WindowGroupLimit bottom-k map-side → (k-1)/u_k estimate"),
+    ("kmv_set_ops_custkeys", "set algebra over two 64-double sketches — union/Jaccard/intersect without touching the sets"),
 ]
 
 
