@@ -421,6 +421,61 @@ def kmv_set_ops(
     )
 
 
+def kmv_join_cardinality(
+    df_a: DataFrame,
+    key_a: str,
+    df_b: DataFrame,
+    key_b: str,
+    k: int,
+) -> DataFrame:
+    """Equi-join output-cardinality estimate from KMV sketches — the
+    planner question (`stats_planned_join` decides broadcast from manifest
+    BYTES; this estimates join ROWS) answered without touching either
+    table's key set: sketch both join keys, estimate the distinct overlap
+    via :func:`kmv_set_ops`' Jaccard×union, and apply the classic
+    uniform-frequency model ``rows ≈ (n_a/d_a) · (n_b/d_b) · d_∩``.
+
+    One scan per side (count + sketch), then arithmetic over ≤ 2k doubles —
+    at 100 TB the sketches are maintained incrementally per commit
+    (merge_kmv_minima over per-day partials), so the planner never pays a
+    scan at all. Output one row: per-side row counts, distinct estimates,
+    overlap estimate and the join-rows estimate, all round(4)."""
+    from pyspark.sql import functions as F
+
+    sk_a = kmv_minima(df_a, key_a, k)
+    sk_b = kmv_minima(df_b, key_b, k)
+    est_a = kmv_estimate(sk_a, k).select(
+        F.col("est_distinct").alias("d_a")
+    )
+    est_b = kmv_estimate(sk_b, k).select(
+        F.col("est_distinct").alias("d_b")
+    )
+    inter = kmv_set_ops(sk_a, sk_b, k).select(
+        F.col("intersect_est").alias("d_inter")
+    )
+    n_a = df_a.agg(F.count(F.lit(1)).cast("bigint").alias("n_a"))
+    n_b = df_b.agg(F.count(F.lit(1)).cast("bigint").alias("n_b"))
+    est_rows = (
+        (F.col("n_a") / F.col("d_a"))
+        * (F.col("n_b") / F.col("d_b"))
+        * F.col("d_inter")
+    )
+    return (
+        n_a.crossJoin(n_b)
+        .crossJoin(est_a)
+        .crossJoin(est_b)
+        .crossJoin(inter)
+        .select(
+            "n_a",
+            "n_b",
+            "d_a",
+            "d_b",
+            "d_inter",
+            rnd(est_rows, 4).alias("est_join_rows"),
+        )
+    )
+
+
 def merge_kmv_minima(
     partials: DataFrame, k: int, *, group_cols: Sequence[str] = ()
 ) -> DataFrame:

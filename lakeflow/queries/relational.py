@@ -29,6 +29,7 @@ from lakeflow.operators.aggregates import (
     histogram_partials,
     histogram_quantiles,
     kmv_estimate,
+    kmv_join_cardinality,
     kmv_minima,
     kmv_set_ops,
     merge_histograms,
@@ -1097,6 +1098,105 @@ def kmv_distinct_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("est_distinct") - F.col("exact_distinct"))
             <= 0.5 * F.col("exact_distinct")
         ).alias("within_bound"),
+    )
+
+
+@register(
+    "kmv_join_cardinality_orders",
+    oracle="""
+    WITH oa AS (SELECT o_custkey AS key FROM orders),
+    ob AS (SELECT c_custkey AS key FROM customer WHERE c_acctbal > 0),
+    ua AS (
+        SELECT DISTINCT
+            (CAST(('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 8)) AS BIGINT)
+             + 0.5) / 4294967296.0 AS u
+        FROM oa
+    ),
+    ub AS (
+        SELECT DISTINCT
+            (CAST(('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 8)) AS BIGINT)
+             + 0.5) / 4294967296.0 AS u
+        FROM ob
+    ),
+    sa AS (SELECT u FROM (SELECT u, row_number() OVER (ORDER BY u) rn
+                          FROM ua) WHERE rn <= 256),
+    sb AS (SELECT u FROM (SELECT u, row_number() OVER (ORDER BY u) rn
+                          FROM ub) WHERE rn <= 256),
+    da AS (SELECT floor((CASE WHEN count(*) < 256
+                              THEN CAST(count(*) AS DOUBLE)
+                              ELSE 255.0 / max(u) END) * 10000.0 + 0.5)
+                      / 10000.0 AS d_a FROM sa),
+    db AS (SELECT floor((CASE WHEN count(*) < 256
+                              THEN CAST(count(*) AS DOUBLE)
+                              ELSE 255.0 / max(u) END) * 10000.0 + 0.5)
+                      / 10000.0 AS d_b FROM sb),
+    uni AS (
+        SELECT u, max(a) AS in_a, max(b) AS in_b FROM (
+            SELECT u, 1 AS a, 0 AS b FROM sa
+            UNION ALL SELECT u, 0 AS a, 1 AS b FROM sb
+        ) GROUP BY u
+    ),
+    topk AS (SELECT * FROM (SELECT u, in_a, in_b,
+                                   row_number() OVER (ORDER BY u) rn
+                            FROM uni) WHERE rn <= 256),
+    di AS (
+        SELECT floor(((CAST(sum(in_a * in_b) AS DOUBLE) / count(*))
+                      * CASE WHEN count(*) < 256
+                             THEN CAST(count(*) AS DOUBLE)
+                             ELSE 255.0 / max(u) END) * 10000.0 + 0.5)
+                   / 10000.0 AS d_inter
+        FROM topk
+    ),
+    ns AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM oa) AS n_a,
+               (SELECT CAST(count(*) AS BIGINT) FROM ob) AS n_b,
+               (SELECT CAST(count(*) AS BIGINT)
+                FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                WHERE c.c_acctbal > 0) AS exact_join_rows
+    )
+    SELECT n_a, n_b, d_a, d_b, d_inter,
+           floor(((n_a / d_a) * (n_b / d_b) * d_inter) * 10000.0 + 0.5)
+               / 10000.0 AS est_join_rows,
+           exact_join_rows,
+           (floor(((n_a / d_a) * (n_b / d_b) * d_inter) * 10000.0 + 0.5)
+                / 10000.0
+            BETWEEN 0.5 * exact_join_rows AND 2.0 * exact_join_rows)
+               AS within_2x
+    FROM ns CROSS JOIN da CROSS JOIN db CROSS JOIN di
+    """,
+)
+def kmv_join_cardinality_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-driven join-cardinality estimation — the planner question
+    `stats_planned_broadcast_join` does NOT answer (it sizes broadcast from
+    manifest bytes; a cost-based join ORDER needs output-row estimates):
+    |orders ⋈ σ(customer)| predicted from two 256-double KMV sketches and
+    the uniform-frequency model (n_a/d_a)·(n_b/d_b)·d_∩, never scanning
+    the key sets together. Because keys hash identically across tables,
+    the intersection sketch is meaningful cross-table — the property HLL
+    lacks. The exact join count rides along and within_2x pins the
+    estimate into the factor-2 envelope a join-order planner needs; every
+    number is md5-deterministic, so this is a full hash oracle."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal") > 0
+    )
+    est = kmv_join_cardinality(orders, "o_custkey", cust, "c_custkey", 256)
+    exact = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_join_rows"))
+    )
+    return est.crossJoin(exact).select(
+        "n_a",
+        "n_b",
+        "d_a",
+        "d_b",
+        "d_inter",
+        "est_join_rows",
+        "exact_join_rows",
+        (
+            (F.col("est_join_rows") >= 0.5 * F.col("exact_join_rows"))
+            & (F.col("est_join_rows") <= 2.0 * F.col("exact_join_rows"))
+        ).alias("within_2x"),
     )
 
 

@@ -116,3 +116,22 @@ def test_bottom_k_is_pruned_map_side(spark):
     plan = kmv_minima(df, "id", 16, group_cols=["g"])._jdf.queryExecution(
     ).executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_join_cardinality_uniform_model(spark):
+    from lakeflow.operators.aggregates import kmv_join_cardinality
+
+    # Unique keys both sides, 1000-key overlap: the uniform-frequency
+    # model reduces to the overlap itself.
+    a, b = _ids(spark, 0, 2000), _ids(spark, 1000, 3000)
+    row = kmv_join_cardinality(a, "id", b, "id", 256).collect()[0]
+    assert (row["n_a"], row["n_b"]) == (2000, 2000)
+    assert 700 < row["est_join_rows"] < 1300, row["est_join_rows"]
+
+    # Fan-out side: duplicating one side doubles the estimate exactly
+    # (same sketches, n_a doubles).
+    row2 = kmv_join_cardinality(
+        a.unionAll(a), "id", b, "id", 256
+    ).collect()[0]
+    # (2e-4 headroom: each side rounds to 4dp independently)
+    assert abs(row2["est_join_rows"] - 2 * row["est_join_rows"]) < 2e-4
