@@ -24,6 +24,7 @@ EXAMPLES = [
     "layout_and_views.py",
     "pushdown_io.py",
     "warehouse_txn.py",
+    "sketches.py",
 ]
 
 
