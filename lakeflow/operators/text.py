@@ -320,6 +320,78 @@ def quality_filter(
     )
 
 
+def token_budget_report(
+    scored: DataFrame,
+    score_col: str,
+    weight_col: str,
+    budget_frac: float,
+    width: float = 0.05,
+) -> DataFrame:
+    """Token-budget selection WITHOUT a global sort: "fill X% of the corpus
+    token budget with the best-scoring docs" is the final step of every
+    curation pipeline, and the naive form (ORDER BY score DESC, running
+    cumsum, stop at the budget) is a total order over the corpus — the one
+    plan shape that cannot scale. Instead the score distribution folds into
+    a fixed-width histogram (the same mergeable-partial shape as
+    ``histogram_partials``, weighted by ``weight_col``), the cutoff bin is
+    read off the tiny descending-cumulative frame, and selection becomes a
+    scan-side ``score ≥ cutoff`` filter. Resolution is one bin width —
+    the same accuracy/cost trade as the quantile sketch, and at 100 TB the
+    per-shard histograms merge by summing, so the cutoff never rescans.
+
+    Emits a one-row audit: total/budget tokens, the cutoff score, selected
+    doc and token counts, ``within_budget`` (selection fits) and
+    ``maximal`` (admitting one more bin would overflow — greedy-maximal at
+    bin granularity). All integer/boolean or exact-double arithmetic, so
+    the report is engine-reproducible."""
+    from pyspark.sql import Window
+
+    b = F.floor(F.col(score_col) / F.lit(width)).cast("bigint")
+    hist = scored.groupBy(b.alias("bin")).agg(
+        F.sum(weight_col).cast("bigint").alias("w"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    totals = scored.agg(
+        F.sum(weight_col).cast("bigint").alias("total_tokens")
+    ).select(
+        "total_tokens",
+        F.floor(F.lit(budget_frac) * F.col("total_tokens"))
+        .cast("bigint")
+        .alias("budget"),
+    )
+    w_desc = Window.orderBy(F.col("bin").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = hist.select(
+        "bin", "w", "n", F.sum("w").over(w_desc).cast("bigint").alias("cum")
+    ).crossJoin(totals)
+    sel = cum.filter(F.col("cum") <= F.col("budget")).agg(
+        F.min("bin").alias("__cutoff_bin"),
+        F.sum("n").cast("bigint").alias("n_selected"),
+        F.max("cum").cast("bigint").alias("tokens_selected"),
+    )
+    nxt = cum.filter(F.col("cum") > F.col("budget")).agg(
+        F.min("cum").cast("bigint").alias("__next_cum")
+    )
+    return (
+        totals.crossJoin(sel)
+        .crossJoin(nxt)
+        .select(
+            "total_tokens",
+            "budget",
+            (F.col("__cutoff_bin") * F.lit(width)).alias("cutoff_score"),
+            "n_selected",
+            "tokens_selected",
+            (F.col("tokens_selected") <= F.col("budget")).alias(
+                "within_budget"
+            ),
+            F.coalesce(
+                F.col("__next_cum") > F.col("budget"), F.lit(True)
+            ).alias("maximal"),
+        )
+    )
+
+
 def bm25_topk(
     df: DataFrame,
     query_terms: list[str],

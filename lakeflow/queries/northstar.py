@@ -519,6 +519,82 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.quality_features(load_table(spark, sf_dir, "documents"))
 
 
+_QUALITY_CTE = f"""
+    norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+    feats AS (
+        SELECT doc_id,
+               length(t) AS n_chars_norm,
+               len(string_split(t, ' ')) AS n_tokens,
+               length(t) - length(regexp_replace(t, '[a-z]', '', 'g')) AS alpha,
+               len(list_filter(string_split(t, ' '), w -> w IN ({_IN_LIST}))) AS stop
+        FROM norm
+    ),
+    q AS (
+        SELECT doc_id, n_tokens,
+               (floor((least(1.0,
+                    0.5 * (floor((alpha / n_chars_norm) * 1000000.0 + 0.5) / 1000000.0)
+                    + 0.3 * least((floor((stop / n_tokens) * 1000000.0 + 0.5) / 1000000.0) * 5, 1.0)
+                    + 0.2 * least(n_tokens / 100.0, 1.0))) * 1000000.0 + 0.5) / 1000000.0) AS quality
+        FROM feats
+    )
+"""
+
+
+@register(
+    "token_budget_selection",
+    oracle=f"""
+    WITH {_QUALITY_CTE},
+    h AS (
+        SELECT CAST(floor(quality / 0.05) AS BIGINT) AS bin,
+               CAST(sum(n_tokens) AS BIGINT) AS w,
+               CAST(count(*) AS BIGINT) AS n
+        FROM q GROUP BY 1
+    ),
+    t AS (
+        SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(floor(0.4 * sum(n_tokens)) AS BIGINT) AS budget
+        FROM q
+    ),
+    c AS (
+        SELECT bin, w, n,
+               CAST(sum(w) OVER (ORDER BY bin DESC
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM h
+    ),
+    sel AS (
+        SELECT min(bin) AS cutoff_bin,
+               CAST(sum(n) AS BIGINT) AS n_selected,
+               CAST(max(cum) AS BIGINT) AS tokens_selected
+        FROM c, t WHERE cum <= budget
+    ),
+    nxt AS (SELECT CAST(min(cum) AS BIGINT) AS next_cum
+            FROM c, t WHERE cum > budget)
+    SELECT t.total_tokens, t.budget,
+           (sel.cutoff_bin * CAST(0.05 AS DOUBLE)) AS cutoff_score,
+           sel.n_selected, sel.tokens_selected,
+           (sel.tokens_selected <= t.budget) AS within_budget,
+           coalesce(nxt.next_cum > t.budget, true) AS maximal
+    FROM t CROSS JOIN sel CROSS JOIN nxt
+    """,
+)
+def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill 40% of the corpus token budget with the best-quality docs —
+    the selection step that closes every curation pipeline — WITHOUT the
+    global sort the naive ORDER BY score / running-cumsum plan needs (a
+    total order over 100 TB is the one shape that can't scale). The score
+    distribution folds into a token-weighted fixed-width histogram (same
+    mergeable-partial regime as `histogram_quantile_sketch`), the cutoff
+    reads off the tiny descending-cumulative frame, and selection becomes
+    a scan-side `score ≥ cutoff` filter. The audit row pins totals, the
+    cutoff, selected doc/token counts, budget fit, and bin-granular
+    greedy-maximality — every number integer or exact-double, full hash
+    oracle."""
+    scored = tx.quality_features(load_table(spark, sf_dir, "documents"))
+    return tx.token_budget_report(
+        scored, "quality", "n_tokens", budget_frac=0.4, width=0.05
+    )
+
+
 @register(
     "lang_id",
     oracle=f"""

@@ -761,3 +761,19 @@ def test_histogram_sketch_partials_combine_mapside(spark):
     map-side, so the shuffle carries bins, not rows."""
     plan = _plan(spark, "histogram_quantile_sketch")
     assert "partial_count" in plan
+
+
+def test_token_budget_selection_no_corpus_sort(spark):
+    """Budget selection must NOT globally sort the corpus (the naive ORDER
+    BY score cumsum plan): the only corpus-wide op is the histogram
+    aggregate (hash exchange on bin); the cumulative window runs on the
+    tiny bin frame (SinglePartition of ~20 rows is fine — range
+    partitioning, the global-sort signature, must be absent)."""
+    plan = _plan(spark, "token_budget_selection")
+    assert "rangepartitioning" not in plan, "corpus-wide global sort leaked in"
+    # The histogram groupBy keys the floor expression directly, so the
+    # exchange prints as a grouping expression — what matters is that the
+    # corpus reaches a hash aggregate, never a range partitioner.
+    assert "hashpartitioning(_groupingexpression" in plan, (
+        "histogram aggregate lost its bin exchange"
+    )
