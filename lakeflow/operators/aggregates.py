@@ -476,6 +476,91 @@ def kmv_join_cardinality(
     )
 
 
+# Poisson(1) CDF at k = 0..7 (k=8 catches the ~1.1e-7 tail): the inverse-CDF
+# thresholds that turn one md5 uniform into a bootstrap resample count.
+_POISSON1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+    0.9999897508033253,
+)
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    id_col: str,
+    cents_col: str,
+    n_reps: int = 32,
+) -> DataFrame:
+    """Bootstrap uncertainty for a mean WITHOUT resampling passes — the
+    Poisson bootstrap (the distributed form: with-replacement resampling is
+    a sequential draw, but each row's inclusion count in replicate b is
+    ≈ Poisson(1), drawable independently per row). One scan explodes each
+    row into (row, rep) with a deterministic count k = Poisson⁻¹(md5(id:rep))
+    — so the whole B-replicate bootstrap is ONE combine-bounded aggregate
+    (shuffle carries B rows per map task), reproducible across engines,
+    runs and retries.
+
+    ``cents_col`` must be an exact integer metric (e.g. price cents):
+    replicate sums are then BIGINT — order-free — so replicate means are
+    bit-identical in any engine, which float sums never are. Output one
+    row: n_rows, point_mean, boot_lo/boot_hi (min/max replicate mean — the
+    empirical bootstrap range), n_reps, contains_point."""
+    rep = F.explode(
+        F.sequence(F.lit(0), F.lit(int(n_reps) - 1))
+    ).alias("rep")
+    u = kmv_uniform(
+        F.concat(
+            F.col(id_col).cast("string"), F.lit(":"), F.col("rep").cast("string")
+        )
+    )
+    k = F.lit(8)
+    for i in range(len(_POISSON1_CDF) - 1, -1, -1):
+        k = F.when(u < F.lit(_POISSON1_CDF[i]), F.lit(i)).otherwise(k)
+    reps = df.select(F.col(id_col), F.col(cents_col).alias("__cents"), rep)
+    per_rep = (
+        reps.withColumn("__k", k)
+        .groupBy("rep")
+        .agg(
+            F.sum(F.col("__k") * F.col("__cents")).alias("__ks"),
+            F.sum("__k").alias("__kn"),
+        )
+        .select(
+            rnd(
+                F.col("__ks").cast("double")
+                / (F.col("__kn").cast("double") * F.lit(100.0)),
+                6,
+            ).alias("__m")
+        )
+    )
+    point = df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        rnd(
+            F.sum(cents_col).cast("double")
+            / (F.count(F.lit(1)) * F.lit(100.0)),
+            6,
+        ).alias("point_mean"),
+    )
+    band = per_rep.agg(
+        F.min("__m").alias("boot_lo"), F.max("__m").alias("boot_hi")
+    )
+    return point.crossJoin(band).select(
+        "n_rows",
+        "point_mean",
+        "boot_lo",
+        "boot_hi",
+        F.lit(int(n_reps)).cast("bigint").alias("n_reps"),
+        (
+            (F.col("point_mean") >= F.col("boot_lo"))
+            & (F.col("point_mean") <= F.col("boot_hi"))
+        ).alias("contains_point"),
+    )
+
+
 def merge_kmv_minima(
     partials: DataFrame, k: int, *, group_cols: Sequence[str] = ()
 ) -> DataFrame:

@@ -32,6 +32,7 @@ from lakeflow.operators.aggregates import (
     kmv_join_cardinality,
     kmv_minima,
     kmv_set_ops,
+    poisson_bootstrap_ci,
     merge_histograms,
     merge_kmv_minima,
     scalar_max,
@@ -1198,6 +1199,79 @@ def kmv_join_cardinality_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("est_join_rows") <= 2.0 * F.col("exact_join_rows"))
         ).alias("within_2x"),
     )
+
+
+_P1 = (
+    "0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
+    "0.9810118431238462", "0.9963401531726563", "0.9994058151824183",
+    "0.9999167588507119", "0.9999897508033253",
+)
+_P1_CASE = "CASE " + " ".join(
+    f"WHEN u < CAST({t} AS DOUBLE) THEN {i}" for i, t in enumerate(_P1)
+) + " ELSE 8 END"
+
+
+@register(
+    "bootstrap_mean_order_value",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey AS id,
+               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    ),
+    reps AS (
+        SELECT id, cents, CAST(i AS INT) AS rep
+        FROM base, LATERAL unnest(range(32)) AS t(i)
+    ),
+    uni AS (
+        SELECT rep, cents,
+               (CAST(('0x' || substr(md5(CAST(id AS VARCHAR) || ':' ||
+                                          CAST(rep AS VARCHAR)), 1, 8))
+                     AS BIGINT) + 0.5) / 4294967296.0 AS u
+        FROM reps
+    ),
+    drawn AS (SELECT rep, cents, {_P1_CASE} AS k FROM uni),
+    bm AS (
+        SELECT rep,
+               floor((CAST(sum(k * cents) AS DOUBLE)
+                      / (CAST(sum(k) AS DOUBLE) * 100.0))
+                     * 1000000.0 + 0.5) / 1000000.0 AS m
+        FROM drawn GROUP BY rep
+    ),
+    pt AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               floor((CAST(sum(cents) AS DOUBLE) / (count(*) * 100.0))
+                     * 1000000.0 + 0.5) / 1000000.0 AS point_mean
+        FROM base
+    )
+    SELECT pt.n_rows, pt.point_mean,
+           min(bm.m) AS boot_lo, max(bm.m) AS boot_hi,
+           CAST(32 AS BIGINT) AS n_reps,
+           (pt.point_mean BETWEEN min(bm.m) AND max(bm.m)) AS contains_point
+    FROM bm CROSS JOIN pt
+    GROUP BY pt.n_rows, pt.point_mean
+    """,
+)
+def bootstrap_mean_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric uncertainty at corpus scale — the Poisson bootstrap
+    (aggregates.poisson_bootstrap_ci): 32 with-replacement resamples of
+    mean(o_totalprice) computed in ONE combine-bounded aggregate, because
+    each row's inclusion count per replicate is an independent
+    Poisson(1) draw from md5(id:rep) — no sequential sampling, no 32
+    passes, reproducible across engines/runs/retries. Integer-cents sums
+    keep every replicate mean order-free and bit-identical, so the whole
+    CI — point mean, empirical bootstrap range, containment bit — is a
+    full hash oracle; this is how an eval pipeline reports error bars on
+    quality metrics over 100 TB without a single global sort or second
+    scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = orders.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    return poisson_bootstrap_ci(cents, "o_orderkey", "cents", n_reps=32)
 
 
 @register(
@@ -2424,6 +2498,105 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="c_custkey",
         block_cols=["c_nationkey"],
         max_dist=2,
+    )
+
+
+@register(
+    "entity_golden_records",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+        FROM customer a JOIN customer b
+          ON a.c_nationkey = b.c_nationkey
+         AND a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 2
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ),
+    walk AS (
+        SELECT src AS id, src AS reach FROM edges
+        UNION
+        SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+    ),
+    comp AS (
+        SELECT id, min(reach) AS cluster_id FROM (
+            SELECT id, reach FROM walk
+            UNION SELECT src, src FROM edges
+        ) GROUP BY id
+    ),
+    members AS (
+        SELECT c.*, coalesce(comp.cluster_id, c.c_custkey) AS cluster_id
+        FROM customer c LEFT JOIN comp ON comp.id = c.c_custkey
+    )
+    SELECT cluster_id AS golden_id,
+           arg_min(c_name, c_custkey) AS canonical_name,
+           CAST(count(*) AS BIGINT) AS n_members,
+           max(c_acctbal) AS best_acctbal,
+           arg_max(c_mktsegment,
+                   CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) * 1000000
+                       + c_custkey)
+               AS richest_segment
+    FROM members GROUP BY cluster_id
+    HAVING count(*) > 1
+    """,
+)
+def entity_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end — the master-data workload the matching
+    and clustering operators exist FOR: SymSpell edit-distance pairs
+    (`fuzzy_name_pairs`' plan, recall-1 for lev ≤ 2 without quadratic
+    blocking) feed min-label connected components (`dup_clusters`), then
+    SURVIVORSHIP builds one golden record per multi-member cluster with
+    deterministic rules — canonical name from the lowest member key
+    (min_by), best account balance (max), fullest address (max_by on a
+    length⊕key integer, unique so order-free). Every rule is an algebraic
+    aggregate (map-side combine; no window, no collect), so survivorship
+    costs one shuffle of cluster partials at any scale. The oracle
+    recomputes matching, components (recursive CTE) and every rule."""
+    from lakeflow.operators.dedup import dup_clusters
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    pairs = lk.edit_distance_pairs(
+        cust.select("c_custkey", "c_name", "c_nationkey"),
+        text_col="c_name",
+        id_col="c_custkey",
+        block_cols=["c_nationkey"],
+        max_dist=2,
+    )
+    clusters = dup_clusters(pairs.select("id_a", "id_b"))
+    members = cust.join(
+        clusters, cust["c_custkey"] == clusters["id"], "left"
+    ).select(
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+        "c_mktsegment",
+        F.coalesce("cluster_id", "c_custkey").alias("cluster_id"),
+    )
+    rich_key = (
+        F.floor(F.col("c_acctbal") * 100.0 + F.lit(0.5)).cast("bigint")
+        * F.lit(1000000)
+        + F.col("c_custkey")
+    )
+    return (
+        members.groupBy("cluster_id")
+        .agg(
+            F.min_by("c_name", "c_custkey").alias("canonical_name"),
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.max("c_acctbal").alias("best_acctbal"),
+            F.max_by("c_mktsegment", rich_key).alias("richest_segment"),
+        )
+        .filter(F.col("n_members") > 1)
+        .select(
+            F.col("cluster_id").alias("golden_id"),
+            "canonical_name",
+            "n_members",
+            "best_acctbal",
+            "richest_segment",
+        )
     )
 
 

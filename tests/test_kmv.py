@@ -135,3 +135,24 @@ def test_join_cardinality_uniform_model(spark):
     ).collect()[0]
     # (2e-4 headroom: each side rounds to 4dp independently)
     assert abs(row2["est_join_rows"] - 2 * row["est_join_rows"]) < 2e-4
+
+
+def test_poisson_bootstrap_brackets_true_mean(spark):
+    from lakeflow.operators.aggregates import poisson_bootstrap_ci
+
+    # cents metric with known mean 100.5 dollars over 2000 rows: the
+    # deterministic bootstrap band must bracket the point mean, and a
+    # re-run must reproduce it bit-for-bit.
+    df = spark.range(0, 2000).select(
+        F.col("id"), (F.lit(10000) + (F.col("id") % 101)).alias("cents")
+    )
+    r1 = poisson_bootstrap_ci(df, "id", "cents", n_reps=16).collect()[0]
+    r2 = poisson_bootstrap_ci(df, "id", "cents", n_reps=16).collect()[0]
+    assert r1 == r2
+    assert r1["n_rows"] == 2000 and r1["n_reps"] == 16
+    assert r1["boot_lo"] <= r1["point_mean"] <= r1["boot_hi"]
+    assert r1["contains_point"]
+    # Band width should be on the order of sigma/sqrt(n), not degenerate
+    # and not wild: sigma(cents) ~ 29.2 cents -> se ~ 0.0065 dollars.
+    width = r1["boot_hi"] - r1["boot_lo"]
+    assert 0.001 < width < 0.2, width

@@ -2054,3 +2054,49 @@ def test_stream_cms_ingest_folds_and_replays_idempotently(spark, tmp_path):
     ).awaitTermination()
     again = {tuple(r) for r in read_cms_cells(spark, sketch).collect()}
     assert again == whole
+
+
+def test_golden_record_survivorship_rules(spark):
+    """Hand-computed ER survivorship: two matched members fold into one
+    golden record with name-from-lowest-key, max balance, and the
+    segment of the richest member."""
+    from pyspark.sql import functions as F
+
+    from lakeflow.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    cust = spark.createDataFrame(
+        [
+            (1, "acme corp", 10.0, "SEG_A"),
+            (2, "acme c0rp", 99.0, "SEG_B"),
+            (3, "unrelated", 5.0, "SEG_C"),
+        ],
+        "c_custkey long, c_name string, c_acctbal double, c_mktsegment string",
+    )
+    clusters = dup_clusters(pairs)
+    members = cust.join(
+        clusters, cust["c_custkey"] == clusters["id"], "left"
+    ).select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment",
+        F.coalesce("cluster_id", "c_custkey").alias("cluster_id"),
+    )
+    rich = (
+        F.floor(F.col("c_acctbal") * 100.0 + F.lit(0.5)).cast("bigint")
+        * F.lit(1000000) + F.col("c_custkey")
+    )
+    golden = (
+        members.groupBy("cluster_id")
+        .agg(
+            F.min_by("c_name", "c_custkey").alias("canonical_name"),
+            F.count(F.lit(1)).alias("n"),
+            F.max("c_acctbal").alias("best"),
+            F.max_by("c_mktsegment", rich).alias("seg"),
+        )
+        .filter(F.col("n") > 1)
+        .collect()
+    )
+    assert len(golden) == 1
+    g = golden[0]
+    assert (g["cluster_id"], g["canonical_name"], g["n"], g["best"], g["seg"]) == (
+        1, "acme corp", 2, 99.0, "SEG_B"
+    )
