@@ -1226,7 +1226,8 @@ _P1_CASE = "CASE " + " ".join(
     uni AS (
         SELECT rep, cents,
                (CAST(('0x' || substr(md5(CAST(id AS VARCHAR) || ':' ||
-                                          CAST(rep AS VARCHAR)), 1, 8))
+                                          CAST((rep // 4) AS VARCHAR)),
+                                     (rep % 4) * 8 + 1, 8))
                      AS BIGINT) + 0.5) / 4294967296.0 AS u
         FROM reps
     ),
