@@ -85,6 +85,10 @@ GALLERY = [
     ("stats_planned_broadcast_join", "manifest-bytes CBO: pruned dim broadcast despite unpruned-size estimate"),
     ("kmv_distinct_custkeys", "KMV sketch: distinct partial → WindowGroupLimit bottom-k map-side → (k-1)/u_k estimate"),
     ("kmv_set_ops_custkeys", "set algebra over two 64-double sketches — union/Jaccard/intersect without touching the sets"),
+    ("bootstrap_mean_order_value", "Poisson bootstrap: group-explode → one md5 per (row,group) → 4 lanes → ONE combine-bounded agg, 32 reps in a pass"),
+    ("token_budget_selection", "histogram cutoff, no rangepartitioning: corpus → weighted bin agg → tiny cumulative frame → scan-side filter"),
+    ("kmv_join_cardinality_orders", "join-rows estimate from two sketches: per-side counts + overlap arithmetic, no key-set join"),
+    ("entity_golden_records", "ER survivorship: checkpointed component labels (lineage truncated) → one algebraic cluster agg"),
 ]
 
 
