@@ -81,6 +81,7 @@ class Pipeline:
         self,
         context: Mapping[str, Any] | None = None,
         on_error: str = "raise",
+        resume_from: Mapping[str, Mapping[str, Any]] | None = None,
     ) -> dict[str, Any]:
         """Execute all tasks; each fn receives (results_so_far, **context).
 
@@ -93,11 +94,25 @@ class Pipeline:
         while independent branches keep running (default ``"raise"``
         surfaces :class:`TaskFailureError` immediately). ``self.report``
         records ``{name: {"status", "attempts"}}`` for the run.
+
+        ``resume_from`` is a previous run's ``report``: tasks it marks
+        ``success`` are skipped (status ``skipped_done``, no re-execution)
+        and everything else re-runs — Airflow's clear-failed-and-rerun.
+        A skipped task contributes NO entry to ``results``, so a resumable
+        pipeline must pass state through storage (tables/files), not
+        return values — exactly the contract Airflow tasks live under;
+        tasks that thread DataFrames are fine as long as their consumers
+        rerun with them (a consumer of a skipped task re-reads the table).
         """
         if on_error not in ("raise", "skip_downstream"):
             raise ValueError(
                 f"on_error must be raise|skip_downstream, got {on_error!r}"
             )
+        done_before = {
+            n
+            for n, r in (resume_from or {}).items()
+            if r.get("status") == "success"
+        }
         ctx = dict(context or {})
         results: dict[str, Any] = {}
         self.report: dict[str, dict[str, Any]] = {}
@@ -107,6 +122,9 @@ class Pipeline:
             if any(d in dead for d in task.deps):
                 self.report[name] = {"status": "upstream_failed", "attempts": 0}
                 dead.add(name)
+                continue
+            if name in done_before:
+                self.report[name] = {"status": "skipped_done", "attempts": 0}
                 continue
             attempts = 0
             while True:

@@ -2100,3 +2100,50 @@ def test_golden_record_survivorship_rules(spark):
     assert (g["cluster_id"], g["canonical_name"], g["n"], g["best"], g["seg"]) == (
         1, "acme corp", 2, 99.0, "SEG_B"
     )
+
+
+def test_pipeline_resume_skips_completed_tasks():
+    """Airflow's clear-failed-and-rerun: a second run fed the first run's
+    report skips every succeeded task and re-executes only the failed one
+    and its dependents (state flows through side effects, not results)."""
+    from lakeflow.plans.runner import Pipeline
+
+    executed: list[str] = []
+    state: dict[str, int] = {}
+    flaky = {"fail": True}
+
+    p = Pipeline("resume")
+
+    @p.task("extract")
+    def extract(res):
+        executed.append("extract")
+        state["raw"] = 10
+        return None
+
+    @p.task("transform", deps=["extract"])
+    def transform(res):
+        executed.append("transform")
+        if flaky["fail"]:
+            raise RuntimeError("boom")
+        state["clean"] = state["raw"] * 2
+        return None
+
+    @p.task("load", deps=["transform"])
+    def load(res):
+        executed.append("load")
+        state["out"] = state["clean"] + 1
+        return None
+
+    p.run(on_error="skip_downstream")
+    first = dict(p.report)
+    assert first["extract"]["status"] == "success"
+    assert first["transform"]["status"] == "failed"
+    assert first["load"]["status"] == "upstream_failed"
+
+    flaky["fail"] = False
+    executed.clear()
+    p.run(resume_from=first)
+    assert executed == ["transform", "load"], executed
+    assert p.report["extract"]["status"] == "skipped_done"
+    assert p.report["transform"]["status"] == "success"
+    assert state["out"] == 21
