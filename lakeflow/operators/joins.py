@@ -271,3 +271,38 @@ def stats_planned_join(
         "broadcast_side": side,
     }
     return ldf.join(rdf, list(on), how), decision
+
+
+def stats_join_cardinality(table_a, col_a: str, table_b, col_b: str) -> dict:
+    """Equi-join output-row estimate from STORED table statistics — zero
+    scans at plan time: both sides' NDV sketches (``VersionedTable.
+    analyze_ndv``, KMV bottom-k minima) come out of the manifests, the
+    key-overlap estimate is set algebra over ≤ 2k doubles on the driver,
+    and the uniform-frequency model gives
+    ``rows ≈ (n_a/d_a) · (n_b/d_b) · d_∩``. This is the planner-side twin
+    of :func:`lakeflow.operators.aggregates.kmv_join_cardinality` (which
+    sketches live data): because KMV hashes depend only on the value, the
+    two tables' stored sketches are directly comparable — the cross-table
+    property that justifies KMV over an opaque NDV scalar. All arithmetic
+    is IEEE-double (identical in any engine); returns the estimate
+    components as plain floats/ints."""
+    sa, sb = table_a.ndv_stats(col_a), table_b.ndv_stats(col_b)
+    k = min(sa["k"], sb["k"])
+    va, vb = set(sa["minima"]), set(sb["minima"])
+    union_k = sorted(va | vb)[:k]
+    n = len(union_k)
+    union_est = float(n) if n < k else float(k - 1) / union_k[-1]
+    shared = sum(1 for u in union_k if u in va and u in vb)
+    jaccard = shared / n if n else 0.0
+    d_inter = jaccard * union_est
+    est_rows = (
+        (sa["rows"] / sa["estimate"]) * (sb["rows"] / sb["estimate"]) * d_inter
+    )
+    return {
+        "n_a": sa["rows"],
+        "n_b": sb["rows"],
+        "d_a": sa["estimate"],
+        "d_b": sb["estimate"],
+        "d_inter": d_inter,
+        "est_join_rows": est_rows,
+    }

@@ -1276,6 +1276,127 @@ def bootstrap_mean_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stats_ndv_join_estimate",
+    oracle="""
+    WITH ua AS (
+        SELECT DISTINCT
+            (CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8))
+                  AS BIGINT) + 0.5) / 4294967296.0 AS u
+        FROM orders
+    ),
+    ub AS (
+        SELECT DISTINCT
+            (CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))
+                  AS BIGINT) + 0.5) / 4294967296.0 AS u
+        FROM customer WHERE c_acctbal > 0
+    ),
+    sa AS (SELECT u FROM (SELECT u, row_number() OVER (ORDER BY u) rn
+                          FROM ua) WHERE rn <= 256),
+    sb AS (SELECT u FROM (SELECT u, row_number() OVER (ORDER BY u) rn
+                          FROM ub) WHERE rn <= 256),
+    da AS (SELECT CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+                       ELSE 255.0 / max(u) END AS d_a,
+                  CAST(count(*) AS BIGINT) AS ka FROM sa),
+    db AS (SELECT CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+                       ELSE 255.0 / max(u) END AS d_b,
+                  CAST(count(*) AS BIGINT) AS kb FROM sb),
+    uni AS (
+        SELECT u, max(a) AS in_a, max(b) AS in_b FROM (
+            SELECT u, 1 AS a, 0 AS b FROM sa
+            UNION ALL SELECT u, 0 AS a, 1 AS b FROM sb
+        ) GROUP BY u
+    ),
+    topk AS (SELECT * FROM (SELECT u, in_a, in_b,
+                                   row_number() OVER (ORDER BY u) rn
+                            FROM uni) WHERE rn <= 256),
+    di AS (
+        SELECT (CAST(sum(in_a * in_b) AS DOUBLE) / count(*))
+               * CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+                      ELSE 255.0 / max(u) END AS d_inter
+        FROM topk
+    ),
+    ns AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_a,
+               (SELECT CAST(count(*) AS BIGINT) FROM customer
+                WHERE c_acctbal > 0) AS n_b,
+               (SELECT CAST(count(*) AS BIGINT)
+                FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                WHERE c.c_acctbal > 0) AS exact_join_rows
+    )
+    SELECT n_a, n_b,
+           floor(d_a * 10000.0 + 0.5) / 10000.0 AS d_a,
+           floor(d_b * 10000.0 + 0.5) / 10000.0 AS d_b,
+           floor(d_inter * 10000.0 + 0.5) / 10000.0 AS d_inter,
+           floor(((n_a / d_a) * (n_b / d_b) * d_inter) * 10000.0 + 0.5)
+               / 10000.0 AS est_join_rows,
+           exact_join_rows,
+           (floor(((n_a / d_a) * (n_b / d_b) * d_inter) * 10000.0 + 0.5)
+                / 10000.0
+            BETWEEN 0.5 * exact_join_rows AND 2.0 * exact_join_rows)
+               AS within_2x
+    FROM ns CROSS JOIN da CROSS JOIN db CROSS JOIN di
+    """,
+)
+def stats_ndv_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation with ZERO scans at plan time — the full
+    CBO loop over the catalog: two versioned tables are ANALYZEd once
+    (`VersionedTable.analyze_ndv` stores per-column KMV minima + row
+    counts in their manifests), then `stats_join_cardinality` answers
+    "how many rows will orders ⋈ funded-customers produce?" from the two
+    manifests alone — driver-side set algebra over ≤ 2k stored doubles,
+    no table touched. Because KMV hashes depend only on the value, stored
+    sketches from DIFFERENT tables are directly comparable — the property
+    that makes a mergeable-minima NDV blob strictly stronger than the
+    opaque NDV scalar in classic stats. The oracle replays sketching,
+    overlap and the uniform-frequency model from the raw tables; exact
+    join rows and the factor-2 planner envelope ride along."""
+    import tempfile
+
+    from lakeflow.operators.joins import stats_join_cardinality
+    from lakeflow.tables import TableCatalog
+
+    cat = TableCatalog(spark, tempfile.mkdtemp(prefix="lakeflow_ndv_"))
+    ta = cat.create(
+        "fact_orders",
+        load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
+    )
+    tb = cat.create(
+        "dim_funded",
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .select("c_custkey"),
+    )
+    ta.analyze_ndv(["o_custkey"], k=256)
+    tb.analyze_ndv(["c_custkey"], k=256)
+    est = stats_join_cardinality(ta, "o_custkey", tb, "c_custkey")
+
+    def r4(x: float) -> float:
+        import math
+
+        return math.floor(x * 10000.0 + 0.5) / 10000.0
+
+    exact = (
+        ta.read()
+        .join(tb.read(), F.col("o_custkey") == F.col("c_custkey"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_join_rows"))
+    )
+    est_rounded = r4(est["est_join_rows"])
+    return exact.select(
+        F.lit(est["n_a"]).cast("bigint").alias("n_a"),
+        F.lit(est["n_b"]).cast("bigint").alias("n_b"),
+        F.lit(r4(est["d_a"])).alias("d_a"),
+        F.lit(r4(est["d_b"])).alias("d_b"),
+        F.lit(r4(est["d_inter"])).alias("d_inter"),
+        F.lit(est_rounded).alias("est_join_rows"),
+        "exact_join_rows",
+        (
+            (F.lit(est_rounded) >= 0.5 * F.col("exact_join_rows"))
+            & (F.lit(est_rounded) <= 2.0 * F.col("exact_join_rows"))
+        ).alias("within_2x"),
+    )
+
+
+@register(
     "kmv_set_ops_custkeys",
     oracle=f"""
     WITH sa AS (

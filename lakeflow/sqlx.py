@@ -89,6 +89,11 @@ _ANALYZE = re.compile(
     r"\s+FOR\s+COLUMNS\s*\(\s*([\w\s,]+?)\s*\)\s*$",
     re.IGNORECASE,
 )
+_ANALYZE_NDV = re.compile(
+    r"^\s*ANALYZE\s+TABLE\s+([\w.]+)\s+COMPUTE\s+NDV"
+    r"\s*\(\s*([\w\s,]+?)\s*\)(?:\s+WITH\s+K\s+(\d+))?\s*$",
+    re.IGNORECASE,
+)
 _DETAIL = re.compile(
     r"^\s*DESCRIBE\s+DETAIL\s+([\w.]+)\s*$", re.IGNORECASE
 )
@@ -391,6 +396,19 @@ class LakehouseSQL:
             cols = [c.strip() for c in m.group(2).split(",")]
             v = self.catalog.load(m.group(1)).analyze(cols)
             return {"analyzed": m.group(1), "columns": cols, "version": v}
+        m = _ANALYZE_NDV.match(stmt)
+        if m:
+            cols = [c.strip() for c in m.group(2).split(",")]
+            k = int(m.group(3)) if m.group(3) else 256
+            t = self.catalog.load(m.group(1))
+            v = t.analyze_ndv(cols, k=k)
+            return {
+                "analyzed_ndv": m.group(1),
+                "columns": cols,
+                "k": k,
+                "version": v,
+                "estimates": {c: t.ndv_stats(c)["estimate"] for c in cols},
+            }
         m = _DETAIL.match(stmt)
         if m:
             return self.catalog.load(m.group(1)).detail()

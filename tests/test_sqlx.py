@@ -557,3 +557,15 @@ def test_purge_subjects_rejects_open_transaction(lh):
     with pytest.raises(ValueError, match="manages its own transaction"):
         lh.execute("PURGE SUBJECTS FROM t WHERE id = 1")
     lh.execute("ROLLBACK")
+
+
+def test_analyze_ndv_statement(lh):
+    lh.execute(
+        "CREATE VERSIONED TABLE t AS SELECT id, id % 40 AS cat FROM range(500)"
+    )
+    r = lh.execute("ANALYZE TABLE t COMPUTE NDV (id, cat) WITH K 64")
+    assert r["k"] == 64
+    assert r["estimates"]["cat"] == 40.0  # below k: exact
+    assert 300 < r["estimates"]["id"] < 800  # sketched
+    # Stats are metadata: a reload answers without scanning.
+    assert lh.catalog.load("t").ndv_stats("cat")["estimate"] == 40.0
