@@ -701,6 +701,76 @@ def stream_cdf_mor_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_erasure_tombstones",
+    oracle="""
+    SELECT 'profiles' AS table_name,
+           CAST(c_custkey AS BIGINT) AS subject_key
+    FROM customer WHERE c_custkey <= 500 AND c_custkey % 53 = 0
+    UNION ALL
+    SELECT 'activity', CAST(o_custkey AS BIGINT)
+    FROM orders WHERE o_orderkey <= 2000 AND o_custkey % 53 = 0
+    """,
+)
+def stream_erasure_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erasure PROPAGATION: a right-to-be-forgotten purge is not done when
+    the warehouse forgets — every downstream consumer (search index,
+    feature store, trained model's data ledger) needs a deletion feed.
+    Here `purge_subjects` erases a subject from two tables in one catalog
+    commit (deletion vectors), and each table's `mode=cdf` changes stream
+    renders the vectors' pre-images as delete events — the streams union
+    into a tombstone manifest (table, subject key) that downstream systems
+    consume to forget. The oracle reconstructs the exact tombstone set
+    from the source predicates, so a pre-image lost to the skip path or a
+    table missing from the feed breaks the hash."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lakeflow.sources.table_stream import register_table_changes_source
+    from lakeflow.tables import TableCatalog
+    from lakeflow.txn import CatalogRef
+
+    register_table_changes_source(spark)
+    ref = CatalogRef(
+        spark, TableCatalog(spark, tempfile.mkdtemp(prefix="lakeflow_ets_"))
+    )
+    cust = spark.read.parquet(table_path(sf_dir, "customer")).select(
+        "c_custkey", "c_name"
+    )
+    orders = spark.read.parquet(table_path(sf_dir, "orders")).select(
+        "o_orderkey", "o_custkey"
+    )
+    with ref.transaction("ingest") as txn:
+        txn.write("profiles", cust.filter(F.col("c_custkey") <= 500))
+        txn.write("activity", orders.filter(F.col("o_orderkey") <= 2000))
+    ref.purge_subjects(
+        {"profiles": "c_custkey % 53 = 0", "activity": "o_custkey % 53 = 0"},
+        "erasure request",
+    )
+
+    def deletes(name: str, key_col: str) -> DataFrame:
+        stream = (
+            spark.readStream.format("lakeflow_table_changes")
+            .option("path", ref.catalog.load(name).root)
+            .option("mode", "cdf")
+            .load()
+        )
+        tbl, _ = run_to_memory(stream)
+        return (
+            spark.table(tbl)
+            .filter(F.col("_change_type") == "delete")
+            .select(
+                F.lit(name).alias("table_name"),
+                F.col(key_col).cast("bigint").alias("subject_key"),
+            )
+        )
+
+    return deletes("profiles", "c_custkey").unionAll(
+        deletes("activity", "o_custkey")
+    )
+
+
+@register(
     "stream_doc_dedup",
     oracle="""
     WITH corpus AS (
