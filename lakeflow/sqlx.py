@@ -17,6 +17,7 @@ minimal grammar that does:
     SELECT ... FROM t FOR TIMESTAMP AS OF '2026-08-14T12:00:00+00:00' ...
     DESCRIBE HISTORY t | DESCRIBE DETAIL t | DESCRIBE FILES t
     ANALYZE TABLE t COMPUTE STATISTICS FOR COLUMNS (c1, c2)
+    ANALYZE TABLE t COMPUTE NDV (c1, c2) [WITH K <n>]
     ALTER TABLE t ADD COLUMN c <type> | DROP COLUMN c
     ALTER TABLE t ADD CONSTRAINT name CHECK (<expr>) | DROP CONSTRAINT name
     ALTER TABLE t SET MASK ON c AS (<expr>) | DROP MASK ON c
@@ -43,6 +44,8 @@ minimal grammar that does:
         SELECT * FROM l [LEFT] JOIN r USING (k1[, k2])
     REFRESH INCREMENTAL VIEW mv
     CREATE SCHEMA [IF NOT EXISTS] s | SHOW SCHEMAS | SHOW TABLES [IN s]
+    BEGIN TRANSACTION ['msg'] | COMMIT | ROLLBACK | DESCRIBE CATALOG LOG
+    PURGE SUBJECTS FROM t1, t2 WHERE <cond> [MATERIALIZE [EXPIRE HISTORY]]
 
 Table names are ``t`` or ``schema.table`` (the reference's namespaced
 layering, docker/init/lakehouse_init.sql — ``silver.processed_company``);
