@@ -205,6 +205,13 @@ _REWRITTEN_SINCE_GREEN = frozenset(
         # rewrite) — the r5 verdict for this query belongs to the old
         # word-boundary binder.
         "sql_lakehouse_time_travel",
+        # r6 (late): dup_clusters was rewritten (pointer doubling, per-round
+        # localCheckpoint lineage truncation, size-adaptive broadcast
+        # rounds) — same fixpoint, proven by the union-find cross-check and
+        # today's local parity sweep, but the green verdicts for its two
+        # driver-verified consumers belong to the O(diameter)/persist form.
+        "dedup_clusters",
+        "fuzzy_dedup_survivors",
         # r6 (late): _read_dirs grew alias-aware group reads (RENAME
         # COLUMN), commit() grew the generated-column hook, and UPDATE
         # rewrote to single-select ANSI semantics — re-green the two
