@@ -1397,6 +1397,82 @@ def stats_ndv_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ndv_drift_report",
+    oracle="""
+    WITH u1 AS (
+        SELECT DISTINCT
+            (CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8))
+                  AS BIGINT) + 0.5) / 4294967296.0 AS u
+        FROM orders WHERE o_orderkey % 8 = 0
+    ),
+    u2 AS (
+        SELECT DISTINCT
+            (CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8))
+                  AS BIGINT) + 0.5) / 4294967296.0 AS u
+        FROM orders
+    ),
+    s1 AS (SELECT u FROM (SELECT u, row_number() OVER (ORDER BY u) rn
+                          FROM u1) WHERE rn <= 256),
+    s2 AS (SELECT u FROM (SELECT u, row_number() OVER (ORDER BY u) rn
+                          FROM u2) WHERE rn <= 256),
+    d1 AS (SELECT CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+                       ELSE 255.0 / max(u) END AS stored FROM s1),
+    d2 AS (SELECT CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+                       ELSE 255.0 / max(u) END AS live FROM s2)
+    SELECT floor(stored * 10000.0 + 0.5) / 10000.0 AS stored_ndv,
+           floor(live * 10000.0 + 0.5) / 10000.0 AS live_ndv,
+           floor((live / stored) * 10000.0 + 0.5) / 10000.0 AS drift_ratio,
+           (live / stored > 1.2 OR live / stored < 0.8333333333333334)
+               AS stats_stale
+    FROM d1 CROSS JOIN d2
+    """,
+)
+def ndv_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stats LIFECYCLE closer: collected statistics go stale, and a
+    planner trusting them mis-plans — so detect drift. A table lands with
+    an early orders slice, gets ANALYZEd (stored KMV NDV in the manifest),
+    then the rest of the corpus appends WITHOUT re-analysis. The report
+    compares the stored sketch's estimate against a live sketch of the
+    current snapshot — drift_ratio > 1.2× (or < 1/1.2) flags the stats
+    stale, the trigger a maintenance policy would use to re-ANALYZE.
+    Metadata vs one scan; both estimates are md5-deterministic, so even
+    the staleness boolean is a full hash oracle."""
+    import tempfile
+
+    from lakeflow.tables import TableCatalog
+
+    cat = TableCatalog(spark, tempfile.mkdtemp(prefix="lakeflow_drift_"))
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    t = cat.create("fact", orders.filter(F.col("o_orderkey") % 8 == 0))
+    t.analyze_ndv(["o_custkey"], k=256)
+    stored = t.ndv_stats("o_custkey")["estimate"]
+    t.commit(orders.filter(F.col("o_orderkey") % 8 != 0), mode="append")
+
+    live = (
+        kmv_minima(t.read(), "o_custkey", 256)
+        .agg(F.count(F.lit(1)).alias("__n"), F.max("u").alias("__kth"))
+        .select(
+            F.when(F.col("__n") < 256, F.col("__n").cast("double"))
+            .otherwise(F.lit(255.0) / F.col("__kth"))
+            .alias("live_raw")
+        )
+    )
+
+    def r4(c):
+        return F.floor(c * 10000.0 + F.lit(0.5)) / 10000.0
+
+    ratio = F.col("live_raw") / F.lit(stored)
+    return live.select(
+        r4(F.lit(stored)).alias("stored_ndv"),
+        r4(F.col("live_raw")).alias("live_ndv"),
+        r4(ratio).alias("drift_ratio"),
+        ((ratio > 1.2) | (ratio < 1.0 / 1.2)).alias("stats_stale"),
+    )
+
+
+@register(
     "kmv_set_ops_custkeys",
     oracle=f"""
     WITH sa AS (
