@@ -306,3 +306,96 @@ def stats_join_cardinality(table_a, col_a: str, table_b, col_b: str) -> dict:
         "d_inter": d_inter,
         "est_join_rows": est_rows,
     }
+
+
+def ndv_planned_join(
+    left,
+    right,
+    on: Sequence[str],
+    *,
+    how: str = "inner",
+    broadcast_rows: int = 1_000_000,
+    drift_threshold: float = 1.2,
+    refresh_stale: bool = True,
+    ndv_k: int = 256,
+) -> tuple[DataFrame, dict]:
+    """Broadcast decision from STORED analyze-time statistics — plus the
+    drift trigger that saves the plan when those statistics lie.
+
+    ``stats_planned_join`` sizes sides from live pruned bytes (never
+    stale); this planner instead trusts the row counts recorded by the
+    last ``ANALYZE`` (``VersionedTable.analyze_ndv`` stores them in the
+    manifest ``ndv`` block), which is how a real cost-based optimizer
+    plans: zero data IO, but WRONG after a large un-analyzed ingest — a
+    fact table analyzed at 1k rows then appended to 1M still "looks"
+    broadcast-able and the planner ships the big side to every executor
+    (the mis-plan the reference avoids by hand at
+    ``/root/reference/src/gold/dim_company.py:34`` with a manual
+    broadcast() — which goes equally wrong when the "small" side grows).
+
+    The guard: before committing to a strategy, compare each side's
+    stored row count against the live count (parquet footer metadata —
+    no column IO) and, when the ratio drifts outside
+    ``[1/drift_threshold, drift_threshold]``, re-``ANALYZE`` that side
+    (``refresh_stale=True``) and re-plan from the fresh statistics — the
+    same staleness band ``ndv_drift_report`` flags. Returns
+    ``(joined DataFrame, decision)`` where ``decision`` records the
+    initial (possibly mis-planned) choice, the per-side drift ratios,
+    which sides were re-analyzed, and the final choice, so plan tests can
+    assert the flip."""
+
+    def stored_rows(table, key: str) -> int:
+        return int(table.ndv_stats(key)["rows"])
+
+    def decide(l_rows: int, r_rows: int) -> str | None:
+        can = {
+            "inner": ("left", "right"),
+            "cross": ("left", "right"),
+            "left": ("right",),
+            "left_outer": ("right",),
+            "left_semi": ("right",),
+            "left_anti": ("right",),
+            "right": ("left",),
+            "right_outer": ("left",),
+        }.get(how, ())
+        if "left" in can and l_rows <= broadcast_rows and (
+            "right" not in can or l_rows <= r_rows
+        ):
+            return "left"
+        if "right" in can and r_rows <= broadcast_rows:
+            return "right"
+        return None
+
+    key_l, key_r = on[0], on[0]
+    lr0, rr0 = stored_rows(left, key_l), stored_rows(right, key_r)
+    initial = decide(lr0, rr0)
+
+    live_l, live_r = left.read().count(), right.read().count()
+    drift_l = live_l / lr0 if lr0 else float("inf")
+    drift_r = live_r / rr0 if rr0 else float("inf")
+    band = (1.0 / drift_threshold, drift_threshold)
+    refreshed: list[str] = []
+    if refresh_stale and not band[0] <= drift_l <= band[1]:
+        left.analyze_ndv([key_l], k=ndv_k)
+        refreshed.append("left")
+    if refresh_stale and not band[0] <= drift_r <= band[1]:
+        right.analyze_ndv([key_r], k=ndv_k)
+        refreshed.append("right")
+    lr1 = stored_rows(left, key_l) if "left" in refreshed else lr0
+    rr1 = stored_rows(right, key_r) if "right" in refreshed else rr0
+    final = decide(lr1, rr1)
+
+    ldf, rdf = left.read(), right.read()
+    if final == "left":
+        ldf = F.broadcast(ldf)
+    elif final == "right":
+        rdf = F.broadcast(rdf)
+    decision = {
+        "initial_side": initial,
+        "final_side": final,
+        "drift_left": drift_l,
+        "drift_right": drift_r,
+        "refreshed": refreshed,
+        "stored_rows": (lr1, rr1),
+    }
+    return ldf.join(rdf, list(on), how), decision

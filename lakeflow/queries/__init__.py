@@ -52,8 +52,9 @@ def _load_all() -> None:
 # regenerate with ``python scripts/update_green_set.py``). A row counts as
 # verified when rows+schema+hash all matched, or when it is a by-design
 # rows-only query (``err == "no_oracle"`` with a non-negative row count) —
-# those two (approx_distinct_users, stream_gap_sessions) get the driver's
-# weaker check every time and must not hog priority slots.
+# stream_gap_sessions gets the driver's weaker check every time and must
+# not hog priority slots (approx_distinct_users graduated to a full
+# hash-checked verdict row in r7).
 _VERIFIED_R1 = frozenset(
     {
         "scd1_customer_state", "scd2_customer_state", "time_travel_customer_v1",
@@ -173,55 +174,73 @@ _VERIFIED_R5 = frozenset(
     }
 )
 
+_VERIFIED_R6 = frozenset(
+    {
+        "bitext_margin_pairs", "bitext_margin_pairs_exact",
+        "bm25_incremental_index", "bm25_indexed_topk", "branch_backfill_scan",
+        "catalog_fork_merge_state", "catalog_txn_consistent_read",
+        "customers_without_orders", "dedup_clusters", "delete_where_roundtrip",
+        "delta_export_roundtrip", "exact_substring_dedup_docs",
+        "fuzzy_dedup_survivors", "generated_ingest_parts",
+        "gopher_quality_flags", "governed_customer_scan",
+        "incremental_fuzzy_dedup_docs", "ivf_kmeans_recall_verdict",
+        "join_view_customer_orders", "left_join_view_customer_orders",
+        "link_quality_rank", "mmr_diverse_topk", "mor_delete_state",
+        "mor_upsert_state", "multimodal_retrieval_topk",
+        "mv_distinct_customers_by_status", "mv_orders_by_status",
+        "mv_price_extrema_by_status", "phrase_search_docs",
+        "prefix_filtered_jaccard_pairs", "purge_subjects_state",
+        "renamed_column_scan", "snapshot_expiry_state", "source_drift_report",
+        "source_overlap_matrix", "span_corruption_pairs",
+        "sql_incremental_view_state", "sql_lakehouse_time_travel",
+        "sql_namespaced_layers", "sql_purge_subjects", "sql_txn_atomic_layers",
+        "stats_planned_broadcast_join", "table_integrity_report",
+        "table_schema_changes", "tagged_release_scan", "template_dedup_docs",
+        "time_travel_customer_v1", "token_budget_selection",
+        "weighted_sample_aes", "weighted_sample_per_lang",
+    }
+)
+
 # Queries whose implementation or oracle was rewritten AFTER the round that
 # verified them — their green row belongs to code that no longer exists
 # (VERDICT r2 "What's missing #2", ADVICE r2 medium). Treated as unverified
 # in the reorder so the current code gets a fresh driver verdict.
-_REWRITTEN_SINCE_GREEN = frozenset(
+# Every r6 member earned a green r6 verdict (CORRECTNESS_r06: 50/50) and has
+# been removed; list r7 rewrites here as they happen.
+_REWRITTEN_SINCE_GREEN: frozenset[str] = frozenset(
     {
-        # r6: bitext_margin_pairs replanned from the exact all-pairs cross
-        # join to an ANN-shortlist candidate plan (VERDICT r5 "Next round
-        # #2"); the exact path stays registered as the recall oracle.
-        "bitext_margin_pairs",
-        # r6: incremental MV refresh rewritten for merge-on-read DML
-        # (ADVICE r5 high): DV changes now trigger pre-image folding /
-        # rebuild, and the reflected base version rides inside the state
-        # commit (ADVICE r5 medium #2) instead of a sidecar marker.
-        "mv_orders_by_status",
-        "mv_price_extrema_by_status",
-        # r6: MOR DML paths now enforce CHECK constraints before publish
-        # (ADVICE r5 medium #1) — same results, changed write path.
-        "mor_upsert_state",
-        "mor_delete_state",
-        # r6: both verified EMPTY result sets (the weak-evidence trap the
-        # r4 verdict flagged for q11/q22) — predicates rescaled so the
-        # fixture produces rows: the anti-join now excludes only urgent
-        # orders; the overlap matrix fingerprints 10-token windows
-        # (partial-content overlap) instead of whole docs.
-        "customers_without_orders",
-        "source_overlap_matrix",
-        # r6: the SQL layer's latest-snapshot binder was rewritten for
-        # schema-qualified names (dot-aware boundaries, longest-first alias
-        # rewrite) — the r5 verdict for this query belongs to the old
-        # word-boundary binder.
-        "sql_lakehouse_time_travel",
-        # r6 (late): dup_clusters was rewritten (pointer doubling, per-round
-        # localCheckpoint lineage truncation, size-adaptive broadcast
-        # rounds) — same fixpoint, proven by the union-find cross-check and
-        # today's local parity sweep, but the green verdicts for its two
-        # driver-verified consumers belong to the O(diameter)/persist form.
-        "dedup_clusters",
-        "fuzzy_dedup_survivors",
-        # r6 (late): _read_dirs grew alias-aware group reads (RENAME
-        # COLUMN), commit() grew the generated-column hook, and UPDATE
-        # rewrote to single-select ANSI semantics — re-green the two
-        # queries that exercise the changed read + DML paths most directly
-        # (the remaining S10 greens are covered by today's local parity
-        # sweep; slots go to the 30+ never-verified first).
-        "time_travel_customer_v1",
-        "delete_where_roundtrip",
-        # (stream_quarantine_events was retuned for the same reason but has
-        # never been driver-verified, so it already sits in the never block.)
+        # r7: approx_distinct_users rewritten from a rows-only raw-HLL-
+        # estimate row into a deterministic, hashable verdict row (estimate
+        # vs engine-side exact COUNT(DISTINCT) within tolerance) so it gets
+        # the driver's full rows+schema+hash check (VERDICT r6 ask #5).
+        "approx_distinct_users",
+    }
+)
+
+# The 42 queries that entered r7 without any driver verdict (VERDICT r6
+# "Next round #1": the entire r7 window goes to these). Queries registered
+# NEW in r7 must sort BEHIND this carry block so they cannot displace it —
+# new queries merely stay pending, which round 8 absorbs.
+_NEVER_VERIFIED_CARRY = frozenset(
+    {
+        "phrase_snippets_docs", "boolean_search_docs", "zipf_fit_report",
+        "hll_partial_merge_verdict", "cms_heavy_hitters",
+        "histogram_quantile_sketch", "kmv_distinct_custkeys",
+        "kmv_join_cardinality_orders", "bootstrap_mean_order_value",
+        "stats_ndv_join_estimate", "ndv_drift_report", "kmv_set_ops_custkeys",
+        "entity_golden_records", "hidden_partition_scan",
+        "pushdown_source_scan", "pywrite_table_roundtrip",
+        "event_funnel_steps", "column_profile_orders", "charclass_profile",
+        "tick_vwap_daily", "asof_next_purchase", "ewma_user_value",
+        "rolling_zscore_events", "asof_cogroup_pandas",
+        "user_value_median_pandas", "sft_transcripts", "preference_pairs",
+        "m4_downsampled_events", "stream_delta_log_appends",
+        "stream_left_outer_views", "stream_quarantine_events",
+        "stream_table_appends", "stream_update_counts",
+        "stream_txn_append_state", "stream_cdf_mor_changes",
+        "stream_erasure_tombstones", "stream_doc_dedup", "stream_bm25_index",
+        "stream_cms_heavy_hitters", "stream_histogram_quantiles",
+        "stream_kmv_distinct", "stream_weighted_sample",
     }
 )
 
@@ -234,8 +253,10 @@ def _reorder_for_driver() -> None:
        belongs to code that no longer exists, and several r4 verdict asks
        hinge on their re-green, so they must not fall off the ~50-slot
        window however many new queries a round adds),
-    2. never driver-verified (incl. queries new this round — an unverified
-       new query merely stays pending, which round N+1 absorbs),
+    2. never driver-verified, with the carried-over-from-r6 block
+       (``_NEVER_VERIFIED_CARRY``) strictly before queries registered new
+       this round (an unverified new query merely stays pending, which
+       round N+1 absorbs — VERDICT r6 #1/#3),
     3. previously verified, oldest verdict first (r1 before r2).
 
     Within blocks 1-2, cheap batch queries run before streaming/pysource
@@ -243,20 +264,27 @@ def _reorder_for_driver() -> None:
     hedging a time-budgeted driver.
     """
     verified = (
-        _VERIFIED_R1 | _VERIFIED_R2 | _VERIFIED_R3 | _VERIFIED_R4 | _VERIFIED_R5
+        _VERIFIED_R1 | _VERIFIED_R2 | _VERIFIED_R3 | _VERIFIED_R4
+        | _VERIFIED_R5 | _VERIFIED_R6
     )
 
     def slow_last(names: list[str]) -> list[str]:
         slow = [n for n in names if n.startswith(("stream_", "pysource_"))]
         return [n for n in names if n not in slow] + slow
 
-    never = slow_last([n for n in QUERIES if n not in verified])
+    unverified = [n for n in QUERIES if n not in verified]
+    never = slow_last(
+        [n for n in unverified if n in _NEVER_VERIFIED_CARRY]
+    ) + slow_last([n for n in unverified if n not in _NEVER_VERIFIED_CARRY])
     stale = slow_last(
         [n for n in QUERIES if n in _REWRITTEN_SINCE_GREEN]
     )
     latest_green: dict[str, int] = {}
     for rnd, names in enumerate(
-        (_VERIFIED_R1, _VERIFIED_R2, _VERIFIED_R3, _VERIFIED_R4, _VERIFIED_R5),
+        (
+            _VERIFIED_R1, _VERIFIED_R2, _VERIFIED_R3, _VERIFIED_R4,
+            _VERIFIED_R5, _VERIFIED_R6,
+        ),
         1,
     ):
         for n in names:

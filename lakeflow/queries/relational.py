@@ -780,15 +780,39 @@ def distinct_parts_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_distinct_users")  # approximate → engine-specific; rows-only check
+@register(
+    "approx_distinct_users",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           true AS approx_within_2pct
+    FROM events GROUP BY event_type
+    """,
+)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct — the 100 TB substitute for exact
-    countDistinct (no expand, constant memory). Sketch values are
-    engine-specific, so this is a rows-only check."""
+    countDistinct (no expand, constant memory). The raw HLL estimate is
+    engine-specific, so (VERDICT r6 ask #5, same fix as
+    `ivf_kmeans_recall_verdict`) this emits a deterministic VERDICT per
+    group instead of the estimate itself: the exact distinct count (both
+    engines compute it identically) plus a boolean asserting the HLL
+    estimate landed within 2% of it (rsd=0.01, so 2% is a >2-sigma band).
+    The oracle hash-checks every column, converting the old rows-only
+    carve-out into a full rows+schema+hash row. At 100 TB only the
+    approx_count_distinct branch survives — the exact branch exists here
+    purely as the tolerance yardstick."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
         F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", 0.01)
+                - F.countDistinct("user_id")
+            )
+            <= F.countDistinct("user_id") * F.lit(0.02)
+        ).alias("approx_within_2pct"),
     )
 
 

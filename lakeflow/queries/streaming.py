@@ -1098,8 +1098,8 @@ def stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass would build however the engine micro-batched the input
     (batch_equivalent, computed by diffing the two minima frames) — the
     live distinct-count-over-a-firehose pattern with ≤ k rows of state per
-    batch, and unlike the HLL twin (`approx_distinct_users`, rows-only)
-    the estimate is engine-portable and fully hash-checked."""
+    batch, and unlike HLL the estimate is engine-portable and fully
+    hash-checked."""
     import tempfile
 
     from pyspark.sql import functions as F

@@ -73,16 +73,33 @@ def test_oldest_verdicts_reverified_before_newest():
     assert rounds_in_order == sorted(rounds_in_order)
 
 
-def test_stale_set_covers_round6_rewrites():
-    """Every query whose implementation or oracle changed in round 6 must
-    hold a front-of-queue slot: the bitext ANN-shortlist replan, the
-    MOR-aware materialized-view refresh, and the constraint-gated MOR DML
-    write paths."""
-    expected = {
-        "bitext_margin_pairs", "mv_orders_by_status",
-        "mv_price_extrema_by_status", "mor_upsert_state", "mor_delete_state",
-    }
-    assert expected <= _REWRITTEN_SINCE_GREEN
+def test_stale_set_covers_round7_rewrites():
+    """Every query whose implementation or oracle changed in round 7 must
+    hold a front-of-queue slot: the approx-distinct verdict-row rewrite
+    (VERDICT r6 ask #5)."""
+    assert {"approx_distinct_users"} <= _REWRITTEN_SINCE_GREEN
+
+
+def test_carry_block_precedes_new_never_verified():
+    """VERDICT r6 #1/#3: the 42 queries that entered r7 with no driver
+    verdict must fill the window before anything registered new in r7."""
+    names = list(QUERIES)
+    carry_idx = [
+        i for i, n in enumerate(names) if n in _q._NEVER_VERIFIED_CARRY
+    ]
+    new_idx = [
+        i for i, n in enumerate(names)
+        if n not in _VERIFIED and n not in _q._NEVER_VERIFIED_CARRY
+    ]
+    assert len(carry_idx) == 42
+    if new_idx:
+        assert max(carry_idx) < min(new_idx), (
+            "a query registered new in r7 displaced the carry block"
+        )
+    # 1 stale + 42 carry fit inside the ~50-slot window with room to
+    # re-green the oldest stable verdicts.
+    n_stale = len([n for n in _REWRITTEN_SINCE_GREEN if n in names])
+    assert n_stale + len(carry_idx) <= 50
 
 
 def test_oracle_order_mirrors_query_order():
