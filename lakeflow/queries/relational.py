@@ -1497,6 +1497,78 @@ def ndv_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stats_stale_replan_join",
+    oracle="""
+    WITH s AS (
+        SELECT (SELECT COUNT(*) FROM orders WHERE o_orderkey % 32 = 0)
+                   AS stored_l,
+               (SELECT COUNT(*) FROM orders) AS live_l,
+               (SELECT COUNT(*) FROM customer) AS rows_r
+    )
+    SELECT CASE WHEN stored_l <= 2 * rows_r AND stored_l <= rows_r
+                THEN 'left' ELSE 'right' END AS initial_side,
+           CASE WHEN live_l <= 2 * rows_r AND live_l <= rows_r
+                THEN 'left' ELSE 'right' END AS final_side,
+           (live_l * 5 > stored_l * 6 OR live_l * 6 < stored_l * 5)
+               AS stale_detected,
+           true AS plan_broadcast,
+           (SELECT COUNT(*) FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey) AS join_rows
+    FROM s
+    """,
+)
+def stats_stale_replan_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stats-lifecycle CLOSED LOOP (VERDICT r6 ask #7): stale ANALYZE
+    statistics mis-plan a broadcast, the drift trigger re-ANALYZEs, and the
+    re-plan flips the join strategy. A fact table is ANALYZEd at 1/32 of
+    its rows, then the rest lands WITHOUT re-analysis — stored stats now
+    say the fact side is the smaller one, so a stats-trusting planner
+    would broadcast the FACT to every executor (at 100 TB, the mis-plan
+    that hand-placed ``broadcast()`` hints — reference
+    ``src/gold/dim_company.py:34`` — bake in permanently).
+    ``ndv_planned_join`` detects the 32x row-count drift (outside the 1.2
+    staleness band ``ndv_drift_report`` uses), re-ANALYZEs the stale side,
+    and the fresh plan broadcasts the dimension instead. The verdict row
+    hash-checks the initial (wrong) choice, the corrected choice, the
+    staleness flag, the physical plan actually containing a broadcast
+    join, and the join's row count — every column engine-portable."""
+    import tempfile
+
+    from lakeflow.operators.joins import ndv_planned_join
+    from lakeflow.tables import VersionedTable
+
+    root = tempfile.mkdtemp(prefix="lakeflow_replan_")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("custkey")
+    )
+    fact = VersionedTable(spark, f"{root}/fact")
+    fact.commit(orders.filter(F.col("o_orderkey") % 32 == 0))
+    fact.analyze_ndv(["custkey"], k=64)
+    fact.commit(orders.filter(F.col("o_orderkey") % 32 != 0), mode="append")
+
+    dim = VersionedTable(spark, f"{root}/dim")
+    dim.commit(
+        load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("custkey"), "c_name"
+        )
+    )
+    dim.analyze_ndv(["custkey"], k=64)
+
+    threshold = 2 * dim.read().count()
+    joined, d = ndv_planned_join(
+        fact, dim, on=["custkey"], broadcast_rows=threshold
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    return spark.range(1).select(
+        F.lit(d["initial_side"] or "none").alias("initial_side"),
+        F.lit(d["final_side"] or "none").alias("final_side"),
+        F.lit(bool(d["refreshed"])).alias("stale_detected"),
+        F.lit("BroadcastHashJoin" in plan).alias("plan_broadcast"),
+        F.lit(joined.count()).cast("bigint").alias("join_rows"),
+    )
+
+
+@register(
     "kmv_set_ops_custkeys",
     oracle=f"""
     WITH sa AS (

@@ -828,6 +828,13 @@ class VersionedTable:
             # Named refs (tags) likewise.
             if "refs" not in manifest and prev_m.get("refs"):
                 manifest["refs"] = prev_m["refs"]
+            # ANALYZE-time statistics (NDV sketches + row count) survive
+            # every manifest-producing path — statistics go STALE after a
+            # commit, they don't vanish; noticing the drift is the
+            # planner's job (ndv_drift_report / ndv_planned_join), exactly
+            # as in Iceberg/Delta where ANALYZE output outlives appends.
+            if "ndv" not in manifest and prev_m.get("ndv"):
+                manifest["ndv"] = prev_m["ndv"]
             # Deletion vectors ride along while any referenced dir survives;
             # a full-rewrite manifest (no shared dirs) purges them — its
             # data was read THROUGH the vectors, so the deletes are

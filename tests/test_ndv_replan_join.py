@@ -1,0 +1,90 @@
+"""ndv_planned_join: stale ANALYZE stats mis-plan the broadcast; the drift
+trigger re-ANALYZEs and flips the strategy (VERDICT r6 ask #7).
+
+Reference analogue: the manual ``broadcast()`` at
+``/root/reference/src/gold/dim_company.py:34`` hard-codes the decision a
+cost-based planner makes from statistics — and both go wrong the same way
+when the "small" side grows without a re-ANALYZE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakeflow.operators.joins import ndv_planned_join
+from lakeflow.tables import VersionedTable
+
+
+def _tables(spark, tmp_path):
+    """fact: analyzed at 1/32 of its rows, then appended to full size
+    (stats now lie 32x low). dim: analyzed fresh."""
+    fact = VersionedTable(spark, str(tmp_path / "fact"))
+    fact.commit(
+        spark.range(0, 6400, 32).select(
+            (F.col("id") % 200).alias("k"), F.col("id").alias("v")
+        )
+    )
+    fact.analyze_ndv(["k"], k=64)
+    fact.commit(
+        spark.range(6400).filter(F.col("id") % 32 != 0).select(
+            (F.col("id") % 200).alias("k"), F.col("id").alias("v")
+        ),
+        mode="append",
+    )
+    dim = VersionedTable(spark, str(tmp_path / "dim"))
+    dim.commit(
+        spark.range(200).select(F.col("id").alias("k"), F.lit("x").alias("tag"))
+    )
+    dim.analyze_ndv(["k"], k=64)
+    return fact, dim
+
+
+def test_stale_stats_pick_the_wrong_side_without_refresh(spark, tmp_path):
+    fact, dim = _tables(spark, tmp_path)
+    # Stored fact rows = 200 (analyze-time); live = 6400. Threshold 400:
+    # the stale planner broadcasts the FACT side — the 100 TB disaster.
+    df, d = ndv_planned_join(
+        fact, dim, on=["k"], broadcast_rows=400, refresh_stale=False
+    )
+    assert d["initial_side"] == "left"
+    assert d["final_side"] == "left"  # nothing corrected it
+    assert d["refreshed"] == []
+    assert df.count() == 6400
+
+
+def test_drift_trigger_reanalyzes_and_flips_the_broadcast(spark, tmp_path):
+    fact, dim = _tables(spark, tmp_path)
+    df, d = ndv_planned_join(fact, dim, on=["k"], broadcast_rows=400)
+    # Same initial mis-plan...
+    assert d["initial_side"] == "left"
+    # ...but the drift check (live 6400 vs stored 200 = 32x, far outside
+    # the 1.2 band) re-ANALYZEs the fact side and the re-plan broadcasts
+    # the dim instead.
+    assert d["refreshed"] == ["left"]
+    assert d["drift_left"] > 30
+    assert d["final_side"] == "right"
+    assert d["stored_rows"] == (6400, 200)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert df.count() == 6400
+    # The re-ANALYZE persisted: a second plan over the same tables now
+    # starts from fresh statistics and never mis-plans.
+    _, d2 = ndv_planned_join(fact, dim, on=["k"], broadcast_rows=400)
+    assert d2["initial_side"] == "right"
+    assert d2["refreshed"] == []
+
+
+def test_fresh_stats_plan_without_reanalyze(spark, tmp_path):
+    fact, dim = _tables(spark, tmp_path)
+    fact.analyze_ndv(["k"], k=64)  # bring stats current up front
+    df, d = ndv_planned_join(fact, dim, on=["k"], broadcast_rows=400)
+    assert d["refreshed"] == []
+    assert d["initial_side"] == d["final_side"] == "right"
+    assert df.count() == 6400
+
+
+def test_neither_side_fits_falls_back_to_shuffle(spark, tmp_path):
+    fact, dim = _tables(spark, tmp_path)
+    df, d = ndv_planned_join(fact, dim, on=["k"], broadcast_rows=100)
+    assert d["final_side"] is None
+    assert df.count() == 6400
