@@ -88,6 +88,16 @@ def edit_distance_pairs(
     variant fan-out constant, not the verify join, dominates the steady
     cost, and shrinking it further means truncated-prefix SymSpell, which
     trades away the recall-1 guarantee. Stopping here.
+
+    r7 re-profile of the reported 5.0→6.2s bench creep: this module is
+    byte-identical since the r5 note above, and re-measured today the
+    query runs 2.5-3.2s warm in isolation and 4.88s in exact bench
+    context (same headline prefix, fresh session, sf0.1, local[32]) —
+    back under the 5.0s target. Neither the variant fan-out nor the
+    verify grew; the 6.2s r6 driver figure was run-environment variance
+    on a one-shot measurement of a query whose first-touch codegen
+    (~1.7s of unusually large generated expressions) amplifies any
+    scheduler noise. No plan change warranted.
     """
     if max_dist != 2:
         raise ValueError("edit_distance_pairs currently supports max_dist=2")

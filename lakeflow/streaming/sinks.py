@@ -544,8 +544,12 @@ def stream_index_ingest(
             "id",
             F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
         )
-        dl = toks.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+        # One tokenization per batch: dl derives from the cached tf (same
+        # rationale as build_text_index; no df stats table — the probe
+        # window-counts document frequency off the postings it reads).
         tf = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+        tf.persist()
+        dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
         (
             tf.join(dl, "id")
             .select("tok", "id", "tf", "dl")
@@ -554,16 +558,12 @@ def stream_index_ingest(
             .write.mode("overwrite")
             .parquet(f"{index_dir}/postings/batch={int(batch_id)}")
         )
-        tf.groupBy("tok").agg(
-            F.count(F.lit(1)).alias("df")
-        ).write.mode("overwrite").parquet(
-            f"{index_dir}/term_stats/batch={int(batch_id)}"
-        )
         dl.agg(
             F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sum_dl")
         ).write.mode("overwrite").parquet(
             f"{index_dir}/corpus_stats/batch={int(batch_id)}"
         )
+        tf.unpersist()
 
     writer = df.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint or _tf.mkdtemp(prefix="lakeflow-ckpt-")

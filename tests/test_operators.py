@@ -1840,8 +1840,8 @@ def test_stream_index_ingest_replay_is_idempotent(spark, tmp_path):
 
 def test_compact_text_index_preserves_probe_and_shrinks_files(spark, tmp_path):
     """Compaction folds batch shards into the one-shot layout: the probe
-    answer is bit-identical, term partials collapse to one row per term,
-    and the postings file count drops."""
+    answer is bit-identical, corpus partials collapse to one row, and the
+    postings file count drops."""
     import glob
 
     from pyspark.sql import functions as F
@@ -1864,16 +1864,14 @@ def test_compact_text_index_preserves_probe_and_shrinks_files(spark, tmp_path):
         map(tuple, bm25_indexed_topk(spark, idx, ["spark", "join"]).collect())
     )
     files_before = len(glob.glob(f"{idx}/postings/*.parquet"))
-    ts = spark.read.parquet(f"{idx}/term_stats")
-    assert ts.count() > ts.select("tok").distinct().count()  # partials exist
+    # Batch partials exist pre-compaction (one corpus-stats row per ingest).
+    assert spark.read.parquet(f"{idx}/corpus_stats").count() == 2
 
     compact_text_index(spark, idx)
     after = sorted(
         map(tuple, bm25_indexed_topk(spark, idx, ["spark", "join"]).collect())
     )
     assert after == before
-    ts2 = spark.read.parquet(f"{idx}/term_stats")
-    assert ts2.count() == ts2.select("tok").distinct().count()
     assert len(glob.glob(f"{idx}/postings/*.parquet")) < files_before
     assert spark.read.parquet(f"{idx}/corpus_stats").count() == 1
 
