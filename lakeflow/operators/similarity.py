@@ -1087,3 +1087,83 @@ def mmr_rerank(
         .cogroup(pairs.groupBy("qid"))
         .applyInPandas(greedy, "qid long, vid long, rank int, mmr_micro long")
     )
+
+
+def sq8_quantize(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "qvec",
+) -> DataFrame:
+    """Scalar 8-bit quantization of an embedding column — the 4x memory cut
+    that decides whether a 100 TB embedding corpus fits executor memory /
+    page cache at all (faiss ``SQ8``). Per-VECTOR max-abs scaling on
+    purpose: cosine is invariant to per-vector scale, so unlike per-
+    dimension trained bounds (which need a corpus-wide d-length statistics
+    pass and drift as data grows) this form quantizes scan-side with ZERO
+    training, zero extra shuffle, and no stats to go stale — the only
+    error left is the ±1/254 rounding. Output column is array<tinyint>
+    in [-127, 127]; a zero vector quantizes to zeros."""
+    x = F.col(vec_col)
+    scale = F.array_max(F.transform(x, lambda v: F.abs(v)))
+    q = F.transform(
+        x,
+        lambda v: F.when(scale == 0.0, F.lit(0))
+        .otherwise(
+            F.floor(v / scale * 127.0 + F.lit(0.5)).cast("int")
+        )
+        .cast("tinyint"),
+    )
+    return df.withColumn(out_col, q)
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact-shape top-k by cosine over the QUANTIZED representation:
+    same broadcast-queries / corpus-never-shuffles plan as
+    ``brute_force_topk``, but every corpus vector is an int8 array — the
+    scan reads a quarter of the bytes and the dot product runs on
+    integers. Integer sums are order-free, so scores are bit-stable
+    across partitionings; ranking uses the rounded quantized cosine with
+    vid tiebreak. Output: (qid, vid, qcos)."""
+    q = sq8_quantize(
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col)),
+        vec_col,
+        "qq",
+    ).select("qid", "qq")
+    c = sq8_quantize(
+        fan_out(corpus).select(F.col(id_col).alias("vid"), F.col(vec_col)),
+        vec_col,
+        "qc",
+    ).select("vid", "qc")
+    iq = lambda a, b: F.aggregate(  # noqa: E731 — integer dot product
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x.cast("long") * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    inorm = lambda a: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(F.col(a), lambda x: x.cast("long") * x),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).cast("double")
+    )
+    scored = c.join(F.broadcast(q), F.col("qid") != F.col("vid")).select(
+        "qid",
+        "vid",
+        rnd(
+            iq("qq", "qc").cast("double") / (inorm("qq") * inorm("qc")),
+            round_to,
+        ).alias("qcos"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("qcos"), F.asc("vid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

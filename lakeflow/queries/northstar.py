@@ -812,6 +812,43 @@ def ivf_kmeans_recall_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sq8_embedding_recall_verdict",
+    oracle="""
+    SELECT 'int8 scalar-quantized cosine recall@5 vs float brute force'
+               AS metric,
+           100 AS n_exact_pairs,
+           true AS passed
+    """,
+)
+def sq8_embedding_recall_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar 8-bit quantization (operators/similarity.py::sq8_topk — the
+    faiss-SQ8 memory story: a 100 TB float corpus becomes 25 TB of int8
+    with per-vector max-abs scaling, which cosine is invariant to, so no
+    trained bounds and no stats to go stale). Like the IVF twin, the
+    quantized scores are representation-specific, so the query emits a
+    1-row INVARIANT VERDICT: recall@5 of the int8 ranking against the
+    float ``brute_force_topk`` over 20 query vectors must clear 90% —
+    far above what ±1/254 rounding can disturb, and a quantizer bug
+    (overflow, saturation, sign flip) collapses it. The row is
+    deterministic exactly when the invariant holds; the constant oracle
+    hash-checks it."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = sim.brute_force_topk(emb, queries, k=5).select("qid", "vid")
+    approx = sim.sq8_topk(emb, queries, k=5).select("qid", "vid")
+    hits = exact.join(approx, ["qid", "vid"], "left_semi")
+    n_exact = exact.agg(F.count(F.lit(1)).cast("int").alias("n_exact_pairs"))
+    n_hits = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    return n_exact.crossJoin(n_hits).select(
+        F.lit(
+            "int8 scalar-quantized cosine recall@5 vs float brute force"
+        ).alias("metric"),
+        "n_exact_pairs",
+        (F.col("n_hits") * 100 >= F.col("n_exact_pairs") * 90).alias("passed"),
+    )
+
+
+@register(
     "frame_sample_plumbing",
     oracle="""
     WITH m AS (

@@ -2145,3 +2145,37 @@ def test_pipeline_resume_skips_completed_tasks():
     assert p.report["extract"]["status"] == "skipped_done"
     assert p.report["transform"]["status"] == "success"
     assert state["out"] == 21
+
+
+def test_sq8_quantization_properties_and_recall(spark):
+    """Scalar int8 quantization: values stay in [-127, 127], a zero vector
+    quantizes to zeros, the per-vector max-abs component hits exactly ±127,
+    and the quantized ranking recovers >=90% of the float brute-force
+    top-5 pairs on the fixture (rounding is the only error source)."""
+    from .conftest import SF_DIR
+
+    from lakeflow.catalog import load_table
+    from lakeflow.operators.similarity import (
+        brute_force_topk,
+        sq8_quantize,
+        sq8_topk,
+    )
+
+    crafted = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0])],
+        "vec_id int, embedding array<float>",
+    )
+    rows = {r.vec_id: list(r.qvec) for r in sq8_quantize(crafted).collect()}
+    assert rows[1] == [64, -127, 32]  # floor(x/maxabs*127 + .5)
+    assert rows[2] == [0, 0, 0]
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {(r.qid, r.vid) for r in brute_force_topk(emb, q, k=5).collect()}
+    approx = {(r.qid, r.vid) for r in sq8_topk(emb, q, k=5).collect()}
+    assert len(exact & approx) >= 0.9 * len(exact)
+    bounds = sq8_quantize(emb).select(
+        F.min(F.array_min("qvec")).alias("lo"),
+        F.max(F.array_max("qvec")).alias("hi"),
+    ).collect()[0]
+    assert -127 <= bounds.lo and bounds.hi <= 127
