@@ -748,16 +748,12 @@ def stream_erasure_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
         "erasure request",
     )
 
-    def deletes(name: str, key_col: str) -> DataFrame:
-        stream = (
+    def tombstones(name: str, key_col: str) -> DataFrame:
+        return (
             spark.readStream.format("lakeflow_table_changes")
             .option("path", ref.catalog.load(name).root)
             .option("mode", "cdf")
             .load()
-        )
-        tbl, _ = run_to_memory(stream)
-        return (
-            spark.table(tbl)
             .filter(F.col("_change_type") == "delete")
             .select(
                 F.lit(name).alias("table_name"),
@@ -765,9 +761,15 @@ def stream_erasure_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    return deletes("profiles", "c_custkey").unionAll(
-        deletes("activity", "o_custkey")
+    # Union STREAM-SIDE so one micro-batch engine serves every table's
+    # deletion feed — the tombstone manifest is a single append stream
+    # however many tables the purge touched (N engines would each pay
+    # planner/state startup and re-coordinate checkpoints).
+    merged = tombstones("profiles", "c_custkey").unionAll(
+        tombstones("activity", "o_custkey")
     )
+    tbl, _ = run_to_memory(merged)
+    return spark.table(tbl)
 
 
 @register(
