@@ -51,10 +51,9 @@ def _load_all() -> None:
 # Driver-verified queries by round (CORRECTNESS_r01.json / CORRECTNESS_r02.json;
 # regenerate with ``python scripts/update_green_set.py``). A row counts as
 # verified when rows+schema+hash all matched, or when it is a by-design
-# rows-only query (``err == "no_oracle"`` with a non-negative row count) —
-# stream_gap_sessions gets the driver's weaker check every time and must
-# not hog priority slots (approx_distinct_users graduated to a full
-# hash-checked verdict row in r7).
+# rows-only query (``err == "no_oracle"`` with a non-negative row count).
+# Since r7 every registered query has a DuckDB oracle — approx_distinct_users
+# (the last rows-only carve-out) now emits a hash-checked tolerance verdict.
 _VERIFIED_R1 = frozenset(
     {
         "scd1_customer_state", "scd2_customer_state", "time_travel_customer_v1",

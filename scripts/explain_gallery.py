@@ -89,6 +89,9 @@ GALLERY = [
     ("token_budget_selection", "histogram cutoff, no rangepartitioning: corpus → weighted bin agg → tiny cumulative frame → scan-side filter"),
     ("kmv_join_cardinality_orders", "join-rows estimate from two sketches: per-side counts + overlap arithmetic, no key-set join"),
     ("entity_golden_records", "ER survivorship: checkpointed component labels (lineage truncated) → one algebraic cluster agg"),
+    ("sq8_embedding_recall_verdict", "int8-quantized scoring: query set broadcast (BNLJ by design), corpus never shuffles; one qid window exchange"),
+    ("stats_stale_replan_join", "drift-triggered re-ANALYZE flips the broadcast side — final plan carries the corrected hint"),
+    ("bm25_indexed_topk", "postings IN-probe (envelope-pruned files) → df from scanned rows (combine-bounded groupBy + broadcast back) → TakeOrdered"),
 ]
 
 

@@ -777,3 +777,19 @@ def test_token_budget_selection_no_corpus_sort(spark):
     assert "hashpartitioning(_groupingexpression" in plan, (
         "histogram aggregate lost its bin exchange"
     )
+
+
+def test_sq8_topk_broadcasts_queries_and_never_shuffles_corpus(spark):
+    """Int8-quantized brute force keeps the brute_force_topk plan contract:
+    the (small) query set broadcasts — BroadcastNestedLoopJoin is the
+    deliberate shape for a non-equi scoring join — and the only hash
+    exchange is the per-query top-k window; the quantized corpus itself
+    never repartitions for scoring."""
+    from lakeflow.catalog import load_table
+    from lakeflow.operators.similarity import sq8_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    df = sq8_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # the qid window
