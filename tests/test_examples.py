@@ -25,6 +25,7 @@ EXAMPLES = [
     "pushdown_io.py",
     "warehouse_txn.py",
     "sketches.py",
+    "stats_lifecycle.py",
 ]
 
 
