@@ -2138,6 +2138,17 @@ class VersionedTable:
             manifest["masks"] = {
                 c: e for c, e in m["masks"].items() if c != name
             }
+        if m.get("ndv"):
+            # The dropped column's NDV sketch retires with it — explicitly
+            # present so the carry-forward in _publish_manifest cannot
+            # resurrect stats for a column the schema no longer has.
+            ndv = dict(m["ndv"])
+            ndv["cols"] = {
+                c: v
+                for c, v in dict(ndv.get("cols", {})).items()
+                if c != name
+            }
+            manifest["ndv"] = ndv
         self._publish_manifest(manifest)
         return manifest["version"]
 
@@ -2323,6 +2334,16 @@ class VersionedTable:
                 d: {(new if c == old else c): v for c, v in cs.items()}
                 for d, cs in m["bloom"].items()
             }
+        if m.get("ndv"):
+            # NDV sketches key on the LOGICAL column name — rename the key
+            # with the column (explicitly present so the carry-forward in
+            # _publish_manifest cannot resurrect the old name).
+            ndv = dict(m["ndv"])
+            ndv["cols"] = {
+                (new if c == old else c): v
+                for c, v in dict(ndv.get("cols", {})).items()
+            }
+            manifest["ndv"] = ndv
         self._publish_manifest(manifest)
         return manifest["version"]
 

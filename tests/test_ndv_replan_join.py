@@ -88,3 +88,43 @@ def test_neither_side_fits_falls_back_to_shuffle(spark, tmp_path):
     df, d = ndv_planned_join(fact, dim, on=["k"], broadcast_rows=100)
     assert d["final_side"] is None
     assert df.count() == 6400
+
+
+def test_ndv_stats_survive_appends_but_follow_column_ddl(spark, tmp_path):
+    """ANALYZE output rides every commit (stale, not vanished), renames
+    with its column, and retires when the column drops — the carry-forward
+    must never resurrect stats for a name the schema no longer has."""
+    import pytest
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(
+        spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+        )
+    )
+    t.analyze_ndv(["k", "v"], k=32)
+    t.commit(
+        spark.range(100, 150).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+        ),
+        mode="append",
+    )
+    assert t.ndv_stats("k")["rows"] == 100  # survived, stale by design
+
+    t.rename_column("k", "key")
+    assert t.ndv_stats("key")["k"] == 32
+    with pytest.raises(ValueError):
+        t.ndv_stats("k")
+
+    t.drop_column("v")
+    with pytest.raises(ValueError):
+        t.ndv_stats("v")
+    # A later unrelated commit must not resurrect the dropped column's stats.
+    t.commit(
+        spark.range(150, 160).select(F.col("id").alias("key")),
+        mode="append",
+        merge_schema=True,
+    )
+    with pytest.raises(ValueError):
+        t.ndv_stats("v")
+    assert t.ndv_stats("key")["rows"] == 100
