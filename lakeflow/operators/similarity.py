@@ -1167,3 +1167,71 @@ def sq8_topk(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def ivf_probe_cells(
+    spark,
+    cells_dir: str,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Query side of the streamed IVF index
+    (streaming/sinks.py::stream_ann_ingest): assign each query vector its
+    ``n_probe`` nearest centroids (broadcast of the tiny centroid set),
+    then read ONLY matching ``cid=`` partitions of the landed cells —
+    the cid filter reaches the scan as a partition filter (statically for
+    a literal probe list, via dynamic partition pruning for the join
+    form), so a probe touches n_probe/C of the corpus bytes, which is the
+    entire point of IVF at 100 TB. Scoring and ranking are bit-identical
+    to ``ivf_topk`` (same rounded cosine, same vid tiebreak, same
+    multi-probe dedup): the streamed index answers EXACTLY like the
+    one-shot batch assignment, however the vectors were micro-batched."""
+    cent = centroids.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cv_c"),
+        norm(vec_col).alias("cn_c"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        norm(vec_col).alias("qn"),
+    )
+    q_scored = q.join(F.broadcast(cent)).select(
+        "qid",
+        "qv",
+        "qn",
+        "cid",
+        rnd(
+            dot("qv", "cv_c") / (F.col("qn") * F.col("cn_c")), round_to
+        ).alias("ccos"),
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("ccos"), F.asc("cid"))
+    q_cells = (
+        q_scored.withColumn("crn", F.row_number().over(wq))
+        .filter(F.col("crn") <= n_probe)
+        .select("qid", "qv", "qn", "cid")
+    )
+    cells = spark.read.parquet(cells_dir)
+    scored = (
+        cells.join(F.broadcast(q_cells), "cid")
+        .filter(F.col("qid") != F.col("vid"))
+        .select(
+            "qid",
+            "vid",
+            rnd(
+                dot("qv", vec_col) / (F.col("qn") * F.col("vn")), round_to
+            ).alias("cos"),
+        )
+        .dropDuplicates(["qid", "vid"])
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

@@ -717,9 +717,11 @@ _R6 = "(floor(({x}) * 1000000.0 + 0.5) / 1000000.0)"
 _CCOS = _R6.format(x=f"{_DOT64.format(a='x.v', b='cent.cv')} / (x.nrm * cent.cn)")
 
 
-@register(
-    "ivf_topk",
-    oracle=f"""
+# Shared by ivf_topk and its streaming-ingest twin (stream_ann_cells_topk):
+# per-vector cell assignment is independent of micro-batching, so the folded
+# streaming cells reproduce the one-shot assignment bit-for-bit and BOTH
+# queries hash against this one oracle.
+_IVF_TOPK_ORACLE = f"""
     WITH e AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings
@@ -755,8 +757,10 @@ _CCOS = _R6.format(x=f"{_DOT64.format(a='x.v', b='cent.cv')} / (x.nrm * cent.cn)
         SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn
         FROM scored
     ) WHERE rn <= 5
-    """,
-)
+"""
+
+
+@register("ivf_topk", oracle=_IVF_TOPK_ORACLE)
 def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: 16 deterministic seed centroids (vec_id < 16) coarse-quantize
     the corpus; each of the 10 query vectors probes its 4 nearest cells and

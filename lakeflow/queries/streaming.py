@@ -1216,3 +1216,74 @@ def stream_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_hash_sample(cands, "doc_id", "n_chars", 200).select(
         "doc_id", "lang", "n_chars"
     )
+
+
+def _register_stream_ann() -> None:
+    # Deferred import: the oracle string lives beside ivf_topk so the two
+    # registrations can never drift apart.
+    from lakeflow.queries.northstar import _IVF_TOPK_ORACLE
+
+    @register("stream_ann_cells_topk", oracle=_IVF_TOPK_ORACLE)
+    def stream_ann_cells_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Streaming twin of `ivf_topk`: the embeddings table arrives as
+        three micro-batches (maxFilesPerTrigger=1) through
+        `stream_ann_ingest`, each landing its vectors under
+        batch=<id>/cid=<cell> partitions (overwrite = replay-idempotent,
+        cid = the physical partition key a probe prunes on), and
+        `ivf_probe_cells` over the assembled index must answer EXACTLY
+        like the one-shot batch assignment — the SAME oracle as
+        `ivf_topk`, because per-vector cell assignment is independent of
+        micro-batching. A vector assigned to the wrong cell, a batch
+        dropped or double-ingested, or drifted scoring arithmetic breaks
+        the hash."""
+        import glob
+        import os
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from lakeflow.operators.similarity import ivf_probe_cells
+        from lakeflow.sources.streams import file_stream
+        from lakeflow.streaming.sinks import stream_ann_ingest
+
+        raw = spark.read.parquet(table_path(sf_dir, "embeddings")).select(
+            "vec_id", "embedding"
+        )
+        n = raw.agg(F.max("vec_id")).first()[0]
+        feed = tempfile.mkdtemp(prefix="lakeflow_annfeed_")
+        for i, b in enumerate(
+            (
+                raw.filter(F.col("vec_id") <= n // 3),
+                raw.filter(
+                    (F.col("vec_id") > n // 3) & (F.col("vec_id") <= 2 * n // 3)
+                ),
+                raw.filter(F.col("vec_id") > 2 * n // 3),
+            )
+        ):
+            part = tempfile.mkdtemp(prefix="lakeflow_annpart_")
+            b.coalesce(1).write.mode("overwrite").parquet(part)
+            dst = f"{feed}/{i:03d}.parquet"
+            shutil.copy(glob.glob(f"{part}/*.parquet")[0], dst)
+            os.utime(dst, (1_700_000_000 + i * 10,) * 2)
+
+        centroids = raw.filter(F.col("vec_id") < 16)
+        cells = tempfile.mkdtemp(prefix="lakeflow_anncells_")
+        stream = file_stream(
+            spark,
+            feed,
+            "vec_id bigint, embedding array<float>",
+            max_files_per_trigger=1,
+        )
+        stream_ann_ingest(stream, cells, centroids).awaitTermination()
+        return ivf_probe_cells(
+            spark,
+            cells,
+            queries=raw.filter(F.col("vec_id") < 10),
+            centroids=centroids,
+            k=5,
+            n_probe=4,
+        )
+
+
+_register_stream_ann()

@@ -575,6 +575,88 @@ def stream_index_ingest(
     return writer.start()
 
 
+def stream_ann_ingest(
+    df: DataFrame,
+    cells_dir: str,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+    checkpoint: str | None = None,
+    available_now: bool = True,
+    processing_time: str | None = None,
+):
+    """Streaming maintenance of an IVF ANN index
+    (operators/similarity.py::ivf_topk's ingest half): each micro-batch
+    assigns ONLY its own vectors to their nearest coarse centroid
+    (broadcast of the small fixed centroid set; the rounded-cosine +
+    centroid-id tiebreak makes the assignment engine-reproducible) and
+    lands (vid, vector, norm) under ``batch=<id>/cid=<cell>`` with
+    OVERWRITE semantics — the same replay-idempotency-by-construction as
+    ``stream_index_ingest``. Because per-vector assignment is independent
+    of batching, the union of all landed batches IS the one-shot
+    assignment bit-for-bit, and ``cid`` as a physical partition key means
+    a probe reads n_probe/C of the corpus via partition pruning — the
+    embedding-firehose shape at 100 TB: per-batch assignment cost, no
+    index rebuild, compaction of batch shards at OPTIMIZE cadence.
+    Contract: append-only vector stream with unique ids; the centroid set
+    is FIXED for the index's lifetime (retraining = new index dir)."""
+    import tempfile as _tf
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from lakeflow.functions.rounding import rnd
+    from lakeflow.functions.vectors import dot, norm
+
+    cent = centroids.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cv_c"),
+        norm(vec_col).alias("cn_c"),
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        scored = (
+            batch_df.select(
+                F.col(id_col).alias("vid"),
+                F.col(vec_col),
+                norm(vec_col).alias("vn"),
+            )
+            .join(F.broadcast(cent))
+            .select(
+                "vid",
+                vec_col,
+                "vn",
+                F.col("cid"),
+                rnd(
+                    dot(vec_col, "cv_c") / (F.col("vn") * F.col("cn_c")),
+                    round_to,
+                ).alias("ccos"),
+            )
+        )
+        w = Window.partitionBy("vid").orderBy(F.desc("ccos"), F.asc("cid"))
+        (
+            scored.withColumn("crn", F.row_number().over(w))
+            .filter(F.col("crn") == 1)
+            .select("cid", "vid", vec_col, "vn")
+            .write.partitionBy("cid")
+            .mode("overwrite")
+            .parquet(f"{cells_dir}/batch={int(batch_id)}")
+        )
+
+    writer = df.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint or _tf.mkdtemp(prefix="lakeflow-ckpt-")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
 def stream_cms_ingest(
     df: DataFrame,
     sketch_dir: str,

@@ -2179,3 +2179,73 @@ def test_sq8_quantization_properties_and_recall(spark):
         F.max(F.array_max("qvec")).alias("hi"),
     ).collect()[0]
     assert -127 <= bounds.lo and bounds.hi <= 127
+
+
+def test_stream_ann_ingest_replay_idempotent_and_matches_batch_ivf(
+    spark, tmp_path
+):
+    """The streamed IVF cells must (a) answer bit-identically to the batch
+    ivf_topk over the same corpus (per-vector assignment is independent of
+    micro-batching) and (b) be replay-idempotent — a fresh checkpoint
+    reprocessing the same feed overwrites batch=<id> subdirs with identical
+    content instead of double-ingesting vectors."""
+    import glob
+    import os
+    import shutil
+
+    from lakeflow.catalog import load_table
+    from lakeflow.operators.similarity import ivf_probe_cells, ivf_topk
+    from lakeflow.sources.streams import file_stream
+    from lakeflow.streaming.sinks import stream_ann_ingest
+
+    from .conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    part = str(tmp_path / "part")
+    emb.coalesce(1).write.mode("overwrite").parquet(part)
+    dst = f"{feed}/000.parquet"
+    shutil.copy(glob.glob(f"{part}/*.parquet")[0], dst)
+    os.utime(dst, (1_700_000_000,) * 2)
+
+    centroids = emb.filter(F.col("vec_id") < 16)
+    queries = emb.filter(F.col("vec_id") < 10)
+    cells = str(tmp_path / "cells")
+    schema = "vec_id bigint, embedding array<float>"
+    stream_ann_ingest(
+        file_stream(spark, feed, schema, max_files_per_trigger=1),
+        cells,
+        centroids,
+    ).awaitTermination()
+
+    streamed = sorted(
+        map(
+            tuple,
+            ivf_probe_cells(
+                spark, cells, queries, centroids, k=5, n_probe=4
+            ).collect(),
+        )
+    )
+    batch = sorted(
+        map(tuple, ivf_topk(emb, queries, centroids, k=5, n_probe=4).collect())
+    )
+    assert streamed == batch
+
+    # Replay with a fresh checkpoint: same batch id, same content, no dups.
+    stream_ann_ingest(
+        file_stream(spark, feed, schema, max_files_per_trigger=1),
+        cells,
+        centroids,
+    ).awaitTermination()
+    again = sorted(
+        map(
+            tuple,
+            ivf_probe_cells(
+                spark, cells, queries, centroids, k=5, n_probe=4
+            ).collect(),
+        )
+    )
+    assert again == streamed
+    n_rows = spark.read.parquet(cells).count()
+    assert n_rows == emb.count()  # every vector exactly once
