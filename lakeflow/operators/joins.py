@@ -216,6 +216,38 @@ def _pruned_bytes(table, between: Mapping[str, tuple] | None) -> int:
     )
 
 
+def _broadcast_side(
+    how: str, l_size: float, r_size: float, limit: float
+) -> str | None:
+    """Which side (if any) a stats-based planner may broadcast: the smaller
+    side that fits ``limit`` AND that the join semantics allow (never the
+    outer-preserved side). Shared by ``stats_planned_join`` (sizes =
+    pruned bytes) and ``ndv_planned_join`` (sizes = stored row counts) so
+    the join-type whitelist and the tie-break live in exactly one place.
+    An unrecognized ``how`` broadcasts nothing — the conservative miss."""
+    can = {
+        "inner": ("left", "right"),
+        "cross": ("left", "right"),
+        "left": ("right",),
+        "left_outer": ("right",),
+        "leftouter": ("right",),
+        "left_semi": ("right",),
+        "semi": ("right",),
+        "left_anti": ("right",),
+        "anti": ("right",),
+        "right": ("left",),
+        "right_outer": ("left",),
+        "rightouter": ("left",),
+    }.get(how, ())
+    if "left" in can and l_size <= limit and (
+        "right" not in can or l_size <= r_size
+    ):
+        return "left"
+    if "right" in can and r_size <= limit:
+        return "right"
+    return None
+
+
 def stats_planned_join(
     left,
     right,
@@ -243,23 +275,7 @@ def stats_planned_join(
     rb = _pruned_bytes(right, right_between)
     ldf = left.scan(dict(left_between or {}))
     rdf = right.scan(dict(right_between or {}))
-    can_bcast = {
-        "inner": ("left", "right"),
-        "cross": ("left", "right"),
-        "left": ("right",),
-        "left_outer": ("right",),
-        "left_semi": ("right",),
-        "left_anti": ("right",),
-        "right": ("left",),
-        "right_outer": ("left",),
-    }.get(how, ())
-    side = None
-    if "left" in can_bcast and lb <= broadcast_bytes and (
-        "right" not in can_bcast or lb <= rb
-    ):
-        side = "left"
-    elif "right" in can_bcast and rb <= broadcast_bytes:
-        side = "right"
+    side = _broadcast_side(how, lb, rb, broadcast_bytes)
     if side == "left":
         ldf = F.broadcast(ldf)
     elif side == "right":
@@ -334,8 +350,11 @@ def ndv_planned_join(
     broadcast() — which goes equally wrong when the "small" side grows).
 
     The guard: before committing to a strategy, compare each side's
-    stored row count against the live count (parquet footer metadata —
-    no column IO) and, when the ratio drifts outside
+    stored row count against the live count — one count job per side over
+    the snapshot (column-pruned; parquet answers it from footer row
+    counts, and on a deletion-vector table the DV anti-join runs, so
+    "cheap" means cheap-relative-to-a-mis-broadcast, not free) — and,
+    when the ratio drifts outside
     ``[1/drift_threshold, drift_threshold]``, re-``ANALYZE`` that side
     (``refresh_stale=True``) and re-plan from the fresh statistics — the
     same staleness band ``ndv_drift_report`` flags. Returns
@@ -348,23 +367,7 @@ def ndv_planned_join(
         return int(table.ndv_stats(key)["rows"])
 
     def decide(l_rows: int, r_rows: int) -> str | None:
-        can = {
-            "inner": ("left", "right"),
-            "cross": ("left", "right"),
-            "left": ("right",),
-            "left_outer": ("right",),
-            "left_semi": ("right",),
-            "left_anti": ("right",),
-            "right": ("left",),
-            "right_outer": ("left",),
-        }.get(how, ())
-        if "left" in can and l_rows <= broadcast_rows and (
-            "right" not in can or l_rows <= r_rows
-        ):
-            return "left"
-        if "right" in can and r_rows <= broadcast_rows:
-            return "right"
-        return None
+        return _broadcast_side(how, l_rows, r_rows, broadcast_rows)
 
     key_l, key_r = on[0], on[0]
     lr0, rr0 = stored_rows(left, key_l), stored_rows(right, key_r)

@@ -1126,11 +1126,16 @@ def sq8_topk(
 ) -> DataFrame:
     """Exact-shape top-k by cosine over the QUANTIZED representation:
     same broadcast-queries / corpus-never-shuffles plan as
-    ``brute_force_topk``, but every corpus vector is an int8 array — the
-    scan reads a quarter of the bytes and the dot product runs on
-    integers. Integer sums are order-free, so scores are bit-stable
-    across partitionings; ranking uses the rounded quantized cosine with
-    vid tiebreak. Output: (qid, vid, qcos)."""
+    ``brute_force_topk``, with integer dot products (order-free, so
+    scores are bit-stable across partitionings); ranking uses the rounded
+    quantized cosine with vid tiebreak. Output: (qid, vid, qcos).
+
+    This helper quantizes the float column ON THE FLY — it demonstrates
+    and verdict-checks the arithmetic, not the IO saving. The 4x
+    bytes-per-scan win lands when the ``sq8_quantize`` column is
+    MATERIALIZED at ingest (store array<tinyint>, drop or cold-tier the
+    floats) and probes read only it — the production layout at 100 TB,
+    same split as ivf_topk's precomputed-cell-id note."""
     q = sq8_quantize(
         queries.select(F.col(id_col).alias("qid"), F.col(vec_col)),
         vec_col,

@@ -786,7 +786,7 @@ def distinct_parts_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            COUNT(*) AS n_events,
            COUNT(DISTINCT user_id) AS n_users,
-           true AS approx_within_2pct
+           true AS approx_within_5pct
     FROM events GROUP BY event_type
     """,
 )
@@ -797,9 +797,13 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     `ivf_kmeans_recall_verdict`) this emits a deterministic VERDICT per
     group instead of the estimate itself: the exact distinct count (both
     engines compute it identically) plus a boolean asserting the HLL
-    estimate landed within 2% of it (rsd=0.01, so 2% is a >2-sigma band).
-    The oracle hash-checks every column, converting the old rows-only
-    carve-out into a full rows+schema+hash row. At 100 TB only the
+    estimate landed within 5% of it. The band is 5 sigma at rsd=0.01 ON
+    PURPOSE: a 2-sigma band would flip false on ~5% of per-group draws of
+    a regenerated fixture (a legitimate estimate, a broken verdict),
+    while 5 sigma still catches every real defect a tolerance check is
+    for — a wrong column, a dropped filter, saturation. The oracle
+    hash-checks every column, converting the old rows-only carve-out into
+    a full rows+schema+hash row. At 100 TB only the
     approx_count_distinct branch survives — the exact branch exists here
     purely as the tolerance yardstick."""
     ev = load_table(spark, sf_dir, "events")
@@ -811,8 +815,8 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.approx_count_distinct("user_id", 0.01)
                 - F.countDistinct("user_id")
             )
-            <= F.countDistinct("user_id") * F.lit(0.02)
-        ).alias("approx_within_2pct"),
+            <= F.countDistinct("user_id") * F.lit(0.05)
+        ).alias("approx_within_5pct"),
     )
 
 
@@ -1069,10 +1073,11 @@ _KMV_U = (
 )
 def kmv_distinct_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV (bottom-k / theta) distinct sketch — the FOURTH sketch leg, and
-    the one `approx_distinct_users` (HLL) can't be: a cardinality sketch
-    whose state is engine-portable plain doubles, so the DuckDB oracle
-    replays the estimate bit-for-bit (HLL is rows-only by design; this is a
-    FULL hash oracle) and set algebra stays available (`kmv_set_ops`).
+    the one HLL can't be: a cardinality sketch whose state is
+    engine-portable plain doubles, so the DuckDB oracle replays the
+    ESTIMATE ITSELF bit-for-bit (an HLL blob is engine-opaque — its query,
+    `approx_distinct_users`, hash-checks a tolerance verdict instead) and
+    set algebra stays available (`kmv_set_ops`).
 
     Per order status, the 64 smallest md5-uniforms of the distinct custkeys
     ARE the sketch; estimate = (k-1)/u_(k), exact below k. The plan at

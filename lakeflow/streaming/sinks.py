@@ -549,21 +549,25 @@ def stream_index_ingest(
         # window-counts document frequency off the postings it reads).
         tf = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
         tf.persist()
-        dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
-        (
-            tf.join(dl, "id")
-            .select("tok", "id", "tf", "dl")
-            .repartitionByRange(4, "tok")
-            .sortWithinPartitions("tok")
-            .write.mode("overwrite")
-            .parquet(f"{index_dir}/postings/batch={int(batch_id)}")
-        )
-        dl.agg(
-            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sum_dl")
-        ).write.mode("overwrite").parquet(
-            f"{index_dir}/corpus_stats/batch={int(batch_id)}"
-        )
-        tf.unpersist()
+        try:
+            dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
+            (
+                tf.join(dl, "id")
+                .select("tok", "id", "tf", "dl")
+                .repartitionByRange(4, "tok")
+                .sortWithinPartitions("tok")
+                .write.mode("overwrite")
+                .parquet(f"{index_dir}/postings/batch={int(batch_id)}")
+            )
+            dl.agg(
+                F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sum_dl")
+            ).write.mode("overwrite").parquet(
+                f"{index_dir}/corpus_stats/batch={int(batch_id)}"
+            )
+        finally:
+            # Same fence as the batch twins: a failed write must not leak
+            # the cached frame into the retried micro-batch.
+            tf.unpersist()
 
     writer = df.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint or _tf.mkdtemp(prefix="lakeflow-ckpt-")

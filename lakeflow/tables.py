@@ -829,12 +829,19 @@ class VersionedTable:
             if "refs" not in manifest and prev_m.get("refs"):
                 manifest["refs"] = prev_m["refs"]
             # ANALYZE-time statistics (NDV sketches + row count) survive
-            # every manifest-producing path — statistics go STALE after a
-            # commit, they don't vanish; noticing the drift is the
-            # planner's job (ndv_drift_report / ndv_planned_join), exactly
-            # as in Iceberg/Delta where ANALYZE output outlives appends.
+            # incremental paths — statistics go STALE after an append,
+            # they don't vanish; noticing the drift is the planner's job
+            # (ndv_drift_report / ndv_planned_join), exactly as in
+            # Iceberg/Delta where ANALYZE output outlives appends. Same
+            # rule as deletion vectors: a FULL-REWRITE manifest (no shared
+            # dirs — overwrite, possibly with a new schema) drops them,
+            # because sketches of replaced data must not resurrect onto a
+            # snapshot they never described; re-ANALYZE after a rewrite.
+            # (drop_column/rename_column keep their dirs and rewrite the
+            # block explicitly, so column DDL is unaffected.)
             if "ndv" not in manifest and prev_m.get("ndv"):
-                manifest["ndv"] = prev_m["ndv"]
+                if set(manifest.get("dirs", [])) & set(prev_m.get("dirs", [])):
+                    manifest["ndv"] = prev_m["ndv"]
             # Deletion vectors ride along while any referenced dir survives;
             # a full-rewrite manifest (no shared dirs) purges them — its
             # data was read THROUGH the vectors, so the deletes are

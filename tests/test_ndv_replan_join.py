@@ -128,3 +128,26 @@ def test_ndv_stats_survive_appends_but_follow_column_ddl(spark, tmp_path):
     with pytest.raises(ValueError):
         t.ndv_stats("v")
     assert t.ndv_stats("key")["rows"] == 100
+
+
+def test_overwrite_drops_stats_like_deletion_vectors(spark, tmp_path):
+    """A full-rewrite overwrite (possibly with a new schema) must DROP the
+    carried NDV block — sketches of replaced data must not resurrect onto
+    a snapshot they never described (the code-review r7 finding)."""
+    import pytest
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(spark.range(50).select(F.col("id").alias("a")))
+    t.analyze_ndv(["a"], k=16)
+    assert t.ndv_stats("a")["rows"] == 50
+    t.commit(
+        spark.range(10).select(F.col("id").alias("x")), mode="overwrite"
+    )
+    with pytest.raises(ValueError):
+        t.ndv_stats("a")
+    # Re-ANALYZE of the new schema works and survives a later append.
+    t.analyze_ndv(["x"], k=16)
+    t.commit(
+        spark.range(10, 20).select(F.col("id").alias("x")), mode="append"
+    )
+    assert t.ndv_stats("x")["rows"] == 10
