@@ -3,24 +3,28 @@
 The driver verifies the first ~50 queries in registration order, so the
 reorder in ``lakeflow/queries/__init__.py`` IS correctness infrastructure:
 queries without a driver verdict (or with a stale one) must occupy the front
-slots. These tests fail loudly if a refactor silently demotes them.
+slots. These tests fail loudly if a refactor silently demotes them — and the
+source-hash guard fails if a query is rewritten after its green verdict
+without being listed in ``_REWRITTEN_SINCE_GREEN`` (VERDICT r7 ask #3).
 """
 
 from __future__ import annotations
 
+import json
+import os
 import re
 
 import lakeflow.queries as _q
 from lakeflow.queries import ORACLES, QUERIES, _REWRITTEN_SINCE_GREEN
 
-# Collect every _VERIFIED_R<N> the registry defines, in round order, so a
+# Collect every _VERIFIED_R<N> the registry exposes, in round order, so a
 # new round's fold-in can never silently diverge from these invariants.
 _ROUNDS = sorted(
     (int(m.group(1)), getattr(_q, name))
     for name in dir(_q)
     if (m := re.fullmatch(r"_VERIFIED_R(\d+)", name))
 )
-assert len(_ROUNDS) >= 5, "expected at least rounds 1-5 folded in"
+assert len(_ROUNDS) >= 7, "expected at least rounds 1-7 folded in"
 
 _VERIFIED = frozenset().union(*(names for _rnd, names in _ROUNDS))
 
@@ -30,11 +34,27 @@ for _rnd, _names in _ROUNDS:
         _LATEST_GREEN[_n] = _rnd
 
 
+def test_verified_sets_derive_from_correctness_files():
+    """The per-round green sets are parsed from the committed
+    CORRECTNESS_r*.json files at import time (VERDICT r7 ask #7), so the
+    module attributes must agree with an independent re-parse."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    import glob
+
+    files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    assert len(files) == len(_ROUNDS)
+    for path, (rnd, names) in zip(files, _ROUNDS):
+        assert f"r{rnd:02d}" in os.path.basename(path)
+        rows = json.load(open(path))
+        green = {n for n, r in rows.items() if _q._row_verified(r)}
+        assert green == names, f"round {rnd} set diverged from {path}"
+
+
 def test_stale_then_never_verified_lead_the_order():
-    """Stale greens (rewritten since their verdict — several r4 verdict
-    asks hinge on their re-green) must occupy the very front so they never
-    fall off the driver's ~50-slot window however many new queries a round
-    registers; the never-verified block follows, before any stable green."""
+    """Stale greens (rewritten since their verdict) must occupy the very
+    front so they never fall off the driver's ~50-slot window however many
+    new queries a round registers; the never-verified block follows,
+    before any stable green."""
     names = list(QUERIES)
     n_stale = len([n for n in _REWRITTEN_SINCE_GREEN if n in names])
     n_never = sum(1 for n in names if n not in _VERIFIED)
@@ -46,24 +66,31 @@ def test_stale_then_never_verified_lead_the_order():
     assert all(n not in _VERIFIED for n in mid), (
         "a previously-verified query sits inside the never-verified block"
     )
+    # Stale + new must leave most of the ~50-slot window for rotating the
+    # oldest stable greens (VERDICT r7 ask #1 capped new registrations).
+    assert n_stale + n_never <= 10
 
 
-def test_rewritten_since_green_precede_stable_greens():
+def test_r2_era_greens_lead_the_r8_window():
+    """VERDICT r7 ask #1: the 11 queries whose latest verdict is still r2
+    (plus the 46 r3-era ones) must rotate through the next ~50-slot
+    window — all of them ahead of anything verified at r4 or later."""
     names = list(QUERIES)
-    stale_idx = [names.index(n) for n in _REWRITTEN_SINCE_GREEN if n in names]
-    stable_idx = [
+    r2_idx = [i for i, n in enumerate(names) if _LATEST_GREEN.get(n) == 2]
+    r3_idx = [i for i, n in enumerate(names) if _LATEST_GREEN.get(n) == 3]
+    fresh_idx = [
         i for i, n in enumerate(names)
-        if n in _VERIFIED and n not in _REWRITTEN_SINCE_GREEN
+        if _LATEST_GREEN.get(n, 99) >= 4 and n not in _REWRITTEN_SINCE_GREEN
     ]
-    assert stale_idx and stable_idx
-    assert max(stale_idx) < min(stable_idx), (
-        "a stale-green (rewritten) query ranks behind a stable-green one"
-    )
+    assert len(r2_idx) == 11 and len(r3_idx) == 46
+    assert max(r2_idx) < min(r3_idx)
+    assert max(r3_idx) < min(fresh_idx)
 
 
 def test_oldest_verdicts_reverified_before_newest():
     """Stable greens are ordered by the round of their LATEST verdict,
-    oldest first — re-verification pressure goes where evidence is stalest."""
+    oldest first — re-verification pressure goes where evidence is
+    stalest."""
     names = list(QUERIES)
     stable = [
         (i, _LATEST_GREEN[n]) for i, n in enumerate(names)
@@ -73,33 +100,39 @@ def test_oldest_verdicts_reverified_before_newest():
     assert rounds_in_order == sorted(rounds_in_order)
 
 
-def test_stale_set_covers_round7_rewrites():
-    """Every query whose implementation or oracle changed in round 7 must
-    hold a front-of-queue slot: the approx-distinct verdict-row rewrite
-    (VERDICT r6 ask #5)."""
-    assert {"approx_distinct_users"} <= _REWRITTEN_SINCE_GREEN
+def test_rewritten_queries_are_listed():
+    """Source-hash guard (VERDICT r7 ask #3): every verified query whose
+    registered callable or oracle SQL diverged from the snapshot taken at
+    its last green verdict must appear in ``_REWRITTEN_SINCE_GREEN`` —
+    and every listed name must genuinely differ, so the set cannot rot.
+    Refresh the snapshot with ``python scripts/update_green_hashes.py``
+    after folding a round's CORRECTNESS results in."""
+    import sys
 
-
-def test_carry_block_precedes_new_never_verified():
-    """VERDICT r6 #1/#3: the 42 queries that entered r7 with no driver
-    verdict must fill the window before anything registered new in r7."""
-    names = list(QUERIES)
-    carry_idx = [
-        i for i, n in enumerate(names) if n in _q._NEVER_VERIFIED_CARRY
-    ]
-    new_idx = [
-        i for i, n in enumerate(names)
-        if n not in _VERIFIED and n not in _q._NEVER_VERIFIED_CARRY
-    ]
-    assert len(carry_idx) == 42
-    if new_idx:
-        assert max(carry_idx) < min(new_idx), (
-            "a query registered new in r7 displaced the carry block"
-        )
-    # 1 stale + 42 carry fit inside the ~50-slot window with room to
-    # re-green the oldest stable verdicts.
-    n_stale = len([n for n in _REWRITTEN_SINCE_GREEN if n in names])
-    assert n_stale + len(carry_idx) <= 50
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(root, "scripts"))
+    try:
+        from update_green_hashes import SNAPSHOT, query_hash
+    finally:
+        sys.path.pop(0)
+    pinned = json.load(open(SNAPSHOT))
+    unlisted_rewrites = []
+    for name in QUERIES:
+        if name not in _VERIFIED or name not in pinned:
+            continue
+        cur = query_hash(QUERIES[name], ORACLES.get(name))
+        if cur != pinned[name] and name not in _REWRITTEN_SINCE_GREEN:
+            unlisted_rewrites.append(name)
+    assert not unlisted_rewrites, (
+        f"rewritten since their green verdict but not listed in "
+        f"_REWRITTEN_SINCE_GREEN: {sorted(unlisted_rewrites)}"
+    )
+    for name in _REWRITTEN_SINCE_GREEN:
+        if name in pinned:
+            assert query_hash(QUERIES[name], ORACLES.get(name)) != pinned[name], (
+                f"{name} is listed as rewritten but its source matches the "
+                f"green-era snapshot — prune the set or refresh the snapshot"
+            )
 
 
 def test_oracle_order_mirrors_query_order():
@@ -108,7 +141,7 @@ def test_oracle_order_mirrors_query_order():
 
 
 def test_registry_is_complete():
-    assert len(QUERIES) >= 103
+    assert len(QUERIES) >= 238
     missing = _VERIFIED - set(QUERIES)
     assert not missing, f"verified names not registered: {missing}"
     assert _REWRITTEN_SINCE_GREEN <= _VERIFIED
