@@ -363,14 +363,15 @@ def ndv_planned_join(
     which sides were re-analyzed, and the final choice, so plan tests can
     assert the flip."""
 
-    def stored_rows(table, key: str) -> int:
-        return int(table.ndv_stats(key)["rows"])
-
     def decide(l_rows: int, r_rows: int) -> str | None:
         return _broadcast_side(how, l_rows, r_rows, broadcast_rows)
 
-    key_l, key_r = on[0], on[0]
-    lr0, rr0 = stored_rows(left, key_l), stored_rows(right, key_r)
+    # Row counts come from the manifest ndv block DIRECTLY — the count is
+    # column-independent (every analyze_ndv stores it), so multi-key joins
+    # and tables ANALYZEd on a non-join column plan correctly instead of
+    # consulting (or raising from) the first key's sketch (ADVICE r7).
+    key_l = key_r = on[0]  # refresh re-sketches the leading join key
+    lr0, rr0 = left.ndv_rows(), right.ndv_rows()
     initial = decide(lr0, rr0)
 
     live_l, live_r = left.read().count(), right.read().count()
@@ -384,8 +385,8 @@ def ndv_planned_join(
     if refresh_stale and not band[0] <= drift_r <= band[1]:
         right.analyze_ndv([key_r], k=ndv_k)
         refreshed.append("right")
-    lr1 = stored_rows(left, key_l) if "left" in refreshed else lr0
-    rr1 = stored_rows(right, key_r) if "right" in refreshed else rr0
+    lr1 = left.ndv_rows() if "left" in refreshed else lr0
+    rr1 = right.ndv_rows() if "right" in refreshed else rr0
     final = decide(lr1, rr1)
 
     ldf, rdf = left.read(), right.read()

@@ -1686,6 +1686,11 @@ def compact_text_index(spark, index_dir: str) -> None:
     for part in ("postings", "corpus_stats"):
         shutil.rmtree(f"{index_dir}/{part}")
         os.rename(f"{tmp}/{part}", f"{index_dir}/{part}")
+    # One-shot cleanup of the legacy layout: indexes built before document
+    # frequency became probe-derived carried a term_stats shard set that
+    # nothing reads anymore — drop it here so it cannot sit orphaned on
+    # disk forever (ADVICE r7).
+    shutil.rmtree(f"{index_dir}/term_stats", ignore_errors=True)
     shutil.rmtree(tmp, ignore_errors=True)
 
 

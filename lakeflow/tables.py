@@ -677,6 +677,13 @@ class VersionedTable:
             # current manifest: RESTORE rewinds data, not table policy.
             "delete_vectors": m.get("delete_vectors", []),
             "partitioning": m.get("partitioning", {}),
+            # ANALYZE statistics are DATA state too: restore them from the
+            # target (including an explicitly EMPTY block when the target
+            # was never analyzed), or _publish_manifest's shared-dirs carry
+            # would attach the ABANDONED head's ndv — row counts and
+            # sketches over data the restored snapshot no longer contains —
+            # and drop whatever the target itself had (ADVICE r7).
+            "ndv": m.get("ndv", {}),
         }
         for k in ("dir_parts", "bloom", "bloom_bits"):
             if k in m:
@@ -837,10 +844,16 @@ class VersionedTable:
             # dirs — overwrite, possibly with a new schema) drops them,
             # because sketches of replaced data must not resurrect onto a
             # snapshot they never described; re-ANALYZE after a rewrite.
-            # (drop_column/rename_column keep their dirs and rewrite the
-            # block explicitly, so column DDL is unaffected.)
+            # Two rewrite-shaped paths are exempt because their rows are
+            # unchanged by construction: COMPACTION (logically a no-op —
+            # discarding valid statistics would force a re-ANALYZE after
+            # every OPTIMIZE, ADVICE r7) and rollback/drop/rename, which
+            # set the block explicitly so this carry never fires for them.
             if "ndv" not in manifest and prev_m.get("ndv"):
-                if set(manifest.get("dirs", [])) & set(prev_m.get("dirs", [])):
+                if (
+                    set(manifest.get("dirs", [])) & set(prev_m.get("dirs", []))
+                    or manifest.get("operation") == "compact"
+                ):
                     manifest["ndv"] = prev_m["ndv"]
             # Deletion vectors ride along while any referenced dir survives;
             # a full-rewrite manifest (no shared dirs) purges them — its
@@ -1559,6 +1572,21 @@ class VersionedTable:
             manifest["delete_vectors"] = m["delete_vectors"]
         self._publish_manifest(manifest)
         return manifest["version"]
+
+    def ndv_rows(self) -> int:
+        """The table-level row count recorded by the last ``ANALYZE`` —
+        column-independent (every ``analyze_ndv`` call stores it, whatever
+        columns it sketched), metadata read only. Raises if the table was
+        never analyzed. Planners that only need cardinality (broadcast
+        decisions) should read this, not ``ndv_stats(col)["rows"]``, which
+        additionally requires ``col`` itself to have been sketched."""
+        m = self._manifest(self.current_version())
+        rows = m.get("ndv", {}).get("rows")
+        if rows is None:
+            raise ValueError(
+                f"no ANALYZE row count for {self.root}; run analyze_ndv()"
+            )
+        return int(rows)
 
     def ndv_stats(self, col: str) -> dict:
         """The stored NDV sketch for ``col``: {"k", "minima", "rows",

@@ -151,3 +151,81 @@ def test_overwrite_drops_stats_like_deletion_vectors(spark, tmp_path):
         spark.range(10, 20).select(F.col("id").alias("x")), mode="append"
     )
     assert t.ndv_stats("x")["rows"] == 10
+
+
+def test_rollback_restores_target_version_ndv(spark, tmp_path):
+    """RESTORE rewinds DATA state, and ANALYZE statistics are data state:
+    the rollback manifest must pin the TARGET version's ndv block — not
+    let the shared-dirs carry attach the abandoned head's statistics
+    (rows/sketches over data the restored snapshot no longer contains),
+    nor lose the stats the target itself had (ADVICE r8 medium)."""
+    import pytest
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(spark.range(100).select(F.col("id").alias("k")))   # v1
+    t.analyze_ndv(["k"], k=32)                                  # v2: rows=100
+    t.commit(
+        spark.range(100, 800).select(F.col("id").alias("k")), mode="append"
+    )                                                           # v3
+    t.analyze_ndv(["k"], k=32)                                  # v4: rows=800
+    assert t.ndv_rows() == 800
+
+    t.rollback(2)
+    # The restored snapshot carries ITS OWN statistics, not the head's.
+    assert t.ndv_rows() == 100
+    assert t.ndv_stats("k")["rows"] == 100
+
+    # Rolling back to a never-analyzed version leaves NO statistics —
+    # the abandoned head's ndv must not leak in through the carry.
+    t.rollback(1)
+    with pytest.raises(ValueError):
+        t.ndv_rows()
+
+
+def test_compact_carries_analyze_stats(spark, tmp_path):
+    """OPTIMIZE is logically a no-op — the compacted snapshot holds the
+    same visible rows — so valid ANALYZE statistics survive it instead of
+    forcing a re-ANALYZE after every compaction (ADVICE r8)."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(spark.range(60).select(F.col("id").alias("k")))
+    t.commit(
+        spark.range(60, 90).select(F.col("id").alias("k")), mode="append"
+    )
+    t.analyze_ndv(["k"], k=32)
+    before = t.ndv_stats("k")
+
+    t.compact()  # full rewrite, no shared dirs — the exempted path
+    after = t.ndv_stats("k")
+    assert after == before
+    assert t.ndv_rows() == 90
+    assert t.read().count() == 90
+
+
+def test_row_count_is_column_independent(spark, tmp_path):
+    """The broadcast decision needs the table-level row count, which every
+    ANALYZE records whatever columns it sketched — so a multi-key join,
+    or a table ANALYZEd on a non-join column, plans fine instead of
+    raising from the first key's missing sketch (ADVICE r8)."""
+    fact = VersionedTable(spark, str(tmp_path / "fact"))
+    fact.commit(
+        spark.range(3000).select(
+            (F.col("id") % 100).alias("k"), (F.col("id") % 7).alias("k2")
+        )
+    )
+    # ANALYZE sketches only a NON-join column; the row count still lands.
+    fact.analyze_ndv(["k2"], k=32)
+    dim = VersionedTable(spark, str(tmp_path / "dim"))
+    dim.commit(
+        spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("k2")
+        )
+    )
+    dim.analyze_ndv(["k2"], k=32)
+
+    # Multi-key join on (k, k2): plans from the manifest row counts.
+    df, d = ndv_planned_join(
+        fact, dim, on=["k", "k2"], broadcast_rows=500, refresh_stale=False
+    )
+    assert d["final_side"] == "right"  # dim is the broadcast-able side
+    assert d["stored_rows"] == (3000, 100)
+    assert df.count() > 0

@@ -1866,6 +1866,12 @@ def test_compact_text_index_preserves_probe_and_shrinks_files(spark, tmp_path):
     files_before = len(glob.glob(f"{idx}/postings/*.parquet"))
     # Batch partials exist pre-compaction (one corpus-stats row per ingest).
     assert spark.read.parquet(f"{idx}/corpus_stats").count() == 2
+    # Indexes written before document frequency became probe-derived carry
+    # an orphaned term_stats shard set; compaction is the one-shot cleanup.
+    import os
+
+    os.makedirs(f"{idx}/term_stats", exist_ok=True)
+    open(f"{idx}/term_stats/legacy.parquet", "w").close()
 
     compact_text_index(spark, idx)
     after = sorted(
@@ -1874,6 +1880,7 @@ def test_compact_text_index_preserves_probe_and_shrinks_files(spark, tmp_path):
     assert after == before
     assert len(glob.glob(f"{idx}/postings/*.parquet")) < files_before
     assert spark.read.parquet(f"{idx}/corpus_stats").count() == 1
+    assert not os.path.exists(f"{idx}/term_stats")
 
 
 def test_phrase_match_repeated_and_long_phrases(spark, tmp_path):
