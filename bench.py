@@ -178,13 +178,25 @@ def main() -> None:
         # default in lakeflow.session, with MEMORY_AND_DISK eviction
         # handling cache pressure across the 160+-query sweep.
 
-    timings = run_set(only if only is not None else BENCH_QUERIES)
+    headline = only if only is not None else BENCH_QUERIES
+    timings = run_set(headline)
     total = round(sum(timings.values()), 3)
+    # Second pass over the IDENTICAL headline set in the same session
+    # (VERDICT r7 ask #2): r6 and r7 both showed uniform drift on
+    # byte-identical queries, consistent with environment/first-touch
+    # variance rather than plan cost. The warm pass isolates that —
+    # pass-2 times carry no codegen/classload/first-scan noise, so a
+    # pass-2 regression is a REAL plan regression, while pass-1-only
+    # drift is environmental.
+    print("  -- headline pass 2 (warm) --", file=sys.stderr)
+    timings2 = run_set(headline)
     record = {
         "metric": "lakeflow headline queries, end-to-end (noop sink)",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_pass2": timings2,
+        "value_pass2": round(sum(timings2.values()), 3),
         "sf": sf,
     }
 

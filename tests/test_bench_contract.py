@@ -46,7 +46,13 @@ def test_bench_stdout_is_one_compact_json_line():
         "q6_forecast_revenue",
         "latest_event_per_user",
     }
+    # Two-pass headline (VERDICT r7 ask #2): the warm second pass over the
+    # identical set separates environment/first-touch drift (pass-1-only)
+    # from real plan regressions (visible in pass 2 as well).
+    assert set(rec["queries_pass2"]) == set(rec["queries"])
+    assert rec["value_pass2"] > 0
     # The compact line must stay far below any plausible capture window
-    # even for the full headline set: ~30 bytes/query * ~60 queries + fixed
-    # keys. Two queries here; assert the per-record overhead is bounded.
+    # even for the full headline set: ~30 bytes/query * ~60 queries * two
+    # passes + fixed keys. Two queries here; assert the per-record
+    # overhead is bounded.
     assert len(lines[0]) < 4096
