@@ -1285,5 +1285,68 @@ def _register_stream_ann() -> None:
             n_probe=4,
         )
 
+    @register("stream_ann_compacted_topk", oracle=_IVF_TOPK_ORACLE)
+    def stream_ann_compacted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """`stream_ann_cells_topk` plus the OPTIMIZE step (VERDICT r7 ask
+        #5): after the three micro-batches land their batch=<id>/cid=<cell>
+        shards, `compact_ann_cells` folds the committed shards into one
+        (the newest is kept for replay ownership) and the probe over the
+        COMPACTED index must still answer EXACTLY like the one-shot batch
+        assignment — the SAME oracle as `ivf_topk`. A vector lost or
+        duplicated by the fold, a cell boundary moved, or a replay-tail
+        shard touched breaks the hash; the directory count drop itself is
+        asserted by tests/test_stream_compaction.py (listing cost is what
+        compaction buys back after ~120k micro-batch shards)."""
+        import glob
+        import os
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from lakeflow.operators.similarity import ivf_probe_cells
+        from lakeflow.sources.streams import file_stream
+        from lakeflow.streaming.compaction import compact_ann_cells
+        from lakeflow.streaming.sinks import stream_ann_ingest
+
+        raw = spark.read.parquet(table_path(sf_dir, "embeddings")).select(
+            "vec_id", "embedding"
+        )
+        n = raw.agg(F.max("vec_id")).first()[0]
+        feed = tempfile.mkdtemp(prefix="lakeflow_anncfeed_")
+        for i, b in enumerate(
+            (
+                raw.filter(F.col("vec_id") <= n // 3),
+                raw.filter(
+                    (F.col("vec_id") > n // 3) & (F.col("vec_id") <= 2 * n // 3)
+                ),
+                raw.filter(F.col("vec_id") > 2 * n // 3),
+            )
+        ):
+            part = tempfile.mkdtemp(prefix="lakeflow_anncpart_")
+            b.coalesce(1).write.mode("overwrite").parquet(part)
+            dst = f"{feed}/{i:03d}.parquet"
+            shutil.copy(glob.glob(f"{part}/*.parquet")[0], dst)
+            os.utime(dst, (1_700_000_000 + i * 10,) * 2)
+
+        centroids = raw.filter(F.col("vec_id") < 16)
+        cells = tempfile.mkdtemp(prefix="lakeflow_annccells_")
+        stream = file_stream(
+            spark,
+            feed,
+            "vec_id bigint, embedding array<float>",
+            max_files_per_trigger=1,
+        )
+        stream_ann_ingest(stream, cells, centroids).awaitTermination()
+        compact_ann_cells(spark, cells)
+        return ivf_probe_cells(
+            spark,
+            cells,
+            queries=raw.filter(F.col("vec_id") < 10),
+            centroids=centroids,
+            k=5,
+            n_probe=4,
+        )
+
 
 _register_stream_ann()

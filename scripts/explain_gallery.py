@@ -91,6 +91,7 @@ GALLERY = [
     ("entity_golden_records", "ER survivorship: checkpointed component labels (lineage truncated) → one algebraic cluster agg"),
     ("sq8_embedding_recall_verdict", "int8-quantized scoring: query set broadcast (BNLJ by design), corpus never shuffles; one qid window exchange"),
     ("stats_stale_replan_join", "drift-triggered re-ANALYZE flips the broadcast side — final plan carries the corrected hint"),
+    ("stream_ann_cells_topk", "streamed-IVF probe: cells scan PartitionFilters carry cid dynamicpruning — only probed cells' bytes are read"),
     ("bm25_indexed_topk", "postings IN-probe (envelope-pruned files) → df from scanned rows (combine-bounded groupBy + broadcast back) → TakeOrdered"),
 ]
 

@@ -793,3 +793,68 @@ def test_sq8_topk_broadcasts_queries_and_never_shuffles_corpus(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan
     assert plan.count("Exchange hashpartitioning") == 1  # the qid window
+
+
+def test_ivf_probe_cells_scan_is_partition_pruned(spark, tmp_path):
+    """The streamed-IVF probe's pruning claim, as a SCAN SHAPE (VERDICT r7
+    ask #4): the cells read must carry the cid filter in its
+    PartitionFilters — injected as a dynamic-pruning subquery from the
+    broadcast of the per-query probe cells — so a probe reads only the
+    n_probe/C matching ``cid=`` partitions. At 100 TB the pruning IS the
+    operator; behavioral equivalence to batch IVF is tested elsewhere
+    (test_operators), this pins the plan that makes it cheap."""
+    from pyspark.sql import Window
+
+    from lakeflow.catalog import load_table
+    from lakeflow.functions.rounding import rnd
+    from lakeflow.functions.vectors import dot, norm
+    from lakeflow.operators.similarity import ivf_probe_cells
+
+    raw = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    cents = raw.filter(F.col("vec_id") < 16)
+    # Land two batches in stream_ann_ingest's exact on-disk layout
+    # (batch=<id>/cid=<cell>) without spinning up the micro-batch engine —
+    # the probe plan depends on the layout, not on who wrote it, and the
+    # ingest-equivalence test covers the writer.
+    cent = cents.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cv_c"),
+        norm("embedding").alias("cn_c"),
+    )
+    cells = str(tmp_path / "cells")
+    for bid, pred in ((0, F.col("vec_id") % 2 == 0), (1, F.col("vec_id") % 2 == 1)):
+        b = raw.filter(pred).select(
+            F.col("vec_id").alias("vid"), "embedding", norm("embedding").alias("vn")
+        )
+        s = b.join(F.broadcast(cent)).select(
+            "vid", "embedding", "vn", "cid",
+            rnd(dot("embedding", "cv_c") / (F.col("vn") * F.col("cn_c")), 6)
+            .alias("ccos"),
+        )
+        w = Window.partitionBy("vid").orderBy(F.desc("ccos"), F.asc("cid"))
+        (
+            s.withColumn("crn", F.row_number().over(w))
+            .filter(F.col("crn") == 1)
+            .select("cid", "vid", "embedding", "vn")
+            .write.partitionBy("cid")
+            .mode("overwrite")
+            .parquet(f"{cells}/batch={bid}")
+        )
+
+    res = ivf_probe_cells(
+        spark, cells, queries=raw.filter(F.col("vec_id") < 10),
+        centroids=cents, k=5, n_probe=4,
+    )
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [
+        ln for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "cells" in ln
+    ]
+    assert scan_lines, "cells FileScan not found in the probe plan"
+    for ln in scan_lines:
+        assert "PartitionFilters" in ln and "dynamicpruning" in ln.lower(), (
+            "cells scan lost its cid dynamic partition pruning — the probe "
+            "would read every cell partition"
+        )
+    # And the probe result is still the k-per-query shape.
+    assert res.groupBy("qid").count().agg(F.max("count")).first()[0] <= 5

@@ -80,7 +80,7 @@ def test_r2_era_greens_lead_the_r8_window():
     r3_idx = [i for i, n in enumerate(names) if _LATEST_GREEN.get(n) == 3]
     fresh_idx = [
         i for i, n in enumerate(names)
-        if _LATEST_GREEN.get(n, 99) >= 4 and n not in _REWRITTEN_SINCE_GREEN
+        if _LATEST_GREEN.get(n, 0) >= 4 and n not in _REWRITTEN_SINCE_GREEN
     ]
     assert len(r2_idx) == 11 and len(r3_idx) == 46
     assert max(r2_idx) < min(r3_idx)
