@@ -26,6 +26,7 @@ EXAMPLES = [
     "warehouse_txn.py",
     "sketches.py",
     "stats_lifecycle.py",
+    "streamed_index_optimize.py",
 ]
 
 
