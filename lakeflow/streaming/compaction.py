@@ -79,14 +79,30 @@ def _fold_batch_shards(
     folded = fold(df)
     if single_file:
         folded = folded.coalesce(1)
+    # Crash-safe swap ordering. Spark readers ignore "_"-prefixed dirs, so
+    # both staging dirs are invisible to a probe. The sequence is: write
+    # the folded shard → MOVE (rename, not delete) every folded batch dir
+    # into _compact.trash → rename the folded shard in → delete the trash.
+    # A crash in the middle can only UNDER-count (some shards moved aside,
+    # fold not yet swapped in) — never double-count, which matters for the
+    # summing sketches — and the trash dir makes recovery a rename-back
+    # rather than a re-ingest. Still an OPTIMIZE-cadence operation against
+    # a quiesced index: the swap is not atomic for a concurrent probe.
     tmp = os.path.join(parent, "_compact.tmp")
+    trash = os.path.join(parent, "_compact.trash")
     writer = folded.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(partition_by)
     writer.parquet(tmp)
+    shutil.rmtree(trash, ignore_errors=True)
+    os.makedirs(trash)
     for b in fold_set:
-        shutil.rmtree(os.path.join(parent, f"batch={b}"))
+        os.rename(
+            os.path.join(parent, f"batch={b}"),
+            os.path.join(trash, f"batch={b}"),
+        )
     os.rename(tmp, os.path.join(parent, f"batch={fold_set[-1]}"))
+    shutil.rmtree(trash)
     return len(fold_set) - 1
 
 
