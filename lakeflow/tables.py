@@ -685,7 +685,14 @@ class VersionedTable:
             # and drop whatever the target itself had (ADVICE r7).
             "ndv": m.get("ndv", {}),
         }
-        for k in ("dir_parts", "bloom", "bloom_bits"):
+        # Per-dir layout metadata restores from the target for the same
+        # reason: the carry-forward keys off the ABANDONED head's manifest,
+        # which no longer records specs for dirs that only the target
+        # references — a rollback past a partition-evolution overwrite
+        # would otherwise strip the restored dirs' hidden-transform specs
+        # (losing their partition pruning) the same way it injected the
+        # wrong ndv block.
+        for k in ("dir_parts", "bloom", "bloom_bits", "hidden_specs"):
             if k in m:
                 manifest[k] = m[k]
         self._publish_manifest(manifest)

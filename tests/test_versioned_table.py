@@ -2803,3 +2803,33 @@ def test_seal_survives_mor_dml_with_recorded_dvs(spark, tmp_path):
     assert all(r.ok for r in t.verify_integrity().collect())
     t.seal()
     assert all(r.ok for r in t.verify_integrity().collect())
+
+
+def test_rollback_restores_hidden_partition_specs(spark, tmp_path):
+    """RESTORE past a partition-evolution overwrite: the rollback manifest
+    must pin the TARGET's per-dir hidden-transform specs — the carry rule
+    keys off the abandoned HEAD's manifest, which no longer records specs
+    for dirs only the target references, so without the explicit restore
+    the restored snapshot silently loses its partition pruning (the same
+    provenance class as the ndv-on-rollback fix)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 400).withColumn(
+        "user_id", (F.col("id") % 20).cast("bigint")
+    ).withColumn("value", (F.col("id") * 2).cast("double"))
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit(df, partition_by=["bucket(8, user_id)"])       # v1: hidden spec
+    specs_v1 = t.hidden_partition_specs()
+    assert set(specs_v1) == {"user_id"}
+
+    t.commit(df.filter("id < 100"), mode="overwrite")       # v2: plain dirs
+    assert t.hidden_partition_specs() == {}
+
+    t.rollback(1)
+    assert t.hidden_partition_specs() == specs_v1
+    got = t.scan_transformed(point={"user_id": 7})
+    assert sorted(r.id for r in got.collect()) == sorted(
+        r.id for r in df.filter("user_id = 7").collect()
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "_p_bucket8_user_id" in plan.split("PartitionFilters")[1][:400]
