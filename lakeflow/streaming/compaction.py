@@ -68,6 +68,7 @@ def _fold_batch_shards(
     """Fold all but the ``keep_last`` newest ``batch=`` shards under
     ``parent`` into one shard (named for the highest folded id). Returns
     the number of shards folded away (0 = nothing to do)."""
+    _recover_crashed_swap(parent)
     batches = _list_batches(parent)
     fold_set = batches[: len(batches) - keep_last] if keep_last else batches
     if len(fold_set) < 2:
@@ -79,23 +80,31 @@ def _fold_batch_shards(
     folded = fold(df)
     if single_file:
         folded = folded.coalesce(1)
-    # Crash-safe swap ordering. Spark readers ignore "_"-prefixed dirs, so
-    # both staging dirs are invisible to a probe. The sequence is: write
-    # the folded shard → MOVE (rename, not delete) every folded batch dir
-    # into _compact.trash → rename the folded shard in → delete the trash.
-    # A crash in the middle can only UNDER-count (some shards moved aside,
-    # fold not yet swapped in) — never double-count, which matters for the
-    # summing sketches — and the trash dir makes recovery a rename-back
-    # rather than a re-ingest. Still an OPTIMIZE-cadence operation against
-    # a quiesced index: the swap is not atomic for a concurrent probe.
+    # Crash-consistent swap. Spark readers ignore "_"-prefixed entries, so
+    # every staging path is invisible to a probe. Sequence: write the
+    # folded shard to _compact.tmp → create the _compact.plan marker →
+    # MOVE (rename, not delete) every folded batch dir into _compact.trash
+    # → rename the folded shard in → delete the trash → delete the marker.
+    # The marker+tmp pair make every crash state recoverable by the next
+    # run (_recover_crashed_swap): marker present + tmp present = the fold
+    # never swapped in, so the trashed originals rename back; marker
+    # present + tmp gone = the fold IS in place and the trash is
+    # superseded. A mid-swap crash can therefore only UNDER-count until
+    # the next run — never double-count, which matters for the summing
+    # sketches — and never strands data: the shard set is always
+    # reconstructible from parent+trash. Still an OPTIMIZE-cadence
+    # operation against a quiesced index: the swap is not atomic for a
+    # CONCURRENT probe.
     tmp = os.path.join(parent, "_compact.tmp")
     trash = os.path.join(parent, "_compact.trash")
+    plan = os.path.join(parent, "_compact.plan")
     writer = folded.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(partition_by)
     writer.parquet(tmp)
-    shutil.rmtree(trash, ignore_errors=True)
-    os.makedirs(trash)
+    with open(plan, "w"):
+        pass
+    os.makedirs(trash, exist_ok=True)
     for b in fold_set:
         os.rename(
             os.path.join(parent, f"batch={b}"),
@@ -103,7 +112,32 @@ def _fold_batch_shards(
         )
     os.rename(tmp, os.path.join(parent, f"batch={fold_set[-1]}"))
     shutil.rmtree(trash)
+    os.remove(plan)
     return len(fold_set) - 1
+
+
+def _recover_crashed_swap(parent: str) -> None:
+    """Roll a crashed swap forward or back, keyed on the marker+tmp pair
+    (see the swap-ordering comment in ``_fold_batch_shards``). Idempotent;
+    a no-op when no marker exists. A stale tmp WITHOUT a marker (crash
+    mid-write, before anything moved) is simply overwritten by the next
+    fold, so it needs no handling here."""
+    plan = os.path.join(parent, "_compact.plan")
+    if not os.path.exists(plan):
+        return
+    tmp = os.path.join(parent, "_compact.tmp")
+    trash = os.path.join(parent, "_compact.trash")
+    if os.path.isdir(tmp):
+        # The fold never swapped in: restore the set-aside originals
+        # (names cannot collide — the fold target was one of them and the
+        # rename never happened), then drop the unswapped fold.
+        if os.path.isdir(trash):
+            for n in os.listdir(trash):
+                os.rename(os.path.join(trash, n), os.path.join(parent, n))
+        shutil.rmtree(tmp)
+    # else: the fold landed; the trashed originals are superseded.
+    shutil.rmtree(trash, ignore_errors=True)
+    os.remove(plan)
 
 
 def compact_ann_cells(spark, cells_dir: str, *, keep_last: int = 1) -> int:

@@ -179,3 +179,64 @@ def test_nothing_to_fold_is_a_noop(spark, tmp_path):
     assert _list_batches(cells) == [0, 1]
     # Missing directory: no-op, not an error.
     assert compact_cms_sketch(spark, str(tmp_path / "absent")) == 0
+
+
+def test_crashed_swap_before_rename_rolls_back(spark, tmp_path):
+    """Crash after the originals moved aside but before the fold renamed
+    in: the next run must restore the originals (no under-count persists)
+    and then compact normally — probe answers unchanged throughout."""
+    import shutil
+
+    from lakeflow.operators.similarity import ivf_probe_cells
+
+    cells = str(tmp_path / "cells")
+    raw, cents = _land_ann_batches(spark, cells, n_batches=4)
+    q = raw.filter(F.col("vec_id") < 10)
+    before = _rows(ivf_probe_cells(spark, cells, q, cents, k=5, n_probe=4))
+
+    # Simulate the crash state: fold written to tmp, marker down, two of
+    # the three folded shards moved aside, rename never happened.
+    os.makedirs(f"{cells}/_compact.tmp")
+    open(f"{cells}/_compact.plan", "w").close()
+    os.makedirs(f"{cells}/_compact.trash")
+    for b in (0, 1):
+        os.rename(f"{cells}/batch={b}", f"{cells}/_compact.trash/batch={b}")
+    assert _list_batches(cells) == [2, 3]  # the under-count window
+
+    assert compact_ann_cells(spark, cells) == 2  # recovery + real fold
+    assert _list_batches(cells) == [2, 3]
+    assert _rows(
+        ivf_probe_cells(spark, cells, q, cents, k=5, n_probe=4)
+    ) == before
+    assert not os.path.exists(f"{cells}/_compact.plan")
+    assert not os.path.exists(f"{cells}/_compact.trash")
+    shutil.rmtree(cells)
+
+
+def test_crashed_swap_after_rename_rolls_forward(spark, tmp_path):
+    """Crash after the fold renamed in but before the trash deleted: the
+    trashed originals are superseded — the next run must NOT restore them
+    (that would double-count) and the probe answers stay correct."""
+    from lakeflow.operators.similarity import ivf_probe_cells
+    from lakeflow.streaming.compaction import _fold_batch_shards
+
+    cells = str(tmp_path / "cells")
+    raw, cents = _land_ann_batches(spark, cells, n_batches=4)
+    q = raw.filter(F.col("vec_id") < 10)
+    before = _rows(ivf_probe_cells(spark, cells, q, cents, k=5, n_probe=4))
+
+    # Run a REAL fold, then recreate the post-rename crash state: marker
+    # back down, superseded originals back in a trash dir.
+    assert compact_ann_cells(spark, cells) == 2
+    open(f"{cells}/_compact.plan", "w").close()
+    os.makedirs(f"{cells}/_compact.trash/batch=0")
+    open(f"{cells}/_compact.trash/batch=0/stale.parquet", "w").close()
+
+    # Any fold (here: a no-op, nothing left to fold) recovers first.
+    assert compact_ann_cells(spark, cells) == 0
+    assert not os.path.exists(f"{cells}/_compact.plan")
+    assert not os.path.exists(f"{cells}/_compact.trash")
+    assert _list_batches(cells) == [2, 3]
+    assert _rows(
+        ivf_probe_cells(spark, cells, q, cents, k=5, n_probe=4)
+    ) == before
