@@ -1561,6 +1561,7 @@ def append_to_text_index(
     index_dir: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    include_positions: bool = False,
 ) -> None:
     """Incremental index maintenance for appended documents: tokenize ONLY
     the new batch and append its postings plus PARTIAL term/corpus stats —
@@ -1571,23 +1572,35 @@ def append_to_text_index(
     tokenization, exactly the manifest-diff increment every other
     incremental op here pays; compaction of stat partials happens at
     OPTIMIZE cadence. Contract: append-only — updates/deletes rebuild the
-    affected dirs' postings (the CoW/MOR story, not this fast path)."""
+    affected dirs' postings (the CoW/MOR story, not this fast path).
+    ``include_positions`` must match the build: appending tf-only rows to
+    a positional index would leave the postings with mixed schemas and
+    break phrase search on the appended documents."""
     from lakeflow.operators.transforms import fan_out
 
     toks = fan_out(
         df.select(F.col(id_col).alias("id"), F.col(text_col))
     ).select(
-        "id", F.explode(F.split(normalize_text(text_col), " ")).alias("tok")
+        "id",
+        F.posexplode(F.split(normalize_text(text_col), " ")).alias(
+            "pos", "tok"
+        ),
     )
     # One tokenization feeds all three appended outputs (same caching
     # rationale as build_text_index); dl derives from the cached tf.
-    tf = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    aggs = [F.count(F.lit(1)).alias("tf")]
+    if include_positions:
+        aggs.append(F.array_sort(F.collect_list("pos")).alias("positions"))
+    tf = toks.groupBy("id", "tok").agg(*aggs)
     tf.persist()
     try:
         dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
+        cols = ["tok", "id", "tf", "dl"] + (
+            ["positions"] if include_positions else []
+        )
         (
             tf.join(dl, "id")
-            .select("tok", "id", "tf", "dl")
+            .select(*cols)
             .repartitionByRange(4, "tok")
             .sortWithinPartitions("tok")
             .write.mode("append")
@@ -1663,19 +1676,43 @@ def compact_text_index(spark, index_dir: str) -> None:
     per ingest) back into the one-shot layout — postings re-range-
     partitioned and sorted by token (restoring tight file envelopes for
     IN-probe pruning), corpus partials to one row. Rewrite-priced, so it
-    runs at OPTIMIZE cadence;
-    probes are answer-identical before and after (pinned by test). Writes
-    land in sibling dirs then swap in, so a concurrent probe never reads a
-    half-compacted table."""
+    runs at OPTIMIZE cadence; probes are answer-identical before and
+    after (pinned by test), and a POSITIONAL index keeps its positions
+    column through the rewrite, so phrase search survives compaction.
+
+    The swap is crash-consistent the same way the streamed-index shard
+    compactors are (streaming/compaction.py): fold to a "_"-prefixed tmp
+    (invisible to Spark readers) → drop a plan marker → move the live
+    parts aside → rename the fold in → drop trash + marker; a crashed
+    swap rolls back (fold never renamed in) or forward (fold landed) on
+    the next run instead of stranding the postings in an invisible dir.
+    Run against a quiesced index: the swap is not atomic for a
+    CONCURRENT probe."""
     import os
     import shutil
 
     tmp = f"{index_dir}/_compact"
-    postings = spark.read.parquet(f"{index_dir}/postings").select(
-        "tok", "id", "tf", "dl"
-    )
+    trash = f"{index_dir}/_compact.trash"
+    plan = f"{index_dir}/_compact.plan"
+    parts = ("postings", "corpus_stats")
+    if os.path.exists(plan):
+        if os.path.isdir(tmp):
+            # Fold never swapped in: restore any parts set aside.
+            if os.path.isdir(trash):
+                for n in os.listdir(trash):
+                    live = f"{index_dir}/{n}"
+                    shutil.rmtree(live, ignore_errors=True)
+                    os.rename(f"{trash}/{n}", live)
+            shutil.rmtree(tmp)
+        shutil.rmtree(trash, ignore_errors=True)
+        os.remove(plan)
+
+    raw = spark.read.parquet(f"{index_dir}/postings")
+    cols = [c for c in ("tok", "id", "tf", "dl", "positions")
+            if c in raw.columns]
     (
-        postings.repartitionByRange(8, "tok")
+        raw.select(*cols)
+        .repartitionByRange(8, "tok")
         .sortWithinPartitions("tok")
         .write.mode("overwrite")
         .parquet(f"{tmp}/postings")
@@ -1683,15 +1720,24 @@ def compact_text_index(spark, index_dir: str) -> None:
     spark.read.parquet(f"{index_dir}/corpus_stats").agg(
         F.sum("n").alias("n"), F.sum("sum_dl").alias("sum_dl")
     ).write.mode("overwrite").parquet(f"{tmp}/corpus_stats")
-    for part in ("postings", "corpus_stats"):
-        shutil.rmtree(f"{index_dir}/{part}")
+    with open(plan, "w"):
+        pass
+    os.makedirs(trash, exist_ok=True)
+    for part in parts:
+        os.rename(f"{index_dir}/{part}", f"{trash}/{part}")
+    for part in parts:
         os.rename(f"{tmp}/{part}", f"{index_dir}/{part}")
+    # Drop tmp the moment the fold is live: recovery keys "roll forward"
+    # on the marker WITHOUT tmp, so a crash from here on finishes the
+    # cleanup instead of rolling the completed swap back.
+    shutil.rmtree(tmp, ignore_errors=True)
     # One-shot cleanup of the legacy layout: indexes built before document
     # frequency became probe-derived carried a term_stats shard set that
     # nothing reads anymore — drop it here so it cannot sit orphaned on
     # disk forever (ADVICE r7).
     shutil.rmtree(f"{index_dir}/term_stats", ignore_errors=True)
-    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(trash)
+    os.remove(plan)
 
 
 def phrase_snippets(

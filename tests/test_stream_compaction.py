@@ -240,3 +240,54 @@ def test_crashed_swap_after_rename_rolls_forward(spark, tmp_path):
     assert _rows(
         ivf_probe_cells(spark, cells, q, cents, k=5, n_probe=4)
     ) == before
+
+
+def test_compact_text_index_preserves_positions_and_recovers(spark, tmp_path):
+    """A POSITIONAL index must keep its positions column through
+    compaction (phrase search survives — the rewrite previously projected
+    it away), and the text-index swap shares the marker-based crash
+    recovery: a crash after the live parts moved aside rolls back to the
+    pre-compaction index on the next run."""
+    import shutil
+
+    from lakeflow.operators.text import (
+        append_to_text_index,
+        build_text_index,
+        compact_text_index,
+        phrase_match,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "batch batch stream"), (2, "table scan plan table scan"),
+         (3, "stream table scan")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    build_text_index(docs.filter("doc_id <= 2"), idx, include_positions=True)
+    append_to_text_index(
+        docs.filter("doc_id = 3"), idx, include_positions=True
+    )
+    before = sorted(
+        map(tuple, phrase_match(spark, idx, ["table", "scan"]).collect())
+    )
+    assert before  # phrase hits exist pre-compaction
+
+    compact_text_index(spark, idx)
+    assert "positions" in spark.read.parquet(f"{idx}/postings").columns
+    assert sorted(
+        map(tuple, phrase_match(spark, idx, ["table", "scan"]).collect())
+    ) == before
+
+    # Crash state: fold in tmp, marker down, live parts moved aside.
+    os.makedirs(f"{idx}/_compact/postings")
+    open(f"{idx}/_compact.plan", "w").close()
+    os.makedirs(f"{idx}/_compact.trash")
+    for part in ("postings", "corpus_stats"):
+        os.rename(f"{idx}/{part}", f"{idx}/_compact.trash/{part}")
+    compact_text_index(spark, idx)  # recovers, then compacts again
+    assert sorted(
+        map(tuple, phrase_match(spark, idx, ["table", "scan"]).collect())
+    ) == before
+    assert not os.path.exists(f"{idx}/_compact.plan")
+    assert not os.path.exists(f"{idx}/_compact.trash")
+    shutil.rmtree(idx)
