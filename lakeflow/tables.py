@@ -736,7 +736,12 @@ class VersionedTable:
         # the vectors resurrected MOR-deleted rows), and table policy
         # (constraints) plus stream watermarks (txns) ride along the way
         # Delta clones copy table properties — a stream repointed at the
-        # clone must not double-apply batches.
+        # clone must not double-apply batches. Per-dir hidden-transform
+        # specs and ANALYZE statistics are data state too: they describe
+        # exactly the rows the clone references, so omitting them would
+        # silently strip the clone's partition pruning and force a
+        # re-ANALYZE of data that did not change (the rollback-provenance
+        # class of bug, at the clone boundary).
         for k in (
             "dir_parts",
             "bloom",
@@ -744,6 +749,8 @@ class VersionedTable:
             "n_rows",
             "delete_vectors",
             "partitioning",
+            "hidden_specs",
+            "ndv",
             "constraints",
             "generated",
             "masks",
@@ -2607,6 +2614,7 @@ class VersionedTable:
             k: m[k]
             for k in (
                 "dirs", "stats", "schema", "partitioning", "hidden_specs",
+                "dir_parts", "ndv",
                 "constraints", "generated", "masks", "row_filters",
                 "delete_vectors", "bloom", "bloom_bits", "txns", "refs",
             )
@@ -2692,6 +2700,11 @@ class VersionedTable:
             "masks": hm.get("masks", {}),
             "row_filters": hm.get("row_filters", {}),
             "delete_vectors": hm.get("delete_vectors", []),
+            # Explicitly the branch head's statistics (possibly empty) —
+            # left unset, the shared-dirs carry would attach MAIN's ndv
+            # block to a snapshot that holds the BRANCH's rows: the
+            # wrong-provenance-statistics bug at the fast-forward boundary.
+            "ndv": hm.get("ndv", {}),
             "refs": {**cur_m.get("refs", {}), **hm.get("refs", {})},
             "txns": hm.get("txns", {}),
             "ff_branch": name,
@@ -2699,6 +2712,8 @@ class VersionedTable:
         if hm.get("bloom"):
             manifest["bloom"] = hm["bloom"]
             manifest["bloom_bits"] = hm.get("bloom_bits")
+        if hm.get("dir_parts"):
+            manifest["dir_parts"] = hm["dir_parts"]
         self._publish_manifest(manifest)
         return manifest["version"]
 

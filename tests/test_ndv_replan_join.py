@@ -229,3 +229,52 @@ def test_row_count_is_column_independent(spark, tmp_path):
     assert d["final_side"] == "right"  # dim is the broadcast-able side
     assert d["stored_rows"] == (3000, 100)
     assert df.count() > 0
+
+
+def test_clone_branch_and_fast_forward_carry_stats_provenance(spark, tmp_path):
+    """ANALYZE statistics and hidden-transform specs are data state: a
+    clone and a branch seed describe exactly the rows they reference, so
+    both must carry them; a fast-forward must publish the BRANCH head's
+    statistics, never let the shared-dirs carry attach main's stale block
+    to a snapshot holding the branch's rows."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(
+        spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") % 9).alias("user_id")
+        ),
+        partition_by=["bucket(4, user_id)"],
+    )
+    t.analyze_ndv(["k"], k=32)
+    assert t.ndv_rows() == 100
+    specs = t.hidden_partition_specs()
+    assert set(specs) == {"user_id"}
+
+    # Clone: stats + specs ride along (zero data copied, same rows).
+    clone = t.clone_to(str(tmp_path / "clone"))
+    assert clone.ndv_rows() == 100
+    assert clone.hidden_partition_specs() == specs
+
+    # Branch: the seed describes the fork snapshot's rows.
+    b = t.create_branch("audit")
+    assert b.ndv_rows() == 100
+    assert b.hidden_partition_specs() == specs
+
+    # Branch appends + re-ANALYZEs; main's stats stay at 100.
+    b.commit(
+        spark.range(100, 700).select(
+            F.col("id").alias("k"), (F.col("id") % 9).alias("user_id")
+        ),
+        mode="append",
+    )
+    b.analyze_ndv(["k"], k=32)
+    assert b.ndv_rows() == 700
+    assert t.ndv_rows() == 100
+
+    # Fast-forward publishes the BRANCH's statistics onto main. The
+    # branch head SHARES dirs with main (it only appended), so without
+    # the explicit ndv key the shared-dirs carry would keep main's
+    # stale rows=100 block on a snapshot that holds 700 rows — the
+    # wrong-provenance injection this test pins against.
+    t.fast_forward("audit")
+    assert t.ndv_rows() == 700
+    assert t.read().count() == 700
