@@ -899,6 +899,24 @@ class VersionedTable:
                     **carried_hidden,
                     **manifest.get("hidden_specs", {}),
                 }
+            # Replace-partition coverage lists likewise: a dir's covered
+            # partition set is fixed when the dir is written, so surviving
+            # dirs keep their entries across every manifest-producing path
+            # — without this, a plain append onto a replace-partitions-
+            # managed table dropped the whole map and the next
+            # replace_partitions rewrote EVERY dir instead of the touched
+            # partitions (correct, but O(table) instead of O(batch)).
+            prev_dp = prev_m.get("dir_parts", {})
+            carried_dp = {
+                d: prev_dp[d]
+                for d in manifest.get("dirs", [])
+                if d in prev_dp
+            }
+            if carried_dp or manifest.get("dir_parts"):
+                manifest["dir_parts"] = {
+                    **carried_dp,
+                    **manifest.get("dir_parts", {}),
+                }
         final = os.path.join(self._snap_dir, f"{version:08d}.json")
         tmp = os.path.join(
             self._snap_dir, f".{version:08d}-{uuid.uuid4().hex}.json.tmp"

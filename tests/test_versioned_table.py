@@ -2833,3 +2833,49 @@ def test_rollback_restores_hidden_partition_specs(spark, tmp_path):
     )
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "_p_bucket8_user_id" in plan.split("PartitionFilters")[1][:400]
+
+
+def test_plain_append_keeps_replace_partition_coverage(spark, tmp_path):
+    """A plain append onto a replace-partitions-managed table must keep
+    the surviving dirs' coverage lists (a dir's covered partition set is
+    fixed at write), so the next replace_partitions rewrites only the
+    touched partitions plus the coverage-unknown appended dir — O(batch),
+    not O(table)."""
+    from pyspark.sql import functions as F
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    df = spark.range(300).select(
+        (F.col("id") % 3).alias("day"), F.col("id").alias("v")
+    )
+    t.commit_replace_partitions(df, "day")
+    m0 = t._manifest(t.current_version())
+    assert len(m0.get("dir_parts", {})) == len(m0["dirs"]) >= 3
+
+    t.commit(
+        spark.range(300, 310).select(
+            F.lit(1).cast("bigint").alias("day"), F.col("id").alias("v")
+        ),
+        mode="append",
+    )
+    m1 = t._manifest(t.current_version())
+    # Every pre-existing dir keeps its coverage entry through the append.
+    for d in m0["dirs"]:
+        assert m1["dir_parts"][d] == m0["dir_parts"][d]
+
+    # Replacing day=1 keeps the day-0/day-2 dirs untouched by reference.
+    untouched = [
+        d for d in m0["dirs"]
+        if "1" not in {str(p) for p in m0["dir_parts"][d]}
+    ]
+    t.commit_replace_partitions(
+        spark.range(400, 420).select(
+            F.lit(1).cast("bigint").alias("day"), F.col("id").alias("v")
+        ),
+        "day",
+    )
+    m2 = t._manifest(t.current_version())
+    for d in untouched:
+        assert d in m2["dirs"], "an untouched partition's dir was rewritten"
+    assert sorted(r.v for r in t.read().filter("day = 1").collect()) == list(
+        range(400, 420)
+    )
