@@ -473,6 +473,14 @@ class VersionedTable:
                 if prev_schema is not None
                 else df.schema
             )
+        if bloom:
+            # The bloom modulus is fixed when the index is CREATED: per-dir
+            # bit sets hashed mod different bloom_bits cannot share one
+            # probe (scan_point would compute positions mod the wrong
+            # modulus and prune dirs that DO contain the value — silent
+            # missing rows), so carried blooms pin bloom_bits for every
+            # later commit, whatever this call's argument says.
+            bloom_bits = pm.get("bloom_bits", bloom_bits)
         if stats_cols or bloom_cols:
             # ALL per-dir metadata (zone-map min/max + bloom bit sets) folds
             # into ONE aggregate job over the freshly written dir — a
@@ -858,15 +866,17 @@ class VersionedTable:
             # dirs — overwrite, possibly with a new schema) drops them,
             # because sketches of replaced data must not resurrect onto a
             # snapshot they never described; re-ANALYZE after a rewrite.
-            # Two rewrite-shaped paths are exempt because their rows are
-            # unchanged by construction: COMPACTION (logically a no-op —
-            # discarding valid statistics would force a re-ANALYZE after
-            # every OPTIMIZE, ADVICE r7) and rollback/drop/rename, which
-            # set the block explicitly so this carry never fires for them.
+            # Rewrite-shaped paths whose rows are unchanged by construction
+            # are exempt: COMPACTION and Z-ORDER (both read through the
+            # deletion vectors and rewrite the same visible rows — a
+            # logical no-op, and discarding valid statistics would force a
+            # re-ANALYZE after every OPTIMIZE, ADVICE r7); rollback/drop/
+            # rename set the block explicitly so this carry never fires
+            # for them.
             if "ndv" not in manifest and prev_m.get("ndv"):
                 if (
                     set(manifest.get("dirs", [])) & set(prev_m.get("dirs", []))
-                    or manifest.get("operation") == "compact"
+                    or manifest.get("operation") in ("compact", "optimize-zorder")
                 ):
                     manifest["ndv"] = prev_m["ndv"]
             # Deletion vectors ride along while any referenced dir survives;

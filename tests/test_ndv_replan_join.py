@@ -278,3 +278,20 @@ def test_clone_branch_and_fast_forward_carry_stats_provenance(spark, tmp_path):
     t.fast_forward("audit")
     assert t.ndv_rows() == 700
     assert t.read().count() == 700
+
+
+def test_zorder_carries_analyze_stats(spark, tmp_path):
+    """OPTIMIZE ZORDER is row-preserving like compaction (it reads through
+    the deletion vectors and rewrites the same visible rows), so valid
+    ANALYZE statistics survive it too."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(
+        spark.range(400).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("w")
+        )
+    )
+    t.analyze_ndv(["k"], k=32)
+    before = t.ndv_stats("k")
+    t.optimize_zorder(["k", "w"], n_dirs=4)
+    assert t.ndv_stats("k") == before
+    assert t.ndv_rows() == 400

@@ -2879,3 +2879,41 @@ def test_plain_append_keeps_replace_partition_coverage(spark, tmp_path):
     assert sorted(r.v for r in t.read().filter("day = 1").collect()) == list(
         range(400, 420)
     )
+
+
+def test_bloom_modulus_pinned_across_appends(spark, tmp_path):
+    """The bloom modulus is fixed at index creation: a later append —
+    with or without bloom_cols, whatever bloom_bits it passes — must keep
+    probing mod the ORIGINAL bits, or scan_point computes positions mod
+    the wrong modulus and prunes dirs that do contain the value (silent
+    missing rows)."""
+    from pyspark.sql import functions as F
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.commit(
+        spark.range(500).select(F.col("id").alias("k")),
+        bloom_cols=["k"],
+        bloom_bits=512,
+    )
+    # Append WITHOUT bloom_cols: the default bloom_bits=4096 argument
+    # must not overwrite the index's 512.
+    t.commit(
+        spark.range(500, 600).select(F.col("id").alias("k")), mode="append"
+    )
+    m = t._manifest(t.current_version())
+    assert m["bloom_bits"] == 512
+    assert t.scan_point("k", 42).count() == 1
+    # Append WITH bloom_cols but the (different) default bits: the new
+    # dir's bit set must be hashed mod the pinned 512 so the probe works.
+    t.commit(
+        spark.range(600, 700).select(F.col("id").alias("k")),
+        mode="append",
+        bloom_cols=["k"],
+    )
+    m = t._manifest(t.current_version())
+    assert m["bloom_bits"] == 512
+    assert all(
+        b < 512 for cs in m["bloom"].values() for bs in cs.values() for b in bs
+    )
+    for v in (42, 550, 650):
+        assert t.scan_point("k", v).count() == 1, f"value {v} lost to pruning"
