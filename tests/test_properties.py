@@ -1028,3 +1028,60 @@ def test_prefix_filtering_loses_no_pairs(spark, corpus, t):
         for r in dd.prefix_filtered_jaccard_join(shingles, t).collect()
     }
     assert ppjoin == exhaustive
+
+
+@given(
+    items=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 2)), min_size=1,
+        max_size=30,
+    ),
+    cuts=st.lists(st.integers(0, 29), min_size=0, max_size=3),
+    keep_last=st.integers(0, 2),
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_shard_fold_preserves_kmv_probe(
+    spark, tmp_path_factory, items, cuts, keep_last
+):
+    """Compacting an arbitrary batch split of a KMV minima shard set, with
+    any replay tail kept, must leave the probe's merged sketch identical:
+    bottom-k of a union equals bottom-k of unioned per-batch bottom-k's,
+    whatever the split — the mergeability contract the OPTIMIZE step
+    relies on (streaming/compaction.py)."""
+    from lakeflow.operators.aggregates import kmv_minima, merge_kmv_minima
+    from lakeflow.streaming.compaction import _list_batches, compact_kmv_sketch
+
+    root = str(tmp_path_factory.mktemp("kmvfold"))
+    bounds = sorted({0, *cuts, len(items)})
+    batches = [
+        items[lo:hi] for lo, hi in zip(bounds, bounds[1:]) if items[lo:hi]
+    ]
+    for bid, rows_b in enumerate(batches):
+        df = spark.createDataFrame(rows_b, "item int, grp int")
+        kmv_minima(df, "item", 8, group_cols=["grp"]).coalesce(1) \
+            .write.mode("overwrite").parquet(f"{root}/minima/batch={bid}")
+
+    def probe():
+        return sorted(
+            map(tuple, merge_kmv_minima(
+                spark.read.parquet(f"{root}/minima"), 8, group_cols=["grp"]
+            ).collect())
+        )
+
+    before = probe()
+    n = len(batches)
+    folded = compact_kmv_sketch(
+        spark, root, 8, group_cols=["grp"], keep_last=keep_last
+    )
+    expect_fold = max(n - keep_last, 0)
+    assert folded == (expect_fold - 1 if expect_fold >= 2 else 0)
+    assert probe() == before
+    # The one-shot sketch over ALL items equals the merged probe's sketch.
+    one_shot = sorted(
+        map(tuple, kmv_minima(
+            spark.createDataFrame(items, "item int, grp int"), "item", 8,
+            group_cols=["grp"],
+        ).collect())
+    )
+    assert probe() == one_shot
+    assert len(_list_batches(f"{root}/minima")) >= min(n, max(keep_last, 1))
