@@ -187,8 +187,15 @@ def main() -> None:
     # variance rather than plan cost. The warm pass isolates that —
     # pass-2 times carry no codegen/classload/first-scan noise, so a
     # pass-2 regression is a REAL plan regression, while pass-1-only
-    # drift is environmental.
-    print("  -- headline pass 2 (warm) --", file=sys.stderr)
+    # drift is environmental. The cache clears FIRST: without it the two
+    # undrained passes stack ~112 queries' persisted intermediates and
+    # the heap nondeterministically crosses the GC-pressure cliff the
+    # tail sweep drains against (observed: the same build measured
+    # pass-2 64 s and 143 s back-to-back, uniformly +2-6 s per query in
+    # the slow run) — so pass 2 rebuilds its own caches exactly like
+    # pass 1 did and differs from it only by the first-touch costs.
+    spark.catalog.clearCache()
+    print("  -- headline pass 2 (warm code, fresh cache) --", file=sys.stderr)
     timings2 = run_set(headline)
     record = {
         "metric": "lakeflow headline queries, end-to-end (noop sink)",
