@@ -841,20 +841,36 @@ def test_ivf_probe_cells_scan_is_partition_pruned(spark, tmp_path):
             .parquet(f"{cells}/batch={bid}")
         )
 
+    def assert_pruned_scan(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        scan_lines = [
+            ln for ln in plan.splitlines()
+            if "FileScan parquet" in ln and "cells" in ln
+        ]
+        assert scan_lines, "cells FileScan not found in the probe plan"
+        for ln in scan_lines:
+            assert "PartitionFilters" in ln and "dynamicpruning" in ln.lower(), (
+                "cells scan lost its cid dynamic partition pruning — the "
+                "probe would read every cell partition"
+            )
+
     res = ivf_probe_cells(
         spark, cells, queries=raw.filter(F.col("vec_id") < 10),
         centroids=cents, k=5, n_probe=4,
     )
-    plan = res._jdf.queryExecution().executedPlan().toString()
-    scan_lines = [
-        ln for ln in plan.splitlines()
-        if "FileScan parquet" in ln and "cells" in ln
-    ]
-    assert scan_lines, "cells FileScan not found in the probe plan"
-    for ln in scan_lines:
-        assert "PartitionFilters" in ln and "dynamicpruning" in ln.lower(), (
-            "cells scan lost its cid dynamic partition pruning — the probe "
-            "would read every cell partition"
-        )
+    assert_pruned_scan(res)
     # And the probe result is still the k-per-query shape.
     assert res.groupBy("qid").count().agg(F.max("count")).first()[0] <= 5
+
+    # The pruning must SURVIVE the OPTIMIZE step: a compacted index keeps
+    # cid as the physical partition key, so the folded layout prunes the
+    # same way the shard layout did.
+    from lakeflow.streaming.compaction import compact_ann_cells
+
+    assert compact_ann_cells(spark, cells, keep_last=0) == 1
+    assert_pruned_scan(
+        ivf_probe_cells(
+            spark, cells, queries=raw.filter(F.col("vec_id") < 10),
+            centroids=cents, k=5, n_probe=4,
+        )
+    )
