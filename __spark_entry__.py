@@ -51,7 +51,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every registered query (238/238 since r7 —
+    """DuckDB-equivalent SQL for every registered query (239/239 as of r8 —
     approximate ops emit deterministic tolerance verdicts instead of raw
     estimates, so even they are hash-checked); a name without an entry
     would fall back to the driver's rows-only check."""
