@@ -96,8 +96,22 @@ def _load_verified_rounds() -> dict[int, frozenset[str]]:
         try:
             with open(path) as f:
                 rows = _json.load(f)
-        except (OSError, ValueError):
-            continue  # a half-written file must not break imports mid-round
+        except (OSError, ValueError) as exc:
+            # A half-written file must not break imports mid-round, but a
+            # silently-dropped round would reshuffle the driver-facing
+            # registration order with no visible cause (ADVICE r8) — warn
+            # loudly so the dropped round shows up in pytest/driver logs.
+            import warnings as _warnings
+
+            _warnings.warn(
+                f"CORRECTNESS file {path} exists but failed to parse "
+                f"({exc!r}); its round's verdicts are being SKIPPED and "
+                f"the driver-facing registration order will treat that "
+                f"round's queries as stale",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            continue
         rounds[int(m.group(1))] = frozenset(
             name for name, row in rows.items() if _row_verified(row)
         )

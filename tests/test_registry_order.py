@@ -71,20 +71,55 @@ def test_stale_then_never_verified_lead_the_order():
     assert n_stale + n_never <= 10
 
 
-def test_r2_era_greens_lead_the_r8_window():
-    """VERDICT r7 ask #1: the 11 queries whose latest verdict is still r2
-    (plus the 46 r3-era ones) must rotate through the next ~50-slot
-    window — all of them ahead of anything verified at r4 or later."""
+def test_stalest_greens_lead_the_window():
+    """VERDICT r8 ask #1 (replacing the self-expiring r8-era census test):
+    the stable-green block must open with exactly the queries whose latest
+    verdict is the OLDEST round present, and that block must start right
+    after the stale+never front — all counts derived from the same
+    CORRECTNESS files the registry parses, never hard-coded, so a new
+    driver results file can never redden this test."""
     names = list(QUERIES)
-    r2_idx = [i for i, n in enumerate(names) if _LATEST_GREEN.get(n) == 2]
-    r3_idx = [i for i, n in enumerate(names) if _LATEST_GREEN.get(n) == 3]
-    fresh_idx = [
-        i for i, n in enumerate(names)
-        if _LATEST_GREEN.get(n, 0) >= 4 and n not in _REWRITTEN_SINCE_GREEN
+    stable = [
+        (i, n) for i, n in enumerate(names)
+        if n in _VERIFIED and n not in _REWRITTEN_SINCE_GREEN
     ]
-    assert len(r2_idx) == 11 and len(r3_idx) == 46
-    assert max(r2_idx) < min(r3_idx)
-    assert max(r3_idx) < min(fresh_idx)
+    assert stable, "registry has no stable greens — CORRECTNESS files missing?"
+    rounds_present = sorted({_LATEST_GREEN[n] for _, n in stable})
+    oldest = rounds_present[0]
+    oldest_idx = [i for i, n in stable if _LATEST_GREEN[n] == oldest]
+    newer_idx = [i for i, n in stable if _LATEST_GREEN[n] != oldest]
+    if newer_idx:
+        assert max(oldest_idx) < min(newer_idx), (
+            f"a round-{oldest} green sits behind a fresher one"
+        )
+    n_front = len([n for n in _REWRITTEN_SINCE_GREEN if n in names]) + sum(
+        1 for n in names if n not in _VERIFIED
+    )
+    assert min(i for i, _ in stable) == n_front, (
+        "stable-green block does not start immediately after the "
+        "stale+never-verified front"
+    )
+
+
+def test_staleness_debt_is_bounded():
+    """VERDICT r8 ask #7: registry freshness as a gate, not a chore. With a
+    ~50-slot window per round rotating the stalest greens first, steady
+    state leaves ~len(QUERIES) - 4*50 queries whose latest verdict is >=4
+    rounds old (~40 for a 239-query registry). Fail if that debt
+    re-accumulates past 60 — roughly one skipped rotation's worth — so it
+    can never silently grow back once the r9 rotation clears the r3/r4
+    backlog."""
+    if not _LATEST_GREEN:
+        return
+    current = max(_LATEST_GREEN.values())
+    stale = [
+        n for n in QUERIES
+        if n in _LATEST_GREEN and current - _LATEST_GREEN[n] >= 4
+    ]
+    assert len(stale) <= 60, (
+        f"{len(stale)} queries' latest verdict is >=4 rounds old "
+        f"(gate: 60) — the per-round rotation has stalled: {sorted(stale)[:10]}..."
+    )
 
 
 def test_oldest_verdicts_reverified_before_newest():
