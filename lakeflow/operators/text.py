@@ -1575,8 +1575,26 @@ def append_to_text_index(
     affected dirs' postings (the CoW/MOR story, not this fast path).
     ``include_positions`` must match the build: appending tf-only rows to
     a positional index would leave the postings with mixed schemas and
-    break phrase search on the appended documents."""
+    break phrase search on the appended documents — enforced below by
+    checking the existing postings schema, not just documented (ADVICE
+    r8: a docstring-only contract fails silently as null positions)."""
     from lakeflow.operators.transforms import fan_out
+
+    try:
+        existing = df.sparkSession.read.parquet(f"{index_dir}/postings")
+    except Exception:
+        existing = None  # first append into an empty dir acts as a build
+    if existing is not None:
+        built_positional = "positions" in existing.columns
+        if built_positional != include_positions:
+            raise ValueError(
+                f"include_positions={include_positions} disagrees with the "
+                f"built index at {index_dir}/postings (built with "
+                f"include_positions={built_positional}); appending "
+                f"mixed-schema postings would silently break "
+                f"{'phrase search' if built_positional else 'the tf-only probe'} "
+                f"on the appended documents"
+            )
 
     toks = fan_out(
         df.select(F.col(id_col).alias("id"), F.col(text_col))

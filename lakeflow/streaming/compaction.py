@@ -70,7 +70,14 @@ def _fold_batch_shards(
     the number of shards folded away (0 = nothing to do)."""
     _recover_crashed_swap(parent)
     batches = _list_batches(parent)
-    fold_set = batches[: len(batches) - keep_last] if keep_last else batches
+    # max(0, ...) guards keep_last > len(batches): a negative slice bound
+    # would fold shards from the FRONT while keeping fewer than keep_last
+    # newest — shards the caller asked to protect would get folded, and a
+    # replayed batch id re-landing beside its folded copy would double-count
+    # in the summing sketches (ADVICE r8).
+    fold_set = (
+        batches[: max(0, len(batches) - keep_last)] if keep_last else batches
+    )
     if len(fold_set) < 2:
         return 0
     reader = spark.read.option("basePath", parent)

@@ -1883,6 +1883,38 @@ def test_compact_text_index_preserves_probe_and_shrinks_files(spark, tmp_path):
     assert not os.path.exists(f"{idx}/term_stats")
 
 
+def test_append_positions_mismatch_raises(spark, tmp_path):
+    """ADVICE r8: include_positions must MATCH the built index, enforced at
+    the append site — tf-only rows appended to a positional index would
+    silently null out phrase search over the new documents."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from lakeflow.catalog import load_table
+    from lakeflow.operators.text import append_to_text_index, build_text_index
+
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    rest = docs.filter(F.col("doc_id") % 2 == 1)
+
+    pos_idx = str(tmp_path / "pos_idx")
+    build_text_index(half, pos_idx, include_positions=True)
+    with pytest.raises(ValueError, match="include_positions=False disagrees"):
+        append_to_text_index(rest, pos_idx, include_positions=False)
+
+    tf_idx = str(tmp_path / "tf_idx")
+    build_text_index(half, tf_idx, include_positions=False)
+    with pytest.raises(ValueError, match="include_positions=True disagrees"):
+        append_to_text_index(rest, tf_idx, include_positions=True)
+    # Matching appends still work on both layouts.
+    append_to_text_index(rest, pos_idx, include_positions=True)
+    append_to_text_index(rest, tf_idx, include_positions=False)
+    assert "positions" in spark.read.parquet(f"{pos_idx}/postings").columns
+    assert "positions" not in spark.read.parquet(f"{tf_idx}/postings").columns
+
+
 def test_phrase_match_repeated_and_long_phrases(spark, tmp_path):
     """Positional phrase matching on crafted docs: repeated-token phrases
     need genuinely distinct adjacent occurrences, 3-term chains count

@@ -103,6 +103,19 @@ def test_compact_ann_keep_last_zero_folds_everything(spark, tmp_path):
     ) == before
 
 
+def test_keep_last_exceeding_batch_count_folds_nothing(spark, tmp_path):
+    """keep_last > #batches must protect ALL shards (ADVICE r8: a negative
+    slice bound used to fold from the FRONT, folding exactly the shards the
+    caller asked to keep and inviting replay double-counts)."""
+    cells = str(tmp_path / "cells")
+    _land_ann_batches(spark, cells, n_batches=3)
+    assert compact_ann_cells(spark, cells, keep_last=5) == 0
+    assert _list_batches(cells) == [0, 1, 2]
+    # Boundary: keep_last == #batches also protects everything.
+    assert compact_ann_cells(spark, cells, keep_last=3) == 0
+    assert _list_batches(cells) == [0, 1, 2]
+
+
 def test_compact_cms_and_histogram_sum_partials(spark, tmp_path):
     from lakeflow.operators.aggregates import (
         cms_cells,
