@@ -131,8 +131,12 @@ for _rnd, _names in _VERIFIED_ROUNDS.items():
 # guard (tests/test_registry_order.py + scripts/query_green_hashes.json)
 # fails if a rewrite is not listed here. Every r7 member (the
 # approx_distinct_users verdict-row rewrite) earned a green r7 verdict and
-# has been removed; list r8 rewrites here as they happen.
-_REWRITTEN_SINCE_GREEN: frozenset[str] = frozenset()
+# has been removed; r9: stream_ann_compacted_topk now exercises the
+# AUTO-compaction path (compact_every_n_batches inside foreachBatch,
+# VERDICT r8 ask #3) instead of the manual OPTIMIZE call.
+_REWRITTEN_SINCE_GREEN: frozenset[str] = frozenset(
+    {"stream_ann_compacted_topk"}
+)
 
 
 def _reorder_for_driver() -> None:

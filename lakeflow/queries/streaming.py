@@ -1287,16 +1287,18 @@ def _register_stream_ann() -> None:
 
     @register("stream_ann_compacted_topk", oracle=_IVF_TOPK_ORACLE)
     def stream_ann_compacted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """`stream_ann_cells_topk` plus the OPTIMIZE step (VERDICT r7 ask
-        #5): after the three micro-batches land their batch=<id>/cid=<cell>
-        shards, `compact_ann_cells` folds the committed shards into one
-        (the newest is kept for replay ownership) and the probe over the
-        COMPACTED index must still answer EXACTLY like the one-shot batch
-        assignment — the SAME oracle as `ivf_topk`. A vector lost or
-        duplicated by the fold, a cell boundary moved, or a replay-tail
-        shard touched breaks the hash; the directory count drop itself is
-        asserted by tests/test_stream_compaction.py (listing cost is what
-        compaction buys back after ~120k micro-batch shards)."""
+        """`stream_ann_cells_topk` plus the OPTIMIZE step through the
+        PRODUCTION path (VERDICT r8 ask #3): the ingest runs with
+        ``compact_every_n_batches=2``, so the fold happens from INSIDE
+        ``foreachBatch`` at cadence — no operator remembering to run
+        OPTIMIZE — leaving at most 2 shards (the fold + the replay tail),
+        and the probe over the AUTO-COMPACTED index must still answer
+        EXACTLY like the one-shot batch assignment — the SAME oracle as
+        `ivf_topk`. A vector lost or duplicated by the in-stream fold, a
+        cell boundary moved, or a replay-tail shard touched breaks the
+        hash; the shard-count bound itself is asserted by
+        tests/test_stream_compaction.py (listing cost is what compaction
+        buys back after ~120k micro-batch shards at 5 s triggers)."""
         import glob
         import os
         import shutil
@@ -1306,7 +1308,6 @@ def _register_stream_ann() -> None:
 
         from lakeflow.operators.similarity import ivf_probe_cells
         from lakeflow.sources.streams import file_stream
-        from lakeflow.streaming.compaction import compact_ann_cells
         from lakeflow.streaming.sinks import stream_ann_ingest
 
         raw = spark.read.parquet(table_path(sf_dir, "embeddings")).select(
@@ -1337,8 +1338,9 @@ def _register_stream_ann() -> None:
             "vec_id bigint, embedding array<float>",
             max_files_per_trigger=1,
         )
-        stream_ann_ingest(stream, cells, centroids).awaitTermination()
-        compact_ann_cells(spark, cells)
+        stream_ann_ingest(
+            stream, cells, centroids, compact_every_n_batches=2
+        ).awaitTermination()
         return ivf_probe_cells(
             spark,
             cells,

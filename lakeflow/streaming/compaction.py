@@ -206,6 +206,33 @@ def compact_kmv_sketch(
     )
 
 
+def compact_streamed_text_index(
+    spark, index_dir: str, *, keep_last: int = 1
+) -> int:
+    """Fold ``stream_index_ingest`` batch shards IN the batch= layout:
+    postings re-range-partitioned and sorted by token (restoring the tight
+    per-file tok envelopes the probe's IN-filter prunes on), corpus-stat
+    partials summed to one row. Unlike ``compact_text_index`` (the quiesced
+    OPTIMIZE that flattens to the one-shot layout), this keeps the
+    ``keep_last`` replay tail untouched, so it is safe to run from inside
+    ``foreachBatch`` at cadence — the just-committed shard stays a separate
+    subdir a replayed micro-batch can overwrite idempotently."""
+    folded = _fold_batch_shards(
+        spark,
+        os.path.join(index_dir, "postings"),
+        lambda df: df.repartitionByRange(8, "tok").sortWithinPartitions("tok"),
+        keep_last=keep_last,
+    )
+    folded += _fold_batch_shards(
+        spark,
+        os.path.join(index_dir, "corpus_stats"),
+        lambda df: df.agg(F.sum("n").alias("n"), F.sum("sum_dl").alias("sum_dl")),
+        keep_last=keep_last,
+        single_file=True,
+    )
+    return folded
+
+
 def compact_weighted_sample(
     spark,
     sample_dir: str,

@@ -507,6 +507,26 @@ def stream_fuzzy_dedup_ingest(
     return writer.start()
 
 
+def _autocompact(parent: str, every_n: int | None, fold) -> None:
+    """Shared cadence hook for the streamed-index ingest sinks (VERDICT r8
+    ask #3): fold committed batch shards from INSIDE ``foreachBatch`` once
+    more than ``every_n`` have accumulated, so a 5 s-trigger deployment
+    bounds its live shard count at every_n+1 without an operator
+    remembering to run OPTIMIZE. The trigger counts shards ON DISK (not
+    batch ids, which skip on empty batches), and every fold keeps the
+    newest shard (keep_last=1) so the just-committed micro-batch stays a
+    separate subdir a post-crash replay can overwrite idempotently —
+    re-running the fold after a replay is a no-op (one folded shard + the
+    replay tail leaves nothing to fold). Crash safety inside the fold
+    itself is the compactor's two-phase swap."""
+    if not every_n:
+        return
+    from lakeflow.streaming.compaction import _list_batches
+
+    if len(_list_batches(parent)) > every_n:
+        fold()
+
+
 def stream_index_ingest(
     df: DataFrame,
     index_dir: str,
@@ -515,6 +535,7 @@ def stream_index_ingest(
     checkpoint: str | None = None,
     available_now: bool = True,
     processing_time: str | None = None,
+    compact_every_n_batches: int | None = None,
 ):
     """Streaming maintenance of the materialized inverted index
     (operators/text.py::build_text_index): each micro-batch tokenizes ONLY
@@ -527,7 +548,10 @@ def stream_index_ingest(
     partition discovery and folds the partials, so retrieval sees every
     batch the moment its files land — the shape streaming corpus ingest
     wants at 100 TB: per-batch tokenization cost, no stats
-    read-modify-write, compaction of batch shards at OPTIMIZE cadence."""
+    read-modify-write, compaction of batch shards at OPTIMIZE cadence or,
+    with ``compact_every_n_batches``, automatically in-stream (the fold
+    runs inside ``foreachBatch`` once more than that many shards have
+    accumulated, keeping the newest for replay — see ``_autocompact``)."""
     import tempfile as _tf
 
     from pyspark.sql import functions as F
@@ -568,6 +592,15 @@ def stream_index_ingest(
             # Same fence as the batch twins: a failed write must not leak
             # the cached frame into the retried micro-batch.
             tf.unpersist()
+        from lakeflow.streaming.compaction import compact_streamed_text_index
+
+        _autocompact(
+            f"{index_dir}/postings",
+            compact_every_n_batches,
+            lambda: compact_streamed_text_index(
+                batch_df.sparkSession, index_dir, keep_last=1
+            ),
+        )
 
     writer = df.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint or _tf.mkdtemp(prefix="lakeflow-ckpt-")
@@ -590,6 +623,7 @@ def stream_ann_ingest(
     checkpoint: str | None = None,
     available_now: bool = True,
     processing_time: str | None = None,
+    compact_every_n_batches: int | None = None,
 ):
     """Streaming maintenance of an IVF ANN index
     (operators/similarity.py::ivf_topk's ingest half): each micro-batch
@@ -603,9 +637,12 @@ def stream_ann_ingest(
     assignment bit-for-bit, and ``cid`` as a physical partition key means
     a probe reads n_probe/C of the corpus via partition pruning — the
     embedding-firehose shape at 100 TB: per-batch assignment cost, no
-    index rebuild, compaction of batch shards at OPTIMIZE cadence.
-    Contract: append-only vector stream with unique ids; the centroid set
-    is FIXED for the index's lifetime (retraining = new index dir)."""
+    index rebuild, compaction of batch shards at OPTIMIZE cadence or
+    automatically in-stream via ``compact_every_n_batches`` (fold inside
+    ``foreachBatch`` once more than that many shards exist, newest kept
+    for replay — see ``_autocompact``). Contract: append-only vector
+    stream with unique ids; the centroid set is FIXED for the index's
+    lifetime (retraining = new index dir)."""
     import tempfile as _tf
 
     from pyspark.sql import Window
@@ -650,6 +687,15 @@ def stream_ann_ingest(
             .mode("overwrite")
             .parquet(f"{cells_dir}/batch={int(batch_id)}")
         )
+        from lakeflow.streaming.compaction import compact_ann_cells
+
+        _autocompact(
+            cells_dir,
+            compact_every_n_batches,
+            lambda: compact_ann_cells(
+                batch_df.sparkSession, cells_dir, keep_last=1
+            ),
+        )
 
     writer = df.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint or _tf.mkdtemp(prefix="lakeflow-ckpt-")
@@ -671,6 +717,7 @@ def stream_cms_ingest(
     checkpoint: str | None = None,
     available_now: bool = True,
     processing_time: str | None = None,
+    compact_every_n_batches: int | None = None,
 ):
     """Streaming maintenance of the mergeable count-min sketch
     (operators/aggregates.py::cms_cells): each micro-batch sketches ONLY its
@@ -684,7 +731,8 @@ def stream_cms_ingest(
     with NO read-modify-write of sketch state, which is what heavy-hitter
     tracking over a 100 TB event firehose wants: per-batch sketch cost,
     constant-size state, compaction optional (fold batches at OPTIMIZE
-    cadence exactly like the inverted index)."""
+    cadence exactly like the inverted index, or automatically in-stream
+    via ``compact_every_n_batches`` — see ``_autocompact``)."""
     import tempfile as _tf
 
     from lakeflow.operators.aggregates import cms_cells
@@ -697,6 +745,15 @@ def stream_cms_ingest(
             .coalesce(1)
             .write.mode("overwrite")
             .parquet(f"{sketch_dir}/cells/batch={int(batch_id)}")
+        )
+        from lakeflow.streaming.compaction import compact_cms_sketch
+
+        _autocompact(
+            f"{sketch_dir}/cells",
+            compact_every_n_batches,
+            lambda: compact_cms_sketch(
+                batch_df.sparkSession, sketch_dir, keep_last=1
+            ),
         )
 
     writer = df.writeStream.foreachBatch(apply_batch).option(
@@ -718,6 +775,7 @@ def stream_histogram_ingest(
     checkpoint: str | None = None,
     available_now: bool = True,
     processing_time: str | None = None,
+    compact_every_n_batches: int | None = None,
 ):
     """Streaming maintenance of the mergeable histogram quantile sketch
     (operators/aggregates.py::histogram_partials): each micro-batch bins
@@ -741,6 +799,15 @@ def stream_histogram_ingest(
             .write.mode("overwrite")
             .parquet(f"{sketch_dir}/bins/batch={int(batch_id)}")
         )
+        from lakeflow.streaming.compaction import compact_histogram_sketch
+
+        _autocompact(
+            f"{sketch_dir}/bins",
+            compact_every_n_batches,
+            lambda: compact_histogram_sketch(
+                batch_df.sparkSession, sketch_dir, keep_last=1
+            ),
+        )
 
     writer = df.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint or _tf.mkdtemp(prefix="lakeflow-ckpt-")
@@ -762,6 +829,7 @@ def stream_kmv_ingest(
     checkpoint: str | None = None,
     available_now: bool = True,
     processing_time: str | None = None,
+    compact_every_n_batches: int | None = None,
 ):
     """Streaming maintenance of the KMV distinct sketch
     (operators/aggregates.py::kmv_minima): each micro-batch sketches ONLY
@@ -790,6 +858,16 @@ def stream_kmv_ingest(
             .write.mode("overwrite")
             .parquet(f"{sketch_dir}/minima/batch={int(batch_id)}")
         )
+        from lakeflow.streaming.compaction import compact_kmv_sketch
+
+        _autocompact(
+            f"{sketch_dir}/minima",
+            compact_every_n_batches,
+            lambda: compact_kmv_sketch(
+                batch_df.sparkSession, sketch_dir, k,
+                group_cols=gcols, keep_last=1,
+            ),
+        )
 
     writer = df.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint or _tf.mkdtemp(prefix="lakeflow-ckpt-")
@@ -811,6 +889,7 @@ def stream_weighted_sample_ingest(
     checkpoint: str | None = None,
     available_now: bool = True,
     processing_time: str | None = None,
+    compact_every_n_batches: int | None = None,
 ):
     """Streaming maintenance of the A-ES weighted sample
     (transforms.weighted_hash_sample): each micro-batch keeps only its own
@@ -835,6 +914,16 @@ def stream_weighted_sample_ingest(
             .coalesce(1)
             .write.mode("overwrite")
             .parquet(f"{sample_dir}/cand/batch={int(batch_id)}")
+        )
+        from lakeflow.streaming.compaction import compact_weighted_sample
+
+        _autocompact(
+            f"{sample_dir}/cand",
+            compact_every_n_batches,
+            lambda: compact_weighted_sample(
+                batch_df.sparkSession, sample_dir, id_col, weight_col, k,
+                keep_last=1,
+            ),
         )
 
     writer = df.writeStream.foreachBatch(apply_batch).option(
