@@ -48,11 +48,81 @@ def test_bench_stdout_is_one_compact_json_line():
     }
     # Two-pass headline (VERDICT r7 ask #2): the warm second pass over the
     # identical set separates environment/first-touch drift (pass-1-only)
-    # from real plan regressions (visible in pass 2 as well).
-    assert set(rec["queries_pass2"]) == set(rec["queries"])
+    # from real plan regressions (visible in pass 2 as well). Pass-2
+    # PER-QUERY detail lives on stderr ONLY — r8 proved a second 56-entry
+    # dict on stdout overflows the driver's ~2000-char capture window and
+    # the whole record fails to parse (BENCH_r08.json parsed=null).
+    assert "queries_pass2" not in rec
     assert rec["value_pass2"] > 0
-    # The compact line must stay far below any plausible capture window
-    # even for the full headline set: ~30 bytes/query * ~60 queries * two
-    # passes + fixed keys. Two queries here; assert the per-record
-    # overhead is bounded.
-    assert len(lines[0]) < 4096
+    pass2_lines = [
+        ln for ln in proc.stderr.splitlines() if ln.startswith("PASS2 ")
+    ]
+    assert len(pass2_lines) == 1
+    assert set(json.loads(pass2_lines[0][len("PASS2 "):])) == set(
+        rec["queries"]
+    )
+    assert len(lines[0]) < 1900
+
+
+def test_full_headline_record_fits_driver_capture_window():
+    """Static guard against the r8 regression class: a worst-case stdout
+    record for the FULL headline set (every BENCH query at a 4-digit
+    seconds value) must stay under the driver's ~2000-char tail capture,
+    or the whole line fails to parse exactly like BENCH_r08 did."""
+    import bench
+
+    record = {
+        "metric": "lakeflow headline queries, end-to-end (noop sink)",
+        "value": 9999.999,
+        "unit": "sec",
+        "queries": {n: 999.999 for n in bench.BENCH_QUERIES},
+        "value_pass2": 9999.999,
+        "sf": 0.1,
+        "full_total": 9999.999,
+        "full_n": 999,
+    }
+    line = json.dumps(record, separators=(",", ":"))
+    assert len(line) < 1900, (
+        f"headline stdout record is {len(line)} bytes — the driver's "
+        f"capture window truncates ~2000; move detail to stderr or trim "
+        f"the headline set"
+    )
+
+
+def test_committed_bench_files_keep_two_pass_invariant():
+    """VERDICT r8 ask #4: the committed BENCH record must carry both pass
+    totals, and the warm pass must not be slower than the cold one (the
+    between-pass cache clear regressed if it is). r8's record predates the
+    stdout slimming and its parsed field is null (the very bug fixed this
+    round) — recover its values from the raw tail so the invariant is
+    still checked."""
+    import glob
+    import re
+
+    files = sorted(glob.glob(os.path.join(_REPO, "BENCH_r*.json")))
+    assert files
+    checked = 0
+    for path in files:
+        rec = json.load(open(path))
+        parsed = rec.get("parsed")
+        if parsed is None:
+            tail = rec.get("tail", "")
+            m1 = re.search(r'"value":\s*([0-9.]+)', tail)
+            m2 = re.search(r'"value_pass2":\s*([0-9.]+)', tail)
+            if not m2:
+                continue  # single-pass era (r1-r7) or no recoverable data
+            v2 = float(m2.group(1))
+            v1 = float(m1.group(1)) if m1 else None
+        else:
+            if "value_pass2" not in parsed:
+                continue  # single-pass era
+            v1, v2 = parsed["value"], parsed["value_pass2"]
+        assert v2 > 0
+        if v1 is not None:
+            # Small epsilon: two totals of 56 noisy timings can tie.
+            assert v2 <= v1 * 1.02, (
+                f"{path}: warm pass {v2} slower than cold {v1} — the "
+                f"between-pass cache clear regressed"
+            )
+        checked += 1
+    assert checked >= 1, "no two-pass BENCH record found to check"
