@@ -324,6 +324,31 @@ def stats_join_cardinality(table_a, col_a: str, table_b, col_b: str) -> dict:
     }
 
 
+def ndv_stats_stale(
+    live_rows: int, stored_rows: int, drift_threshold: float = 1.2
+) -> bool:
+    """Exact staleness test for the drift band [1/t, t], shared by the
+    Python planner (``ndv_planned_join``) and mirrored by the DuckDB
+    oracle of ``stats_stale_replan_join`` (VERDICT r8 ask #5): the
+    threshold is taken as an exact rational (str-parsed, so 1.2 IS 6/5)
+    and the comparison is integer cross-multiplication —
+    ``live*den > stored*num OR live*num < stored*den`` — erasing the
+    float/int disagreement the two paths used to have exactly AT a 6/5
+    ratio. Boundary semantics: a ratio of exactly t (or 1/t) is FRESH on
+    both sides, matching the oracle's strict inequalities. stored <= 0
+    (never analyzed / empty-at-analyze) is always stale."""
+    if stored_rows <= 0:
+        return True
+    from fractions import Fraction
+
+    t = Fraction(str(drift_threshold))
+    num, den = t.numerator, t.denominator
+    return (
+        live_rows * den > stored_rows * num
+        or live_rows * num < stored_rows * den
+    )
+
+
 def ndv_planned_join(
     left,
     right,
@@ -377,12 +402,13 @@ def ndv_planned_join(
     live_l, live_r = left.read().count(), right.read().count()
     drift_l = live_l / lr0 if lr0 else float("inf")
     drift_r = live_r / rr0 if rr0 else float("inf")
-    band = (1.0 / drift_threshold, drift_threshold)
+    # Exact integer band test shared with the SQL oracle's arithmetic
+    # (ndv_stats_stale); drift_l/drift_r stay float for REPORTING only.
     refreshed: list[str] = []
-    if refresh_stale and not band[0] <= drift_l <= band[1]:
+    if refresh_stale and ndv_stats_stale(live_l, lr0, drift_threshold):
         left.analyze_ndv([key_l], k=ndv_k)
         refreshed.append("left")
-    if refresh_stale and not band[0] <= drift_r <= band[1]:
+    if refresh_stale and ndv_stats_stale(live_r, rr0, drift_threshold):
         right.analyze_ndv([key_r], k=ndv_k)
         refreshed.append("right")
     lr1 = left.ndv_rows() if "left" in refreshed else lr0

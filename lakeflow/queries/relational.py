@@ -1501,13 +1501,14 @@ def ndv_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Boundary note (ADVICE r7): the oracle below encodes the 1.2 staleness
-# band as exact integer cross-multiplication (live*5 > stored*6) and models
-# LEFT-side drift only, while the Python path divides floats on both sides
-# (joins.ndv_planned_join, drift_threshold=1.2). The two agree everywhere
-# except exactly AT a 6/5 ratio or when the dim side also drifts — keep
-# future fixture edits clear of both (the current fixture drifts the fact
-# side 32x and analyzes the dim fresh, far from either boundary).
+# Boundary note (ADVICE r7, closed r9): the oracle below encodes the 1.2
+# staleness band as exact integer cross-multiplication (live*5 > stored*6).
+# The Python path now uses the SAME arithmetic via
+# joins.ndv_stats_stale (VERDICT r8 ask #5) — exact rational threshold,
+# integer cross-multiplication, boundary == fresh on both — so the two
+# paths agree everywhere INCLUDING exactly at a 6/5 ratio (boundary unit
+# test in tests/test_ndv_replan_join.py). The oracle still models
+# LEFT-side drift only, matching this fixture (dim analyzed fresh).
 @register(
     "stats_stale_replan_join",
     oracle="""

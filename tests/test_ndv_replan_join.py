@@ -295,3 +295,32 @@ def test_zorder_carries_analyze_stats(spark, tmp_path):
     t.optimize_zorder(["k", "w"], n_dirs=4)
     assert t.ndv_stats("k") == before
     assert t.ndv_rows() == 400
+
+
+def test_stale_band_boundary_is_exact_at_six_fifths():
+    """VERDICT r8 ask #5: the shared integer predicate agrees with the
+    DuckDB oracle's cross-multiplication exactly AT the 6/5 (and 5/6)
+    boundary — a ratio of exactly the threshold is FRESH, one row past it
+    is STALE, on both sides of the band and at sizes where float division
+    of the ratio would round."""
+    from lakeflow.operators.joins import ndv_stats_stale
+
+    # Exactly 6/5 up-drift: fresh. One more row: stale.
+    assert not ndv_stats_stale(6, 5)
+    assert ndv_stats_stale(7, 5)
+    # Exactly 5/6 down-drift: fresh. One fewer: stale.
+    assert not ndv_stats_stale(5, 6)
+    assert ndv_stats_stale(4, 6)
+    # Large counts where live/stored == 1.2 is not representable exactly
+    # in binary floating point: the integer form must still call FRESH.
+    stored = 10_000_000_001
+    live = stored * 6 // 5  # floor: ratio just UNDER 6/5 -> fresh
+    assert not ndv_stats_stale(live, stored)
+    assert ndv_stats_stale(live + 2, stored)
+    # Never-analyzed / analyzed-empty is always stale.
+    assert ndv_stats_stale(0, 0)
+    assert ndv_stats_stale(100, 0)
+    # Equal counts are fresh; a custom threshold parses exactly from str.
+    assert not ndv_stats_stale(100, 100)
+    assert not ndv_stats_stale(3, 2, drift_threshold=1.5)
+    assert ndv_stats_stale(4, 2, drift_threshold=1.5)
