@@ -92,6 +92,7 @@ GALLERY = [
     ("sq8_embedding_recall_verdict", "int8-quantized scoring: query set broadcast (BNLJ by design), corpus never shuffles; one qid window exchange"),
     ("stats_stale_replan_join", "drift-triggered re-ANALYZE flips the broadcast side — final plan carries the corrected hint"),
     ("stream_ann_cells_topk", "streamed-IVF probe: cells scan PartitionFilters carry cid dynamicpruning — only probed cells' bytes are read"),
+    ("stream_ann_compacted_topk", "probe over the AUTO-compacted index (compact_every_n_batches folds inside foreachBatch): cid dynamicpruning survives the production fold, not just manual OPTIMIZE"),
     ("bm25_indexed_topk", "postings IN-probe (envelope-pruned files) → df from scanned rows (combine-bounded groupBy + broadcast back) → TakeOrdered"),
 ]
 

