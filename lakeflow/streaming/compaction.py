@@ -20,7 +20,11 @@ land in a subdir it owns. Folded shards are rewritten into the
 highest-folded ``batch=`` id so the layout (and partition-column type
 inference) is unchanged for readers. Like the other compactors, the swap
 is rmtree+rename — run it at OPTIMIZE cadence against a quiesced index,
-not concurrently with a probe of the same directory.
+not concurrently with a probe of the same directory. Since r9 the
+ingest sinks can also invoke these folds themselves at cadence
+(``compact_every_n_batches``, sinks.py::_autocompact) — safe because
+``foreachBatch`` serializes the fold with the writes and keep_last=1
+protects the replayable in-flight shard (VERDICT r8 ask #3).
 
 At 100 TB: each fold reads only the shards it folds (never the
 ``keep_last`` tail it skips), the sketch folds produce bounded output

@@ -180,3 +180,23 @@ def test_registry_is_complete():
     missing = _VERIFIED - set(QUERIES)
     assert not missing, f"verified names not registered: {missing}"
     assert _REWRITTEN_SINCE_GREEN <= _VERIFIED
+
+
+def test_corrupt_correctness_file_warns_loudly(tmp_path, monkeypatch):
+    """ADVICE r8: a CORRECTNESS file that exists but fails to parse must
+    not be SILENTLY skipped — a dropped round would reshuffle the
+    driver-facing registration order with no visible cause."""
+    import shutil
+    import warnings
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for f in ["CORRECTNESS_r01.json"]:
+        shutil.copy(os.path.join(root, f), tmp_path / f)
+    (tmp_path / "CORRECTNESS_r02.json").write_text("{ half-written")
+    monkeypatch.setattr(_q, "_REPO_ROOT", str(tmp_path))
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        rounds = _q._load_verified_rounds()
+    assert set(rounds) == {1}  # the good round still loads
+    loud = [w for w in caught if "CORRECTNESS_r02.json" in str(w.message)]
+    assert loud and issubclass(loud[0].category, RuntimeWarning)
