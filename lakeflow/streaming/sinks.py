@@ -507,7 +507,7 @@ def stream_fuzzy_dedup_ingest(
     return writer.start()
 
 
-def _autocompact(parent: str, every_n: int | None, fold) -> None:
+def _autocompact(parents, every_n: int | None, fold) -> None:
     """Shared cadence hook for the streamed-index ingest sinks (VERDICT r8
     ask #3): fold committed batch shards from INSIDE ``foreachBatch`` once
     more than ``every_n`` have accumulated, so a 5 s-trigger deployment
@@ -518,12 +518,24 @@ def _autocompact(parent: str, every_n: int | None, fold) -> None:
     separate subdir a post-crash replay can overwrite idempotently —
     re-running the fold after a replay is a no-op (one folded shard + the
     replay tail leaves nothing to fold). Crash safety inside the fold
-    itself is the compactor's two-phase swap."""
+    itself is the compactor's two-phase swap — and a swap that CRASHED in
+    a previous run is rolled back/forward here UNCONDITIONALLY, before the
+    count: a mid-swap crash moves shards into the reader-invisible
+    ``_compact.trash`` (probes under-count) while also shrinking the very
+    count this trigger fires on, so recovery must not wait for the next
+    fold. ``parents`` is the shard dir (or dirs — first one is the count
+    key; all get recovery)."""
     if not every_n:
         return
-    from lakeflow.streaming.compaction import _list_batches
+    from lakeflow.streaming.compaction import (
+        _list_batches,
+        _recover_crashed_swap,
+    )
 
-    if len(_list_batches(parent)) > every_n:
+    parents = (parents,) if isinstance(parents, str) else tuple(parents)
+    for p in parents:
+        _recover_crashed_swap(p)
+    if len(_list_batches(parents[0])) > every_n:
         fold()
 
 
@@ -595,7 +607,7 @@ def stream_index_ingest(
         from lakeflow.streaming.compaction import compact_streamed_text_index
 
         _autocompact(
-            f"{index_dir}/postings",
+            (f"{index_dir}/postings", f"{index_dir}/corpus_stats"),
             compact_every_n_batches,
             lambda: compact_streamed_text_index(
                 batch_df.sparkSession, index_dir, keep_last=1

@@ -479,3 +479,36 @@ def test_auto_compaction_text_index_probe_identical(spark, tmp_path):
     assert _rows(bm25_indexed_topk(spark, idx, ["spark", "join"])) == _rows(
         bm25_indexed_topk(spark, one_shot, ["spark", "join"])
     )
+
+
+def test_autocompact_recovers_crashed_swap_before_counting(spark, tmp_path):
+    """A mid-swap crash moves shards into reader-invisible _compact.trash,
+    which also SHRINKS the live-dir count the auto trigger fires on — so
+    _autocompact must roll the crashed swap back unconditionally, not wait
+    for the next fold (probes would under-count forever at low cadence)."""
+    import shutil
+
+    from lakeflow.streaming.sinks import _autocompact
+
+    cells = str(tmp_path / "cells")
+    _land_ann_batches(spark, cells, n_batches=3)
+    # Simulate a crash mid-swap: fold in tmp, marker down, two originals
+    # moved aside — only batch=2 still visible, probes under-count.
+    os.makedirs(f"{cells}/_compact.tmp")
+    open(f"{cells}/_compact.plan", "w").close()
+    os.makedirs(f"{cells}/_compact.trash")
+    for b in (0, 1):
+        os.rename(f"{cells}/batch={b}", f"{cells}/_compact.trash/batch={b}")
+    assert _list_batches(cells) == [2]
+
+    calls: list[int] = []
+    # every_n=5: the count trigger must NOT fire — recovery alone restores.
+    _autocompact(cells, 5, lambda: calls.append(1))
+    assert calls == []
+    assert _list_batches(cells) == [0, 1, 2], "crashed swap not rolled back"
+    assert not os.path.exists(f"{cells}/_compact.plan")
+    assert not os.path.exists(f"{cells}/_compact.trash")
+    # With the count restored, a tighter cadence fires the fold.
+    _autocompact(cells, 2, lambda: calls.append(1))
+    assert calls == [1]
+    shutil.rmtree(cells)
