@@ -122,6 +122,43 @@ def main() -> None:
     assert est_after == est_before
     print("CMS estimates identical pre/post compaction:", est_after[:3])
 
+    # --- Production path: the sink compacts ITSELF at cadence --------------
+    # compact_every_n_batches makes the cadence a policy instead of an
+    # operator chore: the fold above runs from inside foreachBatch once
+    # more than n shards exist, always keeping the newest for replay.
+    import glob
+    import shutil
+
+    from lakeflow.sources.streams import file_stream
+    from lakeflow.streaming.sinks import stream_cms_ingest
+
+    feed = tempfile.mkdtemp(prefix="lakeflow_example_feed_")
+    for bid in range(4):
+        part = tempfile.mkdtemp(prefix="lakeflow_example_part_")
+        orders.filter(F.col("o_orderkey") % 4 == bid).select(
+            "o_custkey"
+        ).coalesce(1).write.mode("overwrite").parquet(part)
+        dst = f"{feed}/{bid:03d}.parquet"
+        shutil.copy(glob.glob(f"{part}/*.parquet")[0], dst)
+        os.utime(dst, (1_700_000_000 + bid,) * 2)
+    auto = tempfile.mkdtemp(prefix="lakeflow_example_auto_")
+    stream_cms_ingest(
+        file_stream(spark, feed, "o_custkey bigint", max_files_per_trigger=1),
+        auto,
+        "o_custkey",
+        compact_every_n_batches=2,
+    ).awaitTermination()
+    print("auto-compacted shards after 4 micro-batches:",
+          _list_batches(f"{auto}/cells"))
+    assert len(_list_batches(f"{auto}/cells")) <= 3
+    est_auto = sorted(
+        map(tuple, cms_point_estimate(
+            read_cms_cells(spark, auto), probe_keys, "o_custkey"
+        ).collect())
+    )
+    assert est_auto == est_before, "auto path must match the manual fold"
+    print("CMS estimates identical through the AUTO path:", est_auto[:3])
+
     spark.stop()
 
 
