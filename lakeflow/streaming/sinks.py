@@ -384,6 +384,22 @@ def stream_append(
     return writer.start()
 
 
+def _autocompact_tables(tables, every_n: int | None, small_max_bytes: int) -> None:
+    """Table twin of ``_autocompact``: when a VersionedTable-backed sink
+    has accreted more than ``every_n`` manifest data dirs, fold the
+    small-file tail with the incremental compaction (cost O(small dirs),
+    never O(table)). The trigger is a manifest-only count (one JSON read
+    per batch, no data IO); the compaction manifest carries txn
+    watermarks forward (tables.py::_publish_manifest), so replay
+    exactly-once is unaffected by a fold landing between a commit and its
+    checkpoint."""
+    if not every_n:
+        return
+    for t in tables:
+        if t.n_data_dirs() > every_n:
+            t.compact(small_dir_max_bytes=small_max_bytes)
+
+
 def stream_dedup_ingest(
     df: DataFrame,
     survivors,
@@ -394,6 +410,8 @@ def stream_dedup_ingest(
     available_now: bool = True,
     processing_time: str | None = None,
     txn_app: str = "stream_dedup",
+    compact_every_n_commits: int | None = None,
+    compact_small_dir_max_bytes: int = 32 << 20,
 ):
     """Ingest-time content dedup: each micro-batch keeps only rows whose
     fingerprint is unseen — first within the batch (min ``order_col`` per
@@ -412,6 +430,14 @@ def stream_dedup_ingest(
     corpus can never double-append, and the index never regresses
     (exactly-once on each table independently, same mechanics as
     :func:`stream_append`).
+
+    ``compact_every_n_commits`` is the table twin of the streamed-index
+    auto-compaction policy: once either table's manifest lists more than
+    that many data dirs, the incremental small-file compaction
+    (``VersionedTable.compact(small_dir_max_bytes=...)``) folds the tiny
+    micro-batch tail — per-run cost O(small dirs), never O(table), and
+    the compaction manifest carries the txn watermarks forward, so a
+    replayed batch is still swallowed after a fold.
     """
     import tempfile as _tf
 
@@ -443,6 +469,11 @@ def stream_dedup_ingest(
             mode="append",
             txn=(f"{txn_app}_index", int(batch_id)),
         )
+        _autocompact_tables(
+            (survivors, index),
+            compact_every_n_commits,
+            compact_small_dir_max_bytes,
+        )
 
     writer = df.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint or _tf.mkdtemp(prefix="lakeflow-ckpt-")
@@ -464,6 +495,8 @@ def stream_fuzzy_dedup_ingest(
     available_now: bool = True,
     processing_time: str | None = None,
     txn_app: str = "stream_fuzzy_dedup",
+    compact_every_n_commits: int | None = None,
+    compact_small_dir_max_bytes: int = 32 << 20,
     **lsh_kwargs,
 ):
     """NEAR-dup streaming ingest: the fuzzy companion of
@@ -474,7 +507,9 @@ def stream_fuzzy_dedup_ingest(
     (exactly-once on each table independently). The index holds two slim
     columns ∝ corpus docs × bands — so a continuously-ingesting 100 TB
     corpus stays near-dup-free at O(batch signatures + one bucket
-    semi-join) per trigger, with no full-corpus MinHash sweep ever."""
+    semi-join) per trigger, with no full-corpus MinHash sweep ever.
+    ``compact_every_n_commits`` folds the small-file tail of both tables
+    at cadence, exactly like :func:`stream_dedup_ingest`."""
     import tempfile as _tf
 
     from lakeflow.operators.dedup import incremental_fuzzy_dedup
@@ -495,6 +530,11 @@ def stream_fuzzy_dedup_ingest(
         )
         index.commit(
             keep_buckets, mode="append", txn=(f"{txn_app}_index", int(batch_id))
+        )
+        _autocompact_tables(
+            (survivors, index),
+            compact_every_n_commits,
+            compact_small_dir_max_bytes,
         )
 
     writer = df.writeStream.foreachBatch(apply_batch).option(

@@ -2031,6 +2031,16 @@ class VersionedTable:
             " stats map<string,string>",
         )
 
+    def n_data_dirs(self, version: int | None = None) -> int:
+        """Manifest-only data-dir count — zero data IO (one JSON read), so
+        streaming sinks can consult it per micro-batch as the trigger for
+        incremental small-file compaction at cadence (the table twin of
+        the streamed-index ``_autocompact`` policy)."""
+        v = self.current_version() if version is None else version
+        if v is None:
+            return 0
+        return len(self._manifest(v).get("dirs", []))
+
     def detail(self) -> dict:
         """DESCRIBE DETAIL: one dict of current-table facts — version,
         operation, dir/file counts and bytes, schema width, constraints,

@@ -2174,6 +2174,75 @@ def test_stream_dedup_ingest_dedups_and_replays_exactly_once(spark, tmp_path):
     assert survivors.read().count() == 3
 
 
+def test_stream_dedup_autocompacts_tables_and_keeps_exactly_once(
+    spark, tmp_path
+):
+    """compact_every_n_commits (table twin of the streamed-index
+    auto-compaction): a 4-batch ingest folds the small-file tail at
+    cadence — dir count bounded, survivors identical to the uncompacted
+    run — and the compaction manifest carries the txn watermarks, so a
+    crash-window replay after a fold is still swallowed."""
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lakeflow.sources.streams import file_stream
+    from lakeflow.streaming.sinks import stream_dedup_ingest
+
+    feed_dir = tmp_path / "feed"
+    feed_dir.mkdir()
+    schema_pa = pa.schema([("doc_id", pa.int64()), ("fp", pa.string())])
+    batches = [
+        [(1, "A"), (2, "B")],
+        [(3, "C"), (4, "A")],   # cross-batch dup of A drops
+        [(5, "D")],
+        [(6, "E"), (7, "C")],   # cross-batch dup of C drops
+    ]
+    for i, rows in enumerate(batches):
+        ids, fps = zip(*rows)
+        pq.write_table(
+            pa.table({"doc_id": list(ids), "fp": list(fps)}, schema=schema_pa),
+            feed_dir / f"b{i}.parquet",
+        )
+        _os.utime(feed_dir / f"b{i}.parquet", (1_700_000_000 + i * 10,) * 2)
+
+    def run(root: str, **kwargs):
+        surv = VersionedTable(spark, str(tmp_path / f"{root}_surv"))
+        idx = VersionedTable(spark, str(tmp_path / f"{root}_idx"))
+        stream_dedup_ingest(
+            file_stream(
+                spark, str(feed_dir), "doc_id bigint, fp string",
+                max_files_per_trigger=1,
+            ),
+            surv,
+            idx,
+            checkpoint=str(tmp_path / f"{root}_ckpt"),
+            **kwargs,
+        ).awaitTermination()
+        return surv, idx
+
+    plain_surv, _ = run("plain")
+    surv, idx = run("auto", compact_every_n_commits=2)
+
+    want = {(r.doc_id, r.fp) for r in plain_surv.read().collect()}
+    assert {(r.doc_id, r.fp) for r in surv.read().collect()} == want
+    assert want == {(1, "A"), (2, "B"), (3, "C"), (5, "D"), (6, "E")}
+    # 4 append commits, cadence 2: the tail folds whenever >2 dirs exist.
+    assert surv.n_data_dirs() <= 3
+    assert idx.n_data_dirs() <= 3
+    assert plain_surv.n_data_dirs() == 4
+
+    # Replay after a fold: the carried txn watermark still swallows it.
+    v_s = surv.current_version()
+    replay = spark.createDataFrame([(1, "A")], "doc_id long, fp string")
+    assert (
+        surv.commit(replay, mode="append", txn=("stream_dedup_survivors", 3))
+        == v_s
+    )
+    assert surv.read().count() == 5
+
+
 def test_rename_column_is_metadata_only_and_reads_across_epochs(spark, tmp_path):
     """RENAME COLUMN: old dirs (old physical name) and new dirs (new name)
     union into one logical schema; no file is rewritten; time travel to the
