@@ -110,6 +110,8 @@ def stream_upsert(
     processing_time: str | None = None,
     num_buckets: int | None = None,
     mor: bool = False,
+    compact_every_n_commits: int | None = None,
+    compact_small_dir_max_bytes: int = 32 << 20,
 ) -> StreamingQuery:
     """Streaming upsert (the Iceberg/Delta ``MERGE INTO`` streaming sink,
     reference T5 + M3 combined) into a :class:`lakeflow.tables.VersionedTable`.
@@ -117,9 +119,15 @@ def stream_upsert(
     ``mor=True`` switches the per-batch write from state rewrite to the
     Hudi-style merge-on-read path (:meth:`VersionedTable.upsert_mor`): one
     deletion vector + one appended dir per micro-batch, O(batch) write
-    cost; compact at OPTIMIZE cadence. Mutually exclusive with
-    ``num_buckets`` (bucketed rewrites are the copy-on-write answer to the
-    same problem).
+    cost; compact at OPTIMIZE cadence, or automatically via
+    ``compact_every_n_commits`` (MOR is the dir-per-batch accreter here —
+    the incremental fold reads the small tail THROUGH its deletion
+    vectors, materializing them). The policy only applies to ``mor=True``:
+    the overwrite path rewrites to one dir set per batch and the bucketed
+    path keeps one dir set per touched bucket on purpose (bucket-scoped
+    replace needs per-bucket dirs), so neither accretes. Mutually
+    exclusive with ``num_buckets`` (bucketed rewrites are the
+    copy-on-write answer to the same problem).
 
     Each micro-batch SCD1-merges into the current snapshot via foreachBatch
     and commits a new version — so the table stays queryable (and
@@ -145,6 +153,9 @@ def stream_upsert(
             return
         if mor:
             table.upsert_mor(_dedup_source(batch_df, keys, None), keys)
+            _autocompact_tables(
+                (table,), compact_every_n_commits, compact_small_dir_max_bytes
+            )
             return
         if num_buckets is not None:
             batch = _with_bucket(batch_df, keys, num_buckets)
@@ -354,6 +365,8 @@ def stream_append(
     available_now: bool = True,
     processing_time: str | None = None,
     txn_app: str = "stream_append",
+    compact_every_n_commits: int | None = None,
+    compact_small_dir_max_bytes: int = 32 << 20,
 ):
     """Exactly-once streaming APPEND into a :class:`VersionedTable`.
 
@@ -366,6 +379,12 @@ def stream_append(
     watermark (Delta's txnAppId/txnVersion) — and the table itself skips any
     batch id at or below the recorded mark, making the append exactly-once
     end to end regardless of where the failure lands.
+
+    An append sink is the purest dir-per-batch accreter, so it takes the
+    ``compact_every_n_commits`` policy too: past that many manifest dirs,
+    the incremental small-file compaction folds the tiny tail (O(small
+    dirs) per run); the compaction manifest carries the txn watermark, so
+    exactly-once survives a fold landing anywhere in the crash window.
     """
     import tempfile as _tf
 
@@ -373,6 +392,9 @@ def stream_append(
         if batch_df.isEmpty():
             return
         table.commit(batch_df, mode="append", txn=(txn_app, int(batch_id)))
+        _autocompact_tables(
+            (table,), compact_every_n_commits, compact_small_dir_max_bytes
+        )
 
     writer = df.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint or _tf.mkdtemp(prefix="lakeflow-ckpt-")

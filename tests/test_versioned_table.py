@@ -1832,6 +1832,113 @@ def test_stream_upsert_mor_matches_rewrite_path(spark, tmp_path):
     assert results["rewrite"] == results["mor"] == {(1, "a"), (2, "B"), (3, "c")}
 
 
+def test_stream_append_autocompacts_and_stays_exactly_once(spark, tmp_path):
+    """stream_append with compact_every_n_commits: the purest dir-per-batch
+    accreter stays bounded, content matches the uncompacted run, and the
+    carried txn watermark still swallows a crash-window replay after a
+    fold."""
+    import os as _os
+
+    from lakeflow.sources.streams import file_stream
+    from lakeflow.streaming.sinks import stream_append
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    for i in range(5):
+        part = tmp_path / f"p{i}"
+        spark.createDataFrame(
+            [(i * 10 + j,) for j in range(3)], "k long"
+        ).coalesce(1).write.parquet(str(part))
+        import glob as _glob
+        import shutil as _shutil
+
+        dst = feed / f"{i:03d}.parquet"
+        _shutil.copy(_glob.glob(f"{part}/*.parquet")[0], dst)
+        _os.utime(dst, (1_700_000_000 + i,) * 2)
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    stream_append(
+        file_stream(spark, str(feed), "k long", max_files_per_trigger=1),
+        t,
+        checkpoint=str(tmp_path / "ckpt"),
+        compact_every_n_commits=2,
+    ).awaitTermination()
+    assert {r.k for r in t.read().collect()} == {
+        i * 10 + j for i in range(5) for j in range(3)
+    }
+    assert t.n_data_dirs() <= 3  # 5 appends, folds past 2 dirs
+    # Replay of the last batch: watermark carried through the folds.
+    v = t.current_version()
+    assert (
+        t.commit(
+            spark.createDataFrame([(40,), (41,), (42,)], "k long"),
+            mode="append",
+            txn=("stream_append", 4),
+        )
+        == v
+    )
+    assert t.read().count() == 15
+
+
+def test_stream_upsert_mor_autocompacts_with_dv_materialization(
+    spark, tmp_path
+):
+    """MOR streaming upsert with compact_every_n_commits: the in-stream
+    incremental fold reads the small tail THROUGH its deletion vectors, so
+    state matches the rewrite-path twin while the dir count stays bounded."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    from lakeflow.sources.streams import file_stream
+    from lakeflow.streaming.sinks import stream_upsert
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    batches = [
+        [(1, "a"), (2, "b")],
+        [(2, "B"), (3, "c")],   # rewrites key 2 -> DV on batch-1's dir
+        [(1, "A"), (4, "d")],   # rewrites key 1
+        [(3, "C")],             # rewrites key 3
+    ]
+    for i, rows in enumerate(batches):
+        part = tmp_path / f"p{i}"
+        spark.createDataFrame(rows, "k long, v string").coalesce(1).write.parquet(
+            str(part)
+        )
+        dst = feed / f"{i:03d}.parquet"
+        _shutil.copy(_glob.glob(f"{part}/*.parquet")[0], dst)
+        _os.utime(dst, (1_700_000_000 + i,) * 2)
+
+    def run(label, **kwargs):
+        t = VersionedTable(spark, str(tmp_path / label))
+        stream_upsert(
+            file_stream(
+                spark, str(feed), "k long, v string", max_files_per_trigger=1
+            ),
+            t,
+            keys=["k"],
+            checkpoint=str(tmp_path / f"{label}_ckpt"),
+            **kwargs,
+        ).awaitTermination()
+        return t
+
+    want = {
+        (r.k, r.v) for r in run("rewrite").read().collect()
+    }
+    t = run("mor_auto", mor=True, compact_every_n_commits=2)
+    assert {(r.k, r.v) for r in t.read().collect()} == want
+    assert want == {(1, "A"), (2, "B"), (3, "C"), (4, "d")}
+    assert t.n_data_dirs() <= 3
+    # The folds materialized the folded dirs' deletes into the merged dir
+    # (read-through-DV), and carried DVs are keyed by file path so they
+    # cannot re-mask the merged dir's new files: no resurrection of stale
+    # row versions, no double-masking of live ones — exactly one row per
+    # key survives.
+    assert t.read().count() == 4
+    assert t.read().groupBy("k").count().filter("count > 1").count() == 0
+
+
 def test_constraints_gate_wap_publish(spark, tmp_path):
     """Table CHECK constraints must also gate the write-audit-publish path:
     a staged batch that breaches a constraint never publishes, even when
