@@ -2902,7 +2902,8 @@ class VersionedTable:
         merged_dir = os.path.join(self.root, "data", uuid.uuid4().hex)
         self._read_dirs(small, version).write.mode("overwrite").parquet(merged_dir)
 
-        stats = {d: s for d, s in m.get("stats", {}).items() if d in keep}
+        prev_stats = m.get("stats", {})
+        stats = {d: s for d, s in prev_stats.items() if d in keep}
         if stats_cols:
             from pyspark.sql import functions as F
 
@@ -2917,6 +2918,25 @@ class VersionedTable:
             stats[merged_dir] = {
                 c: [row[f"min_{c}"], row[f"max_{c}"]] for c in stats_cols
             }
+        elif all(d in prev_stats for d in small):
+            # Envelope union, zero IO: the merged dir holds exactly the
+            # folded dirs' rows, so its min/max per column is the min of
+            # mins / max of maxs over their recorded envelopes — file-skip
+            # pruning must not silently degrade just because an
+            # auto-compaction fold didn't re-specify stats_cols. Columns
+            # missing from (or null in) any folded envelope are skipped —
+            # a partial envelope would wrongly prune.
+            merged_stats = {}
+            shared = set.intersection(*(set(prev_stats[d]) for d in small))
+            for c in shared:
+                envs = [prev_stats[d][c] for d in small]
+                if any(e[0] is None or e[1] is None for e in envs):
+                    continue
+                merged_stats[c] = [
+                    min(e[0] for e in envs), max(e[1] for e in envs)
+                ]
+            if merged_stats:
+                stats[merged_dir] = merged_stats
         dir_parts = {
             d: p for d, p in m.get("dir_parts", {}).items() if d in keep
         }

@@ -743,6 +743,48 @@ def test_incremental_compact_preserves_partition_coverage(spark, tmp_path):
     assert [(r["id"], r["bucket"]) for r in got] == [(20, 2)]
 
 
+def test_incremental_compact_unions_stats_envelopes(spark, tmp_path):
+    """Folding stat-carrying small dirs must not silently degrade file-skip
+    pruning: without stats_cols, the merged dir gets the zero-IO envelope
+    union (min of mins / max of maxs) of the folded dirs' recorded stats —
+    the auto-compaction path never re-specifies stats_cols."""
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    for lo in (0, 100, 200):
+        t.commit(
+            spark.createDataFrame(
+                [(lo + j,) for j in range(10)], "id bigint"
+            ),
+            mode="append",
+            stats_cols=["id"],
+        )
+    assert t.pruned_dirs({"id": (105, 160)}) == 2  # envelopes prune 2 of 3
+    v = t.compact(small_dir_max_bytes=10**9)
+    m = t._manifest(v)
+    assert len(m["dirs"]) == 1
+    merged = m["dirs"][0]
+    assert m["stats"][merged]["id"] == [0, 209]
+    assert t.read().count() == 30
+    # A fresh small append with stats then a partial fold: the kept big
+    # envelope and the merged tail's unioned envelope both survive.
+    t.commit(
+        spark.createDataFrame([(500,)], "id bigint"),
+        mode="append",
+        stats_cols=["id"],
+    )
+    t.commit(
+        spark.createDataFrame([(600,)], "id bigint"),
+        mode="append",
+        stats_cols=["id"],
+    )
+    big_bytes = t._dir_bytes(merged)
+    v2 = t.compact(small_dir_max_bytes=big_bytes)
+    m2 = t._manifest(v2)
+    assert merged in m2["dirs"] and len(m2["dirs"]) == 2
+    tail = next(d for d in m2["dirs"] if d != merged)
+    assert m2["stats"][tail]["id"] == [500, 600]
+    assert t.pruned_dirs({"id": (550, 700)}) == 1  # old merged dir pruned
+
+
 def test_concurrent_commit_conflict_detected(spark, tmp_path):
     """Optimistic concurrency: two writers deriving from the same base
     version race to publish the same snapshot number — exactly one wins,
