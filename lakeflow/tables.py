@@ -2946,6 +2946,26 @@ class VersionedTable:
             dir_parts[merged_dir] = sorted(
                 {p for d in small for p in prev_parts[d]}
             )
+        # Bloom indexes are per-dir metadata like stats and must survive the
+        # fold (the same provenance class as the ndv/rollback fixes): kept
+        # dirs carry theirs verbatim, and because bloom_bits is pinned at
+        # index creation, the merged dir's filter for a column is the
+        # BITWISE UNION of the folded dirs' bit sets — zero IO, no false
+        # negatives. A column missing from ANY folded dir gets no merged
+        # bloom (scan_point treats missing as "could contain", which is
+        # safe; a partial union would wrongly skip the missing dir's keys).
+        prev_bloom = m.get("bloom", {})
+        bloom = {d: b for d, b in prev_bloom.items() if d in keep}
+        if small and all(d in prev_bloom for d in small):
+            shared_cols = set.intersection(
+                *(set(prev_bloom[d]) for d in small)
+            )
+            merged_bloom = {
+                c: sorted({b for d in small for b in prev_bloom[d][c]})
+                for c in shared_cols
+            }
+            if merged_bloom:
+                bloom[merged_dir] = merged_bloom
         new_version = version + 1
         manifest = {
             "version": new_version,
@@ -2956,6 +2976,9 @@ class VersionedTable:
         }
         if dir_parts:
             manifest["dir_parts"] = dir_parts
+        if bloom:
+            manifest["bloom"] = bloom
+            manifest["bloom_bits"] = m.get("bloom_bits")
         self._publish_manifest(manifest)
         return new_version
 

@@ -785,6 +785,50 @@ def test_incremental_compact_unions_stats_envelopes(spark, tmp_path):
     assert t.pruned_dirs({"id": (550, 700)}) == 1  # old merged dir pruned
 
 
+def test_incremental_compact_carries_and_unions_blooms(spark, tmp_path):
+    """The fold must not drop the Bloom index (same provenance class as the
+    stats fix above): kept dirs carry their filters verbatim, the merged
+    dir gets the bitwise union of the folded dirs' bit sets (bloom_bits is
+    pinned at creation), and scan_point stays exact with pruning intact."""
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    for lo in (0, 1000, 2000):
+        t.commit(
+            spark.createDataFrame(
+                [(lo + j,) for j in range(20)], "k bigint"
+            ),
+            mode="append",
+            bloom_cols=["k"],
+        )
+    assert t.pruned_dirs_point("k", 1005) == 2
+    v = t.compact(small_dir_max_bytes=10**9)
+    m = t._manifest(v)
+    assert len(m["dirs"]) == 1
+    merged = m["dirs"][0]
+    assert "k" in m.get("bloom", {}).get(merged, {})
+    assert m.get("bloom_bits") is not None
+    # Exactness: every original key found, an absent key opens nothing.
+    assert {r.k for r in t.scan_point("k", 2019).collect()} == {2019}
+    assert t.scan_point("k", 999_999).count() == 0
+    # Partial fold: kept big dir's bloom carried verbatim, tail unioned.
+    t.commit(
+        spark.createDataFrame([(5000,)], "k bigint"),
+        mode="append",
+        bloom_cols=["k"],
+    )
+    t.commit(
+        spark.createDataFrame([(6000,)], "k bigint"),
+        mode="append",
+        bloom_cols=["k"],
+    )
+    v2 = t.compact(small_dir_max_bytes=t._dir_bytes(merged))
+    m2 = t._manifest(v2)
+    assert merged in m2["dirs"] and len(m2["dirs"]) == 2
+    assert m2["bloom"][merged] == m["bloom"][merged]
+    assert t.pruned_dirs_point("k", 5000) >= 1  # old merged dir pruned
+    assert {r.k for r in t.scan_point("k", 5000).collect()} == {5000}
+    assert {r.k for r in t.scan_point("k", 6000).collect()} == {6000}
+
+
 def test_concurrent_commit_conflict_detected(spark, tmp_path):
     """Optimistic concurrency: two writers deriving from the same base
     version race to publish the same snapshot number — exactly one wins,
