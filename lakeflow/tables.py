@@ -1843,21 +1843,44 @@ class VersionedTable:
             .partitionBy("_zb")
             .parquet(parent)
         )
-        stat_rows = (
-            self.spark.read.parquet(parent)
-            .groupBy("_zb")
-            .agg(
-                *[F.min(c).alias(f"min_{c}") for c in cols],
-                *[F.max(c).alias(f"max_{c}") for c in cols],
-            )
-            .collect()
+        m = self._manifest(version)
+        # Z-order is row-preserving, so a bloom index the table carried is
+        # rebuilt over the clustered dirs in the SAME per-dir metadata pass
+        # as the stats (one aggregate job) — dropping it would silently
+        # strip scan_point pruning after every OPTIMIZE ZORDER.
+        bloom_cols = sorted(
+            {c for cs in m.get("bloom", {}).values() for c in cs}
         )
-        dirs, stats = [], {}
+        bloom_bits = m.get("bloom_bits", 4096)
+        aggs = [
+            *[F.min(c).alias(f"min_{c}") for c in cols],
+            *[F.max(c).alias(f"max_{c}") for c in cols],
+        ]
+        for c in bloom_cols:
+            h = F.md5(F.col(c).cast("string"))
+            for part, (lo_ix, ln) in (("a", (1, 8)), ("b", (9, 8))):
+                aggs.append(
+                    F.collect_set(
+                        F.conv(F.substring(h, lo_ix, ln), 16, 10).cast("bigint")
+                        % bloom_bits
+                    ).alias(f"bloom_{part}_{c}")
+                )
+        stat_rows = (
+            self.spark.read.parquet(parent).groupBy("_zb").agg(*aggs).collect()
+        )
+        dirs, stats, bloom = [], {}, {}
         for r in sorted(stat_rows, key=lambda r: r["_zb"]):
             d = os.path.join(parent, f"_zb={r['_zb']}")
             dirs.append(d)
             stats[d] = {c: [r[f"min_{c}"], r[f"max_{c}"]] for c in cols}
-        m = self._manifest(version)
+            if bloom_cols:
+                bloom[d] = {
+                    c: sorted(
+                        {int(b) for b in r[f"bloom_a_{c}"]}
+                        | {int(b) for b in r[f"bloom_b_{c}"]}
+                    )
+                    for c in bloom_cols
+                }
         new_version = version + 1
         manifest = {
             "version": new_version,
@@ -1866,6 +1889,9 @@ class VersionedTable:
             "stats": stats,
             "schema": m.get("schema"),
         }
+        if bloom:
+            manifest["bloom"] = bloom
+            manifest["bloom_bits"] = bloom_bits
         self._publish_manifest(manifest)
         return new_version
 
@@ -2887,8 +2913,30 @@ class VersionedTable:
         """
         if small_dir_max_bytes is None:
             df = self.read()
+            # A full compact is row-preserving, so indexes the table carried
+            # must not silently vanish with the rewritten dirs: when the
+            # caller gives no stats_cols, re-derive them from the prior
+            # snapshot's stats columns, and always rebuild the bloom index
+            # over its recorded columns at the pinned bloom_bits — commit
+            # folds both into its single metadata pass over the new dir.
+            kwargs: dict = {}
+            v0 = self.current_version()
+            if v0 is not None:
+                m0 = self._manifest(v0)
+                if stats_cols is None and m0.get("stats"):
+                    derived = sorted(
+                        {c for cs in m0["stats"].values() for c in cs}
+                    )
+                    if derived:
+                        stats_cols = derived
+                if m0.get("bloom"):
+                    kwargs["bloom_cols"] = sorted(
+                        {c for cs in m0["bloom"].values() for c in cs}
+                    )
+                    kwargs["bloom_bits"] = m0.get("bloom_bits", 4096)
             return self.commit(
-                df, mode="overwrite", stats_cols=stats_cols, _operation="compact"
+                df, mode="overwrite", stats_cols=stats_cols,
+                _operation="compact", **kwargs,
             )
         version = self.current_version()
         if version is None:

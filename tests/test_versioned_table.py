@@ -829,6 +829,41 @@ def test_incremental_compact_carries_and_unions_blooms(spark, tmp_path):
     assert {r.k for r in t.scan_point("k", 6000).collect()} == {6000}
 
 
+def test_full_compact_and_zorder_rebuild_indexes(spark, tmp_path):
+    """Full compact and OPTIMIZE ZORDER are row-preserving rewrites, so the
+    table's stats and bloom indexes must be REBUILT over the new dirs, not
+    silently dropped: scan_point pruning and zone-map pruning both survive
+    each OPTIMIZE with exact answers."""
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    for lo in (0, 1000):
+        t.commit(
+            spark.createDataFrame(
+                [(lo + j, float(lo + j)) for j in range(50)],
+                "k bigint, w double",
+            ),
+            mode="append",
+            stats_cols=["k"],
+            bloom_cols=["k"],
+        )
+    t.compact()  # full rewrite, no stats_cols/bloom_cols re-specified
+    m = t._manifest(t.current_version())
+    assert len(m["dirs"]) == 1
+    d = m["dirs"][0]
+    assert m["stats"][d]["k"] == [0, 1049]
+    assert "k" in m["bloom"][d] and m["bloom_bits"] is not None
+    assert {r.k for r in t.scan_point("k", 1007).collect()} == {1007}
+    assert t.scan_point("k", 77_777).count() == 0
+
+    t.optimize_zorder(["k", "w"], n_dirs=4)
+    m2 = t._manifest(t.current_version())
+    assert 2 <= len(m2["dirs"]) <= 4  # Z-buckets are data-dependent
+    assert all(d in m2.get("bloom", {}) for d in m2["dirs"])
+    assert t.pruned_dirs_point("k", 1007) >= 1  # bloom survives the rewrite
+    assert {r.k for r in t.scan_point("k", 1007).collect()} == {1007}
+    assert t.scan_point("k", 77_777).count() == 0
+    assert t.read().count() == 100
+
+
 def test_concurrent_commit_conflict_detected(spark, tmp_path):
     """Optimistic concurrency: two writers deriving from the same base
     version race to publish the same snapshot number — exactly one wins,
