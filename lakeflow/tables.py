@@ -986,6 +986,27 @@ class VersionedTable:
         self._check_constraints(df, self.constraints())
         shadow = f"{partition_col}__p"
 
+        # Per-dir index maintenance (stats + bloom), the same provenance
+        # rule as compact/zorder: a replace-managed table's indexes must not
+        # decay as dirs get rewritten. Kept dirs carry their entries; every
+        # NEW dir gets fresh ones in ONE per-write aggregate — stats over
+        # stats_cols (explicit, else derived from the prior snapshot's
+        # stats columns) and bloom bit sets over the prior bloom columns at
+        # the pinned bloom_bits. Cost is O(batch) per write_split job, and
+        # zero when the table carries no indexes.
+        _prev_for_meta = self.current_version()
+        _m_meta = self._manifest(_prev_for_meta) if _prev_for_meta else {}
+        prev_bloom_block = _m_meta.get("bloom", {})
+        bloom_cols = sorted({c for cs in prev_bloom_block.values() for c in cs})
+        bloom_bits = _m_meta.get("bloom_bits", 4096)
+        eff_stats_cols = (
+            list(stats_cols)
+            if stats_cols
+            else sorted({c for cs in _m_meta.get("stats", {}).values() for c in cs})
+        )
+        new_stats: dict = {}
+        new_bloom: dict = {}
+
         def write_split(frame: DataFrame) -> dict[str, list[str]]:
             """One write job, split into per-partition subdirectories via a
             shadow copy of the partition column (partitionBy strips its
@@ -999,13 +1020,54 @@ class VersionedTable:
             frame.withColumn(shadow, F.col(partition_col)).write.mode(
                 "overwrite"
             ).partitionBy(shadow).parquet(base)
-            return {
+            out = {
                 os.path.join(base, name): [
                     _unescape_partition_dir(name.split("=", 1)[1])
                 ]
                 for name in os.listdir(base)
                 if name.startswith(f"{shadow}=")
             }
+            if out and (eff_stats_cols or bloom_cols):
+                token_to_dir = {parts[0]: d for d, parts in out.items()}
+                aggs = []
+                for c in eff_stats_cols:
+                    aggs.append(F.min(c).alias(f"min_{c}"))
+                    aggs.append(F.max(c).alias(f"max_{c}"))
+                for c in bloom_cols:
+                    h = F.md5(F.col(c).cast("string"))
+                    for part, (lo, ln) in (("a", (1, 8)), ("b", (9, 8))):
+                        aggs.append(
+                            F.collect_set(
+                                F.conv(F.substring(h, lo, ln), 16, 10).cast(
+                                    "bigint"
+                                )
+                                % bloom_bits
+                            ).alias(f"bloom_{part}_{c}")
+                        )
+                rows = (
+                    self.spark.read.parquet(base)
+                    .groupBy(_partition_token(shadow).alias("__t"))
+                    .agg(*aggs)
+                    .collect()
+                )
+                for r in rows:
+                    d = token_to_dir.get(r["__t"])
+                    if d is None:
+                        continue
+                    if eff_stats_cols:
+                        new_stats[d] = {
+                            c: [r[f"min_{c}"], r[f"max_{c}"]]
+                            for c in eff_stats_cols
+                        }
+                    if bloom_cols:
+                        new_bloom[d] = {
+                            c: sorted(
+                                {int(b) for b in r[f"bloom_a_{c}"]}
+                                | {int(b) for b in r[f"bloom_b_{c}"]}
+                            )
+                            for c in bloom_cols
+                        }
+            return out
 
         # Canonical tokens of the partitions this batch touches, rendered by
         # Spark (not Python str()) so they match the directory names Spark
@@ -1077,10 +1139,18 @@ class VersionedTable:
             "version": version,
             "operation": _operation,
             "dirs": keep_dirs + new_dirs,
-            "stats": {d: s for d, s in stats.items() if d in keep_dirs},
+            "stats": {
+                **{d: s for d, s in stats.items() if d in keep_dirs},
+                **new_stats,
+            },
             "dir_parts": dir_parts,
             "schema": json.dumps(next_schema.jsonValue()),
         }
+        bloom = {d: b for d, b in prev_bloom_block.items() if d in keep_dirs}
+        bloom.update(new_bloom)
+        if bloom:
+            manifest["bloom"] = bloom
+            manifest["bloom_bits"] = bloom_bits
         self._publish_manifest(manifest)
         return version
 

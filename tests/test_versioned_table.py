@@ -864,6 +864,50 @@ def test_full_compact_and_zorder_rebuild_indexes(spark, tmp_path):
     assert t.read().count() == 100
 
 
+def test_replace_partitions_maintains_stats_and_blooms(spark, tmp_path):
+    """commit_replace_partitions must maintain per-dir indexes, not let
+    them decay as dirs are rewritten: stats_cols (previously a dead
+    parameter) computes envelopes per new dir, bloom columns are derived
+    from the prior snapshot and rebuilt per new dir at the pinned
+    bloom_bits, and kept dirs carry both verbatim."""
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    # Seed with a bloom+stats-indexed plain commit.
+    t.commit(
+        spark.createDataFrame(
+            [(i, i % 4) for i in range(40)], "k bigint, bucket int"
+        ),
+        stats_cols=["k"],
+        bloom_cols=["k"],
+    )
+    # Replace bucket 1's state: new dirs must get fresh stats AND blooms.
+    t.commit_replace_partitions(
+        spark.createDataFrame(
+            [(1000 + i, 1) for i in range(4)], "k bigint, bucket int"
+        ),
+        "bucket",
+        stats_cols=["k"],
+    )
+    m = t._manifest(t.current_version())
+    assert "bloom" in m and m.get("bloom_bits") is not None
+    assert all(d in m["stats"] and d in m["bloom"] for d in m["dirs"]), (
+        "every dir (kept remainder + new) must carry stats and bloom"
+    )
+    # Exactness through the mixed kept/new layout.
+    assert {r.k for r in t.scan_point("k", 1002).collect()} == {1002}
+    assert {r.k for r in t.scan_point("k", 2).collect()} == {2}
+    assert t.scan_point("k", 55_555).count() == 0
+    assert t.pruned_dirs_point("k", 1002) >= 1
+    # Second replace WITHOUT stats_cols: columns derive from the prior
+    # snapshot, so the indexes keep maintaining themselves.
+    t.commit_replace_partitions(
+        spark.createDataFrame([(2000, 2)], "k bigint, bucket int"),
+        "bucket",
+    )
+    m2 = t._manifest(t.current_version())
+    assert all(d in m2["stats"] and d in m2["bloom"] for d in m2["dirs"])
+    assert {r.k for r in t.scan_point("k", 2000).collect()} == {2000}
+
+
 def test_concurrent_commit_conflict_detected(spark, tmp_path):
     """Optimistic concurrency: two writers deriving from the same base
     version race to publish the same snapshot number — exactly one wins,
