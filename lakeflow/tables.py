@@ -69,6 +69,40 @@ def _unescape_partition_dir(raw: str) -> str:
     return _HIVE_ESCAPE_RE.sub(lambda m: chr(int(m.group(1), 16)), raw)
 
 
+def _union_stats_envelopes(prev_stats: dict, dirs, exclude=()) -> dict | None:
+    """Over-approximate [min, max] union of per-dir zone-map envelopes, for
+    a new dir that will hold a SUBSET of ``dirs``' rows (compaction fold,
+    DELETE survivors, UPDATE pass-through columns). Valid because a subset
+    can only shrink the true envelope — zone maps then give false
+    positives, never false negatives. Returns None (record nothing — a
+    missing envelope means "read the dir", which is safe) unless EVERY
+    input dir carries a non-null envelope for a column."""
+    if not dirs or not all(d in prev_stats for d in dirs):
+        return None
+    shared = set.intersection(*(set(prev_stats[d]) for d in dirs)) - set(exclude)
+    out = {}
+    for c in shared:
+        envs = [prev_stats[d][c] for d in dirs]
+        if any(e[0] is None or e[1] is None for e in envs):
+            continue
+        out[c] = [min(e[0] for e in envs), max(e[1] for e in envs)]
+    return out or None
+
+
+def _union_bloom_sets(prev_bloom: dict, dirs, exclude=()) -> dict | None:
+    """Bitwise union of per-dir Bloom bit sets for a new dir holding a
+    SUBSET of ``dirs``' rows — same over-approximation argument as
+    ``_union_stats_envelopes`` (extra bits = false positives only), valid
+    because bloom_bits is pinned at index creation. Columns in ``exclude``
+    (e.g. UPDATE SET targets, whose new values the old bits don't cover)
+    are skipped; missing = "could contain" on the read side."""
+    if not dirs or not all(d in prev_bloom for d in dirs):
+        return None
+    shared = set.intersection(*(set(prev_bloom[d]) for d in dirs)) - set(exclude)
+    out = {c: sorted({b for d in dirs for b in prev_bloom[d][c]}) for c in shared}
+    return out or None
+
+
 def _partition_token(partition_col: str):
     """Canonical partition-identity expression: Spark's string rendering of
     the value, with NULL and empty string collapsed to the Hive default
@@ -575,13 +609,31 @@ class VersionedTable:
             new_dir = os.path.join(self.root, "data", uuid.uuid4().hex)
             survivors.write.mode("overwrite").parquet(new_dir)
             new_dirs.append(new_dir)
+        # Index maintenance: kept dirs' entries stay valid verbatim; the
+        # survivors dir holds a SUBSET of the touched dirs' rows, so their
+        # envelope/bit-set unions remain safe over-approximations for it
+        # (false positives only) — without this, one DELETE stripped the
+        # whole table's scan_point pruning.
+        stats = {d: s for d, s in m.get("stats", {}).items() if d in keep}
+        prev_bloom = m.get("bloom", {})
+        bloom = {d: b for d, b in prev_bloom.items() if d in keep}
+        if new_dirs:
+            env = _union_stats_envelopes(m.get("stats", {}), sorted(touch))
+            if env:
+                stats[new_dirs[0]] = env
+            mb = _union_bloom_sets(prev_bloom, sorted(touch))
+            if mb:
+                bloom[new_dirs[0]] = mb
         manifest = {
             "version": version + 1,
             "operation": "delete",
             "dirs": keep + new_dirs,
-            "stats": {d: s for d, s in m.get("stats", {}).items() if d in keep},
+            "stats": stats,
             "schema": m.get("schema"),
         }
+        if bloom:
+            manifest["bloom"] = bloom
+            manifest["bloom_bits"] = m.get("bloom_bits")
         dir_parts = {
             d: p for d, p in m.get("dir_parts", {}).items() if d in keep
         }
@@ -646,13 +698,34 @@ class VersionedTable:
             new_dir = os.path.join(self.root, "data", uuid.uuid4().hex)
             frame.write.mode("overwrite").parquet(new_dir)
             new_dirs.append(new_dir)
+        # Same index maintenance as delete_where, with the SET columns
+        # excluded: updated values aren't covered by the old envelopes or
+        # bit sets (carrying them would prune wrongly — false negatives),
+        # while pass-through columns keep the safe union.
+        stats = {d: s for d, s in m.get("stats", {}).items() if d in keep}
+        prev_bloom = m.get("bloom", {})
+        bloom = {d: b for d, b in prev_bloom.items() if d in keep}
+        if new_dirs:
+            env = _union_stats_envelopes(
+                m.get("stats", {}), sorted(touch), exclude=set_exprs
+            )
+            if env:
+                stats[new_dirs[0]] = env
+            mb = _union_bloom_sets(
+                prev_bloom, sorted(touch), exclude=set_exprs
+            )
+            if mb:
+                bloom[new_dirs[0]] = mb
         manifest = {
             "version": version + 1,
             "operation": "update",
             "dirs": keep + new_dirs,
-            "stats": {d: s for d, s in m.get("stats", {}).items() if d in keep},
+            "stats": stats,
             "schema": m.get("schema"),
         }
+        if bloom:
+            manifest["bloom"] = bloom
+            manifest["bloom_bits"] = m.get("bloom_bits")
         dir_parts = {
             d: p for d, p in m.get("dir_parts", {}).items() if d in keep
         }
@@ -3036,23 +3109,15 @@ class VersionedTable:
             stats[merged_dir] = {
                 c: [row[f"min_{c}"], row[f"max_{c}"]] for c in stats_cols
             }
-        elif all(d in prev_stats for d in small):
+        else:
             # Envelope union, zero IO: the merged dir holds exactly the
-            # folded dirs' rows, so its min/max per column is the min of
-            # mins / max of maxs over their recorded envelopes — file-skip
-            # pruning must not silently degrade just because an
-            # auto-compaction fold didn't re-specify stats_cols. Columns
-            # missing from (or null in) any folded envelope are skipped —
-            # a partial envelope would wrongly prune.
-            merged_stats = {}
-            shared = set.intersection(*(set(prev_stats[d]) for d in small))
-            for c in shared:
-                envs = [prev_stats[d][c] for d in small]
-                if any(e[0] is None or e[1] is None for e in envs):
-                    continue
-                merged_stats[c] = [
-                    min(e[0] for e in envs), max(e[1] for e in envs)
-                ]
+            # folded dirs' rows, so its min/max per column is the union of
+            # their recorded envelopes — file-skip pruning must not
+            # silently degrade just because an auto-compaction fold didn't
+            # re-specify stats_cols (helper skips columns missing from or
+            # null in any folded envelope; a partial union would wrongly
+            # prune).
+            merged_stats = _union_stats_envelopes(prev_stats, small)
             if merged_stats:
                 stats[merged_dir] = merged_stats
         dir_parts = {
@@ -3074,16 +3139,9 @@ class VersionedTable:
         # safe; a partial union would wrongly skip the missing dir's keys).
         prev_bloom = m.get("bloom", {})
         bloom = {d: b for d, b in prev_bloom.items() if d in keep}
-        if small and all(d in prev_bloom for d in small):
-            shared_cols = set.intersection(
-                *(set(prev_bloom[d]) for d in small)
-            )
-            merged_bloom = {
-                c: sorted({b for d in small for b in prev_bloom[d][c]})
-                for c in shared_cols
-            }
-            if merged_bloom:
-                bloom[merged_dir] = merged_bloom
+        merged_bloom = _union_bloom_sets(prev_bloom, small)
+        if merged_bloom:
+            bloom[merged_dir] = merged_bloom
         new_version = version + 1
         manifest = {
             "version": new_version,

@@ -908,6 +908,52 @@ def test_replace_partitions_maintains_stats_and_blooms(spark, tmp_path):
     assert {r.k for r in t.scan_point("k", 2000).collect()} == {2000}
 
 
+def test_dml_carries_indexes_with_safe_overapproximation(spark, tmp_path):
+    """DELETE/UPDATE must not strip the table's indexes: kept dirs carry
+    their stats+bloom verbatim; the rewritten survivors dir gets the
+    touched dirs' envelope/bit-set UNION (a delete only removes rows, so
+    the union over-approximates — false positives only), and UPDATE
+    excludes its SET columns (old bits don't cover the new values)."""
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    for lo in (0, 1000, 2000):
+        t.commit(
+            spark.createDataFrame(
+                [(lo + j, float(j)) for j in range(20)], "k bigint, v double"
+            ),
+            mode="append",
+            stats_cols=["k"],
+            bloom_cols=["k"],
+        )
+    # DELETE pruned to the middle dir: the other two carry verbatim, the
+    # survivors dir inherits the touched dir's envelope/bits.
+    t.delete_where("k = 1003", prune_between={"k": (1000, 1019)})
+    m = t._manifest(t.current_version())
+    assert all(d in m["stats"] and d in m["bloom"] for d in m["dirs"])
+    assert t.scan_point("k", 1003).count() == 0
+    assert {r.k for r in t.scan_point("k", 1004).collect()} == {1004}
+    assert t.pruned_dirs_point("k", 5) >= 1  # untouched dirs still prune
+    assert t.pruned_dirs({"k": (2005, 2010)}) == 2
+
+    # UPDATE of v: k's indexes survive everywhere (k passes through), and
+    # lookups stay exact.
+    t.update_where("k = 2001", {"v": "99.0"}, prune_between={"k": (2000, 2019)})
+    m2 = t._manifest(t.current_version())
+    assert all("k" in m2["bloom"].get(d, {}) for d in m2["dirs"])
+    got = {(r.k, r.v) for r in t.scan_point("k", 2001).collect()}
+    assert got == {(2001, 99.0)}
+    # UPDATE of k itself: the rewritten dir must NOT carry k's old index
+    # (new values uncovered), while kept dirs keep theirs — and the moved
+    # key is still findable (missing index = read the dir, never skip it).
+    t.update_where("k = 1", {"k": "777777"}, prune_between={"k": (0, 19)})
+    m3 = t._manifest(t.current_version())
+    rewritten = [d for d in m3["dirs"] if d not in m2["dirs"]]
+    assert len(rewritten) == 1
+    assert "k" not in m3["bloom"].get(rewritten[0], {})
+    assert "k" not in m3["stats"].get(rewritten[0], {})
+    assert {r.k for r in t.scan_point("k", 777777).collect()} == {777777}
+    assert t.scan_point("k", 1).count() == 0
+
+
 def test_concurrent_commit_conflict_detected(spark, tmp_path):
     """Optimistic concurrency: two writers deriving from the same base
     version race to publish the same snapshot number — exactly one wins,
