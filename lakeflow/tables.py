@@ -1000,6 +1000,27 @@ class VersionedTable:
                     **carried_dp,
                     **manifest.get("dir_parts", {}),
                 }
+            # Per-dir CONTENT metadata — zone-map envelopes and bloom bit
+            # sets — describes an immutable dir's rows, so it is correct on
+            # every snapshot that references the dir, whichever operation
+            # produced the manifest. Carrying it here (explicit entries
+            # winning) closes the whole forgot-to-carry bug class at once:
+            # before this, one MOR delete silently stripped the table's
+            # bloom index because delete_where_mor's hand-built manifest
+            # didn't mention it. (Unlike table-level ndv, which describes
+            # a VERSION's visible rows and must be set explicitly.)
+            for pd_key in ("stats", "bloom"):
+                prev_map = prev_m.get(pd_key, {})
+                carried_pd = {
+                    d: prev_map[d]
+                    for d in manifest.get("dirs", [])
+                    if d in prev_map
+                }
+                explicit = manifest.get(pd_key, {})
+                if carried_pd or explicit:
+                    manifest[pd_key] = {**carried_pd, **explicit}
+            if manifest.get("bloom") and manifest.get("bloom_bits") is None:
+                manifest["bloom_bits"] = prev_m.get("bloom_bits")
         final = os.path.join(self._snap_dir, f"{version:08d}.json")
         tmp = os.path.join(
             self._snap_dir, f".{version:08d}-{uuid.uuid4().hex}.json.tmp"
@@ -2381,6 +2402,15 @@ class VersionedTable:
             },
             "schema": json.dumps(new_st.jsonValue()),
         }
+        if m.get("bloom"):
+            # The dropped column's bloom bit sets retire with it, same rule
+            # as its zone-map stats above — explicitly present so the
+            # per-dir carry in _publish_manifest cannot resurrect an index
+            # for a column the schema no longer has.
+            manifest["bloom"] = {
+                d: {c: v for c, v in cs.items() if c != name}
+                for d, cs in m["bloom"].items()
+            }
         if m.get("generated"):
             # Dropping a generated column retires its derivation too —
             # explicitly present (possibly empty) so the carry-forward in

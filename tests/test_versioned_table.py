@@ -954,6 +954,38 @@ def test_dml_carries_indexes_with_safe_overapproximation(spark, tmp_path):
     assert t.scan_point("k", 1).count() == 0
 
 
+def test_mor_dml_and_ddl_keep_bloom_index_consistent(spark, tmp_path):
+    """The _publish_manifest per-dir carry closes the forgot-to-carry class
+    for MOR DML: delete_where_mor/update_where_mor leave the data dirs in
+    place, so their blooms/stats must survive (a DV only HIDES rows — the
+    bit sets over-approximate, which is safe); drop_column retires the
+    dropped column's bloom explicitly so the carry cannot resurrect it."""
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.commit(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(40)], "k bigint, v double"
+        ),
+        stats_cols=["k"],
+        bloom_cols=["k"],
+    )
+    t.delete_where_mor("k = 7")
+    m = t._manifest(t.current_version())
+    assert m.get("bloom") and m.get("bloom_bits") is not None
+    assert t.scan_point("k", 7).count() == 0  # DV applies through the probe
+    assert {r.k for r in t.scan_point("k", 8).collect()} == {8}
+
+    t.update_where_mor("k = 9", {"v": "99.0"})
+    m2 = t._manifest(t.current_version())
+    assert all(d in m2["bloom"] or d not in m["dirs"] for d in m2["dirs"])
+    assert {(r.k, r.v) for r in t.scan_point("k", 9).collect()} == {(9, 99.0)}
+
+    t.drop_column("v")
+    m3 = t._manifest(t.current_version())
+    assert all("v" not in cs for cs in m3.get("bloom", {}).values())
+    assert all("v" not in cs for cs in m3.get("stats", {}).values())
+    assert {r.k for r in t.scan_point("k", 8).collect()} == {8}
+
+
 def test_concurrent_commit_conflict_detected(spark, tmp_path):
     """Optimistic concurrency: two writers deriving from the same base
     version race to publish the same snapshot number — exactly one wins,
