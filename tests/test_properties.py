@@ -1085,3 +1085,72 @@ def test_shard_fold_preserves_kmv_probe(
     )
     assert probe() == one_shot
     assert len(_list_batches(f"{root}/minima")) >= min(n, max(keep_last, 1))
+
+
+@given(
+    st.dictionaries(
+        st.sampled_from(["d1", "d2", "d3", "d4"]),
+        st.dictionaries(
+            st.sampled_from(["a", "b", "c"]),
+            st.tuples(st.integers(-100, 100), st.integers(-100, 100)).map(
+                lambda t: [min(t), max(t)]
+            ),
+            min_size=0,
+            max_size=3,
+        ),
+        min_size=0,
+        max_size=4,
+    ),
+    st.lists(st.sampled_from(["d1", "d2", "d3", "d4"]), unique=True, max_size=4),
+)
+def test_union_stats_envelope_is_sound(prev_stats, fold):
+    """Pure-python property for the per-dir index fold (the r9 provenance
+    sweep): when a union envelope IS produced for a column, it must bound
+    every folded dir's envelope (soundness — a zone map may only give
+    false positives); when any folded dir lacks the column (or the stats
+    entry entirely), NO envelope may be produced (a partial union would
+    wrongly prune that dir's rows)."""
+    from lakeflow.tables import _union_stats_envelopes
+
+    out = _union_stats_envelopes(prev_stats, fold)
+    if out is None:
+        return
+    assert fold and all(d in prev_stats for d in fold)
+    for c, (lo, hi) in out.items():
+        for d in fold:
+            assert c in prev_stats[d], "partial union would prune wrongly"
+            assert lo <= prev_stats[d][c][0] and prev_stats[d][c][1] <= hi
+
+
+@given(
+    st.dictionaries(
+        st.sampled_from(["d1", "d2", "d3"]),
+        st.dictionaries(
+            st.sampled_from(["a", "b"]),
+            st.lists(st.integers(0, 63), unique=True, max_size=12),
+            min_size=0,
+            max_size=2,
+        ),
+        min_size=0,
+        max_size=3,
+    ),
+    st.lists(st.sampled_from(["d1", "d2", "d3"]), unique=True, max_size=3),
+    st.sets(st.sampled_from(["a", "b"])),
+)
+def test_union_bloom_sets_is_sound(prev_bloom, fold, exclude):
+    """Bloom fold soundness: a produced union must be a SUPERSET of every
+    folded dir's bit set for that column (extra bits = false positives
+    only; a missing bit would be a false negative — skipped rows), and
+    excluded columns (UPDATE SET targets) never appear."""
+    from lakeflow.tables import _union_bloom_sets
+
+    out = _union_bloom_sets(prev_bloom, fold, exclude=exclude)
+    if out is None:
+        return
+    assert fold and all(d in prev_bloom for d in fold)
+    for c, bits in out.items():
+        assert c not in exclude
+        s = set(bits)
+        for d in fold:
+            assert c in prev_bloom[d]
+            assert set(prev_bloom[d][c]) <= s
