@@ -219,9 +219,38 @@ class VersionedTable:
         with open(os.path.join(self._snap_dir, f"{version:08d}.json")) as fh:
             return json.load(fh)
 
+    def _has_version(self, version: int) -> bool:
+        return os.path.exists(
+            os.path.join(self._snap_dir, f"{version:08d}.json")
+        )
+
     def current_version(self) -> int | None:
-        vs = self.versions()
-        return vs[-1] if vs else None
+        """Latest snapshot number — O(1) via the ``_latest_hint`` pointer
+        (Delta's ``_last_checkpoint`` / Iceberg's version-hint file), not a
+        directory listing: a 5 s-trigger stream accretes ~17k manifests a
+        day and EVERY commit consults the current version, so an
+        O(#versions) listdir per micro-batch is the manifest-side twin of
+        the shard-listing cost the compactors exist to avoid. The hint is
+        written AFTER a successful publish, so it can only LAG reality
+        (crash between manifest link and hint write, or a concurrent
+        writer's late hint) — the walk-forward probe below absorbs any lag
+        at O(lag) file-exists checks; a missing or corrupt hint falls back
+        to the full listing."""
+        hint_path = os.path.join(self._snap_dir, "_latest_hint")
+        try:
+            with open(hint_path) as fh:
+                v = int(fh.read().strip())
+        except (OSError, ValueError):
+            vs = self.versions()
+            return vs[-1] if vs else None
+        if not self._has_version(v):
+            # Hint outlived its manifest (manual cleanup / partial copy):
+            # the listing is ground truth.
+            vs = self.versions()
+            return vs[-1] if vs else None
+        while self._has_version(v + 1):
+            v += 1
+        return v
 
     def snapshots(self) -> DataFrame:
         """Snapshot metadata as a DataFrame (Iceberg's ``t.snapshots``)."""
@@ -1036,6 +1065,23 @@ class VersionedTable:
             ) from None
         finally:
             os.unlink(tmp)
+        # Advance the O(1) latest pointer AFTER the manifest is durable, so
+        # the hint only ever names an existing manifest and can only LAG
+        # (current_version walks forward over any lag). Atomic replace; a
+        # concurrent older writer overwriting with a lower value is the
+        # same lag case. Best-effort: a failed hint write costs one
+        # fallback listing, never correctness.
+        hint_path = os.path.join(self._snap_dir, "_latest_hint")
+        hint_tmp = f"{hint_path}.{uuid.uuid4().hex}.tmp"
+        try:
+            with open(hint_tmp, "w") as fh:
+                fh.write(str(version))
+            os.replace(hint_tmp, hint_path)
+        except OSError:
+            try:
+                os.unlink(hint_tmp)
+            except OSError:
+                pass
 
     def commit_replace_partitions(
         self,

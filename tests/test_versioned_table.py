@@ -986,6 +986,45 @@ def test_mor_dml_and_ddl_keep_bloom_index_consistent(spark, tmp_path):
     assert {r.k for r in t.scan_point("k", 8).collect()} == {8}
 
 
+def test_latest_hint_is_o1_and_lag_safe(spark, tmp_path):
+    """current_version() reads the _latest_hint pointer instead of listing
+    the snapshot dir (O(#versions) per micro-batch otherwise). The hint
+    can only LAG (written after the manifest lands), so: a stale hint
+    walks forward to the true head; a missing or corrupt hint falls back
+    to the listing; a hint whose manifest was removed falls back too;
+    expiry keeps the latest, so the pointer survives retention."""
+    import os as _os
+
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    for i in range(4):
+        t.commit(spark.createDataFrame([(i,)], "k long"), mode="append")
+    hint = _os.path.join(t._snap_dir, "_latest_hint")
+    assert open(hint).read().strip() == "4"
+    assert t.current_version() == 4
+
+    # Lagging hint (crash between manifest link and hint write).
+    with open(hint, "w") as fh:
+        fh.write("2")
+    assert t.current_version() == 4  # walk-forward finds the true head
+
+    # Missing hint → listing fallback.
+    _os.remove(hint)
+    assert t.current_version() == 4
+    # Corrupt hint → listing fallback.
+    with open(hint, "w") as fh:
+        fh.write("not-a-version")
+    assert t.current_version() == 4
+
+    # The next commit repairs the pointer.
+    t.commit(spark.createDataFrame([(9,)], "k long"), mode="append")
+    assert open(hint).read().strip() == "5"
+
+    # Retention keeps the latest manifest, so the hint stays valid.
+    t.expire_snapshots(keep_last=1)
+    assert t.current_version() == 5
+    assert t.read().count() == 5
+
+
 def test_concurrent_commit_conflict_detected(spark, tmp_path):
     """Optimistic concurrency: two writers deriving from the same base
     version race to publish the same snapshot number — exactly one wins,
