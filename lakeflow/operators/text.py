@@ -12,6 +12,7 @@ RE2 (DuckDB/others) interpret identically, so the ops are oracle-replayable.
 from __future__ import annotations
 
 import math
+import os
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -1580,10 +1581,13 @@ def append_to_text_index(
     r8: a docstring-only contract fails silently as null positions)."""
     from lakeflow.operators.transforms import fan_out
 
-    try:
+    # Path-missing precheck instead of catching the read error: a transient
+    # IO failure or corrupt index footer must PROPAGATE, not be silently
+    # treated as a first-build append that skips the mixed-schema check
+    # (ADVICE r9). Only a genuinely absent postings dir acts as a build.
+    existing = None
+    if os.path.isdir(f"{index_dir}/postings"):
         existing = df.sparkSession.read.parquet(f"{index_dir}/postings")
-    except Exception:
-        existing = None  # first append into an empty dir acts as a build
     if existing is not None:
         built_positional = "positions" in existing.columns
         if built_positional != include_positions:

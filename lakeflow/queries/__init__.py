@@ -14,6 +14,7 @@ Contract reminders (BASELINE.md, FIXTURES.md):
 from __future__ import annotations
 
 import glob as _glob
+import hashlib as _hashlib
 import json as _json
 import os as _os
 import re as _re
@@ -141,6 +142,45 @@ _REWRITTEN_SINCE_GREEN: frozenset[str] = frozenset(
 )
 
 
+def _helper_change_rounds(ledger: dict | None = None) -> dict[str, int]:
+    """Per-query round at which a helper module the query transitively
+    depends on last CHANGED (VERDICT r9 ask #2 — the helper-granularity
+    blind spot: r9 rewrote deep tables.py helpers under r5-era greens
+    without tripping the callable-source guard).
+
+    The dep map and per-module (hash, round) pins come from
+    ``scripts/helper_ledger.json`` (maintained by
+    ``scripts/update_green_hashes.py``); modules whose LIVE source hash
+    diverges from the pin changed during the current, not-yet-verified
+    round and count as ``max(verified rounds) + 1``. A query absent from
+    the ledger (registered after the last refresh) reports 0 — it has no
+    verdict to stale-date yet. Missing or unparsable ledger degrades to
+    no-helper-signal rather than breaking imports."""
+    if ledger is None:
+        try:
+            with open(
+                _os.path.join(_REPO_ROOT, "scripts", "helper_ledger.json")
+            ) as f:
+                ledger = _json.load(f)
+        except (OSError, ValueError):
+            return {}
+    current = (max(_VERIFIED_ROUNDS) + 1) if _VERIFIED_ROUNDS else 1
+    mod_round: dict[str, int] = {}
+    for rel, info in ledger.get("modules", {}).items():
+        try:
+            with open(_os.path.join(_REPO_ROOT, rel), "rb") as f:
+                live = _hashlib.sha256(f.read()).hexdigest()
+        except OSError:
+            live = None  # module deleted since the pin: changed now
+        mod_round[rel] = (
+            int(info.get("round", 0)) if live == info.get("hash") else current
+        )
+    return {
+        name: max((mod_round.get(f, current) for f in files), default=0)
+        for name, files in ledger.get("deps", {}).items()
+    }
+
+
 def _reorder_for_driver() -> None:
     """Reorder QUERIES and ORACLES so the driver's ~50 verification slots go
     where they buy new information, whichever dict the driver iterates:
@@ -154,7 +194,15 @@ def _reorder_for_driver() -> None:
     3. previously verified, oldest LATEST verdict first (r2-era greens
        re-verify before r3-era ones, and so on) — re-verification
        pressure goes where the evidence is stalest (VERDICT r7 ask #1:
-       rotate the 57 r2/r3-era greens through the r8 window).
+       rotate the 57 r2/r3-era greens through the r8 window). Within a
+       same-round cohort, HELPER-STALE greens lead (VERDICT r9 ask #2:
+       a green whose transitive helper modules changed after its verdict
+       round, per scripts/helper_ledger.json). Cohort tie-break rather
+       than absolute priority by design: one tables.py edit reaches
+       ~95% of the registry transitively, and promoting all of those
+       above older fresh greens would flood the ~50-slot window every
+       round and stall the age-based rotation the staleness-debt gate
+       (tests/test_registry_order.py) bounds.
 
     Within blocks 1-2, cheap batch queries run before streaming/pysource
     end-to-end queries (micro-batch machinery dominates their wall time),
@@ -176,12 +224,16 @@ def _reorder_for_driver() -> None:
             if n not in latest_green and n not in _REWRITTEN_SINCE_GREEN
         ]
     )
+    helper_change = _helper_change_rounds()
     greens = sorted(
         (
             n for n in QUERIES
             if n in latest_green and n not in _REWRITTEN_SINCE_GREEN
         ),
-        key=lambda n: latest_green[n],
+        key=lambda n: (
+            latest_green[n],
+            0 if helper_change.get(n, 0) > latest_green[n] else 1,
+        ),
     )
     ordered = stale + never + greens
     reordered = {n: QUERIES[n] for n in ordered}

@@ -1071,6 +1071,15 @@ class VersionedTable:
         # concurrent older writer overwriting with a lower value is the
         # same lag case. Best-effort: a failed hint write costs one
         # fallback listing, never correctness.
+        self._write_latest_hint(version)
+
+    def _write_latest_hint(self, version: int) -> None:
+        """Best-effort atomic rewrite of the ``_latest_hint`` pointer. Safe
+        to lose (current_version falls back to the listing) but — combined
+        with the walk-forward probe — only safe to KEEP when no version gap
+        sits directly above it, which publish order guarantees for commits
+        and ``expire_snapshots`` re-establishes by rewriting the hint to
+        the surviving head (ADVICE r9)."""
         hint_path = os.path.join(self._snap_dir, "_latest_hint")
         hint_tmp = f"{hint_path}.{uuid.uuid4().hex}.tmp"
         try:
@@ -1137,12 +1146,25 @@ class VersionedTable:
         _prev_for_meta = self.current_version()
         _m_meta = self._manifest(_prev_for_meta) if _prev_for_meta else {}
         prev_bloom_block = _m_meta.get("bloom", {})
-        bloom_cols = sorted({c for cs in prev_bloom_block.values() for c in cs})
         bloom_bits = _m_meta.get("bloom_bits", 4096)
-        eff_stats_cols = (
-            list(stats_cols)
-            if stats_cols
-            else sorted({c for cs in _m_meta.get("stats", {}).values() for c in cs})
+        # Intersect the derived index columns with the batch frame's actual
+        # columns: old carried-over dirs can pin stats/bloom entries for
+        # columns a later schema evolution dropped, and an F.min/F.md5 over
+        # an absent column would fail a write that previously succeeded.
+        # Recording nothing for an absent column is the safe direction —
+        # missing metadata only costs pruning, never correctness (ADVICE
+        # r9).
+        _batch_cols = set(df.columns)
+        bloom_cols = sorted(
+            {c for cs in prev_bloom_block.values() for c in cs} & _batch_cols
+        )
+        eff_stats_cols = sorted(
+            (
+                set(stats_cols)
+                if stats_cols
+                else {c for cs in _m_meta.get("stats", {}).values() for c in cs}
+            )
+            & _batch_cols
         )
         new_stats: dict = {}
         new_bloom: dict = {}
@@ -3283,6 +3305,18 @@ class VersionedTable:
                 ):
                     shutil.rmtree(d)
             os.remove(os.path.join(self._snap_dir, f"{v:08d}.json"))
+        if expired:
+            # Tag-exempt retention leaves GAPS in the version sequence
+            # (e.g. keep a tagged v3, expire v4-v6, keep v7+). A stale
+            # hint that happened to survive at v3 would make the
+            # walk-forward probe stop at the gap and report v3 as head —
+            # and the next commit would shadow-publish v4 below the real
+            # head. Re-pin the hint to the surviving head so a gap above
+            # the hint can never coexist with a valid-looking hint
+            # (ADVICE r9).
+            survivors = self.versions()
+            if survivors:
+                self._write_latest_hint(survivors[-1])
         return expired
 
     def remove_orphans(self) -> list[str]:

@@ -1915,6 +1915,40 @@ def test_append_positions_mismatch_raises(spark, tmp_path):
     assert "positions" not in spark.read.parquet(f"{tf_idx}/postings").columns
 
 
+def test_append_propagates_corrupt_index_read_errors(spark, tmp_path):
+    """ADVICE r9: only a genuinely ABSENT postings dir may act as a first
+    build. A present-but-unreadable index (corrupt footer, transient IO)
+    must propagate — swallowing it would skip the mixed-schema check and
+    silently append build-shaped rows into a broken index."""
+    import glob
+    import os
+
+    import pytest
+
+    from lakeflow.operators.text import append_to_text_index
+
+    idx = str(tmp_path / "idx")
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello spark")], "doc_id bigint, text string"
+    )
+    # Absent dir: first append acts as a build.
+    append_to_text_index(docs, idx)
+    parts = glob.glob(f"{idx}/postings/*.parquet")
+    assert parts
+
+    # Corrupt every postings file: the next append must FAIL LOUDLY, and
+    # must not have touched corpus_stats before failing.
+    for p in parts:
+        with open(p, "wb") as fh:
+            fh.write(b"not a parquet footer")
+    stats_before = sorted(os.listdir(f"{idx}/corpus_stats"))
+    more = spark.createDataFrame([(3, "late doc")], "doc_id bigint, text string")
+    with pytest.raises(Exception) as ei:
+        append_to_text_index(more, idx)
+    assert "include_positions" not in str(ei.value)  # real error, not the gate
+    assert sorted(os.listdir(f"{idx}/corpus_stats")) == stats_before
+
+
 def test_phrase_match_repeated_and_long_phrases(spark, tmp_path):
     """Positional phrase matching on crafted docs: repeated-token phrases
     need genuinely distinct adjacent occurrences, 3-term chains count

@@ -200,3 +200,83 @@ def test_corrupt_correctness_file_warns_loudly(tmp_path, monkeypatch):
     assert set(rounds) == {1}  # the good round still loads
     loud = [w for w in caught if "CORRECTNESS_r02.json" in str(w.message)]
     assert loud and issubclass(loud[0].category, RuntimeWarning)
+
+
+def _load_ledger():
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "scripts", "helper_ledger.json")) as f:
+        return json.load(f)
+
+
+def test_helper_ledger_covers_the_registry():
+    """VERDICT r9 ask #2: the helper ledger must pin a (hash, round) for
+    every module any registered query transitively depends on, and carry
+    a dep entry for every query — otherwise helper churn under a green
+    goes back to being invisible."""
+    ledger = _load_ledger()
+    missing = set(QUERIES) - set(ledger["deps"])
+    assert not missing, f"queries without ledger deps: {sorted(missing)[:5]}"
+    dep_files = {f for fs in ledger["deps"].values() for f in fs}
+    unpinned = dep_files - set(ledger["modules"])
+    assert not unpinned, f"dep modules without a pin: {sorted(unpinned)}"
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for rel in dep_files:
+        assert os.path.exists(os.path.join(root, rel)), f"ghost dep {rel}"
+    # Spot-check transitivity: a streaming index query must reach both the
+    # operator module and the sink machinery it rides on.
+    bm25 = set(ledger["deps"]["stream_bm25_index"])
+    assert {"lakeflow/operators/text.py", "lakeflow/streaming/sinks.py"} <= bm25
+    # The registry file itself is excluded (it would make every query
+    # depend on every other's registration churn).
+    assert "lakeflow/queries/__init__.py" not in dep_files
+
+
+def test_helper_change_rounds_flag_live_and_pinned_churn():
+    """Unit-test the staleness computation against a doctored ledger: a
+    pinned-hash mismatch (live edit this round) and a pinned later round
+    both mark dependents; matching pins do not."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    import hashlib
+
+    rel = "lakeflow/operators/transforms.py"
+    live = hashlib.sha256(
+        open(os.path.join(root, rel), "rb").read()
+    ).hexdigest()
+    current = max(r for r, _ in _ROUNDS) + 1
+    ledger = {
+        "modules": {
+            rel: {"hash": live, "round": 3},
+            "lakeflow/tables.py": {"hash": "not-the-live-hash", "round": 0},
+        },
+        "deps": {
+            "a": [rel],
+            "b": [rel, "lakeflow/tables.py"],
+            "c": [],
+        },
+    }
+    got = _q._helper_change_rounds(ledger)
+    assert got == {"a": 3, "b": current, "c": 0}
+
+
+def test_helper_stale_greens_lead_their_cohort():
+    """Stable greens stay ordered by verdict round (rotation invariant),
+    and WITHIN each same-round cohort every helper-stale green precedes
+    every fresh one — driver-verdict freshness now reflects helper churn
+    without letting one hot module flood the whole window."""
+    helper_change = _q._helper_change_rounds()
+    names = list(QUERIES)
+    stable = [
+        n for n in names
+        if n in _VERIFIED and n not in _REWRITTEN_SINCE_GREEN
+    ]
+    seen_fresh_in_round: dict[int, bool] = {}
+    for n in stable:
+        rnd = _LATEST_GREEN[n]
+        stale = helper_change.get(n, 0) > rnd
+        if stale:
+            assert not seen_fresh_in_round.get(rnd, False), (
+                f"helper-stale green {n} (r{rnd}) sits behind a fresh "
+                f"green of the same cohort"
+            )
+        else:
+            seen_fresh_in_round[rnd] = True

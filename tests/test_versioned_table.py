@@ -3375,3 +3375,80 @@ def test_bloom_modulus_pinned_across_appends(spark, tmp_path):
     )
     for v in (42, 550, 650):
         assert t.scan_point("k", v).count() == 1, f"value {v} lost to pruning"
+
+
+def test_expire_repins_latest_hint_over_tag_gaps(spark, tmp_path):
+    """ADVICE r9: tag-exempt retention leaves GAPS in the version sequence
+    (tagged v1 survives, v2..v5 expire, head v6 survives). A stale-but-
+    surviving hint below the gap would make current_version()'s
+    walk-forward stop AT the gap and report the tagged snapshot as head —
+    and the next commit would shadow-publish a manifest number below the
+    real head. expire_snapshots must re-pin the hint to the surviving
+    head so that state is unreachable."""
+    import os as _os
+
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    for i in range(4):
+        t.commit(spark.createDataFrame([(i,)], "k long"), mode="append")  # v1-v4
+    t.create_tag("pin", version=1)                                        # v5
+    t.commit(spark.createDataFrame([(9,)], "k long"), mode="append")      # v6
+
+    # Simulate a hint whose advances were swallowed since v1 (best-effort
+    # writes) while the manifests kept publishing.
+    hint = _os.path.join(t._snap_dir, "_latest_hint")
+    with open(hint, "w") as fh:
+        fh.write("1")
+
+    expired = t.expire_snapshots(keep_last=1)
+    assert set(expired) == {2, 3, 4, 5}          # v1 tagged, v6 head
+    assert t.versions() == [1, 6]                # gap above the old hint
+    assert open(hint).read().strip() == "6"      # re-pinned to the head
+    assert t.current_version() == 6
+
+    # The next commit must publish ABOVE the head, not into the gap.
+    t.commit(spark.createDataFrame([(10,)], "k long"), mode="append")
+    assert t.versions() == [1, 6, 7]
+    assert t.read().count() == 6
+
+
+def test_replace_partitions_tolerates_ghost_index_columns(spark, tmp_path):
+    """ADVICE r9: commit_replace_partitions derives its per-dir index
+    columns from the PRIOR snapshot's stats/bloom blocks. A legacy or
+    foreign manifest can pin entries for a column the current schema no
+    longer has; the write must still succeed, recording index metadata
+    only for columns the batch actually carries (missing metadata is the
+    safe direction — it only costs pruning)."""
+    import json
+    import os as _os
+
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    base = spark.createDataFrame([("a", 1), ("b", 2)], "cat string, v int")
+    t.commit_replace_partitions(base, "cat", stats_cols=["v"])
+
+    # Hand-age the manifest: per-dir stats + bloom entries for a column
+    # that is not in the schema (pre-dates stats retirement on drop).
+    v1 = t.current_version()
+    path = _os.path.join(t._snap_dir, f"{v1:08d}.json")
+    m = json.load(open(path))
+    m["stats"] = {
+        d: {**cs, "ghost": [0, 9]} for d, cs in m.get("stats", {}).items()
+    }
+    m["bloom"] = {d: {"ghost": [1, 2, 3]} for d in m["dirs"]}
+    m["bloom_bits"] = 512
+    with open(path, "w") as fh:
+        json.dump(m, fh)
+
+    # Replace one partition with a frame matching the CURRENT schema:
+    # before the fix this raised (F.min/F.md5 over the absent column).
+    t.commit_replace_partitions(
+        spark.createDataFrame([("a", 10)], "cat string, v int"), "cat"
+    )
+    state = {(r.cat, r.v) for r in t.read().collect()}
+    assert state == {("a", 10), ("b", 2)}
+
+    m2 = t._manifest(t.current_version())
+    new_dirs = set(m2["dirs"]) - set(m["dirs"])
+    assert new_dirs
+    for d in new_dirs:
+        assert set(m2["stats"].get(d, {})) == {"v"}   # fresh stats, no ghost
+        assert "ghost" not in m2.get("bloom", {}).get(d, {})
