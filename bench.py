@@ -229,6 +229,16 @@ def main() -> None:
         # The denominator, so a registry that GREW between rounds is not
         # misread as a per-query regression (r5→r6: 169→206 queries).
         record["full_n"] = len(timings) + len(tail_timings)
+        # VERDICT r9 ask #5: full_n == len(QUERIES) is the sweep's
+        # completeness contract — headline ∪ tail covers the registry by
+        # construction (pinned in test_bench_contract.py), so the only way
+        # full_n can fall short is a query FAILING mid-sweep, which until
+        # now was visible on stderr only. Surface the shortfall in the
+        # driver-captured record itself; the contract test rejects a
+        # committed round record that carries it.
+        failed = (len(headline) + len(tail)) - record["full_n"]
+        if failed:
+            record["full_failed"] = failed
 
     line = json.dumps(record, separators=(",", ":"))
     if len(line) > 1900:

@@ -2294,10 +2294,16 @@ class VersionedTable:
         streaming sinks can consult it per micro-batch as the trigger for
         incremental small-file compaction at cadence (the table twin of
         the streamed-index ``_autocompact`` policy)."""
+        return len(self.data_dirs(version))
+
+    def data_dirs(self, version: int | None = None) -> list[str]:
+        """Manifest-only list of the snapshot's data dirs (one JSON read).
+        The size-triggered auto-compaction policy stats these to size the
+        small-file tail without reading any data."""
         v = self.current_version() if version is None else version
         if v is None:
-            return 0
-        return len(self._manifest(v).get("dirs", []))
+            return []
+        return list(self._manifest(v).get("dirs", []))
 
     def detail(self) -> dict:
         """DESCRIBE DETAIL: one dict of current-table facts — version,

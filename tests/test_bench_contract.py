@@ -126,3 +126,49 @@ def test_committed_bench_files_keep_two_pass_invariant():
             )
         checked += 1
     assert checked >= 1, "no two-pass BENCH record found to check"
+
+
+def test_full_sweep_covers_the_registry_by_construction():
+    """VERDICT r9 ask #5: full_n == len(QUERIES) is the completeness
+    contract of the sweep. Statically: the headline set must be a subset
+    of the registry and headline ∪ tail (constructed exactly as bench.py
+    constructs it) must BE the registry — no query can be silently
+    excluded from the denominator."""
+    import bench
+    from lakeflow.queries import QUERIES
+
+    headline = set(bench.BENCH_QUERIES)
+    assert headline <= set(QUERIES), (
+        f"BENCH_QUERIES not registered: {sorted(headline - set(QUERIES))}"
+    )
+    tail = {n for n in QUERIES if n not in bench.BENCH_QUERIES}
+    assert headline | tail == set(QUERIES)
+    assert len(headline) + len(tail) == len(QUERIES)
+
+
+def test_committed_full_sweeps_completed_without_failures():
+    """Runtime half of the full_n contract: a committed round record whose
+    sweep dropped queries (full_failed present, or full_n short of the
+    registry the round ran against) means the driver's headline was
+    measured over a silently smaller surface. The registry only grows, so
+    full_n may lag len(QUERIES) mid-round but may never exceed it."""
+    import glob
+
+    from lakeflow.queries import QUERIES
+
+    files = sorted(glob.glob(os.path.join(_REPO, "BENCH_r*.json")))
+    assert files
+    latest_with_full = None
+    for path in files:
+        rec = json.load(open(path)).get("parsed") or {}
+        if "full_n" in rec:
+            latest_with_full = (path, rec)
+    assert latest_with_full, "no committed record carries full_n"
+    path, rec = latest_with_full
+    assert "full_failed" not in rec, (
+        f"{path}: the committed sweep dropped {rec['full_failed']} queries"
+    )
+    assert rec["full_n"] <= len(QUERIES), (
+        f"{path}: full_n={rec['full_n']} exceeds the registry "
+        f"({len(QUERIES)}) — denominator no longer means the registry"
+    )

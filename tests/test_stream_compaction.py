@@ -512,3 +512,100 @@ def test_autocompact_recovers_crashed_swap_before_counting(spark, tmp_path):
     _autocompact(cells, 2, lambda: calls.append(1))
     assert calls == [1]
     shutil.rmtree(cells)
+
+
+def test_autocompact_size_trigger_fires_on_bytes_not_count(tmp_path):
+    """VERDICT r9 ask #4 (unit): the size-triggered variant folds on
+    accumulated shard BYTES — never with fewer than 2 shards (keep_last=1
+    must leave something folded), never under the threshold, and
+    independently of the count trigger."""
+    from lakeflow.streaming.sinks import _autocompact
+
+    cells = str(tmp_path / "cells")
+    calls = []
+
+    def shard(bid: int, nbytes: int) -> None:
+        os.makedirs(f"{cells}/batch={bid}", exist_ok=True)
+        with open(f"{cells}/batch={bid}/part-0.parquet", "wb") as fh:
+            fh.write(b"x" * nbytes)
+
+    shard(0, 100)
+    _autocompact(cells, None, lambda: calls.append(1), max_bytes=10)
+    assert not calls, "a single shard must never fold (replay tail)"
+
+    shard(1, 100)
+    _autocompact(cells, None, lambda: calls.append(1), max_bytes=10**9)
+    assert not calls, "under the byte threshold"
+    _autocompact(cells, None, lambda: calls.append(1), max_bytes=150)
+    assert calls == [1], "200 bytes across 2 shards > 150 must fold"
+
+    # Count trigger still wins when it fires first.
+    _autocompact(cells, 1, lambda: calls.append(2), max_bytes=10**9)
+    assert calls == [1, 2]
+
+
+def test_size_triggered_autocompact_streamed_index_probe_identical(
+    spark, tmp_path
+):
+    """compact_max_shard_bytes on a streamed sketch ingest: a tiny
+    threshold bounds the run at <=2 shards with the probe equal to the
+    whole-input batch twin; a huge threshold never folds."""
+    from lakeflow.operators.aggregates import cms_cells, read_cms_cells
+    from lakeflow.sources.streams import file_stream
+    from lakeflow.streaming.sinks import stream_cms_ingest
+
+    schema = "id bigint, k string"
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(90)]
+    frames = [rows[:30], rows[30:60], rows[60:]]
+    whole = spark.createDataFrame(rows, schema)
+    feed = _make_feed(spark, tmp_path, frames, schema)
+
+    def stream():
+        return file_stream(spark, feed, schema, max_files_per_trigger=1)
+
+    small = str(tmp_path / "cms_small")
+    stream_cms_ingest(
+        stream(), small, "k", depth=3, width=8, compact_max_shard_bytes=1
+    ).awaitTermination()
+    assert len(_list_batches(f"{small}/cells")) <= 2
+    assert {tuple(r) for r in read_cms_cells(spark, small).collect()} == {
+        tuple(r) for r in cms_cells(whole, "k", depth=3, width=8).collect()
+    }
+
+    big = str(tmp_path / "cms_big")
+    stream_cms_ingest(
+        stream(), big, "k", depth=3, width=8,
+        compact_max_shard_bytes=1 << 40,
+    ).awaitTermination()
+    assert len(_list_batches(f"{big}/cells")) == 3, "huge threshold: no fold"
+
+
+def test_size_triggered_autocompact_tables_keeps_rows(spark, tmp_path):
+    """compact_max_small_bytes on a VersionedTable append sink: the
+    small-dir tail folds once its bytes exceed the threshold (manifest
+    dir count bounded), every appended row survives, and a huge
+    threshold leaves one dir per micro-batch."""
+    from lakeflow.sources.streams import file_stream
+    from lakeflow.streaming.sinks import stream_append
+    from lakeflow.tables import VersionedTable
+
+    schema = "id bigint"
+    frames = [[(i,) for i in range(b * 10, b * 10 + 10)] for b in range(3)]
+    feed = _make_feed(spark, tmp_path, frames, schema)
+
+    def stream():
+        return file_stream(spark, feed, schema, max_files_per_trigger=1)
+
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    stream_append(
+        stream(), t, compact_max_small_bytes=1
+    ).awaitTermination()
+    assert sorted(r.id for r in t.read().collect()) == list(range(30))
+    assert t.n_data_dirs() <= 2
+
+    t2 = VersionedTable(spark, str(tmp_path / "tbl2"))
+    stream_append(
+        stream(), t2, compact_max_small_bytes=1 << 40
+    ).awaitTermination()
+    assert sorted(r.id for r in t2.read().collect()) == list(range(30))
+    assert t2.n_data_dirs() == 3
