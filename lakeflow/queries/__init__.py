@@ -9,6 +9,23 @@ Contract reminders (BASELINE.md, FIXTURES.md):
 * timestamps leave query outputs as formatted strings (engine-neutral);
 * float aggregates are rounded to a fixed scale on both sides so
   parallel-summation ulp noise cannot flip the value hash.
+
+Retirement policy (VERDICT r9 ask #8): the registry only GROWS. A
+registered query is a standing claim in SURVEY.md §2's coverage ledger and
+a row in every downstream artifact (CORRECTNESS history, green-hash
+snapshot, helper ledger, bench full-surface denominator), so deleting one
+silently would shrink the verified surface while the historical verdicts
+kept implying it. If a query ever must go (fixture retired, operator
+superseded), retirement is an explicit, judge-visible event: remove the
+registration AND its snapshot/ledger rows in the same commit, note the
+retirement in COVERAGE.md with the superseding query named, and never
+reuse the name — the CORRECTNESS files are append-only history, and a
+reused name would inherit verdicts it never earned. Renames count as
+retire+register (the hash guard treats them that way automatically).
+Supersession prefers keeping the old query alive as a thin wrapper over
+the new path (the `stream_ann_compacted_topk` auto-compaction rewrite
+pattern: same name, _REWRITTEN_SINCE_GREEN until re-greened) over
+deletion — an oracle that still passes is coverage, not debt.
 """
 
 from __future__ import annotations
