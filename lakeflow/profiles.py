@@ -80,3 +80,39 @@ def cluster_profile(
             }
         )
     return conf
+
+
+def compaction_policy(
+    trigger_seconds: float = 5.0, streamed: bool = True
+) -> dict[str, int]:
+    """Recommended auto-compaction knobs for the streaming ingest sinks
+    (``compact_every_n_batches``/``compact_max_shard_bytes`` on the
+    streamed indexes, ``compact_every_n_commits``/``compact_max_small_bytes``
+    on the VersionedTable sinks — lakeflow/streaming/sinks.py).
+
+    Two triggers, two failure modes (SCALE.md §5):
+
+    * the COUNT trigger bounds LISTING cost — cap live shards at one hour
+      of triggers, clamped to [8, 128]: below 8 the fold runs so often the
+      rewrite dominates the ingest; above 128 the probe-side listing is
+      still trivial, so more buys nothing while each fold grows.
+    * the SIZE trigger bounds fold amplification — fold once the tail
+      holds a full ``TARGET_PARTITION_MB`` file's worth of bytes, so every
+      fold emits at least one target-size file and a trickle of near-empty
+      batches never rewrites dust.
+
+    Whichever fires first folds. Keys are named for the streamed-index
+    sinks by default; ``streamed=False`` renames them for the table sinks.
+    """
+    per_hour = int(3600 / max(trigger_seconds, 0.001))
+    every_n = max(8, min(128, per_hour))
+    max_bytes = TARGET_PARTITION_MB * 1024 * 1024
+    if streamed:
+        return {
+            "compact_every_n_batches": every_n,
+            "compact_max_shard_bytes": max_bytes,
+        }
+    return {
+        "compact_every_n_commits": every_n,
+        "compact_max_small_bytes": max_bytes,
+    }

@@ -46,6 +46,15 @@ def main() -> None:
     print("latest-verdict histogram:",
           dict(sorted(Counter(latest[n] for n in names if n in latest).items())))
     print(f"rewritten since green: {sorted(q._REWRITTEN_SINCE_GREEN) or '(none)'}")
+    helper_change = q._helper_change_rounds()
+    helper_stale = [
+        n for n in names
+        if n in latest and helper_change.get(n, 0) > latest[n]
+    ]
+    print(
+        f"helper-stale greens (a transitive dep module changed after the "
+        f"verdict; they lead their round cohort): {len(helper_stale)}"
+    )
     window = names[:50]
     print("next 50-slot window re-grades latest-verdict rounds:",
           dict(sorted(Counter(latest.get(n, 0) for n in window).items())),

@@ -609,3 +609,23 @@ def test_size_triggered_autocompact_tables_keeps_rows(spark, tmp_path):
     ).awaitTermination()
     assert sorted(r.id for r in t2.read().collect()) == list(range(30))
     assert t2.n_data_dirs() == 3
+
+
+def test_compaction_policy_knobs_are_bounded_and_named_per_sink():
+    """profiles.compaction_policy: count knob clamps to [8, 128] (one hour
+    of triggers), size knob is the 128 MiB file target, and key names
+    match the actual sink kwargs so the dict splats straight in."""
+    import inspect
+
+    from lakeflow.profiles import TARGET_PARTITION_MB, compaction_policy
+    from lakeflow.streaming.sinks import stream_append, stream_cms_ingest
+
+    p5 = compaction_policy(trigger_seconds=5.0)
+    assert p5["compact_every_n_batches"] == 128          # clamped high
+    assert compaction_policy(600)["compact_every_n_batches"] == 8  # low
+    assert compaction_policy(60)["compact_every_n_batches"] == 60
+    assert p5["compact_max_shard_bytes"] == TARGET_PARTITION_MB << 20
+
+    tbl = compaction_policy(5.0, streamed=False)
+    assert set(p5) <= set(inspect.signature(stream_cms_ingest).parameters)
+    assert set(tbl) <= set(inspect.signature(stream_append).parameters)
