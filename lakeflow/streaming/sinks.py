@@ -444,13 +444,18 @@ def _autocompact_tables(
     checkpoint.
 
     ``max_small_bytes`` is the SIZE-triggered variant (VERDICT r9 ask
-    #4): fold once the combined bytes of the small-dir tail (dirs under
-    ``small_max_bytes``) exceed it — i.e. once there is enough dust to be
-    worth one full-size file. A size trigger bounds write amplification
-    where a count trigger cannot: 32 one-row commits and 32 near-target
-    commits are the same count but want opposite treatment. Sizing costs
-    one os.walk per data dir per batch (metadata only); both triggers may
-    be set, whichever fires first folds."""
+    #4): fold once the DUST of the small-dir tail — dirs under
+    ``small_max_bytes``, excluding the largest of them — exceeds it, i.e.
+    once there is enough dust beyond the previous fold's output to be
+    worth one full-size file. Excluding the largest small dir keeps the
+    trigger re-armable: the incremental compaction folds the small tail
+    into one dir, and if that result is still under ``small_max_bytes`` a
+    plain sum would stay over threshold and refold the tail on every
+    commit. A size trigger bounds write amplification where a count
+    trigger cannot: 32 one-row commits and 32 near-target commits are the
+    same count but want opposite treatment. Sizing costs one os.walk per
+    data dir per batch (metadata only); both triggers may be set,
+    whichever fires first folds."""
     if not every_n and not max_small_bytes:
         return
     for t in tables:
@@ -464,7 +469,7 @@ def _autocompact_tables(
                 for d in t.data_dirs()
                 if (b := _dir_bytes(d)) <= small_max_bytes
             ]
-            if len(small) > 1 and sum(small) > max_small_bytes:
+            if len(small) > 1 and sum(small) - max(small) > max_small_bytes:
                 t.compact(small_dir_max_bytes=small_max_bytes)
 
 
@@ -641,14 +646,22 @@ def _autocompact(
     key; all get recovery).
 
     ``max_bytes`` is the SIZE-triggered variant (VERDICT r9 ask #4): fold
-    once the accumulated shard bytes under the count-key parent exceed it
-    (with at least 2 shards present, so keep_last=1 leaves something to
-    fold). Count bounds LISTING cost; size bounds read amplification — a
-    firehose of fat micro-batches hits the byte threshold long before the
-    count one, and a trickle of near-empty batches never folds dust for
-    nothing. Either trigger may be set; whichever fires first folds.
-    Sizing is one os.walk over the bounded shard tail (filesystem
-    metadata only, no data IO)."""
+    once the DUST — accumulated shard bytes under the count-key parent,
+    excluding the single largest shard — exceeds it. Excluding the
+    largest shard is what keeps the trigger re-armable instead of
+    pathological: the fold-to-one compactor folds the big base shard back
+    in every time, so a total-bytes trigger would stay permanently over
+    threshold after the first fold and rewrite the whole index on EVERY
+    subsequent batch (O(n²) write amplification); measured as dust, each
+    fold resets the gauge to ~zero and the base is rewritten once per
+    ``max_bytes`` of new data — the same amplification class as a count
+    trigger of max_bytes/shard_size batches. Count bounds LISTING cost;
+    size bounds fold amplification directly — a firehose of fat
+    micro-batches trips the byte threshold long before any count does,
+    and a trickle of near-empty batches never folds dust for nothing.
+    Either trigger may be set; whichever fires first folds. Sizing is one
+    os.walk over the bounded shard tail (filesystem metadata, no data
+    IO)."""
     if not every_n and not max_bytes:
         return
     from lakeflow.streaming.compaction import (
@@ -664,11 +677,11 @@ def _autocompact(
         fold()
         return
     if max_bytes and len(batches) > 1:
-        total = sum(
+        sizes = [
             _dir_bytes(_os.path.join(parents[0], f"batch={b}"))
             for b in batches
-        )
-        if total > max_bytes:
+        ]
+        if sum(sizes) - max(sizes) > max_bytes:
             fold()
 
 

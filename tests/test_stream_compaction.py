@@ -514,11 +514,14 @@ def test_autocompact_recovers_crashed_swap_before_counting(spark, tmp_path):
     shutil.rmtree(cells)
 
 
-def test_autocompact_size_trigger_fires_on_bytes_not_count(tmp_path):
-    """VERDICT r9 ask #4 (unit): the size-triggered variant folds on
-    accumulated shard BYTES — never with fewer than 2 shards (keep_last=1
-    must leave something folded), never under the threshold, and
-    independently of the count trigger."""
+def test_autocompact_size_trigger_fires_on_dust_not_total(tmp_path):
+    """VERDICT r9 ask #4 (unit): the size-triggered variant folds on the
+    shard-tail DUST (total bytes minus the largest shard) — never with
+    fewer than 2 shards (keep_last=1 must leave something folded), never
+    while the dust is under threshold, and independently of the count
+    trigger. Measuring TOTAL bytes instead would leave the gauge
+    permanently over threshold after the first fold (the folded base
+    stays in the sum) and rewrite the whole index on every batch."""
     from lakeflow.streaming.sinks import _autocompact
 
     cells = str(tmp_path / "cells")
@@ -534,13 +537,25 @@ def test_autocompact_size_trigger_fires_on_bytes_not_count(tmp_path):
     assert not calls, "a single shard must never fold (replay tail)"
 
     shard(1, 100)
-    _autocompact(cells, None, lambda: calls.append(1), max_bytes=10**9)
-    assert not calls, "under the byte threshold"
     _autocompact(cells, None, lambda: calls.append(1), max_bytes=150)
-    assert calls == [1], "200 bytes across 2 shards > 150 must fold"
+    assert not calls, "dust is 100 (largest excluded), not the 200 total"
+    _autocompact(cells, None, lambda: calls.append(1), max_bytes=99)
+    assert calls == [1], "dust 100 > 99 must fold"
+
+    # Re-arm after a fold: a big folded base plus fresh dust under the
+    # threshold must NOT re-fire (the pathological every-batch refold).
+    calls.clear()
+    os.rename(f"{cells}/batch=0", str(tmp_path / "gone"))
+    shard(1, 5000)  # the fold's output: one big base shard
+    shard(2, 100)   # fresh micro-batch dust
+    _autocompact(cells, None, lambda: calls.append(1), max_bytes=150)
+    assert not calls, "base excluded: dust 100 <= 150, gauge re-armed"
+    shard(3, 100)
+    _autocompact(cells, None, lambda: calls.append(1), max_bytes=150)
+    assert calls == [1], "dust 200 > 150 fires again"
 
     # Count trigger still wins when it fires first.
-    _autocompact(cells, 1, lambda: calls.append(2), max_bytes=10**9)
+    _autocompact(cells, 1, lambda: calls.append(2), max_bytes=10**12)
     assert calls == [1, 2]
 
 
