@@ -47,6 +47,20 @@ from pyspark.sql import functions as F
 _BATCH_RE = re.compile(r"^batch=(\d+)$")
 
 
+def _dir_bytes(path: str) -> int:
+    """Total bytes under ``path`` (0 if absent) — one os.walk, filesystem
+    metadata only. Shared by the size-triggered policies in sinks.py and
+    the dust-only fold selection below."""
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
 def _list_batches(parent: str) -> list[int]:
     try:
         names = os.listdir(parent)
@@ -68,10 +82,24 @@ def _fold_batch_shards(
     keep_last: int = 1,
     partition_by: str | None = None,
     single_file: bool = False,
+    small_max_bytes: int | None = None,
 ) -> int:
     """Fold all but the ``keep_last`` newest ``batch=`` shards under
     ``parent`` into one shard (named for the highest folded id). Returns
-    the number of shards folded away (0 = nothing to do)."""
+    the number of shards folded away (0 = nothing to do).
+
+    ``small_max_bytes`` restricts the fold to DUST — shards at or under
+    that many bytes — leaving larger base shards in place (they were
+    already folded to target size once; rewriting them with every new
+    fold is where fold-to-one's O(n²/target) lifetime write amplification
+    comes from). A non-contiguous fold set is safe: the output shard takes
+    the highest FOLDED id (just renamed away, so no collision), every
+    folded shard is checkpoint-committed (keep_last still protects the
+    replay tail first), and probes read shards by partition discovery, so
+    multiple surviving base shards are ordinary layout. Only meaningful
+    for the data-proportional indexes (ANN cells, text postings); the
+    sketch folds produce bounded output, so folding their base in costs
+    nothing and keeps the shard count minimal."""
     _recover_crashed_swap(parent)
     batches = _list_batches(parent)
     # max(0, ...) guards keep_last > len(batches): a negative slice bound
@@ -82,6 +110,11 @@ def _fold_batch_shards(
     fold_set = (
         batches[: max(0, len(batches) - keep_last)] if keep_last else batches
     )
+    if small_max_bytes is not None:
+        fold_set = [
+            b for b in fold_set
+            if _dir_bytes(os.path.join(parent, f"batch={b}")) <= small_max_bytes
+        ]
     if len(fold_set) < 2:
         return 0
     reader = spark.read.option("basePath", parent)
@@ -151,16 +184,25 @@ def _recover_crashed_swap(parent: str) -> None:
     os.remove(plan)
 
 
-def compact_ann_cells(spark, cells_dir: str, *, keep_last: int = 1) -> int:
+def compact_ann_cells(
+    spark,
+    cells_dir: str,
+    *,
+    keep_last: int = 1,
+    small_max_bytes: int | None = None,
+) -> int:
     """Fold ``stream_ann_ingest`` batch shards: vectors are plain rows (a
     vector's cell assignment never depends on its batch), so the fold is a
     rewrite re-partitioned by ``cid`` — one file set per cell instead of
     one per (batch, cell), restoring O(cells) listing for the probe's
     partition-pruned read. Probe answers are identical by construction
-    (same rows, same cells), pinned by test."""
+    (same rows, same cells), pinned by test. ``small_max_bytes`` folds
+    dust only, leaving target-size base shards unrewritten (the
+    size-triggered in-stream policy; the count-triggered full fold is the
+    rarer everything-fold that bounds base-shard count)."""
     return _fold_batch_shards(
         spark, cells_dir, lambda df: df, keep_last=keep_last,
-        partition_by="cid",
+        partition_by="cid", small_max_bytes=small_max_bytes,
     )
 
 
@@ -211,7 +253,8 @@ def compact_kmv_sketch(
 
 
 def compact_streamed_text_index(
-    spark, index_dir: str, *, keep_last: int = 1
+    spark, index_dir: str, *, keep_last: int = 1,
+    small_max_bytes: int | None = None,
 ) -> int:
     """Fold ``stream_index_ingest`` batch shards IN the batch= layout:
     postings re-range-partitioned and sorted by token (restoring the tight
@@ -220,12 +263,16 @@ def compact_streamed_text_index(
     OPTIMIZE that flattens to the one-shot layout), this keeps the
     ``keep_last`` replay tail untouched, so it is safe to run from inside
     ``foreachBatch`` at cadence — the just-committed shard stays a separate
-    subdir a replayed micro-batch can overwrite idempotently."""
+    subdir a replayed micro-batch can overwrite idempotently.
+    ``small_max_bytes`` applies dust-only folding to the POSTINGS side
+    (data-proportional); corpus-stat partials always fold fully — their
+    output is one row, so the base costs nothing to re-sum."""
     folded = _fold_batch_shards(
         spark,
         os.path.join(index_dir, "postings"),
         lambda df: df.repartitionByRange(8, "tok").sortWithinPartitions("tok"),
         keep_last=keep_last,
+        small_max_bytes=small_max_bytes,
     )
     folded += _fold_batch_shards(
         spark,

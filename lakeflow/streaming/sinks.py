@@ -415,19 +415,6 @@ def stream_append(
     return writer.start()
 
 
-def _dir_bytes(path: str) -> int:
-    """Total bytes under ``path`` (0 if absent). One os.walk over a
-    bounded shard/dir tail — filesystem metadata only, no data IO."""
-    total = 0
-    for root, _dirs, files in _os.walk(path):
-        for f in files:
-            try:
-                total += _os.path.getsize(_os.path.join(root, f))
-            except OSError:
-                pass
-    return total
-
-
 def _autocompact_tables(
     tables,
     every_n: int | None,
@@ -458,6 +445,8 @@ def _autocompact_tables(
     whichever fires first folds."""
     if not every_n and not max_small_bytes:
         return
+    from lakeflow.streaming.compaction import _dir_bytes
+
     for t in tables:
         n = t.n_data_dirs()
         if every_n and n > every_n:
@@ -625,7 +614,11 @@ def stream_fuzzy_dedup_ingest(
 
 
 def _autocompact(
-    parents, every_n: int | None, fold, max_bytes: int | None = None
+    parents,
+    every_n: int | None,
+    fold,
+    max_bytes: int | None = None,
+    fold_small=None,
 ) -> None:
     """Shared cadence hook for the streamed-index ingest sinks (VERDICT r8
     ask #3): fold committed batch shards from INSIDE ``foreachBatch`` once
@@ -661,10 +654,20 @@ def _autocompact(
     and a trickle of near-empty batches never folds dust for nothing.
     Either trigger may be set; whichever fires first folds. Sizing is one
     os.walk over the bounded shard tail (filesystem metadata, no data
-    IO)."""
+    IO).
+
+    ``fold_small`` is the size-trigger's fold when given (dust-only
+    folding for the data-proportional indexes — see
+    ``_fold_batch_shards(small_max_bytes=...)``); the count trigger always
+    runs the FULL ``fold``, which is what bounds the base-shard count the
+    dust folds leave behind. Together they form a two-tier policy: dust →
+    target-size base once per threshold of new data (size trigger, cheap,
+    frequent), everything → one shard when the shard count itself grows
+    past the listing bound (count trigger, expensive, rare)."""
     if not every_n and not max_bytes:
         return
     from lakeflow.streaming.compaction import (
+        _dir_bytes,
         _list_batches,
         _recover_crashed_swap,
     )
@@ -682,7 +685,7 @@ def _autocompact(
             for b in batches
         ]
         if sum(sizes) - max(sizes) > max_bytes:
-            fold()
+            (fold_small or fold)()
 
 
 def stream_index_ingest(
@@ -760,6 +763,12 @@ def stream_index_ingest(
                 batch_df.sparkSession, index_dir, keep_last=1
             ),
             max_bytes=compact_max_shard_bytes,
+            fold_small=lambda: compact_streamed_text_index(
+                batch_df.sparkSession,
+                index_dir,
+                keep_last=1,
+                small_max_bytes=compact_max_shard_bytes,
+            ),
         )
 
     writer = df.writeStream.foreachBatch(apply_batch).option(
@@ -857,6 +866,12 @@ def stream_ann_ingest(
                 batch_df.sparkSession, cells_dir, keep_last=1
             ),
             max_bytes=compact_max_shard_bytes,
+            fold_small=lambda: compact_ann_cells(
+                batch_df.sparkSession,
+                cells_dir,
+                keep_last=1,
+                small_max_bytes=compact_max_shard_bytes,
+            ),
         )
 
     writer = df.writeStream.foreachBatch(apply_batch).option(
