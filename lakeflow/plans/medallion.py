@@ -124,11 +124,14 @@ def build_medallion_pipeline(
         )
         path = os.path.join(warehouse, "silver", "nation")
         # SCD1 upsert against the previous silver state when one exists.
-        try:
+        # Path-existence precheck, not a broad except: a transient read
+        # error or corrupt prior table must PROPAGATE — swallowing it
+        # would silently skip the upsert and overwrite accumulated state
+        # as if this were the first load (same failure mode ADVICE r9
+        # flagged on the text-index append path).
+        if os.path.isdir(path):
             prev = spark.read.parquet(path)
             df = scd1_apply(prev, df, keys=["n_nationkey"])
-        except Exception:
-            pass  # first load
         return write_table(df, path + "_next", mode="overwrite")
 
     @pipe.task("gold_dim_customer", deps=["silver_customer", "silver_nation"])
