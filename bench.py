@@ -89,6 +89,26 @@ BENCH_QUERIES = [
 ]
 
 
+def _calibrate(spark, cpus: int) -> float:
+    """Fixed CPU-bound hardware probe: min of 3 runs of a modded xxhash64
+    sum over 200M synthetic longs (no IO, no Python, one partial agg; the
+    mod keeps ANSI mode from overflowing the long sum). The min is the
+    cleanest estimate of raw JVM/CPU speed on this box. Emitted as
+    ``calib`` in the stdout record so cross-round drift is attributable by
+    MEASUREMENT: a uniform per-query drift that tracks the calib ratio is
+    the environment (r10 observed a 1.16× uniform shift when the round
+    continued on a different sandbox); drift that the calib ratio does not
+    explain is plan cost."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, 200_000_000, 1, cpus).selectExpr(
+            "sum(xxhash64(id) % 1000000) AS s"
+        ).collect()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -178,6 +198,9 @@ def main() -> None:
         # default in lakeflow.session, with MEMORY_AND_DISK eviction
         # handling cache pressure across the 160+-query sweep.
 
+    calib = _calibrate(spark, int(cpus))
+    print(f"  calib: {calib:.3f}s", file=sys.stderr)
+
     headline = only if only is not None else BENCH_QUERIES
     timings = run_set(headline)
     total = round(sum(timings.values()), 3)
@@ -211,6 +234,7 @@ def main() -> None:
         "queries": timings,
         "value_pass2": round(sum(timings2.values()), 3),
         "sf": sf,
+        "calib": calib,
     }
 
     # Full-surface sweep (VERDICT r4 ask #6): every registered query not in

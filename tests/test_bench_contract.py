@@ -54,6 +54,10 @@ def test_bench_stdout_is_one_compact_json_line():
     # the whole record fails to parse (BENCH_r08.json parsed=null).
     assert "queries_pass2" not in rec
     assert rec["value_pass2"] > 0
+    # Hardware calibration probe (r10): a fixed CPU-bound workload whose
+    # cross-round ratio attributes uniform drift to the environment by
+    # measurement instead of inference.
+    assert rec["calib"] > 0
     pass2_lines = [
         ln for ln in proc.stderr.splitlines() if ln.startswith("PASS2 ")
     ]
@@ -78,6 +82,7 @@ def test_full_headline_record_fits_driver_capture_window():
         "queries": {n: 999.999 for n in bench.BENCH_QUERIES},
         "value_pass2": 9999.999,
         "sf": 0.1,
+        "calib": 999.999,
         "full_total": 9999.999,
         "full_n": 999,
     }
