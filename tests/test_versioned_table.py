@@ -338,6 +338,36 @@ def test_replace_partitions_with_hive_escaped_values(spark, tmp_path):
     assert got == {("a b", 1)}
 
 
+def test_replace_partitions_after_indexed_column_drop(spark, tmp_path):
+    """ADVICE r9: commit_replace_partitions derives stats/bloom columns
+    from the PRIOR snapshot; on a schema-evolved table those sets must be
+    intersected with the incoming batch's columns or the per-write
+    aggregate raises on the absent column and fails a write that
+    previously succeeded. End-to-end: index a column, drop it (which
+    retires its index entries), then replace a partition with a batch in
+    the evolved schema — the write must succeed and the new dirs must
+    record indexes only for surviving columns."""
+    table = VersionedTable(spark, str(tmp_path / "tbl"))
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "k int, cat string, extra int"
+    )
+    table.commit(base, stats_cols=["extra", "k"], bloom_cols=["extra"])
+    table.drop_column("extra")
+
+    v = table.commit_replace_partitions(
+        spark.createDataFrame([(3, "a")], "k int, cat string"), "cat"
+    )
+    m = table._manifest(v)
+    for d, cols in (m.get("stats") or {}).items():
+        assert "extra" not in cols, f"dropped column stats resurrected in {d}"
+    for d, cols in (m.get("bloom") or {}).items():
+        assert "extra" not in cols, f"dropped column bloom resurrected in {d}"
+    # Surviving stats column still recorded fresh for the new dirs.
+    assert any("k" in cols for cols in (m.get("stats") or {}).values())
+    state = {(r.k, r.cat) for r in table.read().collect()}
+    assert state == {(2, "b"), (3, "a")}
+
+
 def test_replace_partitions_null_partition(spark, tmp_path):
     """NULL partition rows must neither be dropped by a rewrite of other
     partitions nor survive a replace that targets the NULL partition."""
