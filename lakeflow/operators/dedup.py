@@ -388,6 +388,12 @@ def simhash_near_pairs(
     return pairs
 
 
+# Driver-side connected-components tier: edge lists at or under this many
+# rows (32 MB of Arrow at 2M) are solved as numpy arrays on the driver;
+# tests monkeypatch it to 0 to force the distributed loop.
+_DRIVER_CC_MAX_EDGES = 2_000_000
+
+
 def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     """Connected components over near-duplicate pairs: assign every doc in a
     dup cluster the cluster's minimum id (the canonical survivor).
@@ -426,6 +432,52 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         .persist()
     )
     n_edges = edges.count()  # materializes the persist; sizes the strategy
+
+    # Driver-side tier (r10): below the BROADCAST threshold the edge list
+    # is, by definition, small enough to ship to every executor — so the
+    # driver can hold it outright, and a vectorized numpy hash-to-min
+    # (same algorithm, same fixpoint) replaces ~5 rounds × 3 Spark joins
+    # of scheduling with one Arrow transfer + microseconds of array ops.
+    # 2M edges = 32 MB over Arrow, ~20 ms per np.minimum.at round. This is
+    # the same measured-size-over-static-conf call stats_planned_join
+    # makes, one tier further down; bigger graphs keep the distributed
+    # loop below, so the operator never stops scaling. Integral-id guard:
+    # the array path indexes labels by position, so non-integer ids (and
+    # non-bigint, to keep the output schema byte-identical) fall through.
+    if 0 < n_edges <= _DRIVER_CC_MAX_EDGES and dict(edges.dtypes) == {
+        "src": "bigint", "dst": "bigint"
+    }:
+        import numpy as np
+
+        tbl = edges.toArrow()
+        edges.unpersist()
+        src = tbl.column("src").to_numpy()
+        dst = tbl.column("dst").to_numpy()
+        ids = np.unique(src)  # == all ids: the union above added both dirs
+        si = np.searchsorted(ids, src)
+        di = np.searchsorted(ids, dst)
+        lab = np.arange(len(ids))
+        while True:
+            new = lab.copy()
+            # Scatter-min of each neighbor's label (unbuffered, dup-safe),
+            # then one pointer-doubling hop — labels are always member
+            # INDICES of the same component and only decrease, so the
+            # fixpoint is the component min, exactly as in the join form.
+            np.minimum.at(new, si, lab[di])
+            new = np.minimum(new, new[new])
+            if np.array_equal(new, lab):
+                break
+            lab = new
+        import pyarrow as pa
+
+        out = pa.table(
+            {
+                "id": pa.array(ids, pa.int64()),
+                "cluster_id": pa.array(ids[lab], pa.int64()),
+            }
+        )
+        return pairs.sparkSession.createDataFrame(out)
+
     small = n_edges <= 5_000_000
 
     def maybe_b(df: DataFrame) -> DataFrame:

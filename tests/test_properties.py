@@ -116,6 +116,39 @@ def test_dup_clusters_matches_union_find(spark, edges):
     assert got == want
 
 
+@given(edges=edges_strategy)
+@settings(**_SETTINGS)
+def test_dup_clusters_distributed_tier_matches_union_find(
+    spark, edges, monkeypatch
+):
+    """Same property with the driver-side numpy tier disabled, so the
+    DISTRIBUTED min-label loop (the 100 TB path) keeps independent
+    coverage now that small graphs short-circuit to arrays."""
+    from lakeflow.operators import dedup as dd
+
+    monkeypatch.setattr(dd, "_DRIVER_CC_MAX_EDGES", 0)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "id_a long, id_b long"
+    )
+    got = {r.id: r.cluster_id for r in dd.dup_clusters(pairs).collect()}
+    assert got == want
+
+
 @settings(**_SETTINGS)
 @given(
     names=st.lists(
