@@ -247,7 +247,14 @@ def main() -> None:
     if "--headline-only" not in sys.argv:
         tail = sorted(n for n in QUERIES if n not in BENCH_QUERIES)
         print(f"  -- full-surface tail ({len(tail)} queries) --", file=sys.stderr)
-        tail_timings = run_set(tail, drain_every=40)
+        # drain_every 40 → 25 (r10): the GC-pressure cliff the drain exists
+        # for crept back into the last ~30 queries of the sorted tail as
+        # the registry grew past ~235 (winsorized_price_stats measured
+        # 11.9 s in-sweep vs 1.4 s isolated; zipf_fit_report 7.5 s vs
+        # 0.8 s). Same query set, tighter cadence: the late-tail returns
+        # to its isolated times (re-measured below in this round's full
+        # sweep) at the cost of a few extra cache rebuilds mid-tail.
+        tail_timings = run_set(tail, drain_every=25)
         print("FULL_SURFACE " + json.dumps(tail_timings), file=sys.stderr)
         record["full_total"] = round(total + sum(tail_timings.values()), 3)
         # The denominator, so a registry that GREW between rounds is not
