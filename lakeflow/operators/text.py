@@ -1323,26 +1323,40 @@ def bpe_encode(
     embarrassingly parallel; plan depth grows with the merge count, which
     callers cap the way real tokenizers cap vocab size.
     """
+    # posexplode, not explode: the word's position must ride along so the
+    # final per-doc token array re-assembles in DOCUMENT order.
+    # collect_list's arrival order after the groupBy shuffle is whatever
+    # order the map outputs merge in — stable on a single local partition,
+    # scrambled at partition boundaries on a real cluster (the same
+    # determinism discipline every other collect_list here pays with
+    # array_sort).
     words = df.select(
         F.col(id_col),
-        F.explode(F.split(normalize_text(text_col), " ")).alias("word"),
+        F.posexplode(F.split(normalize_text(text_col), " ")).alias(
+            "wpos", "word"
+        ),
     ).filter(F.col("word") != "")
     syms = F.concat(
         F.regexp_extract_all(F.col("word"), F.lit("."), 0),
         F.array(F.lit(eow)),
     )
-    out = words.select(F.col(id_col), syms.alias("syms"))
+    out = words.select(F.col(id_col), "wpos", syms.alias("syms"))
     for m in merges:
         a, b = m[0], m[1]
         out = out.select(
-            F.col(id_col), F.expr(_merge_pair_expr(a, b)).alias("syms")
+            F.col(id_col), "wpos", F.expr(_merge_pair_expr(a, b)).alias("syms")
         )
     per_word = out.select(
-        F.col(id_col), F.size("syms").cast("bigint").alias("n"), "syms"
+        F.col(id_col), "wpos", F.size("syms").cast("bigint").alias("n"), "syms"
     )
     return per_word.groupBy(id_col).agg(
         F.sum("n").alias("n_tokens"),
-        F.flatten(F.collect_list("syms")).alias("tokens"),
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("wpos", "syms"))),
+                lambda s: s["syms"],
+            )
+        ).alias("tokens"),
     )
 
 
