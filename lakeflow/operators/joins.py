@@ -130,9 +130,16 @@ def asof_join(
         *[F.col(src).alias(dst) for src, dst in carried.items()],
     )
     order = F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
+    # Third sort key: among RIGHT rows tied on (__ts) the winner under
+    # last() would otherwise be whichever sorted last in shuffle-arrival
+    # order — stable locally, nondeterministic across cluster layouts.
+    # A payload hash makes the tie-break total and layout-independent
+    # (no vendor defines tie semantics anyway: pandas merge_asof is
+    # input-order-dependent, DuckDB ASOF picks an arbitrary tied row).
+    tie = F.xxhash64(*[F.col(dst) for dst in carried.values()])
     w = (
         Window.partitionBy(*on)
-        .orderBy(order, F.col("__is_left").asc())
+        .orderBy(order, F.col("__is_left").asc(), tie.asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = r_tagged.unionByName(l_tagged).withColumns(

@@ -1132,6 +1132,33 @@ def test_asof_join_forward_tolerance_semantics(spark):
     assert back == {("a", None), ("b", 101), ("c", None)}
 
 
+def test_asof_join_tied_right_rows_pick_deterministically(spark):
+    """Right rows tied on (key, ts) must resolve to the SAME winner
+    whatever the physical layout: without the payload-hash tie-break in
+    the window ordering, last() returns whichever tied row sorted last in
+    shuffle-arrival order — stable locally, layout-dependent on a
+    cluster. Pin: every partitioning and input order yields one answer."""
+    from datetime import datetime
+
+    from lakeflow.operators.joins import asof_join
+
+    t = datetime(2024, 1, 1)
+    left = spark.createDataFrame([(1, t, "x")], "k long, ts timestamp, tag string")
+    rows = [(1, t, v) for v in (100, 101, 102)]
+    results = set()
+    for parts, ordered in ((1, rows), (7, rows[::-1]), (3, rows[1:] + rows[:1])):
+        right = spark.createDataFrame(
+            ordered, "k long, ts timestamp, rv int"
+        ).repartition(parts)
+        got = asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="ts",
+            payload={"rv": "rv"},
+        ).collect()
+        assert len(got) == 1
+        results.add(got[0].rv)
+    assert len(results) == 1, f"tie winner varied with layout: {results}"
+
+
 def test_pq_adc_recall_at_operating_point_and_exact_at_full_shortlist(spark):
     """PQ/ADC invariants: (a) recall@5 against exact brute force at the
     registered operating point (shortlist 64 of 500) holds at the measured
