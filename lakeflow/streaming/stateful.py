@@ -67,8 +67,21 @@ def _make_sessionizer(gap_ms: int):
                 state.remove()
         else:
             cur = list(state.get) if state.exists else None
-            for pdf in pdfs:
-                pdf = pdf.sort_values("ts")
+            # Concat BEFORE the sort: a key whose micro-batch rows span
+            # several Arrow chunks (>~10k rows/key/batch) gets them in
+            # shuffle order, so per-chunk sorting still interleaves time
+            # across chunks — an out-of-order chunk would regress the
+            # session end (cur[1] = t) and split/merge sessions wrongly.
+            # One global sort of the key's batch rows restores the
+            # single-sequence semantics; the rows are already in memory
+            # as chunks, so this adds no asymptotic cost.
+            chunks = [p for p in pdfs if len(p)]
+            pdf = (
+                pd.concat(chunks, ignore_index=True).sort_values("ts")
+                if chunks
+                else None
+            )
+            if pdf is not None:
                 ts_ms = (pdf["ts"].astype("int64") // 1_000_000).tolist()
                 # Exact integer micro-units: accumulation is order-free, so
                 # the session total cannot drift an ulp between a replay, a
@@ -186,8 +199,13 @@ def sessionize_stream_tws(
             (user_id,) = key
             cur = list(self._state.get()) if self._state.exists() else None
             prev_timer = cur[1] + gap_ms if cur is not None else None
-            for pdf in rows:
-                pdf = pdf.sort_values("ts")
+            # Same cross-chunk discipline as _make_sessionizer: concat the
+            # key's Arrow chunks BEFORE sorting, or out-of-order chunks
+            # regress the session end and mis-sessionize past ~10k
+            # rows/key/batch.
+            chunks = [p for p in rows if len(p)]
+            if chunks:
+                pdf = pd.concat(chunks, ignore_index=True).sort_values("ts")
                 ts_ms = (pdf["ts"].astype("int64") // 1_000_000).tolist()
                 vals = (
                     np.floor(pdf["value"].to_numpy() * 1e6 + 0.5)
