@@ -207,6 +207,45 @@ def test_stateful_gap_sessionization(spark, tmp_path):
     assert expected <= got
 
 
+def test_stateful_sessionizer_survives_cross_chunk_disorder(spark, tmp_path):
+    """A key whose micro-batch rows span several Arrow chunks receives the
+    chunks in partition order, not time order. Feed one user's events
+    pre-sorted DESCENDING with a small Arrow batch size so later chunks
+    hold EARLIER events: per-chunk sorting alone (the pre-r10 code) sees
+    time regress at every chunk boundary and splits the run into bogus
+    sessions; the concat-before-sort form must emit exactly one closed
+    session covering all events."""
+    from datetime import datetime, timedelta
+
+    from lakeflow.streaming.sinks import run_to_memory
+    from lakeflow.streaming.stateful import sessionize_stream
+
+    base = datetime(2024, 1, 1)
+    n = 1500
+    rows = [(base + timedelta(seconds=10 * i), 1, 1.0) for i in range(n)]
+    rows.append((base + timedelta(days=1), 1, 0.0))  # closes the session
+    rows.sort(key=lambda r: r[0], reverse=True)
+    src = spark.createDataFrame(rows, "ts timestamp, user_id long, value double")
+    path = str(tmp_path / "ev_desc")
+    src.coalesce(1).write.parquet(path)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+    try:
+        stream = spark.readStream.schema(
+            spark.read.parquet(path).schema
+        ).parquet(path)
+        sessions = sessionize_stream(stream, gap="30 minutes", watermark="1 minutes")
+        name, _ = run_to_memory(sessions)
+        got = [
+            (r.session_start.isoformat(), r.n_events, r.total_value)
+            for r in spark.table(name).filter("user_id = 1").collect()
+        ]
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert got == [("2024-01-01T00:00:00", n, float(n))], got
+
+
 def test_salted_join_matches_plain_join(spark):
     from lakeflow.operators.joins import salted_join
 
