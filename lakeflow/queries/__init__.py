@@ -150,13 +150,10 @@ for _rnd, _names in _VERIFIED_ROUNDS.items():
 # fails if a rewrite is not listed here. Every prior member re-greened and
 # was pruned (r7: approx_distinct_users; r9's stream_ann_compacted_topk
 # auto-compaction rewrite earned its r9 verdict through the auto path —
-# CORRECTNESS_r09.json — and was pruned in r10). r10:
-# stream_bm25_index now exercises the AUTO-compaction path
-# (compact_every_n_batches inside foreachBatch, VERDICT r9 ask #3)
-# instead of a manual compact_streamed_text_index call.
-_REWRITTEN_SINCE_GREEN: frozenset[str] = frozenset(
-    {"stream_bm25_index"}
-)
+# CORRECTNESS_r09.json — and was pruned in r10; r10's stream_bm25_index
+# auto-compaction rewrite re-greened in CORRECTNESS_r10.json and was
+# pruned in r11).
+_REWRITTEN_SINCE_GREEN: frozenset[str] = frozenset()
 
 
 def _helper_change_rounds(ledger: dict | None = None) -> dict[str, int]:
