@@ -39,6 +39,24 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def path_exists(spark: SparkSession, path: str) -> bool:
+    """Existence check through the Hadoop FileSystem resolved FOR this path.
+
+    ``os.path.isdir`` only answers for the driver's local filesystem — on any
+    remote warehouse URI (s3a://, hdfs://, abfs://) it is always False, which
+    turns "upsert against prior state" guards into silent first-load
+    overwrites (ADVICE r10, medallion SCD1 guard). Resolving the FileSystem
+    from the path URI gives the same answer the executors' read path would,
+    on every scheme the cluster's Hadoop conf knows. Errors other than
+    not-found (permissions, transient IO) PROPAGATE — swallowing them would
+    recreate the same silent state-loss this exists to prevent.
+    """
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    return jpath.getFileSystem(hconf).exists(jpath)
+
+
 def _enable_nanos_as_long(spark: SparkSession) -> None:
     """events.parquet carries TIMESTAMP(NANOS) — Spark has no nanos timestamp,
     so read it as int64 nanos and convert (see convert_nanos_ts)."""

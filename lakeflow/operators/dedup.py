@@ -444,12 +444,17 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     # loop below, so the operator never stops scaling. Integral-id guard:
     # the array path indexes labels by position, so non-integer ids (and
     # non-bigint, to keep the output schema byte-identical) fall through.
+    # Null-id guard (ADVICE r10): Arrow int64 with nulls converts via
+    # to_numpy() to float64 + NaN, wrecking searchsorted indices and
+    # raising on the int64 output cast — null-bearing edge lists stay on
+    # the distributed loop, which carries a null-id row through its joins.
     if 0 < n_edges <= _DRIVER_CC_MAX_EDGES and dict(edges.dtypes) == {
         "src": "bigint", "dst": "bigint"
-    }:
+    } and (tbl := edges.toArrow()).column("src").null_count == 0 and tbl.column(
+        "dst"
+    ).null_count == 0:
         import numpy as np
 
-        tbl = edges.toArrow()
         edges.unpersist()
         src = tbl.column("src").to_numpy()
         dst = tbl.column("dst").to_numpy()

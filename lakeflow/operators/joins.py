@@ -136,7 +136,11 @@ def asof_join(
     # A payload hash makes the tie-break total and layout-independent
     # (no vendor defines tie semantics anyway: pandas merge_asof is
     # input-order-dependent, DuckDB ASOF picks an arbitrary tied row).
-    tie = F.xxhash64(*[F.col(dst) for dst in carried.values()])
+    # Seeded with __ts so the hash is never zero-argument when payload is
+    # empty (xxhash64 requires ≥1 arg — ADVICE r10); determinism then
+    # holds up to xxhash64 collisions between distinct tied payloads,
+    # negligible per-pair (~2^-64) but not impossible.
+    tie = F.xxhash64(F.col("__ts"), *[F.col(dst) for dst in carried.values()])
     w = (
         Window.partitionBy(*on)
         .orderBy(order, F.col("__is_left").asc(), tie.asc())

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, IntegerType, LongType, StringType, StructField, StructType
 
+from lakeflow.catalog import path_exists
 from lakeflow.operators.merge import scd1_apply
 from lakeflow.operators.transforms import (
     add_ingest_metadata,
@@ -128,8 +129,11 @@ def build_medallion_pipeline(
         # error or corrupt prior table must PROPAGATE — swallowing it
         # would silently skip the upsert and overwrite accumulated state
         # as if this were the first load (same failure mode ADVICE r9
-        # flagged on the text-index append path).
-        if os.path.isdir(path):
+        # flagged on the text-index append path). The check goes through
+        # the Hadoop FileSystem resolved for the path so it answers
+        # correctly on remote warehouse URIs too (ADVICE r10: a bare
+        # os.path.isdir is always False on s3a://, skipping the upsert).
+        if path_exists(spark, path):
             prev = spark.read.parquet(path)
             df = scd1_apply(prev, df, keys=["n_nationkey"])
         return write_table(df, path + "_next", mode="overwrite")

@@ -1198,6 +1198,24 @@ def test_asof_join_tied_right_rows_pick_deterministically(spark):
     assert len(results) == 1, f"tie winner varied with layout: {results}"
 
 
+def test_asof_join_empty_payload_is_valid(spark):
+    """Degenerate-but-legal call: payload={} with neither tolerance nor
+    how='inner' leaves the carried-column dict empty, and the tie-break
+    hash must not become a zero-argument xxhash64 (analysis error —
+    ADVICE r10). The result is just the left rows."""
+    from datetime import datetime
+
+    from lakeflow.operators.joins import asof_join
+
+    t = datetime(2024, 1, 1)
+    left = spark.createDataFrame([(1, t, "x")], "k long, ts timestamp, tag string")
+    right = spark.createDataFrame([(1, t, 9)], "k long, ts timestamp, rv int")
+    got = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="ts", payload={}
+    ).collect()
+    assert [(r.k, r.tag) for r in got] == [(1, "x")]
+
+
 def test_pq_adc_recall_at_operating_point_and_exact_at_full_shortlist(spark):
     """PQ/ADC invariants: (a) recall@5 against exact brute force at the
     registered operating point (shortlist 64 of 500) holds at the measured

