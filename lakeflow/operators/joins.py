@@ -77,6 +77,7 @@ def asof_join(
     direction: str = "backward",
     tolerance_seconds: int | None = None,
     how: str = "left",
+    time_bucket_seconds: int | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, attach the payload of the nearest
     right row within the same key group — the latest with
@@ -91,8 +92,20 @@ def asof_join(
     sort once per key by time (descending for forward), and carry the right
     payload across with ``last(..., ignorenulls)``. ONE shuffle on the key
     columns and one in-partition sort — survives any scale where a single
-    key's history fits a partition; salt the key with a coarse time bucket
-    beyond that.
+    key's history fits a partition.
+
+    ``time_bucket_seconds`` is the hot-key salt past that ceiling: rows are
+    additionally partitioned by ``floor(ts / bucket)``, bounding every sort
+    to one key×bucket slice instead of the key's full history. Each bucket's
+    window is seeded with the per-column closing payload of earlier
+    (backward) / later (forward) buckets — a one-row-per-(key, bucket)
+    summary computed with the SAME ordering expressions as the main window,
+    so boundary ties resolve to the identical winner and the output is
+    byte-equal to the unsalted form (pinned by
+    tests/test_operators.py::test_asof_join_time_bucket_salt_parity).
+    Pick the bucket so one key's rows per bucket fit a partition (e.g. 1h
+    for tick data); the summary is |keys|·|buckets| rows and its per-key
+    carry window is |buckets| rows — both orders smaller than the data.
 
     ``payload`` maps right column -> output name. Right rows at the same
     timestamp as a left row DO match (ties ordered right-before-left).
@@ -141,14 +154,94 @@ def asof_join(
     # holds up to xxhash64 collisions between distinct tied payloads,
     # negligible per-pair (~2^-64) but not impossible.
     tie = F.xxhash64(F.col("__ts"), *[F.col(dst) for dst in carried.values()])
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(order, F.col("__is_left").asc(), tie.asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = r_tagged.unionByName(l_tagged).withColumns(
-        {dst: F.last(dst, ignorenulls=True).over(w) for dst in pay_out}
-    )
+    if time_bucket_seconds is None:
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(order, F.col("__is_left").asc(), tie.asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        filled = r_tagged.unionByName(l_tagged).withColumns(
+            {dst: F.last(dst, ignorenulls=True).over(w) for dst in pay_out}
+        )
+    else:
+        bkt = F.floor(
+            F.col("__ts").cast("double") / F.lit(float(time_bucket_seconds))
+        ).alias("__bkt")
+        r_b = r_tagged.withColumn("__bkt", bkt)
+        # One closing row per (key, bucket): per-column last non-null right
+        # value in main-window order (last(ignorenulls) carries columns
+        # INDEPENDENTLY, so the summary must too — a single max_by row
+        # would diverge whenever the nearest right row holds a null).
+        close_w = (
+            Window.partitionBy(*on, "__bkt")
+            .orderBy(order, tie.asc())
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        one_w = Window.partitionBy(*on, "__bkt").orderBy(order, tie.asc())
+        closing = (
+            r_b.withColumns(
+                {dst: F.last(dst, ignorenulls=True).over(close_w) for dst in pay_out}
+            )
+            .withColumn("__rn", F.row_number().over(one_w))
+            .filter(F.col("__rn") == 1)
+            .select(*on, "__bkt", *pay_out)
+        )
+        # Seed spine = every (key, bucket) present on EITHER side: a bucket
+        # holding only left rows still needs the carry-in from earlier
+        # buckets (first divergence the parity test caught).
+        l_b = l_tagged.withColumn("__bkt", bkt)
+        spine = (
+            r_b.select(*on, "__bkt")
+            .unionByName(l_b.select(*on, "__bkt"))
+            .distinct()
+        )
+        closing = spine.join(closing, [*on, "__bkt"], "left")
+        # Seed for bucket k = last non-null closing over buckets strictly
+        # before (backward) / after (forward) k — a per-key carry over the
+        # tiny summary, |buckets| rows per key.
+        carry = (
+            F.col("__bkt").asc() if direction == "backward"
+            else F.col("__bkt").desc()
+        )
+        seed_w = (
+            Window.partitionBy(*on)
+            .orderBy(carry)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        seeds = closing.withColumns(
+            {dst: F.last(dst, ignorenulls=True).over(seed_w) for dst in pay_out}
+        )
+        seed_rows = seeds.select(
+            *on,
+            F.lit(None).cast(r_tagged.schema["__ts"].dataType).alias("__ts"),
+            F.lit(0).alias("__is_left"),
+            *[
+                F.lit(None).cast(left.schema[c].dataType).alias(c)
+                for c in left.columns
+                if c not in on
+            ],
+            *[F.col(dst) for dst in pay_out],
+            F.col("__bkt"),
+            F.lit(0).alias("__seed"),
+        )
+        u = (
+            r_b.unionByName(l_b)
+            .withColumn("__seed", F.lit(1))
+            .unionByName(seed_rows)
+        )
+        # __seed leads the sort so the carried-in boundary values rank
+        # before every real row of the bucket, exactly like the earlier
+        # buckets' rows did in the unsalted global order.
+        w = (
+            Window.partitionBy(*on, "__bkt")
+            .orderBy(
+                F.col("__seed").asc(), order, F.col("__is_left").asc(), tie.asc()
+            )
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        filled = u.withColumns(
+            {dst: F.last(dst, ignorenulls=True).over(w) for dst in pay_out}
+        ).drop("__bkt", "__seed")
     out = filled.filter(F.col("__is_left") == 1)
     if need_match_ts:
         gap = (

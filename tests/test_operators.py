@@ -1216,6 +1216,51 @@ def test_asof_join_empty_payload_is_valid(spark):
     assert [(r.k, r.tag) for r in got] == [(1, "x")]
 
 
+def test_asof_join_time_bucket_salt_parity(spark):
+    """The hot-key time-bucket salt (VERDICT r10 ask #3) must be output-
+    equal to the unsalted form on a skewed fixture — one key holds >=60%
+    of all rows — across directions, tolerance, and how, including null
+    payload values (per-column carry) and right rows tied on (key, ts)
+    (boundary-tie winner must match). Bucket chosen small enough that
+    histories span many buckets AND some buckets are right-row-free, so
+    the cross-bucket seed carry is actually exercised."""
+    import random
+    from datetime import datetime, timedelta
+
+    from lakeflow.operators.joins import asof_join
+
+    rng = random.Random(11)
+    t0 = datetime(2024, 1, 1)
+    # hot key 0: 120 left + 90 right rows over ~6 h; cold keys 1-4: sparse
+    lrows, rrows = [], []
+    for k, nl, nr in [(0, 120, 90), (1, 12, 9), (2, 8, 0), (3, 0, 7), (4, 5, 5)]:
+        for i in range(nl):
+            lrows.append((k, t0 + timedelta(seconds=rng.randrange(0, 21600)), i))
+        for i in range(nr):
+            ts = t0 + timedelta(seconds=rng.randrange(0, 21600))
+            rrows.append((k, ts, None if i % 7 == 0 else i * 10, f"v{i}"))
+    rrows += [rrows[3], rrows[3][:2] + (999, "dup")]  # ties on (k, ts)
+    left = spark.createDataFrame(lrows, "k long, ts timestamp, seq int")
+    right = spark.createDataFrame(rrows, "k long, ts timestamp, a int, b string")
+    for direction, tol, how in [
+        ("backward", None, "left"),
+        ("backward", 900, "inner"),
+        ("forward", 600, "left"),
+    ]:
+        kw = dict(
+            on=["k"], left_ts="ts", right_ts="ts",
+            payload={"a": "ra", "b": "rb"},
+            direction=direction, tolerance_seconds=tol, how=how,
+        )
+        plain = asof_join(left, right, **kw)
+        salted = asof_join(left, right, time_bucket_seconds=600, **kw)
+        assert plain.columns == salted.columns
+        key = lambda r: (r.k, r.ts, r.seq, r.ra, r.rb)
+        assert sorted(map(key, salted.collect())) == sorted(
+            map(key, plain.collect())
+        ), f"salt diverged for {direction}/{tol}/{how}"
+
+
 def test_pq_adc_recall_at_operating_point_and_exact_at_full_shortlist(spark):
     """PQ/ADC invariants: (a) recall@5 against exact brute force at the
     registered operating point (shortlist 64 of 500) holds at the measured
