@@ -177,3 +177,25 @@ def test_committed_full_sweeps_completed_without_failures():
         f"{path}: full_n={rec['full_n']} exceeds the registry "
         f"({len(QUERIES)}) — denominator no longer means the registry"
     )
+
+
+def test_committed_pass2_artifact_exists_parses_and_covers_headline():
+    """VERDICT r10 ask #2: the warm-pass per-query detail must survive as
+    a committed artifact, not stderr lines. The newest bench_pass2_r*.json
+    must parse, carry a positive calib and the normalized reading, and its
+    pass-2 dict must cover the ENTIRE current headline set (a partial
+    --queries run never writes the artifact, so a gap means a query failed
+    mid-pass and the committed record silently shrank)."""
+    import glob
+
+    import bench
+
+    files = sorted(glob.glob(os.path.join(_REPO, "bench_pass2_r*.json")))
+    assert files, "no committed bench_pass2_r*.json artifact"
+    rec = json.load(open(files[-1]))
+    assert rec["calib"] > 0
+    assert rec["pass2_per_calib"] > 0
+    got = set(rec["queries_pass2"])
+    missing = set(bench.BENCH_QUERIES) - got
+    assert not missing, f"{files[-1]}: pass-2 detail missing {sorted(missing)}"
+    assert abs(sum(rec["queries_pass2"].values()) - rec["value_pass2"]) < 0.01
