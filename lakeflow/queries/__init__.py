@@ -152,8 +152,13 @@ for _rnd, _names in _VERIFIED_ROUNDS.items():
 # auto-compaction rewrite earned its r9 verdict through the auto path —
 # CORRECTNESS_r09.json — and was pruned in r10; r10's stream_bm25_index
 # auto-compaction rewrite re-greened in CORRECTNESS_r10.json and was
-# pruned in r11).
-_REWRITTEN_SINCE_GREEN: frozenset[str] = frozenset()
+# pruned in r11). r11: stream_cms_heavy_hitters now ingests a 4-chunk
+# feed with ``compact_max_shard_bytes`` so the SIZE trigger folds the
+# summed-partial sketch mid-stream (VERDICT r10 ask #4) — same oracle,
+# re-greens through the size-triggered path.
+_REWRITTEN_SINCE_GREEN: frozenset[str] = frozenset(
+    {"stream_cms_heavy_hitters"}
+)
 
 
 def _helper_change_rounds(ledger: dict | None = None) -> dict[str, int]:

@@ -936,20 +936,50 @@ def stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batched the input, which is exactly what the shared oracle checks.
     The candidate/exact frames come from the batch table (they are the
     report's display side); only the sketch state was maintained
-    incrementally."""
+    incrementally.
+
+    r11 (VERDICT r10 ask #4): ingest runs with ``compact_max_shard_bytes``
+    at a threshold the sf0.01 feed crosses repeatedly, so the landed
+    partials are folded MID-STREAM by the SIZE trigger (dust-measured,
+    re-arming) through ``compact_cms_sketch`` — summed-partial fold
+    semantics, not the ANN path's repartitioned vectors. The oracle is
+    unchanged: folding sums cell partials, and CMS estimates are invariant
+    under any grouping of the summation."""
+    import glob
+    import os
+    import shutil
     import tempfile
 
     from pyspark.sql import functions as F
 
     from lakeflow.catalog import load_table
     from lakeflow.operators.aggregates import cms_point_estimate, read_cms_cells
+    from lakeflow.sources.streams import file_stream
     from lakeflow.streaming.sinks import stream_cms_ingest
 
-    keyed_stream = events_stream(spark, sf_dir).select(
-        F.col("user_id").cast("string").alias("user_key")
+    # Four-chunk feed (the stream_bm25_index pattern): the single-file
+    # events fixture would arrive as ONE micro-batch, leaving the size
+    # trigger nothing to fold — a real firehose lands many batches.
+    raw = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("user_key"),
+        (F.abs(F.xxhash64("event_id")) % 4).alias("__chunk"),
+    )
+    feed = tempfile.mkdtemp(prefix="lakeflow-cmsfeed-")
+    for i in range(4):
+        part = tempfile.mkdtemp(prefix="lakeflow-cmspart-")
+        raw.filter(F.col("__chunk") == i).select("user_key").coalesce(
+            1
+        ).write.mode("overwrite").parquet(part)
+        dst = f"{feed}/{i:03d}.parquet"
+        shutil.copy(glob.glob(f"{part}/*.parquet")[0], dst)
+        os.utime(dst, (1_700_000_000 + i * 10,) * 2)
+    keyed_stream = file_stream(
+        spark, feed, "user_key string", max_files_per_trigger=1
     )
     sketch_dir = tempfile.mkdtemp(prefix="lakeflow-cms-")
-    stream_cms_ingest(keyed_stream, sketch_dir, "user_key").awaitTermination()
+    stream_cms_ingest(
+        keyed_stream, sketch_dir, "user_key", compact_max_shard_bytes=4096
+    ).awaitTermination()
 
     cells = read_cms_cells(spark, sketch_dir)
     keyed = load_table(spark, sf_dir, "events").select(
