@@ -49,7 +49,9 @@ BENCH_QUERIES = [
     "minhash_lsh_pairs",
     "simhash_signatures",
     "cosine_topk",
-    "ivf_topk",
+    # "ivf_topk" retired r11 (SCALE.md §10; superseded by ivf_kmeans_topk,
+    # parity kept in tests/test_retired_queries.py) — headline n 56 -> 55;
+    # cross-round totals compare on the shared-55 subset from here.
     "text_quality",
     "winnow_fingerprints",
     "bm25_keyword_topk",

@@ -717,10 +717,15 @@ _R6 = "(floor(({x}) * 1000000.0 + 0.5) / 1000000.0)"
 _CCOS = _R6.format(x=f"{_DOT64.format(a='x.v', b='cent.cv')} / (x.nrm * cent.cn)")
 
 
-# Shared by ivf_topk and its streaming-ingest twin (stream_ann_cells_topk):
-# per-vector cell assignment is independent of micro-batching, so the folded
-# streaming cells reproduce the one-shot assignment bit-for-bit and BOTH
-# queries hash against this one oracle.
+# Shared by the three streaming-ingest ANN twins (stream_ann_cells_topk /
+# stream_ann_compacted_topk / stream_ann_sized_topk): per-vector cell
+# assignment is independent of micro-batching, so the folded streaming
+# cells reproduce the one-shot assignment bit-for-bit and all three hash
+# against this one oracle. The original batch `ivf_topk` registration
+# (seed-centroid demo) was RETIRED in r11 per SCALE.md §10 — superseded by
+# `ivf_kmeans_topk` (trained centroids, same probe plan); its parity
+# coverage lives on as a unit test (tests/test_retired_queries.py) and the
+# probe plan stays driver-exercised through the three twins above.
 _IVF_TOPK_ORACLE = f"""
     WITH e AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -758,23 +763,6 @@ _IVF_TOPK_ORACLE = f"""
         FROM scored
     ) WHERE rn <= 5
 """
-
-
-@register("ivf_topk", oracle=_IVF_TOPK_ORACLE)
-def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: 16 deterministic seed centroids (vec_id < 16) coarse-quantize
-    the corpus; each of the 10 query vectors probes its 4 nearest cells and
-    scores only those candidates. The scale path precomputes the cell id at
-    ingest and uses it as a partition key — a probe then reads 4/16 of the
-    corpus via partition pruning instead of a join."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return sim.ivf_topk(
-        emb,
-        queries=emb.filter(F.col("vec_id") < 10),
-        centroids=emb.filter(F.col("vec_id") < 16),
-        k=5,
-        n_probe=4,
-    )
 
 
 @register(

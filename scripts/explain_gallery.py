@@ -24,7 +24,6 @@ GALLERY = [
     ("q7_nation_volume", "5-table tree, two roles of one dimension"),
     ("candles_15m", "single hash aggregation with min_by/max_by"),
     ("latest_event_per_user", "ranked-dedup window"),
-    ("ivf_topk", "centroid assignment (broadcast NL over 16 rows) + cell join"),
     ("q16_supplier_part_counts", "NOT IN → broadcast anti join → distinct agg"),
     ("q21_waiting_suppliers", "EXISTS/NOT EXISTS → semi+anti self-joins"),
     ("grouping_sets_status_flag", "Expand after join: one scan, two marginals"),

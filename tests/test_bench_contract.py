@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import subprocess
 import sys
 
@@ -173,9 +174,21 @@ def test_committed_full_sweeps_completed_without_failures():
     assert "full_failed" not in rec, (
         f"{path}: the committed sweep dropped {rec['full_failed']} queries"
     )
-    assert rec["full_n"] <= len(QUERIES), (
+    # A historical record's denominator is the registry AS OF that round:
+    # names retired SINCE (scripts/retired_queries.json, SCALE.md §10)
+    # legitimately make full_n exceed today's len(QUERIES) by exactly the
+    # retired count — anything beyond that is a real denominator break.
+    rec_round = int(re.search(r"r(\d+)\.json$", path).group(1))
+    with open(os.path.join(_REPO, "scripts", "retired_queries.json")) as f:
+        retired_since = sum(
+            1
+            for info in json.load(f)["retired"].values()
+            if info["round"] > rec_round
+        )
+    assert rec["full_n"] <= len(QUERIES) + retired_since, (
         f"{path}: full_n={rec['full_n']} exceeds the registry "
-        f"({len(QUERIES)}) — denominator no longer means the registry"
+        f"({len(QUERIES)}) plus {retired_since} post-r{rec_round} "
+        f"retirements — denominator no longer means the registry"
     )
 
 
