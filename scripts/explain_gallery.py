@@ -93,6 +93,7 @@ GALLERY = [
     ("stream_ann_cells_topk", "streamed-IVF probe: cells scan PartitionFilters carry cid dynamicpruning — only probed cells' bytes are read"),
     ("stream_ann_compacted_topk", "probe over the AUTO-compacted index (compact_every_n_batches folds inside foreachBatch): cid dynamicpruning survives the production fold, not just manual OPTIMIZE"),
     ("bm25_indexed_topk", "postings IN-probe (envelope-pruned files) → df from scanned rows (combine-bounded groupBy + broadcast back) → TakeOrdered"),
+    ("asof_salted_purchase_view", "hot-key salted as-of: (key, day-bucket) windows + one tiny closing-summary carry — no full-history sort per key"),
 ]
 
 
