@@ -12,9 +12,14 @@ Beyond the reference's keyed ranked dedup (W1, lakeflow.operators.transforms
                 small Hamming distance.
 * n-gram Jaccard — exact pairwise similarity, for candidate verification.
 
-Determinism: all hashing goes through md5 (identical everywhere) rather than
-engine-private hash functions, so any SQL engine can replay the result. Min
-over fixed-width lowercase hex strings == min over the underlying 128-bit int.
+Determinism: hashing that the ORACLE must replay value-for-value goes
+through md5 (identical everywhere) rather than engine-private hash
+functions — min over fixed-width lowercase hex strings == min over the
+underlying 128-bit int. Where a hash is only an internal GROUPING key that
+never reaches the output (exact_substring_dedup's window fingerprint), a
+16-byte seeded-xxhash64 pair replaces the 32-char md5 hex: same grouping,
+half the shuffle-key bytes, no joined-string materialization — the oracle
+keeps md5 and still matches because only group identity matters.
 """
 
 from __future__ import annotations
@@ -595,8 +600,17 @@ def exact_substring_dedup(
         .select(
             "id",
             "pos",
-            F.md5(
-                F.array_join(F.slice("__toks", F.col("pos") + 1, k), " ")
+            # 128-bit window fingerprint as TWO seeded xxhash64 of the
+            # sliced token ARRAY (16-byte shuffle key, no joined-string
+            # materialization) instead of md5 of the joined text (32-char
+            # string key). Equivalent grouping: tokens are space-split so
+            # k-token windows are joined-string-bijective, and 128 bits
+            # keeps corpus-scale collision odds negligible where a single
+            # xxhash64 would collide past ~4B windows. The DuckDB oracle
+            # keeps md5 — only the grouping matters, fp never leaves.
+            F.struct(
+                F.xxhash64(F.lit(0), F.slice("__toks", F.col("pos") + 1, k)),
+                F.xxhash64(F.lit(1), F.slice("__toks", F.col("pos") + 1, k)),
             ).alias("fp"),
             (
                 F.col("id").cast("bigint") * F.lit(1 << 32)
@@ -615,7 +629,9 @@ def exact_substring_dedup(
         )
         .filter(F.col("okey") != F.col("first_key"))
         .select("id", F.explode(F.sequence("pos", F.col("pos") + (k - 1))).alias("idx"))
-        .distinct()
+        # collect_set dedups idx per id on its own (including map-side in
+        # the partial aggregate) — a prior global distinct would shuffle
+        # the expanded coverage rows a second time for nothing.
         .groupBy("id")
         .agg(F.collect_set("idx").alias("__rm"))
     )
