@@ -266,10 +266,26 @@ def jaccard_verify(
     O(|candidates| · shingles_per_doc) — the raw shingle self-join in
     :func:`jaccard_pairs` never runs. Pairs with zero shared shingles drop
     out (their Jaccard is 0, below any positive ``min_sim``).
+
+    The shingle relation is first SEMI-FILTERED to candidate doc ids and
+    persisted: every downstream consumer (sizes, both join sides) is
+    candidate-scoped, so without the filter the (id_b, shingle) join and
+    the sizes groupBy each shuffle the CORPUS-wide shingle set — and
+    recompute the shingle expression — to use the tiny candidate slice of
+    it. The id list rides a left-semi join (AQE broadcasts it while small,
+    falls back to shuffle when a pathological candidate set is huge), and
+    the persisted working set is O(candidate docs · shingles_per_doc) —
+    the size the verification stage touches by definition.
     """
-    sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    a = shingles.withColumnsRenamed({"id": "id_a"})
-    b = shingles.withColumnsRenamed({"id": "id_b"})
+    cand_ids = (
+        candidates.select(F.col("id_a").alias("id"))
+        .unionByName(candidates.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sh_c = shingles.join(cand_ids, "id", "leftsemi").persist()
+    sizes = sh_c.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh_c.withColumnsRenamed({"id": "id_a"})
+    b = sh_c.withColumnsRenamed({"id": "id_b"})
     # Plain equi-joins: AQE broadcasts the candidate list while it is small
     # and falls back to shuffle when a huge corpus yields many candidates —
     # forcing broadcast here would OOM exactly at the scale that matters.
