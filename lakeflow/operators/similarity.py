@@ -205,16 +205,21 @@ def embedding_near_dups(
     b = keyed.select(
         F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"), "pk"
     )
+    # Score THEN dedup: a pair seen from several probe keys recomputes its
+    # (deterministic) cosine once per sighting — 64 codegen mults — while
+    # dedup-then-score would shuffle both full vectors (~1 KB/row, every
+    # candidate) through the dropDuplicates exchange just to score once.
+    # Post-threshold the dedup shuffles only the skinny near-dup survivors.
     pairs = (
         a.join(b, on=["pk"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
         .select(
             "id_a",
             "id_b",
             rnd(dot("va", "vb") / (F.col("na") * F.col("nb")), round_to).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
     )
     if eager:
         pairs = pairs.localCheckpoint(eager=True)

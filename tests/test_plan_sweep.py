@@ -50,7 +50,6 @@ KNOWN_BNLJ = {
     "hll_partial_merge_verdict",
     "hybrid_rrf_topk",
     "ivf_kmeans_recall_verdict",
-    "ivf_topk",
     "kmv_join_cardinality_orders",
     "kmv_set_ops_custkeys",
     "multimodal_retrieval_topk",
