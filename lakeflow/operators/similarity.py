@@ -137,14 +137,18 @@ def lsh_bucketed_topk(
     scored = (
         c.join(F.broadcast(q), on="tk")
         .filter(F.col("qid") != F.col("vid"))
-        # A pair colliding in multiple tables must score once, not once per
-        # collision (duplicate rows would also break the rank tiebreak).
-        .dropDuplicates(["qid", "vid"])
         .select(
             "qid",
             "vid",
             rnd(dot("qv", "cv") / (F.col("qn") * F.col("cn")), round_to).alias("cos"),
         )
+        # A pair colliding in multiple tables must land once in the rank
+        # window, not once per collision (duplicates would break the rank
+        # tiebreak). Dedup AFTER scoring: the cosine is deterministic, so
+        # re-scoring a collision costs 64 codegen mults while deduping
+        # first would push both full vectors (~1 KB/row) through the
+        # exchange that (qid, vid, cos) crosses at 24 bytes.
+        .dropDuplicates(["qid", "vid"])
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vid"))
     return (
