@@ -768,9 +768,11 @@ def margin_knn_pairs(
         .cast("bigint")
         .alias("cos_micro")
     )
+    # Three consumers (both k-NN sums + the margin join) — persist the
+    # skinny pair frame so the pair generation runs once, not thrice.
     pairs = b.join(F.broadcast(a), how="cross").select(
         "src_id", "tgt_id", cos_micro
-    )
+    ).persist()
     wa = Window.partitionBy("src_id").orderBy(
         F.desc("cos_micro"), F.asc("tgt_id")
     )
@@ -904,7 +906,9 @@ def margin_knn_pairs_ann(
         )
         .cast("bigint")
         .alias("cos_micro"),
-    )
+    ).persist()
+    # ^ three consumers (both k-NN sums + the margin join): persisting the
+    # skinny (ids, cos_micro) frame runs the probe join + cosine pass once.
     wa = Window.partitionBy("src_id").orderBy(
         F.desc("cos_micro"), F.asc("tgt_id")
     )
