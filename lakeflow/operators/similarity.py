@@ -428,10 +428,15 @@ def ivf_kmeans_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
+    # Persist for the fit: MLlib KMeans makes one pass per iteration over
+    # its input, and an uncached frame re-reads the source and re-runs the
+    # array→vector conversion every iteration (measured 3× on the recall
+    # verdict). Released as soon as the model exists.
     train = corpus.select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
-    )
+    ).persist()
     model = KMeans(k=nlist, seed=seed, featuresCol="features").fit(train)
+    train.unpersist()
     spark = corpus.sparkSession
     cents = spark.createDataFrame(
         [(i,) for i in range(len(model.clusterCenters()))], f"{id_col} long"

@@ -787,10 +787,13 @@ def ivf_kmeans_recall_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    exact = sim.brute_force_topk(emb, queries, k=5).select("qid", "vid")
+    # Both top-k frames are k·|queries| rows; persisted, each arm's corpus
+    # scan/scoring runs once — unpersisted, the verdict plan recomputes the
+    # exact arm for BOTH the hit semi-join and its own count.
+    exact = sim.brute_force_topk(emb, queries, k=5).select("qid", "vid").persist()
     approx = sim.ivf_kmeans_topk(
         emb, queries, k=5, n_probe=8, nlist=16
-    ).select("qid", "vid")
+    ).select("qid", "vid").persist()
     hits = exact.join(approx, ["qid", "vid"], "left_semi")
     n_exact = exact.agg(F.count(F.lit(1)).cast("int").alias("n_exact_pairs"))
     n_hits = hits.agg(F.count(F.lit(1)).alias("n_hits"))
