@@ -213,7 +213,14 @@ def embedding_near_dups(
     # (deterministic) cosine once per sighting — 64 codegen mults — while
     # dedup-then-score would shuffle both full vectors (~1 KB/row, every
     # candidate) through the dropDuplicates exchange just to score once.
-    # Post-threshold the dedup shuffles only the skinny near-dup survivors.
+    # With the threshold BEFORE the dedup, Catalyst fuses the cosine
+    # predicate into the join condition — candidates that miss the
+    # threshold never materialize at all (measured 3.4 → 2.3 s warm at
+    # sf0.1), and the dedup exchange carries only skinny survivor rows.
+    # Side effect the plan test accounts for: the join's output-rows
+    # metric counts survivors, so the candidates == Σ C(bucket, 2) pin
+    # probes with threshold=-1.0 (candidate topology is
+    # threshold-independent).
     pairs = (
         a.join(b, on=["pk"])
         .filter(F.col("id_a") < F.col("id_b"))

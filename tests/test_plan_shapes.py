@@ -479,7 +479,12 @@ def test_embedding_near_dups_join_cost_equals_bucket_sq_measured(spark):
         .collect()[0][0]
     )
 
-    sim.embedding_near_dups(emb, threshold=0.5)
+    # threshold=-1.0 passes every cosine, so the fused join condition
+    # (the r11 plan: the threshold predicate merges into the
+    # BroadcastHashJoin, non-survivors never materialize) emits exactly
+    # the candidate set — the topology this test pins is
+    # threshold-independent, the production threshold only shrinks it.
+    sim.embedding_near_dups(emb, threshold=-1.0)
     rows = execution_metrics(emb, run=False)
     join_rows = [
         r["value"]
