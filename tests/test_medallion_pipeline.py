@@ -48,3 +48,23 @@ def test_medallion_end_to_end(spark, tmp_path):
         "nation_name",
     }
     assert gold.filter("nation_name IS NOT NULL").count() > 0
+
+
+def test_path_exists_resolves_scheme_and_propagates_errors(spark, tmp_path):
+    """ADVICE r10 (medium): the SCD1 first-load guard must answer through
+    the Hadoop FileSystem resolved FOR the path — os.path.isdir is always
+    False on remote URIs, silently skipping the upsert. Pins: plain local
+    path, explicit file:// URI, missing path, and a scheme with no
+    configured FileSystem PROPAGATES instead of reading as absent (the
+    silent state-loss mode the guard exists to prevent)."""
+    import pytest
+
+    from lakeflow.catalog import path_exists
+
+    d = tmp_path / "t"
+    d.mkdir()
+    assert path_exists(spark, str(d))
+    assert path_exists(spark, f"file://{d}")
+    assert not path_exists(spark, str(tmp_path / "absent"))
+    with pytest.raises(Exception):
+        path_exists(spark, "nosuchscheme://bucket/path")
