@@ -109,6 +109,10 @@ def asof_join(
 
     ``payload`` maps right column -> output name. Right rows at the same
     timestamp as a left row DO match (ties ordered right-before-left).
+    Tied right rows resolve by a payload-hash sort key, so the winner is
+    layout-independent up to xxhash64 collisions between distinct tied
+    payloads (~2^-64 per tied pair — practically never, but the guarantee
+    is probabilistic, not absolute).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
