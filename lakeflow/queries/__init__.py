@@ -156,8 +156,11 @@ for _rnd, _names in _VERIFIED_ROUNDS.items():
 # feed with ``compact_max_shard_bytes`` so the SIZE trigger folds the
 # summed-partial sketch mid-stream (VERDICT r10 ask #4) — same oracle,
 # re-greens through the size-triggered path.
+# Also r11: ivf_kmeans_recall_verdict's registered callable gained
+# persists on its two top-k arms (perf; same semantics, same constant
+# oracle) — listed until the driver re-greens it.
 _REWRITTEN_SINCE_GREEN: frozenset[str] = frozenset(
-    {"stream_cms_heavy_hitters"}
+    {"stream_cms_heavy_hitters", "ivf_kmeans_recall_verdict"}
 )
 
 
