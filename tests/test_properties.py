@@ -1226,3 +1226,69 @@ def test_union_bloom_sets_is_sound(prev_bloom, fold, exclude):
         for d in fold:
             assert c in prev_bloom[d]
             assert set(prev_bloom[d][c]) <= s
+
+
+asof_ts = st.integers(min_value=0, max_value=5000)  # seconds; bucket=600
+asof_keys = st.integers(min_value=0, max_value=2)
+asof_left_rows = st.lists(
+    st.tuples(asof_keys, asof_ts), min_size=0, max_size=14
+)
+asof_right_rows = st.lists(
+    st.tuples(
+        asof_keys, asof_ts, st.one_of(st.none(), st.integers(0, 9))
+    ),
+    min_size=0,
+    max_size=14,
+)
+
+
+@given(
+    lrows=asof_left_rows,
+    rrows=asof_right_rows,
+    direction=st.sampled_from(["backward", "forward"]),
+    tol=st.sampled_from([None, 900]),
+    how=st.sampled_from(["left", "inner"]),
+)
+@settings(**_SETTINGS)
+def test_asof_time_bucket_salt_is_output_invariant(
+    spark, lrows, rrows, direction, tol, how
+):
+    """The hot-key time-bucket salt must be a pure partitioning change:
+    salted output == unsalted output on ARBITRARY inputs — empty sides,
+    (key, ts) ties on both sides, null payload values (per-column carry),
+    keys missing from one side, matches that cross bucket boundaries (the
+    600 s bucket over a 5000 s range forces multi-bucket histories)."""
+    from datetime import datetime, timedelta
+
+    from lakeflow.operators.joins import asof_join
+
+    t0 = datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(k, t0 + timedelta(seconds=s), i) for i, (k, s) in enumerate(lrows)]
+        or [(None, None, None)],
+        "k long, ts timestamp, seq long",
+    )
+    right = spark.createDataFrame(
+        [(k, t0 + timedelta(seconds=s), v) for k, s, v in rrows]
+        or [(None, None, None)],
+        "k long, ts timestamp, rv long",
+    )
+    if not lrows:
+        left = left.filter("k IS NOT NULL")
+    if not rrows:
+        right = right.filter("k IS NOT NULL")
+    kw = dict(
+        on=["k"], left_ts="ts", right_ts="ts", payload={"rv": "rv"},
+        direction=direction, tolerance_seconds=tol, how=how,
+    )
+    key = lambda r: (r.k, r.ts, r.seq, r.rv)
+    plain = sorted(map(key, asof_join(left, right, **kw).collect()))
+    salted = sorted(
+        map(
+            key,
+            asof_join(
+                left, right, time_bucket_seconds=600, **kw
+            ).collect(),
+        )
+    )
+    assert salted == plain
