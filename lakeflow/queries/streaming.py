@@ -1098,6 +1098,55 @@ def stream_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_state_inspection",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_state_inspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-store introspection (Spark's `statestore` reader,
+    streaming/state_reader.py): run a stateful streaming aggregation over
+    the events feed, then read the operator's LIVE STATE straight out of
+    the checkpoint — no replay, no job change — and return it as the
+    (event_type, n) frame the aggregation maintains. The oracle is the
+    batch groupBy over the same feed: the state IS the aggregation, so a
+    dropped row, a double-applied batch, or a mis-keyed state row breaks
+    the hash. This is the post-incident ops surface a production
+    streaming pipeline needs: joinable-against-truth visibility into
+    checkpointed state, partition-parallel at any state size."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lakeflow.streaming.state_reader import read_aggregation_state
+
+    agg = events_stream(spark, sf_dir).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    ckpt = tempfile.mkdtemp(prefix="lakeflow-state-insp-")
+    name = f"state_insp_{abs(hash(ckpt)) % 10**8}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q.awaitTermination()
+    state = read_aggregation_state(spark, ckpt)
+    return state.select(
+        "event_type", F.col("count").cast("bigint").alias("n")
+    )
+
+
+@register(
     "stream_kmv_distinct",
     oracle="""
     WITH u AS (

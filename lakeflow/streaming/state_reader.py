@@ -1,0 +1,58 @@
+"""Streaming state-store introspection (Spark 4 `statestore` reader).
+
+The ops surface the reference's stack gets from external tooling: after an
+incident (suspected double-count, watermark bug, skewed state), read the
+live state of a stateful streaming query STRAIGHT OUT OF ITS CHECKPOINT —
+no replay, no code change to the job — as a DataFrame joinable against
+batch truth. Spark exposes this as `spark.read.format("statestore")` over
+the checkpoint location (SPARK-45511); these helpers pin the option
+surface and flatten the key/value structs into query-shaped columns.
+
+At 100 TB the reader stays executor-parallel: each state-store partition is
+an independent split (the `partition_id` column below), so inspecting a
+1000-partition state is a 1000-task scan, not a driver walk.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_state_store(
+    spark: SparkSession,
+    checkpoint: str,
+    *,
+    batch_id: int | None = None,
+    operator_id: int | None = None,
+    store_name: str | None = None,
+) -> DataFrame:
+    """Raw state rows: (key struct, value struct, partition_id).
+
+    ``batch_id`` time-travels the state to an earlier micro-batch (default:
+    latest committed); ``operator_id``/``store_name`` select among multiple
+    stateful operators in one query (e.g. the four stores of a
+    stream-stream join).
+    """
+    reader = spark.read.format("statestore")
+    if batch_id is not None:
+        reader = reader.option("batchId", int(batch_id))
+    if operator_id is not None:
+        reader = reader.option("operatorId", int(operator_id))
+    if store_name is not None:
+        reader = reader.option("storeName", store_name)
+    return reader.load(checkpoint)
+
+
+def read_aggregation_state(
+    spark: SparkSession, checkpoint: str, **options
+) -> DataFrame:
+    """Flattened state of a streaming aggregation: one column per grouping
+    key field plus one per aggregation buffer field (Spark's internal
+    buffer names — `count`, `sum`, ... — not the query aliases, which do
+    not survive into the state schema)."""
+    raw = read_state_store(spark, checkpoint, **options)
+    key_fields = [f"key.{f.name}" for f in raw.schema["key"].dataType.fields]
+    val_fields = [
+        f"value.{f.name}" for f in raw.schema["value"].dataType.fields
+    ]
+    return raw.select(*key_fields, *val_fields)
