@@ -70,3 +70,61 @@ def test_aggregation_state_matches_batch_truth_and_time_travels(
         for r in read_state_store(spark, ckpt, batch_id=0).collect()
     }
     assert at0 == {("a", 2), ("b", 1)}
+
+
+def test_join_state_store_selection(spark, tmp_path):
+    """A watermarked stream-stream join keeps FOUR stores per side-pair;
+    store_name selects each (the 'which side is holding the stuck rows'
+    incident question). Pin: all four canonical names resolve and the
+    buffered rows are the ones the join semantics predict."""
+    from datetime import datetime, timedelta
+
+    from lakeflow.streaming.state_reader import read_state_store
+
+    t0 = datetime(2024, 1, 1)
+    feed = str(tmp_path / "feed")
+    spark.createDataFrame(
+        [(1, t0, "v1"), (1, t0 + timedelta(minutes=2), "p1")],
+        "k long, ts timestamp, tag string",
+    ).coalesce(1).write.mode("overwrite").parquet(feed)
+    s = spark.readStream.schema("k long, ts timestamp, tag string").parquet(feed)
+    left = (
+        s.filter("tag like 'v%'")
+        .withColumnRenamed("ts", "lts")
+        .withWatermark("lts", "10 minutes")
+    )
+    right = (
+        s.filter("tag like 'p%'")
+        .select(F.col("k").alias("k2"), F.col("ts").alias("rts"), "tag")
+        .withWatermark("rts", "10 minutes")
+    )
+    joined = left.join(
+        right,
+        F.expr("k = k2 AND rts BETWEEN lts AND lts + INTERVAL 30 MINUTES"),
+    )
+    ckpt = str(tmp_path / "ckpt")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("ssj_state_test")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q.awaitTermination()
+
+    for store in (
+        "left-keyToNumValues",
+        "left-keyWithIndexToValue",
+        "right-keyToNumValues",
+        "right-keyWithIndexToValue",
+    ):
+        df = read_state_store(spark, ckpt, store_name=store)
+        assert [f.name for f in df.schema.fields] == [
+            "key", "value", "partition_id",
+        ]
+        assert df.count() == 1  # one buffered row per side for key 1
