@@ -56,3 +56,12 @@ def read_aggregation_state(
         f"value.{f.name}" for f in raw.schema["value"].dataType.fields
     ]
     return raw.select(*key_fields, *val_fields)
+
+
+def read_state_metadata(spark: SparkSession, checkpoint: str) -> DataFrame:
+    """Checkpoint state CATALOG (Spark's `state-metadata` source): one row
+    per (operator, store) with partition count and the committed batch-id
+    range — the discovery step before :func:`read_state_store` (which
+    operatorId / storeName exist here? how far back can batchId time-travel
+    reach?). Driver-side metadata read; no state bytes move."""
+    return spark.read.format("state-metadata").load(checkpoint)

@@ -128,3 +128,50 @@ def test_join_state_store_selection(spark, tmp_path):
             "key", "value", "partition_id",
         ]
         assert df.count() == 1  # one buffered row per side for key 1
+
+
+def test_state_metadata_catalogs_join_stores(spark, tmp_path):
+    """read_state_metadata lists every (operator, store) of a checkpoint
+    with its committed batch range — discovery for the reader's
+    operator/store/batchId knobs. Pin on the stream-stream join: all four
+    store names appear under one operator with the expected batch range."""
+    from datetime import datetime, timedelta
+
+    from lakeflow.streaming.state_reader import read_state_metadata
+
+    t0 = datetime(2024, 1, 1)
+    feed = str(tmp_path / "feed")
+    spark.createDataFrame(
+        [(1, t0, "v1"), (1, t0 + timedelta(minutes=2), "p1")],
+        "k long, ts timestamp, tag string",
+    ).coalesce(1).write.mode("overwrite").parquet(feed)
+    s = spark.readStream.schema("k long, ts timestamp, tag string").parquet(feed)
+    joined = (
+        s.filter("tag like 'v%'")
+        .withColumnRenamed("ts", "lts")
+        .withWatermark("lts", "10 minutes")
+        .join(
+            s.filter("tag like 'p%'")
+            .select(F.col("k").alias("k2"), F.col("ts").alias("rts"))
+            .withWatermark("rts", "10 minutes"),
+            F.expr("k = k2 AND rts BETWEEN lts AND lts + INTERVAL 30 MINUTES"),
+        )
+    )
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_meta_test")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    meta = read_state_metadata(spark, ckpt).collect()
+    stores = {(r.operatorId, r.stateStoreName) for r in meta}
+    assert stores == {
+        (0, "left-keyToNumValues"),
+        (0, "left-keyWithIndexToValue"),
+        (0, "right-keyToNumValues"),
+        (0, "right-keyWithIndexToValue"),
+    }
+    assert all(r.minBatchId == 0 and r.maxBatchId >= 0 for r in meta)
