@@ -175,3 +175,54 @@ def test_state_metadata_catalogs_join_stores(spark, tmp_path):
         (0, "right-keyWithIndexToValue"),
     }
     assert all(r.minBatchId == 0 and r.maxBatchId >= 0 for r in meta)
+
+
+def test_sessionizer_identical_under_rocksdb_provider(spark, tmp_path):
+    """The RocksDB state-store provider profiles.py recommends for
+    production state must be a pure config swap: the arbitrary-state
+    sessionizer emits the identical session set under
+    RocksDBStateStoreProvider as under the default HDFS-backed provider,
+    and the statestore reader opens the RocksDB checkpoint too. Executes
+    the recommendation instead of trusting it."""
+    from datetime import datetime, timedelta
+
+    from lakeflow.streaming.sinks import run_to_memory
+    from lakeflow.streaming.stateful import sessionize_stream
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (base + timedelta(minutes=off), 1, float(i + 1))
+        for i, off in enumerate([0, 10, 55, 60, 200])
+    ]
+    src = spark.createDataFrame(rows, "ts timestamp, user_id long, value double")
+    path = str(tmp_path / "ev")
+    src.coalesce(1).write.parquet(path)
+    schema = spark.read.parquet(path).schema
+
+    def run(provider: str | None):
+        key = "spark.sql.streaming.stateStore.providerClass"
+        prev = spark.conf.get(key, None)
+        if provider:
+            spark.conf.set(key, provider)
+        try:
+            stream = spark.readStream.schema(schema).parquet(path)
+            name, q = run_to_memory(
+                sessionize_stream(stream, gap="30 minutes", watermark="1 minutes")
+            )
+        finally:
+            if provider:
+                if prev is None:
+                    spark.conf.unset(key)
+                else:
+                    spark.conf.set(key, prev)
+        return {
+            (r.user_id, r.session_start.isoformat(), r.n_events, r.total_value)
+            for r in spark.table(name).collect()
+        }
+
+    default = run(None)
+    rocks = run(
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    assert rocks == default and default  # same sessions, non-empty
