@@ -27,6 +27,7 @@ EXAMPLES = [
     "sketches.py",
     "stats_lifecycle.py",
     "streamed_index_optimize.py",
+    "state_inspection.py",
 ]
 
 
