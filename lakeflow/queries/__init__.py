@@ -152,16 +152,10 @@ for _rnd, _names in _VERIFIED_ROUNDS.items():
 # auto-compaction rewrite earned its r9 verdict through the auto path —
 # CORRECTNESS_r09.json — and was pruned in r10; r10's stream_bm25_index
 # auto-compaction rewrite re-greened in CORRECTNESS_r10.json and was
-# pruned in r11). r11: stream_cms_heavy_hitters now ingests a 4-chunk
-# feed with ``compact_max_shard_bytes`` so the SIZE trigger folds the
-# summed-partial sketch mid-stream (VERDICT r10 ask #4) — same oracle,
-# re-greens through the size-triggered path.
-# Also r11: ivf_kmeans_recall_verdict's registered callable gained
-# persists on its two top-k arms (perf; same semantics, same constant
-# oracle) — listed until the driver re-greens it.
-_REWRITTEN_SINCE_GREEN: frozenset[str] = frozenset(
-    {"stream_cms_heavy_hitters", "ivf_kmeans_recall_verdict"}
-)
+# pruned in r11; r11's stream_cms_heavy_hitters size-trigger rewrite and
+# ivf_kmeans_recall_verdict persist rewrite both re-greened in
+# CORRECTNESS_r11.json and were pruned in r12).
+_REWRITTEN_SINCE_GREEN: frozenset[str] = frozenset()
 
 
 def _helper_change_rounds(ledger: dict | None = None) -> dict[str, int]:
