@@ -155,7 +155,15 @@ for _rnd, _names in _VERIFIED_ROUNDS.items():
 # pruned in r11; r11's stream_cms_heavy_hitters size-trigger rewrite and
 # ivf_kmeans_recall_verdict persist rewrite both re-greened in
 # CORRECTNESS_r11.json and were pruned in r12).
-_REWRITTEN_SINCE_GREEN: frozenset[str] = frozenset()
+# r12: stream_state_inspection now scopes its state checkpoint —
+# localCheckpoint(eager) pins the state rows, then try/finally removes
+# the mkdtemp checkpoint tree and drops the memory-sink view (VERDICT
+# r11 "What's wrong" #3); stream_cms_heavy_hitters gained the
+# empty-chunk glob guard (ADVICE r11). Same oracles, listed until the
+# driver re-greens them.
+_REWRITTEN_SINCE_GREEN: frozenset[str] = frozenset(
+    {"stream_state_inspection", "stream_cms_heavy_hitters"}
+)
 
 
 def _helper_change_rounds(ledger: dict | None = None) -> dict[str, int]:

@@ -970,8 +970,13 @@ def stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw.filter(F.col("__chunk") == i).select("user_key").coalesce(
             1
         ).write.mode("overwrite").parquet(part)
+        shards = glob.glob(f"{part}/*.parquet")
+        if not shards:
+            # Defensive (ADVICE r11): coalesce(1) writes one part file even
+            # for an empty chunk, but a tiny SF must skip, not IndexError.
+            continue
         dst = f"{feed}/{i:03d}.parquet"
-        shutil.copy(glob.glob(f"{part}/*.parquet")[0], dst)
+        shutil.copy(shards[0], dst)
         os.utime(dst, (1_700_000_000 + i * 10,) * 2)
     keyed_stream = file_stream(
         spark, feed, "user_key string", max_files_per_trigger=1
@@ -1124,26 +1129,37 @@ def stream_state_inspection(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = events_stream(spark, sf_dir).groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n")
     )
+    import shutil
+
     ckpt = tempfile.mkdtemp(prefix="lakeflow-state-insp-")
     name = f"state_insp_{abs(hash(ckpt)) % 10**8}"
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        q = (
-            agg.writeStream.outputMode("update")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                agg.writeStream.outputMode("update")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        q.awaitTermination()
+        state = read_aggregation_state(spark, ckpt)
+        # Pin the state rows into block storage so the checkpoint dir (a
+        # per-partition-per-batch state-store tree that otherwise
+        # accumulates on every verify/bench/parity run — VERDICT r11 #3)
+        # can be removed before returning. Bounded: one row per grouping
+        # key (event_type cardinality), not per input row.
+        return state.select(
+            "event_type", F.col("count").cast("bigint").alias("n")
+        ).localCheckpoint(eager=True)
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    q.awaitTermination()
-    state = read_aggregation_state(spark, ckpt)
-    return state.select(
-        "event_type", F.col("count").cast("bigint").alias("n")
-    )
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 @register(
