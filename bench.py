@@ -91,42 +91,46 @@ BENCH_QUERIES = [
 ]
 
 
-def _calibrate(spark, cpus: int) -> float:
-    """Fixed CPU-bound hardware probe: min of 3 runs of a modded xxhash64
+def _calibrate(spark, cpus: int) -> dict[str, float]:
+    """Fixed CPU-bound hardware probe: five runs of a modded xxhash64
     sum over 200M synthetic longs (no IO, no Python, one partial agg; the
-    mod keeps ANSI mode from overflowing the long sum). The min is the
-    cleanest estimate of raw JVM/CPU speed on this box. Emitted as
-    ``calib`` in the stdout record so cross-round drift is attributable by
-    MEASUREMENT: a uniform per-query drift that tracks the calib ratio is
-    the environment (r10 observed a 1.16× uniform shift when the round
-    continued on a different sandbox); drift that the calib ratio does not
-    explain is plan cost."""
-    best = float("inf")
-    for _ in range(3):
+    mod keeps ANSI mode from overflowing the long sum). Emitted in the
+    stdout record so cross-round drift is attributable by MEASUREMENT: a
+    uniform per-query drift that tracks the calib ratio is the environment
+    (r10 observed a 1.16× uniform shift when the round continued on a
+    different sandbox); drift that the calib ratio does not explain is
+    plan cost.
+
+    Three fields (VERDICT r11 ask #4 — the probe swung 0.214↔0.170 on one
+    HEAD while the warm pass held ±0.5%, so a single number can't be read
+    mechanically): ``calib`` = min of 5 (raw CPU speed, comparable with
+    every prior round's min-of-3), ``calib_med`` = median of 5 (the
+    scheduler-loaded reading), ``calib_disp`` = (max−min)/median — the
+    probe's own jitter that round. BASELINE.md states the decision rule:
+    trust the raw pass-2 pair; consult calib only for ≥1.1× uniform
+    drifts, and only when calib_disp is small enough to make the ratio
+    meaningful."""
+    runs = []
+    for _ in range(5):
         t0 = time.perf_counter()
         spark.range(0, 200_000_000, 1, cpus).selectExpr(
             "sum(xxhash64(id) % 1000000) AS s"
         ).collect()
-        best = min(best, time.perf_counter() - t0)
-    return round(best, 3)
+        runs.append(time.perf_counter() - t0)
+    runs.sort()
+    med = runs[2]
+    return {
+        "calib": round(runs[0], 3),
+        "calib_med": round(med, 3),
+        "calib_disp": round((runs[-1] - runs[0]) / med, 3) if med else None,
+    }
 
 
-def _write_pass2_artifact(
-    sf: float | None,
-    calib: float,
-    pass1: dict[str, float],
-    pass2: dict[str, float],
-    total: float,
-    total2: float,
-) -> None:
-    """Commit-able warm-pass record (VERDICT r10 ask #2): the 1900-byte
-    stdout guard keeps per-query pass-2 detail off the driver-captured
-    line, so it rides a repo-root file instead. Round number = 1 + the
-    newest committed BENCH_r*.json — the same numbering the driver will
-    stamp on this round's record. Reruns within a round overwrite (last
-    run wins, matching the BENCH record the driver keeps).
-    ``pass2_per_calib`` is the environment-normalized reading (VERDICT r10
-    ask #7): BASELINE.md defines the expected cross-round band on it."""
+def _next_round() -> int:
+    """Round number = 1 + the newest committed BENCH_r*.json — the same
+    numbering the driver will stamp on this round's record. Reruns within
+    a round overwrite (last run wins, matching the BENCH record the driver
+    keeps)."""
     import glob
 
     root = os.path.dirname(os.path.abspath(__file__))
@@ -135,17 +139,38 @@ def _write_pass2_artifact(
         for p in glob.glob(os.path.join(root, "BENCH_r*.json"))
         if (m := re.search(r"r(\d+)\.json$", p))
     ]
-    rnd = (max(rounds) + 1) if rounds else 1
+    return (max(rounds) + 1) if rounds else 1
+
+
+def _write_pass2_artifact(
+    sf: float | None,
+    calib: dict[str, float],
+    pass1: dict[str, float],
+    pass2: dict[str, float],
+    total: float,
+    total2: float,
+) -> None:
+    """Commit-able warm-pass record (VERDICT r10 ask #2): the 1900-byte
+    stdout guard keeps per-query pass-2 detail off the driver-captured
+    line, so it rides a repo-root file instead.
+    ``pass2_per_calib`` is the environment-normalized reading (VERDICT r10
+    ask #7): BASELINE.md defines the expected cross-round band on it."""
+    rnd = _next_round()
+    root = os.path.dirname(os.path.abspath(__file__))
     path = os.path.join(root, f"bench_pass2_r{rnd:02d}.json")
     with open(path, "w") as f:
         json.dump(
             {
                 "round": rnd,
                 "sf": sf,
-                "calib": calib,
+                **calib,
                 "value": total,
                 "value_pass2": total2,
-                "pass2_per_calib": round(total2 / calib, 2) if calib else None,
+                "pass2_per_calib": (
+                    round(total2 / calib["calib"], 2)
+                    if calib["calib"]
+                    else None
+                ),
                 "queries_pass1": pass1,
                 "queries_pass2": pass2,
             },
@@ -154,6 +179,41 @@ def _write_pass2_artifact(
             sort_keys=True,
         )
     print(f"  pass2 artifact -> {path}", file=sys.stderr)
+
+
+def _write_full_artifact(
+    sf: float | None,
+    calib: dict[str, float],
+    headline: dict[str, float],
+    tail: dict[str, float],
+    failed: list[str],
+) -> None:
+    """Commit-able FULL-SWEEP record (VERDICT r11 ask #2): the per-query
+    cost of every registered query, so a cross-round full_total delta is
+    attributable from committed files instead of a stale stderr log.
+    ``queries`` merges the headline pass-1 times with the tail sweep —
+    together they cover the whole registry; ``failed`` names any query
+    that errored mid-sweep (the committed round record must have none)."""
+    rnd = _next_round()
+    root = os.path.dirname(os.path.abspath(__file__))
+    path = os.path.join(root, f"bench_full_r{rnd:02d}.json")
+    queries = {**headline, **tail}
+    with open(path, "w") as f:
+        json.dump(
+            {
+                "round": rnd,
+                "sf": sf,
+                **calib,
+                "full_total": round(sum(queries.values()), 3),
+                "full_n": len(queries),
+                "failed": sorted(failed),
+                "queries": queries,
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
+    print(f"  full-sweep artifact -> {path}", file=sys.stderr)
 
 
 def main() -> None:
@@ -205,6 +265,8 @@ def main() -> None:
     except Exception as exc:
         print(f"  PYSOURCE-WARMUP FAILED: {exc!r}"[:300], file=sys.stderr)
 
+    failed: list[str] = []
+
     def run_set(
         names: list[str], drain_every: int | None = None
     ) -> dict[str, float]:
@@ -217,6 +279,7 @@ def main() -> None:
                 df.write.format("noop").mode("overwrite").save()
             except Exception as exc:  # one broken query must not sink the run
                 print(f"  {name}: FAILED {exc!r}"[:300], file=sys.stderr)
+                failed.append(name)
                 continue
             timings[name] = round(time.perf_counter() - t0, 3)
             print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
@@ -246,7 +309,11 @@ def main() -> None:
         # handling cache pressure across the 160+-query sweep.
 
     calib = _calibrate(spark, int(cpus))
-    print(f"  calib: {calib:.3f}s", file=sys.stderr)
+    print(
+        f"  calib: {calib['calib']:.3f}s (med {calib['calib_med']:.3f}, "
+        f"disp {calib['calib_disp']:.3f})",
+        file=sys.stderr,
+    )
 
     headline = only if only is not None else BENCH_QUERIES
     timings = run_set(headline)
@@ -297,7 +364,7 @@ def main() -> None:
         "queries": timings,
         "value_pass2": total2,
         "sf": sf,
-        "calib": calib,
+        **calib,
     }
     if only is None:
         _write_pass2_artifact(sf, calib, timings, timings2, total, total2)
@@ -332,9 +399,11 @@ def main() -> None:
         # now was visible on stderr only. Surface the shortfall in the
         # driver-captured record itself; the contract test rejects a
         # committed round record that carries it.
-        failed = (len(headline) + len(tail)) - record["full_n"]
-        if failed:
-            record["full_failed"] = failed
+        n_failed = (len(headline) + len(tail)) - record["full_n"]
+        if n_failed:
+            record["full_failed"] = n_failed
+        if only is None:
+            _write_full_artifact(sf, calib, timings, tail_timings, failed)
 
     line = json.dumps(record, separators=(",", ":"))
     if len(line) > 1900:

@@ -256,7 +256,10 @@ def jaccard_pairs(
 
 
 def jaccard_verify(
-    shingles: DataFrame, candidates: DataFrame, min_sim: float = 0.0
+    shingles: DataFrame,
+    candidates: DataFrame,
+    min_sim: float = 0.0,
+    eager: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard for a given candidate pair list — the verification
     stage of the LSH pipeline (candidates from :func:`lsh_candidate_pairs`).
@@ -276,6 +279,13 @@ def jaccard_verify(
     falls back to shuffle when a pathological candidate set is huge), and
     the persisted working set is O(candidate docs · shingles_per_doc) —
     the size the verification stage touches by definition.
+
+    Cache lifetime (ADVICE r11): returned lazily, that working set's cache
+    entry is CALLER-owned — it lives until ``spark.catalog.clearCache()``
+    (the bench harness clears between passes) or session end. Long-lived
+    sessions calling this repeatedly should pass ``eager=True`` to
+    materialize the (candidate-bounded) pair output via ``localCheckpoint``
+    and unpersist the working set before return.
     """
     cand_ids = (
         candidates.select(F.col("id_a").alias("id"))
@@ -308,6 +318,9 @@ def jaccard_verify(
     )
     if min_sim > 0:
         out = out.filter(F.col("jaccard") >= min_sim)
+    if eager:
+        out = out.localCheckpoint(eager=True)
+        sh_c.unpersist()
     return out
 
 

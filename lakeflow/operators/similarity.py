@@ -739,6 +739,7 @@ def margin_knn_pairs(
     min_margin: float = 1.0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    eager: bool = False,
 ) -> DataFrame:
     """Margin-based bitext mining (Artetxe & Schwenk 2019, the CCMatrix /
     LASER recipe): score every cross-side pair by its cosine RATIO to the
@@ -759,6 +760,15 @@ def margin_knn_pairs(
     which swaps the pair step for an LSH shortlist and keeps everything
     from the margin normalization down — the windows are per-vector top-k
     (WindowGroupLimit prunes map-side) and the sums are combine-bounded.
+
+    Cache lifetime (ADVICE r11): the skinny pair frame is persisted so its
+    three consumers share one pair-generation pass. Returned lazily, the
+    cache entry is CALLER-owned — it lives in the session's CacheManager
+    until ``spark.catalog.clearCache()`` (the bench harness clears between
+    passes) or session end. Long-lived sessions calling this repeatedly
+    should pass ``eager=True``: the (small, one-row-per-src) output is
+    materialized via ``localCheckpoint`` and the working set unpersisted
+    before return.
 
     Output: (src_id, tgt_id, margin) — best tgt per src, margin ≥ min_margin.
     """
@@ -819,11 +829,15 @@ def margin_knn_pairs(
     best = Window.partitionBy("src_id").orderBy(
         F.desc("margin"), F.asc("tgt_id")
     )
-    return (
+    out = (
         margined.withColumn("rn", F.row_number().over(best))
         .filter((F.col("rn") == 1) & (F.col("margin") >= min_margin))
         .drop("rn")
     )
+    if eager:
+        out = out.localCheckpoint(eager=True)
+        pairs.unpersist()
+    return out
 
 
 def _probe_masks(planes: int, probe_bits: int) -> list[int]:
@@ -848,6 +862,7 @@ def margin_knn_pairs_ann(
     probe_bits: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    eager: bool = False,
 ) -> DataFrame:
     """Bitext mining at corpus scale: :func:`margin_knn_pairs` with the
     exact cross product replaced by a MULTI-PROBE LSH shortlist — candidate
@@ -969,11 +984,17 @@ def margin_knn_pairs_ann(
     best = Window.partitionBy("src_id").orderBy(
         F.desc("margin"), F.asc("tgt_id")
     )
-    return (
+    out = (
         margined.withColumn("rn", F.row_number().over(best))
         .filter((F.col("rn") == 1) & (F.col("margin") >= min_margin))
         .drop("rn")
     )
+    if eager:
+        # Same caller-owned-cache contract as margin_knn_pairs: opt-in
+        # eager release for long-lived sessions.
+        out = out.localCheckpoint(eager=True)
+        cand.unpersist()
+    return out
 
 
 def mmr_rerank(

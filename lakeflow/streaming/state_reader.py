@@ -49,13 +49,21 @@ def read_aggregation_state(
     """Flattened state of a streaming aggregation: one column per grouping
     key field plus one per aggregation buffer field (Spark's internal
     buffer names — `count`, `sum`, ... — not the query aliases, which do
-    not survive into the state schema)."""
+    not survive into the state schema). A buffer field whose name collides
+    with a grouping-key field (e.g. a column literally named ``count``)
+    keeps the key's bare name and surfaces as ``state_<name>`` instead
+    (ADVICE r11 — a bare double-select would emit ambiguous duplicate
+    columns)."""
+    from pyspark.sql import functions as F
+
     raw = read_state_store(spark, checkpoint, **options)
-    key_fields = [f"key.{f.name}" for f in raw.schema["key"].dataType.fields]
-    val_fields = [
-        f"value.{f.name}" for f in raw.schema["value"].dataType.fields
-    ]
-    return raw.select(*key_fields, *val_fields)
+    key_names = [f.name for f in raw.schema["key"].dataType.fields]
+    cols = [F.col(f"key.{n}").alias(n) for n in key_names]
+    taken = set(key_names)
+    for f in raw.schema["value"].dataType.fields:
+        out = f.name if f.name not in taken else f"state_{f.name}"
+        cols.append(F.col(f"value.{f.name}").alias(out))
+    return raw.select(*cols)
 
 
 def read_state_metadata(spark: SparkSession, checkpoint: str) -> DataFrame:

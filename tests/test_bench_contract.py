@@ -84,8 +84,11 @@ def test_full_headline_record_fits_driver_capture_window():
         "value_pass2": 9999.999,
         "sf": 0.1,
         "calib": 999.999,
+        "calib_med": 999.999,
+        "calib_disp": 9.999,
         "full_total": 9999.999,
         "full_n": 999,
+        "full_failed": 999,
     }
     line = json.dumps(record, separators=(",", ":"))
     assert len(line) < 1900, (
@@ -212,3 +215,49 @@ def test_committed_pass2_artifact_exists_parses_and_covers_headline():
     missing = set(bench.BENCH_QUERIES) - got
     assert not missing, f"{files[-1]}: pass-2 detail missing {sorted(missing)}"
     assert abs(sum(rec["queries_pass2"].values()) - rec["value_pass2"]) < 0.01
+
+
+def test_committed_full_artifact_exists_and_covers_registry():
+    """VERDICT r11 ask #2: every full sweep must leave a committed
+    per-query artifact (bench_full_r*.json) so cross-round full_total
+    deltas are attributable from the repo. The newest one must parse,
+    carry the three calib fields, report zero failures, and its per-query
+    dict must cover the ENTIRE registry as of the artifact's round —
+    today's registry minus any query registered after the sweep ran
+    (none, when the sweep is rerun after registrations as the round
+    workflow requires)."""
+    import glob
+
+    from lakeflow.queries import QUERIES
+
+    files = sorted(glob.glob(os.path.join(_REPO, "bench_full_r*.json")))
+    assert files, "no committed bench_full_r*.json artifact"
+    rec = json.load(open(files[-1]))
+    for k in ("calib", "calib_med", "calib_disp"):
+        assert rec[k] > 0, f"{files[-1]}: missing/zero {k}"
+    assert rec["failed"] == [], f"{files[-1]}: sweep failures {rec['failed']}"
+    assert rec["full_n"] == len(rec["queries"])
+    assert abs(sum(rec["queries"].values()) - rec["full_total"]) < 0.01
+    missing = set(QUERIES) - set(rec["queries"])
+    assert not missing, (
+        f"{files[-1]}: full-sweep detail missing {sorted(missing)} — rerun "
+        f"`python bench.py` after registering queries so the committed "
+        f"artifact covers the registry"
+    )
+
+
+def test_committed_pass2_artifact_carries_calib_dispersion():
+    """VERDICT r11 ask #4: the calib probe alone proved too jittery to
+    read (0.214↔0.170 on one HEAD); from r12 on, committed bench artifacts
+    must carry the min/median/dispersion triple so a judge can apply
+    BASELINE.md's decision rule mechanically."""
+    import glob
+
+    files = sorted(glob.glob(os.path.join(_REPO, "bench_pass2_r*.json")))
+    assert files
+    rec = json.load(open(files[-1]))
+    rnd = rec.get("round", 0)
+    if rnd < 12:
+        return  # pre-dispersion era artifact
+    assert rec["calib_med"] >= rec["calib"] > 0
+    assert rec["calib_disp"] >= 0

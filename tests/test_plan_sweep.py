@@ -49,7 +49,6 @@ KNOWN_BNLJ = {
     "histogram_quantile_sketch",
     "hll_partial_merge_verdict",
     "hybrid_rrf_topk",
-    "ivf_kmeans_recall_verdict",
     "kmv_join_cardinality_orders",
     "kmv_set_ops_custkeys",
     "multimodal_retrieval_topk",

@@ -226,3 +226,46 @@ def test_sessionizer_identical_under_rocksdb_provider(spark, tmp_path):
         "RocksDBStateStoreProvider"
     )
     assert rocks == default and default  # same sessions, non-empty
+
+
+def test_aggregation_state_key_buffer_name_collision(spark, tmp_path):
+    """A grouping key literally named `count` collides with Spark's
+    internal `count` aggregation-buffer field; the flattener must keep the
+    key's bare name and alias the buffer to `state_count` (ADVICE r11 —
+    a bare double-select would emit ambiguous duplicate columns)."""
+    import os
+
+    from lakeflow.streaming.state_reader import read_aggregation_state
+
+    feed = str(tmp_path / "cfeed")
+    os.makedirs(feed)
+    spark.createDataFrame(
+        [("x",), ("x",), ("y",)], "count string"
+    ).coalesce(1).write.mode("overwrite").parquet(feed)
+
+    ckpt = str(tmp_path / "cckpt")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            spark.readStream.schema("count string")
+            .parquet(feed)
+            .groupBy("count")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("state_collision_test")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q.awaitTermination()
+
+    state = read_aggregation_state(spark, ckpt)
+    assert state.columns == ["count", "state_count"]
+    assert {(r["count"], r.state_count) for r in state.collect()} == {
+        ("x", 2),
+        ("y", 1),
+    }
