@@ -1163,6 +1163,99 @@ def stream_state_inspection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_join_state_inspection",
+    oracle="""
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(count(*) AS BIGINT) AS buffered_views
+    FROM events WHERE event_type = 'view'
+    GROUP BY user_id
+    """,
+)
+def stream_join_state_inspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-state introspection (VERDICT r11 ask #6 — the aggregation
+    store went under the driver gate in r11; this registers a JOIN store):
+    run the watermarked view→purchase interval join
+    (`stream_stream_view_to_purchase`'s shape) with an eviction-free
+    watermark delay, then read the LEFT side's `keyToNumValues` store
+    straight out of the checkpoint (streaming/state_reader.py::
+    read_join_state) — per-user counts of buffered view rows. With nothing
+    evicted, the live join state IS "every view row, keyed by user", so
+    the batch groupBy over the same feed hash-checks it: a row buffered
+    under the wrong key, dropped by the store, or double-inserted on
+    replay breaks the hash. The incident surface this pins: "which side of
+    the join is holding the stuck rows, per key, live from the
+    checkpoint"."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lakeflow.streaming.state_reader import read_join_state
+
+    src = events_stream(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    # 3650-day delay: the final watermark lands far below every event, so
+    # the join evicts nothing and the left store's content is exactly the
+    # full view-side input — the state the ORACLE can reproduce. (The
+    # eviction boundary itself is engine-internal timing; pinning it would
+    # test Spark's scheduler, not the introspection surface.)
+    views = (
+        src.filter(F.col("event_type") == "view")
+        .withWatermark("ts", "3650 days")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+    )
+    purchases = (
+        src.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "3650 days")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select("view_id", "purchase_id", F.col("v_user").alias("user_id"))
+
+    ckpt = tempfile.mkdtemp(prefix="lakeflow-jstate-insp-")
+    name = f"jstate_insp_{abs(hash(ckpt)) % 10**8}"
+    try:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                joined.writeStream.format("memory")
+                .queryName(name)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        q.awaitTermination()
+        state = read_join_state(
+            spark, ckpt, side="left", key_names=["user_id"]
+        )
+        # Same checkpoint hygiene as stream_state_inspection: pin the
+        # (one-row-per-key) state and remove the store tree before return.
+        return state.select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.col("n_buffered").cast("bigint").alias("buffered_views"),
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+@register(
     "stream_kmv_distinct",
     oracle="""
     WITH u AS (

@@ -66,6 +66,41 @@ def read_aggregation_state(
     return raw.select(*cols)
 
 
+def read_join_state(
+    spark: SparkSession,
+    checkpoint: str,
+    side: str = "left",
+    key_names: list[str] | None = None,
+    **options,
+) -> DataFrame:
+    """Buffered-row counts per equi-join key for one side of a watermarked
+    stream-stream join — the "which side is holding the stuck rows"
+    incident question, answered from the checkpoint alone.
+
+    Spark keeps four stores per join (``{left,right}-keyToNumValues``,
+    ``{left,right}-keyWithIndexToValue``); this reads the ``keyToNumValues``
+    store of ``side``, whose key struct holds the equi-join key columns
+    (positionally named ``field0``, ``field1``, ... in the state schema —
+    pass ``key_names`` to restore the query's column names) and whose value
+    is the number of rows buffered under that key. Partition-parallel like
+    every state read; extra ``options`` (e.g. ``batch_id``) pass through.
+    """
+    from pyspark.sql import functions as F
+
+    raw = read_state_store(
+        spark, checkpoint, store_name=f"{side}-keyToNumValues", **options
+    )
+    fields = [f.name for f in raw.schema["key"].dataType.fields]
+    names = list(key_names) if key_names is not None else fields
+    if len(names) != len(fields):
+        raise ValueError(
+            f"key_names has {len(names)} entries for {len(fields)} join-key "
+            f"fields ({fields})"
+        )
+    cols = [F.col(f"key.{f}").alias(n) for f, n in zip(fields, names)]
+    return raw.select(*cols, F.col("value.value").alias("n_buffered"))
+
+
 def read_state_metadata(spark: SparkSession, checkpoint: str) -> DataFrame:
     """Checkpoint state CATALOG (Spark's `state-metadata` source): one row
     per (operator, store) with partition count and the committed batch-id

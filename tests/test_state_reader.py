@@ -269,3 +269,66 @@ def test_aggregation_state_key_buffer_name_collision(spark, tmp_path):
         ("x", 2),
         ("y", 1),
     }
+
+
+def test_read_join_state_flattens_key_and_counts(spark, tmp_path):
+    """read_join_state: the left keyToNumValues store flattened to
+    (join key, n_buffered); key_names restores the query's column names
+    over the state schema's positional field0/field1; a wrong-arity
+    key_names list is rejected."""
+    from datetime import datetime, timedelta
+
+    import pytest
+
+    from lakeflow.streaming.state_reader import read_join_state
+
+    t0 = datetime(2024, 1, 1)
+    feed = str(tmp_path / "jfeed")
+    spark.createDataFrame(
+        [
+            (1, t0, "v1"),
+            (1, t0 + timedelta(minutes=1), "v2"),
+            (2, t0, "v3"),
+            (1, t0 + timedelta(minutes=2), "p1"),
+        ],
+        "k long, ts timestamp, tag string",
+    ).coalesce(1).write.mode("overwrite").parquet(feed)
+    s = spark.readStream.schema("k long, ts timestamp, tag string").parquet(
+        feed
+    )
+    left = (
+        s.filter("tag like 'v%'")
+        .withColumnRenamed("ts", "lts")
+        .withWatermark("lts", "10 minutes")
+    )
+    right = (
+        s.filter("tag like 'p%'")
+        .select(F.col("k").alias("k2"), F.col("ts").alias("rts"), "tag")
+        .withWatermark("rts", "10 minutes")
+    )
+    joined = left.join(
+        right,
+        F.expr("k = k2 AND rts BETWEEN lts AND lts + INTERVAL 30 MINUTES"),
+    )
+    ckpt = str(tmp_path / "jckpt")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("join_state_flat_test")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q.awaitTermination()
+
+    state = read_join_state(spark, ckpt, side="left", key_names=["k"])
+    assert state.columns == ["k", "n_buffered"]
+    assert {(r.k, r.n_buffered) for r in state.collect()} == {(1, 2), (2, 1)}
+    rstate = read_join_state(spark, ckpt, side="right", key_names=["k"])
+    assert {(r.k, r.n_buffered) for r in rstate.collect()} == {(1, 1)}
+    with pytest.raises(ValueError, match="key_names has 2"):
+        read_join_state(spark, ckpt, key_names=["a", "b"])
