@@ -1198,6 +1198,47 @@ def test_asof_join_tied_right_rows_pick_deterministically(spark):
     assert len(results) == 1, f"tie winner varied with layout: {results}"
 
 
+def test_asof_join_total_order_suffix_handles_any_payload_type(spark):
+    """VERDICT r11 ask #8: the carried columns' sort proxies follow the
+    tie-break hash in the window sort, making the order unconditionally
+    total. Pin the two type edges: an ARRAY payload rides the sort suffix
+    directly (orderable nested type — must analyze and stay deterministic
+    across layouts), and a MAP payload — which Spark can neither sort nor
+    xxhash64 raw (joining one was an AnalysisException before r12) — rides
+    as entry-sorted map_entries and is ALSO layout-deterministic."""
+    from datetime import datetime
+
+    from lakeflow.operators.joins import asof_join
+
+    t = datetime(2024, 1, 1)
+    left = spark.createDataFrame([(1, t, "x")], "k long, ts timestamp, tag string")
+    arr_rows = [(1, t, [i, i + 1]) for i in (100, 200, 300)]
+    winners = set()
+    for parts, ordered in ((1, arr_rows), (5, arr_rows[::-1])):
+        right = spark.createDataFrame(
+            ordered, "k long, ts timestamp, rv array<int>"
+        ).repartition(parts)
+        got = asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="ts",
+            payload={"rv": "rv"},
+        ).collect()
+        winners.add(tuple(got[0].rv))
+    assert len(winners) == 1
+
+    map_rows = [(1, t, {"a": i}) for i in (1, 2, 3)]
+    map_winners = set()
+    for parts, ordered in ((1, map_rows), (5, map_rows[::-1])):
+        right_map = spark.createDataFrame(
+            ordered, "k long, ts timestamp, rv map<string,int>"
+        ).repartition(parts)
+        got = asof_join(
+            left, right_map, on=["k"], left_ts="ts", right_ts="ts",
+            payload={"rv": "rv"},
+        ).collect()
+        map_winners.add(got[0].rv["a"])
+    assert len(map_winners) == 1
+
+
 def test_asof_join_empty_payload_is_valid(spark):
     """Degenerate-but-legal call: payload={} with neither tolerance nor
     how='inner' leaves the carried-column dict empty, and the tie-break
