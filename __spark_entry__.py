@@ -19,6 +19,12 @@ from pyspark.sql import DataFrame, SparkSession
 def _configure(spark: SparkSession) -> None:
     """Pin the session confs correctness depends on (timezone, LTZ parquet
     timestamps) even when the driver built the session."""
+    # Scope every ephemeral mkdtemp (stream checkpoints, scratch tables)
+    # to a pid-keyed root removed at exit, so driver verify runs leave no
+    # temp debris behind (lakeflow/scratch.py).
+    from lakeflow.scratch import use_process_scratch
+
+    use_process_scratch()
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -83,8 +83,10 @@ def test_full_headline_record_fits_driver_capture_window():
         "queries": {n: 999.999 for n in bench.BENCH_QUERIES},
         "value_pass2": 9999.999,
         "sf": 0.1,
+        # stdout carries calib + calib_disp only (the decision-rule pair);
+        # calib_med rides the committed artifacts — the full triple plus
+        # per-query detail overflows this very budget.
         "calib": 999.999,
-        "calib_med": 999.999,
         "calib_disp": 9.999,
         "full_total": 9999.999,
         "full_n": 999,
