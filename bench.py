@@ -110,13 +110,22 @@ def _calibrate(spark, cpus: int) -> dict[str, float]:
     trust the raw pass-2 pair; consult calib only for ≥1.1× uniform
     drifts, and only when calib_disp is small enough to make the ratio
     meaningful."""
-    runs = []
-    for _ in range(5):
+
+    def probe() -> float:
         t0 = time.perf_counter()
         spark.range(0, 200_000_000, 1, cpus).selectExpr(
             "sum(xxhash64(id) % 1000000) AS s"
         ).collect()
-        runs.append(time.perf_counter() - t0)
+        return time.perf_counter() - t0
+
+    # One untimed warm-up first: the session's first execution of the
+    # probe pays whole-stage-codegen compile + classload (~1.5× the steady
+    # state), which otherwise lands in the max and makes calib_disp read
+    # ~1+ on every run — the <0.15 threshold in BASELINE.md's decision
+    # rule could never fire. Disp must measure scheduler jitter, not JVM
+    # warm-up.
+    probe()
+    runs = [probe() for _ in range(5)]
     runs.sort()
     med = runs[2]
     return {
