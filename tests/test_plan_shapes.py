@@ -851,7 +851,15 @@ def test_ivf_probe_cells_scan_is_partition_pruned(spark, tmp_path):
         )
 
     def assert_pruned_scan(df):
-        plan = df._jdf.queryExecution().executedPlan().toString()
+        # The scan line embeds the cells PATH, truncated to
+        # spark.sql.maxMetadataStringLength (default 100) — under a deep
+        # tmp root (e.g. the pid-keyed scratch dir) the '.../cells' suffix
+        # falls off the line. Widen while rendering this plan string.
+        spark.conf.set("spark.sql.maxMetadataStringLength", "512")
+        try:
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.unset("spark.sql.maxMetadataStringLength")
         scan_lines = [
             ln for ln in plan.splitlines()
             if "FileScan parquet" in ln and "cells" in ln
