@@ -61,6 +61,14 @@ def get_session(
     ``master=None`` defers to spark-submit / env (a real cluster); tests pass
     ``local[N]`` explicitly.
     """
+    # A lakeflow session implies lakeflow scratch: operators create
+    # ephemeral checkpoint/table dirs via tempfile, so scope them to a
+    # pid-keyed root removed at exit (lakeflow/scratch.py) — this is what
+    # keeps example/script subprocesses from accumulating /tmp debris
+    # without each one opting in.
+    from lakeflow.scratch import use_process_scratch
+
+    use_process_scratch()
     builder = SparkSession.builder.appName(app_name)
     if master:
         builder = builder.master(master)

@@ -43,3 +43,27 @@ def test_example_runs(example):
     assert proc.returncode == 0, (
         f"{example} failed:\n{proc.stdout[-1500:]}\n{proc.stderr[-1500:]}"
     )
+
+
+def test_example_subprocess_leaves_no_temp_debris(tmp_path):
+    """Examples are subprocesses, so the conftest scratch root can't cover
+    them — `get_session` installs it per process instead
+    (lakeflow/session.py). Pin that: run one example with TMPDIR pointed
+    at a fresh dir; after a clean exit the dir must hold nothing but
+    pytest's own bookkeeping — every mkdtemp the example made (work dirs,
+    stream checkpoints) rode the pid-keyed scratch root and was removed
+    at exit."""
+    tdir = tmp_path / "ex-tmp"
+    tdir.mkdir()
+    env = dict(os.environ, TMPDIR=str(tdir))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(_REPO, "examples", "streaming_cdc.py")],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=_REPO,
+        env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    left = [p.name for p in tdir.iterdir()]
+    assert left == [], f"example left temp debris: {left}"
