@@ -279,11 +279,19 @@ def main() -> None:
     except Exception as exc:
         print(f"  PYSOURCE-WARMUP FAILED: {exc!r}"[:300], file=sys.stderr)
 
+    # The full-sweep artifact's failure record covers the runs whose
+    # timings it carries (pass 1 ∪ tail) — pass-2 failures are a warm-pass
+    # signal, not missing sweep coverage, so they get their own sink
+    # (stderr + the pass-2 artifact consumers see the missing key) rather
+    # than conflating into `failed` and tripping the artifact contract.
     failed: list[str] = []
 
     def run_set(
-        names: list[str], drain_every: int | None = None
+        names: list[str],
+        drain_every: int | None = None,
+        fail_sink: list[str] | None = None,
     ) -> dict[str, float]:
+        sink = failed if fail_sink is None else fail_sink
         timings: dict[str, float] = {}
         for i, name in enumerate(names):
             fn = QUERIES[name]
@@ -293,7 +301,8 @@ def main() -> None:
                 df.write.format("noop").mode("overwrite").save()
             except Exception as exc:  # one broken query must not sink the run
                 print(f"  {name}: FAILED {exc!r}"[:300], file=sys.stderr)
-                failed.append(name)
+                if name not in sink:
+                    sink.append(name)
                 continue
             timings[name] = round(time.perf_counter() - t0, 3)
             print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
@@ -358,7 +367,8 @@ def main() -> None:
     except Exception:
         pass
     print("  -- headline pass 2 (warm code, fresh cache) --", file=sys.stderr)
-    timings2 = run_set(headline)
+    pass2_failed: list[str] = []
+    timings2 = run_set(headline, fail_sink=pass2_failed)
     # Pass-2 PER-QUERY detail goes to STDERR, like the full-surface tail:
     # r8 proved that carrying a second 56-entry dict on stdout pushes the
     # line past the driver's ~2000-char capture window and the ENTIRE

@@ -14,11 +14,13 @@ import tempfile
 
 from lakeflow.catalog import load_table
 from lakeflow.plans.medallion import build_medallion_pipeline
+from lakeflow.scratch import use_process_scratch
 from lakeflow.session import get_session
 
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    use_process_scratch()  # pid-keyed temp scope, removed at exit
     spark = get_session("example-medallion", master="local[8]", shuffle_partitions=8)
     work = tempfile.mkdtemp(prefix="medallion_example_")
 

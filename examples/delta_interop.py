@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from lakeflow.catalog import load_table
 from lakeflow.formats import export_delta, import_delta, read_delta_log
+from lakeflow.scratch import use_process_scratch
 from lakeflow.session import get_session
 from lakeflow.sources.delta_stream import register_delta_log_source
 from lakeflow.streaming.sinks import run_to_memory
@@ -26,6 +27,7 @@ from lakeflow.tables import VersionedTable
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    use_process_scratch()  # pid-keyed temp scope, removed at exit
     spark = get_session("example-delta", master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
 

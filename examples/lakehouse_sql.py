@@ -15,6 +15,7 @@ from lakeflow import LakehouseSQL, TableCatalog, get_session
 
 
 def main() -> None:
+    use_process_scratch()  # pid-keyed temp scope, removed at exit
     spark = get_session("example-sql", master="local[8]", shuffle_partitions=8)
     lh = LakehouseSQL(
         spark, TableCatalog(spark, tempfile.mkdtemp(prefix="lh_sql_"))

@@ -19,11 +19,13 @@ from pyspark.sql import functions as F
 from lakeflow.catalog import load_table
 from lakeflow.operators import dedup as dd
 from lakeflow.operators import text as tx
+from lakeflow.scratch import use_process_scratch
 from lakeflow.session import get_session
 
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    use_process_scratch()  # pid-keyed temp scope, removed at exit
     spark = get_session("example-curation", master="local[8]", shuffle_partitions=8)
     docs = load_table(spark, sf_dir, "documents")
     n0 = docs.count()

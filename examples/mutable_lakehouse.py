@@ -17,6 +17,7 @@ import tempfile
 from pyspark.sql import functions as F
 
 from lakeflow.catalog import load_table
+from lakeflow.scratch import use_process_scratch
 from lakeflow.session import get_session
 from lakeflow.tables import ConstraintViolationError, VersionedTable
 from lakeflow.views import IncrementalAggView
@@ -24,6 +25,7 @@ from lakeflow.views import IncrementalAggView
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    use_process_scratch()  # pid-keyed temp scope, removed at exit
     spark = get_session("example-mutable", master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
     work = tempfile.mkdtemp(prefix="mutable_lakehouse_")

@@ -28,11 +28,13 @@ from lakeflow.operators.aggregates import (
     merge_histograms,
     merge_kmv_minima,
 )
+from lakeflow.scratch import use_process_scratch
 from lakeflow.session import get_session
 
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    use_process_scratch()  # pid-keyed temp scope, removed at exit
     spark = get_session("example-sketches", master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
 

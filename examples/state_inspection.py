@@ -18,6 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from lakeflow.catalog import load_table
+from lakeflow.scratch import use_process_scratch
 from lakeflow.session import get_session
 from lakeflow.streaming.state_reader import (
     read_aggregation_state,
@@ -28,6 +29,7 @@ from lakeflow.streaming.state_reader import (
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    use_process_scratch()  # pid-keyed temp scope, removed at exit
     spark = get_session(
         "state-inspection", master="local[4]", shuffle_partitions=4
     )

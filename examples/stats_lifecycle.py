@@ -24,12 +24,14 @@ from pyspark.sql import functions as F
 
 from lakeflow.catalog import load_table
 from lakeflow.operators.joins import ndv_planned_join, stats_join_cardinality
+from lakeflow.scratch import use_process_scratch
 from lakeflow.session import get_session
 from lakeflow.tables import VersionedTable
 
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    use_process_scratch()  # pid-keyed temp scope, removed at exit
     spark = get_session(
         "example-stats", master="local[8]", shuffle_partitions=8
     )

@@ -13,6 +13,7 @@ import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from lakeflow.scratch import use_process_scratch
 from lakeflow.session import get_session
 from lakeflow.sources.table_stream import register_table_changes_source
 from lakeflow.streaming.sinks import stream_apply_changes
@@ -20,6 +21,7 @@ from lakeflow.tables import VersionedTable
 
 
 def main() -> None:
+    use_process_scratch()  # pid-keyed temp scope, removed at exit
     spark = get_session("example-cdc", master="local[8]", shuffle_partitions=8)
     register_table_changes_source(spark)
     work = tempfile.mkdtemp(prefix="cdc_example_")

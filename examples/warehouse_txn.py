@@ -17,6 +17,7 @@ import tempfile
 from pyspark.sql import functions as F
 
 from lakeflow.catalog import load_table
+from lakeflow.scratch import use_process_scratch
 from lakeflow.session import get_session
 from lakeflow.sqlx import LakehouseSQL
 from lakeflow.tables import TableCatalog
@@ -25,6 +26,7 @@ from lakeflow.txn import CatalogRef
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    use_process_scratch()  # pid-keyed temp scope, removed at exit
     spark = get_session("example-txn", master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
 

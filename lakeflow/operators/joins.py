@@ -69,8 +69,17 @@ def star_flatten(
 
 def _orderable(dt) -> bool:
     """True when Spark can sort values of this type (MapType can never be
-    a sort key; arrays/structs sort iff their elements do)."""
-    from pyspark.sql.types import ArrayType, MapType, StructType
+    a sort key; arrays/structs sort iff their elements do; calendar
+    intervals and variants are hashable but NOT orderable, so defaulting
+    the base case to True would push them into a window ORDER BY and fail
+    analysis — whitelist the atomic families Spark's TypeUtils orders)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        AtomicType,
+        MapType,
+        NullType,
+        StructType,
+    )
 
     if isinstance(dt, MapType):
         return False
@@ -78,7 +87,19 @@ def _orderable(dt) -> bool:
         return _orderable(dt.elementType)
     if isinstance(dt, StructType):
         return all(_orderable(f.dataType) for f in dt.fields)
-    return True
+    # Every AtomicType subclass (string/numeric/bool/binary/date/timestamp/
+    # day-time & year-month intervals) sorts — EXCEPT Variant, which
+    # subclasses AtomicType in PySpark 4 but has no ordering in Spark SQL.
+    # NullType sorts trivially. What's left — CalendarIntervalType,
+    # user-defined types — does not sort.
+    try:
+        from pyspark.sql.types import VariantType
+
+        if isinstance(dt, VariantType):
+            return False
+    except ImportError:  # pre-4.0 pyspark has no Variant
+        pass
+    return isinstance(dt, (AtomicType, NullType))
 
 
 def _sort_proxy(name: str, dt) -> F.Column | None:

@@ -1132,15 +1132,17 @@ def stream_state_inspection(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     ckpt = tempfile.mkdtemp(prefix="lakeflow-state-insp-")
-    name = f"state_insp_{abs(hash(ckpt)) % 10**8}"
     try:
         prev = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", "8")
         try:
+            # noop sink: only the checkpointed STATE is read back — the
+            # update-mode output stream itself is never consumed, so
+            # materializing it through a memory sink was pure waste (the
+            # same reasoning as stream_join_state_inspection's sink).
             q = (
                 agg.writeStream.outputMode("update")
-                .format("memory")
-                .queryName(name)
+                .format("noop")
                 .option("checkpointLocation", ckpt)
                 .trigger(availableNow=True)
                 .start()
@@ -1158,7 +1160,6 @@ def stream_state_inspection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", F.col("count").cast("bigint").alias("n")
         ).localCheckpoint(eager=True)
     finally:
-        spark.catalog.dropTempView(name)
         shutil.rmtree(ckpt, ignore_errors=True)
 
 

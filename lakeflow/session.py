@@ -61,14 +61,12 @@ def get_session(
     ``master=None`` defers to spark-submit / env (a real cluster); tests pass
     ``local[N]`` explicitly.
     """
-    # A lakeflow session implies lakeflow scratch: operators create
-    # ephemeral checkpoint/table dirs via tempfile, so scope them to a
-    # pid-keyed root removed at exit (lakeflow/scratch.py) — this is what
-    # keeps example/script subprocesses from accumulating /tmp debris
-    # without each one opting in.
-    from lakeflow.scratch import use_process_scratch
-
-    use_process_scratch()
+    # NOTE: ephemeral-dir hygiene (lakeflow/scratch.py) is deliberately
+    # NOT installed here — redirecting process-global tempfile state and
+    # deleting the root at exit is a harness decision (it would break an
+    # embedding app's NamedTemporaryFile(delete=False) contract). The
+    # harnesses (bench.py, tests/conftest.py, __spark_entry__) and each
+    # example opt in explicitly via use_process_scratch().
     builder = SparkSession.builder.appName(app_name)
     if master:
         builder = builder.master(master)

@@ -87,6 +87,10 @@ def read_join_state(
     """
     from pyspark.sql import functions as F
 
+    if side not in ("left", "right"):
+        # Fail here with the two valid values rather than deep inside
+        # Spark's statestore reader with an unnamed-store error.
+        raise ValueError(f"side must be 'left' or 'right', got {side!r}")
     raw = read_state_store(
         spark, checkpoint, store_name=f"{side}-keyToNumValues", **options
     )

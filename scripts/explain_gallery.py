@@ -99,9 +99,11 @@ GALLERY = [
 
 def main() -> None:
     from lakeflow.queries import QUERIES
+    from lakeflow.scratch import use_process_scratch
     from lakeflow.session import get_session
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    use_process_scratch()  # pid-keyed temp scope, removed at exit
     spark = get_session("explain-gallery", master="local[4]", shuffle_partitions=4)
     spark.sparkContext.setLogLevel("ERROR")
 

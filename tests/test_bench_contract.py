@@ -235,8 +235,11 @@ def test_committed_full_artifact_exists_and_covers_registry():
     files = sorted(glob.glob(os.path.join(_REPO, "bench_full_r*.json")))
     assert files, "no committed bench_full_r*.json artifact"
     rec = json.load(open(files[-1]))
-    for k in ("calib", "calib_med", "calib_disp"):
+    for k in ("calib", "calib_med"):
         assert rec[k] > 0, f"{files[-1]}: missing/zero {k}"
+    # Dispersion's valid range INCLUDES 0 (five probe runs can round to
+    # identical ms on a quiet box); only absence is a defect.
+    assert rec["calib_disp"] >= 0
     assert rec["failed"] == [], f"{files[-1]}: sweep failures {rec['failed']}"
     assert rec["full_n"] == len(rec["queries"])
     assert abs(sum(rec["queries"].values()) - rec["full_total"]) < 0.01

@@ -1238,6 +1238,23 @@ def test_asof_join_total_order_suffix_handles_any_payload_type(spark):
         map_winners.add(got[0].rv["a"])
     assert len(map_winners) == 1
 
+    # Hashable-but-unorderable payload (CalendarIntervalType): Spark can
+    # xxhash64 it but a window ORDER BY on it is an AnalysisException —
+    # _orderable must refuse it (base case whitelists AtomicType, not
+    # "everything non-nested") so the column stays out of the sort suffix
+    # and the join still analyzes. Tie-break totality is then only
+    # hash-strong for this column, which the docstring documents.
+    right_iv = spark.createDataFrame(
+        [(1, t, 3)], "k long, ts timestamp, months int"
+    ).selectExpr("k", "ts", "make_interval(0, months) AS rv")
+    joined_iv = asof_join(
+        left, right_iv, on=["k"], left_ts="ts", right_ts="ts",
+        payload={"rv": "rv"},
+    )
+    # CalendarInterval has no Python deserializer, so assert JVM-side:
+    # exactly one row, payload attached.
+    assert joined_iv.where("rv IS NOT NULL").count() == 1
+
 
 def test_asof_join_empty_payload_is_valid(spark):
     """Degenerate-but-legal call: payload={} with neither tolerance nor

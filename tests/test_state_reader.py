@@ -332,3 +332,7 @@ def test_read_join_state_flattens_key_and_counts(spark, tmp_path):
     assert {(r.k, r.n_buffered) for r in rstate.collect()} == {(1, 1)}
     with pytest.raises(ValueError, match="key_names has 2"):
         read_join_state(spark, ckpt, key_names=["a", "b"])
+    # Only exactly 'left'/'right' name a store — anything else must fail
+    # with the valid values, not a cryptic statestore-source error.
+    with pytest.raises(ValueError, match="side must be"):
+        read_join_state(spark, ckpt, side="Left")
