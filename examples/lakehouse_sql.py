@@ -12,6 +12,7 @@ import tempfile
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from lakeflow import LakehouseSQL, TableCatalog, get_session
+from lakeflow.scratch import use_process_scratch
 
 
 def main() -> None:
