@@ -157,20 +157,11 @@ for _rnd, _names in _VERIFIED_ROUNDS.items():
 # CORRECTNESS_r11.json and were pruned in r12).
 # r12: stream_state_inspection now scopes its state checkpoint —
 # localCheckpoint(eager) pins the state rows, then try/finally removes
-# the mkdtemp checkpoint tree and drops the memory-sink view (VERDICT
-# r11 "What's wrong" #3); stream_cms_heavy_hitters gained the
-# empty-chunk glob guard (ADVICE r11); ivf_kmeans_recall_verdict now
-# consumes its two persisted arms in-function (scalar counts — the
-# watermark pattern) and unpersists them deterministically instead of
-# returning a lazy plan that pins both caches for the session (ADVICE
-# r11). Same oracles, listed until the driver re-greens them.
-_REWRITTEN_SINCE_GREEN: frozenset[str] = frozenset(
-    {
-        "stream_state_inspection",
-        "stream_cms_heavy_hitters",
-        "ivf_kmeans_recall_verdict",
-    }
-)
+# r12's three rewrites (stream_state_inspection,
+# stream_cms_heavy_hitters, ivf_kmeans_recall_verdict) all re-greened
+# in CORRECTNESS_r12.json and were pruned at r13 start. Any r13
+# callable rewrite of a green query must re-list it here.
+_REWRITTEN_SINCE_GREEN: frozenset[str] = frozenset()
 
 
 def _helper_change_rounds(ledger: dict | None = None) -> dict[str, int]:
