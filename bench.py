@@ -151,6 +151,39 @@ def _next_round() -> int:
     return (max(rounds) + 1) if rounds else 1
 
 
+def _provenance() -> dict:
+    """Measuring-commit stamp for bench artifacts (VERDICT r12 ask #2:
+    r12's committed artifacts predated final HEAD by two product-code
+    commits and a judge could not confirm the neutrality claim from
+    committed files). ``head_sha`` is the commit the bench ran at;
+    ``tree_dirty`` flags uncommitted changes in tracked files at measure
+    time. The round workflow re-runs the bench at final HEAD, so a
+    committed artifact whose head_sha is not the round's final commit
+    must carry ``note`` (set SPARK_GRAFT_BENCH_NOTE) naming the modules
+    changed since and why they are plan-neutral."""
+    import subprocess
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    try:
+        sha = subprocess.run(
+            ["git", "rev-parse", "HEAD"], cwd=root, capture_output=True,
+            text=True, timeout=10,
+        ).stdout.strip()
+        dirty = bool(
+            subprocess.run(
+                ["git", "status", "--porcelain", "--untracked-files=no"],
+                cwd=root, capture_output=True, text=True, timeout=10,
+            ).stdout.strip()
+        )
+    except Exception:
+        sha, dirty = None, None
+    out = {"head_sha": sha or None, "tree_dirty": dirty}
+    note = os.environ.get("SPARK_GRAFT_BENCH_NOTE")
+    if note:
+        out["note"] = note
+    return out
+
+
 def _write_pass2_artifact(
     sf: float | None,
     calib: dict[str, float],
@@ -172,6 +205,7 @@ def _write_pass2_artifact(
             {
                 "round": rnd,
                 "sf": sf,
+                **_provenance(),
                 **calib,
                 "value": total,
                 "value_pass2": total2,
@@ -212,6 +246,7 @@ def _write_full_artifact(
             {
                 "round": rnd,
                 "sf": sf,
+                **_provenance(),
                 **calib,
                 "full_total": round(sum(queries.values()), 3),
                 "full_n": len(queries),

@@ -108,8 +108,13 @@ def _sort_proxy(name: str, dt) -> F.Column | None:
     top-level MAP — which Spark can neither sort nor hash — the
     entry-sorted ``array_sort(map_entries(c))`` canonical form (so two
     equal maps compare equal whatever their internal order), provided the
-    entries themselves are orderable. None when no deterministic stand-in
-    exists (e.g. a map nested inside an array)."""
+    entries themselves are orderable; for a top-level VARIANT — which
+    Spark can neither sort nor hash — the ``to_json`` canonical string
+    (parse_json sorts object keys, so value-equal variants serialize
+    identically); for a top-level CALENDAR INTERVAL the canonical
+    ``cast(string)`` form (CalendarInterval.toString prints the
+    months/days/micros triple injectively). None when no deterministic
+    stand-in exists (e.g. a map or variant nested inside an array)."""
     from pyspark.sql.types import MapType, StructField, StructType
 
     if isinstance(dt, MapType):
@@ -119,7 +124,46 @@ def _sort_proxy(name: str, dt) -> F.Column | None:
         if _orderable(entry):
             return F.array_sort(F.map_entries(F.col(name)))
         return None
+    try:
+        from pyspark.sql.types import VariantType
+
+        if isinstance(dt, VariantType):
+            return F.to_json(F.col(name))
+    except ImportError:  # pre-4.0 pyspark has no Variant
+        pass
+    from pyspark.sql.types import CalendarIntervalType
+
+    if isinstance(dt, CalendarIntervalType):
+        return F.col(name).cast("string")
     return F.col(name) if _orderable(dt) else None
+
+
+def _hashable(dt) -> bool:
+    """True when ``xxhash64`` accepts values of this type raw. Spark's
+    hash family rejects any type that CONTAINS a MapType
+    (DATATYPE_MISMATCH.HASH_MAP_TYPE) or a VariantType
+    (HASH_VARIANT_TYPE), at any nesting depth; everything else —
+    including CalendarIntervalType and interval-bearing structs/arrays,
+    which window ORDER BY rejects — hashes fine (verified empirically on
+    PySpark 4.1)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType, UserDefinedType
+
+    if isinstance(dt, MapType):
+        return False
+    if isinstance(dt, UserDefinedType):
+        return False
+    try:
+        from pyspark.sql.types import VariantType
+
+        if isinstance(dt, VariantType):
+            return False
+    except ImportError:
+        pass
+    if isinstance(dt, ArrayType):
+        return _hashable(dt.elementType)
+    if isinstance(dt, StructType):
+        return all(_hashable(f.dataType) for f in dt.fields)
+    return True
 
 
 def asof_join(
@@ -166,14 +210,18 @@ def asof_join(
     timestamp as a left row DO match (ties ordered right-before-left).
     Tied right rows resolve by a payload-hash sort key FOLLOWED by the
     carried columns themselves (each via a sortable canonical form —
-    top-level maps ride as entry-sorted ``map_entries``, which also makes
-    map payloads hashable at all; Spark can neither sort nor xxhash64 a
-    raw MAP), so the winner is unconditionally total and
+    top-level maps ride as entry-sorted ``map_entries``, variants as
+    their key-sorted ``to_json`` string, calendar intervals as their
+    canonical ``cast(string)``; Spark can neither sort nor xxhash64 a
+    raw MAP or VARIANT), so the winner is unconditionally total and
     layout-independent: the hash keeps the comparison cheap and
     discriminating, the raw-column suffix breaks the ~2^-64 hash-collision
-    case outright (VERDICT r11 ask #8). Only payloads with no sortable
-    canonical form (a map nested inside an array) drop out of the
-    tie-break entirely.
+    case outright (VERDICT r11 ask #8). Payloads that Spark can hash but
+    not sort even via a canonical form (e.g. a struct containing a
+    calendar interval) ride raw in the HASH only — for them the
+    tie-break is hash-strong rather than total (ADVICE r12 #1). Only
+    payloads that are neither sortable nor hashable (a map or variant
+    nested inside an array/struct) drop out of the tie-break entirely.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
@@ -221,12 +269,21 @@ def asof_join(
     # their carried payloads are value-equal, in which case either winner
     # is the same answer (VERDICT r11 ask #8). Cost: the suffix
     # comparators run only on hash ties, i.e. almost never.
-    proxies = [
-        p
-        for src, dst in carried.items()
-        if (p := _sort_proxy(dst, right.schema[src].dataType)) is not None
-    ]
-    tie = F.xxhash64(F.col("__ts"), *proxies)
+    proxies = []
+    hash_only = []
+    for src, dst in carried.items():
+        dt = right.schema[src].dataType
+        p = _sort_proxy(dst, dt)
+        if p is not None:
+            proxies.append(p)
+        elif _hashable(dt):
+            # No sortable canonical form, but xxhash64 takes it raw
+            # (e.g. struct<interval>): keep it in the HASH so tied rows
+            # differing only here still get distinct sort keys — just not
+            # in the ORDER BY suffix, which would fail analysis
+            # (ADVICE r12 #1).
+            hash_only.append(F.col(dst))
+    tie = F.xxhash64(F.col("__ts"), *proxies, *hash_only)
     tie_keys = [tie.asc()] + [p.asc_nulls_first() for p in proxies]
     if time_bucket_seconds is None:
         w = (

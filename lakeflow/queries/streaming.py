@@ -1264,6 +1264,105 @@ def stream_join_state_inspection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_join_buffered_rows",
+    oracle="""
+    SELECT CAST(e.event_id AS BIGINT) AS purchase_id,
+           CAST(e.user_id AS BIGINT) AS user_id,
+           EXISTS (
+               SELECT 1 FROM events v
+               WHERE v.event_type = 'view'
+                 AND v.user_id = e.user_id
+                 AND e.ts > v.ts
+                 AND e.ts <= v.ts + INTERVAL 30 MINUTE
+           ) AS matched
+    FROM events e
+    WHERE e.event_type = 'purchase' AND e.user_id % 4 = 0
+    """,
+)
+def stream_join_buffered_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The buffered-VALUES half of join-state introspection (VERDICT r12
+    ask #4): `stream_join_state_inspection` reads `keyToNumValues` — counts
+    per key, "which key is holding stuck rows"; this reads the right
+    side's `keyWithIndexToValue` store — the actual buffered purchase ROWS
+    plus Spark's per-row `matched` flag, "WHICH rows are stuck and did
+    they ever join". Same eviction-free view→purchase interval join as the
+    counts query, so the right store's content is exactly the purchase
+    slice of the feed, and the flag is true iff a view matched the
+    purchase under the join condition — both reproducible by the batch
+    oracle (the EXISTS mirrors `p_ts > v_ts AND p_ts <= v_ts + 30 min`).
+    A buffered row dropped, duplicated on replay, keyed wrong, or a
+    matched flag that disagrees with the emitted pairs breaks the hash.
+    Partition-parallel: the store scan is one task per state partition."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lakeflow.streaming.state_reader import read_join_buffered_rows
+
+    # Same deterministic quarter-slice as stream_join_state_inspection —
+    # the introspection surface is size-invariant; the slice bounds the
+    # in-sweep state-write cost.
+    src = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("user_id") % 4 == 0)
+        .select("event_id", "ts", "user_id", "event_type")
+    )
+    views = (
+        src.filter(F.col("event_type") == "view")
+        .withWatermark("ts", "3650 days")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+    )
+    purchases = (
+        src.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "3650 days")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select("view_id", "purchase_id", F.col("v_user").alias("user_id"))
+
+    ckpt = tempfile.mkdtemp(prefix="lakeflow-jrows-insp-")
+    try:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                joined.writeStream.format("noop")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        q.awaitTermination()
+        rows = read_join_buffered_rows(
+            spark, ckpt, side="right", key_names=["user_id"]
+        )
+        # One output row per buffered purchase; pin into block storage so
+        # the checkpoint tree can be removed before return (same hygiene
+        # as the counts query).
+        return rows.select(
+            F.col("purchase_id").cast("bigint").alias("purchase_id"),
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.col("matched").alias("matched"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+@register(
     "stream_kmv_distinct",
     oracle="""
     WITH u AS (

@@ -31,20 +31,29 @@ _ROOT: str | None = None
 
 
 def use_process_scratch() -> str:
-    """Idempotently route ``tempfile`` into ``<tmp>/lakeflow-scratch-<pid>``
-    and register its removal at interpreter exit. Returns the root.
+    """Idempotently route ``tempfile`` into a fresh
+    ``<tmp>/lakeflow-scratch-<pid>-<rand>`` dir and register its removal
+    at interpreter exit. Returns the root.
 
     Safe to call from multiple harness layers (bench + entry + conftest):
     the first call wins, later calls return the same root. Streams are all
     awaited (``availableNow``) and every returned DataFrame is consumed
     in-process, so nothing references the root after exit.
+
+    ``mkdtemp`` (not a deterministic pid path) so a run never adopts a
+    stale root left by a crashed process whose pid got recycled — the
+    0700-mode random suffix is unique per call; the pid in the prefix is
+    just a debugging aid (ADVICE r12 #3). A crashed/killed run can still
+    leave its own root behind (atexit never fired) — acceptable: roots are
+    small, uniquely named, and never mistaken for live ones. Fork caveat:
+    a forked child inherits ``tempfile.tempdir`` pointing at the PARENT's
+    root, which vanishes when the parent exits — call this again in the
+    child (module state is also inherited, so reset ``_ROOT`` first) if
+    the child outlives the parent. No current caller forks.
     """
     global _ROOT
     if _ROOT is None:
-        root = os.path.join(
-            tempfile.gettempdir(), f"lakeflow-scratch-{os.getpid()}"
-        )
-        os.makedirs(root, exist_ok=True)
+        root = tempfile.mkdtemp(prefix=f"lakeflow-scratch-{os.getpid()}-")
         tempfile.tempdir = root
         atexit.register(_cleanup, root)
         _ROOT = root

@@ -105,6 +105,66 @@ def read_join_state(
     return raw.select(*cols, F.col("value.value").alias("n_buffered"))
 
 
+def read_join_buffered_rows(
+    spark: SparkSession,
+    checkpoint: str,
+    side: str = "left",
+    key_names: list[str] | None = None,
+    **options,
+) -> DataFrame:
+    """The actual buffered rows of one side of a watermarked stream-stream
+    join, straight from the checkpoint — ``read_join_state`` answers
+    "which side / which key is holding stuck rows"; this answers the
+    follow-up "WHICH rows" (VERDICT r12 ask #4).
+
+    Reads the ``{side}-keyWithIndexToValue`` store: its key struct holds
+    the equi-join key fields (positional ``field0``... — ``key_names``
+    restores the query's names) plus the row's ``index`` within the key's
+    buffer, and its value struct IS the buffered input row (the side's
+    projected columns, original names preserved) plus Spark's ``matched``
+    flag (true once the row has produced at least one join result — the
+    outer-join emit bookkeeping). Output: one row per buffered input row
+    with the flattened join key first, then ``buffer_index``, the row's
+    own columns, and ``matched``. A join-key output name that collides
+    with a buffered-row column (the key usually IS one of the row's
+    columns) gets a ``key_`` prefix, keeping the row columns authoritative.
+
+    Partition-parallel like every state read: each of the join's state
+    partitions is one scan task, so "dump the stuck rows" on a
+    1000-partition join is a 1000-task scan joinable against batch truth,
+    never a driver walk.
+    """
+    from pyspark.sql import functions as F
+
+    if side not in ("left", "right"):
+        raise ValueError(f"side must be 'left' or 'right', got {side!r}")
+    raw = read_state_store(
+        spark, checkpoint, store_name=f"{side}-keyWithIndexToValue", **options
+    )
+    key_fields = [f.name for f in raw.schema["key"].dataType.fields]
+    if not key_fields or key_fields[-1] != "index":
+        raise ValueError(
+            f"unexpected keyWithIndexToValue key layout {key_fields} — "
+            f"expected join-key fields followed by 'index'"
+        )
+    join_fields = key_fields[:-1]
+    names = list(key_names) if key_names is not None else join_fields
+    if len(names) != len(join_fields):
+        raise ValueError(
+            f"key_names has {len(names)} entries for {len(join_fields)} "
+            f"join-key fields ({join_fields})"
+        )
+    value_fields = [f.name for f in raw.schema["value"].dataType.fields]
+    taken = set(value_fields) | {"buffer_index"}
+    cols = []
+    for f, n in zip(join_fields, names):
+        out = n if n not in taken else f"key_{n}"
+        cols.append(F.col(f"key.{f}").alias(out))
+    cols.append(F.col("key.index").alias("buffer_index"))
+    cols.extend(F.col(f"value.{f}").alias(f) for f in value_fields)
+    return raw.select(*cols)
+
+
 def read_state_metadata(spark: SparkSession, checkpoint: str) -> DataFrame:
     """Checkpoint state CATALOG (Spark's `state-metadata` source): one row
     per (operator, store) with partition count and the committed batch-id

@@ -266,3 +266,30 @@ def test_committed_pass2_artifact_carries_calib_dispersion():
         return  # pre-dispersion era artifact
     assert rec["calib_med"] >= rec["calib"] > 0
     assert rec["calib_disp"] >= 0
+
+
+def test_committed_bench_artifacts_carry_measuring_commit():
+    """VERDICT r12 ask #2: r12's committed artifacts predated final HEAD
+    by two product-code commits and the timing claim was unverifiable
+    from committed files. From r13 on, both bench artifacts must stamp
+    the measuring commit (``head_sha``, 40-hex) and a ``tree_dirty``
+    flag; a clean-provenance artifact is head_sha present + tree_dirty
+    False, and anything else must carry an explicit ``note`` naming the
+    modules changed since measurement and the neutrality argument."""
+    import glob
+
+    for pattern in ("bench_pass2_r*.json", "bench_full_r*.json"):
+        files = sorted(glob.glob(os.path.join(_REPO, pattern)))
+        assert files
+        rec = json.load(open(files[-1]))
+        if rec.get("round", 0) < 13:
+            continue  # pre-provenance era artifact
+        sha = rec.get("head_sha")
+        assert sha and re.fullmatch(r"[0-9a-f]{40}", sha), (
+            f"{files[-1]}: head_sha missing/malformed: {sha!r}"
+        )
+        if rec.get("tree_dirty") is not False:
+            assert rec.get("note"), (
+                f"{files[-1]}: measured on a dirty tree without a "
+                f"neutrality note"
+            )

@@ -47,12 +47,14 @@ def test_example_runs(example):
 
 def test_example_subprocess_leaves_no_temp_debris(tmp_path):
     """Examples are subprocesses, so the conftest scratch root can't cover
-    them — `get_session` installs it per process instead
-    (lakeflow/session.py). Pin that: run one example with TMPDIR pointed
-    at a fresh dir; after a clean exit the dir must hold nothing but
-    pytest's own bookkeeping — every mkdtemp the example made (work dirs,
-    stream checkpoints) rode the pid-keyed scratch root and was removed
-    at exit."""
+    them — the example itself opts in by calling
+    `lakeflow.scratch.use_process_scratch()` at startup (`get_session`
+    deliberately does NOT install it; library users keep default tempfile
+    behavior — see the 00f4b4d scoping decision). Pin that: run one
+    example with TMPDIR pointed at a fresh dir; after a clean exit the dir
+    must hold nothing but pytest's own bookkeeping — every mkdtemp the
+    example made (work dirs, stream checkpoints) rode the process scratch
+    root and was removed at exit."""
     tdir = tmp_path / "ex-tmp"
     tdir.mkdir()
     env = dict(os.environ, TMPDIR=str(tdir))

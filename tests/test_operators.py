@@ -1238,22 +1238,65 @@ def test_asof_join_total_order_suffix_handles_any_payload_type(spark):
         map_winners.add(got[0].rv["a"])
     assert len(map_winners) == 1
 
-    # Hashable-but-unorderable payload (CalendarIntervalType): Spark can
-    # xxhash64 it but a window ORDER BY on it is an AnalysisException —
-    # _orderable must refuse it (base case whitelists AtomicType, not
-    # "everything non-nested") so the column stays out of the sort suffix
-    # and the join still analyzes. Tie-break totality is then only
-    # hash-strong for this column, which the docstring documents.
-    right_iv = spark.createDataFrame(
-        [(1, t, 3)], "k long, ts timestamp, months int"
-    ).selectExpr("k", "ts", "make_interval(0, months) AS rv")
-    joined_iv = asof_join(
-        left, right_iv, on=["k"], left_ts="ts", right_ts="ts",
-        payload={"rv": "rv"},
-    )
-    # CalendarInterval has no Python deserializer, so assert JVM-side:
-    # exactly one row, payload attached.
-    assert joined_iv.where("rv IS NOT NULL").count() == 1
+    # CalendarIntervalType payload: a window ORDER BY on the raw column is
+    # an AnalysisException, but since ADVICE r12 #1 it gets a canonical
+    # cast(string) sort proxy, so it participates in BOTH the hash and the
+    # sort suffix and the tie-break stays total. Three tied right rows
+    # differing only in the interval must resolve layout-independently.
+    iv_rows = [(1, t, m) for m in (3, 7, 11)]
+    iv_winners = set()
+    for parts, ordered in ((1, iv_rows), (5, iv_rows[::-1])):
+        right_iv = spark.createDataFrame(
+            ordered, "k long, ts timestamp, months int"
+        ).selectExpr("k", "ts", "make_interval(0, months) AS rv")
+        joined_iv = asof_join(
+            left, right_iv.repartition(parts), on=["k"], left_ts="ts",
+            right_ts="ts", payload={"rv": "rv"},
+        )
+        # CalendarInterval has no Python deserializer, so read JVM-side.
+        iv_winners.add(
+            joined_iv.selectExpr("cast(rv AS string) AS s").collect()[0].s
+        )
+    assert len(iv_winners) == 1 and None not in iv_winners
+
+    # Hashable-but-unorderable payload with NO canonical sortable form
+    # (struct<interval>): must stay out of the sort suffix (ORDER BY on it
+    # fails analysis) but ride RAW in xxhash64, so two tied rows differing
+    # only here still get distinct sort keys — hash-strong, not total
+    # (ADVICE r12 #1: the pre-fix code dropped it from the hash too,
+    # making the winner layout-dependent again).
+    si_rows = [(1, t, m) for m in (3, 7, 11)]
+    si_winners = set()
+    for parts, ordered in ((1, si_rows), (5, si_rows[::-1])):
+        right_si = spark.createDataFrame(
+            ordered, "k long, ts timestamp, months int"
+        ).selectExpr("k", "ts", "named_struct('iv', make_interval(0, months)) AS rv")
+        joined_si = asof_join(
+            left, right_si.repartition(parts), on=["k"], left_ts="ts",
+            right_ts="ts", payload={"rv": "rv"},
+        )
+        si_winners.add(
+            joined_si.selectExpr("cast(rv.iv AS string) AS s").collect()[0].s
+        )
+    assert len(si_winners) == 1 and None not in si_winners
+
+    # VARIANT payload: Spark can neither sort nor xxhash64 it raw
+    # (HASH_VARIANT_TYPE), but the key-sorted to_json canonical string
+    # makes it both — total tie-break, layout-independent winner.
+    v_rows = [(1, t, f'{{"a":{i}}}') for i in (1, 2, 3)]
+    v_winners = set()
+    for parts, ordered in ((1, v_rows), (5, v_rows[::-1])):
+        right_v = spark.createDataFrame(
+            ordered, "k long, ts timestamp, j string"
+        ).selectExpr("k", "ts", "parse_json(j) AS rv")
+        joined_v = asof_join(
+            left, right_v.repartition(parts), on=["k"], left_ts="ts",
+            right_ts="ts", payload={"rv": "rv"},
+        )
+        v_winners.add(
+            joined_v.selectExpr("to_json(rv) AS s").collect()[0].s
+        )
+    assert len(v_winners) == 1 and None not in v_winners
 
 
 def test_asof_join_empty_payload_is_valid(spark):

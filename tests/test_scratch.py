@@ -19,7 +19,11 @@ def test_scratch_routes_mkdtemp_and_is_idempotent():
     # must return the same root, and mkdtemp must land inside it.
     root = use_process_scratch()
     assert use_process_scratch() == root
-    assert os.path.basename(root) == f"lakeflow-scratch-{os.getpid()}"
+    # mkdtemp-created (ADVICE r12 #3: pid recycling must never adopt a
+    # stale root): pid prefix for debuggability + a random unique suffix.
+    assert os.path.basename(root).startswith(
+        f"lakeflow-scratch-{os.getpid()}-"
+    )
     d = tempfile.mkdtemp(prefix="lakeflow-ckpt-")
     assert os.path.dirname(d) == root
 

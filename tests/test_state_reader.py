@@ -336,3 +336,29 @@ def test_read_join_state_flattens_key_and_counts(spark, tmp_path):
     # with the valid values, not a cryptic statestore-source error.
     with pytest.raises(ValueError, match="side must be"):
         read_join_state(spark, ckpt, side="Left")
+
+    # --- keyWithIndexToValue: the actual buffered rows, BOTH sides
+    # (VERDICT r12 ask #4). Same checkpoint, so the two stores must agree
+    # with keyToNumValues' counts and carry the real input rows.
+    from lakeflow.streaming.state_reader import read_join_buffered_rows
+
+    lrows = read_join_buffered_rows(spark, ckpt, side="left", key_names=["k"])
+    # Join key collides with the buffered row's own 'k' column -> key_ prefix
+    # keeps the row columns authoritative.
+    assert lrows.columns == ["key_k", "buffer_index", "k", "lts", "tag", "matched"]
+    got = {(r.key_k, r.buffer_index, r.k, r.tag) for r in lrows.collect()}
+    assert got == {(1, 0, 1, "v1"), (1, 1, 1, "v2"), (2, 0, 2, "v3")}
+    # matched: k=1 views matched p1; k=2 never matched.
+    assert {(r.k, r.tag, r.matched) for r in lrows.collect()} == {
+        (1, "v1", True), (1, "v2", True), (2, "v3", False),
+    }
+    rrows = read_join_buffered_rows(spark, ckpt, side="right", key_names=["kk"])
+    # No collision for the right side (its row columns are k2/rts/tag).
+    assert rrows.columns == ["kk", "buffer_index", "k2", "rts", "tag", "matched"]
+    assert {(r.kk, r.k2, r.tag, r.matched) for r in rrows.collect()} == {
+        (1, 1, "p1", True)
+    }
+    with pytest.raises(ValueError, match="key_names has 2"):
+        read_join_buffered_rows(spark, ckpt, key_names=["a", "b"])
+    with pytest.raises(ValueError, match="side must be"):
+        read_join_buffered_rows(spark, ckpt, side="both")
