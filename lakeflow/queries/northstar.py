@@ -2996,9 +2996,12 @@ def bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "bitext_margin_pairs_exact",
-    oracle="""
+# RETIRED r13 (SCALE.md §10.1 candidate #1, VERDICT r12 ask #5): the
+# exact all-pairs recall baseline leaves the driver registry; parity
+# moves to tests/test_retired_queries.py (same oracle, driver-identical
+# comparison) and the production path stays registered as
+# bitext_margin_pairs. Ledger: scripts/retired_queries.json.
+_BITEXT_EXACT_ORACLE = """
     WITH e AS (
         SELECT vec_id, label,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -3047,8 +3050,9 @@ def bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             PARTITION BY src_id ORDER BY margin DESC, tgt_id
         ) AS rn FROM margined
     ) WHERE rn = 1 AND margin >= 1.0
-    """,
-)
+    """
+
+
 def bitext_margin_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bitext mining, EXACT baseline (the CCMatrix/LASER parallel-corpus
     recipe): label-0 vectors are the source side, label-1 the target side,

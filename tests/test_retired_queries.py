@@ -71,3 +71,27 @@ def test_ivf_topk_retired_parity(spark):
     )
     assert spark_rows == _oracle_rows(_IVF_TOPK_ORACLE)
     assert len(spark_rows) > 0
+
+
+def test_bitext_margin_pairs_exact_retired_parity(spark):
+    """bitext_margin_pairs_exact (retired r13, superseded by
+    bitext_margin_pairs): the exact registered form — label-0 sources x
+    label-1 targets, k=4 neighborhood sums in integer micro-units,
+    ratio-margin >= 1.0, best target per source — against its DuckDB
+    oracle, compared exactly as the driver compared it."""
+    from pyspark.sql import functions as F
+
+    from lakeflow.catalog import load_table
+    from lakeflow.operators import similarity as sim
+    from lakeflow.queries.northstar import _BITEXT_EXACT_ORACLE
+
+    emb = load_table(spark, _SF_DIR, "embeddings")
+    got = sim.margin_knn_pairs(
+        emb.filter(F.col("label") == 0),
+        emb.filter(F.col("label") == 1),
+        k=4,
+        min_margin=1.0,
+    )
+    spark_rows = sorted(tuple(str(x) for x in r) for r in got.collect())
+    assert spark_rows == _oracle_rows(_BITEXT_EXACT_ORACLE)
+    assert len(spark_rows) > 0
