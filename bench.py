@@ -165,16 +165,18 @@ def _provenance() -> dict:
 
     root = os.path.dirname(os.path.abspath(__file__))
     try:
-        sha = subprocess.run(
+        rp = subprocess.run(
             ["git", "rev-parse", "HEAD"], cwd=root, capture_output=True,
             text=True, timeout=10,
-        ).stdout.strip()
-        dirty = bool(
-            subprocess.run(
-                ["git", "status", "--porcelain", "--untracked-files=no"],
-                cwd=root, capture_output=True, text=True, timeout=10,
-            ).stdout.strip()
         )
+        st = subprocess.run(
+            ["git", "status", "--porcelain", "--untracked-files=no"],
+            cwd=root, capture_output=True, text=True, timeout=10,
+        )
+        sha = rp.stdout.strip() if rp.returncode == 0 else None
+        # A failed status must stamp None ("undetermined" — the contract
+        # test demands a note for it), never a false clean claim.
+        dirty = bool(st.stdout.strip()) if st.returncode == 0 else None
     except Exception:
         sha, dirty = None, None
     out = {"head_sha": sha or None, "tree_dirty": dirty}

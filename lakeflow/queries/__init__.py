@@ -155,13 +155,17 @@ for _rnd, _names in _VERIFIED_ROUNDS.items():
 # pruned in r11; r11's stream_cms_heavy_hitters size-trigger rewrite and
 # ivf_kmeans_recall_verdict persist rewrite both re-greened in
 # CORRECTNESS_r11.json and were pruned in r12).
-# r12: stream_state_inspection now scopes its state checkpoint —
-# localCheckpoint(eager) pins the state rows, then try/finally removes
 # r12's three rewrites (stream_state_inspection,
 # stream_cms_heavy_hitters, ivf_kmeans_recall_verdict) all re-greened
 # in CORRECTNESS_r12.json and were pruned at r13 start. Any r13
 # callable rewrite of a green query must re-list it here.
-_REWRITTEN_SINCE_GREEN: frozenset[str] = frozenset()
+# r13: stream_join_state_inspection's callable was refactored to share
+# the eviction-free view→purchase join + checkpoint harness with the new
+# stream_join_buffered_rows (identical plan and oracle; code-review
+# dedup) — listed until the driver re-greens it.
+_REWRITTEN_SINCE_GREEN: frozenset[str] = frozenset(
+    {"stream_join_state_inspection"}
+)
 
 
 def _helper_change_rounds(ledger: dict | None = None) -> dict[str, int]:

@@ -2996,11 +2996,13 @@ def bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# RETIRED r13 (SCALE.md §10.1 candidate #1, VERDICT r12 ask #5): the
-# exact all-pairs recall baseline leaves the driver registry; parity
-# moves to tests/test_retired_queries.py (same oracle, driver-identical
-# comparison) and the production path stays registered as
-# bitext_margin_pairs. Ledger: scripts/retired_queries.json.
+# bitext_margin_pairs_exact RETIRED r13 (SCALE.md §10.1 candidate #1,
+# VERDICT r12 ask #5): the exact all-pairs recall baseline leaves the
+# driver registry; only its ORACLE survives here (like ivf_topk's) —
+# tests/test_retired_queries.py re-runs the 5-line sim.margin_knn_pairs
+# composition against it with the driver's comparison. The production
+# path stays registered as bitext_margin_pairs. Ledger:
+# scripts/retired_queries.json.
 _BITEXT_EXACT_ORACLE = """
     WITH e AS (
         SELECT vec_id, label,
@@ -3051,25 +3053,6 @@ _BITEXT_EXACT_ORACLE = """
         ) AS rn FROM margined
     ) WHERE rn = 1 AND margin >= 1.0
     """
-
-
-def bitext_margin_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bitext mining, EXACT baseline (the CCMatrix/LASER parallel-corpus
-    recipe): label-0 vectors are the source side, label-1 the target side,
-    and each source keeps its best cross-side match by RATIO-MARGIN score —
-    cosine divided by the mean of both endpoints' k-NN cosines — which
-    cancels hubness where a raw cosine threshold over- or under-collects.
-    Integer micro-unit cosines make the neighborhood sums order-free; one
-    final division rounds once. The pair table is the exact cross product:
-    O(n·m), fine at fixture scale and the recall yardstick for the
-    production shortlist plan (``bitext_margin_pairs``)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return sim.margin_knn_pairs(
-        emb.filter(F.col("label") == 0),
-        emb.filter(F.col("label") == 1),
-        k=4,
-        min_margin=1.0,
-    )
 
 
 @register(

@@ -1187,27 +1187,57 @@ def stream_join_state_inspection(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join is holding the stuck rows, per key, live from the
     checkpoint"."""
     import shutil
-    import tempfile
 
     from pyspark.sql import functions as F
 
     from lakeflow.streaming.state_reader import read_join_state
 
-    # Deterministic quarter-slice of users: the introspection surface
-    # (store selection, key flattening, count semantics) is identical at
-    # any feed size, so the demo bounds its in-sweep state-write cost
-    # (measured 11.5 s → ~3 s at sf0.1 full-feed vs sliced) the way every
-    # streaming demo bounds its feed.
+    ckpt = _eviction_free_join_checkpoint(
+        spark, sf_dir, "lakeflow-jstate-insp-"
+    )
+    try:
+        state = read_join_state(
+            spark, ckpt, side="left", key_names=["user_id"]
+        )
+        # Same checkpoint hygiene as stream_state_inspection: pin the
+        # (one-row-per-key) state and remove the store tree before return.
+        return state.select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.col("n_buffered").cast("bigint").alias("buffered_views"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def _eviction_free_join_checkpoint(
+    spark: SparkSession, sf_dir: str, prefix: str
+) -> str:
+    """Run the watermarked view→purchase interval join to a noop sink and
+    return its checkpoint dir (caller rmtree's it) — the shared harness of
+    the two join-state introspection queries, which differ only in WHICH
+    of the join's four stores they read back.
+
+    Deterministic quarter-slice of users: the introspection surface
+    (store selection, key flattening, count/row semantics) is identical at
+    any feed size, so the demo bounds its in-sweep state-write cost
+    (measured 11.5 s → ~3 s at sf0.1 full-feed vs sliced) the way every
+    streaming demo bounds its feed. 3650-day watermark delay: the final
+    watermark lands far below every event, so the join evicts nothing and
+    the stores' content is exactly the sliced input — the state the batch
+    ORACLES can reproduce. (The eviction boundary itself is
+    engine-internal timing; pinning it would test Spark's scheduler, not
+    the introspection surface.) noop sink: the join OUTPUT is irrelevant —
+    only the state it buffers is read — so nothing materializes on the
+    driver (a memory sink measured 3× the cost at sf0.1)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
     src = (
         events_stream(spark, sf_dir)
         .filter(F.col("user_id") % 4 == 0)
         .select("event_id", "ts", "user_id", "event_type")
     )
-    # 3650-day delay: the final watermark lands far below every event, so
-    # the join evicts nothing and the left store's content is exactly the
-    # full view-side input — the state the ORACLE can reproduce. (The
-    # eviction boundary itself is engine-internal timing; pinning it would
-    # test Spark's scheduler, not the introspection surface.)
     views = (
         src.filter(F.col("event_type") == "view")
         .withWatermark("ts", "3650 days")
@@ -1233,34 +1263,20 @@ def stream_join_state_inspection(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
     ).select("view_id", "purchase_id", F.col("v_user").alias("user_id"))
 
-    ckpt = tempfile.mkdtemp(prefix="lakeflow-jstate-insp-")
+    ckpt = tempfile.mkdtemp(prefix=prefix)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-        try:
-            # noop sink: the join OUTPUT is irrelevant here — only the
-            # state it buffers is read — so nothing materializes on the
-            # driver (a memory sink measured 3× the cost at sf0.1).
-            q = (
-                joined.writeStream.format("noop")
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
-            )
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
-        q.awaitTermination()
-        state = read_join_state(
-            spark, ckpt, side="left", key_names=["user_id"]
+        q = (
+            joined.writeStream.format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
         )
-        # Same checkpoint hygiene as stream_state_inspection: pin the
-        # (one-row-per-key) state and remove the store tree before return.
-        return state.select(
-            F.col("user_id").cast("bigint").alias("user_id"),
-            F.col("n_buffered").cast("bigint").alias("buffered_views"),
-        ).localCheckpoint(eager=True)
     finally:
-        shutil.rmtree(ckpt, ignore_errors=True)
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q.awaitTermination()
+    return ckpt
 
 
 @register(
@@ -1294,59 +1310,15 @@ def stream_join_buffered_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     matched flag that disagrees with the emitted pairs breaks the hash.
     Partition-parallel: the store scan is one task per state partition."""
     import shutil
-    import tempfile
 
     from pyspark.sql import functions as F
 
     from lakeflow.streaming.state_reader import read_join_buffered_rows
 
-    # Same deterministic quarter-slice as stream_join_state_inspection —
-    # the introspection surface is size-invariant; the slice bounds the
-    # in-sweep state-write cost.
-    src = (
-        events_stream(spark, sf_dir)
-        .filter(F.col("user_id") % 4 == 0)
-        .select("event_id", "ts", "user_id", "event_type")
+    ckpt = _eviction_free_join_checkpoint(
+        spark, sf_dir, "lakeflow-jrows-insp-"
     )
-    views = (
-        src.filter(F.col("event_type") == "view")
-        .withWatermark("ts", "3650 days")
-        .select(
-            F.col("event_id").alias("view_id"),
-            F.col("user_id").alias("v_user"),
-            F.col("ts").alias("v_ts"),
-        )
-    )
-    purchases = (
-        src.filter(F.col("event_type") == "purchase")
-        .withWatermark("ts", "3650 days")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id").alias("p_user"),
-            F.col("ts").alias("p_ts"),
-        )
-    )
-    joined = views.join(
-        purchases,
-        (F.col("v_user") == F.col("p_user"))
-        & (F.col("p_ts") > F.col("v_ts"))
-        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
-    ).select("view_id", "purchase_id", F.col("v_user").alias("user_id"))
-
-    ckpt = tempfile.mkdtemp(prefix="lakeflow-jrows-insp-")
     try:
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-        try:
-            q = (
-                joined.writeStream.format("noop")
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
-            )
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
-        q.awaitTermination()
         rows = read_join_buffered_rows(
             spark, ckpt, side="right", key_names=["user_id"]
         )

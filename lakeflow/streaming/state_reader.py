@@ -154,11 +154,24 @@ def read_join_buffered_rows(
             f"key_names has {len(names)} entries for {len(join_fields)} "
             f"join-key fields ({join_fields})"
         )
+    if len(set(names)) != len(names):
+        raise ValueError(f"key_names has duplicate entries: {names}")
     value_fields = [f.name for f in raw.schema["value"].dataType.fields]
     taken = set(value_fields) | {"buffer_index"}
     cols = []
     for f, n in zip(join_fields, names):
         out = n if n not in taken else f"key_{n}"
+        if out in taken and out != n:
+            # The fallback itself collides (a buffered-row column literally
+            # named key_<n>, or duplicate key_names entries) — fail HERE
+            # with the names rather than hand back a frame whose duplicate
+            # columns raise AMBIGUOUS_REFERENCE on first use.
+            raise ValueError(
+                f"cannot name join-key column {n!r}: both {n!r} and "
+                f"{out!r} already exist among the buffered-row columns "
+                f"({sorted(taken)}) — pass a different key_names entry"
+            )
+        taken.add(out)
         cols.append(F.col(f"key.{f}").alias(out))
     cols.append(F.col("key.index").alias("buffer_index"))
     cols.extend(F.col(f"value.{f}").alias(f) for f in value_fields)

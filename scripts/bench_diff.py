@@ -16,13 +16,18 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import sys
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def latest_two() -> tuple[dict, dict]:
-    files = sorted(glob.glob(os.path.join(_REPO, "bench_full_r*.json")))
+    # Numeric round sort — lexicographic would order r100 before r99.
+    files = sorted(
+        glob.glob(os.path.join(_REPO, "bench_full_r*.json")),
+        key=lambda f: int(re.search(r"_r(\d+)\.json$", f).group(1)),
+    )
     if len(files) < 2:
         raise SystemExit("need two committed bench_full_r*.json artifacts")
     return json.load(open(files[-2])), json.load(open(files[-1]))
@@ -51,13 +56,18 @@ def diff_table(prev: dict, cur: dict, top_n: int = 5) -> str:
         f"removed ({len(removed)}): {', '.join(removed) or '-'}",
         f"top {top_n} per-query regressions (shared, >=0.2s):",
     ]
+    def ratio(n: str) -> str:
+        # pq can be 0.0 (values are 3-decimal-rounded): sorted first via
+        # the inf guard above, printed as inf rather than crashing.
+        return f"{cq[n] / pq[n]:.2f}" if pq[n] else "inf"
+
     lines += [
-        f"  {n:40s} {pq[n]:7.3f} -> {cq[n]:7.3f}  x{cq[n] / pq[n]:.2f}"
+        f"  {n:40s} {pq[n]:7.3f} -> {cq[n]:7.3f}  x{ratio(n)}"
         for n in ranked[:top_n]
     ]
     # BASELINE.md §r13 sampling floor: single-sample ratios below x1.8 are
     # within the observed same-code spread; flag only what clears it.
-    hot = [n for n in ranked if pq[n] and cq[n] / pq[n] >= 1.8]
+    hot = [n for n in ranked if not pq[n] or cq[n] / pq[n] >= 1.8]
     lines.append(
         f"above the x1.8 single-sample significance floor: "
         f"{', '.join(hot) or 'none'}"

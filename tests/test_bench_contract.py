@@ -273,13 +273,20 @@ def test_committed_bench_artifacts_carry_measuring_commit():
     by two product-code commits and the timing claim was unverifiable
     from committed files. From r13 on, both bench artifacts must stamp
     the measuring commit (``head_sha``, 40-hex) and a ``tree_dirty``
-    flag; a clean-provenance artifact is head_sha present + tree_dirty
-    False, and anything else must carry an explicit ``note`` naming the
+    flag. Clean provenance = head_sha present + tree_dirty False + every
+    commit since head_sha touches NO product module (lakeflow/, bench.py,
+    __spark_entry__.py — artifact/doc/test commits are the sanctioned
+    tail); anything else must carry an explicit ``note`` naming the
     modules changed since measurement and the neutrality argument."""
     import glob
+    import subprocess
 
+    _product = ("lakeflow/", "bench.py", "__spark_entry__.py")
     for pattern in ("bench_pass2_r*.json", "bench_full_r*.json"):
-        files = sorted(glob.glob(os.path.join(_REPO, pattern)))
+        files = sorted(
+            glob.glob(os.path.join(_REPO, pattern)),
+            key=lambda f: int(re.search(r"_r(\d+)\.json$", f).group(1)),
+        )
         assert files
         rec = json.load(open(files[-1]))
         if rec.get("round", 0) < 13:
@@ -290,6 +297,29 @@ def test_committed_bench_artifacts_carry_measuring_commit():
         )
         if rec.get("tree_dirty") is not False:
             assert rec.get("note"), (
-                f"{files[-1]}: measured on a dirty tree without a "
-                f"neutrality note"
+                f"{files[-1]}: measured on a dirty (or undetermined) tree "
+                f"without a neutrality note"
             )
+            continue
+        # Clean tree at measure time — now pin the r12 failure mode
+        # itself: product commits landing AFTER the measurement. A
+        # missing/unknown sha..HEAD range (rebase, shallow clone) is
+        # treated as unverifiable and needs the note too.
+        diff = subprocess.run(
+            ["git", "diff", "--name-only", f"{sha}..HEAD"],
+            cwd=_REPO, capture_output=True, text=True, timeout=10,
+        )
+        if diff.returncode != 0:
+            assert rec.get("note"), (
+                f"{files[-1]}: head_sha {sha[:8]} unresolvable against "
+                f"HEAD and no neutrality note"
+            )
+            continue
+        touched = [
+            p for p in diff.stdout.splitlines()
+            if p.startswith(_product[0]) or p in _product[1:]
+        ]
+        assert not touched or rec.get("note"), (
+            f"{files[-1]}: product modules changed since the measuring "
+            f"commit {sha[:8]} with no neutrality note: {touched}"
+        )

@@ -37,8 +37,9 @@ _SKIP_PREFIXES = ("stream_", "pysource", "pysink", "pywrite", "sql_", "ddl_")
 # (≤ a few rows) against the big side — the sanctioned scalar-threshold
 # pattern. Additions require the same justification here.
 KNOWN_BNLJ = {
-    # bitext_margin_pairs_exact retired r13 — its callable (and crossJoin)
-    # lives on in tests/test_retired_queries.py, outside this sweep.
+    # bitext_margin_pairs_exact retired r13 — its oracle and the exact
+    # cross-join composition live on in tests/test_retired_queries.py,
+    # outside this sweep.
     "bm25_keyword_topk",
     "bootstrap_mean_order_value",
     "ccnet_perplexity_buckets",

@@ -1912,21 +1912,33 @@ def test_cross_process_commit_race_history_linear(spark, tmp_path):
         spark.createDataFrame([(0, -1)], "writer int, seq int")
     )
     script = _XPROC_WRITER.format(repo=_REPO)
-    procs = [
-        subprocess.Popen(
+    # Child output goes to FILES, not pipes: Spark session boot logs can
+    # exceed a 64KB pipe buffer before the child reaches its ready-file
+    # write, and communicate() drains the children sequentially — a full
+    # pipe would deadlock the barrier.
+    logs = {
+        wid: open(os.path.join(sync, f"writer-{wid}.log"), "w+")
+        for wid in (1, 2)
+    }
+    procs = {
+        wid: subprocess.Popen(
             [_sys.executable, "-c", script, str(wid), root, sync],
             cwd=sync,  # keep any derby.log/metastore debris out of the repo
-            stdout=subprocess.PIPE,
-            stderr=subprocess.PIPE,
-            text=True,
+            stdout=logs[wid],
+            stderr=subprocess.STDOUT,
         )
         for wid in (1, 2)
-    ]
-    for p in procs:
-        out, err = p.communicate(timeout=300)
-        assert p.returncode == 0, (
-            f"writer exited {p.returncode}:\n{out[-800:]}\n{err[-800:]}"
-        )
+    }
+    try:
+        for wid, p in procs.items():
+            p.wait(timeout=300)
+        for wid, p in procs.items():
+            logs[wid].seek(0)
+            tail = logs[wid].read()[-1200:]
+            assert p.returncode == 0, f"writer {wid} exited {p.returncode}:\n{tail}"
+    finally:
+        for fh in logs.values():
+            fh.close()
     t = VersionedTable(spark, root)
     # 1 seed + 6 appends, gapless — a lost update would leave a gap or a
     # missing batch; a non-atomic publish would lose one writer's version.
