@@ -271,7 +271,7 @@ def asof_join(
     # comparators run only on hash ties, i.e. almost never.
     proxies = []
     hash_only = []
-    for src, dst in carried.items():
+    for i, (src, dst) in enumerate(carried.items()):
         dt = right.schema[src].dataType
         p = _sort_proxy(dst, dt)
         if p is not None:
@@ -281,8 +281,14 @@ def asof_join(
             # (e.g. struct<interval>): keep it in the HASH so tied rows
             # differing only here still get distinct sort keys — just not
             # in the ORDER BY suffix, which would fail analysis
-            # (ADVICE r12 #1).
-            hash_only.append(F.col(dst))
+            # (ADVICE r12 #1). Pre-hashed PER POSITION because Spark's
+            # hash exprs SKIP null children: fed raw, (NULL, x) and
+            # (x, NULL) across two such columns would hash identically —
+            # a systematic collision, not the 2^-64 case. The inner hash
+            # is never null, so each column's value-or-absence lands at a
+            # fixed argument position. (The proxies don't need this: the
+            # ORDER BY suffix breaks any proxy hash collision.)
+            hash_only.append(F.xxhash64(F.lit(i), F.col(dst)))
     tie = F.xxhash64(F.col("__ts"), *proxies, *hash_only)
     tie_keys = [tie.asc()] + [p.asc_nulls_first() for p in proxies]
     if time_bucket_seconds is None:

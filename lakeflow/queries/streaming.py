@@ -1264,18 +1264,27 @@ def _eviction_free_join_checkpoint(
     ).select("view_id", "purchase_id", F.col("v_user").alias("user_id"))
 
     ckpt = tempfile.mkdtemp(prefix=prefix)
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        q = (
-            joined.writeStream.format("noop")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    q.awaitTermination()
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                joined.writeStream.format("noop")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        q.awaitTermination()
+    except BaseException:
+        # The callers' try/finally only begins after this returns — a
+        # start/awaitTermination failure must not leak the state-store
+        # tree (the VERDICT r11 debris class, error path).
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
+        raise
     return ckpt
 
 

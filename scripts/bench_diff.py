@@ -24,13 +24,22 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def latest_two() -> tuple[dict, dict]:
     # Numeric round sort — lexicographic would order r100 before r99.
-    files = sorted(
-        glob.glob(os.path.join(_REPO, "bench_full_r*.json")),
-        key=lambda f: int(re.search(r"_r(\d+)\.json$", f).group(1)),
-    )
-    if len(files) < 2:
+    # Files matching the glob but not the round pattern (scratch copies
+    # like bench_full_r13-retry.json) are ignored, not crashed on.
+    rounds = []
+    for f in glob.glob(os.path.join(_REPO, "bench_full_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", f)
+        if m:
+            rounds.append((int(m.group(1)), f))
+    rounds.sort()
+    if len(rounds) < 2:
         raise SystemExit("need two committed bench_full_r*.json artifacts")
-    return json.load(open(files[-2])), json.load(open(files[-1]))
+
+    def load(path: str) -> dict:
+        with open(path) as fh:
+            return json.load(fh)
+
+    return load(rounds[-2][1]), load(rounds[-1][1])
 
 
 def diff_table(prev: dict, cur: dict, top_n: int = 5) -> str:

@@ -1280,6 +1280,35 @@ def test_asof_join_total_order_suffix_handles_any_payload_type(spark):
         )
     assert len(si_winners) == 1 and None not in si_winners
 
+    # Null-swap across TWO hash-only columns: Spark's hash exprs skip
+    # null children, so raw (NULL, s) and (s, NULL) would collide
+    # systematically — the per-position inner hash must keep them
+    # distinct and the winner layout-independent (r13 review finding).
+    ns_rows = [(1, t, 3, None), (1, t, None, 3)]
+    ns_winners = set()
+    for parts, ordered in ((1, ns_rows), (5, ns_rows[::-1])):
+        right_ns = spark.createDataFrame(
+            ordered, "k long, ts timestamp, ma int, mb int"
+        ).selectExpr(
+            "k", "ts",
+            "CASE WHEN ma IS NULL THEN NULL"
+            " ELSE named_struct('iv', make_interval(0, ma)) END AS rva",
+            "CASE WHEN mb IS NULL THEN NULL"
+            " ELSE named_struct('iv', make_interval(0, mb)) END AS rvb",
+        )
+        joined_ns = asof_join(
+            left, right_ns.repartition(parts), on=["k"], left_ts="ts",
+            right_ts="ts", payload={"rva": "rva", "rvb": "rvb"},
+        )
+        ns_winners.add(
+            tuple(
+                joined_ns.selectExpr(
+                    "cast(rva.iv AS string) AS a", "cast(rvb.iv AS string) AS b"
+                ).collect()[0]
+            )
+        )
+    assert len(ns_winners) == 1
+
     # VARIANT payload: Spark can neither sort nor xxhash64 it raw
     # (HASH_VARIANT_TYPE), but the key-sorted to_json canonical string
     # makes it both — total tie-break, layout-independent winner.

@@ -1937,6 +1937,12 @@ def test_cross_process_commit_race_history_linear(spark, tmp_path):
             tail = logs[wid].read()[-1200:]
             assert p.returncode == 0, f"writer {wid} exited {p.returncode}:\n{tail}"
     finally:
+        # A hung writer must not orphan a 2g JVM into the rest of the
+        # suite — kill anything still alive before surfacing the error.
+        for p in procs.values():
+            if p.poll() is None:
+                p.kill()
+                p.wait(timeout=30)
         for fh in logs.values():
             fh.close()
     t = VersionedTable(spark, root)
