@@ -183,8 +183,19 @@ def _provenance() -> dict:
             ["git", "rev-parse", "HEAD"], cwd=root, capture_output=True,
             text=True, timeout=10,
         )
+        # The bench's own artifact files are OUTPUTS of this run, not
+        # inputs to the measurement: a re-run within a round rewrites the
+        # (by then tracked) pass-2 artifact before the full-sweep stamp is
+        # computed, which made every intra-round re-run stamp
+        # tree_dirty=true even when no source changed. Exclude them; any
+        # OTHER tracked modification still flips the flag.
         st = subprocess.run(
-            ["git", "status", "--porcelain", "--untracked-files=no"],
+            [
+                "git", "status", "--porcelain", "--untracked-files=no",
+                "--", ".",
+                ":(exclude)bench_pass2_r*.json",
+                ":(exclude)bench_full_r*.json",
+            ],
             cwd=root, capture_output=True, text=True, timeout=10,
         )
         sha = rp.stdout.strip() if rp.returncode == 0 else None
