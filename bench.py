@@ -165,7 +165,7 @@ def _next_round() -> int:
     return (max(rounds) + 1) if rounds else 1
 
 
-def _provenance() -> dict:
+def _provenance(root: str | None = None) -> dict:
     """Measuring-commit stamp for bench artifacts (VERDICT r12 ask #2:
     r12's committed artifacts predated final HEAD by two product-code
     commits and a judge could not confirm the neutrality claim from
@@ -174,10 +174,11 @@ def _provenance() -> dict:
     time. The round workflow re-runs the bench at final HEAD, so a
     committed artifact whose head_sha is not the round's final commit
     must carry ``note`` (set SPARK_GRAFT_BENCH_NOTE) naming the modules
-    changed since and why they are plan-neutral."""
+    changed since and why they are plan-neutral. ``root`` overrides the
+    repo dir for tests only."""
     import subprocess
 
-    root = os.path.dirname(os.path.abspath(__file__))
+    root = root or os.path.dirname(os.path.abspath(__file__))
     try:
         rp = subprocess.run(
             ["git", "rev-parse", "HEAD"], cwd=root, capture_output=True,
@@ -218,36 +219,44 @@ def _write_pass2_artifact(
     pass2: dict[str, float],
     total: float,
     total2: float,
+    pass2b: dict[str, float] | None = None,
 ) -> None:
     """Commit-able warm-pass record (VERDICT r10 ask #2): the 1900-byte
     stdout guard keeps per-query pass-2 detail off the driver-captured
     line, so it rides a repo-root file instead.
     ``pass2_per_calib`` is the environment-normalized reading (VERDICT r10
-    ask #7): BASELINE.md defines the expected cross-round band on it."""
+    ask #7): BASELINE.md defines the expected cross-round band on it.
+    ``queries_pass2_min``/``value_pass2_min`` (r13 post-gate): per-query
+    min over the two independent warm passes — the low-variance
+    round-over-round comparator (see the pass-2b comment in main)."""
     rnd = _next_round()
     root = os.path.dirname(os.path.abspath(__file__))
     path = os.path.join(root, f"bench_pass2_r{rnd:02d}.json")
+    rec = {
+        "round": rnd,
+        "sf": sf,
+        **_provenance(),
+        **calib,
+        "value": total,
+        "value_pass2": total2,
+        "pass2_per_calib": (
+            round(total2 / calib["calib"], 2)
+            if calib["calib"]
+            else None
+        ),
+        "queries_pass1": pass1,
+        "queries_pass2": pass2,
+    }
+    if pass2b is not None:
+        p2min = {
+            q: min(pass2[q], pass2b[q]) for q in pass2 if q in pass2b
+        }
+        rec["queries_pass2b"] = pass2b
+        rec["value_pass2b"] = round(sum(pass2b.values()), 3)
+        rec["queries_pass2_min"] = p2min
+        rec["value_pass2_min"] = round(sum(p2min.values()), 3)
     with open(path, "w") as f:
-        json.dump(
-            {
-                "round": rnd,
-                "sf": sf,
-                **_provenance(),
-                **calib,
-                "value": total,
-                "value_pass2": total2,
-                "pass2_per_calib": (
-                    round(total2 / calib["calib"], 2)
-                    if calib["calib"]
-                    else None
-                ),
-                "queries_pass1": pass1,
-                "queries_pass2": pass2,
-            },
-            f,
-            indent=1,
-            sort_keys=True,
-        )
+        json.dump(rec, f, indent=1, sort_keys=True)
     print(f"  pass2 artifact -> {path}", file=sys.stderr)
 
 
@@ -443,6 +452,26 @@ def main() -> None:
     # environment-dominated pass-1 stderr lines.
     print("PASS2 " + json.dumps(timings2), file=sys.stderr)
     total2 = round(sum(timings2.values()), 3)
+    # Second independent warm pass (r13 post-gate). Three same-code full
+    # runs measured per-query pass-2 spreads up to x4 on a handful of
+    # queries (embedding_near_dups 1.98/2.84/8.05 s; candles_15m x2.8;
+    # q3 x2.4) — GC-timing nondeterminism against the undrained-cache
+    # protocol, one-sided (spikes, never savings). A single sample per
+    # query cannot separate that from a plan regression, which is why the
+    # decision rule needed a x1.8 per-query floor. Running the identical
+    # pass twice and taking the per-query MIN cuts the one-sided noise:
+    # min-of-2 is the robust comparator (value_pass2_min), while
+    # value_pass2 keeps its historical first-warm-pass meaning. Cost:
+    # ~+1 min per full bench at sf0.1.
+    spark.catalog.clearCache()
+    try:
+        spark.read.format("lakeflow_ticks").option("n", "64").load().count()
+    except Exception:
+        pass
+    print("  -- headline pass 2b (repeat warm pass) --", file=sys.stderr)
+    pass2b_failed: list[str] = []
+    timings2b = run_set(headline, fail_sink=pass2b_failed)
+    print("PASS2B " + json.dumps(timings2b), file=sys.stderr)
     record = {
         "metric": "lakeflow headline queries, end-to-end (noop sink)",
         "value": total,
@@ -463,7 +492,9 @@ def main() -> None:
     # with numbers the decision rule can't compare.
     canonical = only is None and sf == 0.1
     if canonical:
-        _write_pass2_artifact(sf, calib, timings, timings2, total, total2)
+        _write_pass2_artifact(
+            sf, calib, timings, timings2, total, total2, pass2b=timings2b
+        )
 
     # Full-surface sweep (VERDICT r4 ask #6): every registered query not in
     # the headline set, in sorted order so the tail is stable round-over-

@@ -55,6 +55,11 @@ def test_bench_stdout_is_one_compact_json_line():
     # the whole record fails to parse (BENCH_r08.json parsed=null).
     assert "queries_pass2" not in rec
     assert rec["value_pass2"] > 0
+    # The min-of-two-warm-passes fields (r13 post-gate) ride the
+    # committed artifact ONLY — the stdout record stays under the
+    # driver's capture budget (the static worst-case guard measured
+    # 1908 bytes with the extra key).
+    assert "value_pass2_min" not in rec and "queries_pass2b" not in rec
     # Hardware calibration probe (r10): a fixed CPU-bound workload whose
     # cross-round ratio attributes uniform drift to the environment by
     # measurement instead of inference.
@@ -63,6 +68,10 @@ def test_bench_stdout_is_one_compact_json_line():
         ln for ln in proc.stderr.splitlines() if ln.startswith("PASS2 ")
     ]
     assert len(pass2_lines) == 1
+    pass2b_lines = [
+        ln for ln in proc.stderr.splitlines() if ln.startswith("PASS2B ")
+    ]
+    assert len(pass2b_lines) == 1
     assert set(json.loads(pass2_lines[0][len("PASS2 "):])) == set(
         rec["queries"]
     )
@@ -217,6 +226,22 @@ def test_committed_pass2_artifact_exists_parses_and_covers_headline():
     missing = set(bench.BENCH_QUERIES) - got
     assert not missing, f"{files[-1]}: pass-2 detail missing {sorted(missing)}"
     assert abs(sum(rec["queries_pass2"].values()) - rec["value_pass2"]) < 0.01
+    # Min-of-two-warm-passes fields (r13 post-gate): mandatory from r14
+    # artifacts on; when present, the min dict must be the true per-query
+    # min and value_pass2_min its sum.
+    if rec.get("round", 0) >= 14:
+        assert "queries_pass2_min" in rec and "queries_pass2b" in rec, (
+            f"{files[-1]}: r14+ artifact lacks the pass-2b/min fields"
+        )
+    if "queries_pass2_min" in rec:
+        p2, p2b, p2m = (
+            rec["queries_pass2"], rec["queries_pass2b"],
+            rec["queries_pass2_min"],
+        )
+        assert set(p2m) == set(p2) & set(p2b)
+        for q, v in p2m.items():
+            assert abs(v - min(p2[q], p2b[q])) < 1e-9
+        assert abs(sum(p2m.values()) - rec["value_pass2_min"]) < 0.01
 
 
 def test_committed_full_artifact_exists_and_covers_registry():
@@ -323,3 +348,43 @@ def test_committed_bench_artifacts_carry_measuring_commit():
             f"{files[-1]}: product modules changed since the measuring "
             f"commit {sha[:8]} with no neutrality note: {touched}"
         )
+
+
+def test_provenance_dirty_flag_ignores_benchs_own_artifacts(tmp_path):
+    """A re-run within a round rewrites the (tracked) pass-2 artifact
+    before the full-sweep stamp is computed — the run's own outputs must
+    not read as a dirty measurement tree, while any OTHER tracked
+    modification still must."""
+    import subprocess
+
+    import bench
+
+    repo = tmp_path / "r"
+    repo.mkdir()
+
+    def git(*args):
+        subprocess.run(
+            ["git", *args], cwd=repo, check=True, capture_output=True,
+            env={**os.environ,
+                 "GIT_AUTHOR_NAME": "t", "GIT_AUTHOR_EMAIL": "t@t",
+                 "GIT_COMMITTER_NAME": "t", "GIT_COMMITTER_EMAIL": "t@t"},
+        )
+
+    git("init", "-q")
+    (repo / "src.py").write_text("x = 1\n")
+    (repo / "bench_pass2_r01.json").write_text("{}")
+    (repo / "bench_full_r01.json").write_text("{}")
+    git("add", "-A")
+    git("commit", "-qm", "seed")
+
+    clean = bench._provenance(root=str(repo))
+    assert clean["tree_dirty"] is False and clean["head_sha"]
+
+    # Artifact rewrites (what a mid-run stamp sees) are excluded…
+    (repo / "bench_pass2_r01.json").write_text('{"value": 1}')
+    (repo / "bench_full_r01.json").write_text('{"value": 2}')
+    assert bench._provenance(root=str(repo))["tree_dirty"] is False
+
+    # …but a source modification still flips the flag.
+    (repo / "src.py").write_text("x = 2\n")
+    assert bench._provenance(root=str(repo))["tree_dirty"] is True
