@@ -388,3 +388,55 @@ def test_provenance_dirty_flag_ignores_benchs_own_artifacts(tmp_path):
     # …but a source modification still flips the flag.
     (repo / "src.py").write_text("x = 2\n")
     assert bench._provenance(root=str(repo))["tree_dirty"] is True
+
+
+def test_pass2_diff_classifier_rule_application():
+    """scripts/pass2_diff.py is the mechanical form of BASELINE.md's
+    warm-pass decision rule: min-era signal selection, the +-5% flat
+    band, uniform-shift-is-environmental, and the per-query floor."""
+    sys.path.insert(0, os.path.join(_REPO, "scripts"))
+    try:
+        import pass2_diff
+    finally:
+        sys.path.pop(0)
+
+    def art(rnd, p2, p2min=None, calib=0.18, disp=0.2):
+        rec = {
+            "round": rnd, "queries_pass2": p2,
+            "value_pass2": round(sum(p2.values()), 3),
+            "calib": calib, "calib_disp": disp,
+        }
+        if p2min is not None:
+            rec["queries_pass2_min"] = p2min
+            rec["value_pass2_min"] = round(sum(p2min.values()), 3)
+        return rec
+
+    base = {"a": 1.0, "b": 2.0, "c": 4.0}
+
+    # Flat pair -> rule 1 stops.
+    out = pass2_diff.classify(art(13, base), art(14, dict(base)))
+    assert "FLAT" in out and "value_pass2 " in out.splitlines()[0]
+
+    # Min-era signal selection + tighter floor: uniform 1.3x shift with
+    # min fields present -> environmental, x1.5 floor named.
+    up = {q: v * 1.3 for q, v in base.items()}
+    out = pass2_diff.classify(
+        art(13, base, p2min=base), art(14, up, p2min=up)
+    )
+    assert "value_pass2_min" in out and "x1.5" in out
+    assert "UNIFORM" in out and "environmental" in out
+
+    # One query past the floor -> named as a plan-regression candidate.
+    spike = dict(base, c=base["c"] * 2.0)
+    out = pass2_diff.classify(
+        art(13, base, p2min=base), art(14, spike, p2min=spike)
+    )
+    assert "candidates" in out and "c x2.00" in out
+
+    # Mixed eras fall back to single-sample signal and the x1.8 floor:
+    # the same x2.0 spike stays BELOW that floor only if < 1.8 — use a
+    # x1.7 spike to pin the floor difference.
+    spike17 = dict(base, c=base["c"] * 1.7)
+    out = pass2_diff.classify(art(13, base), art(14, spike17, p2min=spike17))
+    assert "value_pass2 " in out.splitlines()[0] and "x1.8" in out
+    assert "UNIFORM" in out
