@@ -440,3 +440,33 @@ def test_pass2_diff_classifier_rule_application():
     out = pass2_diff.classify(art(13, base), art(14, spike17, p2min=spike17))
     assert "value_pass2 " in out.splitlines()[0] and "x1.8" in out
     assert "UNIFORM" in out
+
+
+def test_bench_diff_full_sweep_table():
+    """scripts/bench_diff.py renders the cross-round full-sweep drift
+    table: registry growth/retirement attribution, ratio ranking over
+    the >=0.2s shared set, and the x1.8 single-sample floor line."""
+    sys.path.insert(0, os.path.join(_REPO, "scripts"))
+    try:
+        import bench_diff
+    finally:
+        sys.path.pop(0)
+
+    prev = {
+        "round": 12, "full_total": 100.0, "full_n": 4,
+        "calib": 0.18, "calib_disp": 0.2,
+        "queries": {"a": 1.0, "b": 2.0, "gone": 3.0, "tiny": 0.05},
+    }
+    cur = {
+        "round": 13, "full_total": 101.0, "full_n": 4,
+        "calib": 0.19, "calib_disp": 0.25,
+        "queries": {"a": 1.1, "b": 4.0, "new": 2.5, "tiny": 0.15},
+    }
+    out = bench_diff.diff_table(prev, cur, top_n=3)
+    assert "added (1): new" in out and "removed (1): gone" in out
+    # b doubled (x2.00) and must rank first; tiny (<0.2s both) excluded.
+    lines = out.splitlines()
+    first = next(l for l in lines if l.strip().startswith("b "))
+    assert "x2.00" in first and "tiny" not in out.split("added")[0]
+    # x1.8 floor: only b clears it.
+    assert "above the x1.8 single-sample significance floor: b" in out
