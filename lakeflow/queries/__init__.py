@@ -163,8 +163,15 @@ for _rnd, _names in _VERIFIED_ROUNDS.items():
 # the eviction-free view→purchase join + checkpoint harness with the new
 # stream_join_buffered_rows (identical plan and oracle; code-review
 # dedup) — listed until the driver re-greens it.
+# r13 post-gate: hll_partial_merge_verdict's bit-equality invariant
+# ("union estimate == whole-table estimate") FLIPPED at the sf0.1 parity
+# sweep — Datasketches uses the HIP estimator for directly-built
+# sketches and the composite estimator for union-built ones, so
+# estimates agree bit-for-bit only while every partial is sparse.
+# Rewritten to a measured 2%-of-exact agreement band (column renamed
+# merge_consistent) — listed until the driver re-greens it.
 _REWRITTEN_SINCE_GREEN: frozenset[str] = frozenset(
-    {"stream_join_state_inspection"}
+    {"stream_join_state_inspection", "hll_partial_merge_verdict"}
 )
 
 

@@ -823,9 +823,9 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "hll_partial_merge_verdict",
     oracle="""
-    SELECT 'hll daily partials union == whole-table sketch, within 5% of exact'
+    SELECT 'hll daily partials union ~= whole-table sketch (2%), within 5% of exact'
                AS metric,
-           true AS merge_lossless,
+           true AS merge_consistent,
            true AS within_tolerance
     """,
 )
@@ -837,11 +837,21 @@ def hll_partial_merge_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     day's partition is ever sketched again. Sketch bytes are
     engine-specific, so like `ivf_kmeans_recall_verdict` this emits a
     1-row INVARIANT VERDICT the constant oracle hash-checks: (a) the
-    merged-partials estimate equals the whole-table single-sketch estimate
-    bit-for-bit (Datasketches union at equal lgK is lossless — the property
-    the incremental pattern relies on), and (b) both land within 5% of the
-    exact distinct count. All distributed: two sketch aggregations, one
-    exact distinct, one crossed verdict row."""
+    merged-partials estimate agrees with the whole-table single-sketch
+    estimate within 2% of the exact count, and (b) both land within 5% of
+    the exact distinct count. All distributed: two sketch aggregations,
+    one exact distinct, one crossed verdict row.
+
+    Why 2% agreement and not bit-equality: Datasketches HLL union
+    preserves the REGISTER state (max per register), but the ESTIMATE of
+    a directly-built sketch uses the order-dependent HIP estimator while
+    a union-built sketch must fall back to the composite estimator — so
+    the two estimates are bit-identical only while every partial is still
+    in sparse (exact coupon) mode. The original bit-equality form held at
+    sf<=0.01 (sparse everywhere) and FLIPPED at sf0.1 (1488 vs 1494 on
+    1500 exact, 0.4% apart — found by the r13 sf0.1 parity sweep). The
+    2% band is measured 0.4% plus margin against lgK=12's ~1.6% relative
+    standard error; the 5% accuracy checks are unchanged."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
@@ -857,9 +867,12 @@ def hll_partial_merge_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return merged.crossJoin(whole).select(
         F.lit(
-            "hll daily partials union == whole-table sketch, within 5% of exact"
+            "hll daily partials union ~= whole-table sketch (2%), within 5% of exact"
         ).alias("metric"),
-        (F.col("merged_est") == F.col("whole_est")).alias("merge_lossless"),
+        (
+            F.abs(F.col("merged_est") - F.col("whole_est")) * 100
+            <= F.col("exact") * 2
+        ).alias("merge_consistent"),
         (
             (
                 F.abs(F.col("merged_est") - F.col("exact")) * 100
