@@ -33,6 +33,15 @@ VARIANTS: dict[str, tuple[str, int, dict]] = {
     "parts1": ("local[1]", 1, {}),
     "parts7": ("local[3]", 7, {}),
     "aqe-off": ("local[4]", 4, {"spark.sql.adaptive.enabled": "false"}),
+    # Interpreted evaluation instead of whole-stage-generated code — the
+    # two execution paths must agree expression by expression.
+    "codegen-off": (
+        "local[4]", 4, {"spark.sql.codegen.wholeStage": "false"}
+    ),
+    # Non-ANSI arithmetic/cast semantics — no registered query may rely
+    # on ANSI-only behavior (overflow errors, strict casts) for its
+    # RESULT; both modes must produce identical rows.
+    "ansi-off": ("local[4]", 4, {"spark.sql.ansi.enabled": "false"}),
     "default": ("local[4]", 4, {}),
 }
 
