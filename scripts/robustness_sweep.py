@@ -42,6 +42,12 @@ VARIANTS: dict[str, tuple[str, int, dict]] = {
     # on ANSI-only behavior (overflow errors, strict casts) for its
     # RESULT; both modes must produce identical rows.
     "ansi-off": ("local[4]", 4, {"spark.sql.ansi.enabled": "false"}),
+    # Pandas-UDF/grouped-map paths through the pickle fallback instead
+    # of Arrow batches — serialization format must not change results.
+    "arrow-off": (
+        "local[4]", 4,
+        {"spark.sql.execution.arrow.pyspark.enabled": "false"},
+    ),
     "default": ("local[4]", 4, {}),
 }
 
