@@ -78,11 +78,11 @@ def exact_dedup(
 def word_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """Distinct n-word shingles per doc: (id, shingle).
 
-    Built-ins only: split → transform(sequence) → explode. The token array is
-    materialized as a column FIRST — referencing the split expression inside
-    the transform lambda would re-run the regex+split per shingle index
-    (O(tokens²) regex work per doc). The explode is a narrow op; dedup
-    shuffles on (id, shingle) with partial combine.
+    Built-ins only: split → transform(sequence) → array_distinct → explode.
+    The token array is materialized as a column FIRST — referencing the split
+    expression inside the transform lambda would re-run the regex+split per
+    shingle index (O(tokens²) regex work per doc). Everything is scan-side
+    and narrow: no shuffle at all.
     """
     toked = fan_out(
         df.select(
@@ -95,7 +95,13 @@ def word_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     idxs = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     # slice is 1-based; join n consecutive tokens.
     sh = F.transform(idxs, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
-    return toked.select("id", F.explode(sh).alias("shingle")).distinct()
+    # Dedup INSIDE the row (array_distinct), not with .distinct(): the id is
+    # part of the output key, so duplicates are only ever intra-doc — a
+    # corpus-wide (id, shingle) exchange bought nothing (r13 guide §2.4).
+    # Scan-side dedup also re-enables map-side partial aggregation for every
+    # downstream groupBy("id") consumer (minhash_signatures ships 16 partial
+    # mins per doc per map task instead of the whole shingle set).
+    return toked.select("id", F.explode(F.array_distinct(sh)).alias("shingle"))
 
 
 def minhash_signatures(
@@ -332,8 +338,12 @@ def simhash16(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     """
     toks = fan_out(df).select(
         F.col(id_col).alias("id"),
-        F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
-    ).distinct()
+        # array_distinct inside the row replaces a corpus-wide (id, tok)
+        # .distinct() exchange — duplicates are intra-doc only (guide §2.4).
+        F.explode(F.array_distinct(F.split(normalize_text(text_col), " "))).alias(
+            "tok"
+        ),
+    )
     # One hex→int conversion per token; bit j tests are then integer ANDs —
     # 16 string ops per token collapse into one.
     h = toks.withColumn(
@@ -610,13 +620,20 @@ def exact_substring_dedup(
 
     Output: (id, n_tokens, n_removed, deduped_text).
     """
+    # The tokenized corpus feeds THREE consumers (the window group-by side,
+    # the window join-back side, and the final rebuild); unpersisted, Spark
+    # re-scans and re-tokenizes the corpus for each — 3 parquet scans + 3
+    # normalize/split passes in the before-plan (r13, guide §5: reuse whose
+    # recompute is expensive). Cache lifetime is CALLER-owned, like
+    # jaccard_verify's working set: the bench clears caches between passes,
+    # and MEMORY_AND_DISK spills rather than evicting at corpus scale.
     toked = fan_out(
         df.select(
             F.col(id_col).alias("id"),
             F.split(normalize_text(text_col), " ").alias("__toks"),
         ),
         barrier=True,
-    )
+    ).persist()
     n = F.size("__toks")
     # One occurrence key per window: doc_id * 2^32 + pos orders globally.
     windows = (
@@ -704,8 +721,13 @@ def simhash64_blocks(
     """
     toks = fan_out(df).select(
         F.col(id_col).alias("id"),
-        F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
-    ).distinct()
+        # array_distinct inside the row replaces a corpus-wide (id, tok)
+        # .distinct() exchange — duplicates are intra-doc only (guide §2.4),
+        # and the SWAR groupBy("id") below regains map-side partials.
+        F.explode(F.array_distinct(F.split(normalize_text(text_col), " "))).alias(
+            "tok"
+        ),
+    )
     h = toks.select(
         "id",
         F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint").alias("lo"),

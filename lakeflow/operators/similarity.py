@@ -77,7 +77,31 @@ def _hyperplane(dim: int, plane_idx: int, table_idx: int) -> list[float]:
 
 def sign_bucket(vec, dim: int, planes: int, table_idx: int = 0):
     """Sign-random-projection bucket id: bit p = sign(v·h_p) for ``planes``
-    deterministic md5-derived hyperplanes. Pure Catalyst expression."""
+    deterministic md5-derived hyperplanes. Pure Catalyst expression.
+
+    Built as ONE parsed SQL string when ``vec`` is a column name. The former
+    Column-API construction issued ~planes·dim individual ``F.lit`` py4j
+    calls (8×64 ≈ 2000+ JVM round-trips ≈ 1.3 s of driver time per call
+    site at two tables — measured r13: lsh_multitable_topk spent 2.5 s of
+    its 2.9 s warm bench cost building the DataFrame, 0.6 s executing it).
+    A single ``F.expr`` parse is value-identical (literal doubles round-trip
+    through ``repr`` exactly) and costs milliseconds warm. The Column form
+    is kept for callers that pass a computed expression.
+    """
+    if isinstance(vec, str):
+        bits_sql = "0"
+        for p in range(planes):
+            vals = ", ".join(repr(x) + "D" for x in _hyperplane(dim, p, table_idx))
+            dot_sql = (
+                f"aggregate(zip_with(`{vec}`, array({vals}), "
+                f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+                f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+            )
+            bits_sql = (
+                f"({bits_sql} * 2 + "
+                f"(CASE WHEN ({dot_sql}) >= 0 THEN 1 ELSE 0 END))"
+            )
+        return F.expr(bits_sql)
     hp = [
         F.array(*[F.lit(x) for x in _hyperplane(dim, p, table_idx)])
         for p in range(planes)
@@ -128,12 +152,12 @@ def lsh_bucketed_topk(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("qv"),
         norm(vec_col).alias("qn"),
-    ).select("qid", "qv", "qn", F.explode(table_keys(F.col("qv"))).alias("tk"))
+    ).select("qid", "qv", "qn", F.explode(table_keys("qv")).alias("tk"))
     c = fan_out(corpus).select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("cv"),
         norm(vec_col).alias("cn"),
-    ).select("vid", "cv", "cn", F.explode(table_keys(F.col("cv"))).alias("tk"))
+    ).select("vid", "cv", "cn", F.explode(table_keys("cv")).alias("tk"))
     scored = (
         c.join(F.broadcast(q), on="tk")
         .filter(F.col("qid") != F.col("vid"))
@@ -187,7 +211,7 @@ def embedding_near_dups(
     normed = fan_out(corpus).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), norm(vec_col).alias("n")
     )
-    bucket = sign_bucket(F.col("v"), dim, planes)
+    bucket = sign_bucket("v", dim, planes)
     if probe_bits not in (0, 1):
         raise ValueError("probe_bits must be 0 (exact bucket) or 1 (one flip)")
     probes = [bucket] + (
@@ -905,7 +929,7 @@ def margin_knn_pairs_ann(
         F.col(id_col).alias("src_id"),
         F.col(vec_col).alias("av"),
         norm(vec_col).alias("an"),
-        sign_bucket(F.col(vec_col), dim, planes).alias("bkt"),
+        sign_bucket(vec_col, dim, planes).alias("bkt"),
     ).select(
         "src_id",
         "av",
@@ -922,7 +946,7 @@ def margin_knn_pairs_ann(
         F.col(id_col).alias("tgt_id"),
         F.col(vec_col).alias("bv"),
         norm(vec_col).alias("bn"),
-        sign_bucket(F.col(vec_col), dim, planes).alias("probe"),
+        sign_bucket(vec_col, dim, planes).alias("probe"),
     )
     cand = a.join(b, on="probe").select(
         "src_id",

@@ -414,39 +414,82 @@ def bm25_topk(
     Determinism contract: per-term contributions are fixed to 6 decimals and
     summed as integer micro-units, so the total is addition-order-free and
     any SQL engine replays the exact score (ties broken by id).
+
+    Plan shape (r13 rewrite, guide §2.3/§2.4): ONE corpus scan. The former
+    relational form derived dl/tf/df/stats from a shared exploded-token
+    frame, which Spark recomputed per consumer — four parquet scans and
+    four tokenize passes of the same corpus per run (verified in the
+    before-plan). Now per-doc term frequencies are array expressions on the
+    token array (``dl = size(toks)``, ``tf_t = size(filter(toks, = t))``) in
+    a single scan-side projection; the corpus-wide constants (N, Σdl, df_t)
+    collapse into ONE single-row aggregate that broadcasts back via
+    crossJoin. Per-term scores and the micro-unit sum then evaluate
+    row-local — no groupBy at all; the only wide ops are the one-row
+    aggregate and the final TakeOrdered(k). Scores are bit-identical: the
+    same per-term expression evaluates on the same (tf, dl, df, N, Σdl)
+    values, micro-rounded and summed in a fixed term order (term order in a
+    doc's score sum was already immaterial — integer addition commutes).
     """
     from lakeflow.operators.transforms import fan_out
 
-    toks = fan_out(df.select(F.col(id_col).alias("id"), F.col(text_col))).select(
-        "id", F.explode(F.split(normalize_text(text_col), " ")).alias("tok")
+    # The old per-(id, tok) form scored each DISTINCT matching term once; a
+    # duplicated entry in query_terms must not double-count.
+    query_terms = list(dict.fromkeys(query_terms))
+    toked = fan_out(
+        df.select(F.col(id_col).alias("id"), F.col(text_col)), barrier=True
+    ).select("id", F.split(normalize_text(text_col), " ").alias("__toks"))
+
+    def tf_of(term: str) -> F.Column:
+        # Closure factory: a two-arg lambda in F.filter would be treated as
+        # (element, index), so bind the term via a one-arg closure.
+        return F.size(F.filter("__toks", lambda x: x == F.lit(term)))
+
+    # Skinny per-doc stats (id, dl, tf per term ≈ tens of bytes/doc) feed
+    # both the constants aggregate and the scoring pass — persist so the
+    # corpus is scanned and tokenized ONCE (cache lifetime caller-owned,
+    # same convention as jaccard_verify's working set).
+    per_doc = toked.select(
+        "id",
+        F.size("__toks").alias("dl"),
+        *[tf_of(t).alias(f"__tf{i}") for i, t in enumerate(query_terms)],
+    ).persist()
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"__tf{i}") > 0).cast("bigint")).alias(f"__df{i}")
+            for i in range(len(query_terms))
+        ],
     )
-    dl = toks.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sum_dl")
-    )
-    tf = (
-        toks.filter(F.col("tok").isin(query_terms))
-        .groupBy("id", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     avgdl = F.col("sum_dl") / F.col("n")
-    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
-    term_score = idf * (
-        F.col("tf")
-        * (k1 + 1.0)
-        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl))
+
+    def term_micro(i: int) -> F.Column:
+        tf = F.col(f"__tf{i}").cast("bigint")
+        dfreq = F.col(f"__df{i}")
+        idf = F.log((F.col("n") - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+        term_score = idf * (
+            tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * F.col("dl") / avgdl))
+        )
+        # A term absent from the doc contributed no row in the old per-
+        # (id, tok) form; floor(0-score) is 0 micro-units, so gating on
+        # tf > 0 keeps the sum identical while skipping the log/div work.
+        return F.when(
+            tf > 0,
+            F.floor(term_score * 1_000_000.0 + 0.5).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
+
+    micro_sum: F.Column = F.lit(0).cast("bigint")
+    for i in range(len(query_terms)):
+        micro_sum = micro_sum + term_micro(i)
+    any_hit = (
+        F.expr(" OR ".join(f"__tf{i} > 0" for i in range(len(query_terms))))
+        if query_terms
+        else F.lit(False)
     )
     scored = (
-        tf.join(F.broadcast(dfreq), "tok")
-        .join(dl, "id")
+        per_doc.filter(any_hit)
         .crossJoin(F.broadcast(stats))
-        .select(
-            "id",
-            F.floor(term_score * 1_000_000.0 + 0.5).cast("bigint").alias("micro"),
-        )
-        .groupBy("id")
-        .agg((F.sum("micro") / 1_000_000.0).alias("bm25"))
+        .select("id", (micro_sum / 1_000_000.0).alias("bm25"))
     )
     return (
         scored.select(F.col("id").alias(id_col), "bm25")

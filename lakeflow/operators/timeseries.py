@@ -77,14 +77,6 @@ def densify_interpolate(
             present = present.withColumn(bucket_col, b0 - misalign).groupBy(
                 key_col, bucket_col
             ).agg(F.avg(val_col).alias(val_col))
-    spans = present.groupBy(key_col).agg(
-        F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi")
-    )
-    spine = spans.select(
-        key_col,
-        F.explode(F.sequence("__lo", "__hi", F.lit(step))).alias(bucket_col),
-    )
-    j = spine.join(present, [key_col, bucket_col], "left")
     v = F.col(val_col)
     b = F.col(bucket_col)
     # Both anchor scans use RUNNING frames (unboundedPreceding → current),
@@ -104,6 +96,92 @@ def densify_interpolate(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     anchor_b = F.when(v.isNotNull(), b)
+    if offgrid != "ignore":
+        # On-grid modes take the lead-based shape (r13, guide §2.4): every
+        # observed bucket is on its key's grid, so the dense spine is exactly
+        # the union over consecutive present rows of [bucket, next_bucket);
+        # generate the gap buckets by exploding a per-row sequence instead of
+        # building a spans aggregate + spine join. The former plan computed
+        # `present` TWICE (spans branch + join branch — two full upstream
+        # scans), exchanged three relations on (key, bucket), and re-shuffled
+        # the DENSE spine for the anchor windows; this plan shuffles the
+        # sparse present rows once (partitionBy key) and everything after
+        # the windows is narrow. Anchor semantics are unchanged, including
+        # null-valued observations: a gap bucket between rows i and i+1
+        # interpolates between the last non-null anchor at-or-before row i
+        # and the first non-null anchor at-or-after row i+1 (carried in via
+        # lead()), which is exactly what the spine join's running windows
+        # produced. Degenerate duplicate (key, bucket) inputs — which the
+        # old path silently double-joined — now fail loudly in sequence().
+        w_lead = Window.partitionBy(key_col).orderBy(bucket_col)
+        anchored = present.select(
+            key_col,
+            bucket_col,
+            val_col,
+            F.last(v, ignorenulls=True).over(w_prev).alias("__pv"),
+            F.last(anchor_b, ignorenulls=True).over(w_prev).alias("__pb"),
+            F.last(v, ignorenulls=True).over(w_next).alias("__nv"),
+            F.last(anchor_b, ignorenulls=True).over(w_next).alias("__nb"),
+        ).select(
+            key_col,
+            bucket_col,
+            val_col,
+            "__pv",
+            "__pb",
+            "__nv",
+            "__nb",
+            F.lead(bucket_col).over(w_lead).alias("__lead_b"),
+            F.lead("__nv").over(w_lead).alias("__lead_nv"),
+            F.lead("__nb").over(w_lead).alias("__lead_nb"),
+        )
+        dense = anchored.select(
+            key_col,
+            bucket_col,
+            val_col,
+            "__pv",
+            "__pb",
+            "__nv",
+            "__nb",
+            "__lead_nv",
+            "__lead_nb",
+            F.explode(
+                F.sequence(
+                    b, F.coalesce(F.col("__lead_b") - step, b), F.lit(step)
+                )
+            ).alias("__grid"),
+        )
+        g = F.col("__grid")
+        is_anchor = g == b
+        pv, pb = F.col("__pv"), F.col("__pb")
+        nv, nb = F.col("__nv"), F.col("__nb")
+        lnv, lnb = F.col("__lead_nv"), F.col("__lead_nb")
+        filled = F.when(
+            is_anchor,
+            # The present row itself: identical to the old spine-join branch.
+            F.when(v.isNotNull(), v)
+            .when(pv.isNull(), nv)  # bfill before the first anchor
+            .when(nv.isNull(), pv)  # ffill after the last anchor
+            .otherwise(pv + (nv - pv) * ((g - pb) / (nb - pb))),
+        ).otherwise(
+            # A generated gap bucket strictly between rows i and i+1.
+            F.when(pv.isNull(), lnv)
+            .when(lnv.isNull(), pv)
+            .otherwise(pv + (lnv - pv) * ((g - pb) / (lnb - pb)))
+        )
+        return dense.select(
+            key_col,
+            g.alias("__b_out"),
+            (is_anchor & v.isNotNull()).alias("observed"),
+            rnd(filled, round_to).alias("__v_out"),
+        ).withColumnsRenamed({"__b_out": bucket_col, "__v_out": val_col})
+    spans = present.groupBy(key_col).agg(
+        F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi")
+    )
+    spine = spans.select(
+        key_col,
+        F.explode(F.sequence("__lo", "__hi", F.lit(step))).alias(bucket_col),
+    )
+    j = spine.join(present, [key_col, bucket_col], "left")
     prev_v = F.last(v, ignorenulls=True).over(w_prev)
     prev_b = F.last(anchor_b, ignorenulls=True).over(w_prev)
     next_v = F.last(v, ignorenulls=True).over(w_next)
