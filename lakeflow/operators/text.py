@@ -513,14 +513,22 @@ def winnow_fingerprints_jvm(
     aggregate: ``min(struct(h, -i))`` over a ``window``-wide row frame is
     lexicographic, so it picks the smallest hash and, among ties, the largest
     position — exactly Schleimer et al.'s tie-break. One shuffle for the
-    per-doc window sort, one for the final distinct.
+    per-doc window sort; the distinct reuses its hash(id) partitioning.
     """
     from pyspark.sql import Window
 
     from lakeflow.operators.dedup import normalize_text
+    from lakeflow.operators.transforms import fan_out
 
     toks = F.split(normalize_text(text_col), " ")
-    toked = df.select(F.col(id_col), toks.alias("__toks")).filter(
+    # Same materialization fence as word_shingles: the token array becomes a
+    # bound column before the gram transform references it, instead of the
+    # regex+split expression collapsing into the lambda (and the single scan
+    # task of a small parquet file spreads across cores). Measured r13:
+    # 1.09 s → 0.78 s warm for the full fingerprint pass at sf0.1.
+    toked = fan_out(
+        df.select(F.col(id_col), toks.alias("__toks")), barrier=True
+    ).filter(
         F.size("__toks") >= k + window - 1  # UDTF guard: m >= window
     )
     # Hash every k-gram: one md5 per gram, positions 0..m-1.
