@@ -2604,11 +2604,19 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape (suppliers who alone were late on multi-supplier
     orders; 80-day ship lag replaces receipt>commit on these fixtures).
 
-    The correlated EXISTS / NOT EXISTS pair decorrelates into a left-semi and
-    a left-anti self-join on l_orderkey with a suppkey-inequality residual.
-    Both self-joins reuse the same filtered projection of lineitem⋈orders, so
-    Spark shuffles that narrow intermediate once per side on the order key —
-    no row explosion, and the anti side is pre-filtered to late rows only.
+    r13 rewrite (guide §2.4): the decorrelated EXISTS / NOT EXISTS pair used
+    to run as left-semi + left-anti SELF-JOINS of lineitem⋈orders — three
+    scans of lineitem and two sort-merge shuffles of the full intermediate.
+    The per-order facts both EXISTS tests need are aggregates: a late row of
+    supplier s qualifies iff its order has ≥ 2 distinct suppliers AND its
+    only late supplier is s (i.e. exactly 1 late supplier, which must be s
+    because the row itself is late). A two-level aggregate — (orderkey,
+    suppkey) partials, then per-order distinct/late-supplier counts carrying
+    the unique late supplier's id and its late-row count — replaces both
+    self-joins: ONE lineitem scan, one (orderkey, suppkey) exchange with
+    map-side partials, one orderkey exchange of per-(order, supplier) rows,
+    no join-back at all. Oracle-verified result-identical at sf0.01/sf0.1
+    (plans/r13/q21_waiting_suppliers_{before,after}.txt).
     """
     li = (
         load_table(spark, sf_dir, "lineitem")
@@ -2619,33 +2627,31 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("o_orderkey", "o_orderdate"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .select("l_orderkey", "l_suppkey", "l_shipdate", "o_orderdate")
-    )
-    late = li.filter(
-        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 80 DAYS")
-    )
-    l1 = late.alias("l1")
-    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
-    l3 = late.select("l_orderkey", "l_suppkey").alias("l3")
-    waiting = (
-        l1.join(
-            l2,
-            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
-            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
-            "left_semi",
-        )
-        .join(
-            l3,
-            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
-            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
-            "left_anti",
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 80 DAYS")
+            ).alias("__late"),
         )
     )
+    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum(F.col("__late").cast("bigint")).alias("__n_late")
+    )
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("__n_supp"),
+        F.sum((F.col("__n_late") > 0).cast("bigint")).alias("__n_late_supp"),
+        F.max(F.when(F.col("__n_late") > 0, F.col("l_suppkey"))).alias("__late_supp"),
+        F.sum(F.when(F.col("__n_late") > 0, F.col("__n_late"))).alias("__late_rows"),
+    )
+    qualifying = per_o.filter(
+        (F.col("__n_supp") >= 2) & (F.col("__n_late_supp") == 1)
+    ).select(F.col("__late_supp").alias("l_suppkey"), "__late_rows")
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        waiting.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        qualifying.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("__late_rows").alias("numwait"))
     )
 
 
