@@ -170,8 +170,20 @@ for _rnd, _names in _VERIFIED_ROUNDS.items():
 # estimates agree bit-for-bit only while every partial is sparse.
 # Rewritten to a measured 2%-of-exact agreement band (column renamed
 # merge_consistent) — listed until the driver re-greens it.
+# r13 optimization round: q21_waiting_suppliers' callable was rewritten
+# from the semi/anti self-join form to the two-level per-order aggregate
+# (OPTIMIZATION_r13.md; oracle-verified identical at sf0.01 AND sf0.1,
+# branch-complete micro-corpus pin in tests/test_r13_optimizations.py) —
+# listed until the driver re-greens it. The round's other rewrites live in
+# operator modules (similarity/dedup/text/timeseries), which the
+# helper-ledger staleness signal — not this callable-source set — orders
+# first in the next correctness window.
 _REWRITTEN_SINCE_GREEN: frozenset[str] = frozenset(
-    {"stream_join_state_inspection", "hll_partial_merge_verdict"}
+    {
+        "stream_join_state_inspection",
+        "hll_partial_merge_verdict",
+        "q21_waiting_suppliers",
+    }
 )
 
 
