@@ -78,6 +78,12 @@ def exact_dedup(
 def word_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """Distinct n-word shingles per doc: (id, shingle).
 
+    PRECONDITION (ADVICE r13): one input row per ``id_col`` value. Dedup is
+    per-ROW (``array_distinct`` inside the row, replacing the former
+    corpus-wide ``(id, token)`` distinct); an id split across several input
+    rows would keep per-row duplicates, changing downstream signature
+    multiplicities. All registered callers feed one-row-per-doc tables.
+
     Built-ins only: split → transform(sequence) → array_distinct → explode.
     The token array is materialized as a column FIRST — referencing the split
     expression inside the transform lambda would re-run the regex+split per
@@ -340,6 +346,9 @@ def simhash16(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     low bit of hex digit j of md5(token)). Output: (id, simhash int).
 
     Narrow explode + one hash-agg; signature comparison is then O(1)/pair.
+    PRECONDITION: one input row per ``id_col`` (see :func:`word_shingles` —
+    token dedup is per-row since r13, so a multi-row id would change the
+    bit sums).
     """
     toks = fan_out(df).select(
         F.col(id_col).alias("id"),
@@ -602,6 +611,7 @@ def exact_substring_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 20,
+    eager: bool = False,
 ) -> DataFrame:
     """Cross-document EXACT-SUBSTRING dedup (Lee et al. 2022, "Deduplicating
     Training Data Makes Language Models Better"): any ``k``-token window
@@ -622,6 +632,12 @@ def exact_substring_dedup(
 
     Deterministic end-to-end, so the removed text itself is
     oracle-checkable. Docs shorter than ``k`` tokens pass through whole.
+
+    Cache lifetime (ADVICE r13): the tokenized corpus is persisted for its
+    three consumers; returned lazily that entry is CALLER-owned (cleared by
+    ``spark.catalog.clearCache()`` or session end). Long-lived sessions
+    should pass ``eager=True`` to materialize the result via
+    ``localCheckpoint`` and unpersist the working set before return.
 
     Output: (id, n_tokens, n_removed, deduped_text).
     """
@@ -700,12 +716,16 @@ def exact_substring_dedup(
         ),
         lambda x: x.isNotNull(),
     )
-    return rebuilt.select(
+    out = rebuilt.select(
         "id",
         F.size("__toks").cast("bigint").alias("n_tokens"),
         F.size("__rm").cast("bigint").alias("n_removed"),
         F.array_join(kept, " ").alias("deduped_text"),
     )
+    if eager:
+        out = out.localCheckpoint(eager=True)
+        toked.unpersist()
+    return out
 
 
 def simhash64_blocks(
@@ -722,7 +742,8 @@ def simhash64_blocks(
     Blocks stay unpacked (4 small ints, not one packed int64) so no sign
     tricks are needed at bit 63 in any engine and the blocking key IS a
     column. Same plan as simhash16: one distinct-token explode, one wide
-    hash-agg; everything scan-side before it.
+    hash-agg; everything scan-side before it. Same one-row-per-id
+    precondition as :func:`simhash16`.
     """
     toks = fan_out(df).select(
         F.col(id_col).alias("id"),

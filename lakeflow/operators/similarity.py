@@ -89,11 +89,15 @@ def sign_bucket(vec, dim: int, planes: int, table_idx: int = 0):
     is kept for callers that pass a computed expression.
     """
     if isinstance(vec, str):
+        # Escape backticks in the identifier (ADVICE r13): a column name
+        # containing ` would otherwise break out of the quoting and parse
+        # as a different (or invalid) expression.
+        ident = "`" + vec.replace("`", "``") + "`"
         bits_sql = "0"
         for p in range(planes):
             vals = ", ".join(repr(x) + "D" for x in _hyperplane(dim, p, table_idx))
             dot_sql = (
-                f"aggregate(zip_with(`{vec}`, array({vals}), "
+                f"aggregate(zip_with({ident}, array({vals}), "
                 f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
                 f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
             )

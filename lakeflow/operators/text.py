@@ -401,8 +401,19 @@ def bm25_topk(
     b: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
+    eager: bool = False,
 ) -> DataFrame:
     """BM25 keyword retrieval: top-``k`` docs for a bag of query terms.
+
+    Cache lifetime (ADVICE r13): the skinny per-doc stats frame is
+    persisted so the corpus is scanned/tokenized once for the constants
+    aggregate and the scoring pass. Returned lazily, that cache entry is
+    CALLER-owned — it lives in the session's CacheManager until
+    ``spark.catalog.clearCache()`` (the bench clears between passes) or
+    session end. Long-lived sessions calling this repeatedly should pass
+    ``eager=True``: the (k-row) result is materialized via
+    ``localCheckpoint`` and the working set unpersisted before return —
+    the same convention as ``jaccard_verify``/``margin_knn_pairs``.
 
     Inverted-index plan shape: tokens explode scan-side (the posting list),
     term frequencies and doc lengths are algebraic aggregates with map-side
@@ -491,11 +502,15 @@ def bm25_topk(
         .crossJoin(F.broadcast(stats))
         .select("id", (micro_sum / 1_000_000.0).alias("bm25"))
     )
-    return (
+    out = (
         scored.select(F.col("id").alias(id_col), "bm25")
         .orderBy(F.desc("bm25"), F.asc(id_col))
         .limit(k)
     )
+    if eager:
+        out = out.localCheckpoint(eager=True)
+        per_doc.unpersist()
+    return out
 
 
 def winnow_fingerprints_jvm(

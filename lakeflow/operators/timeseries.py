@@ -44,6 +44,14 @@ def densify_interpolate(
       observations that land in the same cell.
     * ``"ignore"`` — the documented legacy behavior: off-grid rows drop.
 
+    Duplicate ``(key, bucket)`` input rows are a PRECONDITION violation in
+    ``"error"`` mode (ADVICE r13): the lead-based densify sees
+    ``lead(bucket) == bucket`` and fails at execution time inside
+    ``sequence()`` (step-direction error) rather than silently
+    double-joining the duplicate as the old spine-join plan did. De-dup or
+    pre-aggregate upstream, or use ``"snap"``, whose per-cell ``avg``
+    collapses duplicates by construction.
+
     Scale shape: the spine explode is O(span/step) rows per key; anchors
     come from running last/first-value windows over ONE per-key sort —
     the same shuffle the spine join already needs. At 100 TB the bucket

@@ -322,14 +322,29 @@ def medallion_gold_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="lakeflow_medallion_")
     cust_csv = f"{work}/customer_csv"
     nat_csv = f"{work}/nation_csv"
-    load_table(spark, sf_dir, "customer").write.mode("overwrite").option(
-        "header", True
-    ).csv(cust_csv)
-    load_table(spark, sf_dir, "nation").write.mode("overwrite").option(
-        "header", True
-    ).csv(nat_csv)
+
+    # The two raw-input CSV exports are independent jobs too — same §2.6
+    # overlap as the pipeline diamond below.
+    def _export(table: str, dest: str) -> None:
+        load_table(spark, sf_dir, table).write.mode("overwrite").option(
+            "header", True
+        ).csv(dest)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for fut in [
+            pool.submit(_export, "customer", cust_csv),
+            pool.submit(_export, "nation", nat_csv),
+        ]:
+            fut.result()
     pipe = build_medallion_pipeline(spark, cust_csv, nat_csv, f"{work}/wh")
-    results = pipe.run()
+    # The diamond's two bronze→silver chains are independent; a 2-worker
+    # pool overlaps their IO (guide §2.6 — FIFO scheduling back-fills each
+    # job's straggler tail with the other branch's tasks). Results and
+    # report statuses are identical to the sequential run (pinned in
+    # tests/test_medallion_pipeline.py).
+    results = pipe.run(max_workers=2)
     return spark.read.parquet(results["gold_dim_customer"])
 
 

@@ -19,10 +19,14 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def test_bench_stdout_is_one_compact_json_line():
+    # CPUS=8 (was 4): the contract under test is the stdout SHAPE, not the
+    # timings, and the dominant cost of this guard is bench.py's fixed
+    # 200M-row calibration probe, which runs ~2x faster at 8 local cores
+    # on this 32-core box (r14 suite-wall-time work, VERDICT ask #1).
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
-        SPARK_GRAFT_CPUS="4",
+        SPARK_GRAFT_CPUS="8",
     )
     proc = subprocess.run(
         [
@@ -192,7 +196,10 @@ def test_committed_full_sweeps_completed_without_failures():
     # names retired SINCE (scripts/retired_queries.json, SCALE.md §10)
     # legitimately make full_n exceed today's len(QUERIES) by exactly the
     # retired count — anything beyond that is a real denominator break.
-    rec_round = int(re.search(r"r(\d+)\.json$", path).group(1))
+    # Basename-tolerant round extraction: the driver also commits suffixed
+    # per-round records (BENCH_r13_c8.json, its 8-cpu run), which carry
+    # full_n too — "r13_c8" still belongs to round 13.
+    rec_round = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
     with open(os.path.join(_REPO, "scripts", "retired_queries.json")) as f:
         retired_since = sum(
             1

@@ -1,13 +1,22 @@
 """Examples are runnable documentation — they must keep running as the
 library evolves (the ivf_topk signature change broke retrieval.py silently
 until a manual run caught it). Each example executes as a subprocess against
-the tiny fixture; pass = exit 0."""
+the tiny fixture; pass = exit 0.
+
+The subprocesses launch CONCURRENTLY from a session fixture (r14, VERDICT
+ask #1 — suite wall time): each example pays ~20-40 s, almost all of it
+fresh-JVM startup + tiny local jobs, and they are fully independent (own
+scratch dirs, own sessions), so running them 4 at a time on the 32-core
+box cuts this file from ~423 s sequential to roughly the slowest example
+plus queueing — with IDENTICAL coverage (the per-example parametrized
+tests below still assert each exit individually)."""
 
 from __future__ import annotations
 
 import os
 import subprocess
 import sys
+from concurrent.futures import ThreadPoolExecutor
 
 import pytest
 
@@ -31,15 +40,26 @@ EXAMPLES = [
 ]
 
 
-@pytest.mark.parametrize("example", EXAMPLES)
-def test_example_runs(example):
-    proc = subprocess.run(
+def _run_example(example: str) -> subprocess.CompletedProcess:
+    return subprocess.run(
         [sys.executable, os.path.join(_REPO, "examples", example)],
         capture_output=True,
         text=True,
         timeout=600,
         cwd=_REPO,
     )
+
+
+@pytest.fixture(scope="session")
+def example_results() -> dict[str, subprocess.CompletedProcess]:
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futs = {ex: pool.submit(_run_example, ex) for ex in EXAMPLES}
+        return {ex: fut.result() for ex, fut in futs.items()}
+
+
+@pytest.mark.parametrize("example", EXAMPLES)
+def test_example_runs(example, example_results):
+    proc = example_results[example]
     assert proc.returncode == 0, (
         f"{example} failed:\n{proc.stdout[-1500:]}\n{proc.stderr[-1500:]}"
     )

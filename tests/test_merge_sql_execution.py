@@ -28,6 +28,8 @@ import pytest
 from lakeflow.formats import scd1_merge_sql, scd2_expire_sql, scd2_insert_sql
 from lakeflow.operators.merge import scd1_apply, scd2_apply
 
+from .conftest import slow_lane
+
 _MERGE_RE = re.compile(
     r"MERGE INTO (?P<target>\w+) t USING (?P<source>\w+) s ON (?P<on>.+?)"
     r"(?: WHEN MATCHED(?: AND \((?P<cond>.+?)\))? THEN UPDATE SET (?P<sets>.+?))?"
@@ -196,6 +198,7 @@ def _load_duck(con, table, schema, rows):
 
 @_PROP_SETTINGS
 @given(target_rows=_TARGET, source_rows=_SOURCE)
+@slow_lane
 def test_scd1_merge_translation_matches_twin_on_generated_batches(
     spark, target_rows, source_rows
 ):
@@ -216,6 +219,7 @@ def test_scd1_merge_translation_matches_twin_on_generated_batches(
 
 @_PROP_SETTINGS
 @given(target_rows=_TARGET, source_rows=_SOURCE)
+@slow_lane
 def test_scd2_merge_translation_matches_twin_on_generated_batches(
     spark, target_rows, source_rows
 ):

@@ -162,11 +162,27 @@ def test_rewritten_queries_are_listed():
         f"rewritten since their green verdict but not listed in "
         f"_REWRITTEN_SINCE_GREEN: {sorted(unlisted_rewrites)}"
     )
+    # A listed name must carry EVIDENCE of the rewrite so the set cannot
+    # rot: either its callable/oracle hash diverged from the green-era
+    # snapshot, or (r14) its transitive HELPER modules changed after its
+    # verdict round per the ledger — the r13 optimization round rewrote
+    # operator internals (densify/exact-substring/sign_bucket/winnow)
+    # under unchanged callables, and those rewrites front-load through
+    # this set too. Once the driver re-greens a listed name, neither arm
+    # holds and the assert forces the prune.
+    helper_change = _q._helper_change_rounds()
     for name in _REWRITTEN_SINCE_GREEN:
         if name in pinned:
-            assert query_hash(QUERIES[name], ORACLES.get(name)) != pinned[name], (
+            diverged = (
+                query_hash(QUERIES[name], ORACLES.get(name)) != pinned[name]
+            )
+            helper_stale = helper_change.get(name, 0) > _LATEST_GREEN.get(
+                name, 0
+            )
+            assert diverged or helper_stale, (
                 f"{name} is listed as rewritten but its source matches the "
-                f"green-era snapshot — prune the set or refresh the snapshot"
+                f"green-era snapshot and no helper module changed since its "
+                f"verdict — prune the set or refresh the snapshot"
             )
 
 
