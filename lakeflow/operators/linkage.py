@@ -171,21 +171,48 @@ def edit_distance_pairs(
         *block_cols,
         F.xxhash64(F.expr(variant)).alias("vh"),
     )
-    # The variant generation is the dominant CPU — compute it once, not once
-    # per join side; release the cache after the (much smaller) candidate
-    # list is materialized.
-    if eager:
-        keyed = keyed.persist()
-    a = keyed.select(F.col("id").alias("id_a"), *block_cols, "vh")
-    b = keyed.select(F.col("id").alias("id_b"), *block_cols, "vh")
+    # Candidate generation as ONE exchange (r14, guide §2.4): group the
+    # variant rows by (vh, block) and expand each bucket's C(m, 2) id pairs
+    # row-locally, instead of the former self-join — which shuffled the
+    # SAME persisted frame TWICE (one exchange per join side) and paid the
+    # join machinery to produce exactly these in-bucket pairs. Multiplicity
+    # is identical (the multiset expansion i<j over a bucket's id list
+    # equals the join's cnt_a x cnt_b per id pair), ~99% of buckets are
+    # singletons and drop before any pair exists, and the variant
+    # generation now runs once with no persist/cache pass at all. Measured
+    # r14 at sf0.1 (fuzzy_name_pairs, interleaved 2x3-rep A/B, same
+    # session, noop sink): join form min 2.248 s vs groupBy form min
+    # 1.875 s (x0.83); identical 163,383 output rows.
+    ids = F.array_sort(F.collect_list("id"))
+    m = F.size("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), m - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, m),
+                lambda j: F.struct(
+                    F.get("ids", i - 1).alias("a"),
+                    F.get("ids", j - 1).alias("b"),
+                ),
+            ),
+        )
+    )
     cand = (
-        a.join(b, on=["vh", *block_cols])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        keyed.groupBy("vh", *block_cols)
+        .agg(ids.alias("ids"))
+        .filter(m >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        # A duplicate (id, vh) row (same-char-run variants the canonical
+        # encoding keeps) pairs with itself inside the bucket — the sorted
+        # expansion makes those a == b, exactly the rows the old join's
+        # id_a < id_b filter dropped.
+        .filter(F.col("p.a") != F.col("p.b"))
+        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
     )
     if eager:
+        # Two name-fetch consumers below: materialize the (small) candidate
+        # list once rather than re-running the variant explode per side.
         cand = cand.localCheckpoint(eager=True)
-        keyed.unpersist()
     # Name fetch is a plain equi-join on id: Catalyst/AQE broadcasts it when
     # the table is small (test scale) and shuffles on id at corpus scale.
     names = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))

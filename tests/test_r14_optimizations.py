@@ -136,9 +136,12 @@ def test_sign_bucket_escapes_backtick_identifiers(spark):
         [(i, [float(i % 3 - 1)] * 4) for i in range(10)],
         "vec_id long, `we``ird` array<double>",
     )
+    # Spark 4 routes even df[...] through the attribute-name parser, so the
+    # Column-path reference must pre-escape; sign_bucket's STRING path (the
+    # code under test) takes the raw name and escapes internally.
     got = df.select(
         sign_bucket("we`ird", dim=4, planes=2).alias("b"),
-        sign_bucket(F.col("we`ird"), dim=4, planes=2).alias("cb"),
+        sign_bucket(F.col("`we``ird`"), dim=4, planes=2).alias("cb"),
     )
     assert got.filter(F.col("b") != F.col("cb")).count() == 0
 
