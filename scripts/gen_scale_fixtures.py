@@ -12,8 +12,13 @@ in-bucket pair counts quadratically and misrepresent the scaling shape):
 
 * region/nation — copied (fixed-cardinality dimensions).
 * customer/supplier/part/orders/lineitem/events — replica r shifts every
-  key by r * 10_000_000 consistently across foreign keys; names regenerate
-  from the new key (Customer#%09d) so fuzzy matching sees new entities.
+  key by r * 10_000_000 consistently across foreign keys. Names keep the
+  original digits plus a per-replica 3-letter code (codes pairwise
+  levenshtein-3 apart), so cross-replica names are NEVER within the lev-2
+  fuzzy-match threshold and pair counts scale LINEARLY with the corpus —
+  a digit-aligned key offset would put every replica within 1-2 edits of
+  the original and blow the pair count quadratically (measured: 50 s +
+  broadcast OOM at mult=10 before this fix).
 * documents — replica r>0 re-permutes each doc's words by a deterministic
   per-(replica, doc, position) hash, keeping vocabulary/length/lang/source
   marginals while destroying cross-replica shingle identity.
@@ -79,11 +84,20 @@ def main() -> None:
     for t in ("region", "nation"):
         write(src(t), t, parts=1)
 
+    # 3-letter replica codes, pairwise lev-3 apart; '' for replica 0 so
+    # the original rows pass through byte-identical.
+    codes = F.array(
+        *[F.lit("" if r == 0 else chr(ord("a") + r - 1) * 3) for r in range(mult)]
+    )
+    rcode = F.get(codes, F.col("__r"))
+
     write(
         reps(src("customer")).select(
             shift("c_custkey"),
-            F.format_string(
-                "Customer#%09d", F.col("c_custkey") + F.col("__r") * KEY_OFF
+            F.concat(
+                F.lit("Customer#"),
+                rcode,
+                F.format_string("%09d", F.col("c_custkey")),
             ).alias("c_name"),
             "c_nationkey",
             "c_acctbal",
@@ -94,8 +108,10 @@ def main() -> None:
     write(
         reps(src("supplier")).select(
             shift("s_suppkey"),
-            F.format_string(
-                "Supplier#%09d", F.col("s_suppkey") + F.col("__r") * KEY_OFF
+            F.concat(
+                F.lit("Supplier#"),
+                rcode,
+                F.format_string("%09d", F.col("s_suppkey")),
             ).alias("s_name"),
             "s_nationkey",
             "s_acctbal",
@@ -127,6 +143,9 @@ def main() -> None:
         ),
         "lineitem",
     )
+    # Single part file: the streaming sources glob 'events.parquet' as ONE
+    # file (the driver fixtures' layout); a multi-part directory here would
+    # leave the availableNow file stream reading nothing.
     write(
         reps(src("events")).select(
             shift("event_id"),
@@ -135,6 +154,7 @@ def main() -> None:
             "event_type", "value", "props",
         ),
         "events",
+        parts=1,
     )
 
     # documents: per-replica deterministic word permutation (replica 0 = as

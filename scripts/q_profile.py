@@ -58,12 +58,17 @@ def main() -> None:
             spark.catalog.clearCache()
             spark.sparkContext.setJobDescription(f"{name} rep{r}")
             t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
+            try:
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+            except Exception as exc:  # one broken query must not sink the run
+                print(f"  {name} rep{r}: FAILED {exc!r}"[:300], file=sys.stderr)
+                break
             dt = round(time.perf_counter() - t0, 3)
             times.append(dt)
             print(f"  {name} rep{r}: {dt:.3f}s", file=sys.stderr)
-        out[name] = times
+        if times:
+            out[name] = times
     print(json.dumps({q: {"reps": ts, "min": min(ts)} for q, ts in out.items()}))
     spark.stop()
 
