@@ -63,12 +63,18 @@ def test_parallel_runner_matches_sequential():
 
 
 def test_parallel_runner_overlaps_independent_branches():
-    # Two 0.35 s branches under a 2-worker pool must beat the 4x sequential
-    # wall time by a wide margin; generous bound so loaded boxes don't flake.
-    p = _diamond(sleep=0.35)
+    # Only the two independent middle tasks sleep (0.5 s each): sequential
+    # wall is ~1.0 s, overlapped ~0.5 s. The 0.85 s bound leaves ~0.35 s of
+    # scheduling slack so loaded boxes don't flake while still failing
+    # loudly if the branches serialize.
+    p = Pipeline("overlap")
+    p.add(Task("a", lambda results, **ctx: "a"))
+    p.add(Task("b1", lambda results, **ctx: time.sleep(0.5), deps=["a"]))
+    p.add(Task("b2", lambda results, **ctx: time.sleep(0.5), deps=["a"]))
+    p.add(Task("c", lambda results, **ctx: "c", deps=["b1", "b2"]))
     t0 = time.perf_counter()
     p.run(max_workers=2)
-    assert time.perf_counter() - t0 < 4 * 0.35 - 0.2
+    assert time.perf_counter() - t0 < 0.85
 
 
 def test_parallel_runner_raise_is_topologically_deterministic():
